@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Validation / scalar-function family (SURVEY.md §2.8 F1–F8), after the
+  * reference's notebook /root/reference/Seccion_2_Python/
+  * ETL_Prueba_Tecnica.ipynb:79 (email regex) and :100 (phone rules).
+  *
+  * The reference implements these as row-at-a-time Python lambdas; here they
+  * are pure Catalyst column expressions (`rlike`, `when`, `length`), so they
+  * stay inside whole-stage codegen — no UDF, no serialization boundary, and
+  * they remain DuckDB-oracle-comparable because every primitive has an exact
+  * ANSI-SQL equivalent.
+  */
+object Validation {
+
+  /** F3: the reference's email regex, verbatim. Python `re.match` anchors at
+    * the start and the pattern ends in `$`, so full-match ≡ rlike with both
+    * anchors (pattern uses only char classes + quantifiers — identical
+    * semantics in Java and RE2/DuckDB). */
+  val EmailRegex = "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$"
+
+  def emailValid(c: Column): Column = c.rlike(EmailRegex)
+
+  /** F4: strip `+`, `-` and whitespace before phone classification. */
+  def cleanPhone(c: Column): Column = regexp_replace(c, "[+\\-\\s]", "")
+
+  /** F5: the reference's Colombian phone rules as a when-chain, in the
+    * notebook's exact rule order (all-digits gate first; empty string fails
+    * the gate, matching Python `"".isdigit() == False`). */
+  def classifyPhone(cleaned: Column): Column =
+    when(!cleaned.rlike("^[0-9]+$"), lit("No Apto"))
+      .when(length(cleaned) === 10 && cleaned.startsWith("3"), lit("Apto - Celular"))
+      .when(length(cleaned) === 10 && cleaned.startsWith("601"), lit("Apto - Fijo"))
+      .otherwise(lit("No Apto"))
+
+  /** F7: text→number cast with error default (Power Query "replace errors
+    * with 0"). ANSI-safe: try_cast yields NULL on bad input, never throws. */
+  def castWithDefault(c: Column, default: Double): Column =
+    coalesce(c.try_cast("double"), lit(default))
+
+  /** F1/F2: normalize a padded string cell: cast to string, trim. */
+  def normalize(c: Column): Column = trim(c.cast("string"))
+}
