@@ -1,24 +1,46 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Benchmark entry point. Emits exactly ONE JSON line on stdout — the last
+  * line the program prints — so the driver's parser never has to skip
+  * interleaved logs. Failures are never silently folded into timings: a
+  * failed query reports `-1` in `queries` and its message in `errors`
+  * (stack traces go to stderr only).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val spark = Sessions.local("graft-bench")
+
+    // Warmup: absorb JVM/codegen/parquet-footer warmup outside the timings
+    // (round-1 charged ~7s of warmup to whichever query ran first).
+    try SparkEntry.queries("q13_group_agg")(spark, sfDir).count()
+    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+        catch {
+          case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .linesIterator.take(1).mkString
+            e.printStackTrace(System.err)
+            false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     spark.stop()
+    // printed after spark.stop() so no executor/log line can follow it
+    println(line)
+    System.out.flush()
   }
 }

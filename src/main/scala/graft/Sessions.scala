@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place to build the engine's SparkSession so Verify, Bench and the
+  * test suites agree on semantics-affecting config.
+  *
+  *  - `shuffle.partitions` = cpu count, not the 200 default: at local[32]
+  *    over sf0.1 every extra empty partition is pure scheduling overhead; on
+  *    a real cluster this knob is sized to the data (AQE coalesces down).
+  *  - `legacy.parquet.nanosAsLong`: the driver testdata writes `events.ts`
+  *    as parquet TIMESTAMP(NANOS), which Spark 4.x otherwise rejects with
+  *    PARQUET_TYPE_ILLEGAL at scan time. With the flag, `ts` surfaces as
+  *    LongType (epoch nanos) — convert with `timestamp_micros(ts div 1000)`
+  *    where a real timestamp is needed.
+  *  - AQE is on by default in Spark 4 (runtime skew-join handling and
+  *    shuffle-partition coalescing — part of the 100 TB story, SURVEY.md §4).
+  */
+object Sessions {
+  def local(appName: String = "graft"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

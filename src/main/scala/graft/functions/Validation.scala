@@ -23,8 +23,25 @@ object Validation {
 
   def emailValid(c: Column): Column = c.rlike(EmailRegex)
 
-  /** F4: strip `+`, `-` and whitespace before phone classification. */
-  def cleanPhone(c: Column): Column = regexp_replace(c, "[+\\-\\s]", "")
+  /** Character class reproducing Python's unicode-aware whitespace (`\s` in
+    * `re`, `str.strip()`): ASCII whitespace plus the \x1c–\x1f separators,
+    * NEL, NBSP and the unicode space block. Java's `\s` is ASCII-only and
+    * Spark's `trim` strips EVERY char ≤ 0x20 (including control chars like
+    * \x02 that Python keeps) — both would silently diverge from the
+    * reference on dirty cells (measured: 3 rows of the flights union carry a
+    * trailing \x02 that the golden export preserves). */
+  private val PyWs =
+    "[\\s\\u001c-\\u001f\\u0085\\u00a0\\u1680\\u2000-\\u200a\\u2028\\u2029\\u202f\\u205f\\u3000]"
+
+  /** Python-`str.strip()`-equivalent: removes leading/trailing whitespace
+    * only — control characters survive, exactly as in the reference. */
+  def pyStrip(c: Column): Column =
+    regexp_replace(c, s"^$PyWs+|$PyWs+$$", "")
+
+  /** F4: strip `+`, `-` and (unicode) whitespace before phone
+    * classification — the reference's `r'[+\-\s]'` with Python `\s`
+    * semantics. */
+  def cleanPhone(c: Column): Column = regexp_replace(c, s"[+\\-]|$PyWs", "")
 
   /** F5: the reference's Colombian phone rules as a when-chain, in the
     * notebook's exact rule order (all-digits gate first; empty string fails
@@ -40,6 +57,7 @@ object Validation {
   def castWithDefault(c: Column, default: Double): Column =
     coalesce(c.try_cast("double"), lit(default))
 
-  /** F1/F2: normalize a padded string cell: cast to string, trim. */
-  def normalize(c: Column): Column = trim(c.cast("string"))
+  /** F1/F2: normalize a padded string cell: cast to string, Python-strip
+    * (NOT Spark `trim` — see [[pyStrip]]). */
+  def normalize(c: Column): Column = pyStrip(c.cast("string"))
 }

@@ -40,15 +40,25 @@ object Upsert {
 
   /** O1/A1: one-row audit frame with the stage counters the reference's
     * stored procedure RAISE-NOTICEs (base/new/updates/inserts/final).
-    * Built as five 1-row aggregates cross-joined — each is a full plan, so
-    * pass cached inputs when running all counters at once. */
+    *
+    * Single-pass: one full-outer join on the key (projected to the key column
+    * only — nothing else shuffles) followed by one global aggregate. At 100 TB
+    * this is exactly one shuffle of the keys instead of round-1's five
+    * separate jobs (3 of them shuffled). Precondition: both inputs unique by
+    * `key` (pre-dedup with Dedup.keepFirst, as the reference pre-dedups into
+    * its temp table) — then `final = base − updates + new` holds and
+    * `final_count` is simply the outer join's row count. */
   def audit(base: DataFrame, newDf: DataFrame, key: String): DataFrame = {
-    val bc  = base.agg(count(lit(1)).as("base_count"))
-    val nc  = newDf.agg(count(lit(1)).as("new_count"))
-    val up  = updates(base, newDf, key).agg(count(lit(1)).as("updates"))
-    val ins = inserts(base, newDf, key).agg(count(lit(1)).as("inserts"))
-    val fin = upsert(base, newDf, key).agg(count(lit(1)).as("final_count"))
-    bc.crossJoin(nc).crossJoin(up).crossJoin(ins).crossJoin(fin)
+    val b = base.select(col(key)).withColumn("__in_base", lit(1))
+    val n = newDf.select(col(key)).withColumn("__in_new", lit(1))
+    b.join(n, Seq(key), "full_outer").agg(
+      count(col("__in_base")).as("base_count"),
+      count(col("__in_new")).as("new_count"),
+      count(when(col("__in_base").isNotNull && col("__in_new").isNotNull, 1))
+        .as("updates"),
+      count(when(col("__in_base").isNull && col("__in_new").isNotNull, 1))
+        .as("inserts"),
+      count(lit(1)).as("final_count"))
   }
 
   /** Q4/F8: the reference's post-load verification — total vs distinct keys

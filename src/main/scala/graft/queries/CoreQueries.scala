@@ -44,24 +44,30 @@ object CoreQueries {
       |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin
 
   /** Shared fixture for the upsert family: `base` = every 3rd order,
-    * `new` = every 2nd order re-priced (+10 %, the "updated" rows). */
+    * `new` = every 2nd order re-priced (the "updated" rows).
+    *
+    * The reprice multiplier is 1.5 — binary-exact (3/2^1), so the reprice is
+    * a single IEEE-754 double multiply that yields bitwise-identical results
+    * in Spark and DuckDB with no rounding step. (Round-1 used
+    * `round(x * 1.1, 2)`, whose HALF_UP-on-shortest-rendering semantics in
+    * Spark diverged from DuckDB's raw-binary rounding on ~9/7500 boundary
+    * rows — SURVEY.md §7.4 watch-item 2.) */
   private def upsertBase(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders").filter(col("o_orderkey") % 3 === 0)
-      .select(col("o_orderkey"), col("o_orderstatus"),
-        round(col("o_totalprice"), 2).as("o_totalprice"))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
 
   private def upsertNew(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders").filter(col("o_orderkey") % 2 === 0)
       .select(col("o_orderkey"), col("o_orderstatus"),
-        round(col("o_totalprice") * lit(1.1), 2).as("o_totalprice"))
+        (col("o_totalprice") * lit(1.5)).as("o_totalprice"))
 
   private val upsertCte =
     """WITH base AS (
-      |  SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice
       |  FROM orders WHERE o_orderkey % 3 = 0),
       |nw AS (
       |  SELECT o_orderkey, o_orderstatus,
-      |         round(o_totalprice * 1.1::DOUBLE, 2) AS o_totalprice
+      |         o_totalprice * 1.5::DOUBLE AS o_totalprice
       |  FROM orders WHERE o_orderkey % 2 = 0)""".stripMargin
 
   private val mergedSql =
@@ -76,9 +82,11 @@ object CoreQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1/P1/P2: scan with filter + projection, both pushed into the parquet
     // reader (verify: PushedFilters/ReadSchema in .explain).
+    // Cutoff chosen inside the testdata's 1995–2001 shipdate range so the
+    // filter selects a real subset (a 0-row result verifies nothing).
     "q01_scan_filter_project" -> ((s, dir) =>
       t(s, dir, "lineitem")
-        .filter(col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")))
+        .filter(col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-06-01 00:00:00")))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_extendedprice"), to_date(col("l_shipdate")).as("ship_date"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
@@ -96,12 +104,16 @@ object CoreQueries {
       Dedup.keepFirst(ordersUnion(s, dir), Seq("o_orderkey"), Seq(col("source_priority")))
         .orderBy(col("o_orderkey"))),
 
-    // D4: DISTINCT ON with explicit tiebreak — first line per order.
+    // D4: DISTINCT ON with explicit TOTAL tiebreak. The testdata lineitem has
+    // duplicate (l_orderkey, l_linenumber) pairs, so l_linenumber alone is
+    // not a total order — extend to (l_linenumber, l_partkey, l_quantity),
+    // which is measured-unique per orderkey (SURVEY.md §7.4 watch-item 1).
     "q05_distinct_on" -> ((s, dir) =>
       Dedup.distinctOn(
         t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"), col("l_quantity")),
-        Seq("l_orderkey"), Seq(col("l_linenumber")))
+        Seq("l_orderkey"),
+        Seq(col("l_linenumber"), col("l_partkey"), col("l_quantity")))
         .orderBy(col("l_orderkey"))),
 
     // D5/T1: most-duplicated keys, top-20 with tiebreak.
@@ -116,10 +128,14 @@ object CoreQueries {
         .orderBy(col("p_partkey"))
     }),
 
-    // J2: left-anti — parts never ordered.
+    // J2: left-anti — parts never ordered in bulk (quantity > 45). The
+    // probe-side filter both makes the result non-empty (every part has
+    // *some* lineitem in the testdata) and shrinks the shuffled side, the
+    // same pre-filter a 100 TB anti join wants.
     "q08_anti_join" -> ((s, dir) => {
       val p = t(s, dir, "part")
-      p.join(t(s, dir, "lineitem"), p("p_partkey") === col("l_partkey"), "left_anti")
+      val bulk = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+      p.join(bulk, p("p_partkey") === bulk("l_partkey"), "left_anti")
         .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
         .orderBy(col("p_partkey"))
     }),
@@ -129,12 +145,10 @@ object CoreQueries {
       Upsert.upsert(upsertBase(s, dir), upsertNew(s, dir), "o_orderkey")
         .orderBy(col("o_orderkey"))),
 
-    // O1/A1: one-row stage audit (base/new/updates/inserts/final).
-    "q10_upsert_audit" -> ((s, dir) => {
-      val base = upsertBase(s, dir).cache()
-      val nw = upsertNew(s, dir).cache()
-      Upsert.audit(base, nw, "o_orderkey")
-    }),
+    // O1/A1: one-row stage audit (base/new/updates/inserts/final) in a
+    // single full-outer-join pass — no caching needed, nothing to unpersist.
+    "q10_upsert_audit" -> ((s, dir) =>
+      Upsert.audit(upsertBase(s, dir), upsertNew(s, dir), "o_orderkey")),
 
     // A3/P4: HAVING — keys with more than one row in the union.
     "q11_having_dups" -> ((s, dir) =>
@@ -205,7 +219,7 @@ object CoreQueries {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
         |       CAST(l_shipdate AS DATE) AS ship_date
         |FROM lineitem
-        |WHERE l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+        |WHERE l_shipdate < TIMESTAMP '1996-06-01 00:00:00'
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q02_union_priority" ->
@@ -230,7 +244,8 @@ object CoreQueries {
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
         |FROM (SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
         |             row_number() OVER
-        |               (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+        |               (PARTITION BY l_orderkey
+        |                ORDER BY l_linenumber, l_partkey, l_quantity) AS rn
         |      FROM lineitem)
         |WHERE rn = 1
         |ORDER BY l_orderkey""".stripMargin,
@@ -249,7 +264,8 @@ object CoreQueries {
 
     "q08_anti_join" ->
       """SELECT p_partkey, p_name, p_retailprice FROM part
-        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_partkey = p_partkey AND l_quantity > 45)
         |ORDER BY p_partkey""".stripMargin,
 
     "q09_upsert_merge" ->
