@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for the LLM-data-pipeline surface (SURVEY.md
+  * §2.14): tokenization, token counting, language ID, quality scoring and
+  * document fingerprinting over `documents.text`.
+  *
+  * Everything here is a pure Catalyst column expression — no UDFs — so the
+  * whole family stays inside whole-stage codegen and each primitive has an
+  * exact DuckDB equivalent for the oracle (`string_split_regex`,
+  * `regexp_extract_all`, `list_filter`, `md5`).
+  *
+  * Scale: all functions are per-row (embarrassingly parallel, no shuffle);
+  * at 100 TB they run at scan speed as part of the projection above the
+  * parquet reader.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (the reference-style baseline tokenizer). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish pre-tokenizer: runs of letters, runs of digits, or single
+    * punctuation — the classic GPT-2-style split collapsed to character
+    * classes that behave identically in Java regex and RE2 (DuckDB). */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(BpePattern), lit(0))).cast("long")
+
+  // --- language ID (n-gram/stopword heuristic) ------------------------------
+
+  /** Tiny per-language stopword inventories. A real pipeline would use
+    * character-trigram profiles; stopword hits are the deterministic,
+    * SQL-expressible version of the same idea and behave identically at any
+    * scale (per-row work only). */
+  val StopEn = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+  val StopEs = Seq("el", "la", "de", "los", "las", "en", "y", "que", "por", "un")
+  val StopFr = Seq("le", "les", "des", "et", "une", "dans", "pour", "est", "du", "au")
+  val StopDe = Seq("der", "die", "das", "und", "ist", "mit", "von", "ein", "zu", "auf")
+
+  /** Count of tokens that hit a stopword list — with multiplicity (NOT
+    * `array_intersect`, which would dedup and undercount). */
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words))).cast("long")
+
+  def stopwordRatio(text: Column, words: Seq[String]): Column = {
+    val toks = tokens(lower(text))
+    stopwordHits(toks, words) / size(toks)
+  }
+
+  /** Language ID: CJK codepoints dominate everything (script is stronger
+    * evidence than stopwords); otherwise argmax of stopword hits with a
+    * fixed precedence (en > es > fr > de) as the deterministic tiebreak;
+    * zero evidence → 'und' (BCP-47 undetermined). */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val en = stopwordHits(toks, StopEn)
+    val es = stopwordHits(toks, StopEs)
+    val fr = stopwordHits(toks, StopFr)
+    val de = stopwordHits(toks, StopDe)
+    when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
+      .when(en === 0 && es === 0 && fr === 0 && de === 0, lit("und"))
+      .when(en >= es && en >= fr && en >= de, lit("en"))
+      .when(es >= fr && es >= de, lit("es"))
+      .when(fr >= de, lit("fr"))
+      .otherwise(lit("de"))
+  }
+
+  // --- quality scoring ------------------------------------------------------
+
+  /** Type-token ratio: distinct tokens / total tokens (repetition signal). */
+  def typeTokenRatio(toks: Column): Column =
+    size(array_distinct(toks)) / size(toks)
+
+  def meanWordLength(toks: Column): Column =
+    aggregate(transform(toks, t => length(t)), lit(0), (acc, v) => acc + v) /
+      size(toks)
+
+  /** Composite quality score in [0,1]: half length-saturation (saturates at
+    * 50 tokens), half lexical diversity. Deterministic per row — the only
+    * floats are single divisions, no reduction-order sensitivity. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(lower(text))
+    round(least(size(toks) / 50.0, lit(1.0)) * 0.5 +
+      typeTokenRatio(toks) * 0.5, 4)
+  }
+
+  // --- fingerprinting -------------------------------------------------------
+
+  /** Rolling-hash document fingerprint: the minimum md5 over all character
+    * n-grams (a 1-hash MinHash over the char-shingle set — two documents
+    * sharing their lowest-hashing shingle collide, the winnowing building
+    * block). md5-hex is used instead of xxhash64 so the DuckDB oracle
+    * reproduces it bit-for-bit; the hex strings compare lexicographically
+    * identically in both engines. Texts shorter than `n` fall back to the
+    * whole-text digest. */
+  def fingerprint(text: Column, n: Int = 16): Column =
+    when(length(text) >= n,
+      array_min(transform(sequence(lit(1), length(text) - (n - 1)),
+        i => md5(text.substr(i, lit(n)).cast("binary")))))
+      .otherwise(md5(text.cast("binary")))
+}

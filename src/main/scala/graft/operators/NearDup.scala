@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection over text at scale (SURVEY.md §2.14): word-shingle
+  * Jaccard similarity, computed two ways —
+  *
+  *  - [[exactJaccardPairs]]: posting-list (inverted-index) join on the shingle
+  *    itself. Exact, but the shuffle fans out by shingle frequency: a shingle
+  *    shared by d documents emits O(d²) candidate pairs, so a hot shingle
+  *    ("click here to subscribe") makes the plan quadratic at 100 TB.
+  *  - [[minHashLsh]] + [[verifiedPairs]]: MinHash signatures banded into LSH
+  *    buckets. The join key is a (band, band-hash) bucket, so the pair
+  *    fan-out is bounded by bucket size regardless of shingle frequency —
+  *    this is the 100 TB path. Candidates are then verified with the exact
+  *    Jaccard, so the output contains no false positives; recall is
+  *    1-(1-s^r)^b per pair of true similarity s (128 hashes, 32 bands × 4:
+  *    ≥ 0.9999 at s ≥ 0.8) and deterministic for a fixed seed.
+  *
+  * SimHash ([[simhash]]) covers the same need with a single 64-bit
+  * fingerprint per document and Hamming-ball search via chunk banding
+  * ([[simhashCandidates]]) — cheaper per document, coarser than MinHash.
+  *
+  * No crossJoin anywhere: every pair generation is an equi-join on a bucket
+  * key (shingle, LSH band bucket, or SimHash chunk).
+  *
+  * Plan shape note: both signature computations explode to one row per
+  * (doc, shingle/token), hash ONCE per row, and reduce with per-hash-function
+  * aggregates. Map-side partial aggregation means the doc-key shuffle only
+  * carries per-partition partial signatures, and the base hash is never
+  * recomputed per hash function (an array-expression formulation would
+  * re-evaluate xxhash64 numHashes times per shingle).
+  */
+object NearDup {
+
+  /** Distinct word k-grams of `text`, the unit set for Jaccard. Documents
+    * with fewer than k tokens contribute their whole token sequence as one
+    * shingle. */
+  def wordShingles(text: Column, k: Int): Column = {
+    val toks = split(trim(text), "\\s+")
+    when(size(toks) >= k,
+      array_distinct(transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  // --- exact: inverted-index join ------------------------------------------
+
+  /** All pairs (d1 < d2) with shingle-Jaccard ≥ `threshold`, exactly.
+    * Plan: explode shingles → self-equi-join on the shingle (inverted
+    * index) → count common shingles per pair → join the two set sizes →
+    * filter. Shuffles on the shingle then on the pair key; see the class
+    * doc for the hot-shingle caveat that motivates the LSH variant. */
+  def exactJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int, threshold: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(wordShingles(col(textCol), k)).as("g"))
+    val sz = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("d1"), col("b.id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.as("sa"), col("d1") === col("sa.id"))
+      .join(sz.as("sb"), col("d2") === col("sb.id"))
+      .select(col("d1"), col("d2"),
+        (col("inter").cast("double") /
+          (col("sa.n") + col("sb.n") - col("inter"))).as("jac"))
+      .filter(col("jac") >= threshold)
+      .select(col("d1"), col("d2"), round(col("jac"), 4).as("jaccard"))
+  }
+
+  // --- MinHash + LSH --------------------------------------------------------
+
+  /** 2^31-1, the Mersenne prime used by the universal hash family
+    * h_i(x) = (a_i·x + b_i) mod p. Shingle base-hashes are reduced below p
+    * first so a_i·x stays < 2^62 — no Long overflow under ANSI mode. */
+  private val P = 2147483647L
+
+  /** Deterministic per-hash coefficients (splitmix64 of the seed). */
+  private def coef(seed: Long, i: Int): (Long, Long) = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val a = Math.floorMod(mix(seed * 2654435761L + i), P - 1) + 1
+    val b = Math.floorMod(mix(seed * 40503L + i + 1), P)
+    (a, b)
+  }
+
+  /** (id, sig: array<long>) — MinHash signatures of the shingle sets.
+    * One xxhash64 per (doc, shingle); numHashes `min` aggregates reduce to
+    * the signature with map-side partial aggregation. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int, seed: Long): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("id"), explode(wordShingles(col(textCol), k)).as("g"))
+      .select(col("id"), pmod(xxhash64(col("g")), lit(P)).as("h"))
+    val aggs = (0 until numHashes).map { i =>
+      val (a, b) = coef(seed, i)
+      min(pmod(col("h") * a + b, lit(P))).as(s"m_$i")
+    }
+    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"m_$i")): _*).as("sig"))
+  }
+
+  /** (id, band, bucket) rows: the signature cut into `bands` bands of
+    * `rowsPerBand` values, each band rendered to a join key. */
+  def minHashLsh(df: DataFrame, idCol: String, textCol: String, k: Int,
+      bands: Int, rowsPerBand: Int, seed: Long): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, k, bands * rowsPerBand, seed)
+    val bandCols = (0 until bands).map { j =>
+      struct(lit(j).as("band"),
+        concat_ws(",", transform(slice(col("sig"), j * rowsPerBand + 1, rowsPerBand),
+          v => v.cast("string"))).as("bucket"))
+    }
+    sigs.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Candidate pairs (d1 < d2) sharing at least one LSH bucket. The join is
+    * an equi-join on (band, bucket) — bounded fan-out per bucket. */
+  def lshCandidates(lsh: DataFrame): DataFrame =
+    lsh.as("x").join(lsh.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("d1"), col("y.id").as("d2"))
+      .distinct()
+
+  /** LSH candidates verified with the exact Jaccard — same output contract
+    * as [[exactJaccardPairs]] (zero false positives; recall per class doc). */
+  def verifiedPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
+      threshold: Double, bands: Int = 32, rowsPerBand: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val cands = lshCandidates(minHashLsh(df, idCol, textCol, k, bands, rowsPerBand, seed))
+    val sets = df.select(col(idCol).as("id"), wordShingles(col(textCol), k).as("sh"))
+    cands
+      .join(sets.as("sa"), col("d1") === col("sa.id"))
+      .join(sets.as("sb"), col("d2") === col("sb.id"))
+      .select(col("d1"), col("d2"),
+        (size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
+          size(array_union(col("sa.sh"), col("sb.sh")))).as("jac"))
+      .filter(col("jac") >= threshold)
+      .select(col("d1"), col("d2"), round(col("jac"), 4).as("jaccard"))
+  }
+
+  // --- SimHash --------------------------------------------------------------
+
+  /** (id, fp: long) — 64-bit SimHash over the whitespace-token multiset:
+    * bit i of the fingerprint is the sign of Σ_tokens (±1 depending on bit i
+    * of xxhash64(token)). Same explode/aggregate shape as
+    * [[minhashSignatures]]: one hash per (doc, token), 64 sum aggregates. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df
+      .select(col(idCol).as("id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val aggs = (0 until 64).map { i =>
+      sum(when(col("h").bitwiseAND(shiftleft(lit(1L), i)) =!= 0, 1).otherwise(-1))
+        .as(s"s_$i")
+    }
+    val bits = (0 until 64).map { i =>
+      when(col(s"s_$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    tok.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), bits.reduce((a, b) => a.bitwiseOR(b)).as("fp"))
+  }
+
+  /** Candidate pairs whose SimHash fingerprints agree on at least one of
+    * four 16-bit chunks (pigeonhole: Hamming distance ≤ 3 guarantees an
+    * intact chunk). Equi-join on (chunk index, chunk value). */
+  def simhashCandidates(df: DataFrame, idCol: String, fpCol: String): DataFrame = {
+    val chunks = df.select(col(idCol).as("id"), explode(array((0 until 4).map { j =>
+      struct(lit(j).as("chunk"),
+        shiftright(col(fpCol), j * 16).bitwiseAND(0xffffL).as("v"))
+    }: _*)).as("c"))
+      .select(col("id"), col("c.chunk").as("chunk"), col("c.v").as("v"))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.v") === col("y.v") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("d1"), col("y.id").as("d2"))
+      .distinct()
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

