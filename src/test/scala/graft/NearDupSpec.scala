@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+import graft.operators.NearDup
+
+/** Cross-validation of the two Jaccard implementations (LSH must equal the
+  * exact inverted-index join at high similarity), plus SimHash behaviour. */
+class NearDupSpec extends SparkSpec {
+  import sqlImplicits._
+
+  /** Synthetic corpus: 40 base docs of 60 random words, 10 near-dup pairs
+    * created by swapping a handful of words (J ≈ 0.75–0.95), 2 exact dups. */
+  private lazy val corpus = {
+    val rnd = new Random(7)
+    val vocab = Vector.tabulate(200)(i => s"w$i")
+    def doc(): Seq[String] = Seq.fill(60)(vocab(rnd.nextInt(vocab.size)))
+    val base = Vector.fill(40)(doc())
+    val nearDups = (0 until 10).map { i =>
+      val d = base(i).toArray
+      val mutations = 1 + i % 4
+      (0 until mutations).foreach(_ => d(rnd.nextInt(d.length)) = vocab(rnd.nextInt(vocab.size)))
+      d.toSeq
+    }
+    val all = base ++ nearDups :+ base(20) :+ base(21)
+    all.zipWithIndex.map { case (words, i) => (i.toLong, words.mkString(" ")) }
+      .toDF("doc_id", "text")
+  }
+
+  test("verifiedPairs (MinHash LSH) equals exactJaccardPairs at threshold 0.5") {
+    val exact = NearDup.exactJaccardPairs(corpus, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = NearDup.verifiedPairs(corpus, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty, "fixture produced no qualifying pairs")
+    assert(lsh === exact)
+  }
+
+  test("exact duplicates surface with jaccard 1.0") {
+    val exact = NearDup.exactJaccardPairs(corpus, "doc_id", "text", 3, 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(exact.toSet === Set((20L, 50L), (21L, 51L)))
+  }
+
+  test("wordShingles: short texts fall back to one whole-text shingle") {
+    val got = Seq("a b", "one two three four").toDF("t")
+      .select(NearDup.wordShingles(col("t"), 3).as("sh"))
+      .collect().map(_.getSeq[String](0).toSeq)
+    assert(got(0) === Seq("a b"))
+    assert(got(1) === Seq("one two three", "two three four"))
+  }
+
+  test("simhash: identical texts get identical fingerprints, near-dups are close") {
+    val fp = NearDup.simhash(corpus, "doc_id", "text")
+    val pairs = fp.as("a").join(fp.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("d1"), col("b.id").as("d2"),
+        NearDup.hamming64(col("a.fp"), col("b.fp")).as("ham"))
+    val exact = pairs.filter(col("d1") === 20 && col("d2") === 50).head().getInt(2)
+    assert(exact === 0, "exact dup must have hamming 0")
+    // near-dup (1 mutated word of 60) vs unrelated docs
+    val near = pairs.filter(col("d1") === 0 && col("d2") === 40).head().getInt(2)
+    val unrelatedAvg = pairs.filter(col("d1") < 20 && col("d2") < 20)
+      .agg(avg(col("ham"))).head().getDouble(0)
+    assert(near < unrelatedAvg / 2,
+      s"near-dup hamming $near should be well under unrelated average $unrelatedAvg")
+  }
+
+  test("simhashCandidates finds the exact-dup pairs via chunk banding") {
+    val fp = NearDup.simhash(corpus, "doc_id", "text")
+    val cands = NearDup.simhashCandidates(fp, "id", "fp")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((20L, 50L)) && cands.contains((21L, 51L)))
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+import graft.operators.Similarity
+
+/** Behaviour of the similarity-search operators on a clustered synthetic
+  * corpus: brute force is the ground truth, IVF recall at full probe count,
+  * hyperplane LSH bucket equality for identical vectors. */
+class SimilaritySpec extends SparkSpec {
+  import sqlImplicits._
+
+  private val dim = 16
+
+  /** 4 well-separated clusters × 25 vectors (label = cluster). */
+  private lazy val corpus = {
+    val rnd = new Random(11)
+    val centers = Vector.fill(4)(Array.fill(dim)(rnd.nextGaussian() * 5))
+    (0 until 100).map { i =>
+      val c = i % 4
+      val v = centers(c).map(x => (x + rnd.nextGaussian() * 0.3).toFloat)
+      (i.toLong, v.toSeq, c)
+    }.toDF("vec_id", "embedding", "label")
+  }
+
+  test("bruteForceTopK: nearest neighbour of a vector is in its own cluster") {
+    val top1 = Similarity.bruteForceTopK(corpus.filter(col("vec_id") < 4), corpus, 1)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toMap
+    top1.foreach { case (q, n) =>
+      assert(n % 4 === q % 4, s"query $q: neighbour $n from another cluster")
+    }
+  }
+
+  test("ivfTopK with all lists probed equals brute force") {
+    val q = corpus.filter(col("vec_id") < 4)
+    val bf = Similarity.bruteForceTopK(q, corpus, 5)
+      .select("qid", "vec_id", "rnk").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(q, corpus, nprobe = 4, k = 5)
+      .select("qid", "vec_id", "rnk").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ivf === bf)
+  }
+
+  test("ivfTopK with nprobe=1 still finds same-cluster neighbours") {
+    val got = Similarity.ivfTopK(corpus.filter(col("vec_id") < 4), corpus, 1, 3)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")))
+    assert(got.nonEmpty)
+    got.foreach { case (q, n) => assert(n % 4 === q % 4) }
+  }
+
+  test("hyperplane LSH: identical vectors share a bucket, clusters separate") {
+    val withDup = corpus.unionByName(
+      corpus.filter(col("vec_id") === 0)
+        .select(lit(999L).as("vec_id"), col("embedding"), col("label")))
+    val buckets = withDup
+      .select(col("vec_id"), Similarity.hyperplaneBuckets(withDup, dim, 8, 42L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(buckets(999L) === buckets(0L), "identical vectors must collide")
+    // same-cluster vectors should mostly share buckets (tight clusters)
+    val sameCluster = (0 until 100 by 4).map(i => buckets(i.toLong)).distinct
+    assert(sameCluster.size <= 3,
+      s"cluster 0 spread over ${sameCluster.size} buckets — planes not separating")
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val one = corpus.limit(5)
+      .select(round(Similarity.cosine(
+        col("embedding").cast("array<double>"),
+        col("embedding").cast("array<double>")), 9).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(one.forall(_ === 1.0))
+  }
+}
