@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.Upsert
+
+/** Structured Streaming realization of the reference's *declared* incremental
+  * design (SURVEY.md §2.12–2.13: watermark-based incremental extraction,
+  * file-arrival detection on monitored folders, staged idempotent UPSERT
+  * load — /root/reference/Seccion_2_Python/ETL_Prueba_Tecnica.ipynb cells
+  * 16–18, prose only; this module is the parity-plus implementation).
+  *
+  * Shapes:
+  *  - file-arrival source with `maxFilesPerTrigger` (bounded incremental
+  *    batches — the reference's "monitored folder");
+  *  - event-time watermark + `dropDuplicatesWithinWatermark` (idempotent
+  *    ingest under at-least-once delivery, with bounded state — plain
+  *    `dropDuplicates` on a stream would grow state forever);
+  *  - windowed aggregation with late-data handling;
+  *  - `foreachBatch` UPSERT into a parquet target via the same
+  *    [[graft.operators.Upsert]] used in batch (write-then-swap for
+  *    atomicity, as SURVEY.md §2.13's staged-load row prescribes).
+  *
+  * Scale notes: state stores shard by the grouping key across executors;
+  * the watermark bounds their size. The foreachBatch upsert re-reads the
+  * target per micro-batch — at real scale the target would be a Delta/
+  * Iceberg table with MERGE; core-Spark parquet is the dependency-free
+  * equivalent with the same dataflow.
+  */
+object StreamingIngest {
+
+  /** File-arrival source: pick up new parquet files dropped into `dir`,
+    * at most `maxFilesPerTrigger` per micro-batch. */
+  def fileSource(spark: SparkSession, schema: StructType, dir: String,
+      maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** Idempotent-ingest dedup: drop key duplicates arriving within the
+    * watermark horizon. State is bounded by the watermark (old keys age
+    * out), unlike stream `dropDuplicates`. */
+  def dedupedWithinWatermark(df: DataFrame, tsCol: String, watermark: String,
+      keys: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Tumbling-window event counts with late-data tolerance `watermark` —
+    * the streaming form of the A5 frequency table. */
+  def windowedCounts(df: DataFrame, tsCol: String, watermark: String,
+      windowLen: String, keyCol: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"), col(keyCol), col("cnt"))
+
+  /** foreachBatch UPSERT sink: each micro-batch merges into the parquet at
+    * `targetPath` by `key` (new rows win), writing to a temp dir first and
+    * swapping — the batch Upsert operator reused unchanged, which is the
+    * point: one merge semantics for batch and streaming. */
+  def upsertSink(stream: DataFrame, key: String, targetPath: String,
+      checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val target = new java.io.File(targetPath)
+        val merged =
+          if (target.exists())
+            Upsert.upsert(spark.read.parquet(targetPath), batch, key)
+          else batch
+        val tmp = targetPath + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        // swap: atomic enough for a local target; real deployments use a
+        // transactional table format here
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val dst = new org.apache.hadoop.fs.Path(targetPath)
+        fs.delete(dst, true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        ()
+      }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingIngest
+
+/** Drives the streaming surface with in-memory and file sources: watermarked
+  * window counts, bounded-state dedup, and the foreachBatch upsert sink
+  * reusing the batch Upsert operator. */
+class StreamingSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowedCounts aggregates into tumbling windows") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val counts = StreamingIngest.windowedCounts(
+      mem.toDF().toDF("ts", "k"), "ts", "10 seconds", "1 minute", "k")
+    val q = counts.writeStream.format("memory").queryName("wc")
+      .outputMode("complete").start()
+    try {
+      mem.addData(
+        (ts("2026-01-01 00:00:10"), "a"), (ts("2026-01-01 00:00:20"), "a"),
+        (ts("2026-01-01 00:00:30"), "b"), (ts("2026-01-01 00:01:10"), "a"))
+      q.processAllAvailable()
+      val got = spark.table("wc")
+        .select(col("win_start").cast("string"), col("k"), col("cnt"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(got === Set(
+        ("2026-01-01 00:00:00", "a", 2L),
+        ("2026-01-01 00:00:00", "b", 1L),
+        ("2026-01-01 00:01:00", "a", 1L)))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups re-delivered keys") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Int)]
+    val dd = StreamingIngest.dedupedWithinWatermark(
+      mem.toDF().toDF("ts", "k", "v"), "ts", "1 minute", Seq("k"))
+    val q = dd.writeStream.format("memory").queryName("dd")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (ts("2026-01-01 00:00:01"), "k1", 1),
+        (ts("2026-01-01 00:00:02"), "k1", 2), // duplicate delivery
+        (ts("2026-01-01 00:00:03"), "k2", 3))
+      q.processAllAvailable()
+      mem.addData((ts("2026-01-01 00:00:04"), "k1", 4)) // still within watermark
+      q.processAllAvailable()
+      val got = spark.table("dd").select("k").collect().map(_.getString(0)).toSeq
+      assert(got.sorted === Seq("k1", "k2"))
+    } finally q.stop()
+  }
+
+  test("upsertSink merges file-arrival micro-batches into the parquet target") {
+    val root = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val (in, target, ckpt) = (s"$root/in", s"$root/target", s"$root/ckpt")
+    new java.io.File(in).mkdirs()
+
+    // batch 1: two keys
+    Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "v", "price")
+      .write.parquet(s"$in/b1")
+
+    val schema = spark.read.parquet(s"$in/b1").schema
+    val src = StreamingIngest.fileSource(spark, schema, s"$in/*", 10)
+    val q = StreamingIngest.upsertSink(src, "k", target, ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(target).count() === 2)
+
+      // batch 2: update k=2, insert k=3 — new rows must win
+      Seq((2L, "b2", 25.0), (3L, "c", 30.0)).toDF("k", "v", "price")
+        .write.parquet(s"$in/b2")
+      q.processAllAvailable()
+      val got = spark.read.parquet(target)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(got === Set((1L, "a", 10.0), (2L, "b2", 25.0), (3L, "c", 30.0)))
+    } finally q.stop()
+  }
+}
