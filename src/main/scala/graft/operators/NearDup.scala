@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection over text at scale (SURVEY.md §2.14): word-shingle
@@ -45,6 +46,30 @@ object NearDup {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
+  /** Posting-list form of [[wordShingles]]: one row per (doc, distinct
+    * shingle), with the doc's shingle-set size on every row. Built from
+    * posexplode + window `lead`s instead of the array higher-order
+    * functions — HOFs are CodegenFallback (interpreted per row), which made
+    * the array form the hot spot; this shape stays inside whole-stage
+    * codegen except the two window exchanges, both keyed by the doc id.
+    * Short docs (< k tokens) degrade to one whole-text shingle exactly like
+    * [[wordShingles]] (concat_ws skips the null leads). */
+  def shinglePostings(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "t")))
+    val w = Window.partitionBy("id").orderBy("pos")
+    val g = concat_ws(" ",
+      (col("t") +: (1 until k).map(i => lead(col("t"), i).over(w))): _*)
+    toks
+      .withColumn("g", g)
+      .withColumn("maxpos", max(col("pos")).over(Window.partitionBy("id")))
+      .filter(col("pos") + (k - 1) <= col("maxpos") ||
+        (col("maxpos") < k - 1 && col("pos") === 0))
+      .select(col("id"), col("g")).distinct()
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("id")))
+  }
+
   // --- exact: inverted-index join ------------------------------------------
 
   /** All pairs (d1 < d2) with shingle-Jaccard ≥ `threshold`, exactly.
@@ -54,19 +79,22 @@ object NearDup {
     * doc for the hot-shingle caveat that motivates the LSH variant. */
   def exactJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int, threshold: Double): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      explode(wordShingles(col(textCol), k)).as("g"))
-    val sz = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("d1"), col("b.id").as("d2"))
+    // Set size rides along with every posting row, which kills two birds:
+    // the pair join can size-prune exactly (J ≥ τ forces τ·|B| ≤ |A| ≤
+    // |B|/τ — pairs outside the band can't qualify, so they never fan out),
+    // and no size-lookup joins are needed after the aggregation (the sizes
+    // are already in the grouping key).
+    val sh = shinglePostings(df, idCol, textCol, k)
+    sh.as("a").join(sh.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
+          col("a.n") >= col("b.n") * threshold &&
+          col("b.n") >= col("a.n") * threshold)
+      .groupBy(col("a.id").as("d1"), col("a.n").as("na"),
+        col("b.id").as("d2"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sz.as("sa"), col("d1") === col("sa.id"))
-      .join(sz.as("sb"), col("d2") === col("sb.id"))
       .select(col("d1"), col("d2"),
         (col("inter").cast("double") /
-          (col("sa.n") + col("sb.n") - col("inter"))).as("jac"))
+          (col("na") + col("nb") - col("inter"))).as("jac"))
       .filter(col("jac") >= threshold)
       .select(col("d1"), col("d2"), round(col("jac"), 4).as("jaccard"))
   }
@@ -96,8 +124,7 @@ object NearDup {
     * the signature with map-side partial aggregation. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       k: Int, numHashes: Int, seed: Long): DataFrame = {
-    val sh = df
-      .select(col(idCol).as("id"), explode(wordShingles(col(textCol), k)).as("g"))
+    val sh = shinglePostings(df, idCol, textCol, k)
       .select(col("id"), pmod(xxhash64(col("g")), lit(P)).as("h"))
     val aggs = (0 until numHashes).map { i =>
       val (a, b) = coef(seed, i)
@@ -122,13 +149,19 @@ object NearDup {
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
-  /** Candidate pairs (d1 < d2) sharing at least one LSH bucket. The join is
-    * an equi-join on (band, bucket) — bounded fan-out per bucket. */
+  /** Candidate pairs (d1 < d2) sharing at least one LSH bucket. Single pass:
+    * group by bucket, collect the member ids, explode the within-bucket
+    * pairs — the signature pipeline is computed ONCE (a self-join would
+    * recompute it for both sides), and the fan-out is bounded by bucket
+    * size by construction. */
   def lshCandidates(lsh: DataFrame): DataFrame =
-    lsh.as("x").join(lsh.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("d1"), col("y.id").as("d2"))
+    lsh.groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("d1"), col("ids"))
+      .select(col("d1"), explode(col("ids")).as("d2"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"))
       .distinct()
 
   /** LSH candidates verified with the exact Jaccard — same output contract
@@ -137,13 +170,20 @@ object NearDup {
       threshold: Double, bands: Int = 32, rowsPerBand: Int = 4,
       seed: Long = 42L): DataFrame = {
     val cands = lshCandidates(minHashLsh(df, idCol, textCol, k, bands, rowsPerBand, seed))
-    val sets = df.select(col(idCol).as("id"), wordShingles(col(textCol), k).as("sh"))
+    // Verify on the posting lists of the candidate docs only: candidate
+    // pairs fan out to their shingles, the equi-join on (d2, g) counts the
+    // intersection, and the sizes ride in the grouping key (no array
+    // intersect HOF, no full-corpus set materialization).
+    val post = shinglePostings(df, idCol, textCol, k)
     cands
-      .join(sets.as("sa"), col("d1") === col("sa.id"))
-      .join(sets.as("sb"), col("d2") === col("sb.id"))
+      .join(post.as("pa"), col("d1") === col("pa.id"))
+      .join(post.as("pb"),
+        col("d2") === col("pb.id") && col("pa.g") === col("pb.g"))
+      .groupBy(col("d1"), col("pa.n").as("na"), col("d2"), col("pb.n").as("nb"))
+      .agg(count(lit(1)).as("inter"))
       .select(col("d1"), col("d2"),
-        (size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
-          size(array_union(col("sa.sh"), col("sb.sh")))).as("jac"))
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter"))).as("jac"))
       .filter(col("jac") >= threshold)
       .select(col("d1"), col("d2"), round(col("jac"), 4).as("jaccard"))
   }
@@ -179,10 +219,13 @@ object NearDup {
         shiftright(col(fpCol), j * 16).bitwiseAND(0xffffL).as("v"))
     }: _*)).as("c"))
       .select(col("id"), col("c.chunk").as("chunk"), col("c.v").as("v"))
-    chunks.as("x").join(chunks.as("y"),
-        col("x.chunk") === col("y.chunk") && col("x.v") === col("y.v") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("d1"), col("y.id").as("d2"))
+    chunks.groupBy(col("chunk"), col("v"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("d1"), col("ids"))
+      .select(col("d1"), explode(col("ids")).as("d2"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"))
       .distinct()
   }
 

@@ -209,7 +209,17 @@ object CoreQueries {
         .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"),
           col("o_orderstatus"))
         .orderBy(desc("price"), col("o_orderkey"))
-        .limit(10))
+        .limit(10)),
+
+    // U2: UNION ALL of labeled scalar aggregates — the reference's
+    // load-verification shape (seccion3_sql.sql:113-115).
+    "q31_union_scalar" -> ((s, dir) =>
+      t(s, dir, "orders").agg(count(lit(1)).as("cnt"))
+        .select(lit("orders").as("tabla"), col("cnt"))
+        .unionAll(
+          t(s, dir, "lineitem").agg(count(lit(1)).as("cnt"))
+            .select(lit("lineitem").as("tabla"), col("cnt")))
+        .orderBy(col("tabla")))
   )
 
   // ---------------------------------------------------------------------------
@@ -343,6 +353,13 @@ object CoreQueries {
       """SELECT o_orderkey, round(o_totalprice, 2) AS price, o_orderstatus
         |FROM orders
         |ORDER BY price DESC, o_orderkey
-        |LIMIT 10""".stripMargin
+        |LIMIT 10""".stripMargin,
+
+    "q31_union_scalar" ->
+      """SELECT * FROM (
+        |  SELECT 'orders' AS tabla, CAST(count(*) AS BIGINT) AS cnt FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem' AS tabla, CAST(count(*) AS BIGINT) AS cnt FROM lineitem)
+        |ORDER BY tabla""".stripMargin
   )
 }
