@@ -72,6 +72,23 @@ object FlightsPipeline {
     FlightsIo.writeCsvUtf8Sig(ordered, outFile)
   }
 
+  /** §1.1 parity-plus: split the `Col_14` pipe-delimited composite
+    * (`"10888635|729|45090006|I-Import"`) into typed parts — the one nested
+    * record the reference's data carries but never parses. Measured
+    * invariants (asserted in FlightsParitySpec): part 3 is `Col_1`
+    * zero-padded to 8 on 14,989/15,000 rows, and part 4 refines `Col_12`
+    * (E→E; I→I-Import/T-Import/I-Mail). */
+  def parseCol14(df: DataFrame): DataFrame = {
+    val parts = split(col("Col_14"), "\\|")
+    // try_element_at, not element_at: under ANSI mode element_at THROWS on
+    // a composite with fewer than 4 parts — one malformed row must route to
+    // NULL (reject-table pattern), not kill the job.
+    df.withColumn("c14_src_id", try_element_at(parts, lit(1)))
+      .withColumn("c14_code", try_element_at(parts, lit(2)))
+      .withColumn("c14_flight_key", try_element_at(parts, lit(3)))
+      .withColumn("c14_op_type", try_element_at(parts, lit(4)))
+  }
+
   /** Excel pivot (`ETL_Prueba_Tecnica.ipynb:229-236`, xlsx
     * `Tabla_Dinamica_Col2`): count(Col_1) + sum(Col_10, errors→0) by airline
     * with a grand-TOTAL row via rollup. */

@@ -89,6 +89,27 @@ class FlightsParitySpec extends SparkSpec {
     assert(verdict.getAs[String]("estado") === "OK")
   }
 
+  test("Col_14 composite parses 4 parts with the measured invariants") {
+    val parsed = FlightsPipeline.parseCol14(unified).cache()
+    try {
+      // every row splits into exactly 4 non-null parts
+      assert(parsed.filter(col("c14_op_type").isNull).count() === 0L)
+      // part 3 == zero-padded Col_1 on all but the 11 measured exceptions.
+      // NB: pad-to-at-least-8, not lpad(…, 8) — Spark lpad TRUNCATES longer
+      // strings where Python zfill never does, and 3 keys exceed 8 chars.
+      val zfilled = when(length(col("Col_1")) >= 8, col("Col_1"))
+        .otherwise(lpad(col("Col_1"), 8, "0"))
+      val keyMatches = parsed.filter(col("c14_flight_key") === zfilled).count()
+      assert(keyMatches === 14989L)
+      // part 4 refines Col_12: E→E; I→{I-Import, T-Import, I-Mail}
+      val violations = parsed.filter(
+        !(col("Col_12") === "E" && col("c14_op_type") === "E") &&
+          !(col("Col_12") === "I" && col("c14_op_type")
+            .isin("I-Import", "T-Import", "I-Mail"))).count()
+      assert(violations === 0L)
+    } finally { parsed.unpersist(); () }
+  }
+
   test("S4: export is byte-identical to the reference's golden CSV (md5)") {
     val out = java.nio.file.Files
       .createTempDirectory("graft-export").resolve("flights_unificado_limpio.csv")

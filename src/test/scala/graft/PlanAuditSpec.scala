@@ -1,0 +1,61 @@
+package graft
+
+import graft.queries.{CoreQueries, PipelineQueries}
+
+/** Living assertions over the physical plans of representative graded
+  * queries — the properties that make them scale (predicate/projection
+  * pushdown, broadcast joins, partial aggregation, top-k group limits).
+  * A regression that silently de-optimizes a plan fails here, not in a
+  * benchmark eyeball. Strings are specific to Spark 4.1's plan rendering. */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val all = CoreQueries.queries ++ PipelineQueries.queries
+    all(name)(spark, dir).queryExecution.executedPlan.toString
+  }
+
+  test("q01: filter and projection are pushed into the parquet scan") {
+    val p = plan("q01_scan_filter_project")
+    assert(p.contains("isnotnull(l_shipdate") && p.contains("FileScan parquet"))
+    // scan reads exactly the 5 needed columns — pruning worked
+    assert(p.contains(
+      "FileScan parquet [l_orderkey#") && !p.contains("l_comment"))
+    assert(p.contains("l_shipdate"))
+  }
+
+  test("q07: semi join broadcasts the deduplicated probe-side keys") {
+    val p = plan("q07_semi_join")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"))
+    // the big side is projected to the join key only before broadcast
+    assert(p.contains("FileScan parquet [l_partkey#"))
+  }
+
+  test("q13: grouped aggregation is partial (map-side) then final") {
+    val p = plan("q13_group_agg")
+    assert(p.contains("partial_count") && p.contains("partial_sum"))
+    // exactly one hash-partitioned exchange between partial and final
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1)
+  }
+
+  test("q19: row-local validation adds no exchange beyond the output sort") {
+    val p = plan("q19_email_validity")
+    assert("Exchange".r.findAllIn(p).size === 1, p)
+    assert(p.contains("rangepartitioning"))
+  }
+
+  test("q29: broadcast one-pass scan with partial top-k before the shuffle") {
+    val p = plan("q29_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    // WindowGroupLimit prunes to k rows per partition pre-exchange
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q04: dedup is a single hash exchange on the key, no global sort before the window") {
+    val p = plan("q04_dedup_keep_first")
+    assert(p.contains("row_number()"))
+    assert("Exchange hashpartitioning\\(o_orderkey".r.findAllIn(p).size === 1)
+  }
+}
