@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
   *    fan-out is bounded by bucket size regardless of shingle frequency —
   *    this is the 100 TB path. Candidates are then verified with the exact
   *    Jaccard, so the output contains no false positives; recall is
-  *    1-(1-s^r)^b per pair of true similarity s (128 hashes, 32 bands × 4:
-  *    ≥ 0.9999 at s ≥ 0.8) and deterministic for a fixed seed.
+  *    1-(1-s^r)^b per pair of true similarity s (default 64 hashes, 16
+  *    bands × 4: ≥ 0.9998 at s = 0.8, ≥ 1-4e-8 at s = 0.9) and
+  *    deterministic for a fixed seed — raise `bands` for corpora with
+  *    many pairs near the threshold.
   *
   * SimHash ([[simhash]]) covers the same need with a single 64-bit
   * fingerprint per document and Hamming-ball search via chunk banding
@@ -59,13 +61,16 @@ object NearDup {
     val toks = df.select(col(idCol).as("id"),
       posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "t")))
     val w = Window.partitionBy("id").orderBy("pos")
+    val lastLead = lead(col("t"), k - 1).over(w)
     val g = concat_ws(" ",
       (col("t") +: (1 until k).map(i => lead(col("t"), i).over(w))): _*)
     toks
       .withColumn("g", g)
-      .withColumn("maxpos", max(col("pos")).over(Window.partitionBy("id")))
-      .filter(col("pos") + (k - 1) <= col("maxpos") ||
-        (col("maxpos") < k - 1 && col("pos") === 0))
+      .withColumn("complete", lastLead.isNotNull)
+      // a complete shingle has all k tokens (last lead non-null); a doc
+      // shorter than k has NO complete row — keep its pos==0 row, whose
+      // concat_ws already skipped the null leads (whole-text fallback)
+      .filter(col("complete") || col("pos") === 0)
       .select(col("id"), col("g")).distinct()
       .withColumn("n", count(lit(1)).over(Window.partitionBy("id")))
   }
@@ -167,20 +172,29 @@ object NearDup {
   /** LSH candidates verified with the exact Jaccard — same output contract
     * as [[exactJaccardPairs]] (zero false positives; recall per class doc). */
   def verifiedPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
-      threshold: Double, bands: Int = 32, rowsPerBand: Int = 4,
+      threshold: Double, bands: Int = 16, rowsPerBand: Int = 4,
       seed: Long = 42L): DataFrame = {
     val cands = lshCandidates(minHashLsh(df, idCol, textCol, k, bands, rowsPerBand, seed))
-    // Verify on the posting lists of the candidate docs only: candidate
-    // pairs fan out to their shingles, the equi-join on (d2, g) counts the
-    // intersection, and the sizes ride in the grouping key (no array
-    // intersect HOF, no full-corpus set materialization).
+    // Verify with ONE pass over the postings. Referencing the postings twice
+    // (pa/pb joins) would recompute the whole shingle pipeline per side —
+    // Spark does not reuse the aliased subplan. Instead: melt each candidate
+    // pair into two (pair, member, side) rows, broadcast that (candidates
+    // are small by LSH construction), join the postings once, then count
+    // per (pair, shingle) how many sides carry it — sides==2 is an
+    // intersection hit. Sizes ride along per side.
+    val members = cands.select(col("d1"), col("d2"), explode(array(
+        struct(col("d1").as("m"), lit(1).as("side")),
+        struct(col("d2").as("m"), lit(2).as("side")))).as("x"))
+      .select(col("d1"), col("d2"), col("x.m").as("m"), col("x.side").as("side"))
     val post = shinglePostings(df, idCol, textCol, k)
-    cands
-      .join(post.as("pa"), col("d1") === col("pa.id"))
-      .join(post.as("pb"),
-        col("d2") === col("pb.id") && col("pa.g") === col("pb.g"))
-      .groupBy(col("d1"), col("pa.n").as("na"), col("d2"), col("pb.n").as("nb"))
-      .agg(count(lit(1)).as("inter"))
+    post.join(broadcast(members), col("id") === col("m"))
+      .groupBy(col("d1"), col("d2"), col("g"))
+      .agg(max(when(col("side") === 1, col("n"))).as("na_g"),
+        max(when(col("side") === 2, col("n"))).as("nb_g"),
+        count(lit(1)).as("sides"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(when(col("sides") === 2, 1)).as("inter"),
+        max(col("na_g")).as("na"), max(col("nb_g")).as("nb"))
       .select(col("d1"), col("d2"),
         (col("inter").cast("double") /
           (col("na") + col("nb") - col("inter"))).as("jac"))
