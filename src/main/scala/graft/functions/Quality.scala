@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Data-quality layer (SURVEY.md §2.13 — the reference's *declared* quality
+  * design from ETL_Prueba_Tecnica.ipynb cells 16–17): schema validation,
+  * mandatory-field checks, referential integrity, reject routing with a
+  * reason column, and per-stage audit rows.
+  *
+  * Everything is a transform over DataFrames — checks produce either a
+  * boolean verdict, an audit row, or a (pass, reject) split; nothing throws
+  * on bad data (errors are data, routed to the reject side, never a job
+  * failure).
+  */
+object Quality {
+
+  /** Schema validation: the actual schema carries every expected column with
+    * the expected type (extra columns tolerated — projection handles them).
+    * Name comparison is case-insensitive like Spark's resolver. */
+  def schemaConforms(df: DataFrame, expected: StructType): Boolean = {
+    val actual = df.schema.map(f => f.name.toLowerCase -> f.dataType).toMap
+    expected.forall(f => actual.get(f.name.toLowerCase).contains(f.dataType))
+  }
+
+  /** Route rows by predicate: (pass, rejects-with-reason). The reject side
+    * is the reference's "tabla de rechazos" with the error cause attached. */
+  def route(df: DataFrame, valid: Column, reason: String): (DataFrame, DataFrame) =
+    (df.filter(valid),
+      df.filter(!coalesce(valid, lit(false)))
+        .withColumn("reject_reason", lit(reason)))
+
+  /** Mandatory-key check as a one-row audit: total, null keys, pass flag. */
+  def mandatoryKeyAudit(df: DataFrame, key: String): DataFrame =
+    df.agg(
+      count(lit(1)).as("total_rows"),
+      count(when(col(key).isNull, 1)).as("null_keys"))
+      .withColumn("estado",
+        when(col("null_keys") === 0, lit("OK")).otherwise(lit("ERROR")))
+
+  /** Referential integrity: child rows whose FK has no parent (left-anti).
+    * At scale the parent side is projected to its key before the join; if
+    * the parent key set is small it broadcasts — Catalyst decides. */
+  def fkOrphans(child: DataFrame, fk: String,
+      parent: DataFrame, pk: String): DataFrame =
+    child.join(parent.select(col(pk)), child(fk) === parent(pk), "left_anti")
+
+  /** Numeric-column checksum row for stage-boundary reconciliation (the
+    * reference's "checksums on numeric cols"): count + sum + xor-hash of
+    * the key, comparable across pipeline stages. */
+  def stageChecksum(df: DataFrame, key: String, numericCol: String): DataFrame =
+    df.agg(
+      count(lit(1)).as("cnt"),
+      round(sum(col(numericCol)), 2).as("sum_val"),
+      // order-insensitive content fingerprint: XOR-aggregate of row hashes
+      // (bit_xor is commutative — safe under any partitioning)
+      expr(s"bit_xor(xxhash64($key))").as("key_xor"))
+}

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for heavy-hitter keys (SURVEY.md §2.14 scale notes).
+  *
+  * AQE's skew-join handling covers joins; for *aggregations* over a skewed
+  * key the classic fix is two-phase salted aggregation: partial-aggregate on
+  * (key, salt) so a hot key's rows spread over `saltBuckets` reducers, then
+  * re-aggregate on the key alone. The second shuffle carries one row per
+  * (key, salt) — bounded — instead of every row of the hot key hitting one
+  * reducer.
+  *
+  * The salt must be deterministic (re-runs and retries must agree): it is
+  * derived by hashing a caller-chosen high-cardinality column, NOT from
+  * rand().
+  */
+object Skew {
+
+  def saltColumn(highCardCol: Column, saltBuckets: Int): Column =
+    pmod(xxhash64(highCardCol), lit(saltBuckets.toLong))
+
+  /** Two-phase salted COUNT by `key`: identical result to
+    * `df.groupBy(key).count()`, resilient to hot keys. */
+  def saltedCount(df: DataFrame, key: String, saltCol: Column,
+      saltBuckets: Int): DataFrame =
+    df.withColumn("__salt", saltColumn(saltCol, saltBuckets))
+      .groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(col(key))
+      .agg(sum(col("__partial")).as("cnt"))
+
+  /** Two-phase salted SUM. Same contract: equals the unsalted groupBy-sum. */
+  def saltedSum(df: DataFrame, key: String, valueCol: String, saltCol: Column,
+      saltBuckets: Int): DataFrame =
+    df.withColumn("__salt", saltColumn(saltCol, saltBuckets))
+      .groupBy(col(key), col("__salt"))
+      .agg(sum(col(valueCol)).as("__partial"))
+      .groupBy(col(key))
+      .agg(sum(col("__partial")).as("sum_val"))
+}

@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Quality
+import graft.operators.Skew
+
+/** Wave 3 — the declared quality layer (SURVEY.md §2.13), skew-resilient
+  * aggregation (§2.14 scale notes) and the set operations (§2.3 parity-plus).
+  */
+object QualityQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Skew: two-phase salted count must equal the plain groupBy — the salt
+    // only changes the shuffle shape (hot keys spread over 8 reducers).
+    "q32_salted_mode" -> ((s, dir) =>
+      Skew.saltedCount(t(s, dir, "lineitem"), "l_suppkey",
+        col("l_orderkey"), saltBuckets = 8)
+        .orderBy(desc("cnt"), col("l_suppkey"))
+        .limit(20)),
+
+    // Quality: mandatory-key audit (null PKs are data, not exceptions).
+    "q33_null_audit" -> ((s, dir) =>
+      Quality.mandatoryKeyAudit(t(s, dir, "orders"), "o_custkey")),
+
+    // Quality: referential integrity — orphan counts per relationship.
+    "q34_fk_orphans" -> ((s, dir) => {
+      val li = Quality.fkOrphans(t(s, dir, "lineitem"), "l_orderkey",
+        t(s, dir, "orders"), "o_orderkey")
+        .agg(count(lit(1)).as("orphans"))
+        .select(lit("lineitem_orders").as("rel"), col("orphans"))
+      val oc = Quality.fkOrphans(t(s, dir, "orders"), "o_custkey",
+        t(s, dir, "customer"), "c_custkey")
+        .agg(count(lit(1)).as("orphans"))
+        .select(lit("orders_customer").as("rel"), col("orphans"))
+      li.unionAll(oc).orderBy(col("rel"))
+    }),
+
+    // Set ops (INTERSECT distinct-semantics, like the SQL operator).
+    "q35_intersect" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderkey") % 2 === 0).select(col("o_orderkey"))
+        .intersect(o.filter(col("o_orderkey") % 3 === 0).select(col("o_orderkey")))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q36_except" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderkey") % 3 === 0).select(col("o_orderkey"))
+        .except(o.filter(col("o_orderkey") % 2 === 0).select(col("o_orderkey")))
+        .orderBy(col("o_orderkey"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q32_salted_mode" ->
+      """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem GROUP BY l_suppkey
+        |ORDER BY cnt DESC, l_suppkey LIMIT 20""".stripMargin,
+
+    "q33_null_audit" ->
+      """SELECT CAST(count(*) AS BIGINT) AS total_rows,
+        |       CAST(count(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT) AS null_keys,
+        |       CASE WHEN count(CASE WHEN o_custkey IS NULL THEN 1 END) = 0
+        |            THEN 'OK' ELSE 'ERROR' END AS estado
+        |FROM orders""".stripMargin,
+
+    "q34_fk_orphans" ->
+      """SELECT * FROM (
+        |  SELECT 'lineitem_orders' AS rel, CAST(count(*) AS BIGINT) AS orphans
+        |  FROM lineitem
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        |  UNION ALL
+        |  SELECT 'orders_customer' AS rel, CAST(count(*) AS BIGINT) AS orphans
+        |  FROM orders
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
+        |ORDER BY rel""".stripMargin,
+
+    "q35_intersect" ->
+      """SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0
+        |INTERSECT
+        |SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q36_except" ->
+      """SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0
+        |EXCEPT
+        |SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0
+        |ORDER BY o_orderkey""".stripMargin
+  )
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Quality
+import graft.operators.Skew
+
+/** Quality-layer behaviour: schema conformance, reject routing, checksum
+  * order-insensitivity, salted-aggregation equivalence on skewed data. */
+class QualitySpec extends SparkSpec {
+  import sqlImplicits._
+
+  test("schemaConforms: case-insensitive names, exact types, extras tolerated") {
+    val df = Seq((1L, "x", 2.5)).toDF("Key", "name", "price")
+    val ok = StructType(Seq(
+      StructField("key", LongType), StructField("PRICE", DoubleType)))
+    val badType = StructType(Seq(StructField("key", IntegerType)))
+    val missing = StructType(Seq(StructField("absent", LongType)))
+    assert(Quality.schemaConforms(df, ok))
+    assert(!Quality.schemaConforms(df, badType))
+    assert(!Quality.schemaConforms(df, missing))
+  }
+
+  test("route splits pass/reject exhaustively and tags the reason") {
+    val df = Seq((1, "a"), (2, null), (3, "c")).toDF("k", "v")
+    val (pass, rej) = Quality.route(df, col("v").isNotNull, "null v")
+    assert(pass.count() + rej.count() === 3)
+    assert(pass.filter(col("v").isNull).count() === 0)
+    assert(rej.select("reject_reason").head().getString(0) === "null v")
+    // NULL predicate rows land on the reject side, not nowhere
+    assert(rej.count() === 1)
+  }
+
+  test("mandatoryKeyAudit flags null keys") {
+    val df = Seq(Some(1L), None, Some(3L)).toDF("k")
+    val a = Quality.mandatoryKeyAudit(df, "k").head()
+    assert(a.getAs[Long]("total_rows") === 3L)
+    assert(a.getAs[Long]("null_keys") === 1L)
+    assert(a.getAs[String]("estado") === "ERROR")
+  }
+
+  test("fkOrphans finds exactly the parentless children") {
+    val child = Seq((1, 10), (2, 20), (3, 99)).toDF("id", "fk")
+    val parent = Seq(10, 20).toDF("pk")
+    val got = Quality.fkOrphans(child, "fk", parent, "pk")
+      .collect().map(_.getInt(0)).toSeq
+    assert(got === Seq(3))
+  }
+
+  test("stageChecksum is order- and partitioning-insensitive") {
+    val a = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    val b = a.orderBy(desc("k")).repartition(7)
+    val ca = Quality.stageChecksum(a, "k", "v").head()
+    val cb = Quality.stageChecksum(b, "k", "v").head()
+    assert(ca === cb)
+  }
+
+  test("salted aggregation equals plain groupBy on skewed data") {
+    // hot key: 'h' carries 90% of rows
+    val rows = (1 to 900).map(i => ("h", i.toLong)) ++
+      (1 to 100).map(i => (s"k${i % 10}", i.toLong))
+    val df = rows.toDF("key", "seq")
+    val plain = df.groupBy("key").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedCount(df, "key", col("seq"), 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted === plain)
+    val plainSum = df.groupBy("key").agg(sum("seq").as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val saltedSum = Skew.saltedSum(df, "key", "seq", col("seq"), 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(saltedSum === plainSum)
+  }
+}
