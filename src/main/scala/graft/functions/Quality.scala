@@ -46,6 +46,35 @@ object Quality {
       parent: DataFrame, pk: String): DataFrame =
     child.join(parent.select(col(pk)), child(fk) === parent(pk), "left_anti")
 
+  /** Anomaly-detection verdict for batch volume (§2.13: "volume deltas
+    * ±30%"). Driver-side scalars — counts come from actions the pipeline
+    * already ran. First batch (prev = 0) passes by definition. */
+  final case class VolumeCheck(delta: Double, ok: Boolean)
+
+  def volumeDelta(prevCount: Long, curCount: Long,
+      tolerance: Double = 0.3): VolumeCheck = {
+    val delta =
+      if (prevCount == 0L) 0.0
+      else (curCount - prevCount).toDouble / prevCount
+    VolumeCheck(delta, math.abs(delta) <= tolerance)
+  }
+
+  /** Anomaly detection, category drift (§2.13: "category-distribution
+    * drift"): per-category share change between two batches, full-outer so
+    * appearing/disappearing categories surface as 0-share sides. */
+  def categoryDrift(prev: DataFrame, cur: DataFrame, category: String): DataFrame = {
+    def shares(df: DataFrame, side: String) = {
+      val total = sum(col("cnt")).over()
+      df.groupBy(col(category)).agg(count(lit(1)).as("cnt"))
+        .select(col(category), (col("cnt") / total).as(s"share_$side"))
+    }
+    shares(prev, "prev").join(shares(cur, "cur"), Seq(category), "full_outer")
+      .select(col(category),
+        coalesce(col("share_prev"), lit(0.0)).as("share_prev"),
+        coalesce(col("share_cur"), lit(0.0)).as("share_cur"))
+      .withColumn("drift", abs(col("share_cur") - col("share_prev")))
+  }
+
   /** Numeric-column checksum row for stage-boundary reconciliation (the
     * reference's "checksums on numeric cols"): count + sum + xor-hash of
     * the key, comparable across pipeline stages. */

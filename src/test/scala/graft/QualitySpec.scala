@@ -56,6 +56,25 @@ class QualitySpec extends SparkSpec {
     assert(ca === cb)
   }
 
+  test("volumeDelta: ±30% tolerance, first batch passes") {
+    assert(Quality.volumeDelta(0L, 500L).ok)
+    assert(Quality.volumeDelta(1000L, 1200L).ok)      // +20%
+    assert(!Quality.volumeDelta(1000L, 1400L).ok)     // +40%
+    assert(!Quality.volumeDelta(1000L, 600L).ok)      // -40%
+    assert(Quality.volumeDelta(1000L, 900L).delta === -0.1)
+  }
+
+  test("categoryDrift surfaces appearing/disappearing categories as 0-share") {
+    val prev = Seq("a", "a", "b", "b").toDF("cat")
+    val cur = Seq("a", "a", "a", "c").toDF("cat")
+    val got = Quality.categoryDrift(prev, cur, "cat")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got("a") === ((0.5, 0.75, 0.25)))
+    assert(got("b") === ((0.5, 0.0, 0.5)))   // disappeared
+    assert(got("c") === ((0.0, 0.25, 0.25))) // appeared
+  }
+
   test("salted aggregation equals plain groupBy on skewed data") {
     // hot key: 'h' carries 90% of rows
     val rows = (1 to 900).map(i => ("h", i.toLong)) ++
