@@ -57,23 +57,9 @@ object NearDup {
     * Short docs (< k tokens) degrade to one whole-text shingle exactly like
     * [[wordShingles]] (concat_ws skips the null leads). */
   def shinglePostings(df: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "t")))
-    val w = Window.partitionBy("id").orderBy("pos")
-    val lastLead = lead(col("t"), k - 1).over(w)
-    val g = concat_ws(" ",
-      (col("t") +: (1 until k).map(i => lead(col("t"), i).over(w))): _*)
-    toks
-      .withColumn("g", g)
-      .withColumn("complete", lastLead.isNotNull)
-      // a complete shingle has all k tokens (last lead non-null); a doc
-      // shorter than k has NO complete row — keep its pos==0 row, whose
-      // concat_ws already skipped the null leads (whole-text fallback)
-      .filter(col("complete") || col("pos") === 0)
-      .select(col("id"), col("g")).distinct()
+      k: Int): DataFrame =
+    shingleRows(df, idCol, textCol, k).distinct()
       .withColumn("n", count(lit(1)).over(Window.partitionBy("id")))
-  }
 
   // --- exact: inverted-index join ------------------------------------------
 
@@ -124,12 +110,30 @@ object NearDup {
     (a, b)
   }
 
+  /** Raw (id, g) shingle rows — duplicates allowed, no set size. The cheap
+    * input for MinHash: `min` is invariant under duplicates, so the
+    * distinct + size-window exchanges of [[shinglePostings]] are pure waste
+    * on the signature path. */
+  private def shingleRows(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "t")))
+    val w = Window.partitionBy("id").orderBy("pos")
+    val lastLead = lead(col("t"), k - 1).over(w)
+    val g = concat_ws(" ",
+      (col("t") +: (1 until k).map(i => lead(col("t"), i).over(w))): _*)
+    toks.withColumn("g", g)
+      .withColumn("complete", lastLead.isNotNull)
+      .filter(col("complete") || col("pos") === 0)
+      .select(col("id"), col("g"))
+  }
+
   /** (id, sig: array<long>) — MinHash signatures of the shingle sets.
     * One xxhash64 per (doc, shingle); numHashes `min` aggregates reduce to
     * the signature with map-side partial aggregation. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       k: Int, numHashes: Int, seed: Long): DataFrame = {
-    val sh = shinglePostings(df, idCol, textCol, k)
+    val sh = shingleRows(df, idCol, textCol, k)
       .select(col("id"), pmod(xxhash64(col("g")), lit(P)).as("h"))
     val aggs = (0 until numHashes).map { i =>
       val (a, b) = coef(seed, i)

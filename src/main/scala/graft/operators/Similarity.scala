@@ -96,13 +96,19 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Fixed pseudo-random hyperplanes, deterministic from `seed` — shared by
+    * the Spark plan and any oracle that needs the same planes as literals. */
+  def planeMatrix(dim: Int, bits: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
   /** Random-hyperplane LSH: `bits` sign bits of dot products with fixed
     * pseudo-random planes (deterministic from `seed`). Equal buckets ⇒
     * cosine-close with probability (1 - θ/π)^bits; near-dup search becomes
     * a groupBy/equi-join on the bucket. */
   def hyperplaneBuckets(df: DataFrame, dim: Int, bits: Int, seed: Long): Column = {
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
+    val planes = planeMatrix(dim, bits, seed)
     val e = asDouble(col("embedding"))
     val bitCols = planes.zipWithIndex.map { case (p, i) =>
       val plane = array(p.map(lit): _*)

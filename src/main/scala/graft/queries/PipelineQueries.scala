@@ -191,12 +191,37 @@ object PipelineQueries {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb.filter(col("vec_id") < 8), emb, nprobe = 2, k = 10)
         .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // LLM similarity 3: random-hyperplane LSH bucket assignment — the ANN
+    // blocking key, verified cross-engine (the oracle carries the same
+    // planes as literals; sign of a sequential-fold dot product is
+    // bit-deterministic in both engines).
+    "q37_ann_buckets" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      emb.select(col("vec_id"),
+          Similarity.hyperplaneBuckets(emb, dim = 64, bits = 16, seed = 7L))
+        .orderBy(col("vec_id"))
     })
   )
+
+  /** q37 oracle: the same 16 hyperplanes as DOUBLE[] literals (Scala's
+    * Double.toString is shortest-round-trip, so DuckDB parses back the
+    * identical bits), each contributing its power-of-two on a non-negative
+    * dot product. */
+  private val annBucketsSql: String = {
+    val planes = Similarity.planeMatrix(dim = 64, bits = 16, seed = 7L)
+    val terms = planes.zipWithIndex.map { case (p, i) =>
+      val arr = p.mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(embedding::DOUBLE[], $arr::DOUBLE[]) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n  + ")
+    s"SELECT vec_id, CAST($terms\n  AS BIGINT) AS bucket FROM embeddings ORDER BY vec_id"
+  }
 
   // ---------------------------------------------------------------------------
 
   val oracles: Map[String, String] = Map(
+    "q37_ann_buckets" -> annBucketsSql,
     "q19_email_validity" ->
       s"""WITH e AS ($emailFixtureSql)
          |SELECT c_custkey, email,

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.StructType
 
 import graft.operators.Upsert
@@ -58,6 +58,39 @@ object StreamingIngest {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("win_start"),
         col("window.end").as("win_end"), col(keyCol), col("cnt"))
+
+  /** Emitted by [[runningCounts]]: the running event total for a key. */
+  case class KeyCount(key: String, total: Long)
+
+  /** Custom keyed state via `flatMapGroupsWithState`: a running per-key
+    * event counter. With `idleTimeout = Some(d)` idle keys expire after d,
+    * bounding the state store by the *active* key set — but the timeout
+    * makes the engine schedule continuous cleanup triggers, so
+    * `processAllAvailable` never settles (use in always-on deployments
+    * only). `None` (default) uses NoTimeout: state is bounded by the
+    * all-time key set, and the query quiesces between batches. State
+    * shards by key across executors; each micro-batch touches only the
+    * keys it contains. */
+  def runningCounts(events: Dataset[(String, Long)],
+      idleTimeout: Option[String] = None): Dataset[KeyCount] = {
+    import events.sparkSession.implicits._
+    val timeoutConf = idleTimeout
+      .map(_ => GroupStateTimeout.ProcessingTimeTimeout)
+      .getOrElse(GroupStateTimeout.NoTimeout)
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, timeoutConf) {
+        (key: String, rows: Iterator[(String, Long)], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val total = state.getOption.getOrElse(0L) + rows.size
+            state.update(total)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            Iterator.single(KeyCount(key, total))
+          }
+      }
+  }
 
   /** foreachBatch UPSERT sink: each micro-batch merges into the parquet at
     * `targetPath` by `key` (new rows win), writing to a temp dir first and
