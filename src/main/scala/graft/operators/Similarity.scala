@@ -103,6 +103,38 @@ object Similarity {
     Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Embedding near-duplicate pairs: cosine ≥ `threshold`, found by
+    * hyperplane-LSH blocking then exact verification (same
+    * candidates-then-verify shape as NearDup.verifiedPairs — no all-pairs
+    * crossJoin). `tables` independent bucketings multiply recall: a pair
+    * is a candidate if ANY table puts it in one bucket, so recall is
+    * 1-(1-p^bits)^tables with p = 1-θ/π. Sized for genuine near-dups
+    * (cosine ≳ 0.9, θ ≤ 26°): 8 bits × 8 tables ⇒ ≥ 0.97. */
+  def cosineNearDups(corpus: DataFrame, threshold: Double, bits: Int = 8,
+      tables: Int = 8, seed: Long = 42L): DataFrame = {
+    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+    val bucketed = corpus.select(col("vec_id"), array((0 until tables).map { t =>
+      struct(lit(t).as("tbl"),
+        hyperplaneBuckets(corpus, dim, bits, seed + t).as("bucket"))
+    }: _*).as("bs"))
+      .select(col("vec_id"), explode(col("bs")).as("b"))
+      .select(col("vec_id"), col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
+    val cands = bucketed.groupBy(col("tbl"), col("bucket"))
+      .agg(collect_list(col("vec_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("v1"), col("ids"))
+      .select(col("v1"), explode(col("ids")).as("v2"))
+      .filter(col("v1") < col("v2"))
+      .distinct()
+    val vecs = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    cands
+      .join(vecs.as("va"), col("v1") === col("va.vec_id"))
+      .join(vecs.as("vb"), col("v2") === col("vb.vec_id"))
+      .select(col("v1"), col("v2"),
+        round(cosine(col("va.e"), col("vb.e")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Random-hyperplane LSH: `bits` sign bits of dot products with fixed
     * pseudo-random planes (deterministic from `seed`). Equal buckets ⇒
     * cosine-close with probability (1 - θ/π)^bits; near-dup search becomes

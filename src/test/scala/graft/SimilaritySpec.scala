@@ -62,6 +62,20 @@ class SimilaritySpec extends SparkSpec {
       s"cluster 0 spread over ${sameCluster.size} buckets — planes not separating")
   }
 
+  test("cosineNearDups finds planted near-identical vectors via LSH blocking") {
+    val rnd = new Random(23)
+    // 3 planted near-dup pairs (tiny perturbation) among 100 random vectors
+    val base = (0 until 100).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq))
+    val planted = Seq(0L, 1L, 2L).map { i =>
+      (200L + i, base(i.toInt)._2.map(v => v + (rnd.nextGaussian() * 0.01).toFloat))
+    }
+    val corpus = (base ++ planted).toDF("vec_id", "embedding")
+    val got = Similarity.cosineNearDups(corpus, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((0L, 200L), (1L, 201L), (2L, 202L)))
+  }
+
   test("cosine of a vector with itself is 1") {
     val one = corpus.limit(5)
       .select(round(Similarity.cosine(
