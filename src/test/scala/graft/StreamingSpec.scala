@@ -57,6 +57,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-stream windowed counts over real events equal the batch result") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    // events.ts is epoch nanos (LongType via nanosAsLong) → micros timestamp
+    val toTs = org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")
+    // the streaming file source wants a monitored DIRECTORY, not a file
+    val watched = java.nio.file.Files.createTempDirectory("graft-events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      watched.resolve("events.parquet"))
+    val src = StreamingIngest.fileSource(spark, batch.schema, watched.toString)
+      .withColumn("ets", toTs)
+    val counts = StreamingIngest.windowedCounts(src, "ets", "1 minute", "1 hour", "event_type")
+    val q = counts.writeStream.format("memory").queryName("ew")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ew")
+        .select(col("win_start").cast("string"), col("event_type"), col("cnt"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val expected = batch.withColumn("ets", toTs)
+        .groupBy(window(col("ets"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").cast("string"), col("event_type"), col("cnt"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed === expected)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("upsertSink merges file-arrival micro-batches into the parquet target") {
     val root = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val (in, target, ckpt) = (s"$root/in", s"$root/target", s"$root/ckpt")
