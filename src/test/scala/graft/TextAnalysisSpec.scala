@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** Unit behaviour of the text-analysis family beyond the oracle queries:
+  * language-ID precedence, fingerprint fallback, BPE-ish counting edges,
+  * quality-score bounds. */
+class TextAnalysisSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def lang(texts: String*): Seq[String] =
+    texts.toDF("t").select(TextAnalysis.langId(col("t")).as("l"))
+      .collect().map(_.getString(0)).toSeq
+
+  test("langId: script beats stopwords, precedence breaks ties, und on no evidence") {
+    assert(lang("the cat is on the mat") === Seq("en"))
+    assert(lang("el perro y la casa de los niños") === Seq("es"))
+    assert(lang("le chat est dans les maisons") === Seq("fr"))
+    assert(lang("der hund und die katze ist mit von") === Seq("de"))
+    assert(lang("你好 world the a") === Seq("zh"))      // CJK wins over stopwords
+    assert(lang("xyzzy plugh quux") === Seq("und"))     // zero evidence
+    assert(lang("the el") === Seq("en"))                // tie → precedence order
+  }
+
+  test("fingerprint: short texts fall back to the whole-text digest") {
+    val got = Seq("short", "this one is definitely longer than sixteen chars")
+      .toDF("t").select(length(col("t")), TextAnalysis.fingerprint(col("t")).as("fp"))
+      .collect()
+    // short: md5 of the whole text
+    assert(got(0).getString(1) ===
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("short".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    // long: a 32-hex min over the window digests — not the whole-text md5
+    assert(got(1).getString(1).matches("[0-9a-f]{32}"))
+  }
+
+  test("fingerprint is shift-invariant only for shared 16-gram content") {
+    // two texts sharing a long run collide iff the minimal 16-gram lies in it
+    val df = Seq(
+      "AAAA common-run-of-chars-here BBBB",
+      "CCCC common-run-of-chars-here DDDD").toDF("t")
+      .select(TextAnalysis.fingerprint(col("t")).as("fp"))
+    val fps = df.collect().map(_.getString(0))
+    // deterministic either way; assert stability across evaluations
+    val fps2 = df.collect().map(_.getString(0))
+    assert(fps.toSeq === fps2.toSeq)
+  }
+
+  test("bpeTokenCount: letters, digits and punctuation split as expected") {
+    val got = Seq("Hello, world42!", "", "  ", "a1b2")
+      .toDF("t").select(TextAnalysis.bpeTokenCount(col("t")).as("n"))
+      .collect().map(_.getLong(0)).toSeq
+    // "hello" "," "world" "42" "!" = 5 ; empty/whitespace = 0 ; a 1 b 2 = 4
+    assert(got === Seq(5L, 0L, 0L, 4L))
+  }
+
+  test("qualityScore is bounded in [0,1] and rewards diversity and length") {
+    val rows = Seq(
+      "word " * 60,                       // long but zero diversity
+      ((1 to 60).map(i => s"w$i").mkString(" ")), // long and diverse
+      "one two three")                    // short and diverse
+      .toDF("t").select(TextAnalysis.qualityScore(col("t")).as("s"))
+      .collect().map(_.getDouble(0))
+    assert(rows.forall(s => s >= 0.0 && s <= 1.0))
+    assert(rows(1) > rows(0), "diverse should beat repetitive at same length")
+    assert(rows(1) > rows(2), "long+diverse should beat short+diverse")
+  }
+
+  test("stopwordRatio counts with multiplicity") {
+    val r = Seq("the the the word").toDF("t")
+      .select(TextAnalysis.stopwordRatio(col("t"), TextAnalysis.StopEn).as("r"))
+      .head().getDouble(0)
+    assert(r === 0.75)
+  }
+}
