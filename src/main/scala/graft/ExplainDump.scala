@@ -1,0 +1,29 @@
+package graft
+
+/** Regenerates EXPLAIN.md: formatted physical plans of the headline queries,
+  * committed so plan quality is reviewable without running Spark. */
+object ExplainDump {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.local("explain")
+    val dir = "/root/testdata/sf0.001"
+    val headline = Seq(
+      "q01_scan_filter_project", "q04_dedup_keep_first", "q07_semi_join",
+      "q09_upsert_merge", "q10_upsert_audit", "q13_group_agg",
+      "q27_minhash_neardup", "q29_cosine_topk", "q32_salted_mode")
+    val sb = new StringBuilder
+    sb.append("# EXPLAIN — headline query plans (formatted, sf0.001, regenerate with `sbt \"runMain graft.ExplainDump\"`)\n")
+    sb.append("\nWhat to look for: `PushedFilters`/`ReadSchema` on every scan, broadcast\njoins where one side is small, partial aggregation before each hash\nexchange, `WindowGroupLimit` ahead of top-k windows, and no\n`CartesianProduct` anywhere.\n")
+    headline.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      sb.append(s"\n## $name\n\n```\n")
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      sb.append(plan.linesIterator.take(60).mkString("\n"))
+      sb.append("\n```\n")
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get("/root/repo/EXPLAIN.md"),
+      sb.toString.getBytes("UTF-8"))
+    println("wrote EXPLAIN.md")
+    spark.stop()
+  }
+}
