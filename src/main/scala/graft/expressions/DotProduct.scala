@@ -1,0 +1,96 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Native Catalyst expression for the float64 dot product of two
+  * `array<double>` columns.
+  *
+  * Why a custom expression (the one place SURVEY.md §7.3 reserved for it):
+  * the composable form `aggregate(zip_with(a, b, _*_), 0d, _+_)` is built
+  * from higher-order functions, which are CodegenFallback in Spark 4 —
+  * every row pays interpreted-expression overhead plus a materialized
+  * intermediate product array. This expression generates a tight primitive
+  * loop inside whole-stage codegen: no allocation, no virtual calls.
+  *
+  * Semantics are IDENTICAL where both are defined: a sequential
+  * left-to-right float64 sum (bit-for-bit equal to the fold form and to
+  * DuckDB's `list_dot_product` on `DOUBLE[]`, which the correctness oracle
+  * relies on). Inputs of unequal length use the common prefix; a NULL
+  * array yields NULL. Array *elements* must be non-null (embedding vectors
+  * are) — a null element's slot reads as 0.0 rather than poisoning the sum.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // no ExpectsInputTypes (its AbstractDataType is private[sql]): exact
+  // array<double> check, callers cast float arrays explicitly
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_dot expects (array<double>, array<double>), got ($l, $r)")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("sum")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration for the engine's native expressions — injected through the
+  * public `SparkSessionExtensions` API (see graft.Sessions). */
+object GraftFunctions {
+
+  val dotProduct: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_dot"),
+    new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        s"graft_dot requires exactly 2 arguments, got ${children.size}")
+      DotProduct(children(0), children(1))
+    })
+
+  def install(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(dotProduct)
+}

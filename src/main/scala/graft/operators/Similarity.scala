@@ -31,8 +31,15 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Sequential float64 dot product — matches DuckDB list_dot_product on
-    * DOUBLE[] bit-for-bit (same order, same width). */
-  def dot(a: Column, b: Column): Column =
+    * DOUBLE[] bit-for-bit (same order, same width). Dispatches to the
+    * native codegen expression `graft_dot` (graft.expressions.DotProduct,
+    * registered by graft.Sessions) — the HOF form
+    * `aggregate(zip_with(...))` is CodegenFallback and interpreted. */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** The composable-HOF form of [[dot]] — same bits, interpreted; kept for
+    * sessions without the graft extensions installed. */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
