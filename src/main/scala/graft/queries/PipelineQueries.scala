@@ -193,6 +193,14 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // LLM dedup 4: SimHash fingerprints, cross-engine — 60 bits of the
+    // md5-portable token hash so the oracle reproduces every bit.
+    "q38_simhash" -> ((s, dir) =>
+      NearDup.simhash(t(s, dir, "documents"), "doc_id", "text",
+        numBits = 60, tokenHash = NearDup.md5Hash60)
+        .select(col("id").as("doc_id"), col("fp"))
+        .orderBy(col("doc_id"))),
+
     // LLM similarity 3: random-hyperplane LSH bucket assignment — the ANN
     // blocking key, verified cross-engine (the oracle carries the same
     // planes as literals; sign of a sequential-fold dot product is
@@ -222,6 +230,20 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "q37_ann_buckets" -> annBucketsSql,
+
+    "q38_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        |  FROM documents),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+        |bits AS (
+        |  SELECT doc_id, r.i AS bit,
+        |         sum(CASE WHEN (h >> r.i::INTEGER) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h, range(0, 60) AS r(i)
+        |  GROUP BY doc_id, r.i)
+        |SELECT doc_id,
+        |       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit::INTEGER) ELSE 0 END) AS BIGINT) AS fp
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q19_email_validity" ->
       s"""WITH e AS ($emailFixtureSql)
          |SELECT c_custkey, email,
