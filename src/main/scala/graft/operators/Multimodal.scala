@@ -73,6 +73,40 @@ object Multimodal {
     }
   }
 
+  /** STUB resize (same contract as [[decodeImages]]: the pixel math is the
+    * fake format's, the typed mapPartitions plumbing is real): nearest-
+    * neighbor downsample of a valid container to (w/factor, h/factor),
+    * re-encoded in the same container format. Invalid payloads pass
+    * through unchanged (reject-routing happens at decode, not here). */
+  def resize(assets: Dataset[Asset], factor: Int): Dataset[Asset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      val m = decodeOne(a)
+      if (!m.valid || factor <= 1) a
+      else {
+        val (w2, h2) = (math.max(1, m.width / factor), math.max(1, m.height / factor))
+        val out = new Array[Byte](HeaderLen + w2 * h2 * m.channels)
+        val bb = java.nio.ByteBuffer.wrap(out)
+        bb.put(Magic).putInt(w2).putInt(h2).put(m.channels.toByte)
+        var y = 0
+        while (y < h2) {
+          var x = 0
+          while (x < w2) {
+            val src = HeaderLen +
+              ((y * factor) * m.width + (x * factor)) * m.channels
+            var c = 0
+            while (c < m.channels) {
+              bb.put(a.payload(src + c)); c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        Asset(a.asset_id, a.kind, out)
+      }
+    })
+  }
+
   /** Deterministic pseudo-embedding of a binary payload: `dim` values in
     * [-0.5, 0.5) derived from xxhash64(payload, i). Stands in for a real
     * vision encoder; pure expression, so it runs at scan speed and feeds

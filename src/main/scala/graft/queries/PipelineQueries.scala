@@ -201,6 +201,21 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), col("fp"))
         .orderBy(col("doc_id"))),
 
+    // LLM similarity 4 (exact pair-mining baseline, the embedding analogue
+    // of q28): all cosine pairs >= 0.3 between a broadcast query slice and
+    // the corpus — one corpus pass, no shuffle of the big side.
+    "q39_cosine_pairs" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = broadcast(emb.filter(col("vec_id") < 200)
+        .select(col("vec_id").as("v1"), col("embedding").cast("array<double>").as("e1")))
+      emb.select(col("vec_id").as("v2"), col("embedding").cast("array<double>").as("e2"))
+        .join(q, col("v1") < col("v2"))
+        .select(col("v1"), col("v2"),
+          round(Similarity.cosine(col("e1"), col("e2")), 6).as("cos"))
+        .filter(col("cos") >= 0.3)
+        .orderBy(col("v1"), col("v2"))
+    }),
+
     // LLM similarity 3: random-hyperplane LSH bucket assignment — the ANN
     // blocking key, verified cross-engine (the oracle carries the same
     // planes as literals; sign of a sequential-fold dot product is
@@ -230,6 +245,18 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "q37_ann_buckets" -> annBucketsSql,
+
+    "q39_cosine_pairs" ->
+      """WITH q AS (SELECT vec_id AS v1, embedding::DOUBLE[] AS e1
+        |           FROM embeddings WHERE vec_id < 200),
+        |c AS (SELECT vec_id AS v2, embedding::DOUBLE[] AS e2 FROM embeddings)
+        |SELECT v1, v2,
+        |       round(list_dot_product(e1, e2) /
+        |         (sqrt(list_dot_product(e1, e1)) * sqrt(list_dot_product(e2, e2))), 6) AS cos
+        |FROM q JOIN c ON v1 < v2
+        |WHERE round(list_dot_product(e1, e2) /
+        |        (sqrt(list_dot_product(e1, e1)) * sqrt(list_dot_product(e2, e2))), 6) >= 0.3
+        |ORDER BY v1, v2""".stripMargin,
 
     "q38_simhash" ->
       """WITH tok AS (

@@ -46,6 +46,16 @@ class MultimodalSpec extends SparkSpec {
     assert(vals.forall(v => v >= -0.5 && v < 0.5))
   }
 
+  test("resize halves dimensions and re-encodes a decodable container") {
+    val resized = Multimodal.resize(assets, 2)
+    val meta = Multimodal.decodeImages(resized).collect()
+      .map(m => m.asset_id -> m).toMap
+    assert(meta(1L).valid && meta(1L).width === 2 && meta(1L).height === 1)
+    assert(meta(2L).valid && meta(2L).width === 1 && meta(2L).height === 1)
+    // invalid payloads pass through untouched
+    assert(!meta(3L).valid && meta(3L).err === "bad magic")
+  }
+
   test("frame sampling emits header-relative offsets with stride") {
     val video = Seq(Asset(9L, "video", Multimodal.encodeFake(10, 1, 3))).toDS()
     // payload body = 30 bytes; frames of 10 bytes → 3 frames, every 2nd → 2
