@@ -259,4 +259,44 @@ object NearDup {
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // --- pairs → dedup groups -------------------------------------------------
+
+  /** Connected components over a near-dup pair list: (doc, canonical) where
+    * canonical = the smallest id reachable through pairs — the survivor a
+    * dedup keeps for each group (transitively: if A~B and B~C, all three
+    * map to min(A,B,C) even when A~C was never emitted as a pair).
+    *
+    * Min-label propagation, one round per iteration, driver-checked
+    * fixpoint. The label table holds only docs that appear in a pair —
+    * tiny relative to the corpus by construction (near-dups are rare) —
+    * and each iteration is one equi-join + aggregate; lineage is truncated
+    * per step so iterations don't stack plans. Component diameters of
+    * real near-dup clusters are small, so the loop converges in a few
+    * rounds; `maxIter` bounds pathological chains. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .unionAll(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst").as("nid"))
+        .agg(min(col("label")).as("nlabel"))
+      val next = labels.join(neighborMin, labels("id") === col("nid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      converged = next.withColumnRenamed("label", "next_label")
+        .join(labels, Seq("id"))
+        .filter(col("next_label") =!= col("label")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("canonical"))
+  }
 }

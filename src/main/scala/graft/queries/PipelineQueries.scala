@@ -72,12 +72,9 @@ object PipelineQueries {
       |  END AS phone
       |FROM customer""".stripMargin
 
-  /** Shared 3-gram-Jaccard oracle: q27 (MinHash LSH + verify) and q28 (exact
-    * inverted-index join) must both produce exactly this — the LSH recall at
-    * the data's similarity range (J ≥ 0.8) makes the candidate set complete,
-    * and the verify step removes all false positives. */
-  private val jaccardPairsSql =
-    """WITH toks AS (
+  /** Shared 3-gram-Jaccard CTE chain (see jaccardPairsSql / q40 oracle). */
+  private val jaccardPairsCtes =
+    """toks AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
       |sh AS (
       |  SELECT doc_id, unnest(CASE WHEN len(w) >= 3
@@ -89,11 +86,36 @@ object PipelineQueries {
       |pr AS (
       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
       |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT d1, d2, round(inter::DOUBLE / (sa.n + sb.n - inter), 4) AS jaccard
-      |FROM pr JOIN sz sa ON sa.doc_id = pr.d1 JOIN sz sb ON sb.doc_id = pr.d2
-      |WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.5
-      |ORDER BY d1, d2""".stripMargin
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** Shared 3-gram-Jaccard oracle: q27 (MinHash LSH + verify) and q28 (exact
+    * inverted-index join) must both produce exactly this — the LSH recall at
+    * the data's similarity range (J ≥ 0.8) makes the candidate set complete,
+    * and the verify step removes all false positives. */
+  private val jaccardPairsSql =
+    s"""WITH $jaccardPairsCtes
+       |SELECT d1, d2, round(inter::DOUBLE / (sa.n + sb.n - inter), 4) AS jaccard
+       |FROM pr JOIN sz sa ON sa.doc_id = pr.d1 JOIN sz sb ON sb.doc_id = pr.d2
+       |WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.5
+       |ORDER BY d1, d2""".stripMargin
+
+  /** q40 oracle: transitive closure of the near-dup pairs by recursive CTE,
+    * then min reachable id per member — the canonical-survivor mapping. */
+  private val neardupGroupsSql =
+    s"""WITH RECURSIVE $jaccardPairsCtes,
+       |pairs AS (
+       |  SELECT pr.d1, pr.d2
+       |  FROM pr JOIN sz sa ON sa.doc_id = pr.d1 JOIN sz sb ON sb.doc_id = pr.d2
+       |  WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.5),
+       |edges AS (
+       |  SELECT d1 AS src, d2 AS dst FROM pairs
+       |  UNION ALL SELECT d2, d1 FROM pairs),
+       |reach AS (
+       |  SELECT src AS a, dst AS b FROM edges
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+       |SELECT a AS doc_id, least(a, min(b)) AS canonical
+       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------------
 
@@ -193,6 +215,16 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // LLM dedup 5 (pairs → groups): connected components over the verified
+    // near-dup pairs — each member mapped to its canonical survivor (min id
+    // reachable transitively). Iterative min-label propagation vs the
+    // oracle's recursive CTE.
+    "q40_neardup_groups" -> ((s, dir) =>
+      NearDup.connectedComponents(
+        NearDup.verifiedPairs(t(s, dir, "documents"), "doc_id", "text",
+          k = 3, threshold = 0.5))
+        .orderBy(col("doc_id"))),
+
     // LLM dedup 4: SimHash fingerprints, cross-engine — 60 bits of the
     // md5-portable token hash so the oracle reproduces every bit.
     "q38_simhash" -> ((s, dir) =>
@@ -245,6 +277,7 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "q37_ann_buckets" -> annBucketsSql,
+    "q40_neardup_groups" -> neardupGroupsSql,
 
     "q39_cosine_pairs" ->
       """WITH q AS (SELECT vec_id AS v1, embedding::DOUBLE[] AS e1

@@ -66,6 +66,16 @@ class NearDupSpec extends SparkSpec {
       s"near-dup hamming $near should be well under unrelated average $unrelatedAvg")
   }
 
+  test("connectedComponents: chains collapse transitively to the min id") {
+    // components: {1,2,3,4} via chain, {10,11}, {20,21,22} via triangle
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("d1", "d2")
+    val got = NearDup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("simhashCandidates finds the exact-dup pairs via chunk banding") {
     val fp = NearDup.simhash(corpus, "doc_id", "text")
     val cands = NearDup.simhashCandidates(fp, "id", "fp")
