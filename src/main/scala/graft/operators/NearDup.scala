@@ -65,9 +65,9 @@ object NearDup {
 
   /** All pairs (d1 < d2) with shingle-Jaccard ≥ `threshold`, exactly.
     * Plan: explode shingles → self-equi-join on the shingle (inverted
-    * index) → count common shingles per pair → join the two set sizes →
-    * filter. Shuffles on the shingle then on the pair key; see the class
-    * doc for the hot-shingle caveat that motivates the LSH variant. */
+    * index) → count common shingles per pair → filter on the Jaccard.
+    * Shuffles on the shingle then on the pair key; see the class doc for
+    * the hot-shingle caveat that motivates the LSH variant. */
   def exactJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int, threshold: Double): DataFrame = {
     // Set size rides along with every posting row, which kills two birds:

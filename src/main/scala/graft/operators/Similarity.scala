@@ -122,7 +122,7 @@ object Similarity {
     val dim = corpus.select(size(col("embedding"))).head().getInt(0)
     val bucketed = corpus.select(col("vec_id"), array((0 until tables).map { t =>
       struct(lit(t).as("tbl"),
-        hyperplaneBuckets(corpus, dim, bits, seed + t).as("bucket"))
+        hyperplaneBuckets(dim, bits, seed + t).as("bucket"))
     }: _*).as("bs"))
       .select(col("vec_id"), explode(col("bs")).as("b"))
       .select(col("vec_id"), col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
@@ -146,7 +146,7 @@ object Similarity {
     * pseudo-random planes (deterministic from `seed`). Equal buckets ⇒
     * cosine-close with probability (1 - θ/π)^bits; near-dup search becomes
     * a groupBy/equi-join on the bucket. */
-  def hyperplaneBuckets(df: DataFrame, dim: Int, bits: Int, seed: Long): Column = {
+  def hyperplaneBuckets(dim: Int, bits: Int, seed: Long): Column = {
     val planes = planeMatrix(dim, bits, seed)
     val e = asDouble(col("embedding"))
     val bitCols = planes.zipWithIndex.map { case (p, i) =>

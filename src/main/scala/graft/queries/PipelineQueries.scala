@@ -255,7 +255,7 @@ object PipelineQueries {
     "q37_ann_buckets" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       emb.select(col("vec_id"),
-          Similarity.hyperplaneBuckets(emb, dim = 64, bits = 16, seed = 7L))
+          Similarity.hyperplaneBuckets(dim = 64, bits = 16, seed = 7L))
         .orderBy(col("vec_id"))
     })
   )

@@ -53,7 +53,7 @@ class SimilaritySpec extends SparkSpec {
       corpus.filter(col("vec_id") === 0)
         .select(lit(999L).as("vec_id"), col("embedding"), col("label")))
     val buckets = withDup
-      .select(col("vec_id"), Similarity.hyperplaneBuckets(withDup, dim, 8, 42L))
+      .select(col("vec_id"), Similarity.hyperplaneBuckets(dim, 8, 42L))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(buckets(999L) === buckets(0L), "identical vectors must collide")
     // same-cluster vectors should mostly share buckets (tight clusters)
