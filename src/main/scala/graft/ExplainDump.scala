@@ -9,7 +9,8 @@ object ExplainDump {
     val headline = Seq(
       "q01_scan_filter_project", "q04_dedup_keep_first", "q07_semi_join",
       "q09_upsert_merge", "q10_upsert_audit", "q13_group_agg",
-      "q27_minhash_neardup", "q29_cosine_topk", "q32_salted_mode")
+      "q27_minhash_neardup", "q29_cosine_topk", "q32_salted_mode",
+      "q37_ann_buckets", "q38_simhash")
     val sb = new StringBuilder
     sb.append("# EXPLAIN — headline query plans (formatted, sf0.001, regenerate with `sbt \"runMain graft.ExplainDump\"`)\n")
     sb.append("\nWhat to look for: `PushedFilters`/`ReadSchema` on every scan, broadcast\njoins where one side is small, partial aggregation before each hash\nexchange, `WindowGroupLimit` ahead of top-k windows, and no\n`CartesianProduct` anywhere.\n")
