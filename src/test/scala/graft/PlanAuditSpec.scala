@@ -58,4 +58,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("row_number()"))
     assert("Exchange hashpartitioning\\(o_orderkey".r.findAllIn(p).size === 1)
   }
+
+  test("q06: global top-k compiles to TakeOrderedAndProject, not a full sort") {
+    val p = plan("q06_mode_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q27: LSH near-dup has no cartesian product and no broadcast nested loop") {
+    val p = plan("q27_minhash_neardup")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q37: ANN bucketing is scan + project with only the output-sort exchange") {
+    val p = plan("q37_ann_buckets")
+    assert("Exchange".r.findAllIn(p).size === 1)
+    assert(p.contains("graft_dot"), "native expression must be in the plan")
+  }
 }
