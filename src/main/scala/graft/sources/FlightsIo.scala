@@ -52,6 +52,19 @@ object FlightsIo {
       .option("sep", ",")
       .csv(path)
 
+  /** S1 as a stream: monitor a directory for arriving v2-dialect CSV files
+    * (the reference's declared file-arrival ingestion, SURVEY.md §2.12) —
+    * same schema-override header repair as [[readV2]], incremental batches
+    * bounded by maxFilesPerTrigger. */
+  def streamV2(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("header", "true")
+      .option("sep", ";")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .csv(dir)
+
   /** Tag a source with dedup priority and an intra-file sequence so
     * keep-first dedup is deterministic (SURVEY.md §2.4 D2: pandas
     * `keep='first'` depends on physical row order — here the order is an

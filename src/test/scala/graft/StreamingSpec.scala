@@ -87,6 +87,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CSV ingest of the reference's v2 files repairs headers and lands all rows") {
+    val watched = java.nio.file.Files.createTempDirectory("graft-flights-stream")
+    // drop the 10k file first, the corrupt-header 5k file arrives later
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/reference/Seccion_2_Python/flights_10000v2.csv"),
+      watched.resolve("f1.csv"))
+    val src = graft.sources.FlightsIo.streamV2(spark, watched.toString)
+    val q = src.writeStream.format("memory").queryName("fl")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("fl").count() === 10000L)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get("/root/reference/Seccion_2_Python/flights_5000v2.csv"),
+        watched.resolve("f2.csv"))
+      q.processAllAvailable()
+      val t = spark.table("fl")
+      assert(t.count() === 15000L)
+      assert(t.columns.toSeq === graft.sources.FlightsIo.columns)
+      // the corrupt header row was skipped, not ingested as data
+      assert(t.filter(col("Col_1") === "Col_1").count() === 0L)
+    } finally q.stop()
+  }
+
   test("upsertSink merges file-arrival micro-batches into the parquet target") {
     val root = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val (in, target, ckpt) = (s"$root/in", s"$root/target", s"$root/ckpt")
