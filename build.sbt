@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify drivers parse the forked main's LAST stdout line as JSON.
+// By default sbt relabels forked stdout through its logger ("[info] {json}")
+// and then prints "[success] Total time: …" after it — both break the parse
+// (BENCH_r01/r02 "parsed": null). Forward child output verbatim and drop the
+// success banner so the JSON line really is the last thing on stdout.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
