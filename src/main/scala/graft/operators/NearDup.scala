@@ -69,13 +69,19 @@ object NearDup {
     * Shuffles on the shingle then on the pair key; see the class doc for
     * the hot-shingle caveat that motivates the LSH variant. */
   def exactJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int, threshold: Double): DataFrame = {
+      k: Int, threshold: Double): DataFrame =
+    exactJaccardPairs(shinglePostings(df, idCol, textCol, k), threshold)
+
+  /** [[exactJaccardPairs]] over a precomputed (id, g, n) postings table.
+    * Spark does NOT reuse an aliased subplan across self-join sides, so
+    * when the caller persists the postings this halves the work — the
+    * staged form a multi-query dedup pipeline should use. */
+  def exactJaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
     // Set size rides along with every posting row, which kills two birds:
     // the pair join can size-prune exactly (J ≥ τ forces τ·|B| ≤ |A| ≤
     // |B|/τ — pairs outside the band can't qualify, so they never fan out),
     // and no size-lookup joins are needed after the aggregation (the sizes
     // are already in the grouping key).
-    val sh = shinglePostings(df, idCol, textCol, k)
     sh.as("a").join(sh.as("b"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
           col("a.n") >= col("b.n") * threshold &&
@@ -132,14 +138,26 @@ object NearDup {
     * One xxhash64 per (doc, shingle); numHashes `min` aggregates reduce to
     * the signature with map-side partial aggregation. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      k: Int, numHashes: Int, seed: Long): DataFrame = {
-    val sh = shingleRows(df, idCol, textCol, k)
-      .select(col("id"), pmod(xxhash64(col("g")), lit(P)).as("h"))
+      k: Int, numHashes: Int, seed: Long): DataFrame =
+    signaturesOf(shingleRows(df, idCol, textCol, k), numHashes, seed)
+
+  /** [[minhashSignatures]] over a precomputed (id, g) shingle table —
+    * `min` is duplicate-invariant, so the signature of the distinct
+    * posting set equals the signature of the raw shingle multiset and a
+    * persisted postings stage can feed both the signature and the verify
+    * paths. */
+  def minhashSignaturesFromPostings(sh: DataFrame, numHashes: Int,
+      seed: Long): DataFrame =
+    signaturesOf(sh.select(col("id"), col("g")), numHashes, seed)
+
+  private def signaturesOf(sh: DataFrame, numHashes: Int,
+      seed: Long): DataFrame = {
+    val hashed = sh.select(col("id"), pmod(xxhash64(col("g")), lit(P)).as("h"))
     val aggs = (0 until numHashes).map { i =>
       val (a, b) = coef(seed, i)
       min(pmod(col("h") * a + b, lit(P))).as(s"m_$i")
     }
-    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    hashed.groupBy("id").agg(aggs.head, aggs.tail: _*)
       .select(col("id"),
         array((0 until numHashes).map(i => col(s"m_$i")): _*).as("sig"))
   }
@@ -147,8 +165,12 @@ object NearDup {
   /** (id, band, bucket) rows: the signature cut into `bands` bands of
     * `rowsPerBand` values, each band rendered to a join key. */
   def minHashLsh(df: DataFrame, idCol: String, textCol: String, k: Int,
-      bands: Int, rowsPerBand: Int, seed: Long): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol, k, bands * rowsPerBand, seed)
+      bands: Int, rowsPerBand: Int, seed: Long): DataFrame =
+    bandBuckets(minhashSignatures(df, idCol, textCol, k, bands * rowsPerBand, seed),
+      bands, rowsPerBand)
+
+  private def bandBuckets(sigs: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame = {
     val bandCols = (0 until bands).map { j =>
       struct(lit(j).as("band"),
         concat_ws(",", transform(slice(col("sig"), j * rowsPerBand + 1, rowsPerBand),
@@ -177,8 +199,21 @@ object NearDup {
     * as [[exactJaccardPairs]] (zero false positives; recall per class doc). */
   def verifiedPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
       threshold: Double, bands: Int = 16, rowsPerBand: Int = 4,
-      seed: Long = 42L): DataFrame = {
-    val cands = lshCandidates(minHashLsh(df, idCol, textCol, k, bands, rowsPerBand, seed))
+      seed: Long = 42L): DataFrame =
+    verifiedPairsStaged(shinglePostings(df, idCol, textCol, k), threshold,
+      bands, rowsPerBand, seed)
+
+  /** [[verifiedPairs]] over a precomputed (id, g, n) postings table. When
+    * the caller persists the postings, the whole tokenize→shingle pipeline
+    * runs ONCE and feeds both the signature and the verify paths — and any
+    * other consumer (exact baseline, component grouping) for free. This is
+    * the staged form a multi-query dedup pipeline should use at scale:
+    * materialize postings, then derive. */
+  def verifiedPairsStaged(post: DataFrame, threshold: Double,
+      bands: Int = 16, rowsPerBand: Int = 4, seed: Long = 42L): DataFrame = {
+    val cands = lshCandidates(bandBuckets(
+      minhashSignaturesFromPostings(post, bands * rowsPerBand, seed),
+      bands, rowsPerBand))
     // Verify with ONE pass over the postings. Referencing the postings twice
     // (pa/pb joins) would recompute the whole shingle pipeline per side —
     // Spark does not reuse the aliased subplan. Instead: melt each candidate
@@ -190,7 +225,6 @@ object NearDup {
         struct(col("d1").as("m"), lit(1).as("side")),
         struct(col("d2").as("m"), lit(2).as("side")))).as("x"))
       .select(col("d1"), col("d2"), col("x.m").as("m"), col("x.side").as("side"))
-    val post = shinglePostings(df, idCol, textCol, k)
     post.join(broadcast(members), col("id") === col("m"))
       .groupBy(col("d1"), col("d2"), col("g"))
       .agg(max(when(col("side") === 1, col("n"))).as("na_g"),
