@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: for each left row, attach the payload of the
+  * latest right row with `rightTime <= leftTime` for the same key — the
+  * time-series lookup Spark has no built-in operator for (trades→latest
+  * quote, click→latest error, feature→latest snapshot).
+  *
+  * Plan shape: tag both sides, union, ONE shuffle by key, and a running
+  * `last(_, ignoreNulls)` window ordered by (time, side) — the same merge
+  * pass a native as-of join would do. The naive formulations both fail at
+  * scale: a range-condition join explodes to O(left × right-per-key) pairs
+  * before taking the max, and a per-left-row subquery is O(n) jobs. Here
+  * every right row is carried exactly once, so the cost is the sort — the
+  * plan that survives a 100× scale-up.
+  *
+  * Ties: right rows sort before left rows at equal time (side 0 < 1), so
+  * the match is inclusive. Among right rows with identical (key, time) the
+  * last one by `rightOrder` wins — pass a total tiebreak there for
+  * deterministic output when (key, time) can repeat.
+  */
+object AsOfJoin {
+
+  /** @param left       probe side; all its columns survive
+    * @param right      build side; only `payload` columns are attached
+    * @param key        equi-join key column name (both sides)
+    * @param leftTime   left event-time column (any orderable type)
+    * @param rightTime  right event-time column (same type)
+    * @param payload    right columns to carry onto each left row (renamed
+    *                   as-is; must not collide with left column names)
+    * @param rightOrder extra total-order tiebreak among right rows sharing
+    *                   (key, time); later wins */
+  def asOf(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, payload: Seq[String],
+      rightOrder: Seq[Column] = Nil): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val rightProj = right.select(
+      (col(key) +: col(rightTime).as("_t") +: payload.map(col)): _*)
+
+    // Aligned union: key, _t, _side, left columns (null on right rows),
+    // payload columns (null on left rows). Nulls are typed via the schema
+    // of the source side so unionByName never widens.
+    val lSide = left
+      .withColumn("_t", col(leftTime))
+      .withColumn("_side", lit(1))
+    val rSide = rightProj.withColumn("_side", lit(0))
+    val unioned = lSide.unionByName(rSide, allowMissingColumns = true)
+
+    val w = Window.partitionBy(col(key))
+      .orderBy((col("_t").asc +: col("_side").asc +: rightOrder): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = payload.foldLeft(unioned) { (df, p) =>
+      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    }
+    matched.filter(col("_side") === 1)
+      .select((leftCols ++ payload).map(col): _*)
+  }
+}

@@ -1,0 +1,263 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{AsOfJoin, Sampling, Sessionize}
+
+/** Wave 3 — time-series / window-analytics / sampling surface: the
+  * operations a warehouse user reaches for daily that neither the
+  * reference nor waves 1–2 graded yet. Same conventions as CoreQueries
+  * (identical aliases both engines, total ORDER BY, doubles rounded,
+  * BIGINT casts in the oracle).
+  *
+  * Time bridge: `events.ts` is parquet TIMESTAMP(NANOS) — Spark (with
+  * nanosAsLong) sees a raw nanos LongType, DuckDB sees a µs TIMESTAMP.
+  * Both sides normalize to epoch MICROS as BIGINT: Spark `ts DIV 1000`
+  * (integer division — a double roundtrip would lose precision at 1.7e18),
+  * DuckDB `epoch_us(ts)`.
+  */
+object AnalyticsQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** epoch-micros event time, shared by q41/q42. */
+  private def evMicros(c: String = "ts") = expr(s"$c DIV 1000")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // As-of join: each click gets the latest error of the same user at or
+    // before it (union + running last over ONE shuffle — no range
+    // explosion; see AsOfJoin scaladoc). (user_id, ts) is unique in the
+    // testdata, so no right-side tiebreak is needed.
+    "q41_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), evMicros().as("t"),
+          col("value"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), evMicros().as("err_t"),
+          col("value").as("err_value"))
+      AsOfJoin.asOf(clicks, errors, key = "user_id",
+        leftTime = "t", rightTime = "err_t",
+        payload = Seq("err_t", "err_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Sessionization: 4-hour-gap sessions per user (median per-user gap in
+    // the testdata is ~7.3 h, so the corpus splits into real multi-event
+    // sessions rather than degenerating to one session or one per event).
+    "q42_sessionize" -> ((s, dir) =>
+      Sessionize.sessionize(
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), evMicros().as("t")),
+        key = "user_id", time = "t", gap = 14400000000L,
+        order = Seq(col("event_id")))
+        .orderBy(col("event_id"))),
+
+    // Running total: cumulative revenue per customer in order-date order.
+    // ROWS frame in both engines (their default with ORDER BY is RANGE,
+    // which merges date ties); the cumulative double sum is sequential in
+    // frame order in both engines, so rounding to 2 is stable.
+    "q43_running_total" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice")).over(w), 2).as("run_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // Lag analytics: whole days since the customer's previous order.
+    "q44_order_gaps" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+            .cast("long").as("gap_days"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // GROUPING SETS with grouping() disambiguation — the multi-rollup
+    // shape q14's ROLLUP can't express (two independent single-column
+    // totals + grand total in one pass).
+    "q45_grouping_sets" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT l_returnflag, l_linestatus,
+              |  CAST(count(*) AS BIGINT) AS cnt,
+              |  round(sum(l_quantity), 2) AS sum_qty,
+              |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+              |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls
+              |FROM lineitem
+              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+              |ORDER BY g_rf, g_ls,
+              |  l_returnflag ASC NULLS FIRST,
+              |  l_linestatus ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // Pivot: order counts per priority × status, statuses as columns
+    // (explicit value list — Spark then skips the distinct-values job and
+    // the plan is a plain one-pass pivot aggregate).
+    "q46_pivot_status" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("F"),
+          coalesce(col("O"), lit(0L)).as("O"),
+          coalesce(col("P"), lit(0L)).as("P"))
+        .orderBy(col("o_orderpriority"))),
+
+    // Top-k per group: 3 priciest orders per priority. The per-group
+    // row_number window shuffles once on the group key; the final global
+    // sort is grading-only (tiny output).
+    "q47_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          col("o_totalprice"), row_number().over(w).cast("long").as("rnk"))
+        .filter(col("rnk") <= 3)
+        .orderBy(col("o_orderpriority"), col("rnk"))
+    }),
+
+    // Deterministic 10% hash sample of lineitem: membership is a pure
+    // function of the row key (md5-60bit bridge), so the sample is stable
+    // across runs/engines/partitionings — and cross-engine verifiable,
+    // which seed-based sample() can never be.
+    "q48_hash_sample" -> ((s, dir) => {
+      val key = concat_ws("|",
+        col("l_orderkey").cast("string"), col("l_partkey").cast("string"),
+        col("l_suppkey").cast("string"), col("l_linenumber").cast("string"))
+      Sampling.hashSample(t(s, dir, "lineitem"), key, keep = 10)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_linenumber"), col("l_quantity"),
+          Sampling.hashBucket(key, 100).as("bucket"))
+        .orderBy(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_linenumber"))
+    }),
+
+    // Per-label centroid components of the embedding corpus (the IVF
+    // coarse-quantizer stage of q30, exposed directly): explode → grouped
+    // mean per (label, dimension). Rounded to 6 in both engines — the
+    // grouped double mean is reduction-order-sensitive.
+    "q49_centroids" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding").cast("array<double>")))
+        .groupBy(col("label"), col("pos").cast("long").as("ord"))
+        .agg(round(avg(col("col")), 6).as("m"))
+        .orderBy(col("label"), col("ord"))),
+
+    // Exact interpolated percentiles per group — Spark `percentile` and
+    // DuckDB `quantile_cont` both sort and linearly interpolate; verified
+    // to agree at 4 decimals on this data.
+    "q50_percentiles" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q41_asof_join" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS t, value
+        |  FROM events WHERE event_type = 'click'),
+        |e AS (
+        |  SELECT user_id, epoch_us(ts) AS err_t, value AS err_value
+        |  FROM events WHERE event_type = 'error')
+        |SELECT c.event_id, c.user_id, c.t, c.value, e.err_t, e.err_value
+        |FROM c ASOF LEFT JOIN e
+        |  ON c.user_id = e.user_id AND c.t >= e.err_t
+        |ORDER BY c.event_id""".stripMargin,
+
+    "q42_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events),
+        |f AS (
+        |  SELECT event_id, user_id, t,
+        |    CASE WHEN lag(t) OVER w IS NULL
+        |           OR t - lag(t) OVER w > 14400000000 THEN 1 ELSE 0 END AS s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+        |SELECT event_id, user_id, t,
+        |  CAST(sum(s) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |FROM f ORDER BY event_id""".stripMargin,
+
+    "q43_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS UNBOUNDED PRECEDING), 2) AS run_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q44_order_gaps" ->
+      """SELECT o_custkey, o_orderkey,
+        |  date_diff('day',
+        |    lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey),
+        |    o_orderdate) AS gap_days
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q45_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY g_rf, g_ls,
+        |  l_returnflag ASC NULLS FIRST,
+        |  l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q46_pivot_status" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS "F",
+        |  CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS "O",
+        |  CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS "P"
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q47_topk_per_group" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin,
+
+    "q48_hash_sample" ->
+      """WITH k AS (
+        |  SELECT *,
+        |    l_orderkey::VARCHAR || '|' || l_partkey::VARCHAR || '|' ||
+        |    l_suppkey::VARCHAR || '|' || l_linenumber::VARCHAR AS key
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        |  ('0x' || substr(md5(key), 1, 15))::BIGINT % 100 AS bucket
+        |FROM k
+        |WHERE ('0x' || substr(md5(key), 1, 15))::BIGINT % 100 < 10
+        |ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber""".stripMargin,
+
+    "q49_centroids" ->
+      """SELECT label, r.i AS ord, round(avg(v[(r.i + 1)::INTEGER]), 6) AS m
+        |FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+        |     range(0, 64) AS r(i)
+        |GROUP BY label, r.i ORDER BY label, ord""".stripMargin,
+
+    "q50_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, Sampling, Sessionize}
+
+/** Wave-3 operators: as-of join, sessionization, deterministic sampling. */
+class AnalyticsSpec extends SparkSpec {
+
+  import sqlImplicits._
+
+  test("asOf attaches the latest right row at or before each left time") {
+    val left = Seq((1, "u", 100L), (2, "u", 200L), (3, "u", 50L))
+      .toDF("id", "k", "t")
+    val right = Seq(("u", 100L, "a"), ("u", 150L, "b"), ("u", 300L, "c"))
+      .toDF("k", "rt", "payload")
+    val out = AsOfJoin.asOf(left, right, "k", "t", "rt", Seq("payload"))
+      .orderBy("id").collect()
+    // t=100 matches rt=100 (inclusive), t=200 matches rt=150, t=50 has no
+    // match (left-join null)
+    assert(out.map(r => Option(r.getAs[String]("payload"))).toSeq ===
+      Seq(Some("a"), Some("b"), None))
+  }
+
+  test("asOf rightOrder breaks (key, time) ties deterministically") {
+    val left = Seq((1, "u", 100L)).toDF("id", "k", "t")
+    val right = Seq(("u", 100L, 1L, "first"), ("u", 100L, 2L, "second"))
+      .toDF("k", "rt", "seq", "payload")
+    val out = AsOfJoin.asOf(left, right, "k", "t", "rt",
+      Seq("seq", "payload"), rightOrder = Seq(col("seq")))
+      .collect()
+    assert(out.head.getAs[String]("payload") === "second") // later seq wins
+  }
+
+  test("sessionize numbers gap-separated islands per key") {
+    val ev = Seq(
+      ("u", 0L), ("u", 10L), ("u", 100L), ("u", 105L), // gap>50 at 100
+      ("v", 0L)).zipWithIndex
+      .map { case ((k, t), i) => (i, k, t) }.toDF("id", "k", "t")
+    val out = Sessionize.sessionize(ev, "k", "t", gap = 50L,
+      order = Seq(col("id")))
+      .orderBy("id").collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Long]("session_id")))
+    assert(out.toSeq === Seq(("u", 1L), ("u", 1L), ("u", 2L), ("u", 2L), ("v", 1L)))
+  }
+
+  test("sessionStats aggregates bounds and spans per session") {
+    val ev = Seq((1, "u", 0L), (2, "u", 10L), (3, "u", 100L))
+      .toDF("id", "k", "t")
+    val st = Sessionize.sessionStats(
+      Sessionize.sessionize(ev, "k", "t", gap = 50L, order = Seq(col("id"))),
+      "k", "t").orderBy("session_id").collect()
+    assert(st.map(r => (r.getAs[Long]("n_events"), r.getAs[Long]("span")))
+      .toSeq === Seq((2L, 10L), (1L, 0L)))
+  }
+
+  test("hashSample is deterministic and stable under repartition") {
+    val df = spark.range(1000).toDF("id")
+    val key = col("id").cast("string")
+    val a = Sampling.hashSample(df, key, keep = 10).collect().map(_.getLong(0)).sorted
+    val b = Sampling.hashSample(df.repartition(7), key, keep = 10)
+      .collect().map(_.getLong(0)).sorted
+    assert(a.toSeq === b.toSeq)
+    assert(a.nonEmpty && a.length < 1000)
+    // membership is monotone in keep: keep=10 sample is a subset of keep=20
+    val c = Sampling.hashSample(df, key, keep = 20).collect().map(_.getLong(0)).toSet
+    assert(a.forall(c.contains))
+  }
+
+  test("stratifiedHashSample applies per-stratum rates, drops unlisted strata") {
+    val df = spark.range(300)
+      .withColumn("s", when(col("id") % 3 === 0, "a")
+        .when(col("id") % 3 === 1, "b").otherwise("c"))
+    val out = Sampling.stratifiedHashSample(df, col("id").cast("string"),
+      col("s"), Map("a" -> 100, "b" -> 30))
+    val bySt = out.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySt("a") === 100)            // rate 100/100 keeps every 'a' row
+    assert(bySt.get("c").isEmpty)        // unlisted stratum dropped
+    assert(bySt("b") > 0 && bySt("b") < 100)
+  }
+}
