@@ -59,6 +59,22 @@ object StreamingIngest {
       .select(col("window.start").as("win_start"),
         col("window.end").as("win_end"), col(keyCol), col("cnt"))
 
+  /** Session-window counts: the streaming realization of the batch
+    * [[graft.operators.Sessionize]] operator. `session_window` merges
+    * events whose start falls strictly inside the previous window
+    * (prev + gap); the batch operator's `t - prev > gap` boundary is the
+    * same partition of the timeline except for events at EXACTLY prev+gap
+    * (streaming opens a new session, batch does not) — timestamps at µs
+    * resolution make that tie measure-zero. State is per (key, open
+    * session) and the watermark closes sessions, bounding the store. */
+  def sessionCounts(df: DataFrame, tsCol: String, watermark: String,
+      gap: String, keyCol: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("t_start"),
+        col("session_window.end").as("t_end"), col(keyCol), col("n_events"))
+
   /** Emitted by [[runningCounts]]: the running event total for a key. */
   case class KeyCount(key: String, total: Long)
 

@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{CoreQueries, PipelineQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, PipelineQueries}
 
 /** Living assertions over the physical plans of representative graded
   * queries — the properties that make them scale (predicate/projection
@@ -12,7 +12,8 @@ class PlanAuditSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   private def plan(name: String): String = {
-    val all = CoreQueries.queries ++ PipelineQueries.queries
+    val all = CoreQueries.queries ++ PipelineQueries.queries ++
+      AnalyticsQueries.queries
     all(name)(spark, dir).queryExecution.executedPlan.toString
   }
 
@@ -74,5 +75,33 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q37_ann_buckets")
     assert("Exchange".r.findAllIn(p).size === 1)
     assert(p.contains("graft_dot"), "native expression must be in the plan")
+  }
+
+  test("q41: as-of join is union + ONE key exchange — no join node at all") {
+    val p = plan("q41_asof_join")
+    assert(p.contains("Union"))
+    assert(!p.contains("Join"), "as-of must not compile to a join")
+    // one hash exchange for the per-key window, one range for the output sort
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
+
+  test("q42: sessionize shares one sort for both window passes") {
+    val p = plan("q42_sessionize")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    // lag + running sum must not each re-sort: exactly one per-key Sort
+    // (the second Sort in the plan is the grading-only output orderBy)
+    assert("Sort \\[user_id".r.findAllIn(p).size === 1, p)
+  }
+
+  test("q48: hash sample is a narrow filter on the scan — no exchange but the output sort") {
+    val p = plan("q48_hash_sample")
+    assert("Exchange".r.findAllIn(p).size === 1) // rangepartitioning only
+    assert(p.contains("rangepartitioning"))
+    assert(p.contains("Filter"))
+  }
+
+  test("q47: per-group top-k prunes with WindowGroupLimit before the exchange") {
+    val p = plan("q47_topk_per_group")
+    assert(p.contains("WindowGroupLimit"))
   }
 }
