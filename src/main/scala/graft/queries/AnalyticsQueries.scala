@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Sampling, Sessionize}
+import graft.operators.{AsOfJoin, Sampling, Sessionize, Sweep}
 
 /** Wave 3 — time-series / window-analytics / sampling surface: the
   * operations a warehouse user reaches for daily that neither the
@@ -153,6 +153,25 @@ object AnalyticsQueries {
         .agg(round(avg(col("col")), 6).as("m"))
         .orderBy(col("label"), col("ord"))),
 
+    // Interval analytics without a self-join: how many user sessions are
+    // open at each session's start instant. Sweep-line over the session
+    // bounds — starts at-or-before minus ends strictly-before — computed
+    // with the distributed two-pass prefix sum (range-bucketed windows +
+    // broadcast offsets), not the single-partition global window and not
+    // the O(n²) interval self-join.
+    "q51_session_concurrency" -> ((s, dir) => {
+      val sess = Sessionize.sessionStats(
+        Sessionize.sessionize(
+          t(s, dir, "events")
+            .select(col("event_id"), col("user_id"), evMicros().as("t")),
+          key = "user_id", time = "t", gap = 14400000000L,
+          order = Seq(col("event_id"))),
+        "user_id", "t")
+        .select(col("user_id"), col("t_start"), col("t_end"))
+      Sweep.concurrencyAtStarts(sess, "t_start", "t_end")
+        .orderBy(col("user_id"), col("t_start"))
+    }),
+
     // Exact interpolated percentiles per group — Spark `percentile` and
     // DuckDB `quantile_cont` both sort and linearly interpolate; verified
     // to agree at 4 decimals on this data.
@@ -251,6 +270,34 @@ object AnalyticsQueries {
         |FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
         |     range(0, 64) AS r(i)
         |GROUP BY label, r.i ORDER BY label, ord""".stripMargin,
+
+    "q51_session_concurrency" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events),
+        |f AS (
+        |  SELECT user_id, t,
+        |    CASE WHEN lag(t) OVER w IS NULL
+        |           OR t - lag(t) OVER w > 14400000000 THEN 1 ELSE 0 END AS s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |g AS (
+        |  SELECT user_id, t, sum(s) OVER (PARTITION BY user_id ORDER BY t
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM f),
+        |sess AS (
+        |  SELECT user_id, sid, min(t) AS t_start, max(t) AS t_end
+        |  FROM g GROUP BY user_id, sid),
+        |u AS (
+        |  SELECT user_id, t_start, t_start AS t, 1 AS is_s, 0 AS is_e FROM sess
+        |  UNION ALL
+        |  SELECT user_id, t_start, t_end, 0, 1 FROM sess),
+        |c AS (
+        |  SELECT user_id, t_start, is_s,
+        |    sum(is_s) OVER (ORDER BY t
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS si,
+        |    coalesce(sum(is_e) OVER (ORDER BY t
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ee
+        |  FROM u)
+        |SELECT user_id, t_start, CAST(si - ee AS BIGINT) AS concurrency
+        |FROM c WHERE is_s = 1 ORDER BY user_id, t_start""".stripMargin,
 
     "q50_percentiles" ->
       """SELECT l_returnflag,
