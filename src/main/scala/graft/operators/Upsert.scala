@@ -61,6 +61,48 @@ object Upsert {
       count(lit(1)).as("final_count"))
   }
 
+  /** SCD type 2 merge: history-preserving upsert. `dim` rows carry
+    * (`valid_from`, `valid_to`, `is_current`); applying `changes` (one row
+    * per key, pre-collapsed to the latest with Dedup if a batch can carry
+    * several) at time `tsCol`:
+    *
+    *   - a matched current row is CLOSED (`valid_to` = change time,
+    *     `is_current` = false) and the change opens a new current version;
+    *   - an unmatched change INSERTS a new open version;
+    *   - everything else (history rows, untouched current rows) passes
+    *     through unchanged.
+    *
+    * One equi-join by key against only the CURRENT slice (history never
+    * shuffles — it is unioned back untouched), so the cost profile is the
+    * same as [[upsert]]: broadcast when the delta is small, one key
+    * shuffle otherwise. Append-only by construction — no row is ever
+    * rewritten in place, which is what makes the pattern work on
+    * immutable storage at 100 TB. */
+  def scd2Merge(dim: DataFrame, changes: DataFrame, key: String,
+      tsCol: String): DataFrame = {
+    val attrs = changes.columns.filterNot(c => c == key || c == tsCol)
+    val history = dim.filter(!col("is_current"))
+    val current = dim.filter(col("is_current"))
+    val delta = changes.select(
+      col(key) +: col(tsCol).as("__ts") +: attrs.map(col): _*)
+
+    val joined = current.join(delta.select(col(key), col("__ts")), Seq(key), "left")
+    val closed = joined.filter(col("__ts").isNotNull)
+      .withColumn("valid_to", col("__ts"))
+      .withColumn("is_current", lit(false))
+      .drop("__ts")
+    val untouched = joined.filter(col("__ts").isNull).drop("__ts")
+
+    val dimCols = dim.columns
+    val opened = delta
+      .withColumn("valid_from", col("__ts"))
+      .withColumn("valid_to", lit(null).cast(dim.schema("valid_to").dataType))
+      .withColumn("is_current", lit(true))
+      .select(dimCols.map(col): _*)
+
+    history.unionByName(untouched).unionByName(closed).unionByName(opened)
+  }
+
   /** Q4/F8: the reference's post-load verification — total vs distinct keys
     * and an OK/ERROR verdict string (seccion3_sql.sql:331-361). */
   def verifyUnique(df: DataFrame, key: String): DataFrame =

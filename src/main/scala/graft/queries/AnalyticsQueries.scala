@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Sampling, Sessionize, Sweep}
+import graft.operators.{AsOfJoin, Sampling, Sessionize, Sweep, Upsert}
 
 /** Wave 3 — time-series / window-analytics / sampling surface: the
   * operations a warehouse user reaches for daily that neither the
@@ -172,6 +172,27 @@ object AnalyticsQueries {
         .orderBy(col("user_id"), col("t_start"))
     }),
 
+    // SCD type 2: history-preserving merge. Current dims (every 3rd order,
+    // open since t=0) + a change batch (every 2nd order, repriced 1.5× —
+    // binary-exact — effective at the order date): matched rows close at
+    // the change time and reopen, unmatched changes insert, nothing is
+    // rewritten in place.
+    "q52_scd2_merge" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val dim = o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"),
+          lit(true).as("is_current"))
+      val chg = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") * lit(1.5)).as("o_totalprice"),
+          // o_orderdate is TIMESTAMP_NTZ; session TZ is pinned UTC, so the
+          // cast is the identity instant and matches DuckDB's epoch_us.
+          unix_micros(col("o_orderdate").cast("timestamp")).as("chg_ts"))
+      Upsert.scd2Merge(dim, chg, key = "o_orderkey", tsCol = "chg_ts")
+        .orderBy(col("o_orderkey"), col("valid_from"))
+    }),
+
     // Exact interpolated percentiles per group — Spark `percentile` and
     // DuckDB `quantile_cont` both sort and linearly interpolate; verified
     // to agree at 4 decimals on this data.
@@ -298,6 +319,31 @@ object AnalyticsQueries {
         |  FROM u)
         |SELECT user_id, t_start, CAST(si - ee AS BIGINT) AS concurrency
         |FROM c WHERE is_s = 1 ORDER BY user_id, t_start""".stripMargin,
+
+    "q52_scd2_merge" ->
+      """WITH dim AS (
+        |  SELECT o_orderkey, o_totalprice, 0::BIGINT AS valid_from,
+        |         NULL::BIGINT AS valid_to, TRUE AS is_current
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |chg AS (
+        |  SELECT o_orderkey, o_totalprice * 1.5::DOUBLE AS o_totalprice,
+        |         epoch_us(o_orderdate) AS ts
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |closed AS (
+        |  SELECT d.o_orderkey, d.o_totalprice, d.valid_from,
+        |         c.ts AS valid_to, FALSE AS is_current
+        |  FROM dim d JOIN chg c USING (o_orderkey)),
+        |untouched AS (
+        |  SELECT d.* FROM dim d
+        |  WHERE NOT EXISTS (SELECT 1 FROM chg c WHERE c.o_orderkey = d.o_orderkey)),
+        |opened AS (
+        |  SELECT o_orderkey, o_totalprice, ts AS valid_from,
+        |         NULL::BIGINT AS valid_to, TRUE AS is_current
+        |  FROM chg)
+        |SELECT * FROM closed
+        |UNION ALL SELECT * FROM untouched
+        |UNION ALL SELECT * FROM opened
+        |ORDER BY o_orderkey, valid_from""".stripMargin,
 
     "q50_percentiles" ->
       """SELECT l_returnflag,

@@ -85,4 +85,42 @@ class UpsertSpec extends SparkSpec {
     val merged = Upsert.upsert(df(b), deduped, "k")
     assert(Upsert.verifyUnique(merged, "k").head().getAs[String]("estado") === "OK")
   }
+
+  test("scd2Merge: one current version per key, history immutable, append-only") {
+    import sqlImplicits._
+    for (seed <- 1L to 3L) {
+      val (b, n) = sample(tableGen, seed)
+      val dim = df(b)
+        .withColumn("valid_from", lit(0L))
+        .withColumn("valid_to", lit(null).cast("long"))
+        .withColumn("is_current", lit(true))
+      // pre-existing history row: must pass through byte-identical
+      val hist = Seq((-1, "old", 0.0)).toDF("k", "v", "price")
+        .withColumn("valid_from", lit(0L))
+        .withColumn("valid_to", lit(5L))
+        .withColumn("is_current", lit(false))
+      val changes = df(n).withColumn("chg_ts", lit(100L))
+      val out = Upsert.scd2Merge(dim.unionByName(hist), changes, "k", "chg_ts")
+
+      // append-only: |out| = |dim| + |history| + |changes|
+      assert(out.count() === b.size + 1 + n.size, s"seed=$seed")
+      // exactly one current version per surviving key
+      val curDup = out.filter(col("is_current"))
+        .groupBy("k").count().filter(col("count") > 1).count()
+      assert(curDup === 0L, s"seed=$seed")
+      // changed keys: closed row's valid_to equals the new row's valid_from
+      val changedKeys = b.map(_._1).toSet intersect n.map(_._1).toSet
+      changedKeys.headOption.foreach { k =>
+        val versions = out.filter(col("k") === k)
+          .select("valid_from", "valid_to", "is_current").collect()
+        assert(versions.length === 2)
+        val closed = versions.find(!_.getBoolean(2)).get
+        val opened = versions.find(_.getBoolean(2)).get
+        assert(closed.getLong(1) === opened.getLong(0))
+      }
+      // the history row survived untouched
+      val h = out.filter(col("k") === -1).collect()
+      assert(h.length === 1 && h.head.getAs[Long]("valid_to") === 5L)
+    }
+  }
 }
