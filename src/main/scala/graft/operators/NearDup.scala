@@ -53,13 +53,21 @@ object NearDup {
     * posexplode + window `lead`s instead of the array higher-order
     * functions — HOFs are CodegenFallback (interpreted per row), which made
     * the array form the hot spot; this shape stays inside whole-stage
-    * codegen except the two window exchanges, both keyed by the doc id.
+    * codegen except the exchanges keyed by the doc id.
+    * Dedup and set size are ONE `collect_set` aggregate (set semantics give
+    * the distinct for free, size comes from the array) instead of
+    * distinct + a count window — one key shuffle, not two. The per-doc set
+    * must fit in a row: fine for documents with bounded shingle counts
+    * (the LLM-corpus shape); a corpus with pathological multi-GB docs
+    * would cap doc length upstream anyway.
     * Short docs (< k tokens) degrade to one whole-text shingle exactly like
     * [[wordShingles]] (concat_ws skips the null leads). */
   def shinglePostings(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame =
-    shingleRows(df, idCol, textCol, k).distinct()
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("id")))
+    shingleRows(df, idCol, textCol, k)
+      .groupBy(col("id")).agg(collect_set(col("g")).as("gs"))
+      .select(col("id"), size(col("gs")).cast("long").as("n"),
+        explode(col("gs")).as("g"))
 
   // --- exact: inverted-index join ------------------------------------------
 

@@ -33,6 +33,13 @@ object PipelineQueries {
     stages.getOrElseUpdate(
       (System.identityHashCode(s), dir, key), build.persist())
 
+  /** Drop all materialized stages (bench hygiene: the timed pass must pay
+    * for its own stage materialization, not read the warmup's cache). */
+  def clearStages(): Unit = {
+    stages.values.foreach(_.unpersist(blocking = true))
+    stages.clear()
+  }
+
   /** Stage 1: distinct (id, g, n) word-3-gram postings of `documents`. */
   private def docPostings(s: SparkSession, dir: String): DataFrame =
     stage(s, dir, "postings")(
