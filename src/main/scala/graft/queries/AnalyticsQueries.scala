@@ -193,6 +193,33 @@ object AnalyticsQueries {
         .orderBy(col("o_orderkey"), col("valid_from"))
     }),
 
+    // Semi-structured column: extract a typed value out of the JSON props
+    // string and aggregate — `get_json_object` is a pure scan-side
+    // expression (no UDF, no parse-twice).
+    "q53_json_props" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("cnt"),
+          round(avg(col("k")), 2).as("avg_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))),
+
+    // Unpivot / melt: wide measure columns to (metric, val) rows — the
+    // narrow-transform side of q46's pivot. No shuffle: unpivot is a
+    // generate-style projection.
+    "q54_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "metric", "val")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"),
+          col("val"))),
+
     // Exact interpolated percentiles per group — Spark `percentile` and
     // DuckDB `quantile_cont` both sort and linearly interpolate; verified
     // to agree at 4 decimals on this data.
@@ -344,6 +371,22 @@ object AnalyticsQueries {
         |UNION ALL SELECT * FROM untouched
         |UNION ALL SELECT * FROM opened
         |ORDER BY o_orderkey, valid_from""".stripMargin,
+
+    "q53_json_props" ->
+      """SELECT event_type, CAST(count(k) AS BIGINT) AS cnt,
+        |       round(avg(k), 2) AS avg_k,
+        |       CAST(min(k) AS BIGINT) AS min_k,
+        |       CAST(max(k) AS BIGINT) AS max_k
+        |FROM (SELECT event_type, json_extract(props, '$.k')::BIGINT AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q54_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, val
+        |FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+        |      FROM lineitem)
+        |UNPIVOT (val FOR metric IN (l_quantity, l_discount, l_tax))
+        |ORDER BY l_orderkey, l_linenumber, metric, val""".stripMargin,
 
     "q50_percentiles" ->
       """SELECT l_returnflag,
