@@ -103,4 +103,25 @@ object TextAnalysis {
       array_min(transform(sequence(lit(1), length(text) - (n - 1)),
         i => md5(text.substr(i, lit(n)).cast("binary")))))
       .otherwise(md5(text.cast("binary")))
+
+  /** Overlapping character chunks for context-window preparation: one row
+    * per (doc, chunk) at offsets 0, size-overlap, 2(size-overlap), … while
+    * the offset is inside the text (empty/short texts yield one chunk).
+    * Explode-shaped (sequence → posexplode → substring), so it runs inside
+    * whole-stage codegen at scan speed — per-row work only, no shuffle.
+    * The trailing chunk is whatever remains (may be shorter than `size`).
+    */
+  def chunks(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, size: Int, overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(overlap >= 0 && overlap < size, "need 0 <= overlap < size")
+    val step = size - overlap
+    df.select(col(idCol), col(textCol).as("_t"))
+      .select(col(idCol), col("_t"),
+        posexplode(sequence(lit(0L),
+          greatest(length(col("_t")).cast("long") - 1, lit(0L)),
+          lit(step.toLong))).as(Seq("chunk_idx", "off")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("off"),
+        col("_t").substr((col("off") + 1).cast("int"), lit(size)).as("chunk"))
+  }
 }

@@ -220,6 +220,14 @@ object AnalyticsQueries {
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"),
           col("val"))),
 
+    // Context-window chunking: overlapping 200-char chunks (50 overlap)
+    // per document — the preprocessing step between cleaning and
+    // tokenization in a training pipeline. Explode-shaped, scan-speed.
+    "q55_doc_chunks" -> ((s, dir) =>
+      graft.functions.TextAnalysis.chunks(
+        t(s, dir, "documents"), "doc_id", "text", size = 200, overlap = 50)
+        .orderBy(col("doc_id"), col("off"))),
+
     // Exact interpolated percentiles per group — Spark `percentile` and
     // DuckDB `quantile_cont` both sort and linearly interpolate; verified
     // to agree at 4 decimals on this data.
@@ -387,6 +395,15 @@ object AnalyticsQueries {
         |      FROM lineitem)
         |UNPIVOT (val FOR metric IN (l_quantity, l_discount, l_tax))
         |ORDER BY l_orderkey, l_linenumber, metric, val""".stripMargin,
+
+    // DuckDB 1.0 range() cannot take lateral column bounds; the oracle
+    // joins a static offset grid (far beyond any doc length) and filters.
+    "q55_doc_chunks" ->
+      """SELECT doc_id, CAST(r.i / 150 AS BIGINT) AS chunk_idx, r.i AS off,
+        |       substr(text, (r.i + 1)::INTEGER, 200) AS chunk
+        |FROM documents, range(0, 100000, 150) AS r(i)
+        |WHERE r.i < greatest(length(text), 1)
+        |ORDER BY doc_id, off""".stripMargin,
 
     "q50_percentiles" ->
       """SELECT l_returnflag,

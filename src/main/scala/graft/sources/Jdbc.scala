@@ -10,11 +10,12 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * 13). This is the Spark-native equivalent: `spark.read.jdbc` with
   * partitioned reads and `df.write.jdbc`.
   *
-  * Like the reference's, this path is documentation-grade: no database
-  * exists in this environment (zero egress), so it is compiled but not
-  * integration-tested. The read is partitioned on a numeric column so a
-  * cluster pulls N parallel range queries instead of one serial cursor —
-  * the detail that matters at scale and that `pd.read_sql` cannot express.
+  * Integration-tested against embedded Derby (ships with Spark's jars —
+  * see JdbcSpec): replace/append round-trip, range-partitioned parallel
+  * read, predicate pushdown into the remote query. The read is
+  * partitioned on a numeric column so a cluster pulls N parallel range
+  * queries instead of one serial cursor — the detail that matters at
+  * scale and that `pd.read_sql` cannot express.
   */
 object Jdbc {
 

@@ -74,4 +74,25 @@ class TextAnalysisSpec extends SparkSpec {
       .head().getDouble(0)
     assert(r === 0.75)
   }
+
+  test("chunks: zero-overlap chunks reassemble; overlap repeats the seam") {
+    val text = ('a' to 'z').mkString * 10 // 260 chars
+    val df = Seq((1L, text), (2L, ""), (3L, "short")).toDF("doc_id", "text")
+
+    val noOv = TextAnalysis.chunks(df, "doc_id", "text", size = 100, overlap = 0)
+      .filter(col("doc_id") === 1).orderBy("off").collect()
+    assert(noOv.map(_.getAs[String]("chunk")).mkString === text)
+
+    val ov = TextAnalysis.chunks(df, "doc_id", "text", size = 100, overlap = 30)
+      .filter(col("doc_id") === 1).orderBy("off").collect()
+    val cs = ov.map(_.getAs[String]("chunk"))
+    assert(cs.head.takeRight(30) === cs(1).take(30), "seam must repeat")
+    assert(ov.map(_.getAs[Long]("off")).toSeq === Seq(0L, 70L, 140L, 210L))
+
+    // degenerate docs: empty and shorter-than-size both yield ONE chunk
+    val one = TextAnalysis.chunks(df, "doc_id", "text", 100, 0)
+      .filter(col("doc_id") > 1).collect()
+    assert(one.length === 2)
+    assert(one.map(_.getAs[String]("chunk")).toSet === Set("", "short"))
+  }
 }
