@@ -39,4 +39,21 @@ object Skew {
       .agg(sum(col(valueCol)).as("__partial"))
       .groupBy(col(key))
       .agg(sum(col("__partial")).as("sum_val"))
+
+  /** Salted equi-join for a skewed FACT side: the fact's hot key no longer
+    * lands on one reducer — each fact row gets a deterministic salt in
+    * [0, saltBuckets), the (small) dim side is replicated once per salt,
+    * and the join key becomes (key, salt). Same rows as a plain inner
+    * equi-join. Use when the dim is too big to broadcast but the fact is
+    * skewed; with a broadcastable dim, `broadcast()` is strictly better,
+    * and AQE's runtime skew splitting covers sort-merge joins it can see —
+    * this is the explicit form for when neither applies (e.g. the skew is
+    * known ahead of time and the planner's stats miss it). */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      saltCol: Column, saltBuckets: Int): DataFrame = {
+    val salted = fact.withColumn("__salt", saltColumn(saltCol, saltBuckets))
+    val replicated = dim
+      .withColumn("__salt", explode(sequence(lit(0L), lit(saltBuckets - 1L))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 }

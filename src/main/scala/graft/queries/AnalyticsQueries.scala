@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Sampling, Sessionize, Sweep, Upsert}
+import graft.operators.{AsOfJoin, Sampling, Sessionize, Skew, Sweep, Upsert}
 
 /** Wave 3 — time-series / window-analytics / sampling surface: the
   * operations a warehouse user reaches for daily that neither the
@@ -220,6 +220,24 @@ object AnalyticsQueries {
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"),
           col("val"))),
 
+    // Salted join: the fact side is collapsed onto 5 intentionally-hot
+    // keys; the salt spreads each hot key over 8 reducers and the dim is
+    // replicated per salt. Result must equal the plain inner join (the
+    // oracle does the plain one).
+    "q56_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select((col("l_orderkey") % 5).as("k"), col("l_quantity"))
+      val dim = t(s, dir, "orders")
+        .groupBy((col("o_orderkey") % 5).as("k"))
+        .agg(round(avg(col("o_totalprice")), 2).as("dim_avg"))
+      Skew.saltedJoin(li, dim, "k", col("l_quantity"), 8)
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_quantity")), 2).as("qty"),
+          max(col("dim_avg")).as("dim_avg"))
+        .orderBy(col("k"))
+    }),
+
     // Context-window chunking: overlapping 200-char chunks (50 overlap)
     // per document — the preprocessing step between cleaning and
     // tokenization in a training pipeline. Explode-shaped, scan-speed.
@@ -395,6 +413,15 @@ object AnalyticsQueries {
         |      FROM lineitem)
         |UNPIVOT (val FOR metric IN (l_quantity, l_discount, l_tax))
         |ORDER BY l_orderkey, l_linenumber, metric, val""".stripMargin,
+
+    "q56_salted_join" ->
+      """WITH li AS (SELECT l_orderkey % 5 AS k, l_quantity FROM lineitem),
+        |dim AS (SELECT o_orderkey % 5 AS k, round(avg(o_totalprice), 2) AS dim_avg
+        |        FROM orders GROUP BY 1)
+        |SELECT li.k, CAST(count(*) AS BIGINT) AS cnt,
+        |       round(sum(l_quantity), 2) AS qty, max(dim_avg) AS dim_avg
+        |FROM li JOIN dim ON li.k = dim.k
+        |GROUP BY li.k ORDER BY li.k""".stripMargin,
 
     // DuckDB 1.0 range() cannot take lateral column bounds; the oracle
     // joins a static offset grid (far beyond any doc length) and filters.

@@ -91,4 +91,18 @@ class QualitySpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(saltedSum === plainSum)
   }
+
+  test("salted join equals the plain inner join on a skewed fact") {
+    val fact = ((1 to 900).map(i => ("h", i.toLong)) ++
+      (1 to 100).map(i => (s"k${i % 10}", i.toLong))).toDF("key", "seq")
+    val dim = (Seq("h") ++ (0 until 10).map(i => s"k$i") ++ Seq("absent"))
+      .zipWithIndex.map { case (k, i) => (k, i * 10.0) }.toDF("key", "w")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.select("key", "seq", "w").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val plain = canon(fact.join(dim, Seq("key")))
+    val salted = canon(Skew.saltedJoin(fact, dim, "key", col("seq"), 8))
+    assert(salted === plain)
+    assert(plain.nonEmpty && !plain.exists(_._1 == "absent"))
+  }
 }
