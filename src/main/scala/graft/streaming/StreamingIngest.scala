@@ -75,6 +75,26 @@ object StreamingIngest {
       .select(col("session_window.start").as("t_start"),
         col("session_window.end").as("t_end"), col(keyCol), col("n_events"))
 
+  /** Stream-stream inner join with an event-time proximity bound: left
+    * rows match right rows of the same key whose time is in
+    * [leftTime - lookback, leftTime]. BOTH sides need watermarks — that is
+    * what lets the engine discard buffered state once no counterpart can
+    * arrive; without the time bound the join state grows forever. The
+    * range condition doubles as the state-retention contract: right rows
+    * older than watermark + lookback are dropped.
+    *
+    * Column names must be disjoint across the two sides (standard Spark
+    * stream-join constraint; rename upstream). */
+  def withinJoin(left: DataFrame, leftKey: String, leftTs: String,
+      leftWatermark: String, right: DataFrame, rightKey: String,
+      rightTs: String, rightWatermark: String, lookback: String): DataFrame = {
+    val l = left.withWatermark(leftTs, leftWatermark)
+    val r = right.withWatermark(rightTs, rightWatermark)
+    l.join(r, col(leftKey) === col(rightKey) &&
+      col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookback") &&
+      col(rightTs) <= col(leftTs))
+  }
+
   /** Emitted by [[runningCounts]]: the running event total for a key. */
   case class KeyCount(key: String, total: Long)
 
