@@ -58,4 +58,50 @@ object AsOfJoin {
     matched.filter(col("_side") === 1)
       .select((leftCols ++ payload).map(col): _*)
   }
+
+  /** Forward as-of: the EARLIEST right row with `rightTime >= leftTime`
+    * per key — the mirror of [[asOf]] (next quote after the order, next
+    * deploy after the alert). Same union + one-shuffle merge shape, with
+    * the window reversed: right rows sort after left rows at equal time,
+    * and `first(_, ignoreNulls)` over the following frame picks the
+    * nearest. Among right ties on (key, time), the FIRST by `rightOrder`
+    * wins. */
+  def asOfForward(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, payload: Seq[String],
+      rightOrder: Seq[Column] = Nil): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val rightProj = right.select(
+      (col(key) +: col(rightTime).as("_t") +: payload.map(col)): _*)
+    val lSide = left
+      .withColumn("_t", col(leftTime))
+      .withColumn("_side", lit(0))
+    val rSide = rightProj.withColumn("_side", lit(1))
+    val unioned = lSide.unionByName(rSide, allowMissingColumns = true)
+
+    val w = Window.partitionBy(col(key))
+      .orderBy((col("_t").asc +: col("_side").asc +: rightOrder): _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val matched = payload.foldLeft(unioned) { (df, p) =>
+      df.withColumn(p, first(col(p), ignoreNulls = true).over(w))
+    }
+    matched.filter(col("_side") === 0)
+      .select((leftCols ++ payload).map(col): _*)
+  }
+
+  /** [[asOf]] with bounded staleness: matches older than `tolerance` time
+    * units before the left row are nulled out (a quote from last week is
+    * not a usable price). `matchTime` must be one of `payload` so the age
+    * is computable; times must be numeric. */
+  def asOfWithin(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, payload: Seq[String],
+      matchTime: String, tolerance: Long,
+      rightOrder: Seq[Column] = Nil): DataFrame = {
+    require(payload.contains(matchTime), "matchTime must be in payload")
+    val joined = asOf(left, right, key, leftTime, rightTime, payload, rightOrder)
+    val stale = col(matchTime).isNull ||
+      (col(leftTime) - col(matchTime)) > tolerance
+    payload.foldLeft(joined) { (df, p) =>
+      df.withColumn(p, when(stale, lit(null)).otherwise(col(p)))
+    }
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Sampling, Sessionize, Skew, Sweep, Upsert}
+import graft.operators.{AsOfJoin, Multimodal, Sampling, Sessionize, Skew, Sweep, Upsert}
 
 /** Wave 3 — time-series / window-analytics / sampling surface: the
   * operations a warehouse user reaches for daily that neither the
@@ -43,6 +43,20 @@ object AnalyticsQueries {
       AsOfJoin.asOf(clicks, errors, key = "user_id",
         leftTime = "t", rightTime = "err_t",
         payload = Seq("err_t", "err_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Forward as-of: each click gets the user's EARLIEST purchase at or
+    // after it (mirror window of q41; DuckDB ASOF with `<=`).
+    "q57_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), evMicros().as("t"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), evMicros().as("p_t"),
+          col("value").as("p_value"))
+      AsOfJoin.asOfForward(clicks, purchases, key = "user_id",
+        leftTime = "t", rightTime = "p_t", payload = Seq("p_t", "p_value"))
         .orderBy(col("event_id"))
     }),
 
@@ -246,6 +260,26 @@ object AnalyticsQueries {
         t(s, dir, "documents"), "doc_id", "text", size = 200, overlap = 50)
         .orderBy(col("doc_id"), col("off"))),
 
+    // Multimodal decode end-to-end (NO SQL oracle — the container codec is
+    // not SQL-expressible, so the driver records the weaker rows-only
+    // check; the decode semantics themselves are unit-tested in
+    // MultimodalSpec): deterministic fake image payloads synthesized from
+    // document stats, batch-decoded via the typed mapPartitions path with
+    // every 97th payload corrupted to exercise reject-routing.
+    "q58_multimodal_decode" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+        .as[(Long, Long)]
+      val assets = docs.map { case (id, n) =>
+        if (id % 97 == 0) Multimodal.Asset(id, "image", Array[Byte](1, 2, 3))
+        else Multimodal.Asset(id, "image",
+          Multimodal.encodeFake((n % 32 + 1).toInt, (n / 32 % 32 + 1).toInt, 3))
+      }
+      Multimodal.decodeImages(assets).toDF()
+        .orderBy(col("asset_id"))
+    }),
+
     // Exact interpolated percentiles per group — Spark `percentile` and
     // DuckDB `quantile_cont` both sort and linearly interpolate; verified
     // to agree at 4 decimals on this data.
@@ -270,6 +304,18 @@ object AnalyticsQueries {
         |SELECT c.event_id, c.user_id, c.t, c.value, e.err_t, e.err_value
         |FROM c ASOF LEFT JOIN e
         |  ON c.user_id = e.user_id AND c.t >= e.err_t
+        |ORDER BY c.event_id""".stripMargin,
+
+    "q57_asof_forward" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS t
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, epoch_us(ts) AS p_t, value AS p_value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.t, p.p_t, p.p_value
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.t <= p.p_t
         |ORDER BY c.event_id""".stripMargin,
 
     "q42_sessionize" ->

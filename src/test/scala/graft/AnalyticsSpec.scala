@@ -32,6 +32,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.head.getAs[String]("payload") === "second") // later seq wins
   }
 
+  test("asOfForward attaches the earliest right row at or after each left time") {
+    val left = Seq((1, "u", 100L), (2, "u", 151L), (3, "u", 400L))
+      .toDF("id", "k", "t")
+    val right = Seq(("u", 100L, "a"), ("u", 150L, "b"), ("u", 300L, "c"))
+      .toDF("k", "rt", "payload")
+    val out = AsOfJoin.asOfForward(left, right, "k", "t", "rt", Seq("payload"))
+      .orderBy("id").collect()
+    // t=100 matches rt=100 (inclusive), t=151 matches rt=300, t=400: none
+    assert(out.map(r => Option(r.getAs[String]("payload"))).toSeq ===
+      Seq(Some("a"), Some("c"), None))
+  }
+
+  test("asOfWithin nulls out matches older than the tolerance") {
+    val left = Seq((1, "u", 100L), (2, "u", 500L)).toDF("id", "k", "t")
+    val right = Seq(("u", 90L, 90L, "fresh")).toDF("k", "rt", "mt", "payload")
+    val out = AsOfJoin.asOfWithin(left, right, "k", "t", "rt",
+      Seq("mt", "payload"), matchTime = "mt", tolerance = 50L)
+      .orderBy("id").collect()
+    assert(Option(out(0).getAs[String]("payload")) === Some("fresh")) // age 10
+    assert(Option(out(1).getAs[String]("payload")) === None)          // age 410
+  }
+
   test("sessionize numbers gap-separated islands per key") {
     val ev = Seq(
       ("u", 0L), ("u", 10L), ("u", 100L), ("u", 105L), // gap>50 at 100
