@@ -104,6 +104,26 @@ object NearDup {
       .select(col("d1"), col("d2"), round(col("jac"), 4).as("jaccard"))
   }
 
+  /** Containment pairs: inter / min(|A|, |B|) ≥ `threshold` — catches the
+    * asymmetric case Jaccard misses (a short doc embedded in a long one:
+    * J = |A|/|B| can be tiny while containment is 1.0). Same inverted-index
+    * shape as [[exactJaccardPairs]] but WITHOUT the size-band prune — wide
+    * size ratios are exactly the pairs being looked for, so every shared
+    * shingle fans out; at 100 TB run it on an LSH-candidate set or behind
+    * a hot-shingle frequency cap rather than raw. One more consumer of a
+    * persisted postings stage. */
+  def containmentPairs(sh: DataFrame, threshold: Double): DataFrame =
+    sh.as("a").join(sh.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("d1"), col("a.n").as("na"),
+        col("b.id").as("d2"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("d1"), col("d2"),
+        (col("inter").cast("double") / least(col("na"), col("nb")))
+          .as("cont"))
+      .filter(col("cont") >= threshold)
+      .select(col("d1"), col("d2"), round(col("cont"), 4).as("containment"))
+
   // --- MinHash + LSH --------------------------------------------------------
 
   /** 2^31-1, the Mersenne prime used by the universal hash family

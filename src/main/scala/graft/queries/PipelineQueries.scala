@@ -254,6 +254,13 @@ object PipelineQueries {
       NearDup.connectedComponents(docPairs(s, dir))
         .orderBy(col("doc_id"))),
 
+    // LLM dedup 6 (asymmetric): containment pairs — inter/min(|A|,|B|) —
+    // the doc-inside-doc case Jaccard's symmetric denominator misses.
+    // Fourth consumer of the persisted postings stage.
+    "q59_containment" -> ((s, dir) =>
+      NearDup.containmentPairs(docPostings(s, dir), threshold = 0.6)
+        .orderBy(col("d1"), col("d2"))),
+
     // LLM dedup 4: SimHash fingerprints, cross-engine — 60 bits of the
     // md5-portable token hash so the oracle reproduces every bit.
     "q38_simhash" -> ((s, dir) =>
@@ -423,6 +430,13 @@ object PipelineQueries {
 
     "q27_minhash_neardup" -> jaccardPairsSql,
     "q28_jaccard_exact" -> jaccardPairsSql,
+
+    "q59_containment" ->
+      s"""WITH $jaccardPairsCtes
+         |SELECT d1, d2, round(inter::DOUBLE / least(sa.n, sb.n), 4) AS containment
+         |FROM pr JOIN sz sa ON sa.doc_id = pr.d1 JOIN sz sb ON sb.doc_id = pr.d2
+         |WHERE inter::DOUBLE / least(sa.n, sb.n) >= 0.6
+         |ORDER BY d1, d2""".stripMargin,
 
     "q29_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe

@@ -82,4 +82,19 @@ class NearDupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(cands.contains((20L, 50L)) && cands.contains((21L, 51L)))
   }
+
+  test("containmentPairs catches a short doc embedded in a long one") {
+    val short = "alpha beta gamma delta epsilon zeta"
+    val long0 = s"$short " +
+      (1 to 60).map(i => s"tok$i").mkString(" ") // short ⊂ long
+    val df = Seq((1L, short), (2L, long0), (3L, "unrelated words only here now"))
+      .toDF("doc_id", "text")
+    val post = NearDup.shinglePostings(df, "doc_id", "text", 3)
+    val cont = NearDup.containmentPairs(post, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.toSeq === Seq((1L, 2L, 1.0)), cont.mkString(","))
+    // … while symmetric Jaccard stays far below any dedup threshold
+    val jac = NearDup.exactJaccardPairs(post, 0.5).count()
+    assert(jac === 0L)
+  }
 }
