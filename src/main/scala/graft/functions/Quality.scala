@@ -78,6 +78,34 @@ object Quality {
   /** Numeric-column checksum row for stage-boundary reconciliation (the
     * reference's "checksums on numeric cols"): count + sum + xor-hash of
     * the key, comparable across pipeline stages. */
+  /** One-pass numeric column profile: per column — row count, nulls,
+    * exact distinct count, min/max/mean (rounded to 4; mean is the one
+    * reduction-order-sensitive value). ONE aggregate job computes every
+    * column's stats simultaneously (a per-column loop would scan the
+    * table N times); the per-column rows come from exploding an array of
+    * structs built over the aggregate's output — plain projection, no
+    * second pass. */
+  def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(count(lit(1)).as(s"__n_$c"),
+        count(when(col(c).isNull, 1)).as(s"__nul_$c"),
+        countDistinct(col(c)).as(s"__d_$c"),
+        min(col(c).cast("double")).as(s"__mn_$c"),
+        max(col(c).cast("double")).as(s"__mx_$c"),
+        avg(col(c).cast("double")).as(s"__av_$c"))
+    }
+    val structs = cols.map { c =>
+      struct(lit(c).as("col_name"), col(s"__n_$c").as("n"),
+        col(s"__nul_$c").as("nulls"), col(s"__d_$c").as("n_distinct"),
+        round(col(s"__mn_$c"), 4).as("min_v"),
+        round(col(s"__mx_$c"), 4).as("max_v"),
+        round(col(s"__av_$c"), 4).as("avg_v"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(structs: _*)).as("p"))
+      .select(col("p.*"))
+  }
+
   def stageChecksum(df: DataFrame, key: String, numericCol: String): DataFrame =
     df.agg(
       count(lit(1)).as("cnt"),

@@ -261,6 +261,17 @@ object PipelineQueries {
       NearDup.containmentPairs(docPostings(s, dir), threshold = 0.6)
         .orderBy(col("d1"), col("d2"))),
 
+    // LLM batching: greedy token-budget packing into training sequences
+    // (NO SQL oracle — greedy bin state is not a window function; driver
+    // records the rows-only check, invariants are property-tested in
+    // PackingSpec).
+    "q61_token_packing" -> ((s, dir) =>
+      graft.operators.Packing.packGreedy(
+        t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tok")),
+        "doc_id", "n_tok", budget = 512L, shards = 8)
+        .orderBy(col("id"))),
+
     // LLM dedup 4: SimHash fingerprints, cross-engine — 60 bits of the
     // md5-portable token hash so the oracle reproduces every bit.
     "q38_simhash" -> ((s, dir) =>

@@ -53,7 +53,15 @@ object QualityQueries {
       o.filter(col("o_orderkey") % 3 === 0).select(col("o_orderkey"))
         .except(o.filter(col("o_orderkey") % 2 === 0).select(col("o_orderkey")))
         .orderBy(col("o_orderkey"))
-    })
+    }),
+
+    // Quality: one-pass numeric profile — every column's count/nulls/
+    // distinct/min/max/mean from a SINGLE aggregate job (the naive
+    // per-column loop scans the table N times).
+    "q60_profile" -> ((s, dir) =>
+      Quality.numericProfile(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"))
+        .orderBy(col("col_name")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -90,6 +98,17 @@ object QualityQueries {
       """SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0
         |EXCEPT
         |SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q60_profile" -> Seq("l_orderkey", "l_partkey", "l_quantity",
+      "l_extendedprice").map { c =>
+      s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(count(CASE WHEN $c IS NULL THEN 1 END) AS BIGINT) AS nulls,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  round(min($c::DOUBLE), 4) AS min_v,
+         |  round(max($c::DOUBLE), 4) AS max_v,
+         |  round(avg($c::DOUBLE), 4) AS avg_v
+         |FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   )
 }

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Packing
+
+/** Greedy sequence packing: budget respected, nothing dropped,
+  * deterministic under repartition, oversize docs isolated. */
+class PackingSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def fixture = (1 to 500)
+    .map(i => (i.toLong, (i * 37 % 90 + 10).toLong)) // weights 10..99
+    .toDF("doc_id", "n_tok")
+
+  test("every bin fits the budget and every doc is assigned exactly once") {
+    val packed = Packing.packGreedy(fixture, "doc_id", "n_tok",
+      budget = 256L, shards = 8)
+    assert(packed.count() === 500)
+    assert(packed.select("id").distinct().count() === 500)
+    val over = packed.groupBy("shard", "bin").agg(sum("w").as("fill"))
+      .filter(col("fill") > 256).count()
+    assert(over === 0L)
+    val stats = Packing.packStats(packed, 256L).head()
+    assert(stats.getAs[Long]("illegal_bins") === 0L)
+    assert(stats.getAs[Double]("mean_fill") > 0.5, "greedy should pack densely")
+  }
+
+  test("deterministic under input repartition") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Packing.packGreedy(df, "doc_id", "n_tok", 256L, 8)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(run(fixture) === run(fixture.repartition(13)))
+  }
+
+  test("an over-budget doc gets its own bin, never dropped") {
+    val df = Seq((1L, 50L), (2L, 999L), (3L, 60L)).toDF("doc_id", "n_tok")
+    val packed = Packing.packGreedy(df, "doc_id", "n_tok", 100L, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(packed.keySet === Set(1L, 2L, 3L))
+    // the big doc is alone in its bin
+    val bins = Packing.packGreedy(df, "doc_id", "n_tok", 100L, 1)
+      .groupBy("bin").agg(collect_list("id").as("ids")).collect()
+      .map(r => r.getSeq[Long](1).toSet)
+    assert(bins.exists(_ === Set(2L)))
+  }
+}
