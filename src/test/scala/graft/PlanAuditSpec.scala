@@ -104,4 +104,19 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q47_topk_per_group")
     assert(p.contains("WindowGroupLimit"))
   }
+
+  test("q52: SCD2 joins only the current slice; history unions in with no shuffle") {
+    val p = plan("q52_scd2_merge")
+    assert(p.contains("Union"))
+    // the delta is broadcast against the current slice; nothing in the
+    // merge shuffles by key (the only hash exchanges would be AQE quirks)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
+  }
+
+  test("q59: containment join is an equi-join on the shingle, no cartesian") {
+    val p = plan("q59_containment")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
 }
