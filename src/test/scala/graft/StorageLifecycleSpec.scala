@@ -24,6 +24,20 @@ class StorageLifecycleSpec extends SparkSpec {
     assert(rd.filter(col("score") > 9).count() === 1L)
   }
 
+  test("JSON-lines round-trip with explicit schema (no inference scan)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-json").toString
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .filter(col("o_orderkey") < 300)
+    orders.write.json(s"$dir/j")
+    // explicit schema: one pass, no sampling job, stable types
+    val back = spark.read.schema(orders.schema).json(s"$dir/j")
+    assert(back.count() === orders.count())
+    assert(back.schema === orders.schema)
+    assert(back.agg(round(sum("o_totalprice"), 2)).head().getDouble(0) ===
+      orders.agg(round(sum("o_totalprice"), 2)).head().getDouble(0))
+  }
+
   test("compaction: many tiny files rewritten to a bounded file count") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
     // simulate a streaming sink's droppings: 32 one-ish-row files
