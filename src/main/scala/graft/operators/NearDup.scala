@@ -322,6 +322,64 @@ object NearDup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  // --- winnowing (local-overlap fingerprints) -------------------------------
+
+  /** Winnowed fingerprints (the MOSS document-fingerprinting scheme): hash
+    * every char `n`-gram, keep the MINIMUM hash of each sliding window of
+    * `w` consecutive positions, distinct per doc. Guarantees: any shared
+    * substring of length ≥ n + w - 1 contributes at least one COMMON
+    * fingerprint to both docs — so local overlap (a copied paragraph
+    * inside otherwise-different docs) is detectable where whole-document
+    * similarity is ~0. Explode/window shape (one hash per position, one
+    * min-window pass keyed by doc) — two exchanges, both on the doc id.
+    * Hashing every character position is the dominant cost by design
+    * (that is what winnowing is); md5 is used so a SQL oracle reproduces
+    * every fingerprint bit-for-bit — a production run would swap in
+    * xxhash64 (~10× cheaper per position, same selection structure). */
+  def winnowedFingerprints(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 16, w: Int = 8): DataFrame = {
+    val positions = df
+      .select(col(idCol).as("id"), col(textCol).as("t"))
+      .filter(length(col("t")) >= n)
+      .select(col("id"), col("t"),
+        posexplode(sequence(lit(1), length(col("t")) - (n - 1))).as(Seq("p", "i")))
+      .select(col("id"), col("i"),
+        md5(col("t").substr(col("i"), lit(n)).cast("binary")).as("h"))
+    val win = Window.partitionBy(col("id")).orderBy(col("i"))
+      .rowsBetween(Window.currentRow, w - 1)
+    positions
+      .withColumn("last_i", max(col("i")).over(
+        Window.partitionBy(col("id"))))
+      // only complete windows (i + w - 1 <= last position) — incomplete
+      // tails would make the fingerprint set depend on w vs text length
+      .withColumn("fp", min(col("h")).over(win))
+      .filter(col("i") <= col("last_i") - (w - 1))
+      .select(col("id"), col("fp"))
+      .distinct()
+  }
+
+  /** Pairs sharing at least `minShared` winnowed fingerprints — the
+    * local-overlap miner (inverted-index join on the fingerprint, same
+    * bucket-bounded shape as [[exactJaccardPairs]]). `maxDocsPerFp` drops
+    * fingerprints shared by more than that many docs before the join —
+    * ubiquitous (template/boilerplate) n-grams carry no overlap signal
+    * but contribute O(d²) join pairs each; the cap is what bounds the
+    * worst case at corpus scale. */
+  def overlapPairs(fps: DataFrame, minShared: Long,
+      maxDocsPerFp: Long = Long.MaxValue): DataFrame = {
+    val pruned =
+      if (maxDocsPerFp == Long.MaxValue) fps
+      else fps.withColumn("__d",
+          count(lit(1)).over(Window.partitionBy(col("fp"))))
+        .filter(col("__d") <= maxDocsPerFp)
+        .drop("__d")
+    pruned.as("a").join(pruned.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("d1"), col("b.id").as("d2"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   // --- pairs → dedup groups -------------------------------------------------
 
   /** Connected components over a near-dup pair list: (doc, canonical) where

@@ -50,6 +50,12 @@ object PipelineQueries {
     stage(s, dir, "pairs")(
       NearDup.verifiedPairsStaged(docPostings(s, dir), threshold = 0.5))
 
+  /** Stage 3: winnowed (doc, fp) fingerprints — persisted so the overlap
+    * self-join reads the cache twice instead of re-hashing the corpus. */
+  private def docWinnowFps(s: SparkSession, dir: String): DataFrame =
+    stage(s, dir, "winnow")(
+      NearDup.winnowedFingerprints(t(s, dir, "documents"), "doc_id", "text"))
+
   /** Synthetic email column over `customer` (the testdata has no email
     * field): four deterministic shapes, two valid and two invalid under the
     * reference's regex — '#' is outside the local-part class and a bare
@@ -272,6 +278,14 @@ object PipelineQueries {
         "doc_id", "n_tok", budget = 512L, shards = 8)
         .orderBy(col("id"))),
 
+    // LLM dedup 7 (local overlap): winnowed fingerprints — pairs sharing
+    // ≥5 window-min 16-gram hashes. Catches a copied PARAGRAPH inside
+    // otherwise-different docs, where whole-document Jaccard/cosine ~ 0.
+    "q62_winnow_overlap" -> ((s, dir) =>
+      NearDup.overlapPairs(docWinnowFps(s, dir), minShared = 5L,
+        maxDocsPerFp = 50L)
+        .orderBy(col("d1"), col("d2"))),
+
     // LLM dedup 4: SimHash fingerprints, cross-engine — 60 bits of the
     // md5-portable token hash so the oracle reproduces every bit.
     "q38_simhash" -> ((s, dir) =>
@@ -441,6 +455,30 @@ object PipelineQueries {
 
     "q27_minhash_neardup" -> jaccardPairsSql,
     "q28_jaccard_exact" -> jaccardPairsSql,
+
+    "q62_winnow_overlap" ->
+      """WITH pos AS (
+        |  SELECT doc_id, r.i,
+        |         md5(substr(text, r.i::INTEGER, 16)) AS h,
+        |         length(text) - 15 AS last_i
+        |  FROM documents, range(1, 100000) AS r(i)
+        |  WHERE length(text) >= 16 AND r.i <= length(text) - 15),
+        |fps AS (
+        |  SELECT DISTINCT doc_id, fp FROM (
+        |    SELECT doc_id, i, last_i,
+        |           min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |             ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+        |    FROM pos)
+        |  WHERE i <= last_i - 7),
+        |pruned AS (
+        |  SELECT doc_id, fp FROM (
+        |    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS d FROM fps)
+        |  WHERE d <= 50)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |       CAST(count(*) AS BIGINT) AS shared_fps
+        |FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 5
+        |ORDER BY d1, d2""".stripMargin,
 
     "q59_containment" ->
       s"""WITH $jaccardPairsCtes

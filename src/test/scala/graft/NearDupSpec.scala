@@ -83,6 +83,23 @@ class NearDupSpec extends SparkSpec {
     assert(cands.contains((20L, 50L)) && cands.contains((21L, 51L)))
   }
 
+  test("winnowing finds a copied paragraph across otherwise-different docs") {
+    val para = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val a = s"completely unrelated preamble text here that goes on $para"
+    val b = s"$para followed by a totally different ending about other things"
+    val c = "no shared content in this document at all, nothing to see here friends"
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val fps = NearDup.winnowedFingerprints(df, "doc_id", "text")
+    // shared substring >= n + w - 1 = 23 chars guarantees >= 1 common fp;
+    // the 68-char paragraph produces many
+    val pairs = NearDup.overlapPairs(fps, minShared = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((1L, 2L)))
+    // whole-document 3-gram Jaccard misses the same pair at any usable bar
+    val post = NearDup.shinglePostings(df, "doc_id", "text", 3)
+    assert(NearDup.exactJaccardPairs(post, 0.5).count() === 0L)
+  }
+
   test("containmentPairs catches a short doc embedded in a long one") {
     val short = "alpha beta gamma delta epsilon zeta"
     val long0 = s"$short " +
