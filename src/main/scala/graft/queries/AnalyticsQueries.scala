@@ -210,6 +210,54 @@ object AnalyticsQueries {
         .orderBy(col("o_orderkey"), col("valid_from"))
     }),
 
+    // Edit distance (fuzzy string matching): levenshtein to the next
+    // customer name within a hash bucket — exact integer output, so the
+    // oracle matches bit-for-bit; bucketed lead keeps the window parallel
+    // (no global single-partition sort).
+    "q63_edit_distance" -> ((s, dir) => {
+      val w = Window.partitionBy(col("bkt")).orderBy(col("c_custkey"))
+      t(s, dir, "customer").filter(col("c_custkey") < 500)
+        .select(col("c_custkey"), (col("c_custkey") % 10).as("bkt"),
+          col("c_name"))
+        .withColumn("next_name", lead(col("c_name"), 1).over(w))
+        .select(col("c_custkey"),
+          levenshtein(col("c_name"), col("next_name")).cast("long")
+            .as("edit_dist"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Date-spine densification: every (priority, day) in the full date
+    // range, missing days filled with 0 — the calendar-fill every
+    // time-series report needs. The spine is generated from the data's own
+    // bounds (sequence + explode), tiny, and broadcast against the counts.
+    "q64_date_spine" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderpriority").as("prio"),
+          col("o_orderdate").cast("date").as("d"))
+      val spine = o.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 day"))).as("d"))
+      val grid = spine.crossJoin(o.select(col("prio")).distinct())
+      val counts = o.groupBy(col("prio"), col("d"))
+        .agg(count(lit(1)).as("cnt"))
+      grid.join(counts, Seq("prio", "d"), "left")
+        .select(col("prio"), col("d"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"))
+        .orderBy(col("prio"), col("d"))
+    }),
+
+    // Ratio-to-report: each priority's share of total revenue. Group sums
+    // are rounded BEFORE the ratio so the (order-sensitive) double sums
+    // can't leak last-ulp noise into the division.
+    "q65_revenue_share" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
+        .withColumn("share",
+          round(col("revenue") / sum(col("revenue")).over(
+            Window.partitionBy()), 6))
+        .orderBy(col("o_orderpriority"))),
+
     // Semi-structured column: extract a typed value out of the JSON props
     // string and aggregate — `get_json_object` is a pure scan-side
     // expression (no UDF, no parse-twice).
@@ -446,6 +494,38 @@ object AnalyticsQueries {
         |UNION ALL SELECT * FROM untouched
         |UNION ALL SELECT * FROM opened
         |ORDER BY o_orderkey, valid_from""".stripMargin,
+
+    "q63_edit_distance" ->
+      """SELECT c_custkey,
+        |  CAST(levenshtein(c_name, lead(c_name) OVER
+        |    (PARTITION BY c_custkey % 10 ORDER BY c_custkey)) AS BIGINT)
+        |    AS edit_dist
+        |FROM customer WHERE c_custkey < 500
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q64_date_spine" ->
+      """WITH b AS (SELECT min(o_orderdate::DATE) AS lo,
+        |                  max(o_orderdate::DATE) AS hi FROM orders),
+        |spine AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+        |  FROM b),
+        |prios AS (SELECT DISTINCT o_orderpriority AS prio FROM orders),
+        |counts AS (
+        |  SELECT o_orderpriority AS prio, o_orderdate::DATE AS d,
+        |         count(*) AS cnt
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT p.prio, s.d, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+        |FROM spine s CROSS JOIN prios p
+        |LEFT JOIN counts c ON c.prio = p.prio AND c.d = s.d
+        |ORDER BY p.prio, s.d""".stripMargin,
+
+    "q65_revenue_share" ->
+      """WITH g AS (
+        |  SELECT o_orderpriority, round(sum(o_totalprice), 2) AS revenue
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, revenue,
+        |       round(revenue / sum(revenue) OVER (), 6) AS share
+        |FROM g ORDER BY o_orderpriority""".stripMargin,
 
     "q53_json_props" ->
       """SELECT event_type, CAST(count(k) AS BIGINT) AS cnt,
