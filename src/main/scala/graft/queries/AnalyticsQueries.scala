@@ -210,6 +210,36 @@ object AnalyticsQueries {
         .orderBy(col("o_orderkey"), col("valid_from"))
     }),
 
+    // Histogram: fixed-width binned distribution of a measure — bin ids
+    // from pure integer arithmetic on a data-independent width, so both
+    // engines agree exactly.
+    "q66_histogram" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(floor(col("l_extendedprice") / 5000).cast("long").as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("bin"))),
+
+    // Moving average over the DENSE daily series (composes on q64's
+    // spine — gap days count as 0, which a moving average over the raw
+    // sparse table silently gets wrong): 7-day trailing mean per
+    // priority. Integer window sums divide exactly, so the doubles agree.
+    "q67_moving_avg" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderpriority").as("prio"),
+          col("o_orderdate").cast("date").as("d"))
+      val spine = o.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 day"))).as("d"))
+      val dense = spine.crossJoin(o.select(col("prio")).distinct())
+        .join(o.groupBy(col("prio"), col("d")).agg(count(lit(1)).as("cnt")),
+          Seq("prio", "d"), "left")
+        .select(col("prio"), col("d"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      val w = Window.partitionBy(col("prio")).orderBy(col("d"))
+        .rowsBetween(-6, Window.currentRow)
+      dense.withColumn("ma7", round(avg(col("cnt")).over(w), 4))
+        .orderBy(col("prio"), col("d"))
+    }),
+
     // Edit distance (fuzzy string matching): levenshtein to the next
     // customer name within a hash bucket — exact integer output, so the
     // oracle matches bit-for-bit; bucketed lead keeps the window parallel
@@ -494,6 +524,31 @@ object AnalyticsQueries {
         |UNION ALL SELECT * FROM untouched
         |UNION ALL SELECT * FROM opened
         |ORDER BY o_orderkey, valid_from""".stripMargin,
+
+    "q66_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "q67_moving_avg" ->
+      """WITH b AS (SELECT min(o_orderdate::DATE) AS lo,
+        |                  max(o_orderdate::DATE) AS hi FROM orders),
+        |spine AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+        |  FROM b),
+        |prios AS (SELECT DISTINCT o_orderpriority AS prio FROM orders),
+        |counts AS (
+        |  SELECT o_orderpriority AS prio, o_orderdate::DATE AS d,
+        |         count(*) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |dense AS (
+        |  SELECT p.prio, s.d, coalesce(c.cnt, 0) AS cnt
+        |  FROM spine s CROSS JOIN prios p
+        |  LEFT JOIN counts c ON c.prio = p.prio AND c.d = s.d)
+        |SELECT prio, d, CAST(cnt AS BIGINT) AS cnt,
+        |       round(avg(cnt) OVER (PARTITION BY prio ORDER BY d
+        |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+        |FROM dense ORDER BY prio, d""".stripMargin,
 
     "q63_edit_distance" ->
       """SELECT c_custkey,
