@@ -210,6 +210,27 @@ object AnalyticsQueries {
         .orderBy(col("o_orderkey"), col("valid_from"))
     }),
 
+    // The rank-function family in one pass: rank/dense_rank over a
+    // tie-PRONE key (price bucket — tie semantics are the point; both are
+    // tie-stable), percent_rank/cume_dist (deterministic order
+    // statistics), and ntile over a total order (ntile splits ties
+    // arbitrarily, so it gets the orderkey tiebreak).
+    "q68_rank_family" -> ((s, dir) => {
+      val byBucket = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(desc("bucket"))
+      val total = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(desc("bucket"), col("o_orderkey"))
+      t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
+        .withColumn("rnk", rank().over(byBucket).cast("long"))
+        .withColumn("drnk", dense_rank().over(byBucket).cast("long"))
+        .withColumn("prnk", round(percent_rank().over(byBucket), 6))
+        .withColumn("cume", round(cume_dist().over(byBucket), 6))
+        .withColumn("tile", ntile(4).over(total).cast("long"))
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    }),
+
     // Histogram: fixed-width binned distribution of a measure — bin ids
     // from pure integer arithmetic on a data-independent width, so both
     // engines agree exactly.
@@ -524,6 +545,21 @@ object AnalyticsQueries {
         |UNION ALL SELECT * FROM untouched
         |UNION ALL SELECT * FROM opened
         |ORDER BY o_orderkey, valid_from""".stripMargin,
+
+    "q68_rank_family" ->
+      """SELECT o_orderpriority, o_orderkey, bucket,
+        |  CAST(rank() OVER wb AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER wb AS BIGINT) AS drnk,
+        |  round(percent_rank() OVER wb, 6) AS prnk,
+        |  round(cume_dist() OVER wb, 6) AS cume,
+        |  CAST(ntile(4) OVER wt AS BIGINT) AS tile
+        |FROM (SELECT o_orderpriority, o_orderkey,
+        |        CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket
+        |      FROM orders WHERE o_orderkey < 2000)
+        |WINDOW
+        |  wb AS (PARTITION BY o_orderpriority ORDER BY bucket DESC),
+        |  wt AS (PARTITION BY o_orderpriority ORDER BY bucket DESC, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
 
     "q66_histogram" ->
       """SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin,
