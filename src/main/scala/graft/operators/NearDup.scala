@@ -387,13 +387,18 @@ object NearDup {
     * dedup keeps for each group (transitively: if A~B and B~C, all three
     * map to min(A,B,C) even when A~C was never emitted as a pair).
     *
-    * Min-label propagation, one round per iteration, driver-checked
-    * fixpoint. The label table holds only docs that appear in a pair —
-    * tiny relative to the corpus by construction (near-dups are rare) —
-    * and each iteration is one equi-join + aggregate; lineage is truncated
-    * per step so iterations don't stack plans. Component diameters of
-    * real near-dup clusters are small, so the loop converges in a few
-    * rounds; `maxIter` bounds pathological chains. */
+    * Min-label propagation PLUS pointer jumping each round: after pulling
+    * the neighborhood minimum (one edge join), every node also adopts its
+    * label's label (one self-join) — the pointer-doubling step that
+    * collapses label chains geometrically, so convergence is O(log
+    * diameter) rounds, not O(diameter). A plain propagation loop needs as
+    * many rounds as the longest chain and silently truncates at `maxIter`
+    * (a 100-link chain of near-dups — shingled spam variants — would get
+    * split labels); with jumping, maxIter=20 covers diameters beyond any
+    * real corpus (2^20 ≈ 10^6). The label table holds only docs that
+    * appear in a pair — tiny relative to the corpus — and lineage is
+    * truncated per round (localCheckpoint) so iterations don't stack
+    * plans. Driver-checked fixpoint. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .unionAll(pairs.select(col("d2").as("src"), col("d1").as("dst")))
@@ -407,9 +412,18 @@ object NearDup {
       val neighborMin = edges.join(labels, edges("src") === labels("id"))
         .groupBy(col("dst").as("nid"))
         .agg(min(col("label")).as("nlabel"))
-      val next = labels.join(neighborMin, labels("id") === col("nid"), "left")
+      val relaxed = labels.join(neighborMin, labels("id") === col("nid"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      // pointer jump: label := label(label). Labels are node ids, so the
+      // lookup is a self-join; least() keeps monotonicity.
+      val next = relaxed.as("x")
+        .join(relaxed.select(col("id").as("jid"), col("label").as("jlabel"))
+          .as("y"), col("x.label") === col("y.jid"), "left")
+        .select(col("x.id").as("id"),
+          least(col("x.label"), coalesce(col("y.jlabel"), col("x.label")))
+            .as("label"))
         .localCheckpoint(true)
       converged = next.withColumnRenamed("label", "next_label")
         .join(labels, Seq("id"))

@@ -83,6 +83,18 @@ class NearDupSpec extends SparkSpec {
     assert(cands.contains((20L, 50L)) && cands.contains((21L, 51L)))
   }
 
+  test("connectedComponents: a 200-link chain converges within default maxIter") {
+    // path graph 0-1-2-…-200: diameter 200. Plain min-label propagation
+    // would need 200 rounds and silently truncate at 20; pointer jumping
+    // must collapse it in <= log2(200)+c rounds.
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val labels = NearDup.connectedComponents(chain)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length === 201)
+    assert(labels.forall(_._2 === 0L),
+      s"non-converged labels: ${labels.filter(_._2 != 0L).take(5).mkString(",")}")
+  }
+
   test("winnowing finds a copied paragraph across otherwise-different docs") {
     val para = "the quick brown fox jumps over the lazy dog again and again tonight"
     val a = s"completely unrelated preamble text here that goes on $para"
