@@ -15,6 +15,23 @@ class StreamJoinSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("stream-static join enriches each micro-batch against a broadcast dim") {
+    implicit val ctx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("uid", "tier")
+    val ev = MemoryStream[(Timestamp, Long)]
+    val enriched = ev.toDF().toDF("ts", "uid")
+      .join(broadcast(dim), Seq("uid"), "left")
+    val q = enriched.writeStream.format("memory").queryName("enr")
+      .outputMode("append").start()
+    try {
+      ev.addData((ts("2026-01-01 00:00:01"), 1L), (ts("2026-01-01 00:00:02"), 3L))
+      q.processAllAvailable()
+      val got = spark.table("enr").select("uid", "tier").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      assert(got === Set((1L, Some("gold")), (3L, None)))
+    } finally q.stop()
+  }
+
   test("withinJoin matches same-key rows inside the lookback only") {
     implicit val ctx = spark.sqlContext
     val clicks = MemoryStream[(Timestamp, Long, String)]
