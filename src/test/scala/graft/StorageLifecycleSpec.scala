@@ -40,8 +40,11 @@ class StorageLifecycleSpec extends SparkSpec {
 
   test("compaction: many tiny files rewritten to a bounded file count") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
-    // simulate a streaming sink's droppings: 32 one-ish-row files
-    spark.range(64).repartition(32)
+    // simulate a streaming sink's droppings: 32 two-row files. Partition at
+    // the SOURCE (range with numPartitions), not via repartition(): a
+    // round-robin shuffle is AQE-coalescible, so the fixture file count
+    // would depend on advisory sizes rather than being deterministic.
+    spark.range(0, 64, 1, 32)
       .write.mode("overwrite").parquet(s"$dir/small")
     def parquetFiles(p: String) =
       new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
