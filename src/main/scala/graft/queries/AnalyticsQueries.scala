@@ -362,12 +362,13 @@ object AnalyticsQueries {
         t(s, dir, "documents"), "doc_id", "text", size = 200, overlap = 50)
         .orderBy(col("doc_id"), col("off"))),
 
-    // Multimodal decode end-to-end (NO SQL oracle — the container codec is
-    // not SQL-expressible, so the driver records the weaker rows-only
-    // check; the decode semantics themselves are unit-tested in
-    // MultimodalSpec): deterministic fake image payloads synthesized from
-    // document stats, batch-decoded via the typed mapPartitions path with
-    // every 97th payload corrupted to exercise reject-routing.
+    // Multimodal decode end-to-end: deterministic fake image payloads
+    // synthesized from document stats, batch-decoded via the typed
+    // mapPartitions path with every 97th payload corrupted to exercise
+    // reject-routing. The fake codec is closed-form arithmetic over
+    // (doc_id, n_chars), so the decoded metadata IS DuckDB-expressible —
+    // the oracle reproduces every field of ImageMeta with CASE arithmetic
+    // (byte-level header parsing itself is unit-tested in MultimodalSpec).
     "q58_multimodal_decode" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
@@ -396,6 +397,24 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Mirrors the q58 pipeline arithmetic: corrupt payloads (doc_id % 97
+    // = 0) are 3 bytes -> "truncated header"; valid ones decode to the
+    // encodeFake dimensions w = n%32+1, h = (n/32)%32+1, c = 3 and
+    // n_bytes = 13-byte header + w*h*c pixels.
+    "q58_multimodal_decode" ->
+      """SELECT doc_id AS asset_id,
+        |  CAST(CASE WHEN doc_id % 97 = 0 THEN 0
+        |       ELSE n_chars % 32 + 1 END AS INTEGER) AS width,
+        |  CAST(CASE WHEN doc_id % 97 = 0 THEN 0
+        |       ELSE (n_chars // 32) % 32 + 1 END AS INTEGER) AS height,
+        |  CAST(CASE WHEN doc_id % 97 = 0 THEN 0 ELSE 3 END AS INTEGER) AS channels,
+        |  CAST(CASE WHEN doc_id % 97 = 0 THEN 3
+        |       ELSE 13 + (n_chars % 32 + 1) * ((n_chars // 32) % 32 + 1) * 3
+        |       END AS BIGINT) AS n_bytes,
+        |  doc_id % 97 <> 0 AS valid,
+        |  CASE WHEN doc_id % 97 = 0 THEN 'truncated header' ELSE '' END AS err
+        |FROM documents ORDER BY asset_id""".stripMargin,
+
     "q41_asof_join" ->
       """WITH c AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS t, value

@@ -267,10 +267,12 @@ object PipelineQueries {
       NearDup.containmentPairs(docPostings(s, dir), threshold = 0.6)
         .orderBy(col("d1"), col("d2"))),
 
-    // LLM batching: greedy token-budget packing into training sequences
-    // (NO SQL oracle — greedy bin state is not a window function; driver
-    // records the rows-only check, invariants are property-tested in
-    // PackingSpec).
+    // LLM batching: greedy token-budget packing into training sequences.
+    // Greedy bin state is not a window function, but the per-shard greedy
+    // over the id-sorted sequence IS reproducible row-for-row with a
+    // DuckDB recursive CTE (one document per shard per iteration) — that
+    // is the oracle; invariants are additionally property-tested in
+    // PackingSpec.
     "q61_token_packing" -> ((s, dir) =>
       graft.operators.Packing.packGreedy(
         t(s, dir, "documents").select(col("doc_id"),
@@ -337,6 +339,33 @@ object PipelineQueries {
   // ---------------------------------------------------------------------------
 
   val oracles: Map[String, String] = Map(
+    // Replays Packing.packGreedy exactly: same md5-60bit shard hash as
+    // q48, same whitespace token count as q25, then the sequential greedy
+    // as a recursive CTE advancing one id-ordered document per shard per
+    // step. A new bin opens only when the bin is non-empty AND would
+    // overflow (an oversized doc on an empty bin stays — never split).
+    "q61_token_packing" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS w,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 8 AS shard
+        |  FROM documents),
+        |docs AS (
+        |  SELECT id, w, shard,
+        |    row_number() OVER (PARTITION BY shard ORDER BY id) AS rn
+        |  FROM toks),
+        |pack AS (
+        |  SELECT id, w, shard, rn, CAST(0 AS BIGINT) AS bin, w AS fill
+        |  FROM docs WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.id, d.w, d.shard, d.rn,
+        |    CASE WHEN p.fill > 0 AND p.fill + d.w > 512
+        |         THEN p.bin + 1 ELSE p.bin END AS bin,
+        |    CASE WHEN p.fill > 0 AND p.fill + d.w > 512
+        |         THEN d.w ELSE p.fill + d.w END AS fill
+        |  FROM pack p JOIN docs d ON d.shard = p.shard AND d.rn = p.rn + 1)
+        |SELECT id, w, shard, bin FROM pack ORDER BY id""".stripMargin,
+
     "q37_ann_buckets" -> annBucketsSql,
     "q40_neardup_groups" -> neardupGroupsSql,
 
