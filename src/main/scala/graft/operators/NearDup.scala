@@ -212,9 +212,26 @@ object NearDup {
     * group by bucket, collect the member ids, explode the within-bucket
     * pairs — the signature pipeline is computed ONCE (a self-join would
     * recompute it for both sides), and the fan-out is bounded by bucket
-    * size by construction. */
-  def lshCandidates(lsh: DataFrame): DataFrame =
-    lsh.groupBy(col("band"), col("bucket"))
+    * size by construction.
+    *
+    * `maxDocsPerBucket` drops buckets larger than that BEFORE the member
+    * arrays are built (the count is a window over the bucket key, so no
+    * oversized array ever materializes). On a degenerate corpus —
+    * mass-duplicated boilerplate collapsing to one signature — an uncapped
+    * bucket is O(corpus) in ONE row and the pair explode is quadratic,
+    * exactly when a dedup pipeline is most needed. A genuine near-dup pair
+    * lost to one oversized bucket still surfaces through any other of its
+    * `bands` buckets; fully-identical docs belong to
+    * [[graft.operators.Dedup.exactDedupByDigest]] upstream. */
+  def lshCandidates(lsh: DataFrame,
+      maxDocsPerBucket: Long = Long.MaxValue): DataFrame = {
+    val pruned =
+      if (maxDocsPerBucket == Long.MaxValue) lsh
+      else lsh.withColumn("__n",
+          count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+        .filter(col("__n") <= maxDocsPerBucket)
+        .drop("__n")
+    pruned.groupBy(col("band"), col("bucket"))
       .agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(col("ids")).as("d1"), col("ids"))
@@ -222,14 +239,15 @@ object NearDup {
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2"))
       .distinct()
+  }
 
   /** LSH candidates verified with the exact Jaccard — same output contract
     * as [[exactJaccardPairs]] (zero false positives; recall per class doc). */
   def verifiedPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
       threshold: Double, bands: Int = 16, rowsPerBand: Int = 4,
-      seed: Long = 42L): DataFrame =
+      seed: Long = 42L, maxDocsPerBucket: Long = Long.MaxValue): DataFrame =
     verifiedPairsStaged(shinglePostings(df, idCol, textCol, k), threshold,
-      bands, rowsPerBand, seed)
+      bands, rowsPerBand, seed, maxDocsPerBucket)
 
   /** [[verifiedPairs]] over a precomputed (id, g, n) postings table. When
     * the caller persists the postings, the whole tokenize→shingle pipeline
@@ -238,10 +256,11 @@ object NearDup {
     * the staged form a multi-query dedup pipeline should use at scale:
     * materialize postings, then derive. */
   def verifiedPairsStaged(post: DataFrame, threshold: Double,
-      bands: Int = 16, rowsPerBand: Int = 4, seed: Long = 42L): DataFrame = {
+      bands: Int = 16, rowsPerBand: Int = 4, seed: Long = 42L,
+      maxDocsPerBucket: Long = Long.MaxValue): DataFrame = {
     val cands = lshCandidates(bandBuckets(
       minhashSignaturesFromPostings(post, bands * rowsPerBand, seed),
-      bands, rowsPerBand))
+      bands, rowsPerBand), maxDocsPerBucket)
     // Verify with ONE pass over the postings. Referencing the postings twice
     // (pa/pb joins) would recompute the whole shingle pipeline per side —
     // Spark does not reuse the aliased subplan. Instead: melt each candidate
@@ -302,21 +321,53 @@ object NearDup {
 
   /** Candidate pairs whose SimHash fingerprints agree on at least one of
     * four 16-bit chunks (pigeonhole: Hamming distance ≤ 3 guarantees an
-    * intact chunk). Equi-join on (chunk index, chunk value). */
-  def simhashCandidates(df: DataFrame, idCol: String, fpCol: String): DataFrame = {
-    val chunks = df.select(col(idCol).as("id"), explode(array((0 until 4).map { j =>
-      struct(lit(j).as("chunk"),
-        shiftright(col(fpCol), j * 16).bitwiseAND(0xffffL).as("v"))
-    }: _*)).as("c"))
+    * intact chunk). Equi-join on (chunk index, chunk value).
+    *
+    * Scale design — only 4×65,536 chunk buckets exist, so at corpus scale
+    * a naive per-doc bucketing is quadratic by construction. Two defenses:
+    *
+    *  1. Identical fingerprints collapse FIRST: a same-fp group is an
+    *     equivalence class at Hamming distance 0, so it is emitted as a
+    *     linear star around its min id instead of an O(group²) clique
+    *     ([[connectedComponents]] downstream recovers the full group).
+    *     Mass-duplicated boilerplate — the degenerate corpus — therefore
+    *     costs O(group), and only DISTINCT fingerprints enter the join.
+    *  2. `maxFpsPerBucket` drops chunk buckets holding more distinct
+    *     fingerprints than that, before any member array is built — the
+    *     same ubiquity cap as [[overlapPairs]]' `maxDocsPerFp`: a chunk
+    *     value shared by thousands of distinct fingerprints carries no
+    *     similarity signal but contributes O(d²) pairs.
+    *
+    * Output contract: (d1 < d2) pairs; same-fp groups appear as
+    * rep–member edges, cross-fp candidates as rep–rep edges. Consumers
+    * verify with [[hamming64]] and group with [[connectedComponents]]. */
+  def simhashCandidates(df: DataFrame, idCol: String, fpCol: String,
+      maxFpsPerBucket: Long = Long.MaxValue): DataFrame = {
+    val docs = df.select(col(idCol).as("id"), col(fpCol).as("fp"))
+    val reps = docs.groupBy(col("fp")).agg(min(col("id")).as("rep"))
+    val star = docs.join(reps, Seq("fp"))
+      .filter(col("id") =!= col("rep"))
+      .select(col("rep").as("d1"), col("id").as("d2"))
+    val chunks = reps.select(col("rep").as("id"),
+      explode(array((0 until 4).map { j =>
+        struct(lit(j).as("chunk"),
+          shiftright(col("fp"), j * 16).bitwiseAND(0xffffL).as("v"))
+      }: _*)).as("c"))
       .select(col("id"), col("c.chunk").as("chunk"), col("c.v").as("v"))
-    chunks.groupBy(col("chunk"), col("v"))
+    val pruned =
+      if (maxFpsPerBucket == Long.MaxValue) chunks
+      else chunks.withColumn("__n",
+          count(lit(1)).over(Window.partitionBy(col("chunk"), col("v"))))
+        .filter(col("__n") <= maxFpsPerBucket)
+        .drop("__n")
+    val cross = pruned.groupBy(col("chunk"), col("v"))
       .agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(col("ids")).as("d1"), col("ids"))
       .select(col("d1"), explode(col("ids")).as("d2"))
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2"))
-      .distinct()
+    star.unionAll(cross).distinct()
   }
 
   /** Hamming distance between two 64-bit fingerprints. */

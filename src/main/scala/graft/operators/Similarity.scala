@@ -116,17 +116,33 @@ object Similarity {
     * crossJoin). `tables` independent bucketings multiply recall: a pair
     * is a candidate if ANY table puts it in one bucket, so recall is
     * 1-(1-p^bits)^tables with p = 1-θ/π. Sized for genuine near-dups
-    * (cosine ≳ 0.9, θ ≤ 26°): 8 bits × 8 tables ⇒ ≥ 0.97. */
-  def cosineNearDups(corpus: DataFrame, threshold: Double, bits: Int = 8,
-      tables: Int = 8, seed: Long = 42L): DataFrame = {
-    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+    * (cosine ≳ 0.9, θ ≤ 26°): 8 bits × 8 tables ⇒ ≥ 0.97.
+    *
+    * `dim` is the embedding dimensionality — a parameter, not inferred,
+    * so building the plan stays a pure, action-free operation (inferring
+    * it would run a Spark job over the corpus during plan construction).
+    * `maxDocsPerBucket` drops buckets larger than that before any member
+    * array is built — a degenerate corpus (mass-duplicated vectors, all
+    * landing in one bucket in every table) would otherwise collect an
+    * O(corpus) array in one row; identical payloads belong to exact
+    * dedup upstream, and near-identical pairs lost to one hot bucket
+    * still surface through the other `tables` bucketings. */
+  def cosineNearDups(corpus: DataFrame, dim: Int, threshold: Double,
+      bits: Int = 8, tables: Int = 8, seed: Long = 42L,
+      maxDocsPerBucket: Long = Long.MaxValue): DataFrame = {
     val bucketed = corpus.select(col("vec_id"), array((0 until tables).map { t =>
       struct(lit(t).as("tbl"),
         hyperplaneBuckets(dim, bits, seed + t).as("bucket"))
     }: _*).as("bs"))
       .select(col("vec_id"), explode(col("bs")).as("b"))
       .select(col("vec_id"), col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
-    val cands = bucketed.groupBy(col("tbl"), col("bucket"))
+    val pruned =
+      if (maxDocsPerBucket == Long.MaxValue) bucketed
+      else bucketed.withColumn("__n",
+          count(lit(1)).over(Window.partitionBy(col("tbl"), col("bucket"))))
+        .filter(col("__n") <= maxDocsPerBucket)
+        .drop("__n")
+    val cands = pruned.groupBy(col("tbl"), col("bucket"))
       .agg(collect_list(col("vec_id")).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(col("ids")).as("v1"), col("ids"))

@@ -83,6 +83,36 @@ class NearDupSpec extends SparkSpec {
     assert(cands.contains((20L, 50L)) && cands.contains((21L, 51L)))
   }
 
+  test("degenerate corpus: 10k identical fingerprints stay LINEAR (star, not clique)") {
+    // mass-duplicated boilerplate — every doc has the same SimHash. The
+    // clique is 50M pairs; the star contract is 9,999 rep->member edges.
+    val fps = (0L until 10000L).map(i => (i, 0x0ABCDEF012345L)).toDF("id", "fp")
+    val cands = NearDup.simhashCandidates(fps, "id", "fp")
+    assert(cands.count() === 9999L)
+    val sample = cands.limit(100).collect()
+    assert(sample.forall(_.getLong(0) === 0L), "every edge must anchor at the min id")
+  }
+
+  test("degenerate corpus: hot chunk buckets respect maxFpsPerBucket") {
+    // 10k DISTINCT fingerprints that agree on chunks 0-2 (low 48 bits all
+    // zero) — uncapped, the three shared buckets each explode ~50M pairs.
+    val fps = (0L until 10000L).map(i => (i, i << 48)).toDF("id", "fp")
+    val capped = NearDup.simhashCandidates(fps, "id", "fp", maxFpsPerBucket = 100)
+    assert(capped.count() === 0L)
+    // the cap only drops oversized buckets — small ones still pair up
+    val small = (0L until 10L).map(i => (i, i << 48)).toDF("id", "fp")
+    assert(NearDup.simhashCandidates(small, "id", "fp", maxFpsPerBucket = 100)
+      .count() === 45L)
+  }
+
+  test("degenerate corpus: lshCandidates drops oversized buckets under the cap") {
+    val oneBucket = (0L until 10000L).map(i => (i, 0, "sig")).toDF("id", "band", "bucket")
+    assert(NearDup.lshCandidates(oneBucket, maxDocsPerBucket = 100).count() === 0L)
+    // uncapped default preserves the existing contract on small buckets
+    val smallBucket = (0L until 10L).map(i => (i, 0, "sig")).toDF("id", "band", "bucket")
+    assert(NearDup.lshCandidates(smallBucket).count() === 45L)
+  }
+
   test("connectedComponents: a 200-link chain converges within default maxIter") {
     // path graph 0-1-2-…-200: diameter 200. Plain min-label propagation
     // would need 200 rounds and silently truncate at 20; pointer jumping

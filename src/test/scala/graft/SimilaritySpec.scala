@@ -71,9 +71,14 @@ class SimilaritySpec extends SparkSpec {
       (200L + i, base(i.toInt)._2.map(v => v + (rnd.nextGaussian() * 0.01).toFloat))
     }
     val corpus = (base ++ planted).toDF("vec_id", "embedding")
-    val got = Similarity.cosineNearDups(corpus, threshold = 0.99)
+    val got = Similarity.cosineNearDups(corpus, dim, threshold = 0.99)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === Set((0L, 200L), (1L, 201L), (2L, 202L)))
+    // the bucket cap must not disturb results when no bucket is hot
+    val capped = Similarity.cosineNearDups(corpus, dim, threshold = 0.99,
+      maxDocsPerBucket = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === got)
   }
 
   test("cosine of a vector with itself is 1") {
