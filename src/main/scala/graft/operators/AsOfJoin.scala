@@ -21,6 +21,15 @@ import org.apache.spark.sql.functions._
   * the match is inclusive. Among right rows with identical (key, time) the
   * last one by `rightOrder` wins — pass a total tiebreak there for
   * deterministic output when (key, time) can repeat.
+  *
+  * The payload rides as ONE struct through the window, so the whole
+  * matched right row attaches atomically (DuckDB ASOF / merge_asof
+  * semantics). Running `last(_, ignoreNulls)` per payload column
+  * independently would tear rows: a right row with a legitimately NULL
+  * payload value would fall back to an OLDER right row for that column
+  * while its siblings came from the newer one. Consequence: a NULL inside
+  * an attached payload means the MATCHED row carried NULL there; all-NULL
+  * payload columns mean no right row matched at all.
   */
 object AsOfJoin {
 
@@ -32,17 +41,19 @@ object AsOfJoin {
     * @param payload    right columns to carry onto each left row (renamed
     *                   as-is; must not collide with left column names)
     * @param rightOrder extra total-order tiebreak among right rows sharing
-    *                   (key, time); later wins */
+    *                   (key, time) — expressions over `right`'s columns,
+    *                   compared ascending; later (greater) wins */
   def asOf(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, payload: Seq[String],
       rightOrder: Seq[Column] = Nil): DataFrame = {
     val leftCols = left.columns.toSeq
-    val rightProj = right.select(
-      (col(key) +: col(rightTime).as("_t") +: payload.map(col)): _*)
+    val rightProj = right.select(col(key) +: col(rightTime).as("_t") +:
+      struct(payload.map(col): _*).as("_p") +:
+      rightOrder.zipWithIndex.map { case (c, i) => c.as(s"_o$i") }: _*)
 
     // Aligned union: key, _t, _side, left columns (null on right rows),
-    // payload columns (null on left rows). Nulls are typed via the schema
-    // of the source side so unionByName never widens.
+    // the payload struct (null on left rows). Nulls are typed via the
+    // schema of the source side so unionByName never widens.
     val lSide = left
       .withColumn("_t", col(leftTime))
       .withColumn("_side", lit(1))
@@ -50,13 +61,13 @@ object AsOfJoin {
     val unioned = lSide.unionByName(rSide, allowMissingColumns = true)
 
     val w = Window.partitionBy(col(key))
-      .orderBy((col("_t").asc +: col("_side").asc +: rightOrder): _*)
+      .orderBy(col("_t").asc +: col("_side").asc +:
+        rightOrder.indices.map(i => col(s"_o$i").asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = payload.foldLeft(unioned) { (df, p) =>
-      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    }
-    matched.filter(col("_side") === 1)
-      .select((leftCols ++ payload).map(col): _*)
+    unioned.withColumn("_p", last(col("_p"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(leftCols.map(col) ++
+        payload.map(p => col("_p").getField(p).as(p)): _*)
   }
 
   /** Forward as-of: the EARLIEST right row with `rightTime >= leftTime`
@@ -70,8 +81,9 @@ object AsOfJoin {
       leftTime: String, rightTime: String, payload: Seq[String],
       rightOrder: Seq[Column] = Nil): DataFrame = {
     val leftCols = left.columns.toSeq
-    val rightProj = right.select(
-      (col(key) +: col(rightTime).as("_t") +: payload.map(col)): _*)
+    val rightProj = right.select(col(key) +: col(rightTime).as("_t") +:
+      struct(payload.map(col): _*).as("_p") +:
+      rightOrder.zipWithIndex.map { case (c, i) => c.as(s"_o$i") }: _*)
     val lSide = left
       .withColumn("_t", col(leftTime))
       .withColumn("_side", lit(0))
@@ -79,13 +91,13 @@ object AsOfJoin {
     val unioned = lSide.unionByName(rSide, allowMissingColumns = true)
 
     val w = Window.partitionBy(col(key))
-      .orderBy((col("_t").asc +: col("_side").asc +: rightOrder): _*)
+      .orderBy(col("_t").asc +: col("_side").asc +:
+        rightOrder.indices.map(i => col(s"_o$i").asc): _*)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val matched = payload.foldLeft(unioned) { (df, p) =>
-      df.withColumn(p, first(col(p), ignoreNulls = true).over(w))
-    }
-    matched.filter(col("_side") === 0)
-      .select((leftCols ++ payload).map(col): _*)
+    unioned.withColumn("_p", first(col("_p"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 0)
+      .select(leftCols.map(col) ++
+        payload.map(p => col("_p").getField(p).as(p)): _*)
   }
 
   /** [[asOf]] with bounded staleness: matches older than `tolerance` time

@@ -32,6 +32,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.head.getAs[String]("payload") === "second") // later seq wins
   }
 
+  test("asOf attaches the matched row ATOMICALLY when a payload value is NULL") {
+    // The newest right row at t<=200 carries px=NULL, note="newer". Whole-row
+    // semantics (DuckDB ASOF / merge_asof): BOTH columns must come from that
+    // row — px=NULL, note="newer" — never px from the older row ("torn" row).
+    val left = Seq((1, "u", 200L)).toDF("id", "k", "t")
+    val right = Seq(("u", 100L, Some(9L), "older"), ("u", 150L, None, "newer"))
+      .toDF("k", "rt", "px", "note")
+    val out = AsOfJoin.asOf(left, right, "k", "t", "rt", Seq("px", "note"))
+      .collect()
+    assert(out.length === 1)
+    assert(Option(out(0).getAs[java.lang.Long]("px")) === None)
+    assert(out(0).getAs[String]("note") === "newer")
+    // mirror: forward as-of must take the whole NEAREST following row
+    val fwd = AsOfJoin.asOfForward(
+      Seq((1, "u", 100L)).toDF("id", "k", "t"),
+      Seq(("u", 120L, None: Option[Long], "near"), ("u", 400L, Some(7L), "far"))
+        .toDF("k", "rt", "px", "note"),
+      "k", "t", "rt", Seq("px", "note")).collect()
+    assert(Option(fwd(0).getAs[java.lang.Long]("px")) === None)
+    assert(fwd(0).getAs[String]("note") === "near")
+  }
+
   test("asOfForward attaches the earliest right row at or after each left time") {
     val left = Seq((1, "u", 100L), (2, "u", 151L), (3, "u", 400L))
       .toDF("id", "k", "t")
