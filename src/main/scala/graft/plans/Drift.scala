@@ -1,0 +1,73 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Run-over-run drift detection (SURVEY.md §2.13; reference notebook cell
+  * 17, `ETL_Prueba_Tecnica.ipynb:340-365`): compare the current batch
+  * snapshot against the previous one — per-group volume deltas beyond a
+  * tolerance (the reference flags ±30%) and category-distribution shift.
+  * The batch-over-batch comparator that closes the loop with
+  * [[ControlTable]]: the control table says a batch ran and how many rows
+  * it wrote; Drift says whether the SHAPE of what it wrote moved.
+  *
+  * Scale shape: both inputs aggregate FIRST (map-side partial counts, one
+  * shuffle each on the group key), then the two tiny per-group count
+  * tables full-outer join — never a row-level join of the batches
+  * themselves. Group/category cardinality is assumed small relative to
+  * the batches (that is what makes them categories); the join is
+  * broadcast-able either way at any corpus size.
+  */
+object Drift {
+
+  /** Per-group volume drift: row counts of `cur` vs `prev` grouped by
+    * `keys`, with the relative delta and a verdict. Groups absent from a
+    * side count 0. `delta_ratio` is NULL for NEW groups (no baseline);
+    * verdicts: NEW (no prev rows), GONE (no cur rows), DRIFT (|delta| >
+    * `tolerance`), OK. */
+  def volumeDrift(prev: DataFrame, cur: DataFrame, keys: Seq[String],
+      tolerance: Double = 0.3): DataFrame = {
+    val p = prev.groupBy(keys.map(col): _*).agg(count(lit(1)).as("prev_rows"))
+    val c = cur.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cur_rows"))
+    p.join(c, keys, "full_outer")
+      .select(keys.map(col) ++ Seq(
+        coalesce(col("prev_rows"), lit(0L)).as("prev_rows"),
+        coalesce(col("cur_rows"), lit(0L)).as("cur_rows")): _*)
+      .withColumn("delta_ratio",
+        when(col("prev_rows") > 0,
+          round((col("cur_rows") - col("prev_rows")).cast("double") /
+            col("prev_rows"), 4)))
+      .withColumn("status",
+        when(col("prev_rows") === 0, lit("NEW"))
+          .when(col("cur_rows") === 0, lit("GONE"))
+          .when(abs((col("cur_rows") - col("prev_rows")).cast("double") /
+            col("prev_rows")) > tolerance, lit("DRIFT"))
+          .otherwise(lit("OK")))
+  }
+
+  /** Category-distribution drift: each category's SHARE of its batch in
+    * `prev` vs `cur` and the share delta — volume-independent, so a batch
+    * that doubled uniformly shows zero drift here while a category mix
+    * shift shows up even at constant volume. `drifted` flags |delta| >
+    * `tolerance` (absolute share points). Missing categories take share
+    * 0. */
+  def categoryDrift(prev: DataFrame, cur: DataFrame, category: String,
+      tolerance: Double = 0.05): DataFrame = {
+    def shares(df: DataFrame, outCol: String): DataFrame = {
+      val counts = df.groupBy(col(category)).agg(count(lit(1)).as("n"))
+      // global total via broadcast of a 1-row aggregate — not a global
+      // window (that would force every category row into one partition)
+      counts.crossJoin(broadcast(counts.agg(sum(col("n")).as("_tot"))))
+        .select(col(category), (col("n").cast("double") / col("_tot")).as(outCol))
+    }
+    val raw = shares(prev, "_ps").join(shares(cur, "_cs"), Seq(category), "full_outer")
+      .select(col(category),
+        coalesce(col("_ps"), lit(0.0)).as("_ps"),
+        coalesce(col("_cs"), lit(0.0)).as("_cs"))
+    raw.select(col(category),
+      round(col("_ps"), 4).as("prev_share"),
+      round(col("_cs"), 4).as("cur_share"),
+      round(col("_cs") - col("_ps"), 4).as("share_delta"),
+      (abs(col("_cs") - col("_ps")) > tolerance).as("drifted"))
+  }
+}

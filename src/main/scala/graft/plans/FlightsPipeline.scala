@@ -78,16 +78,10 @@ object FlightsPipeline {
     * invariants (asserted in FlightsParitySpec): part 3 is `Col_1`
     * zero-padded to 8 on 14,989/15,000 rows, and part 4 refines `Col_12`
     * (E→E; I→I-Import/T-Import/I-Mail). */
-  def parseCol14(df: DataFrame): DataFrame = {
-    val parts = split(col("Col_14"), "\\|")
-    // try_element_at, not element_at: under ANSI mode element_at THROWS on
-    // a composite with fewer than 4 parts — one malformed row must route to
-    // NULL (reject-table pattern), not kill the job.
-    df.withColumn("c14_src_id", try_element_at(parts, lit(1)))
-      .withColumn("c14_code", try_element_at(parts, lit(2)))
-      .withColumn("c14_flight_key", try_element_at(parts, lit(3)))
-      .withColumn("c14_op_type", try_element_at(parts, lit(4)))
-  }
+  def parseCol14(df: DataFrame): DataFrame =
+    df.select(df.columns.map(col) ++ graft.functions.Composite.parts(
+      col("Col_14"), "|",
+      Seq("c14_src_id", "c14_code", "c14_flight_key", "c14_op_type")): _*)
 
   /** Excel pivot (`ETL_Prueba_Tecnica.ipynb:229-236`, xlsx
     * `Tabla_Dinamica_Col2`): count(Col_1) + sum(Col_10, errors→0) by airline

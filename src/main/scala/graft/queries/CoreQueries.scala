@@ -220,6 +220,31 @@ object CoreQueries {
           t(s, dir, "lineitem").agg(count(lit(1)).as("cnt"))
             .select(lit("lineitem").as("tabla"), col("cnt")))
         .orderBy(col("tabla")))
+    ,
+
+    // §2.8 Col_14 composite split (seccion3_sql.sql:52): a pipe-packed
+    // record synthesized from orders in the reference's exact layout —
+    // "src_id|code|zero-padded-key|op_type" — with every 73rd row
+    // truncated to 2 parts to exercise the try_element_at NULL routing.
+    // key_ok re-validates part 3 == zfill(part 1, 8) after the round trip
+    // (NULL where the composite was malformed).
+    "q69_composite_split" -> ((s, dir) => {
+      val full = concat_ws("|", col("o_orderkey").cast("string"),
+        col("o_custkey").cast("string"),
+        graft.functions.Composite.zfill(col("o_orderkey").cast("string"), 8),
+        col("o_orderstatus"))
+      val truncated = concat_ws("|", col("o_orderkey").cast("string"),
+        col("o_custkey").cast("string"))
+      val c14 = when(col("o_orderkey") % 73 === 0, truncated).otherwise(full)
+      val fields = graft.functions.Composite.parts(col("c14"), "|",
+        Seq("src_id", "code", "flight_key", "op_type"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), c14.as("c14"))
+        .select(col("o_orderkey") +: fields: _*)
+        .withColumn("key_ok", col("flight_key") ===
+          graft.functions.Composite.zfill(col("src_id"), 8))
+        .orderBy(col("o_orderkey"))
+    })
   )
 
   // ---------------------------------------------------------------------------
@@ -360,6 +385,31 @@ object CoreQueries {
         |  SELECT 'orders' AS tabla, CAST(count(*) AS BIGINT) AS cnt FROM orders
         |  UNION ALL
         |  SELECT 'lineitem' AS tabla, CAST(count(*) AS BIGINT) AS cnt FROM lineitem)
-        |ORDER BY tabla""".stripMargin
+        |ORDER BY tabla""".stripMargin,
+
+    // zfill (pad-without-truncate) is spelled out as a CASE in both
+    // engines; DuckDB list_extract past the end yields NULL, mirroring
+    // Spark try_element_at on the truncated composites.
+    "q69_composite_split" ->
+      """WITH c AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 73 = 0
+        |      THEN o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR
+        |      ELSE o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR || '|' ||
+        |        (CASE WHEN len(o_orderkey::VARCHAR) >= 8
+        |              THEN o_orderkey::VARCHAR
+        |              ELSE lpad(o_orderkey::VARCHAR, 8, '0') END) ||
+        |        '|' || o_orderstatus
+        |    END AS c14
+        |  FROM orders),
+        |p AS (SELECT o_orderkey, string_split(c14, '|') AS parts FROM c)
+        |SELECT o_orderkey,
+        |  parts[1] AS src_id,
+        |  parts[2] AS code,
+        |  parts[3] AS flight_key,
+        |  parts[4] AS op_type,
+        |  parts[3] = (CASE WHEN len(parts[1]) >= 8 THEN parts[1]
+        |              ELSE lpad(parts[1], 8, '0') END) AS key_ok
+        |FROM p ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Quality
 import graft.operators.Skew
+import graft.plans.Drift
 
 /** Wave 3 — the declared quality layer (SURVEY.md §2.13), skew-resilient
   * aggregation (§2.14 scale notes) and the set operations (§2.3 parity-plus).
@@ -61,8 +62,32 @@ object QualityQueries {
     "q60_profile" -> ((s, dir) =>
       Quality.numericProfile(t(s, dir, "lineitem"),
         Seq("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"))
-        .orderBy(col("col_name")))
+        .orderBy(col("col_name"))),
+
+    // Run-over-run volume drift (notebook cell 17: ±30% deltas): the
+    // "previous batch" drops half the F rows and a tenth of the O rows,
+    // so the current batch reads as DRIFT for F (+~100%), OK for O
+    // (+~11%) and OK for P — all three verdict paths on real groups.
+    "q70_volume_drift" -> ((s, dir) =>
+      Drift.volumeDrift(prevBatch(s, dir), t(s, dir, "orders"),
+        keys = Seq("o_orderstatus"), tolerance = 0.3)
+        .orderBy(col("o_orderstatus"))),
+
+    // Category-distribution drift over the same two batches:
+    // volume-independent shares, so the mix shift (F under-represented
+    // in prev) flags while near-constant shares stay quiet.
+    "q71_category_drift" -> ((s, dir) =>
+      Drift.categoryDrift(prevBatch(s, dir), t(s, dir, "orders"),
+        category = "o_orderstatus", tolerance = 0.05)
+        .orderBy(col("o_orderstatus")))
   )
+
+  /** Fixture "previous batch": orders with half of F and a tenth of O
+    * removed — a deterministic mix shift for the drift queries. */
+  private def prevBatch(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(!(col("o_orderstatus") === "F" && col("o_orderkey") % 2 === 0) &&
+        !(col("o_orderstatus") === "O" && col("o_orderkey") % 10 === 0))
 
   val oracles: Map[String, String] = Map(
     "q32_salted_mode" ->
@@ -109,6 +134,47 @@ object QualityQueries {
          |  round(max($c::DOUBLE), 4) AS max_v,
          |  round(avg($c::DOUBLE), 4) AS avg_v
          |FROM lineitem""".stripMargin
-    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+
+    "q70_volume_drift" ->
+      s"""WITH prev AS ($prevBatchSql),
+         |p AS (SELECT o_orderstatus, count(*) AS prev_rows FROM prev GROUP BY 1),
+         |c AS (SELECT o_orderstatus, count(*) AS cur_rows FROM orders GROUP BY 1)
+         |SELECT coalesce(p.o_orderstatus, c.o_orderstatus) AS o_orderstatus,
+         |  CAST(coalesce(prev_rows, 0) AS BIGINT) AS prev_rows,
+         |  CAST(coalesce(cur_rows, 0) AS BIGINT) AS cur_rows,
+         |  CASE WHEN coalesce(prev_rows, 0) > 0
+         |    THEN round((coalesce(cur_rows, 0) - prev_rows)::DOUBLE / prev_rows, 4)
+         |  END AS delta_ratio,
+         |  CASE WHEN coalesce(prev_rows, 0) = 0 THEN 'NEW'
+         |       WHEN coalesce(cur_rows, 0) = 0 THEN 'GONE'
+         |       WHEN abs((coalesce(cur_rows, 0) - prev_rows)::DOUBLE / prev_rows) > 0.3
+         |         THEN 'DRIFT'
+         |       ELSE 'OK' END AS status
+         |FROM p FULL OUTER JOIN c ON p.o_orderstatus = c.o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin,
+
+    "q71_category_drift" ->
+      s"""WITH prev AS ($prevBatchSql),
+         |p AS (SELECT o_orderstatus,
+         |        count(*)::DOUBLE / (SELECT count(*) FROM prev) AS ps
+         |      FROM prev GROUP BY 1),
+         |c AS (SELECT o_orderstatus,
+         |        count(*)::DOUBLE / (SELECT count(*) FROM orders) AS cs
+         |      FROM orders GROUP BY 1)
+         |SELECT coalesce(p.o_orderstatus, c.o_orderstatus) AS o_orderstatus,
+         |  round(coalesce(ps, 0), 4) AS prev_share,
+         |  round(coalesce(cs, 0), 4) AS cur_share,
+         |  round(coalesce(cs, 0) - coalesce(ps, 0), 4) AS share_delta,
+         |  abs(coalesce(cs, 0) - coalesce(ps, 0)) > 0.05 AS drifted
+         |FROM p FULL OUTER JOIN c ON p.o_orderstatus = c.o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin
   )
+
+  // def, not val: interpolated by `oracles` above, which would see a null
+  // from a val declared textually later (object init order)
+  private def prevBatchSql =
+    """SELECT * FROM orders
+      |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 2 = 0)
+      |  AND NOT (o_orderstatus = 'O' AND o_orderkey % 10 = 0)""".stripMargin
 }
