@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Sequence packing for training-data batching: assign each document to a
   * bin so no bin's total weight (token count) exceeds `budget` — the step
@@ -10,44 +11,53 @@ import org.apache.spark.sql.functions._
   * Greedy packing is inherently sequential (each decision depends on the
   * running bin fill), so it cannot be a pure relational plan. The scale
   * shape: shard the corpus by a deterministic hash of the id (shards are
-  * independent → embarrassingly parallel), then run the sequential greedy
-  * INSIDE each shard via `flatMapGroups` — the documented last-resort
-  * imperative escape hatch, used here because the semantics genuinely
-  * need it. Shard count controls the parallelism/packing-quality trade:
-  * more shards = more parallel + marginally more slack in the last bin of
-  * each shard.
+  * independent → embarrassingly parallel), hash-partition by shard and
+  * sort WITHIN partitions by (shard, id) — Spark's external sort, which
+  * spills — then run the sequential greedy as a pure streaming pass over
+  * each partition's iterator. No shard is ever materialized in memory:
+  * the greedy state is three scalars, so a shard larger than executor
+  * memory still packs (the sort spills; the scan streams). Shard count
+  * controls the parallelism/packing-quality trade: more shards = more
+  * parallel + marginally more slack in the last bin of each shard.
   *
-  * Deterministic: shard = md5-based hash (stable across runs/partitions),
-  * in-shard order = id. An over-budget single document gets its own bin
-  * (never dropped, never split — splitting is [[graft.functions.TextAnalysis.chunks]]'s job
+  * Deterministic: shard = md5-based hash of the id's string form (stable
+  * across runs/partitionings), in-shard order = the id's natural order
+  * (its original type — a string id sorts lexicographically). An
+  * over-budget single document gets its own bin (never dropped, never
+  * split — splitting is [[graft.functions.TextAnalysis.chunks]]'s job
   * upstream).
   */
 object Packing {
 
-  /** @return (id, weight, shard, bin) — bin is per-shard, 0-based. */
+  /** @return (id, weight, shard, bin) — bin is per-shard, 0-based; `id`
+    * keeps its original type. A NULL/non-numeric weight fails fast with a
+    * clear message (silently casting would corrupt the packing). */
   def packGreedy(df: DataFrame, idCol: String, weightCol: String,
       budget: Long, shards: Int): DataFrame = {
     require(budget > 0 && shards > 0)
-    val spark = df.sparkSession
-    import spark.implicits._
-    val keyed = df.select(col(idCol).cast("long").as("id"),
+    val keyed = df.select(col(idCol).as("id"),
       col(weightCol).cast("long").as("w"),
       Sampling.hashBucket(col(idCol).cast("string"), shards).as("shard"))
-      .as[(Long, Long, Long)]
-    keyed.groupByKey(_._3)
-      .flatMapGroups { (shard, rows) =>
-        // deterministic in-shard order; shards are sized by the caller so
-        // a shard fits in memory (shards ≈ corpus tokens / executor budget)
-        val sorted = rows.toSeq.sortBy(_._1)
-        var bin = 0L
-        var fill = 0L
-        sorted.iterator.map { case (id, w, _) =>
-          if (fill > 0 && fill + w > budget) { bin += 1; fill = 0 }
-          fill += w
-          (id, w, shard, bin)
-        }
+    val arranged = keyed
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("id"))
+    val outSchema = arranged.schema.add("bin", LongType, nullable = false)
+    arranged.mapPartitions { rows =>
+      var curShard = -1L // hashBucket is in [0, shards), so -1 never collides
+      var bin = 0L
+      var fill = 0L
+      rows.map { r =>
+        if (r.isNullAt(1))
+          throw new IllegalArgumentException(
+            s"packGreedy: weight '$weightCol' is NULL or non-numeric for id ${r.get(0)}")
+        val shard = r.getLong(2)
+        if (shard != curShard) { curShard = shard; bin = 0L; fill = 0L }
+        val w = r.getLong(1)
+        if (fill > 0 && fill + w > budget) { bin += 1; fill = 0L }
+        fill += w
+        Row(r.get(0), w, shard, bin)
       }
-      .toDF("id", "w", "shard", "bin")
+    }(Encoders.row(outSchema))
   }
 
   /** Packing efficiency report: bins, mean fill ratio, over-budget bins

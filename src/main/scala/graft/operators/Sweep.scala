@@ -22,6 +22,13 @@ import org.apache.spark.sql.functions._
   * is exactly what interval-overlap counting needs (ends strictly before
   * the probe vs starts at-or-before). Both are RANGE frames, so rows tied
   * on `t` are peers and the result is deterministic under any tie order.
+  *
+  * Exclusive frames REQUIRE an integral time column: the frame is
+  * `rangeBetween(unboundedPreceding, -1)`, i.e. `t' <= t - 1`, which
+  * equals strict `t' < t` only when `t` has no fractional values — a
+  * double/decimal timestamp would silently drop events in `(t-1, t)`.
+  * [[prefixSums]] enforces this with a `require` (convert fractional
+  * time to ticks — micros/nanos as integers — first).
   */
 object Sweep {
 
@@ -34,6 +41,13 @@ object Sweep {
   def prefixSums(df: DataFrame, t: String, specs: Seq[SumSpec],
       buckets: Int = 64): DataFrame = {
     require(specs.nonEmpty)
+    if (specs.exists(!_.inclusive)) {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val dt = df.schema(t).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"exclusive frames need an integral time column (t'<t is computed as " +
+          s"t'<=t-1); '$t' is $dt — convert to integer ticks first")
+    }
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
     val bounds =
       if (probs.isEmpty) Array.empty[Double]

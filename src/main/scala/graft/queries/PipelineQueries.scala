@@ -23,15 +23,23 @@ object PipelineQueries {
     * one dedup pipeline (tokenize → shingle postings → LSH pairs); a real
     * pipeline materializes each stage once and derives from it, rather
     * than re-tokenizing the corpus per consumer — at 100 TB the postings
-    * pass IS the job. Keyed by (session, sfDir) so a new session (or a
-    * different SF) rebuilds; DataFrames are tiny relative to the corpus
-    * (postings ≪ corpus after distinct; pairs are rare by construction). */
-  private val stages =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+    * pass IS the job. Keyed by (applicationId, sfDir) — sessions cloned
+    * with `newSession()` share the context and so SHOULD share persisted
+    * stages, while a restarted application rebuilds. Entries from any
+    * other applicationId are evicted on access: Spark allows one live
+    * SparkContext per JVM, so a foreign appId can only belong to a
+    * stopped application whose persisted blocks died with it — removing
+    * the map entry releases the last reference to its plan. DataFrames
+    * are tiny relative to the corpus (postings ≪ corpus after distinct;
+    * pairs are rare by construction). */
+  private[graft] val stages =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
   private def stage(s: SparkSession, dir: String, key: String)
-      (build: => DataFrame): DataFrame =
-    stages.getOrElseUpdate(
-      (System.identityHashCode(s), dir, key), build.persist())
+      (build: => DataFrame): DataFrame = {
+    val app = s.sparkContext.applicationId
+    stages.keys.withFilter(_._1 != app).foreach(stages.remove)
+    stages.getOrElseUpdate((app, dir, key), build.persist())
+  }
 
   /** Drop all materialized stages (bench hygiene: the timed pass must pay
     * for its own stage materialization, not read the warmup's cache). */

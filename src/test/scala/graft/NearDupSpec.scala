@@ -142,6 +142,30 @@ class NearDupSpec extends SparkSpec {
     assert(NearDup.exactJaccardPairs(post, 0.5).count() === 0L)
   }
 
+  test("xx64 production winnowing preserves the selection structure") {
+    val para = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val a = s"completely unrelated preamble text here that goes on $para"
+    val b = s"$para followed by a totally different ending about other things"
+    val c = "no shared content in this document at all, nothing to see here friends"
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val xxFps = NearDup.winnowedFingerprints(df, "doc_id", "text",
+      gramHash = NearDup.xx64)
+    // the winnowing GUARANTEE is hash-independent: the copied paragraph
+    // must surface as the only overlap pair under xxhash64 exactly as it
+    // does under md5 (which positions win each window differs; the
+    // detected pair set must not)
+    val pairs = NearDup.overlapPairs(xxFps, minShared = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((1L, 2L)))
+    // selection density is governed by w, not by the hash: per doc, one
+    // fingerprint per window of 8 positions (dedup collapses repeats), so
+    // the xx64 count stays within 2x of md5's
+    val mdCount = NearDup.winnowedFingerprints(df, "doc_id", "text").count()
+    val xxCount = xxFps.count()
+    assert(xxCount <= mdCount * 2 && mdCount <= xxCount * 2,
+      s"md5 picked $mdCount fps, xx64 picked $xxCount")
+  }
+
   test("containmentPairs catches a short doc embedded in a long one") {
     val short = "alpha beta gamma delta epsilon zeta"
     val long0 = s"$short " +

@@ -33,6 +33,25 @@ class PackingSpec extends SparkSpec {
     assert(run(fixture) === run(fixture.repartition(13)))
   }
 
+  test("string ids keep their type and pack in lexicographic in-shard order") {
+    val df = Seq(("b", 60L), ("a", 60L), ("c", 60L)).toDF("doc_id", "n_tok")
+    val packed = Packing.packGreedy(df, "doc_id", "n_tok", 100L, 1)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toMap
+    // order a,b,c at budget 100: each 60-token doc overflows the previous bin
+    assert(packed === Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
+  }
+
+  test("a NULL weight fails fast with a clear message, not silent corruption") {
+    val df = Seq((1L, Option(50L)), (2L, Option.empty[Long])).toDF("doc_id", "n_tok")
+    val ex = intercept[Exception] {
+      Packing.packGreedy(df, "doc_id", "n_tok", 100L, 1).collect()
+    }
+    val chain = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(chain.contains("packGreedy"), s"unhelpful failure: $chain")
+  }
+
   test("an over-budget doc gets its own bin, never dropped") {
     val df = Seq((1L, 50L), (2L, 999L), (3L, 60L)).toDF("doc_id", "n_tok")
     val packed = Packing.packGreedy(df, "doc_id", "n_tok", 100L, 1)

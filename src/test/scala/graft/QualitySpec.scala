@@ -67,11 +67,11 @@ class QualitySpec extends SparkSpec {
   test("categoryDrift surfaces appearing/disappearing categories as 0-share") {
     val prev = Seq("a", "a", "b", "b").toDF("cat")
     val cur = Seq("a", "a", "a", "c").toDF("cat")
-    val got = Quality.categoryDrift(prev, cur, "cat")
+    val got = graft.plans.Drift.categoryDrift(prev, cur, "cat")
       .collect().map(r => r.getString(0) ->
         (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
     assert(got("a") === ((0.5, 0.75, 0.25)))
-    assert(got("b") === ((0.5, 0.0, 0.5)))   // disappeared
+    assert(got("b") === ((0.5, 0.0, -0.5)))  // disappeared
     assert(got("c") === ((0.0, 0.25, 0.25))) // appeared
   }
 
