@@ -63,6 +63,21 @@ object Quality {
   // (graded q71) — the DataFrame-level batch comparator; volumeDelta above
   // stays as the scalar form for counts the pipeline already holds.
 
+  /** Record-level quality score (cell 18 "Scoring de calidad"): weighted
+    * composite of boolean quality flags — completeness / accuracy /
+    * consistency dimensions, each flag pre-computed by the validation
+    * layer — normalized to [0, 1] and rounded to 4. A NULL flag counts as
+    * FAILED: an unverifiable dimension must not raise the score. Pure
+    * expression — scan speed, codegen-friendly, oracle-reproducible as a
+    * CASE sum. Table-level score = avg of record scores (one aggregate). */
+  def weightedScore(flags: Seq[(Column, Double)]): Column = {
+    require(flags.nonEmpty && flags.forall(_._2 > 0), "weights must be positive")
+    val total = flags.map(_._2).sum
+    val earned = flags.map { case (f, w) => when(f, lit(w)).otherwise(lit(0.0)) }
+      .reduce(_ + _)
+    round(earned / total, 4)
+  }
+
   /** One-pass numeric column profile: per column — row count, nulls,
     * exact distinct count, min/max/mean (rounded to 4; mean is the one
     * reduction-order-sensitive value). ONE aggregate job computes every

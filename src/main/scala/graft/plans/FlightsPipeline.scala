@@ -83,6 +83,23 @@ object FlightsPipeline {
       col("Col_14"), "|",
       Seq("c14_src_id", "c14_code", "c14_flight_key", "c14_op_type")): _*)
 
+  /** Cell 18 "Scoring de calidad" realized over the flights validation
+    * flags (the reference declares record/table scoring but never builds
+    * it): accuracy = email F3 (weight 2) + phone F5 (weight 2) + numeric
+    * Col_10 parses (1); completeness = non-blank business key Col_1 (1).
+    * Record score in [0,1]; `avg(q_score)` is the table score. Composes
+    * the already-parity-tested flag expressions — pure scan-speed
+    * projection on top of [[withEmailValidation]]/[[withPhoneValidation]]. */
+  def qualityScore(df: DataFrame): DataFrame = {
+    val flagged = withPhoneValidation(withEmailValidation(df))
+    flagged.withColumn("q_score", graft.functions.Quality.weightedScore(Seq(
+      col("Email_Valido") -> 2.0,
+      (col("Telefono_Estado") =!= "No Apto") -> 2.0,
+      col("Col_10").try_cast("double").isNotNull -> 1.0,
+      (Validation.pyStrip(col("Col_1")).isNotNull &&
+        length(Validation.pyStrip(col("Col_1"))) > 0) -> 1.0)))
+  }
+
   /** Excel pivot (`ETL_Prueba_Tecnica.ipynb:229-236`, xlsx
     * `Tabla_Dinamica_Col2`): count(Col_1) + sum(Col_10, errors→0) by airline
     * with a grand-TOTAL row via rollup. */

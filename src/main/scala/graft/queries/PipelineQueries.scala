@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{TextAnalysis, Validation}
+import graft.functions.{Quality, TextAnalysis, Validation}
 import graft.operators.{Dedup, NearDup, Similarity}
 
 /** Wave 2 — the validation family wired to graded queries (VERDICT.md round-1
@@ -178,6 +178,26 @@ object PipelineQueries {
           Validation.cleanPhone(col("phone"))).as("estado"))
         .groupBy(col("estado")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("estado"))),
+
+    // Cell-18 quality scoring as a graded query: weighted composite of
+    // the validation flags (email accuracy ×2, phone accuracy ×2, name
+    // completeness ×1, balance range consistency ×1) per customer record.
+    "q72_weighted_quality" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      emailFixture(cust).join(phoneFixture(cust), Seq("c_custkey"))
+        .join(cust.select(col("c_custkey"), col("c_name"), col("c_acctbal")),
+          Seq("c_custkey"))
+        .select(col("c_custkey"),
+          Validation.emailValid(col("email")).as("email_ok"),
+          (Validation.classifyPhone(Validation.cleanPhone(col("phone")))
+            =!= "No Apto").as("phone_ok"),
+          (col("c_name").isNotNull && length(col("c_name")) > 0).as("name_ok"),
+          col("c_acctbal").between(0.0, 10000.0).as("bal_ok"))
+        .withColumn("score", Quality.weightedScore(Seq(
+          col("email_ok") -> 2.0, col("phone_ok") -> 2.0,
+          col("name_ok") -> 1.0, col("bal_ok") -> 1.0)))
+        .orderBy(col("c_custkey"))
+    }),
 
     // LLM dedup 1: exact content dedup by digest, keep smallest doc_id.
     "q21_exact_dedup" -> ((s, dir) =>
@@ -420,6 +440,36 @@ object PipelineQueries {
          |       FROM cl)
          |SELECT estado, CAST(count(*) AS BIGINT) AS cnt
          |FROM st GROUP BY estado ORDER BY estado""".stripMargin,
+
+    "q72_weighted_quality" ->
+      s"""WITH e AS ($emailFixtureSql),
+         |p AS ($phoneFixtureSql),
+         |f AS (
+         |  SELECT c.c_custkey,
+         |    regexp_matches(e.email,
+         |      '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$$') AS email_ok,
+         |    (CASE
+         |       WHEN NOT regexp_matches(regexp_replace(p.phone, '[+\\-\\s]', '', 'g'), '^[0-9]+$$')
+         |         THEN 'No Apto'
+         |       WHEN length(regexp_replace(p.phone, '[+\\-\\s]', '', 'g')) = 10
+         |            AND regexp_replace(p.phone, '[+\\-\\s]', '', 'g') LIKE '3%'
+         |         THEN 'Apto - Celular'
+         |       WHEN length(regexp_replace(p.phone, '[+\\-\\s]', '', 'g')) = 10
+         |            AND regexp_replace(p.phone, '[+\\-\\s]', '', 'g') LIKE '601%'
+         |         THEN 'Apto - Fijo'
+         |       ELSE 'No Apto' END) <> 'No Apto' AS phone_ok,
+         |    c.c_name IS NOT NULL AND length(c.c_name) > 0 AS name_ok,
+         |    c.c_acctbal BETWEEN 0.0 AND 10000.0 AS bal_ok
+         |  FROM customer c
+         |  JOIN e ON e.c_custkey = c.c_custkey
+         |  JOIN p ON p.c_custkey = c.c_custkey)
+         |SELECT c_custkey, email_ok, phone_ok, name_ok, bal_ok,
+         |  round(CAST(CASE WHEN email_ok THEN 2.0 ELSE 0.0 END +
+         |             CASE WHEN phone_ok THEN 2.0 ELSE 0.0 END +
+         |             CASE WHEN name_ok THEN 1.0 ELSE 0.0 END +
+         |             CASE WHEN bal_ok THEN 1.0 ELSE 0.0 END AS DOUBLE)
+         |        / 6.0, 4) AS score
+         |FROM f ORDER BY c_custkey""".stripMargin,
 
     "q21_exact_dedup" ->
       """SELECT doc_id, lang, source, n_chars

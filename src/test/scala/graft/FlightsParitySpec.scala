@@ -89,6 +89,28 @@ class FlightsParitySpec extends SparkSpec {
     assert(verdict.getAs[String]("estado") === "OK")
   }
 
+  test("quality score composes the parity-tested flags consistently") {
+    val scored = FlightsPipeline.qualityScore(deduped).cache()
+    try {
+      // scores live in [0,1]
+      assert(scored.filter(col("q_score") < 0 || col("q_score") > 1).count() === 0L)
+      // perfect scores == rows passing ALL four flags, counted independently
+      val allPass = scored.filter(col("Email_Valido") &&
+        col("Telefono_Estado") =!= "No Apto" &&
+        col("Col_10").try_cast("double").isNotNull &&
+        length(graft.functions.Validation.pyStrip(col("Col_1"))) > 0).count()
+      assert(scored.filter(col("q_score") === 1.0).count() === allPass)
+      assert(allPass > 6000L, "fixture sanity: most rows should be clean")
+      // a failed phone alone costs exactly its weight share: 2/6
+      val phoneOnly = scored.filter(col("Email_Valido") &&
+        col("Telefono_Estado") === "No Apto" &&
+        col("Col_10").try_cast("double").isNotNull &&
+        length(graft.functions.Validation.pyStrip(col("Col_1"))) > 0)
+      assert(phoneOnly.filter(col("q_score") =!= 0.6667).count() === 0L)
+      assert(phoneOnly.count() > 0L)
+    } finally { scored.unpersist(); () }
+  }
+
   test("Col_14 composite parses 4 parts with the measured invariants") {
     val parsed = FlightsPipeline.parseCol14(unified).cache()
     try {
