@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AnalyticsQueries, CoreQueries, PipelineQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, PipelineQueries, QualityQueries}
 
 /** Living assertions over the physical plans of representative graded
   * queries — the properties that make them scale (predicate/projection
@@ -13,7 +13,7 @@ class PlanAuditSpec extends SparkSpec {
 
   private def plan(name: String): String = {
     val all = CoreQueries.queries ++ PipelineQueries.queries ++
-      AnalyticsQueries.queries
+      AnalyticsQueries.queries ++ QualityQueries.queries
     all(name)(spark, dir).queryExecution.executedPlan.toString
   }
 
@@ -118,5 +118,37 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q59_containment")
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q61: packing is ONE shard exchange, sorted in-partition, streaming mapPartitions") {
+    val p = plan("q61_token_packing")
+    assert(p.contains("MapPartitions"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
+
+  test("q69: composite split is a pure narrow projection over the scan") {
+    val p = plan("q69_composite_split")
+    assert("Exchange".r.findAllIn(p).size === 1) // output sort only
+    assert(p.contains("rangepartitioning"))
+    assert(!p.contains("Join"))
+  }
+
+  test("q70: drift aggregates each batch BEFORE the full-outer of per-group counts") {
+    val p = plan("q70_volume_drift")
+    assert(p.contains("partial_count"), "map-side combine must precede the shuffle")
+    assert(p.contains("FullOuter"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q71: category shares use a broadcast one-row total, never a global window") {
+    val p = plan("q71_category_drift")
+    assert(p.contains("BroadcastExchange"))
+    assert(!p.contains("Window"), "a global-window total would single-partition")
+  }
+
+  test("q72: quality-score fixture joins broadcast; score is a pure projection") {
+    val p = plan("q72_weighted_quality")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), p)
   }
 }
