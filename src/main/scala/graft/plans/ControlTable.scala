@@ -55,4 +55,24 @@ class ControlTable(spark: SparkSession, path: String) {
       markDone(batchId, rows)
       Some(rows)
     }
+
+  /** Run-over-run volume check straight from the registry (closing the
+    * loop with [[Drift]]: the control table records WHAT ran and how many
+    * rows; this flags a batch whose volume moved beyond `tolerance` vs a
+    * reference batch without re-reading any data). None when either batch
+    * has no OK record. For the SHAPE of the drift — per-group counts,
+    * category mix — run [[Drift.volumeDrift]]/[[Drift.categoryDrift]] on
+    * the batch snapshots themselves. */
+  def volumeCheck(batchId: String, prevBatchId: String,
+      tolerance: Double = 0.3): Option[graft.functions.Quality.VolumeCheck] = {
+    val rows = completed()
+      .filter(col("estado") === "OK" &&
+        col("batch_id").isin(batchId, prevBatchId))
+      .select(col("batch_id"), col("rows_out"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for {
+      prev <- rows.get(prevBatchId)
+      cur <- rows.get(batchId)
+    } yield graft.functions.Quality.volumeDelta(prev, cur, tolerance)
+  }
 }

@@ -31,6 +31,20 @@ class ControlTableSpec extends SparkSpec {
     assert(ctl2.completed().count() === 2L)
   }
 
+  test("volumeCheck flags a registry-recorded volume jump, None when unrecorded") {
+    val path = java.nio.file.Files.createTempDirectory("graft-ctl-vol")
+      .resolve("control").toString
+    val ctl = new ControlTable(spark, path)
+    ctl.runIdempotent("b1") { 1000L }
+    ctl.runIdempotent("b2") { 1200L }   // +20% — within ±30%
+    ctl.runIdempotent("b3") { 2000L }   // +67% vs b2 — drift
+    assert(ctl.volumeCheck("b2", "b1").exists(_.ok))
+    val jump = ctl.volumeCheck("b3", "b2")
+    assert(jump.exists(!_.ok))
+    assert(jump.exists(c => math.abs(c.delta - 2000.0 / 1200 + 1) < 1e-9))
+    assert(ctl.volumeCheck("b3", "never-ran").isEmpty)
+  }
+
   test("a failed body leaves no record — the retry re-runs it") {
     val path = java.nio.file.Files.createTempDirectory("graft-ctl2")
       .resolve("control").toString
