@@ -33,6 +33,17 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** The merge pass stages its bookkeeping in `_t`, `_side`, `_p` and
+    * `_o<i>` columns; a left column with one of those names would be
+    * silently overwritten, so reject it up front. */
+  private def requireNoReserved(left: DataFrame, nOrder: Int): Unit = {
+    val reserved = Set("_t", "_side", "_p") ++ (0 until nOrder).map(i => s"_o$i")
+    val clash = left.columns.filter(reserved)
+    require(clash.isEmpty,
+      s"left column(s) ${clash.mkString(", ")} collide with AsOfJoin internal " +
+        "names (_t, _side, _p, _o<i>); rename them before joining")
+  }
+
   /** @param left       probe side; all its columns survive
     * @param right      build side; only `payload` columns are attached
     * @param key        equi-join key column name (both sides)
@@ -46,6 +57,7 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, payload: Seq[String],
       rightOrder: Seq[Column] = Nil): DataFrame = {
+    requireNoReserved(left, rightOrder.length)
     val leftCols = left.columns.toSeq
     val rightProj = right.select(col(key) +: col(rightTime).as("_t") +:
       struct(payload.map(col): _*).as("_p") +:
@@ -80,6 +92,7 @@ object AsOfJoin {
   def asOfForward(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, payload: Seq[String],
       rightOrder: Seq[Column] = Nil): DataFrame = {
+    requireNoReserved(left, rightOrder.length)
     val leftCols = left.columns.toSeq
     val rightProj = right.select(col(key) +: col(rightTime).as("_t") +:
       struct(payload.map(col): _*).as("_p") +:

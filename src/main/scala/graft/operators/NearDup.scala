@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   *
   * SimHash ([[simhash]]) covers the same need with a single 64-bit
   * fingerprint per document and Hamming-ball search via chunk banding
-  * ([[simhashCandidates]]) — cheaper per document, coarser than MinHash.
+  * ([[simhashCandidateEdges]]) — cheaper per document, coarser than MinHash.
   *
   * No crossJoin anywhere: every pair generation is an equi-join on a bucket
   * key (shingle, LSH band bucket, or SimHash chunk).
@@ -340,8 +340,13 @@ object NearDup {
     *
     * Output contract: (d1 < d2) pairs; same-fp groups appear as
     * rep–member edges, cross-fp candidates as rep–rep edges. Consumers
-    * verify with [[hamming64]] and group with [[connectedComponents]]. */
-  def simhashCandidates(df: DataFrame, idCol: String, fpCol: String,
+    * verify with [[hamming64]] and group with [[connectedComponents]].
+    * Renamed from `simhashCandidates` when the contract changed from
+    * all chunk-sharing pairs to star + rep–rep EDGES — a caller that
+    * hamming-verifies pairs without running [[connectedComponents]] would
+    * silently miss member-level cross-group pairs, so stale callers now
+    * fail at compile time instead. */
+  def simhashCandidateEdges(df: DataFrame, idCol: String, fpCol: String,
       maxFpsPerBucket: Long = Long.MaxValue): DataFrame = {
     val docs = df.select(col(idCol).as("id"), col(fpCol).as("fp"))
     val reps = docs.groupBy(col("fp")).agg(min(col("id")).as("rep"))

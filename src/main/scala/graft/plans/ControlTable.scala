@@ -65,10 +65,13 @@ class ControlTable(spark: SparkSession, path: String) {
     * the batch snapshots themselves. */
   def volumeCheck(batchId: String, prevBatchId: String,
       tolerance: Double = 0.3): Option[graft.functions.Quality.VolumeCheck] = {
+    // Two concurrent runIdempotent racers can both append an OK record for
+    // the same batch; collapse duplicates with max() so the check is
+    // deterministic rather than whichever record .toMap kept last.
     val rows = completed()
       .filter(col("estado") === "OK" &&
         col("batch_id").isin(batchId, prevBatchId))
-      .select(col("batch_id"), col("rows_out"))
+      .groupBy(col("batch_id")).agg(max(col("rows_out")).as("rows_out"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     for {
       prev <- rows.get(prevBatchId)

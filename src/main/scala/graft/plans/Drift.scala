@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Run-over-run drift detection (SURVEY.md §2.13; reference notebook cell
@@ -55,10 +56,14 @@ object Drift {
       tolerance: Double = 0.05): DataFrame = {
     def shares(df: DataFrame, outCol: String): DataFrame = {
       val counts = df.groupBy(col(category)).agg(count(lit(1)).as("n"))
-      // global total via broadcast of a 1-row aggregate — not a global
-      // window (that would force every category row into one partition)
-      counts.crossJoin(broadcast(counts.agg(sum(col("n")).as("_tot"))))
-        .select(col(category), (col("n").cast("double") / col("_tot")).as(outCol))
+      // Global total via an unpartitioned window OVER THE AGGREGATE, not the
+      // rows: the single-partition exchange holds one row per category (tiny
+      // by the assumption above), and the batch is scanned/aggregated exactly
+      // once — a broadcast of counts.agg(...) would reference the unpersisted
+      // counts subplan twice and recompute the aggregation per consumer.
+      counts.select(col(category),
+        (col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy())).as(outCol))
     }
     val raw = shares(prev, "_ps").join(shares(cur, "_cs"), Seq(category), "full_outer")
       .select(col(category),

@@ -76,9 +76,9 @@ class NearDupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
-  test("simhashCandidates finds the exact-dup pairs via chunk banding") {
+  test("simhashCandidateEdges finds the exact-dup pairs via chunk banding") {
     val fp = NearDup.simhash(corpus, "doc_id", "text")
-    val cands = NearDup.simhashCandidates(fp, "id", "fp")
+    val cands = NearDup.simhashCandidateEdges(fp, "id", "fp")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(cands.contains((20L, 50L)) && cands.contains((21L, 51L)))
   }
@@ -87,7 +87,7 @@ class NearDupSpec extends SparkSpec {
     // mass-duplicated boilerplate — every doc has the same SimHash. The
     // clique is 50M pairs; the star contract is 9,999 rep->member edges.
     val fps = (0L until 10000L).map(i => (i, 0x0ABCDEF012345L)).toDF("id", "fp")
-    val cands = NearDup.simhashCandidates(fps, "id", "fp")
+    val cands = NearDup.simhashCandidateEdges(fps, "id", "fp")
     assert(cands.count() === 9999L)
     val sample = cands.limit(100).collect()
     assert(sample.forall(_.getLong(0) === 0L), "every edge must anchor at the min id")
@@ -97,11 +97,11 @@ class NearDupSpec extends SparkSpec {
     // 10k DISTINCT fingerprints that agree on chunks 0-2 (low 48 bits all
     // zero) — uncapped, the three shared buckets each explode ~50M pairs.
     val fps = (0L until 10000L).map(i => (i, i << 48)).toDF("id", "fp")
-    val capped = NearDup.simhashCandidates(fps, "id", "fp", maxFpsPerBucket = 100)
+    val capped = NearDup.simhashCandidateEdges(fps, "id", "fp", maxFpsPerBucket = 100)
     assert(capped.count() === 0L)
     // the cap only drops oversized buckets — small ones still pair up
     val small = (0L until 10L).map(i => (i, i << 48)).toDF("id", "fp")
-    assert(NearDup.simhashCandidates(small, "id", "fp", maxFpsPerBucket = 100)
+    assert(NearDup.simhashCandidateEdges(small, "id", "fp", maxFpsPerBucket = 100)
       .count() === 45L)
   }
 

@@ -140,10 +140,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("q71: category shares use a broadcast one-row total, never a global window") {
+  test("q71: each batch is aggregated exactly once; the share total windows " +
+      "over the tiny per-category aggregate, not the rows") {
     val p = plan("q71_category_drift")
-    assert(p.contains("BroadcastExchange"))
-    assert(!p.contains("Window"), "a global-window total would single-partition")
+    // One scan + one final count aggregate per input batch — the broadcast
+    // formulation referenced the unpersisted counts subplan twice and
+    // re-aggregated each batch per consumer.
+    assert("FileScan parquet".r.findAllIn(p).length == 2, p)
+    assert("HashAggregate".r.findAllIn(p).length == 4, // partial+final × 2
+      "each batch must be aggregated exactly once: " + p)
+    // The single-partition exchanges sit ABOVE the aggregate (≤ one row per
+    // category), never above the row-level scans.
+    assert(p.contains("Exchange SinglePartition"), p)
   }
 
   test("q72: quality-score fixture joins broadcast; score is a pure projection") {
