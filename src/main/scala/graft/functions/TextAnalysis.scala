@@ -104,6 +104,36 @@ object TextAnalysis {
         i => md5(text.substr(i, lit(n)).cast("binary")))))
       .otherwise(md5(text.cast("binary")))
 
+  // --- PII redaction --------------------------------------------------------
+
+  /** Email shape (same class structure as Validation's validity regex) and
+    * long digit runs — both RE2-compatible so the DuckDB oracle replays
+    * them byte-for-byte. */
+  val EmailPiiPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongNumberPattern = "[0-9]{7,}"
+
+  /** Redact PII before a corpus ships to training: emails first (their
+    * local parts may contain digit runs — redacting numbers first would
+    * shred the email match), then any remaining run of ≥7 digits (phones,
+    * account numbers). Pure per-row regexp_replace chain — scan-speed, no
+    * shuffle; Spark's regexp_replace is replace-ALL by default (the DuckDB
+    * mirror needs the 'g' flag). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPiiPattern, "<EMAIL>"),
+      LongNumberPattern, "<NUM>")
+
+  /** How many emails were redacted (counted on the original text). */
+  def piiEmailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailPiiPattern), lit(0))).cast("long")
+
+  /** How many digit runs were redacted — counted AFTER email redaction so
+    * digits inside an email aren't double-counted. */
+  def piiNumberCount(text: Column): Column =
+    size(regexp_extract_all(
+      regexp_replace(text, EmailPiiPattern, "<EMAIL>"),
+      lit(LongNumberPattern), lit(0))).cast("long")
+
   /** Overlapping character chunks for context-window preparation: one row
     * per (doc, chunk) at offsets 0, size-overlap, 2(size-overlap), … while
     * the offset is inside the text (empty/short texts yield one chunk).
@@ -123,5 +153,46 @@ object TextAnalysis {
       .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
         col("off"),
         col("_t").substr((col("off") + 1).cast("int"), lit(size)).as("chunk"))
+  }
+
+  // --- TF-IDF keyword extraction -------------------------------------------
+
+  /** Top-`k` characteristic terms per document by TF-IDF, with a RATIONAL
+    * idf surrogate: score = tf × (N − df + 0.5) / (df + 0.5) — the BM25 idf
+    * argument without the log. The log is monotone, so per-document term
+    * RANKING is identical to BM25-idf's; dropping it keeps every score a
+    * single IEEE multiply-of-a-divide over exactly-representable integers
+    * (+0.5), which both Spark and DuckDB reproduce bit-for-bit — a `ln`
+    * differing in its last ulp between libm implementations could flip a
+    * rank at scoring boundaries and break cross-engine verification.
+    *
+    * Plan shape: the corpus is exploded and aggregated ONCE — tf via
+    * groupBy(doc, term), then df as a window count over the tf table
+    * (one row per distinct (doc, term), so the per-term count IS the
+    * document frequency) — no second tokenization pass and no self-join
+    * of an unpersisted subplan. Then a per-doc window top-k
+    * (WindowGroupLimit prunes before the sort at scale). `n_docs` — the
+    * corpus cardinality for the idf — comes from a broadcast 1-row
+    * columnless count of `docs` (parquet answers it from footer metadata;
+    * at 100 TB it is a metadata pass, not a data pass).
+    */
+  def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col(idCol).as("id"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val n = broadcast(docs.groupBy().agg(count(lit(1)).as("n_docs")))
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .crossJoin(n)
+      .withColumn("score",
+        col("tf") * ((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("id"), col("rnk").cast("long").as("rnk"), col("term"),
+        col("tf"), col("df"), round(col("score"), 4).as("score"))
   }
 }

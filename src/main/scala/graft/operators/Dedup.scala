@@ -64,4 +64,27 @@ object Dedup {
   def exactDedupByDigest(df: DataFrame, digest: Column, idCol: String): DataFrame =
     keepFirst(df.withColumn("__fp", digest), Seq("__fp"), Seq(col(idCol)))
       .drop("__fp")
+
+  /** Cross-batch incremental dedup — the shape every append-only corpus
+    * pipeline runs nightly: keep only the rows of `batch` whose content is
+    * NEW, i.e. absent from the accumulated digest registry of all prior
+    * batches AND not already kept earlier in this batch. Two steps, both
+    * keyed on the digest: within-batch [[exactDedupByDigest]], then a
+    * LEFT ANTI join against the registry's digest column.
+    *
+    * Scale: the registry carries one digest per historical distinct row —
+    * tiny next to the corpus — and the anti join shuffles on the digest
+    * (well-distributed by construction, no key skew); when the registry
+    * fits in memory AQE turns it into a broadcast anti join with zero
+    * batch-side shuffle. The registry for the NEXT run is the union of
+    * `seenDigests` and the survivors' digests — the caller appends it,
+    * keeping the whole history out of the hot path. */
+  def incrementalNew(batch: DataFrame, digest: Column, idCol: String,
+      seenDigests: DataFrame): DataFrame = {
+    val reg = seenDigests.select(col(seenDigests.columns.head).as("__fp")).distinct()
+    exactDedupByDigest(batch, digest, idCol)
+      .withColumn("__fp", digest)
+      .join(reg, Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
 }

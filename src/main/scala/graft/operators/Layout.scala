@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators for scan pruning at scale. Parquet keeps min/max
+  * statistics per row group and per file; a reader's pushed-down predicate
+  * skips any unit whose [min, max] range excludes it. That only pays off if
+  * rows are CLUSTERED so the ranges are narrow — and when queries filter on
+  * TWO dimensions, sorting by (a, b) clusters a perfectly and b not at all.
+  * The Morton (Z-order) value interleaves the bits of both keys, so sorting
+  * by it keeps rows close in a AND close in b at once: a filter on either
+  * dimension (or both) prunes most files. This is the layout trick behind
+  * Delta/Iceberg `OPTIMIZE ZORDER BY`, built here from plain expressions.
+  *
+  * Scale notes: [[zValue]] is a pure per-row projection of shifts/masks/ors
+  * — whole-stage-codegen'd, no shuffle, no UDF. [[clusteredWrite]] adds the
+  * one range-partitioning shuffle any global clustering needs (sampled range
+  * boundaries, AQE-friendly), then sorts within partitions — files then own
+  * pairwise-disjoint z-ranges, which is exactly the property file skipping
+  * needs. Nothing here reads data on the driver.
+  */
+object Layout {
+
+  /** Morton/Z-value of two dimension columns: the low `bits` bits of `a`
+    * and `b` interleaved (a on even positions, b on odd), as a long in
+    * [0, 4^bits). Inputs must already be non-negative bucket ordinals
+    * smaller than 2^bits — map raw values onto a grid first (e.g.
+    * `pmod(hash(...), 2^bits)`, a date ordinal, or a range-bucket id);
+    * values beyond the grid silently alias (only layout quality suffers,
+    * never correctness, since pruning reads real min/max stats). `bits`
+    * ≤ 31 so the result fits a long with room. */
+  def zValue(a: Column, b: Column, bits: Int): Column = {
+    require(bits > 0 && bits <= 31, "need 0 < bits <= 31")
+    val terms = (0 until bits).flatMap { i =>
+      Seq(
+        shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i),
+        shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+    terms.reduce(_ bitwiseOR _).cast("long")
+  }
+
+  /** Write `df` clustered by `clusterExpr` (typically a [[zValue]]):
+    * range-repartition into `numFiles` partitions, sort each partition,
+    * write one parquet file per partition. Every file covers a disjoint
+    * range of the cluster key, so a pushed-down predicate on it (or on a
+    * dimension correlated with it — the z-value's point) skips whole files
+    * via footer stats. The cluster column is materialized as `zorderCol` so
+    * readers can filter on it directly. */
+  def clusteredWrite(df: DataFrame, clusterExpr: Column, zorderCol: String,
+      path: String, numFiles: Int): Unit =
+    df.withColumn(zorderCol, clusterExpr)
+      .repartitionByRange(numFiles, col(zorderCol))
+      .sortWithinPartitions(col(zorderCol))
+      .write.mode("overwrite").parquet(path)
+}

@@ -79,4 +79,29 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(got === Set(1L, 3L, 6L))
   }
+
+  test("incrementalNew keeps only within-batch survivors with unseen content") {
+    import sqlImplicits._
+    val batch = Seq(
+      (1L, "seen before"),   // in registry → dropped
+      (2L, "fresh"),         // new → kept
+      (3L, "fresh"),         // within-batch dup of 2 → dropped
+      (4L, "also new"),      // new → kept
+      (5L, "seen before")    // registry dup → dropped
+    ).toDF("id", "text")
+    val seen = Seq("seen before", "ancient").toDF("t")
+      .select(md5(col("t").cast("binary")).as("digest"))
+    val got = Dedup.incrementalNew(batch, md5(col("text").cast("binary")),
+      "id", seen).collect().map(_.getLong(0)).toSet
+    assert(got === Set(2L, 4L))
+  }
+
+  test("incrementalNew with an empty registry is plain exact dedup") {
+    import sqlImplicits._
+    val batch = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "text")
+    val empty = Seq.empty[String].toDF("digest")
+    val got = Dedup.incrementalNew(batch, md5(col("text").cast("binary")),
+      "id", empty).collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 3L))
+  }
 }

@@ -105,4 +105,30 @@ class QualitySpec extends SparkSpec {
     assert(salted === plain)
     assert(plain.nonEmpty && !plain.exists(_._1 == "absent"))
   }
+
+  test("approxDistinctCheck: HLL verdict true on real data, exact counts exact") {
+    val li = Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
+    val got = Quality.approxDistinctCheck(li, Seq("l_returnflag"), "l_partkey")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet === exact.keySet)
+    exact.foreach { case (k, d) =>
+      assert(got(k)._1 === d, s"exact count for $k")
+      assert(got(k)._2, s"HLL verdict for $k")
+    }
+  }
+
+  test("approxDistinctCheck: a zero bound fails unless the estimate is exact") {
+    import sqlImplicits._
+    // 10k distinct values: HLL at rsd=0.05 will not be spot-on, so the
+    // impossible bound must yield false — the verdict is a real comparison,
+    // not a constant
+    val d = (1 to 10000).map(i => ("g", i)).toDF("g", "v")
+    val row = Quality.approxDistinctCheck(d, Seq("g"), "v",
+      rsd = 0.05, bound = 0.0).head()
+    assert(row.getLong(1) === 10000L)
+    assert(!row.getBoolean(2))
+  }
 }

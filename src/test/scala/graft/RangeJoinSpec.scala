@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.RangeJoin
+
+/** The bucketed point-in-interval join must equal the naive inequality
+  * join on every fixture — boundaries, bucket-straddling intervals,
+  * empty/inverted intervals, negative times — while planning as an
+  * equi-join (no nested loop over the full sides). */
+class RangeJoinSpec extends SparkSpec {
+
+  private def fixture = {
+    import sqlImplicits._
+    val pts = Seq(-100L, -1L, 0L, 1L, 59L, 60L, 61L, 119L, 120L, 500L, 999L)
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("p_id", "t")
+    val ivs = Seq(
+      (1L, 0L, 60L),     // exactly one bucket
+      (2L, 30L, 90L),    // straddles a bucket boundary
+      (3L, -100L, 5L),   // negative start
+      (4L, 100L, 100L),  // empty (e == s) — matches nothing
+      (5L, 200L, 100L),  // inverted — matches nothing
+      (6L, 0L, 1000L)    // spans many buckets
+    ).toDF("iv_id", "s", "e")
+    (pts, ivs)
+  }
+
+  private def naive = {
+    val (pts, ivs) = fixture
+    pts.crossJoin(ivs).filter(col("t") >= col("s") && col("t") < col("e"))
+      .select(col("p_id"), col("iv_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("bucketed join equals the naive inequality join at several widths") {
+    val (pts, ivs) = fixture
+    val expected = naive
+    for (w <- Seq(1L, 7L, 60L, 64L, 1024L)) {
+      val got = RangeJoin.pointInInterval(pts, "t", ivs, "s", "e", bucketWidth = w)
+        .select(col("p_id"), col("iv_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expected, s"width=$w")
+    }
+  }
+
+  test("start is inclusive, end is exclusive") {
+    val (pts, ivs) = fixture
+    val got = RangeJoin.pointInInterval(pts, "t", ivs.filter(col("iv_id") === 1),
+      "s", "e", bucketWidth = 60L)
+      .select(col("t")).collect().map(_.getLong(0)).toSet
+    assert(got.contains(0L) && got.contains(59L) && !got.contains(60L))
+  }
+
+  test("each candidate pair arises exactly once (no post-join dedup needed)") {
+    val (pts, ivs) = fixture
+    val dup = RangeJoin.pointInInterval(pts, "t", ivs, "s", "e", bucketWidth = 13L)
+      .groupBy(col("p_id"), col("iv_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).count()
+    assert(dup === 0L)
+  }
+
+  test("plans as an equi-join on the bucket — no nested loop / cartesian") {
+    val (pts, ivs) = fixture
+    val plan = RangeJoin.pointInInterval(pts, "t", ivs, "s", "e", bucketWidth = 60L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // small fixture broadcasts, large sides hash-shuffle: either way the
+    // join node must be keyed (a BroadcastNestedLoopJoin would mean the
+    // bucket key was lost)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("reserved internal column name is rejected") {
+    import sqlImplicits._
+    val bad = Seq((1L, 2L)).toDF("t", "__bucket")
+    val (_, ivs) = fixture
+    assertThrows[IllegalArgumentException] {
+      RangeJoin.pointInInterval(bad, "t", ivs, "s", "e", bucketWidth = 60L)
+    }
+  }
+}

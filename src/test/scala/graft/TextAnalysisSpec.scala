@@ -95,4 +95,45 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one.length === 2)
     assert(one.map(_.getAs[String]("chunk")).toSet === Set("", "short"))
   }
+
+  test("redactPii scrubs emails before digit runs and counts each kind") {
+    import sqlImplicits._
+    val rows = Seq(
+      (1L, "mail me at jo.h9_n+x@sub.example.org or call 3001234567"),
+      (2L, "short num 123456 stays, 1234567 goes"),
+      (3L, "no pii here"),
+      (4L, "two mails a@b.co c@d.org and 99999999")
+    ).toDF("id", "text")
+    val got = rows.select(col("id"),
+      TextAnalysis.redactPii(col("text")).as("red"),
+      TextAnalysis.piiEmailCount(col("text")).as("ne"),
+      TextAnalysis.piiNumberCount(col("text")).as("nn"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === (("mail me at <EMAIL> or call <NUM>", 1L, 1L)))
+    assert(got(2L) === (("short num 123456 stays, <NUM> goes", 0L, 1L)))
+    assert(got(3L) === (("no pii here", 0L, 0L)))
+    assert(got(4L) === (("two mails <EMAIL> <EMAIL> and <NUM>", 2L, 1L)))
+    // digits inside an email local part are NOT double-counted as numbers:
+    // doc 1 has exactly one number redaction (the phone), not two
+  }
+
+  test("tfidfTopTerms ranks a doc's distinctive term above the corpus-wide one") {
+    import sqlImplicits._
+    val docs = Seq(
+      (1L, "common common rare"),
+      (2L, "common common common"),
+      (3L, "common unique unique unique")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+    // doc 1: 'rare' df=1 beats 'common' df=3 despite lower tf
+    assert(got((1L, 1L))._1 === "rare")
+    assert(got((1L, 2L))._1 === "common")
+    // doc 3: 'unique' tf=3 df=1 dominates
+    assert(got((3L, 1L)) === (("unique", 3L, 1L)))
+    // doc 2 has only one distinct term → exactly one row
+    assert(!got.contains((2L, 2L)))
+  }
 }
