@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AnalyticsQueries, CoreQueries, PipelineQueries, QualityQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, PipelineQueries, QualityQueries, ScaleQueries}
 
 /** Living assertions over the physical plans of representative graded
   * queries — the properties that make them scale (predicate/projection
@@ -13,7 +13,7 @@ class PlanAuditSpec extends SparkSpec {
 
   private def plan(name: String): String = {
     val all = CoreQueries.queries ++ PipelineQueries.queries ++
-      AnalyticsQueries.queries ++ QualityQueries.queries
+      AnalyticsQueries.queries ++ QualityQueries.queries ++ ScaleQueries.queries
     all(name)(spark, dir).queryExecution.executedPlan.toString
   }
 
@@ -158,5 +158,36 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q72_weighted_quality")
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q73: registry anti join broadcasts the digest side") {
+    val p = plan("q73_incremental_dedup")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q74: range join is a keyed join after the bucket explode — never a nested loop") {
+    val p = plan("q74_range_join")
+    assert(p.contains("Generate explode"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q75: tf-idf scans the corpus once for terms plus one metadata-only count") {
+    val p = plan("q75_tfidf_terms")
+    // the n_docs count scan reads ZERO columns (parquet footer metadata)
+    assert(p.contains("FileScan parquet []"), p)
+    // exactly two scans total: the tokenizing scan + the columnless count
+    assert("FileScan parquet".r.findAllIn(p).size === 2, p)
+    // top-k per doc prunes before the final sort
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q79: z-value is a pure narrow projection — only the output sort exchanges") {
+    val p = plan("q79_zorder_value")
+    assert("Exchange".r.findAllIn(p).size === 1, p)
+    assert(p.contains("rangepartitioning"), p)
+    assert(!p.contains("hashpartitioning"), p)
   }
 }
