@@ -89,6 +89,32 @@ object TextAnalysis {
       typeTokenRatio(toks) * 0.5, 4)
   }
 
+  /** Word n-grams of a token array as a per-row array (space-joined), empty
+    * when the doc has fewer than `n` tokens. Row-local (array HOF, no
+    * explode/shuffle) — the building block for repetition signals where the
+    * corpus-wide shingle-postings shape of NearDup would be overkill. */
+  def wordGrams(toks: Column, n: Int): Column = {
+    require(n >= 1, "n must be >= 1")
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => get(toks, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Gopher-style repetition signal: the fraction of word `n`-grams that
+    * are duplicates of an earlier one in the same document —
+    * (total − distinct) / total, 0 for docs too short to have any.
+    * Boilerplate, keyword stuffing and looping generations all push this
+    * up while length/TTR can stay plausible. Per-row only (no shuffle);
+    * the raw (unrounded) fraction is returned so thresholds compare
+    * exactly — round for display. */
+  def dupGramFraction(text: Column, n: Int = 3): Column = {
+    val grams = wordGrams(tokens(lower(text)), n)
+    when(size(grams) <= 0, lit(0.0))
+      .otherwise((size(grams) - size(array_distinct(grams))).cast("double") /
+        size(grams))
+  }
+
   // --- fingerprinting -------------------------------------------------------
 
   /** Rolling-hash document fingerprint: the minimum md5 over all character

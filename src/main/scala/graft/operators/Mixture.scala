@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Source-mixture resampling — the "domain weights" step of training-data
+  * assembly: given a target share per category (language, source, domain),
+  * downsample every category deterministically so the output matches the
+  * target mixture as closely as downsampling-only allows.
+  *
+  * The output size is maximal: M = min over targeted categories of
+  * n_cat / t_cat, and each category keeps p_cat = t_cat × M / n_cat of its
+  * rows (the binding category keeps 100%). Membership is the same
+  * md5-of-key bucket as [[Sampling]] — a pure function of the row key, so
+  * the resample is stable across runs, engines, partitionings and appends,
+  * and (given the same key universe) a SUPERSET-consistent shrink: raising
+  * a category's target only adds rows, never swaps them.
+  *
+  * Scale shape: two passes over the corpus — an aggregate-first stats pass
+  * producing ONE tiny row per category (map-side partial counts, one
+  * shuffle), and the filter pass where those per-category probabilities
+  * broadcast-join back onto the rows (no corpus shuffle). The global
+  * scale M is a single-partition window over the per-category aggregate —
+  * a handful of rows, never the corpus (same shape as Drift.categoryDrift).
+  * Rows whose category has no target are dropped (a mixture that omits a
+  * category means zero share).
+  */
+object Mixture {
+
+  private val Two60 = 1152921504606846976.0 // 2^60 as an exact double
+
+  /** @param df          corpus
+    * @param categoryCol category column name (string-typed)
+    * @param key         stable row identity for the deterministic bucket
+    * @param targets     target share per category value; must be positive
+    *                    (omit a category to drop it entirely)
+    */
+  def resampleToMixture(df: DataFrame, categoryCol: String, key: Column,
+      targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0),
+      "targets must be non-empty with positive shares")
+    val reserved = Set("__t", "__n", "__m", "__p")
+    val clash = df.columns.filter(reserved)
+    require(clash.isEmpty, s"column(s) ${clash.mkString(", ")} collide with " +
+      "Mixture internals; rename before resampling")
+
+    // target share as a column; NULL for untargeted categories → dropped
+    val t = targets.foldLeft(lit(null).cast("double")) {
+      case (acc, (k, v)) => when(col(categoryCol) === k, lit(v)).otherwise(acc)
+    }
+    val counts = df.withColumn("__t", t).filter(col("__t").isNotNull)
+      .groupBy(col(categoryCol), col("__t")).agg(count(lit(1)).as("__n"))
+    // the max output size M and the keep probabilities, derived from the
+    // single aggregated stats table (window over a handful of rows)
+    val probs = counts
+      .withColumn("__m", min(col("__n").cast("double") / col("__t"))
+        .over(Window.partitionBy()))
+      .select(col(categoryCol),
+        ((col("__t") * col("__m")) / col("__n").cast("double")).as("__p"))
+    df.join(broadcast(probs), Seq(categoryCol))
+      .filter(NearDup.md5Hash60(key).cast("double") < col("__p") * lit(Two60))
+      .drop("__p")
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{Quality, TextAnalysis}
-import graft.operators.{Dedup, Layout, RangeJoin, Sampling}
+import graft.operators.{Dedup, Layout, Mixture, RangeJoin, Sampling}
 
 /** Wave 4 — the scale-layer operators graded round 6: cross-batch
   * incremental dedup, the bucketed range join, TF-IDF keyword extraction,
@@ -126,7 +126,33 @@ object ScaleQueries {
         .select(col("o_orderkey"),
           Layout.zValue(pmod(col("o_custkey"), lit(256L)),
             pmod(col("o_orderkey"), lit(256L)), bits = 8).as("z"))
-        .orderBy(col("o_orderkey")))
+        .orderBy(col("o_orderkey"))),
+
+    // Domain-mixture resampling: downsample per language to a 40/20/20/20
+    // en/es/fr/de mixture (zh has no target → dropped; the binding
+    // category keeps 100%). Membership is the md5 bucket — row-level
+    // reproducible cross-engine, not just the achieved counts.
+    "q80_mixture_resample" -> ((s, dir) =>
+      Mixture.resampleToMixture(t(s, dir, "documents"), "lang",
+        col("doc_id").cast("string"),
+        Map("en" -> 0.4, "es" -> 0.2, "fr" -> 0.2, "de" -> 0.2))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))),
+
+    // Repetition quality signal: fraction of duplicate word 3-grams per
+    // doc (threshold 0.125 is binary-exact so the flag compares the same
+    // double in both engines).
+    "q81_repetition" -> ((s, dir) => {
+      val fr = TextAnalysis.dupGramFraction(col("text"), n = 3)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextAnalysis.wordGrams(
+            TextAnalysis.tokens(lower(col("text"))), 3)).cast("long")
+            .as("n_grams"),
+          round(fr, 4).as("dup_frac"),
+          (fr > lit(0.125)).as("repetitive"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   /** q79 oracle: the same 8-bit interleave as explicit shift/mask terms. */
@@ -213,6 +239,48 @@ object ScaleQueries {
         |                     WHEN 'P' THEN 50 ELSE 0 END
         |ORDER BY o_orderkey""".stripMargin,
 
-    "q79_zorder_value" -> zorderSql
+    "q79_zorder_value" -> zorderSql,
+
+    // Association mirrors Mixture exactly: ratio = n::DOUBLE / t,
+    // m = min(ratio), p = (t * m) / n::DOUBLE, keep when
+    // md5_60::DOUBLE < p * 2^60 — every target share cast to DOUBLE up
+    // front (DuckDB numeric literals are DECIMAL; decimal division would
+    // round differently from Spark's doubles).
+    "q80_mixture_resample" ->
+      """WITH tgt AS (
+        |  SELECT lang, t::DOUBLE AS t FROM (VALUES
+        |    ('en', 0.4), ('es', 0.2), ('fr', 0.2), ('de', 0.2)) AS v(lang, t)),
+        |c AS (
+        |  SELECT d.lang, t, count(*) AS n
+        |  FROM documents d JOIN tgt USING (lang) GROUP BY d.lang, t),
+        |p AS (
+        |  SELECT lang, (t * (SELECT min(n::DOUBLE / t) FROM c)) / n::DOUBLE AS p
+        |  FROM c)
+        |SELECT doc_id, d.lang, source
+        |FROM documents d JOIN p USING (lang)
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT::DOUBLE
+        |      < p * 1152921504606846976.0
+        |ORDER BY doc_id""".stripMargin,
+
+    "q81_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 3
+        |      THEN list_transform(range(len(w)-2),
+        |             i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+        |      ELSE []::VARCHAR[] END AS grams
+        |  FROM t),
+        |f AS (
+        |  SELECT doc_id, len(grams) AS n_grams,
+        |    CASE WHEN len(grams) = 0 THEN 0.0::DOUBLE
+        |         ELSE (len(grams) - len(list_distinct(grams)))::DOUBLE
+        |              / len(grams) END AS fr
+        |  FROM g)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        |       round(fr, 4) AS dup_frac, fr > 0.125::DOUBLE AS repetitive
+        |FROM f ORDER BY doc_id""".stripMargin
   )
 }

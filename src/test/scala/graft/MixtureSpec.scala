@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Mixture
+
+/** Mixture resampling: maximal output under downsampling-only, binding
+  * category kept whole, untargeted categories dropped, membership stable
+  * under repartitioning. */
+class MixtureSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+  private val targets = Map("en" -> 0.4, "es" -> 0.2, "fr" -> 0.2, "de" -> 0.2)
+
+  private def docs = Tables.load(spark, dir, "documents")
+
+  test("binding category keeps every row; untargeted category is dropped") {
+    val in = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val binding = targets.minBy { case (k, t) => in(k) / t }._1
+    val out = Mixture.resampleToMixture(docs, "lang",
+      col("doc_id").cast("string"), targets)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out(binding) === in(binding), s"binding=$binding must keep 100%")
+    assert(!out.contains("zh"), "untargeted category must be dropped")
+  }
+
+  test("achieved shares track the target mixture") {
+    val out = Mixture.resampleToMixture(docs, "lang",
+      col("doc_id").cast("string"), targets)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = out.values.sum.toDouble
+    targets.foreach { case (k, t) =>
+      val share = out.getOrElse(k, 0L) / total
+      // hash-bucket sampling is binomial around p; ±6 share points is a
+      // generous bound at 500 docs while still catching a wrong formula
+      assert(math.abs(share - t) < 0.06, f"$k share=$share%.3f target=$t")
+    }
+  }
+
+  test("membership is invariant under repartitioning") {
+    val a = Mixture.resampleToMixture(docs, "lang",
+      col("doc_id").cast("string"), targets)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val b = Mixture.resampleToMixture(docs.repartition(7, col("source")), "lang",
+      col("doc_id").cast("string"), targets)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(a === b)
+  }
+
+  test("invalid targets and reserved columns are rejected") {
+    assertThrows[IllegalArgumentException] {
+      Mixture.resampleToMixture(docs, "lang", col("doc_id"), Map.empty)
+    }
+    assertThrows[IllegalArgumentException] {
+      Mixture.resampleToMixture(docs, "lang", col("doc_id"), Map("en" -> 0.0))
+    }
+    assertThrows[IllegalArgumentException] {
+      Mixture.resampleToMixture(docs.withColumn("__p", lit(1)), "lang",
+        col("doc_id"), Map("en" -> 1.0))
+    }
+  }
+}

@@ -118,6 +118,25 @@ class TextAnalysisSpec extends SparkSpec {
     // doc 1 has exactly one number redaction (the phone), not two
   }
 
+  test("dupGramFraction measures duplicate word 3-grams, 0 for short docs") {
+    import sqlImplicits._
+    val rows = Seq(
+      (1L, "a b c a b c a b"),   // 6 grams, 3 distinct → 0.5
+      (2L, "all words differ here now"), // 3 grams, all distinct → 0.0
+      (3L, "too short"),          // < 3 tokens → no grams → 0.0
+      (4L, "x x x x x")           // 3 grams, 1 distinct → 2/3
+    ).toDF("id", "text")
+    val got = rows.select(col("id"),
+      round(TextAnalysis.dupGramFraction(col("text")), 4).as("f"),
+      size(TextAnalysis.wordGrams(
+        TextAnalysis.tokens(lower(col("text"))), 3)).as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getInt(2)))).toMap
+    assert(got(1L) === ((0.5, 6)))
+    assert(got(2L) === ((0.0, 3)))
+    assert(got(3L) === ((0.0, 0)))
+    assert(got(4L) === ((0.6667, 3)))
+  }
+
   test("tfidfTopTerms ranks a doc's distinctive term above the corpus-wide one") {
     import sqlImplicits._
     val docs = Seq(
