@@ -190,4 +190,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("rangepartitioning"), p)
     assert(!p.contains("hashpartitioning"), p)
   }
+
+  test("q80: mixture probabilities broadcast back onto the corpus — no corpus shuffle") {
+    val p = plan("q80_mixture_resample")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the stats pass aggregates partial-then-final; the single-partition
+    // exchange only ever carries the per-category aggregate
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("q81: repetition signal is row-local — only the output sort exchanges") {
+    val p = plan("q81_repetition")
+    assert("Exchange".r.findAllIn(p).size === 1, p)
+    assert(p.contains("rangepartitioning"), p)
+  }
 }
