@@ -115,6 +115,33 @@ object TextAnalysis {
         size(grams))
   }
 
+  /** Character-diversity (Gini–Simpson) signal per document:
+    * 1 − Σ (n_c / N)² over character counts — low values mean a few
+    * characters dominate (padding runs, ASCII-art, degenerate
+    * generations), complementary to the token-level [[dupGramFraction]].
+    *
+    * Numerically it is computed as (N² − Σ n_c²) / N²: the numerator is
+    * EXACT integer arithmetic (order-free, shuffle-safe), so the single
+    * final division is the only float op and both engines produce the
+    * identical double. Explode → two doc-keyed aggregations with map-side
+    * partials — codegen all the way, no HOF fallback in the hot path.
+    * Empty texts produce no row (no characters to measure). */
+  def charDiversity(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val ch = df.filter(length(col(textCol)) > 0)
+      .select(col(idCol),
+        explode(transform(sequence(lit(1), length(col(textCol))),
+          i => col(textCol).substr(i, lit(1)))).as("c"))
+    ch.groupBy(col(idCol), col("c")).agg(count(lit(1)).as("n"))
+      .groupBy(col(idCol))
+      .agg(sum(col("n") * col("n")).as("sumsq"), sum(col("n")).as("len"))
+      .select(col(idCol),
+        col("len").cast("long").as("n_chars_counted"),
+        col("sumsq").cast("long").as("sumsq"),
+        round((col("len") * col("len") - col("sumsq")).cast("double") /
+          (col("len") * col("len")), 4).as("char_diversity"))
+  }
+
   // --- fingerprinting -------------------------------------------------------
 
   /** Rolling-hash document fingerprint: the minimum md5 over all character

@@ -162,6 +162,33 @@ object NearDup {
       .select(col("id"), col("g"))
   }
 
+  /** Benchmark decontamination — the eval-set hygiene pass every
+    * pretraining corpus needs: corpus documents sharing at least
+    * `minShared` distinct word `k`-grams with ANY benchmark document,
+    * with the shared-gram and benchmark-doc counts for triage.
+    *
+    * Scale shape: the benchmark side is an eval set — small by nature —
+    * so its distinct (bench doc, gram) pairs BROADCAST; the corpus side
+    * is one codegen'd scan through the same lead-window shingle shape as
+    * [[shinglePostings]], and only matching rows (rare by construction)
+    * reach the per-doc aggregation shuffle. The corpus is never
+    * shuffled wholesale and never self-joined. */
+  def contaminationReport(corpus: DataFrame, corpusId: String,
+      corpusText: String, benchmark: DataFrame, benchId: String,
+      benchText: String, k: Int, minShared: Long = 1L): DataFrame = {
+    val cg = shingleRows(corpus, corpusId, corpusText, k)
+    val bg = broadcast(benchmark
+      .select(col(benchId).as("bid"),
+        explode(wordShingles(col(benchText), k)).as("g"))
+      .distinct())
+    cg.join(bg, Seq("g"))
+      .groupBy(col("id"))
+      .agg(countDistinct(col("g")).as("shared_grams"),
+        countDistinct(col("bid")).as("bench_docs"))
+      .filter(col("shared_grams") >= minShared)
+      .select(col("id").as("doc_id"), col("shared_grams"), col("bench_docs"))
+  }
+
   /** (id, sig: array<long>) — MinHash signatures of the shingle sets.
     * One xxhash64 per (doc, shingle); numHashes `min` aggregates reduce to
     * the signature with map-side partial aggregation. */

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{Quality, TextAnalysis}
-import graft.operators.{Dedup, Layout, Mixture, RangeJoin, Sampling}
+import graft.operators.{Dedup, Layout, Mixture, NearDup, RangeJoin, Sampling}
 
 /** Wave 4 — the scale-layer operators graded round 6: cross-batch
   * incremental dedup, the bucketed range join, TF-IDF keyword extraction,
@@ -152,7 +152,26 @@ object ScaleQueries {
           round(fr, 4).as("dup_frac"),
           (fr > lit(0.125)).as("repetitive"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // Eval-set decontamination: every ~97th doc plays the benchmark;
+    // corpus docs sharing any distinct word 4-gram with one are flagged
+    // with shared-gram / benchmark-doc counts. (Real pipelines use
+    // 8–13-grams; k=4 gives this small synthetic corpus the same
+    // sparse-hit shape.)
+    "q82_decontamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      NearDup.contaminationReport(
+        docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", k = 4)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Character-diversity (Gini–Simpson) signal: exact-integer numerator,
+    // one final division — bit-identical cross-engine.
+    "q83_char_diversity" -> ((s, dir) =>
+      TextAnalysis.charDiversity(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id")))
   )
 
   /** q79 oracle: the same 8-bit interleave as explicit shift/mask terms. */
@@ -281,6 +300,39 @@ object ScaleQueries {
         |  FROM g)
         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
         |       round(fr, 4) AS dup_frac, fr > 0.125::DOUBLE AS repetitive
-        |FROM f ORDER BY doc_id""".stripMargin
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q82_decontamination" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(w) >= 4
+        |    THEN list_distinct(list_transform(range(len(w)-3),
+        |           i -> array_to_string(w[i+1:i+4], ' ')))
+        |    ELSE [array_to_string(w, ' ')] END) AS g
+        |  FROM docs),
+        |bench AS (SELECT doc_id AS bid, g FROM g WHERE doc_id % 97 = 0),
+        |corp AS (SELECT doc_id, g FROM g WHERE doc_id % 97 <> 0)
+        |SELECT corp.doc_id,
+        |       CAST(count(DISTINCT corp.g) AS BIGINT) AS shared_grams,
+        |       CAST(count(DISTINCT bid) AS BIGINT) AS bench_docs
+        |FROM corp JOIN bench USING (g)
+        |GROUP BY corp.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q83_char_diversity" ->
+      """WITH ch AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(length(text)),
+        |           i -> substr(text, (i+1)::INTEGER, 1))) AS c
+        |  FROM documents WHERE length(text) > 0),
+        |cc AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c),
+        |s AS (SELECT doc_id, sum(n*n) AS sumsq, sum(n) AS len
+        |      FROM cc GROUP BY doc_id)
+        |SELECT doc_id, CAST(len AS BIGINT) AS n_chars_counted,
+        |       CAST(sumsq AS BIGINT) AS sumsq,
+        |       round((len*len - sumsq)::DOUBLE / (len*len), 4)
+        |         AS char_diversity
+        |FROM s ORDER BY doc_id""".stripMargin
   )
 }

@@ -180,4 +180,26 @@ class NearDupSpec extends SparkSpec {
     val jac = NearDup.exactJaccardPairs(post, 0.5).count()
     assert(jac === 0L)
   }
+
+  test("contaminationReport flags corpus docs sharing k-grams with the benchmark") {
+    val leak = "the quick brown fox jumps over the lazy dog"
+    val corpus = Seq(
+      (10L, s"intro words then $leak and a tail"),   // contains the phrase
+      (11L, "completely different content with no overlap at all"),
+      (12L, s"$leak $leak")                           // repeats it — same distinct grams
+    ).toDF("doc_id", "text")
+    val bench = Seq((1L, leak), (2L, "unrelated benchmark prompt text here"))
+      .toDF("doc_id", "text")
+    val got = NearDup.contaminationReport(corpus, "doc_id", "text",
+      bench, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // the 9-token phrase has 6 distinct 4-grams; both carriers hit only
+    // benchmark doc 1, and repetition does not inflate the DISTINCT count
+    assert(got.keySet === Set(10L, 12L))
+    assert(got(10L) === ((6L, 1L)))
+    assert(got(12L) === ((6L, 1L)))
+    // minShared above the overlap suppresses the report
+    assert(NearDup.contaminationReport(corpus, "doc_id", "text",
+      bench, "doc_id", "text", k = 4, minShared = 7L).count() === 0L)
+  }
 }

@@ -137,6 +137,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(4L) === ((0.6667, 3)))
   }
 
+  test("charDiversity: exact Gini–Simpson from integer counts") {
+    import sqlImplicits._
+    val rows = Seq(
+      (1L, "aaaa"),  // one char → 0.0
+      (2L, "abab"),  // two chars evenly → 1 - 8/16 = 0.5
+      (3L, "abcd"),  // all distinct → 1 - 4/16 = 0.75
+      (4L, "")       // empty → no row
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.charDiversity(rows, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((4L, 16L, 0.0)))
+    assert(got(2L) === ((4L, 8L, 0.5)))
+    assert(got(3L) === ((4L, 4L, 0.75)))
+    assert(!got.contains(4L))
+  }
+
   test("tfidfTopTerms ranks a doc's distinctive term above the corpus-wide one") {
     import sqlImplicits._
     val docs = Seq(
