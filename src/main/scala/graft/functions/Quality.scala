@@ -126,6 +126,26 @@ object Quality {
           lit(bound) * col("exact_distinct"))
       .drop("__est")
 
+  /** Winsorization: clip `valueCol` to its per-group [lo, hi] exact
+    * percentiles — the outlier treatment that keeps every row (unlike a
+    * filter) while bounding the tails. Two-phase scale shape: ONE
+    * aggregate computes both bounds per group (exact `percentile`; at
+    * 100 TB swap in `percentile_approx` — same plan), the tiny bounds
+    * table broadcasts back, and the clip is a pure projection. Bounds are
+    * rounded to 4 decimals BEFORE clipping so the clip decisions (pure
+    * comparisons — no new float arithmetic) are engine-reproducible. */
+  def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, "need 0 <= lo < hi <= 1")
+    val bounds = df.groupBy(groupCols.map(col): _*)
+      .agg(round(percentile(col(valueCol), lit(lo)), 4).as("__plo"),
+        round(percentile(col(valueCol), lit(hi)), 4).as("__phi"))
+    df.join(broadcast(bounds), groupCols)
+      .withColumn(s"${valueCol}_w",
+        least(greatest(col(valueCol), col("__plo")), col("__phi")))
+      .drop("__plo", "__phi")
+  }
+
   /** Numeric-column checksum row for stage-boundary reconciliation (the
     * reference's "checksums on numeric cols"): count + sum + xor-hash of
     * the key, comparable across pipeline stages. */

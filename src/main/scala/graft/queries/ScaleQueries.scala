@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{Quality, TextAnalysis}
-import graft.operators.{Dedup, Layout, Mixture, NearDup, RangeJoin, Sampling}
+import graft.operators.{Dedup, GapFill, Layout, Mixture, NearDup, RangeJoin, Sampling}
 
 /** Wave 4 — the scale-layer operators graded round 6: cross-batch
   * incremental dedup, the bucketed range join, TF-IDF keyword extraction,
@@ -171,7 +171,31 @@ object ScaleQueries {
     // one final division — bit-identical cross-engine.
     "q83_char_diversity" -> ((s, dir) =>
       TextAnalysis.charDiversity(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // LOCF gap fill: every 5th event's value is knocked out, then carried
+    // forward per user. The fill copies an observed double verbatim — no
+    // float arithmetic — so outputs are bit-identical cross-engine.
+    "q84_locf_fill" -> ((s, dir) => {
+      val holes = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), evMicros().as("t"),
+          when(col("event_id") % 5 === 0, lit(null).cast("double"))
+            .otherwise(col("value")).as("v"))
+      GapFill.locf(holes, keys = Seq("user_id"),
+        order = Seq(col("t"), col("event_id")), cols = Seq("v"))
+        .withColumnRenamed("v", "v_filled")
+        .orderBy(col("event_id"))
+    }),
+
+    // Winsorized prices: per-status exact [p05, p95] bounds (rounded to 4
+    // in both engines BEFORE clipping — the clip is then pure comparison),
+    // broadcast back onto the rows.
+    "q85_winsorize" -> ((s, dir) =>
+      Quality.winsorize(t(s, dir, "orders"), Seq("o_orderstatus"),
+        "o_totalprice", lo = 0.05, hi = 0.95)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          round(col("o_totalprice_w"), 2).as("price_w"))
+        .orderBy(col("o_orderkey")))
   )
 
   /** q79 oracle: the same 8-bit interleave as explicit shift/mask terms. */
@@ -333,6 +357,28 @@ object ScaleQueries {
         |       CAST(sumsq AS BIGINT) AS sumsq,
         |       round((len*len - sumsq)::DOUBLE / (len*len), 4)
         |         AS char_diversity
-        |FROM s ORDER BY doc_id""".stripMargin
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q84_locf_fill" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS t,
+        |         CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+        |  FROM events)
+        |SELECT event_id, user_id, t,
+        |  last_value(v IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY t, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        |FROM e ORDER BY event_id""".stripMargin,
+
+    "q85_winsorize" ->
+      """WITH b AS (
+        |  SELECT o_orderstatus,
+        |         round(quantile_cont(o_totalprice, 0.05), 4) AS plo,
+        |         round(quantile_cont(o_totalprice, 0.95), 4) AS phi
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT o_orderkey, o.o_orderstatus, o_totalprice,
+        |       round(least(greatest(o_totalprice, plo), phi), 2) AS price_w
+        |FROM orders o JOIN b ON b.o_orderstatus = o.o_orderstatus
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -106,6 +106,25 @@ class QualitySpec extends SparkSpec {
     assert(plain.nonEmpty && !plain.exists(_._1 == "absent"))
   }
 
+  test("winsorize clips to per-group percentile bounds and keeps every row") {
+    val o = Tables.load(spark, "/root/testdata/sf0.01", "orders")
+    val w = Quality.winsorize(o, Seq("o_orderstatus"), "o_totalprice")
+    assert(w.count() === o.count(), "winsorize must keep every row")
+    // clipped values sit inside the bounds, and interior rows are untouched
+    val per = w.groupBy(col("o_orderstatus"))
+      .agg(min(col("o_totalprice_w")).as("mn"), max(col("o_totalprice_w")).as("mx"),
+        min(col("o_totalprice")).as("omn"), max(col("o_totalprice")).as("omx"),
+        count(when(col("o_totalprice_w") === col("o_totalprice"), 1)).as("same"),
+        count(lit(1)).as("n"))
+      .collect()
+    per.foreach { r =>
+      assert(r.getDouble(1) > r.getDouble(3) && r.getDouble(2) < r.getDouble(4),
+        s"tails must actually be clipped for ${r.getString(0)}")
+      val frac = r.getLong(5).toDouble / r.getLong(6)
+      assert(frac > 0.85 && frac < 0.95, s"~90% interior expected, got $frac")
+    }
+  }
+
   test("approxDistinctCheck: HLL verdict true on real data, exact counts exact") {
     val li = Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
     val got = Quality.approxDistinctCheck(li, Seq("l_returnflag"), "l_partkey")
