@@ -91,6 +91,8 @@ object GraftFunctions {
       DotProduct(children(0), children(1))
     })
 
-  def install(ext: SparkSessionExtensions): Unit =
+  def install(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(dotProduct)
+    ext.injectFunction(CosineSimFunction.entry)
+  }
 }

@@ -44,7 +44,18 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Fused one-pass cosine (native `graft_cosine`,
+    * graft.expressions.CosineSim): bit-identical to
+    * `dot(a,b) / (norm(a) * norm(b))` — same sequential sums, same final
+    * operation tree — but ONE array traversal instead of three, which is
+    * the hot-path cost of a broadcast similarity scan. */
+  def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+
+  /** The composed three-pass form of [[cosine]] — same bits; kept for
+    * sessions without the graft extensions installed and as the
+    * equivalence-spec baseline. */
+  def cosineComposed(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 

@@ -54,4 +54,33 @@ class ScaleIoSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
     }
   }
+
+  test("ORC round-trip preserves rows and pushes filters into the scan") {
+    val out = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val orders = Tables.load(spark, dir, "orders")
+    orders.write.mode("overwrite").orc(out)
+    val rd = spark.read.orc(out).filter(col("o_totalprice") > 1000.0)
+      .select("o_orderkey", "o_totalprice")
+    val plan = rd.queryExecution.executedPlan.toString
+    assert(plan.contains("FileScan orc"), plan)
+    assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), " +
+      "GreaterThan(o_totalprice,1000.0)]"), plan)
+    // projection pruned to the two selected columns
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"), plan)
+    assert(rd.count() === orders.filter(col("o_totalprice") > 1000.0).count())
+  }
+
+  test("JSON-lines round-trip preserves rows and values") {
+    val out = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    val orders = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    orders.write.mode("overwrite").json(out)
+    // explicit schema on read: no inference pass over 100 TB, and types
+    // come back exact instead of best-guess
+    val rd = spark.read.schema(orders.schema).json(out)
+    assert(rd.count() === orders.count())
+    val a = orders.orderBy("o_orderkey").collect()
+    val b = rd.orderBy("o_orderkey").collect()
+    assert(a.sameElements(b))
+  }
 }
