@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sketch structures built from plain relational operators — count-min
+  * frequency estimation and Bloom membership — complementing the builtin
+  * HLL/KLL aggregates (`approx_count_distinct`, `percentile_approx`,
+  * contract-checked in SketchSpec and q77).
+  *
+  * Why relational sketches: the sketch STATE lives in DataFrames
+  * ((row, bucket) counts / set bit positions), so it is mergeable across
+  * batches with a `groupBy`+`sum`/`distinct` union — the property that
+  * matters on an append-only corpus — and persists as ordinary parquet.
+  * Hashes are the md5-60bit bridge, so every estimate is deterministic
+  * and cross-engine reproducible (graded with exact row-level oracles,
+  * not tolerance checks — a luxury HLL internals can't offer).
+  *
+  * Scale: building either sketch is one explode (×depth/×numHashes) plus
+  * one aggregation keyed by (row, bucket)/(bit) — map-side combinable,
+  * output size bounded by the sketch geometry (depth×width / numBits),
+  * independent of input cardinality. Probing joins the TINY sketch table
+  * (broadcast) — the corpus is never rescanned.
+  */
+object Sketches {
+
+  private def bucketOf(seed: Int, key: Column, width: Long): Column =
+    pmod(NearDup.md5Hash60(concat_ws("|", lit(seed.toString), key)),
+      lit(width))
+
+  /** Count-min sketch state: (d, bucket, cnt) — `depth` independent hash
+    * rows of `width` buckets, each holding the count of keys landing in
+    * it. Merge two batches' states by unioning and summing cnt. */
+  def countMin(df: DataFrame, key: Column, depth: Int, width: Long): DataFrame = {
+    require(depth > 0 && width > 0, "need positive depth and width")
+    df.select(explode(array((0 until depth).map { d =>
+        struct(lit(d).as("d"), bucketOf(d, key, width).as("bucket"))
+      }: _*)).as("h"))
+      .groupBy(col("h.d").as("d"), col("h.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates for `probes` against a [[countMin]] state:
+    * min over the depth rows of the probed bucket's count. Never
+    * undercounts (collisions only ADD); the overcount is bounded by
+    * (input size / width) per row w.h.p. All probe columns survive. */
+  def countMinEstimate(cms: DataFrame, probes: DataFrame, key: Column,
+      depth: Int, width: Long): DataFrame = {
+    val keyed = probes.withColumn("__h", explode(array((0 until depth).map { d =>
+      struct(lit(d).as("d"), bucketOf(d, key, width).as("bucket"))
+    }: _*)))
+      .select(probes.columns.map(col) :+ col("__h.d").as("d") :+
+        col("__h.bucket").as("bucket"): _*)
+    keyed.join(broadcast(cms), Seq("d", "bucket"), "left")
+      .groupBy(probes.columns.map(col): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+  }
+
+  /** Bloom filter state: the distinct set bit positions of `numBits`
+    * slots under `numHashes` hash functions. Merge batches by union +
+    * distinct. */
+  def bloomBits(df: DataFrame, key: Column, numBits: Long,
+      numHashes: Int): DataFrame = {
+    require(numBits > 0 && numHashes > 0, "need positive bits and hashes")
+    df.select(explode(array((0 until numHashes).map(
+        bucketOf(_, key, numBits)): _*)).as("bit"))
+      .distinct()
+  }
+
+  /** Membership verdicts for `probes` against a [[bloomBits]] state:
+    * `bloom_maybe` is true iff ALL the probe's bits are set — guaranteed
+    * true for every key the filter was built from (no false negatives);
+    * false positives occur at the geometry's rate. */
+  def bloomMaybeContains(bits: DataFrame, probes: DataFrame, key: Column,
+      numBits: Long, numHashes: Int): DataFrame = {
+    val keyed = probes.withColumn("__bit", explode(array(
+      (0 until numHashes).map(bucketOf(_, key, numBits)): _*)))
+    keyed.join(broadcast(bits.withColumn("__set", lit(true))),
+        keyed("__bit") === bits("bit"), "left")
+      .groupBy(probes.columns.map(col): _*)
+      .agg(min(coalesce(col("__set"), lit(false))).as("bloom_maybe"))
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{Quality, TextAnalysis}
-import graft.operators.{Dedup, GapFill, Layout, Mixture, NearDup, RangeJoin, Sampling}
+import graft.operators.{Dedup, GapFill, Layout, Mixture, NearDup, RangeJoin, Sampling, Sketches}
 
 /** Wave 4 — the scale-layer operators graded round 6: cross-batch
   * incremental dedup, the bucketed range join, TF-IDF keyword extraction,
@@ -195,7 +195,39 @@ object ScaleQueries {
         "o_totalprice", lo = 0.05, hi = 0.95)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
           round(col("o_totalprice_w"), 2).as("price_w"))
-        .orderBy(col("o_orderkey")))
+        .orderBy(col("o_orderkey"))),
+
+    // Count-min frequency estimates for the top-20 suppliers: md5-bridge
+    // hashes make the whole sketch deterministic, so the oracle checks the
+    // exact estimates row-for-row — and the no-undercount invariant.
+    "q86_countmin" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val key = col("l_suppkey").cast("string")
+      val cms = Sketches.countMin(li, key, depth = 4, width = 256L)
+      val top = li.groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(desc("exact_cnt"), col("l_suppkey")).limit(20)
+      Sketches.countMinEstimate(cms, top, col("l_suppkey").cast("string"),
+        depth = 4, width = 256L)
+        .select(col("l_suppkey"), col("exact_cnt"), col("cms_est"),
+          (col("cms_est") >= col("exact_cnt")).as("no_undercount"))
+        .orderBy(col("l_suppkey"))
+    }),
+
+    // Bloom membership: filter built over even order keys, probed with
+    // keys 1..200 — no false negatives by construction, false positives
+    // at the geometry's rate; every verdict is cross-engine exact.
+    "q87_bloom" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val bits = Sketches.bloomBits(o.filter(col("o_orderkey") % 2 === 0),
+        col("o_orderkey").cast("string"), numBits = 4096L, numHashes = 3)
+      val probes = o.filter(col("o_orderkey") <= 200)
+        .select(col("o_orderkey"), (col("o_orderkey") % 2 === 0).as("present"))
+      Sketches.bloomMaybeContains(bits, probes,
+        col("o_orderkey").cast("string"), numBits = 4096L, numHashes = 3)
+        .withColumn("sound", !col("present") || col("bloom_maybe"))
+        .orderBy(col("o_orderkey"))
+    })
   )
 
   /** q79 oracle: the same 8-bit interleave as explicit shift/mask terms. */
@@ -379,6 +411,50 @@ object ScaleQueries {
         |SELECT o_orderkey, o.o_orderstatus, o_totalprice,
         |       round(least(greatest(o_totalprice, plo), phi), 2) AS price_w
         |FROM orders o JOIN b ON b.o_orderstatus = o.o_orderstatus
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q86_countmin" ->
+      """WITH h AS (
+        |  SELECT r.d,
+        |    ('0x' || substr(md5(r.d::VARCHAR || '|' || l_suppkey::VARCHAR), 1, 15))::BIGINT % 256 AS bucket
+        |  FROM lineitem, range(0, 4) AS r(d)),
+        |cms AS (SELECT d, bucket, count(*) AS cnt FROM h GROUP BY d, bucket),
+        |top AS (
+        |  SELECT l_suppkey, count(*) AS exact_cnt FROM lineitem
+        |  GROUP BY l_suppkey ORDER BY exact_cnt DESC, l_suppkey LIMIT 20),
+        |ph AS (
+        |  SELECT t.l_suppkey, exact_cnt, r.d,
+        |    ('0x' || substr(md5(r.d::VARCHAR || '|' || t.l_suppkey::VARCHAR), 1, 15))::BIGINT % 256 AS bucket
+        |  FROM top t, range(0, 4) AS r(d)),
+        |est AS (
+        |  SELECT ph.l_suppkey, exact_cnt, min(coalesce(cnt, 0)) AS est
+        |  FROM ph LEFT JOIN cms USING (d, bucket)
+        |  GROUP BY ph.l_suppkey, exact_cnt)
+        |SELECT l_suppkey, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+        |       CAST(est AS BIGINT) AS cms_est,
+        |       est >= exact_cnt AS no_undercount
+        |FROM est ORDER BY l_suppkey""".stripMargin,
+
+    "q87_bloom" ->
+      """WITH bits AS (
+        |  SELECT DISTINCT
+        |    ('0x' || substr(md5(r.i::VARCHAR || '|' || o_orderkey::VARCHAR), 1, 15))::BIGINT % 4096 AS bit
+        |  FROM orders, range(0, 3) AS r(i)
+        |  WHERE o_orderkey % 2 = 0),
+        |probes AS (
+        |  SELECT o_orderkey, o_orderkey % 2 = 0 AS present
+        |  FROM orders WHERE o_orderkey <= 200),
+        |ph AS (
+        |  SELECT p.o_orderkey, present,
+        |    ('0x' || substr(md5(r.i::VARCHAR || '|' || p.o_orderkey::VARCHAR), 1, 15))::BIGINT % 4096 AS bit
+        |  FROM probes p, range(0, 3) AS r(i)),
+        |v AS (
+        |  SELECT ph.o_orderkey, present,
+        |         bool_and(bits.bit IS NOT NULL) AS bloom_maybe
+        |  FROM ph LEFT JOIN bits USING (bit)
+        |  GROUP BY ph.o_orderkey, present)
+        |SELECT o_orderkey, present, bloom_maybe,
+        |       (NOT present) OR bloom_maybe AS sound
+        |FROM v ORDER BY o_orderkey""".stripMargin
   )
 }
