@@ -17,7 +17,8 @@ object ExplainDump {
       "q61_token_packing", "q69_composite_split", "q70_volume_drift",
       "q71_category_drift", "q72_weighted_quality",
       "q73_incremental_dedup", "q74_range_join", "q75_tfidf_terms",
-      "q76_pii_redaction", "q79_zorder_value", "q80_mixture_resample")
+      "q76_pii_redaction", "q79_zorder_value", "q80_mixture_resample",
+      "q82_decontamination", "q83_char_diversity", "q86_countmin", "q87_bloom")
     val sb = new StringBuilder
     sb.append("# EXPLAIN — headline query plans (formatted, sf0.001, regenerate with `sbt \"runMain graft.ExplainDump\"`)\n")
     sb.append("\nWhat to look for: `PushedFilters`/`ReadSchema` on every scan, broadcast\njoins where one side is small, partial aggregation before each hash\nexchange, `WindowGroupLimit` ahead of top-k windows, and no\n`CartesianProduct` anywhere.\n")

@@ -87,4 +87,55 @@ object Dedup {
       .join(reg, Seq("__fp"), "left_anti")
       .drop("__fp")
   }
+
+  /** Splits documents into fixed-width word "lines" for [[dedupCorpusLines]]:
+    * one output row per `wordsPerLine`-word chunk, `(id, pos, line, n_tot)`
+    * with `pos` the 0-based chunk index and `n_tot` the doc's total chunk
+    * count (carried on every row so the dedup pass never rescans the input).
+    * Real web corpora would split on '\n' instead — same downstream contract.
+    * Empty documents produce no rows. */
+  def toWordLines(df: DataFrame, idCol: String, textCol: String,
+      wordsPerLine: Int): DataFrame = {
+    require(wordsPerLine > 0, "wordsPerLine must be positive")
+    val words = split(col(textCol), " ")
+    val lastIdx = floor((size(words).cast("double") - 1d) / wordsPerLine)
+    df.filter(length(col(textCol)) > 0)
+      .select(col(idCol), (lastIdx + 1L).as("n_tot"),
+        posexplode(transform(sequence(lit(0L), lastIdx), i =>
+          array_join(slice(words, (i * wordsPerLine + 1).cast("int"),
+            lit(wordsPerLine)), " "))))
+      .withColumnRenamed("col", "line")
+  }
+
+  /** C4-style line-level corpus dedup — the boilerplate-removal pass of a
+    * web-scale training-data pipeline: across the WHOLE corpus each distinct
+    * line survives only at its first occurrence (smallest `(id, pos)`), then
+    * documents are reassembled from their surviving lines in original order.
+    * Repeated footers/navigation/licence blocks collapse to one sighting;
+    * documents that lose every line drop out entirely.
+    *
+    * Scale: the first-occurrence table is a map-side-combinable
+    * `min(struct(id, pos))` aggregate per line (hot boilerplate lines reduce
+    * within each task before the exchange — no single reducer sees all
+    * copies), and the keep decision is a LEFT SEMI join on the full
+    * `(line, id, pos)` triple, whose keys are unique on BOTH sides — so no
+    * skew, unlike a `row_number() OVER (PARTITION BY line)` window that
+    * funnels every copy of a hot line through one partition. The `lines`
+    * plan is evaluated twice (once per side); at 100 TB persist it — it is
+    * a narrow map over the scan. Reassembly groups by doc id, bounded by
+    * document size. */
+  def dedupCorpusLines(lines: DataFrame, idCol: String): DataFrame = {
+    val firsts = lines
+      .groupBy(col("line"))
+      .agg(min(struct(col(idCol), col("pos"))).as("__f"))
+      .select(col("line"), col(s"__f.$idCol").as(idCol), col("__f.pos").as("pos"))
+    lines.join(firsts, Seq("line", idCol, "pos"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"), max(col("n_tot")).as("__n_tot"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")), "\n").as("text_clean"))
+      .select(col(idCol), col("n_kept"),
+        (col("__n_tot") - col("n_kept")).as("n_dropped"), col("text_clean"))
+  }
 }

@@ -227,6 +227,22 @@ object ScaleQueries {
         col("o_orderkey").cast("string"), numBits = 4096L, numHashes = 3)
         .withColumn("sound", !col("present") || col("bloom_maybe"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // C4-style line-level corpus dedup over a planted-boilerplate fixture:
+    // every doc gains the 5-word header "terms of use from <source>", so
+    // each source group's header collapses to its first sighting while the
+    // organic word-soup lines survive. Docs are reassembled from surviving
+    // lines in original order.
+    "q88_line_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val fixture = docs.select(col("doc_id"),
+        concat(lit("terms of use from "), col("source"), lit(" "),
+          col("text")).as("text"))
+      Dedup.dedupCorpusLines(
+          Dedup.toWordLines(fixture, "doc_id", "text", wordsPerLine = 5),
+          "doc_id")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -455,6 +471,24 @@ object ScaleQueries {
         |  GROUP BY ph.o_orderkey, present)
         |SELECT o_orderkey, present, bloom_maybe,
         |       (NOT present) OR bloom_maybe AS sound
-        |FROM v ORDER BY o_orderkey""".stripMargin
+        |FROM v ORDER BY o_orderkey""".stripMargin,
+
+    "q88_line_dedup" ->
+      """WITH f AS (
+        |  SELECT doc_id, 'terms of use from ' || source || ' ' || text AS text
+        |  FROM documents WHERE length(text) > 0),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM f),
+        |l AS (
+        |  SELECT doc_id, r.i AS pos,
+        |         array_to_string(list_slice(ws, r.i*5 + 1, r.i*5 + 5), ' ') AS line,
+        |         CAST(ceil(len(ws) / 5.0) AS BIGINT) AS n_tot
+        |  FROM w JOIN range(0, 64) r(i) ON r.i*5 < len(ws)),
+        |k AS (SELECT * FROM (
+        |        SELECT l.*, row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        |        FROM l) WHERE rn = 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |       CAST(max(n_tot) - count(*) AS BIGINT) AS n_dropped,
+        |       string_agg(line, chr(10) ORDER BY pos) AS text_clean
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }
