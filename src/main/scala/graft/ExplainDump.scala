@@ -18,7 +18,10 @@ object ExplainDump {
       "q71_category_drift", "q72_weighted_quality",
       "q73_incremental_dedup", "q74_range_join", "q75_tfidf_terms",
       "q76_pii_redaction", "q79_zorder_value", "q80_mixture_resample",
-      "q82_decontamination", "q83_char_diversity", "q86_countmin", "q87_bloom")
+      "q82_decontamination", "q83_char_diversity", "q86_countmin", "q87_bloom",
+      "q89_funnel", "q90_cohort_retention", "q92_interval_overlap",
+      "q93_source_cap", "q94_semdedup", "q96_corpus_report",
+      "q97_gopher_rules", "q99_token_budget", "q100_collocations")
     val sb = new StringBuilder
     sb.append("# EXPLAIN — headline query plans (formatted, sf0.001, regenerate with `sbt \"runMain graft.ExplainDump\"`)\n")
     sb.append("\nWhat to look for: `PushedFilters`/`ReadSchema` on every scan, broadcast\njoins where one side is small, partial aggregation before each hash\nexchange, `WindowGroupLimit` ahead of top-k windows, and no\n`CartesianProduct` anywhere.\n")

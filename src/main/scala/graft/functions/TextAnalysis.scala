@@ -31,6 +31,12 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit(BpePattern), lit(0))).cast("long")
 
+  /** Symbol characters (not alphanumeric, not whitespace) — the numerator
+    * of Gopher-style symbol-to-word ratio rules. Counted on the lowercased
+    * text so the class list matches the tokenizer's. */
+  def symbolCount(text: Column): Column =
+    length(regexp_replace(lower(text), "[a-z0-9\\s]", "")).cast("long")
+
   // --- language ID (n-gram/stopword heuristic) ------------------------------
 
   /** Tiny per-language stopword inventories. A real pipeline would use

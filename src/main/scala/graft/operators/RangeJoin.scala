@@ -72,4 +72,41 @@ object RangeJoin {
       .filter(col(pointTime) >= s && col(pointTime) < e)
       .drop("__bucket")
   }
+
+  /** Interval×interval overlap join: every (left, right) pair whose
+    * half-open ranges `[ls, le) × [rs, re)` intersect. Same bucket-quantize
+    * design as [[pointInInterval]] — both sides explode to the buckets they
+    * cover and hash-join on the bucket — plus the standard emit-once rule:
+    * a surviving pair is kept only in the bucket containing
+    * `max(ls, rs)` (the first bucket where both intervals are live), so no
+    * post-join `distinct` pass is needed even though a long overlap spans
+    * many shared buckets.
+    *
+    * Replication factor per side = ceil(length / bucketWidth) + 1; pick the
+    * width near the typical interval length (correctness never depends on
+    * it). All columns of both inputs survive; names must not collide
+    * (project/rename first). Empty intervals (end <= start) match nothing.
+    */
+  def intervalOverlap(left: DataFrame, ls: String, le: String,
+      right: DataFrame, rs: String, re: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val reserved = Set("__bucket")
+    val clash = (left.columns ++ right.columns).filter(reserved)
+    require(clash.isEmpty, s"column(s) ${clash.mkString(", ")} collide with " +
+      "RangeJoin internals (__bucket); rename before joining")
+
+    def cover(df: DataFrame, s: Column, e: Column): DataFrame = df
+      .filter(e > s)
+      .withColumn("__bucket",
+        explode(sequence(bucketStart(s, bucketWidth),
+          bucketStart(e - 1, bucketWidth), lit(bucketWidth))))
+    val lB = cover(left, col(ls), col(le))
+    val rB = cover(right, col(rs), col(re))
+    lB.join(rB, Seq("__bucket"))
+      .filter(col(ls) < col(re) && col(rs) < col(le))
+      .filter(col("__bucket") ===
+        bucketStart(greatest(col(ls), col(rs)), bucketWidth))
+      .drop("__bucket")
+  }
 }

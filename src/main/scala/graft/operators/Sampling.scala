@@ -29,6 +29,31 @@ object Sampling {
       buckets: Int = 100): DataFrame =
     df.filter(hashBucket(key, buckets) < keep)
 
+  /** Per-group cap — "at most k documents per domain", the standard
+    * anti-boilerplate guard of web-corpus assembly (a handful of giant
+    * domains otherwise dominate the mixture). Rows are ranked inside each
+    * group by `order` (pass a hash of the row key first, e.g.
+    * `NearDup.md5Hash60(key)`, to make the kept subset a deterministic
+    * RANDOM-looking sample rather than an ingestion-order prefix — stable
+    * across runs, engines and partitionings) and rows ranked past `k` are
+    * dropped. The kept rank survives as `cap_rank`.
+    *
+    * Scale shape: one shuffle keyed by the group, and Spark plans the
+    * rank-filter as `WindowGroupLimit` — each partition keeps only k rows
+    * per group BEFORE the exchange, so shuffled bytes are O(groups × k),
+    * not O(rows). No global sort, no collect.
+    */
+  def perGroupCap(df: DataFrame, group: Column, k: Int,
+      order: Seq[Column]): DataFrame = {
+    require(k > 0, "cap must be positive")
+    require(!df.columns.contains("cap_rank"),
+      "column cap_rank collides with perGroupCap output; rename first")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(group).orderBy(order: _*)
+    df.withColumn("cap_rank", row_number().over(w).cast("long"))
+      .filter(col("cap_rank") <= k)
+  }
+
   /** Per-stratum rates: keep a row when its bucket is under the rate for
     * its stratum (default 0 — strata not listed are dropped). */
   def stratifiedHashSample(df: DataFrame, key: Column, stratum: Column,

@@ -169,6 +169,75 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by clustering embeddings around coarse centroids and
+    * pruning, within each cluster, every vector that has a LOWER-id
+    * neighbor above the cosine threshold — the keep-first rule applied in
+    * embedding space. Exact near-duplicates that share no tokens (same
+    * sentence re-worded, translations, boilerplate paraphrases) fall out
+    * here where MinHash/SimHash can't see them.
+    *
+    * Output: `vec_id`, `cluster` (assigned centroid label), `is_dup`
+    * (true ⇒ drop; the survivor set is the min-id representative of every
+    * τ-neighborhood, deterministic across runs and engines).
+    *
+    * Scale design: assignment is a broadcast of the (small) centroid table
+    * against ONE corpus pass, reduced per vector by a map-side-partial
+    * `max(struct)` argmax — the shuffle carries one row per vector, not
+    * per (vector × centroid). Pair mining self-joins each cluster: cost is
+    * Σ|cluster|², the SemDeDup contract — at corpus scale the centroid
+    * count grows with N (k ≈ √N k-means lists) precisely so clusters stay
+    * bounded; here the deterministic per-`label` centroids stand in for
+    * the k-means step (same plan shape, oracle-reproducible).
+    *
+    * Floats: centroid components and every cosine are rounded to 6
+    * decimals before ANY comparison (argmax ordering and the τ test), so
+    * assignment and verdicts are bit-identical across engines.
+    */
+  def semDedup(corpus: DataFrame, tau: Double): DataFrame =
+    semDedupFromAssigned(assignToCentroids(corpus), tau)
+
+  /** SemDeDup stage 1: nearest-centroid assignment — `(vec_id, e, cluster)`
+    * with `e` the float64 embedding carried forward for the pair pass.
+    * One corpus pass: broadcast centroids, per-row scores, map-side-partial
+    * `max(struct)` argmax (highest rounded similarity, ties to the smallest
+    * label — the same total order as `ORDER BY sim DESC, label ASC`), so
+    * the shuffle carries one row per vector, not per (vector × centroid).
+    *
+    * The downstream prune references this result THREE times (both sides
+    * of the pair self-join plus the final output) — callers composing a
+    * pipeline should persist it (see CorpusQueries' stage cache), exactly
+    * like NearDup's postings stage. */
+  def assignToCentroids(corpus: DataFrame): DataFrame = {
+    val cents = broadcast(labelCentroids(corpus)
+      .select(col("label").as("clab"), col("centroid")))
+    corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .crossJoin(cents)
+      .select(col("vec_id"), col("e"),
+        struct(round(cosine(col("e"), col("centroid")), 6).as("sim"),
+          (-col("clab")).as("nl")).as("sc"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("sc")).as("m"), first(col("e")).as("e"))
+      .select(col("vec_id"), col("e"),
+        (-col("m.nl")).cast("long").as("cluster"))
+  }
+
+  /** SemDeDup stage 2: within-cluster keep-first prune over an
+    * [[assignToCentroids]] result. */
+  def semDedupFromAssigned(assigned: DataFrame, tau: Double): DataFrame = {
+    val dupIds = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("b.vec_id") < col("a.vec_id"))
+      .filter(round(cosine(col("a.e"), col("b.e")), 6) >= tau)
+      .select(col("a.vec_id").as("vec_id"))
+      .distinct()
+    assigned.select(col("vec_id"), col("cluster"))
+      .join(dupIds.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+  }
+
   /** Random-hyperplane LSH: `bits` sign bits of dot products with fixed
     * pseudo-random planes (deterministic from `seed`). Equal buckets ⇒
     * cosine-close with probability (1 - θ/π)^bits; near-dup search becomes

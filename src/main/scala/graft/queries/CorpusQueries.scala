@@ -1,0 +1,399 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{TextAnalysis, Urls}
+import graft.operators.{NearDup, Sampling, Similarity}
+
+/** Wave 5b — corpus-assembly operators graded round 6: the per-domain cap,
+  * SemDeDup (embedding-space keep-first dedup), URL canonicalization, and
+  * the rollup data card.
+  *
+  * Same conventions as every wave: identical column aliases in Spark and
+  * DuckDB, total ORDER BY, floats produced by identical IEEE operation
+  * chains and rounded to 6 in both engines before comparison or output,
+  * counts CAST to BIGINT in the oracle.
+  */
+object CorpusQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** q95 fixture: deterministic messy URLs over `documents` — case noise,
+    * an explicit default port on every 3rd, tracking params on every even,
+    * unsorted params on the rest, fragments on every 5th. Host/path keyed
+    * mod 19/23 so distinct doc_ids collide post-canonicalization (LCM 437
+    * < 500 docs ⇒ real duplicate groups at sf0.01+). */
+  private def urlFixture(docId: org.apache.spark.sql.Column) = concat(
+    lit("HTTPS://WWW.Site"), (docId % 19).cast("string"), lit(".Example.COM"),
+    when(docId % 3 === 0, lit(":443")).otherwise(lit("")),
+    lit("/Path/"), (docId % 23).cast("string"),
+    when(docId % 2 === 0, lit("?utm_source=feed&b=2&a=1"))
+      .otherwise(lit("?a=1&b=2")),
+    when(docId % 5 === 0, lit("#frag")).otherwise(lit("")))
+
+  /** q97 fixture: deterministic quality noise over `documents` so every
+    * Gopher rule fires both ways — every 13th doc collapses to a too-short
+    * stub (trips the word-count and stopword floors), every 7th grows a
+    * long-word tail (trips the mean-word-length ceiling), every 4th a
+    * symbol run (trips the symbol ratio), every 9th a spam repeat (trips
+    * the duplicate-3-gram rule). */
+  private def gopherFixture(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 13 === 0, lit("ok"))
+        .otherwise(concat(col("text"),
+          when(col("doc_id") % 4 === 0, lit(" @#%!" * 8)).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit((" " + "w" * 40) * 8)).otherwise(lit("")),
+          when(col("doc_id") % 9 === 0,
+            lit(" spam spam spam" * 4)).otherwise(lit(""))))
+        .as("text"))
+
+  private val gopherFixtureSql =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 13 = 0 THEN 'ok'
+      |  ELSE text ||
+      |    CASE WHEN doc_id % 4 = 0 THEN repeat(' @#%!', 8) ELSE '' END ||
+      |    CASE WHEN doc_id % 7 = 0
+      |      THEN repeat(' ' || repeat('w', 40), 8) ELSE '' END ||
+      |    CASE WHEN doc_id % 9 = 0
+      |      THEN repeat(' spam spam spam', 4) ELSE '' END
+      |  END AS text
+      |FROM documents""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-domain cap: at most 10 docs per source, ranked by the portable
+    // md5-60 hash of the doc id (a deterministic random-looking subset,
+    // not an ingestion-order prefix). WindowGroupLimit keeps the shuffle
+    // at O(groups × k).
+    "q93_source_cap" -> ((s, dir) =>
+      Sampling.perGroupCap(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        col("source"), 10,
+        Seq(NearDup.md5Hash60(col("doc_id").cast("string")), col("doc_id")))
+        .orderBy(col("source"), col("cap_rank"))),
+
+    // SemDeDup: centroid-cluster the embeddings, then drop every vector
+    // with a lower-id τ-neighbor in its cluster — near-dup semantics in
+    // embedding space, where token-level MinHash/SimHash see nothing.
+    // The assignment stage is persisted (it feeds both sides of the pair
+    // self-join plus the output — one corpus pass instead of three).
+    "q94_semdedup" -> ((s, dir) =>
+      Similarity.semDedupFromAssigned(
+        PipelineQueries.stage(s, dir, "semdedup_assign")(
+          Similarity.assignToCentroids(t(s, dir, "embeddings"))),
+        tau = 0.3)
+        .orderBy(col("vec_id"))),
+
+    // URL canonicalization ahead of URL-keyed dedup: scheme/host case,
+    // default ports, utm_* params, param order and fragments all collapse;
+    // n_same counts the resulting duplicate-URL group sizes.
+    "q95_url_canon" -> ((s, dir) => {
+      val canon = t(s, dir, "documents")
+        .select(col("doc_id"), Urls.canonicalize(urlFixture(col("doc_id")))
+          .as("url_canon"))
+      canon.withColumn("n_same",
+        count(lit(1)).over(Window.partitionBy(col("url_canon"))))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher-style acceptance battery (Rae et al. 2021, arXiv:2112.11446
+    // table A1 condensed): word-count bounds, mean-word-length bounds,
+    // minimum stopword evidence, symbol-to-word ratio, duplicate-3-gram
+    // share — every rule an INTEGER comparison (10·sym ≤ words,
+    // 3n ≤ Σlen ≤ 10n, 8·(g−d) ≤ g) so verdicts are bit-exact across
+    // engines with no float thresholds at all. Noise is planted
+    // deterministically (too-short docs, long-word tails, symbol runs,
+    // spam repetition) so every flag fires both ways.
+    "q97_gopher_rules" -> ((s, dir) => {
+      val fx = gopherFixture(t(s, dir, "documents"))
+      val toks = TextAnalysis.tokens(lower(col("text")))
+      val n = size(toks).cast("long")
+      val sumLen = aggregate(transform(toks, w => length(w)),
+        lit(0), (acc, v) => acc + v).cast("long")
+      val sym = TextAnalysis.symbolCount(col("text"))
+      val grams = TextAnalysis.wordGrams(toks, 3)
+      val g = coalesce(size(grams).cast("long"), lit(0L))
+      val d = coalesce(size(array_distinct(grams)).cast("long"), lit(0L))
+      fx.select(col("doc_id"),
+        n.between(3L, 10000L).as("f_nwords"),
+        (sumLen >= n * 3L && sumLen <= n * 10L).as("f_wlen"),
+        (TextAnalysis.stopwordHits(toks, TextAnalysis.StopEn) >= 2L)
+          .as("f_stop"),
+        (sym * 10L <= n).as("f_sym"),
+        ((g - d) * 8L <= g).as("f_rep"))
+        .withColumn("accept",
+          col("f_nwords") && col("f_wlen") && col("f_stop") &&
+            col("f_sym") && col("f_rep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quality percentile normalization: cume_dist of the composite quality
+    // score within each source (rank fractions are rationals — identical
+    // doubles in both engines) + the top-30% selection flag. Absolute
+    // score thresholds drift per domain; relative ranks don't.
+    "q98_quality_rank" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.qualityScore(col("text")).as("score"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("score"), col("doc_id"))
+      scored.withColumn("pct", round(cume_dist().over(w), 6))
+        .withColumn("keep_top30", col("pct") > lit(0.7))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token-budget (nucleus) selection: per source, take docs best-first
+    // until the token budget is exhausted — the "fill 2k tokens per domain
+    // from the top of the quality ranking" step of corpus assembly. The
+    // running token sum is integral, so the cut is engine-exact; a doc is
+    // kept while the budget BEFORE it still has room.
+    "q99_token_budget" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.qualityScore(col("text")).as("score"),
+          TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      scored.withColumn("cum_tok", sum(col("n_tok")).over(w))
+        .filter(col("cum_tok") - col("n_tok") < 2000L)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Collocation mining: document-level term co-occurrence with lift =
+    // (n_ab · N) / (n_a · n_b) — PMI's argument without the log (ln differs
+    // in last-ulp across libms; the rational product-of-counts doesn't).
+    // Join keyed by doc_id (fan-out bounded by doc length, never by term
+    // frequency); support floor n_ab·20 ≥ N is integral and SF-relative.
+    "q100_collocations" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val terms = docs.select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.tokens(lower(col("text")))))
+          .as("term"))
+      val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+      val tf = terms.groupBy(col("term")).agg(count(lit(1)).as("n_t"))
+      val pairs = terms.as("a")
+        .join(terms.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.term") < col("b.term"))
+        .groupBy(col("a.term").as("t1"), col("b.term").as("t2"))
+        .agg(count(lit(1)).as("n_ab"))
+      pairs.crossJoin(broadcast(nDocs))
+        .filter(col("n_ab") * 20L >= col("n_docs"))
+        .join(broadcast(tf.withColumnRenamed("term", "t1")
+          .withColumnRenamed("n_t", "n_t1")), Seq("t1"))
+        .join(broadcast(tf.withColumnRenamed("term", "t2")
+          .withColumnRenamed("n_t", "n_t2")), Seq("t2"))
+        .select(col("t1"), col("t2"), col("n_ab"),
+          round((col("n_ab") * col("n_docs")).cast("double") /
+            (col("n_t1") * col("n_t2")).cast("double"), 6).as("lift"))
+        .orderBy(col("t1"), col("t2"))
+    }),
+
+    // Data card: per-(lang, source) doc/char/token rollup with subtotal
+    // and grand-total rows — the corpus summary shipped next to a
+    // training-data snapshot. One scan, partial-agg rollup.
+    "q96_corpus_report" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), col("source"), col("n_chars"),
+          TextAnalysis.tokenCount(col("text")).as("tok"))
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("tok")).as("total_tokens"),
+          round(sum(col("tok")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("avg_doc_tokens"),
+          grouping(col("lang")).cast("long").as("g_l"),
+          grouping(col("source")).cast("long").as("g_s"))
+        .orderBy(col("g_l"), col("g_s"),
+          col("lang").asc_nulls_first, col("source").asc_nulls_first))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q93_source_cap" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY
+        |      ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT, doc_id)
+        |      AS cap_rank
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(cap_rank AS BIGINT) AS cap_rank
+        |FROM r WHERE cap_rank <= 10 ORDER BY source, cap_rank""".stripMargin,
+
+    "q94_semdedup" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |comp AS (SELECT label, r.i AS ord, avg(v[(r.i + 1)::INTEGER]) AS m
+        |         FROM e, range(0, 64) AS r(i) GROUP BY label, r.i),
+        |cent AS (SELECT label AS clab, list(round(m, 6) ORDER BY ord) AS c
+        |         FROM comp GROUP BY label),
+        |assign AS (
+        |  SELECT vec_id, v, cluster FROM (
+        |    SELECT e.vec_id, e.v, cent.clab::BIGINT AS cluster,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        round(list_dot_product(e.v, cent.c) /
+        |          (sqrt(list_dot_product(e.v, e.v)) *
+        |           sqrt(list_dot_product(cent.c, cent.c))), 6) DESC,
+        |        cent.clab) AS rnk
+        |    FROM e CROSS JOIN cent) WHERE rnk = 1),
+        |dups AS (
+        |  SELECT DISTINCT a.vec_id FROM assign a JOIN assign b
+        |    ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+        |  WHERE round(list_dot_product(a.v, b.v) /
+        |          (sqrt(list_dot_product(a.v, a.v)) *
+        |           sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3)
+        |SELECT a.vec_id, a.cluster, (d.vec_id IS NOT NULL) AS is_dup
+        |FROM assign a LEFT JOIN dups d USING (vec_id)
+        |ORDER BY vec_id""".stripMargin,
+
+    "q95_url_canon" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'HTTPS://WWW.Site' || (doc_id % 19)::VARCHAR || '.Example.COM' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END ||
+        |    '/Path/' || (doc_id % 23)::VARCHAR ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&b=2&a=1'
+        |         ELSE '?a=1&b=2' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |      || '://' ||
+        |    regexp_replace(
+        |      lower(regexp_extract(url,
+        |        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':443$', '')
+        |      ||
+        |    CASE WHEN regexp_extract(url,
+        |        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) = ''
+        |      THEN '/' ELSE regexp_extract(url,
+        |        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) END
+        |      ||
+        |    CASE WHEN array_to_string(list_sort(list_filter(
+        |        string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        |        p -> NOT starts_with(p, 'utm_') AND p <> '')), '&') = ''
+        |      THEN ''
+        |      ELSE '?' || array_to_string(list_sort(list_filter(
+        |        string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        |        p -> NOT starts_with(p, 'utm_') AND p <> '')), '&') END
+        |      AS url_canon
+        |  FROM u)
+        |SELECT doc_id, url_canon,
+        |  CAST(count(*) OVER (PARTITION BY url_canon) AS BIGINT) AS n_same
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q97_gopher_rules" ->
+      (s"""WITH fx AS ($gopherFixtureSql),
+        |t AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\\s+') AS toks,
+        |    length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
+        |      AS n_sym
+        |  FROM fx),
+        |g AS (
+        |  SELECT doc_id, toks, n_sym, len(toks) AS n,
+        |    list_sum(list_transform(toks, w -> length(w))) AS sum_len,
+        |    len(list_filter(toks, w -> list_contains(
+        |      ['the','a','of','and','to','in','is','on','for','with'], w)))
+        |      AS stop_hits,
+        |    CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(len(toks)-2),
+        |             i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+        |      ELSE []::VARCHAR[] END AS grams
+        |  FROM t),
+        |f AS (
+        |  SELECT doc_id, n, sum_len, stop_hits, n_sym,
+        |    len(grams) AS ng, len(list_distinct(grams)) AS nd
+        |  FROM g)
+        |SELECT doc_id,
+        |  n BETWEEN 3 AND 10000 AS f_nwords,
+        |  sum_len >= n * 3 AND sum_len <= n * 10 AS f_wlen,
+        |  stop_hits >= 2 AS f_stop,
+        |  n_sym * 10 <= n AS f_sym,
+        |  (ng - nd) * 8 <= ng AS f_rep,
+        |  (n BETWEEN 3 AND 10000) AND (sum_len >= n * 3 AND sum_len <= n * 10)
+        |    AND stop_hits >= 2 AND n_sym * 10 <= n AND (ng - nd) * 8 <= ng
+        |    AS accept
+        |FROM f ORDER BY doc_id""").stripMargin,
+
+    "q98_quality_rank" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, source,
+        |    round(least(len(toks) / 50.0, 1.0) * 0.5 +
+        |          (len(list_distinct(toks))::DOUBLE / len(toks)) * 0.5, 4)
+        |      AS score
+        |  FROM t),
+        |r AS (
+        |  SELECT doc_id, source, score,
+        |    round(cume_dist() OVER (PARTITION BY source
+        |      ORDER BY score, doc_id), 6) AS pct
+        |  FROM sc)
+        |SELECT doc_id, source, score, pct, pct > 0.7 AS keep_top30
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q99_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, source,
+        |    round(least(len(toks) / 50.0, 1.0) * 0.5 +
+        |          (len(list_distinct(toks))::DOUBLE / len(toks)) * 0.5, 4)
+        |      AS score,
+        |    len(toks)::BIGINT AS n_tok
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, source, score, n_tok,
+        |    CAST(sum(n_tok) OVER (PARTITION BY source
+        |      ORDER BY score DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+        |  FROM sc)
+        |SELECT doc_id, source, score, n_tok, cum_tok
+        |FROM c WHERE cum_tok - n_tok < 2000 ORDER BY doc_id""".stripMargin,
+
+    "q100_collocations" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(string_split_regex(trim(lower(text)),
+        |      '\s+'))) AS term
+        |  FROM documents),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |tf AS (SELECT term, count(*) AS n_t FROM toks GROUP BY term),
+        |pairs AS (
+        |  SELECT a.term AS t1, b.term AS t2, count(*) AS n_ab
+        |  FROM toks a JOIN toks b
+        |    ON a.doc_id = b.doc_id AND a.term < b.term
+        |  GROUP BY a.term, b.term)
+        |SELECT t1, t2, CAST(n_ab AS BIGINT) AS n_ab,
+        |  round((n_ab * n_docs)::DOUBLE / (ta.n_t * tb.n_t)::DOUBLE, 6)
+        |    AS lift
+        |FROM pairs
+        |CROSS JOIN nd
+        |JOIN tf ta ON ta.term = pairs.t1
+        |JOIN tf tb ON tb.term = pairs.t2
+        |WHERE n_ab * 20 >= n_docs
+        |ORDER BY t1, t2""".stripMargin,
+
+    "q96_corpus_report" ->
+      """SELECT lang, source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |    AS total_tokens,
+        |  round(sum(len(string_split_regex(trim(text), '\s+')))::DOUBLE /
+        |        count(*)::DOUBLE, 6) AS avg_doc_tokens,
+        |  CAST(grouping(lang) AS BIGINT) AS g_l,
+        |  CAST(grouping(source) AS BIGINT) AS g_s
+        |FROM documents
+        |GROUP BY ROLLUP (lang, source)
+        |ORDER BY g_l, g_s, lang ASC NULLS FIRST, source ASC NULLS FIRST"""
+        .stripMargin
+  )
+}

@@ -34,7 +34,7 @@ object PipelineQueries {
     * pairs are rare by construction). */
   private[graft] val stages =
     scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
-  private def stage(s: SparkSession, dir: String, key: String)
+  private[queries] def stage(s: SparkSession, dir: String, key: String)
       (build: => DataFrame): DataFrame = {
     val app = s.sparkContext.applicationId
     stages.keys.withFilter(_._1 != app).foreach(stages.remove)

@@ -1,0 +1,192 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Urls
+import graft.operators.{NearDup, Sampling, Similarity}
+
+/** Wave-5b operator semantics: the per-group cap (bounded, deterministic,
+  * WindowGroupLimit-planned), SemDeDup (keep-first pruning in embedding
+  * space, verified against brute force), and URL canonicalization rules. */
+class CorpusOpsSpec extends SparkSpec {
+
+  // ---- perGroupCap ----
+
+  private def docs = {
+    import sqlImplicits._
+    (0L until 200L).map(i => (i, s"src${i % 7}")).toDF("id", "grp")
+  }
+
+  test("perGroupCap keeps at most k rows per group, ranked deterministically") {
+    val capped = Sampling.perGroupCap(docs, col("grp"), 5,
+      Seq(NearDup.md5Hash60(col("id").cast("string")), col("id")))
+    val sizes = capped.groupBy("grp").agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1))
+    assert(sizes.forall(_ <= 5L) && sizes.length == 7)
+    val again = Sampling.perGroupCap(docs.repartition(13), col("grp"), 5,
+      Seq(NearDup.md5Hash60(col("id").cast("string")), col("id")))
+    assert(capped.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      again.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("perGroupCap hash order is a sample, not an id-order prefix") {
+    val kept = Sampling.perGroupCap(docs, col("grp"), 5,
+      Seq(NearDup.md5Hash60(col("id").cast("string")), col("id")))
+      .select("id").collect().map(_.getLong(0)).toSet
+    // an id-order prefix would keep exactly 0..34; the hash order must not
+    assert(kept != (0L until 35L).toSet)
+  }
+
+  test("perGroupCap plans the rank filter as WindowGroupLimit") {
+    val plan = Sampling.perGroupCap(docs, col("grp"), 5, Seq(col("id")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  // ---- semDedup ----
+
+  test("semDedup flags exactly the vectors with a lower-id tau-neighbor in their cluster") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val tau = 0.3
+    val got = Similarity.semDedup(emb, tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // brute-force reference: same centroid assignment, all-pairs check
+    val assigned = got.map { case (id, cl, _) => id -> cl }.toMap
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    got.foreach { case (id, cl, isDup) =>
+      val expected = assigned.exists { case (oid, ocl) =>
+        ocl == cl && oid < id && cos(vecs(oid), vecs(id)) >= tau
+      }
+      assert(isDup == expected, s"vec $id cluster $cl")
+    }
+    // sanity: the flag is a real partition of the corpus at this tau
+    assert(got.exists(_._3) && got.exists(!_._3))
+  }
+
+  test("semDedup min-id vector of every cluster always survives") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val minIds = Similarity.semDedup(emb, 0.3)
+      .groupBy("cluster").agg(min("vec_id").as("m"))
+      .collect().map(_.getLong(1)).toSet
+    val dupIds = Similarity.semDedup(emb, 0.3)
+      .filter(col("is_dup")).collect().map(_.getLong(0)).toSet
+    assert(minIds.intersect(dupIds).isEmpty)
+  }
+
+  // ---- URL canonicalization ----
+
+  private def canon(url: String): Option[String] = {
+    import sqlImplicits._
+    Seq(url).toDF("u").select(Urls.canonicalize(col("u")).as("c"))
+      .collect().map(r => Option(r.getString(0))).head
+  }
+
+  test("canonicalize lowercases scheme and host but not the path") {
+    assert(canon("HTTPS://WWW.Foo.COM/Path/X") ==
+      Some("https://www.foo.com/Path/X"))
+  }
+
+  test("canonicalize strips default ports per scheme only") {
+    assert(canon("https://a.com:443/x") == Some("https://a.com/x"))
+    assert(canon("http://a.com:80/x") == Some("http://a.com/x"))
+    assert(canon("http://a.com:443/x") == Some("http://a.com:443/x"))
+    assert(canon("https://a.com:8443/x") == Some("https://a.com:8443/x"))
+  }
+
+  test("canonicalize drops fragments and utm params and sorts the rest") {
+    assert(canon("https://a.com/p?utm_source=f&b=2&a=1#frag") ==
+      Some("https://a.com/p?a=1&b=2"))
+    assert(canon("https://a.com/p?utm_campaign=x") == Some("https://a.com/p"))
+  }
+
+  test("canonicalize defaults an empty path to / and rejects non-URLs") {
+    assert(canon("https://a.com") == Some("https://a.com/"))
+    assert(canon("not a url") == None)
+  }
+
+  // ---- wave-2 graded-query semantics ----
+
+  test("gopher battery: every rule fires both ways on the planted fixture") {
+    val out = SparkEntry.queries("q97_gopher_rules")(spark,
+      "/root/testdata/sf0.001")
+    val flags = Seq("f_nwords", "f_wlen", "f_stop", "f_sym", "f_rep", "accept")
+    val counts = out.select(flags.map(f =>
+      sum(when(col(f), 1L).otherwise(0L)).as(f)): _*).collect().head
+    val n = out.count()
+    flags.zipWithIndex.foreach { case (f, i) =>
+      val c = counts.getLong(i)
+      assert(c > 0 && c < n, s"$f fired $c/$n — not discriminative")
+    }
+    // accept is exactly the conjunction
+    val bad = out.filter(col("accept") =!= (col("f_nwords") && col("f_wlen") &&
+      col("f_stop") && col("f_sym") && col("f_rep"))).count()
+    assert(bad == 0L)
+  }
+
+  test("token budget keeps the maximal best-first prefix per source") {
+    import sqlImplicits._
+    val out = SparkEntry.queries("q99_token_budget")(spark,
+      "/root/testdata/sf0.001")
+    // every kept row was admitted while the budget before it had room
+    assert(out.filter(col("cum_tok") - col("n_tok") >= 2000L).count() == 0L)
+    // and nothing admissible was skipped: per source, kept count equals
+    // the prefix length of the score-ordered ranking that fits
+    val full = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextAnalysis.qualityScore(col("text")).as("score"),
+        graft.functions.TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getDouble(2),
+        r.getLong(3)))
+    val expected = full.groupBy(_._1).map { case (src, rows) =>
+      val ordered = rows.sortBy(r => (-r._3, r._2))
+      var cum = 0L
+      src -> ordered.takeWhile { r => val ok = cum < 2000L; cum += r._4; ok }
+        .length
+    }
+    val got = out.groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    expected.foreach { case (src, n) =>
+      assert(got.getOrElse(src, 0L) == n.toLong, s"source $src")
+    }
+  }
+
+  test("collocation lift matches the hand computation") {
+    import sqlImplicits._
+    import graft.functions.TextAnalysis
+    val docs = Seq((1L, "x y"), (2L, "x y"), (3L, "x z"))
+      .toDF("doc_id", "text")
+    val terms = docs.select(col("doc_id"),
+      explode(array_distinct(TextAnalysis.tokens(lower(col("text")))))
+        .as("term"))
+    val tf = terms.groupBy("term").agg(count(lit(1)).as("n_t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tf == Map("x" -> 3L, "y" -> 2L, "z" -> 1L))
+    val pairs = terms.as("a").join(terms.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.term") < col("b.term"))
+      .groupBy(col("a.term"), col("b.term")).agg(count(lit(1)).as("n_ab"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(pairs == Map(("x", "y") -> 2L, ("x", "z") -> 1L))
+    // lift(x,y) = 2*3/(3*2) = 1.0 ; lift(x,z) = 1*3/(3*1) = 1.0
+  }
+
+  test("canonicalize is idempotent") {
+    val messy = Seq(
+      "HTTPS://WWW.Foo.COM:443/Path?utm_x=1&b=2&a=1#f",
+      "http://bar.org:80/?z=9&y=8",
+      "https://plain.example/")
+    messy.foreach { u =>
+      val once = canon(u).get
+      assert(canon(once) == Some(once), u)
+    }
+  }
+}

@@ -78,4 +78,56 @@ class RangeJoinSpec extends SparkSpec {
       RangeJoin.pointInInterval(bad, "t", ivs, "s", "e", bucketWidth = 60L)
     }
   }
+
+  // ---- interval × interval overlap ----
+
+  private def overlapFixture = {
+    import sqlImplicits._
+    val l = Seq(
+      (1L, 0L, 60L), (2L, 30L, 90L), (3L, -100L, 5L),
+      (4L, 100L, 100L), (5L, 200L, 100L), (6L, 0L, 1000L),
+      (7L, 59L, 61L), (8L, 999L, 1001L)
+    ).toDF("l_id", "ls", "le")
+    val r = Seq(
+      (11L, 50L, 55L), (12L, 60L, 120L), (13L, -200L, -99L),
+      (14L, 0L, 1L), (15L, 980L, 2000L), (16L, 5L, 5L)
+    ).toDF("r_id", "rs", "re")
+    (l, r)
+  }
+
+  test("interval overlap equals the naive inequality join at several widths") {
+    val (l, r) = overlapFixture
+    // the bare inequality predicate wrongly matches EMPTY intervals (e.g.
+    // [5,5) against [0,1000)); half-open semantics require both non-empty
+    val expected = l.crossJoin(r)
+      .filter(col("ls") < col("le") && col("rs") < col("re"))
+      .filter(col("ls") < col("re") && col("rs") < col("le"))
+      .select(col("l_id"), col("r_id"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    for (w <- Seq(1L, 7L, 60L, 64L, 1024L)) {
+      val got = RangeJoin.intervalOverlap(l, "ls", "le", r, "rs", "re",
+        bucketWidth = w)
+        .select(col("l_id"), col("r_id"))
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(got === expected, s"width=$w")
+    }
+  }
+
+  test("overlap pairs arise exactly once despite long shared spans") {
+    val (l, r) = overlapFixture
+    val dup = RangeJoin.intervalOverlap(l, "ls", "le", r, "rs", "re",
+      bucketWidth = 13L)
+      .groupBy(col("l_id"), col("r_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).count()
+    assert(dup === 0L)
+  }
+
+  test("interval overlap plans without a cartesian / nested loop") {
+    val (l, r) = overlapFixture
+    val plan = RangeJoin.intervalOverlap(l, "ls", "le", r, "rs", "re",
+      bucketWidth = 60L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
