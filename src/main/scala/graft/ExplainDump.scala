@@ -21,7 +21,8 @@ object ExplainDump {
       "q82_decontamination", "q83_char_diversity", "q86_countmin", "q87_bloom",
       "q89_funnel", "q90_cohort_retention", "q92_interval_overlap",
       "q93_source_cap", "q94_semdedup", "q96_corpus_report",
-      "q97_gopher_rules", "q99_token_budget", "q100_collocations")
+      "q97_gopher_rules", "q99_token_budget", "q100_collocations",
+      "q101_corpus_diff", "q102_attribution", "q104_oov_rate")
     val sb = new StringBuilder
     sb.append("# EXPLAIN — headline query plans (formatted, sf0.001, regenerate with `sbt \"runMain graft.ExplainDump\"`)\n")
     sb.append("\nWhat to look for: `PushedFilters`/`ReadSchema` on every scan, broadcast\njoins where one side is small, partial aggregation before each hash\nexchange, `WindowGroupLimit` ahead of top-k windows, and no\n`CartesianProduct` anywhere.\n")

@@ -254,4 +254,32 @@ object TextAnalysis {
       .select(col("id"), col("rnk").cast("long").as("rnk"), col("term"),
         col("tf"), col("df"), round(col("score"), 4).as("score"))
   }
+
+  /** Vocabulary coverage: build the min-count vocabulary over the corpus
+    * (terms with total occurrences ≥ `minCount`), then report each
+    * document's out-of-vocabulary token count and fraction — the tokenizer
+    * -fit metric run before committing to a vocab size. One explode pass
+    * feeds both the vocabulary aggregate and the per-doc miss count (the
+    * token table joins the tiny vocab with a LEFT join keyed by term;
+    * per-term skew is irrelevant because the join output is immediately
+    * re-aggregated by doc with map-side partials). The fraction is one
+    * integer-over-integer double divide, rounded to 6 — cross-engine
+    * exact.
+    */
+  def oovRate(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minCount: Long): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val vocab = broadcast(toks.groupBy(col("term"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .select(col("term"), lit(true).as("_inv")))
+    toks.join(vocab, Seq("term"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("_inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("id"), col("n_tok"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tok").cast("double"), 6)
+          .as("oov_frac"))
+  }
 }

@@ -54,6 +54,32 @@ object Sampling {
       .filter(col("cap_rank") <= k)
   }
 
+  /** Deterministic dataset split: every row gets a named split label from
+    * its key hash — the reproducible train/val/test assignment. Unlike
+    * [[hashSample]] (which keeps a fraction), every row is labeled, the
+    * splits partition the data exactly (disjoint, exhaustive — the last
+    * split absorbs any bucket remainder), and membership never moves when
+    * data is appended, repartitioned or re-run on another engine. Pure
+    * narrow map.
+    *
+    * @param splits (label, bucketCount) pairs in order; bucket counts must
+    *               sum to `buckets`
+    */
+  def hashSplit(df: DataFrame, key: Column, splits: Seq[(String, Int)],
+      buckets: Int = 100): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == buckets,
+      s"split bucket counts must sum to $buckets")
+    require(!df.columns.contains("split"),
+      "column split collides with hashSplit output; rename first")
+    val b = hashBucket(key, buckets)
+    val cuts = splits.scanLeft(0)(_ + _._2).tail  // cumulative upper bounds
+    val label = splits.zip(cuts).init.foldRight(
+      lit(splits.last._1)) { case (((name, _), hi), acc) =>
+      when(b < hi, name).otherwise(acc)
+    }
+    df.withColumn("split", label)
+  }
+
   /** Per-stratum rates: keep a row when its bucket is under the rate for
     * its stratum (default 0 — strata not listed are dropped). */
   def stratifiedHashSample(df: DataFrame, key: Column, stratum: Column,

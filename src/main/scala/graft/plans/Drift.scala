@@ -75,4 +75,26 @@ object Drift {
       round(col("_cs") - col("_ps"), 4).as("share_delta"),
       (abs(col("_cs") - col("_ps")) > tolerance).as("drifted"))
   }
+
+  /** Row-level snapshot diff: classify every key across two corpus
+    * snapshots as NEW (key only in `cur`), GONE (only in `prev`), CHANGED
+    * (both, digests differ) or SAME — the per-document regression report
+    * run between two builds of a training corpus (volumeDrift is its
+    * aggregate sibling). Both inputs carry `(keyCol, digestCol)`; pass a
+    * content digest (e.g. `md5(text)`), never raw content — the full-outer
+    * join then shuffles 2×32 bytes per row instead of the documents
+    * themselves, which is what makes the diff runnable at snapshot scale.
+    * One shuffle per side, keyed by `keyCol`.
+    */
+  def snapshotDiff(prev: DataFrame, cur: DataFrame, keyCol: String,
+      digestCol: String): DataFrame = {
+    val p = prev.select(col(keyCol), col(digestCol).as("_pd"))
+    val c = cur.select(col(keyCol), col(digestCol).as("_cd"))
+    p.join(c, Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        when(col("_pd").isNull, lit("NEW"))
+          .when(col("_cd").isNull, lit("GONE"))
+          .when(col("_pd") =!= col("_cd"), lit("CHANGED"))
+          .otherwise(lit("SAME")).as("status"))
+  }
 }

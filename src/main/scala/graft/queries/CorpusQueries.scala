@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{TextAnalysis, Urls}
 import graft.operators.{NearDup, Sampling, Similarity}
+import graft.plans.Drift
 
 /** Wave 5b — corpus-assembly operators graded round 6: the per-domain cap,
   * SemDeDup (embedding-space keep-first dedup), URL canonicalization, and
@@ -190,6 +191,49 @@ object CorpusQueries {
           round((col("n_ab") * col("n_docs")).cast("double") /
             (col("n_t1") * col("n_t2")).cast("double"), 6).as("lift"))
         .orderBy(col("t1"), col("t2"))
+    }),
+
+    // Corpus snapshot diff: prev build (every 17th doc absent, every 11th
+    // doc's text since edited) vs cur build (every 13th doc dropped) —
+    // classify every doc_id NEW/GONE/CHANGED/SAME by content digest. The
+    // join ships 32-byte digests, never documents.
+    "q101_corpus_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val prev = docs.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).cast("binary")).as("digest"))
+      val cur = docs.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("digest"))
+      Drift.snapshotDiff(prev, cur, "doc_id", "digest")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic train/val/test split: 80/10/10 by key hash — disjoint,
+    // exhaustive, append-stable, reproducible in any engine with md5.
+    "q103_dataset_split" -> ((s, dir) =>
+      Sampling.hashSplit(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        col("doc_id").cast("string"),
+        Seq(("train", 80), ("val", 10), ("test", 10)))
+        .orderBy(col("doc_id"))),
+
+    // Vocabulary OOV coverage: min-count-2 vocab over the fixture corpus
+    // (every 3rd doc grew one unique rare token, every 5th two more), then
+    // per-doc out-of-vocabulary counts and fraction.
+    "q104_oov_rate" -> ((s, dir) => {
+      val fx = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" zq"), col("doc_id").cast("string")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" zw"), col("doc_id").cast("string"),
+              lit(" zx"), col("doc_id").cast("string")))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysis.oovRate(fx, "doc_id", "text", minCount = 2L)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
     }),
 
     // Data card: per-(lang, source) doc/char/token rollup with subtotal
@@ -380,6 +424,54 @@ object CorpusQueries {
         |JOIN tf tb ON tb.term = pairs.t2
         |WHERE n_ab * 20 >= n_docs
         |ORDER BY t1, t2""".stripMargin,
+
+    "q101_corpus_diff" ->
+      """WITH prev AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END)
+        |      AS digest
+        |  FROM documents WHERE doc_id % 17 <> 0),
+        |cur AS (
+        |  SELECT doc_id, md5(text) AS digest
+        |  FROM documents WHERE doc_id % 13 <> 0)
+        |SELECT coalesce(prev.doc_id, cur.doc_id) AS doc_id,
+        |  CASE WHEN prev.doc_id IS NULL THEN 'NEW'
+        |       WHEN cur.doc_id IS NULL THEN 'GONE'
+        |       WHEN prev.digest <> cur.digest THEN 'CHANGED'
+        |       ELSE 'SAME' END AS status
+        |FROM prev FULL OUTER JOIN cur ON prev.doc_id = cur.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q103_dataset_split" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+        |         % 100 < 80 THEN 'train'
+        |       WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+        |         % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q104_oov_rate" ->
+      """WITH fx AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' zq' || doc_id::VARCHAR
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0
+        |         THEN ' zw' || doc_id::VARCHAR || ' zx' || doc_id::VARCHAR
+        |         ELSE '' END AS text
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM fx),
+        |vocab AS (
+        |  SELECT term FROM toks GROUP BY term HAVING count(*) >= 2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |  CAST(count(*) FILTER (WHERE v.term IS NULL) AS BIGINT) AS n_oov,
+        |  round(count(*) FILTER (WHERE v.term IS NULL)::DOUBLE /
+        |        count(*)::DOUBLE, 6) AS oov_frac
+        |FROM toks LEFT JOIN vocab v USING (term)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q96_corpus_report" ->
       """SELECT lang, source,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Funnel, RangeJoin}
+import graft.operators.{AsOfJoin, Funnel, RangeJoin}
 
 /** Wave 5a — event-sequence analytics graded round 6: ordered funnels,
   * cohort retention, the first-order transition matrix, and the
@@ -74,6 +74,27 @@ object EventQueries {
           (least(col("a_e"), col("b_e")) -
             greatest(col("a_s"), col("b_s"))).as("overlap_us"))
         .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // Last-touch attribution: each purchase matched to the user's most
+    // recent view at-or-before it, within a 24h staleness window — the
+    // as-of join consumed the way a marketing pipeline consumes it.
+    // Ties on view time resolve to the greatest view id (asOf contract).
+    "q102_attribution" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), evMicros().as("t"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          evMicros().as("view_t"))
+      AsOfJoin.asOfWithin(purchases, views, key = "user_id",
+        leftTime = "t", rightTime = "view_t",
+        payload = Seq("view_t", "view_id"),
+        matchTime = "view_t", tolerance = 86400000000L,
+        rightOrder = Seq(col("view_id")))
+        .withColumn("gap_us",
+          when(col("view_t").isNotNull, col("t") - col("view_t")))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -123,6 +144,26 @@ object EventQueries {
         |  least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us) AS overlap_us
         |FROM iv a JOIN iv b
         |  ON a.iv_id < b.iv_id AND a.s_us < b.e_us AND b.s_us < a.e_us
-        |ORDER BY a_id, b_id""".stripMargin
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q102_attribution" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, event_id AS view_id, epoch_us(ts) AS view_t
+        |      FROM events WHERE event_type = 'view'),
+        |m AS (
+        |  SELECT p.event_id, v.view_t, v.view_id,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY v.view_t DESC, v.view_id DESC) AS rnk
+        |  FROM p JOIN v
+        |    ON p.user_id = v.user_id AND v.view_t <= p.t)
+        |SELECT p.event_id, p.user_id, p.t,
+        |  CASE WHEN p.t - m.view_t <= 86400000000 THEN m.view_t END AS view_t,
+        |  CASE WHEN p.t - m.view_t <= 86400000000 THEN m.view_id END AS view_id,
+        |  CASE WHEN p.t - m.view_t <= 86400000000 THEN p.t - m.view_t END
+        |    AS gap_us
+        |FROM p LEFT JOIN (SELECT * FROM m WHERE rnk = 1) m
+        |  USING (event_id)
+        |ORDER BY p.event_id""".stripMargin
   )
 }

@@ -111,6 +111,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(a.forall(c.contains))
   }
 
+  test("hashSplit partitions exactly, is append-stable, and rejects bad cuts") {
+    val df = spark.range(1000).toDF("id")
+    val key = col("id").cast("string")
+    val out = Sampling.hashSplit(df, key,
+      Seq(("train", 80), ("val", 10), ("test", 10)))
+    // exhaustive and disjoint: every row exactly one label
+    assert(out.count() === 1000L)
+    val byLabel = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel.keySet === Set("train", "val", "test"))
+    assert(byLabel.values.sum === 1000L)
+    assert(byLabel("train") > byLabel("val") && byLabel("train") > byLabel("test"))
+    // append-stable: the first 500 rows keep their labels inside the 1000-row run
+    val small = Sampling.hashSplit(spark.range(500).toDF("id"), key,
+      Seq(("train", 80), ("val", 10), ("test", 10)))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val big = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    small.foreach { case (id, lbl) => assert(big(id) == lbl) }
+    assertThrows[IllegalArgumentException] {
+      Sampling.hashSplit(df, key, Seq(("train", 80), ("val", 10)))
+    }
+  }
+
   test("stratifiedHashSample applies per-stratum rates, drops unlisted strata") {
     val df = spark.range(300)
       .withColumn("s", when(col("id") % 3 === 0, "a")

@@ -37,4 +37,14 @@ class DriftSpec extends SparkSpec {
     assert(drift("x") === ((0.3, true)))
     assert(drift("y") === ((-0.3, true)))
   }
+
+  test("snapshotDiff classifies NEW/GONE/CHANGED/SAME by key and digest") {
+    import sqlImplicits._
+    val prev = Seq((1L, "aa"), (2L, "bb"), (3L, "cc")).toDF("k", "digest")
+    val cur = Seq((2L, "bb"), (3L, "cc2"), (4L, "dd")).toDF("k", "digest")
+    val got = Drift.snapshotDiff(prev, cur, "k", "digest")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "GONE", 2L -> "SAME", 3L -> "CHANGED",
+      4L -> "NEW"))
+  }
 }

@@ -172,4 +172,19 @@ class TextAnalysisSpec extends SparkSpec {
     // doc 2 has only one distinct term → exactly one row
     assert(!got.contains((2L, 2L)))
   }
+
+  test("oovRate counts tokens outside the min-count vocabulary") {
+    import sqlImplicits._
+    val docs = Seq(
+      (1L, "aa aa bb"),      // aa(x4), bb(x2) both in vocab
+      (2L, "aa aa bb zz"),   // zz appears once → OOV
+      (3L, "yy xx")          // both singletons → all OOV
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.oovRate(docs, "doc_id", "text", minCount = 2L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((3L, 0L, 0.0)))
+    assert(got(2L) === ((4L, 1L, 0.25)))
+    assert(got(3L) === ((2L, 2L, 1.0)))
+  }
 }
