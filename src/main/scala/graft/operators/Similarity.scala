@@ -238,6 +238,32 @@ object Similarity {
         coalesce(col("is_dup"), lit(false)).as("is_dup"))
   }
 
+  /** Int8 scalar-quantization audit: per vector, quantize each element to
+    * `floor(x / s · 127)` with `s` the vector's max |x| (the symmetric
+    * per-row scale of standard int8 embedding compression), and report the
+    * quantized L1 mass, the saturated-element count and the worst
+    * reconstruction error — the "is int8 good enough for this corpus"
+    * check run before swapping an ANN index to quantized storage.
+    *
+    * Engine-portability is by construction: every reduction is either an
+    * integer sum (exact in any order) or a MAX (order-free); the only
+    * float chain is elementwise `(x / s) · 127` → floor → `(q · s) / 127`
+    * — identical IEEE ops in both engines. Pure narrow map, scan-shaped.
+    */
+  def quantStats(corpus: DataFrame): DataFrame = {
+    val v = asDouble(col("embedding"))
+    val s = array_max(transform(v, x => abs(x)))
+    val q = transform(v, x =>
+      when(s === 0.0, lit(0.0)).otherwise(floor(x / s * 127.0)))
+    val err = zip_with(v, q, (x, qi) => abs(x - qi * s / 127.0))
+    corpus.select(col("vec_id"),
+      aggregate(transform(q, qi => abs(qi).cast("long")),
+        lit(0L), (acc, x) => acc + x).as("l1_q"),
+      size(filter(q, qi => abs(qi) >= 127.0)).cast("long").as("n_sat"),
+      round(s, 6).as("scale"),
+      round(array_max(err), 6).as("max_err"))
+  }
+
   /** Random-hyperplane LSH: `bits` sign bits of dot products with fixed
     * pseudo-random planes (deterministic from `seed`). Equal buckets ⇒
     * cosine-close with probability (1 - θ/π)^bits; near-dup search becomes

@@ -383,6 +383,38 @@ object AnalyticsQueries {
         .orderBy(col("asset_id"))
     }),
 
+    // Multimodal pipeline 2: decode → nearest-neighbor resize (factor 2)
+    // → stride-2 frame sampling, all through the typed mapPartitions
+    // plumbing. Like q58, the fake codec is closed-form over (doc_id,
+    // n_chars), so the resized dimensions, byte counts and sampled frame
+    // offsets are DuckDB-expressible arithmetic; corrupt payloads (every
+    // 97th) pass through resize untouched and sample zero frames.
+    "q105_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+        .as[(Long, Long)]
+      val assets = docs.map { case (id, n) =>
+        if (id % 97 == 0) Multimodal.Asset(id, "video", Array[Byte](1, 2, 3))
+        else Multimodal.Asset(id, "video",
+          Multimodal.encodeFake((n % 32 + 1).toInt, (n / 32 % 32 + 1).toInt, 3))
+      }
+      val resized = Multimodal.resize(assets, factor = 2).toDF()
+      val off = Multimodal.frameOffsets(col("payload"), frameBytes = 48,
+        everyN = 2)
+      resized
+        .select(col("asset_id"),
+          length(col("payload")).cast("long").as("n_bytes"), off.as("_off"))
+        .select(col("asset_id"), col("n_bytes"),
+          greatest(expr("(n_bytes - 13) DIV 48"), lit(0L)).as("n_frames"),
+          size(col("_off")).cast("long").as("n_sampled"),
+          when(size(col("_off")) > 0, element_at(col("_off"), 1))
+            .cast("long").as("first_off"),
+          when(size(col("_off")) > 0, element_at(col("_off"), -1))
+            .cast("long").as("last_off"))
+        .orderBy(col("asset_id"))
+    }),
+
     // Exact interpolated percentiles per group — Spark `percentile` and
     // DuckDB `quantile_cont` both sort and linearly interpolate; verified
     // to agree at 4 decimals on this data.
@@ -414,6 +446,31 @@ object AnalyticsQueries {
         |  doc_id % 97 <> 0 AS valid,
         |  CASE WHEN doc_id % 97 = 0 THEN 'truncated header' ELSE '' END AS err
         |FROM documents ORDER BY asset_id""".stripMargin,
+
+    // Mirrors the q105 pipeline arithmetic: resized dims are
+    // max(1, d // 2) of the q58 encodeFake dims, the resized payload is
+    // 13 + w2*h2*3 bytes, frames are 48-byte strides past the header
+    // sampled every 2nd — corrupt payloads stay 3 bytes and sample none.
+    "q105_frame_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id AS asset_id,
+        |    CASE WHEN doc_id % 97 = 0 THEN 3
+        |         ELSE 13 + greatest(1, (n_chars % 32 + 1) // 2) *
+        |                   greatest(1, ((n_chars // 32) % 32 + 1) // 2) * 3
+        |    END AS n_bytes
+        |  FROM documents),
+        |f AS (
+        |  SELECT asset_id, n_bytes,
+        |    greatest((n_bytes - 13) // 48, 0) AS n_frames
+        |  FROM d)
+        |SELECT asset_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+        |  CAST(n_frames AS BIGINT) AS n_frames,
+        |  CAST((n_frames + 1) // 2 AS BIGINT) AS n_sampled,
+        |  CASE WHEN n_frames > 0 THEN 13 END::BIGINT AS first_off,
+        |  CASE WHEN n_frames > 0
+        |       THEN 13 + 96 * ((n_frames + 1) // 2 - 1) END::BIGINT
+        |    AS last_off
+        |FROM f ORDER BY asset_id""".stripMargin,
 
     "q41_asof_join" ->
       """WITH c AS (

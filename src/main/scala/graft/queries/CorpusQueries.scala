@@ -236,6 +236,14 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Int8 quantization audit over the embedding corpus: quantized L1
+    // mass, saturation count, per-vector scale and worst reconstruction
+    // error — integer/max reductions only, elementwise float chain
+    // identical in both engines.
+    "q106_embedding_quant" -> ((s, dir) =>
+      Similarity.quantStats(t(s, dir, "embeddings"))
+        .orderBy(col("vec_id"))),
+
     // Data card: per-(lang, source) doc/char/token rollup with subtotal
     // and grand-total rows — the corpus summary shipped next to a
     // training-data snapshot. One scan, partial-agg rollup.
@@ -472,6 +480,28 @@ object CorpusQueries {
         |        count(*)::DOUBLE, 6) AS oov_frac
         |FROM toks LEFT JOIN vocab v USING (term)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q106_embedding_quant" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) AS sc
+        |  FROM e),
+        |q AS (
+        |  SELECT vec_id, v, sc,
+        |    list_transform(v, x -> CASE WHEN sc = 0 THEN 0.0
+        |      ELSE floor(x / sc * 127.0) END) AS qv
+        |  FROM s)
+        |SELECT vec_id,
+        |  CAST(list_sum(list_transform(qv, x -> abs(x)::BIGINT)) AS BIGINT)
+        |    AS l1_q,
+        |  CAST(len(list_filter(qv, x -> abs(x) >= 127.0)) AS BIGINT)
+        |    AS n_sat,
+        |  round(sc, 6) AS scale,
+        |  round(list_max(list_transform(range(len(v)), i ->
+        |    abs(v[(i + 1)::INTEGER] - qv[(i + 1)::INTEGER] * sc / 127.0))),
+        |    6) AS max_err
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "q96_corpus_report" ->
       """SELECT lang, source,

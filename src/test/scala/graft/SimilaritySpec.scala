@@ -89,4 +89,32 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getDouble(0))
     assert(one.forall(_ === 1.0))
   }
+
+  test("quantStats: hand-checked int8 quantization, zero-vector safe") {
+    import sqlImplicits._
+    val df = Seq(
+      (1L, Seq(0.5f, -0.25f, 0.125f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.quantStats(df)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // v=[.5,-.25,.125], s=.5 → q=floor([127,-63.5,31.75])=[127,-64,31]
+    val (l1, sat, s, err) = got(1L)
+    assert(l1 == 127L + 64L + 31L)
+    assert(sat == 1L)
+    assert(s == 0.5)
+    // floor quantization error is bounded by one step = s/127
+    assert(err > 0.0 && err <= 0.5 / 127.0 + 1e-9)
+    assert(got(2L) === ((0L, 0L, 0.0, 0.0)))
+  }
+
+  test("quantStats max_err is bounded by one quantization step corpus-wide") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // scale and max_err are reported rounded to 6 decimals, so the bound
+    // check needs rounding slack (±5e-7 on each side)
+    val bad = Similarity.quantStats(emb)
+      .filter(col("max_err") > col("scale") / 127.0 + 2e-6).count()
+    assert(bad == 0L)
+  }
 }
