@@ -255,6 +255,49 @@ object TextAnalysis {
         col("tf"), col("df"), round(col("score"), 4).as("score"))
   }
 
+  /** Collocation mining: document-level term co-occurrence with
+    * lift = (n_ab · N) / (n_a · n_b) — PMI's argument without the log (ln
+    * differs in last-ulp across libms; the rational product-of-counts
+    * doesn't). Emits every pair above the integral support floor
+    * `n_ab · supportDen ≥ N` (SF-relative, no float threshold).
+    *
+    * Scale design: the pair join is keyed by DOC ID, so fan-out is bounded
+    * by document length, never by term frequency — a hot term costs
+    * nothing extra. The remaining hazard is the long document (L distinct
+    * terms → L² pairs from one row): docs with more than `maxTermsPerDoc`
+    * distinct terms are dropped from pair mining BEFORE the self-join —
+    * fail-bounded like NearDup's `maxDocsPerFp`, and log what you drop
+    * when tuning. Term frequencies and N still count every doc, so kept
+    * pairs score identically whether or not outliers exist.
+    */
+  def collocations(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, supportDen: Long = 20L,
+      maxTermsPerDoc: Int = 1000): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs.select(col(idCol).as("id"),
+      explode(array_distinct(tokens(lower(col(textCol))))).as("term"))
+    val nDocs = broadcast(docs.groupBy().agg(
+      count(lit(1)).as("n_docs")))
+    val tf = terms.groupBy(col("term")).agg(count(lit(1)).as("n_t"))
+    val bounded = terms.withColumn("_l",
+        count(lit(1)).over(Window.partitionBy(col("id"))))
+      .filter(col("_l") <= maxTermsPerDoc).drop("_l")
+    val pairs = bounded.as("a")
+      .join(bounded.as("b"),
+        col("a.id") === col("b.id") && col("a.term") < col("b.term"))
+      .groupBy(col("a.term").as("t1"), col("b.term").as("t2"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs.crossJoin(nDocs)
+      .filter(col("n_ab") * supportDen >= col("n_docs"))
+      .join(broadcast(tf.withColumnRenamed("term", "t1")
+        .withColumnRenamed("n_t", "n_t1")), Seq("t1"))
+      .join(broadcast(tf.withColumnRenamed("term", "t2")
+        .withColumnRenamed("n_t", "n_t2")), Seq("t2"))
+      .select(col("t1"), col("t2"), col("n_ab"),
+        round((col("n_ab") * col("n_docs")).cast("double") /
+          (col("n_t1") * col("n_t2")).cast("double"), 6).as("lift"))
+  }
+
   /** Vocabulary coverage: build the min-count vocabulary over the corpus
     * (terms with total occurrences ≥ `minCount`), then report each
     * document's out-of-vocabulary token count and fraction — the tokenizer

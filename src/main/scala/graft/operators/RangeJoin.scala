@@ -36,6 +36,26 @@ object RangeJoin {
   private[operators] def bucketStart(x: Column, w: Long): Column =
     x - pmod(x, lit(w))
 
+  /** One interval may explode to at most this many covering buckets. The
+    * explode builds the bucket list as ONE in-memory array per row, so a
+    * pathological interval (a year-long range against a minute-wide
+    * bucket ≈ 0.5M entries) is an executor-OOM vector precisely when the
+    * data is dirtiest. Rows beyond the cap fail fast with a named error —
+    * a wrong `bucketWidth` should surface as a message saying so, not as
+    * a dying executor. */
+  val MaxBucketsPerInterval: Long = 1L << 20
+
+  /** Covering-bucket explode with the fail-fast cap. */
+  private def explodeBuckets(s: Column, e: Column, w: Long): Column = {
+    val n = (bucketStart(e - 1, w) - bucketStart(s, w)) / w + 1
+    explode(when(n <= MaxBucketsPerInterval,
+      sequence(bucketStart(s, w), bucketStart(e - 1, w), lit(w)))
+      .otherwise(raise_error(concat(
+        lit(s"interval spans more than $MaxBucketsPerInterval buckets " +
+          "(bucketWidth too small for interval ["), s,
+        lit(", "), e, lit(")); pick a width near the typical length")))))
+  }
+
   /** Inner point-in-interval join: every (point, interval) pair with
     * `start <= pointTime < end` (end-exclusive). All columns of both inputs
     * survive; names must not collide (callers project/rename first —
@@ -63,9 +83,7 @@ object RangeJoin {
     // filtered before the explode rather than relying on an empty sequence
     val ivB = intervals
       .filter(e > s)
-      .withColumn("__bucket",
-        explode(sequence(bucketStart(s, bucketWidth),
-          bucketStart(e - 1, bucketWidth), lit(bucketWidth))))
+      .withColumn("__bucket", explodeBuckets(s, e, bucketWidth))
     val ptB = points.withColumn("__bucket",
       bucketStart(col(pointTime), bucketWidth))
     ptB.join(ivB, Seq("__bucket"))
@@ -98,9 +116,7 @@ object RangeJoin {
 
     def cover(df: DataFrame, s: Column, e: Column): DataFrame = df
       .filter(e > s)
-      .withColumn("__bucket",
-        explode(sequence(bucketStart(s, bucketWidth),
-          bucketStart(e - 1, bucketWidth), lit(bucketWidth))))
+      .withColumn("__bucket", explodeBuckets(s, e, bucketWidth))
     val lB = cover(left, col(ls), col(le))
     val rB = cover(right, col(rs), col(re))
     lB.join(rB, Seq("__bucket"))

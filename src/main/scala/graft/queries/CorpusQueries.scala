@@ -164,34 +164,13 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // Collocation mining: document-level term co-occurrence with lift =
-    // (n_ab · N) / (n_a · n_b) — PMI's argument without the log (ln differs
-    // in last-ulp across libms; the rational product-of-counts doesn't).
-    // Join keyed by doc_id (fan-out bounded by doc length, never by term
-    // frequency); support floor n_ab·20 ≥ N is integral and SF-relative.
-    "q100_collocations" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val terms = docs.select(col("doc_id"),
-        explode(array_distinct(TextAnalysis.tokens(lower(col("text")))))
-          .as("term"))
-      val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
-      val tf = terms.groupBy(col("term")).agg(count(lit(1)).as("n_t"))
-      val pairs = terms.as("a")
-        .join(terms.as("b"),
-          col("a.doc_id") === col("b.doc_id") && col("a.term") < col("b.term"))
-        .groupBy(col("a.term").as("t1"), col("b.term").as("t2"))
-        .agg(count(lit(1)).as("n_ab"))
-      pairs.crossJoin(broadcast(nDocs))
-        .filter(col("n_ab") * 20L >= col("n_docs"))
-        .join(broadcast(tf.withColumnRenamed("term", "t1")
-          .withColumnRenamed("n_t", "n_t1")), Seq("t1"))
-        .join(broadcast(tf.withColumnRenamed("term", "t2")
-          .withColumnRenamed("n_t", "n_t2")), Seq("t2"))
-        .select(col("t1"), col("t2"), col("n_ab"),
-          round((col("n_ab") * col("n_docs")).cast("double") /
-            (col("n_t1") * col("n_t2")).cast("double"), 6).as("lift"))
-        .orderBy(col("t1"), col("t2"))
-    }),
+    // Collocation mining: document-level term co-occurrence with rational
+    // lift — see TextAnalysis.collocations (doc-keyed join, long-doc cap,
+    // integral SF-relative support floor).
+    "q100_collocations" -> ((s, dir) =>
+      TextAnalysis.collocations(t(s, dir, "documents"), "doc_id", "text",
+        supportDen = 20L)
+        .orderBy(col("t1"), col("t2"))),
 
     // Corpus snapshot diff: prev build (every 17th doc absent, every 11th
     // doc's text since edited) vs cur build (every 13th doc dropped) —

@@ -122,6 +122,20 @@ class RangeJoinSpec extends SparkSpec {
     assert(dup === 0L)
   }
 
+  test("an interval spanning too many buckets fails fast with a named error") {
+    import sqlImplicits._
+    val pts = Seq((1L, 5L)).toDF("p_id", "t")
+    val huge = Seq((1L, 0L, (RangeJoin.MaxBucketsPerInterval + 2L)))
+      .toDF("iv_id", "s", "e")
+    val err = intercept[Throwable] {
+      RangeJoin.pointInInterval(pts, "t", huge, "s", "e", bucketWidth = 1L)
+        .count()
+    }
+    val chain = Iterator.iterate(err)(_.getCause).takeWhile(_ != null)
+      .map(_.toString).mkString(" | ")
+    assert(chain.contains("buckets"), chain)
+  }
+
   test("interval overlap plans without a cartesian / nested loop") {
     val (l, r) = overlapFixture
     val plan = RangeJoin.intervalOverlap(l, "ls", "le", r, "rs", "re",

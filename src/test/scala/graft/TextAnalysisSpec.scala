@@ -173,6 +173,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!got.contains((2L, 2L)))
   }
 
+  test("collocations: lift is exact and the long-doc cap bounds pair mining") {
+    import sqlImplicits._
+    val docs = Seq(
+      (1L, "x y"), (2L, "x y"), (3L, "x z"),
+      (4L, (1 to 50).map(i => s"w$i").mkString(" "))  // 50 distinct terms
+    ).toDF("doc_id", "text")
+    // uncapped: the wide doc contributes 50*49/2 pairs
+    val all = TextAnalysis.collocations(docs, "doc_id", "text",
+      supportDen = 1000L, maxTermsPerDoc = 1000)
+    assert(all.count() > 1000L)
+    // capped at 10 terms: doc 4 is excluded from pair mining entirely,
+    // but N and term frequencies still include it
+    val capped = TextAnalysis.collocations(docs, "doc_id", "text",
+      supportDen = 1000L, maxTermsPerDoc = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(capped.keySet == Set(("x", "y"), ("x", "z")))
+    // lift(x,y) = n_ab*N/(n_x*n_y) = 2*4/(3*2)
+    assert(capped(("x", "y")) === ((2L, math.round(2.0 * 4 / 6 * 1e6) / 1e6)))
+    assert(capped(("x", "z")) === ((1L, math.round(1.0 * 4 / 3 * 1e6) / 1e6)))
+  }
+
   test("oovRate counts tokens outside the min-count vocabulary") {
     import sqlImplicits._
     val docs = Seq(
