@@ -91,8 +91,35 @@ object GraftFunctions {
       DotProduct(children(0), children(1))
     })
 
+  /** Column-DSL library functions lifted to SQL names (one implementation,
+    * two surfaces): a pure-SQL user of the engine gets the text/quality/
+    * dedup primitives without touching the Scala API. Each builder emits
+    * the same expression tree the Column API emits, so plans, codegen and
+    * results are identical by construction. */
+  private def liftedFunctions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.graft.ColumnBridge.builder
+    def entry(name: String, arity: Int)(f: Seq[Column] => Column) = (
+      FunctionIdentifier(name),
+      new ExpressionInfo(GraftFunctions.getClass.getName, name),
+      builder(arity, name)(f))
+    Seq(
+      entry("graft_url_canon", 1)(cs =>
+        graft.functions.Urls.canonicalize(cs.head)),
+      entry("graft_lang_id", 1)(cs =>
+        graft.functions.TextAnalysis.langId(cs.head)),
+      entry("graft_quality_score", 1)(cs =>
+        graft.functions.TextAnalysis.qualityScore(cs.head)),
+      entry("graft_token_count", 1)(cs =>
+        graft.functions.TextAnalysis.tokenCount(cs.head)),
+      entry("graft_md5h60", 1)(cs =>
+        graft.operators.NearDup.md5Hash60(cs.head)))
+  }
+
   def install(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(dotProduct)
     ext.injectFunction(CosineSimFunction.entry)
+    liftedFunctions.foreach(ext.injectFunction)
   }
 }

@@ -18,6 +18,37 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(Tables.names.forall(spark.catalog.tableExists))
   }
 
+  test("lifted SQL functions equal their Column-DSL originals") {
+    import graft.functions.{TextAnalysis, Urls}
+    import graft.operators.NearDup
+    Tables.registerAll(spark, dir)
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+        |  graft_lang_id(text) AS lid,
+        |  graft_quality_score(text) AS q,
+        |  graft_token_count(text) AS n,
+        |  graft_md5h60(text) AS h,
+        |  graft_url_canon('HTTPS://A.com:443/p?utm_x=1&b=2&a=1#f') AS u
+        |FROM documents ORDER BY doc_id""".stripMargin).collect()
+    val viaDsl = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lid"),
+        TextAnalysis.qualityScore(col("text")).as("q"),
+        TextAnalysis.tokenCount(col("text")).as("n"),
+        NearDup.md5Hash60(col("text")).as("h"),
+        Urls.canonicalize(lit("HTTPS://A.com:443/p?utm_x=1&b=2&a=1#f")).as("u"))
+      .orderBy("doc_id").collect()
+    assert(viaSql.toSeq == viaDsl.toSeq)
+    assert(viaSql.head.getString(5) == "https://a.com/p?a=1&b=2")
+  }
+
+  test("lifted SQL functions reject wrong arity with a named error") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_token_count('a', 'b')").collect()
+    }
+    assert(e.getMessage.contains("graft_token_count"))
+  }
+
   test("spark.sql joins and aggregates over the registered views") {
     Tables.registerAll(spark, dir)
     val got = spark.sql(
