@@ -2,7 +2,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.classic.{ColumnNodeToExpressionConverter, ExpressionUtils}
 
 /** Bridge between the Column DSL and raw Catalyst expressions, so library
   * functions written once against `org.apache.spark.sql.functions` can also
@@ -17,7 +17,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * internals that are stable across the 4.x line.
   */
 object ColumnBridge {
-  def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+  /** Eager node→expression conversion. `ExpressionUtils.expression` wraps
+    * non-trivial Column trees in a LAZY `ColumnNodeExpression`, which is
+    * only unwrapped on the classic Dataset path — returned from an
+    * injected SQL function builder it reaches codegen still wrapped and
+    * Spark throws INTERNAL_ERROR. The converter object is what the
+    * analyzer itself applies: it recursively rewrites the whole node tree
+    * into real Catalyst expressions (UnresolvedFunction / lambda nodes
+    * included), which the analyzer then resolves to fixpoint exactly as it
+    * would the hand-written SQL. */
+  def toExpression(c: Column): Expression = ColumnNodeToExpressionConverter(c.node)
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
 
   /** Lift a Column-DSL function into an injectable SQL function builder
