@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{AnalyticsQueries, CoreQueries, CorpusQueries, EventQueries, PipelineQueries, QualityQueries, ScaleQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, CorpusQueries, EventQueries, GraphQueries, PipelineQueries, QualityQueries, ScaleQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -29,12 +29,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ PipelineQueries.queries ++
       QualityQueries.queries ++ AnalyticsQueries.queries ++
-      ScaleQueries.queries ++ EventQueries.queries ++ CorpusQueries.queries
+      ScaleQueries.queries ++ EventQueries.queries ++ CorpusQueries.queries ++
+      GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ PipelineQueries.oracles ++
       QualityQueries.oracles ++ AnalyticsQueries.oracles ++
-      ScaleQueries.oracles ++ EventQueries.oracles ++ CorpusQueries.oracles
+      ScaleQueries.oracles ++ EventQueries.oracles ++ CorpusQueries.oracles ++
+      GraphQueries.oracles
 }

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** URL canonicalization for URL-keyed corpus dedup. Web crawls carry the
@@ -45,6 +45,46 @@ object Urls {
       .when(scheme === "http" && host.endsWith(":80"),
         host.substr(lit(1), length(host) - 3))
       .otherwise(host)
+  }
+
+  /** Registered domain = last two dot-labels of the canonical host
+    * (`www.news.example.com` → `example.com`) — the key crawl pipelines
+    * block/cap on. Two labels is the eTLD+1 approximation for generic
+    * TLDs; a full public-suffix list is a data file, not an algorithm
+    * change (swap the `-2` slice for a longest-suffix-match join against
+    * a broadcast suffix table). NULL for non-URLs, like [[canonicalize]].
+    *
+    * Kept expression-only so the EQUI-join below stays available: a
+    * blocklist applied as `endsWith` scans would be a cartesian test per
+    * (row × pattern); extracting the registered domain first turns
+    * blocking into a hash anti-join on a single key. */
+  def registeredDomain(url: Column): Column = {
+    val host = lower(regexp_extract(url, hostRe, 1))
+    val noPort = regexp_replace(host, ":[0-9]+$", "")
+    val parts = split(noPort, "\\.")
+    when(lower(regexp_extract(url, schemeRe, 1)) === "",
+      lit(null).cast("string"))
+      // single-label hosts (localhost, intranet names) are their own
+      // registered domain; slice(-2) on a 1-element array would be empty
+      .when(size(parts) < 2, noPort)
+      .otherwise(array_join(slice(parts, -2, 2), "."))
+  }
+
+  /** Drop rows whose URL's registered domain is on the blocklist — the
+    * spam/adult/boilerplate domain filter at the front of corpus assembly.
+    * The blocklist rides a broadcast hash anti-join keyed on the extracted
+    * domain: O(rows) work, no per-pattern scan, no shuffle of `df`. */
+  def domainBlockFilter(df: DataFrame, urlCol: Column,
+      blocked: Seq[String]): DataFrame = {
+    require(!df.columns.contains("__dom"),
+      "column __dom collides with domainBlockFilter internals; rename first")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bl = blocked.map(_.toLowerCase).toSeq.toDF("__dom")
+    df.withColumn("__dom", registeredDomain(urlCol))
+      .join(org.apache.spark.sql.functions.broadcast(bl),
+        Seq("__dom"), "left_anti")
+      .drop("__dom")
   }
 
   /** Canonical form of `url`, NULL when `url` has no `scheme://` prefix. */

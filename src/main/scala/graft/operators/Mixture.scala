@@ -62,4 +62,38 @@ object Mixture {
       .filter(NearDup.md5Hash60(key).cast("double") < col("__p") * lit(Two60))
       .drop("__p")
   }
+
+  /** Temperature-scaled mixture targets (α = 0.5): the multilingual /
+    * multi-domain rebalancing rule (share ∝ n^α) that upweights small
+    * categories without letting giants dominate — the step that produces
+    * the `targets` map [[resampleToMixture]] consumes.
+    *
+    * α is FIXED at 0.5 because sqrt is one of the IEEE-754 correctly-
+    * rounded operations: both engines compute the identical double for
+    * every count, so the only cross-engine freedom left is the addition
+    * order of the normalizer — a sum over a handful of category rows,
+    * absorbed by the 6-decimal round (the same contract every float
+    * aggregate in this library grades under). A general α would route
+    * through `pow`, which libms round differently in the last ulp.
+    *
+    * Scale shape: one aggregate pass over the corpus (map-side partial
+    * counts, one shuffle producing ONE row per category), then a single-
+    * partition window over that tiny aggregate — the corpus itself is
+    * never reshuffled.
+    *
+    * @return (category, n_docs, share_raw, share_t) — raw and temperature-
+    *         scaled shares, rounded to 6
+    */
+  def temperatureTargets(df: DataFrame, categoryCol: String): DataFrame = {
+    val counts = df.groupBy(col(categoryCol))
+      .agg(count(lit(1)).as("n_docs"))
+    val all = Window.partitionBy()
+    counts
+      .withColumn("__w", sqrt(col("n_docs").cast("double")))
+      .withColumn("share_raw", round(
+        col("n_docs").cast("double") /
+          sum(col("n_docs")).over(all).cast("double"), 6))
+      .withColumn("share_t", round(col("__w") / sum(col("__w")).over(all), 6))
+      .drop("__w")
+  }
 }

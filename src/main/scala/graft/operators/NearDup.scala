@@ -528,4 +528,25 @@ object NearDup {
     }
     labels.select(col("id").as("doc_id"), col("label").as("canonical"))
   }
+
+  /** Which copy to KEEP per near-dup group — the step after
+    * [[connectedComponents]] in a real dedup pipeline. The min-id canonical
+    * label is an artifact of the clustering; what a corpus wants kept is
+    * the BEST member (highest quality score), so this attaches, for every
+    * labeled doc, the group representative chosen by (score desc, id asc)
+    * and an `is_rep` keep flag.
+    *
+    * Inputs: `labels` = (doc_id, canonical) from connectedComponents;
+    * `scores` = (doc_id, score). One equi-join (labels is only the paired
+    * docs — tiny relative to the corpus — so it broadcasts) and one window
+    * keyed by the group label; ties broken by doc_id so the choice is
+    * total and engine-independent. */
+  def groupRepresentatives(labels: DataFrame, scores: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("canonical"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    labels.join(scores, Seq("doc_id"))
+      .withColumn("rep_id", first(col("doc_id")).over(w))
+      .withColumn("is_rep", col("doc_id") === col("rep_id"))
+  }
 }

@@ -80,6 +80,35 @@ object Sampling {
     df.withColumn("split", label)
   }
 
+  /** Deterministic global training order WITHOUT a global sort: shard by
+    * key hash, then number rows within each shard by the same hash. The
+    * training order is "shard s, position q" consumed round-robin — a
+    * reproducible pseudo-random permutation of the corpus (what a trainer
+    * needs for example shuffling) that any engine reproduces bit-for-bit.
+    *
+    * The naive alternative — `row_number() OVER (ORDER BY hash)` — is a
+    * single-partition window: every row funnels through one task, the
+    * classic 100 TB cliff. Sharding first keeps the window partitioned
+    * (one shuffle keyed by shard, each shard sorted independently) while
+    * still defining a total global order. Ties under the hash are broken
+    * by `tiebreak` so the order is total even on md5 collisions.
+    *
+    * @return input columns + (shard, seq) — seq is 1-based within shard
+    */
+  def shardAndOrder(df: DataFrame, key: Column, shards: Int,
+      tiebreak: Column): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    val clash = df.columns.filter(Set("shard", "seq", "__h"))
+    require(clash.isEmpty, s"column(s) ${clash.mkString(", ")} collide with " +
+      "shardAndOrder output; rename first")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), tiebreak)
+    df.withColumn("__h", NearDup.md5Hash60(key))
+      .withColumn("shard", pmod(col("__h"), lit(shards.toLong)))
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
+
   /** Per-stratum rates: keep a row when its bucket is under the rate for
     * its stratum (default 0 — strata not listed are dropped). */
   def stratifiedHashSample(df: DataFrame, key: Column, stratum: Column,

@@ -162,6 +162,46 @@ object PipelineQueries {
        |SELECT a AS doc_id, least(a, min(b)) AS canonical
        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
 
+  /** q108 oracle: the q40 closure extended with the KEEP decision — the
+    * group representative is the member with the best quality score (ties
+    * to the lower id), mirrored with first_value over the group window.
+    * Score formula identical to q98's oracle (round 4, per-row only). */
+  private val clusterRepSql =
+    s"""WITH RECURSIVE $jaccardPairsCtes,
+       |pairs AS (
+       |  SELECT pr.d1, pr.d2
+       |  FROM pr JOIN sz sa ON sa.doc_id = pr.d1 JOIN sz sb ON sb.doc_id = pr.d2
+       |  WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.5),
+       |edges AS (
+       |  SELECT d1 AS src, d2 AS dst FROM pairs
+       |  UNION ALL SELECT d2, d1 FROM pairs),
+       |reach AS (
+       |  SELECT src AS a, dst AS b FROM edges
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+       |lab AS (
+       |  SELECT a AS doc_id, least(a, min(b)) AS canonical
+       |  FROM reach GROUP BY a),
+       |sc AS (
+       |  SELECT doc_id,
+       |    round(least(len(string_split_regex(trim(lower(text)), '\\s+'))
+       |            / 50.0, 1.0) * 0.5 +
+       |          (len(list_distinct(string_split_regex(trim(lower(text)),
+       |            '\\s+')))::DOUBLE /
+       |           len(string_split_regex(trim(lower(text)), '\\s+'))) * 0.5,
+       |          4) AS score
+       |  FROM documents),
+       |j AS (SELECT l.doc_id, l.canonical, s.score
+       |      FROM lab l JOIN sc s USING (doc_id))
+       |SELECT doc_id, canonical, score,
+       |  first_value(doc_id) OVER (PARTITION BY canonical
+       |    ORDER BY score DESC, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS rep_id,
+       |  doc_id = first_value(doc_id) OVER (PARTITION BY canonical
+       |    ORDER BY score DESC, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS is_rep
+       |FROM j ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -288,6 +328,17 @@ object PipelineQueries {
       NearDup.connectedComponents(docPairs(s, dir))
         .orderBy(col("doc_id"))),
 
+    // The step after the closure: which copy to KEEP. Every labeled doc
+    // gets its group's best-quality member (ties to lower id) as rep_id
+    // plus the is_rep keep flag — labels are only the paired docs, so the
+    // score join broadcasts.
+    "q108_cluster_rep" -> ((s, dir) =>
+      NearDup.groupRepresentatives(
+        NearDup.connectedComponents(docPairs(s, dir)),
+        t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("score")))
+        .orderBy(col("doc_id"))),
+
     // LLM dedup 6 (asymmetric): containment pairs — inter/min(|A|,|B|) —
     // the doc-inside-doc case Jaccard's symmetric denominator misses.
     // Fourth consumer of the persisted postings stage.
@@ -396,6 +447,7 @@ object PipelineQueries {
 
     "q37_ann_buckets" -> annBucketsSql,
     "q40_neardup_groups" -> neardupGroupsSql,
+    "q108_cluster_rep" -> clusterRepSql,
 
     "q39_cosine_pairs" ->
       """WITH q AS (SELECT vec_id AS v1, embedding::DOUBLE[] AS e1

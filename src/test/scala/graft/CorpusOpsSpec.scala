@@ -189,4 +189,62 @@ class CorpusOpsSpec extends SparkSpec {
       assert(canon(once) == Some(once), u)
     }
   }
+
+  // ---- registeredDomain / domainBlockFilter ----
+
+  private def regDom(u: String): Option[String] = {
+    import sqlImplicits._
+    Seq(u).toDF("u").select(Urls.registeredDomain(col("u")))
+      .collect().headOption.flatMap(r => Option(r.getString(0)))
+  }
+
+  test("registeredDomain keeps the last two labels, drops port and case") {
+    assert(regDom("https://WWW.News.Example.COM:8443/x?y=1") ==
+      Some("example.com"))
+    assert(regDom("http://example.org/") == Some("example.org"))
+    assert(regDom("https://localhost/x") == Some("localhost"))
+    assert(regDom("not a url") == None)
+  }
+
+  test("domainBlockFilter drops exactly the blocklisted domains via anti-join") {
+    import sqlImplicits._
+    val rows = Seq(
+      (1L, "https://a.spam.com/x"), (2L, "https://b.ok.org/y"),
+      (3L, "http://c.SPAM.com:80/z"), (4L, "https://ok.net/"))
+      .toDF("id", "url")
+    val kept = Urls.domainBlockFilter(rows, col("url"), Seq("Spam.com"))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(2L, 4L))
+    // plan audit: the blocklist must ride a broadcast hash anti-join, not
+    // a per-pattern scan
+    val plan = Urls.domainBlockFilter(rows, col("url"), Seq("spam.com"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti") && plan.contains("Broadcast"))
+  }
+
+  // ---- shardAndOrder ----
+
+  test("shardAndOrder defines a total, repartition-invariant order") {
+    import sqlImplicits._
+    val df = (0L until 500L).map(i => (i, s"s${i % 3}")).toDF("id", "cat")
+    val a = Sampling.shardAndOrder(df, col("id").cast("string"), 8, col("id"))
+      .orderBy("id").collect().toSeq
+    val b = Sampling.shardAndOrder(df.repartition(13),
+      col("id").cast("string"), 8, col("id")).orderBy("id").collect().toSeq
+    assert(a == b)
+    // (shard, seq) is a bijection onto rows: every shard numbers 1..n_s
+    val byShard = a.groupBy(_.getLong(2))
+    byShard.values.foreach { rows =>
+      assert(rows.map(_.getLong(3)).sorted == (1L to rows.size).toSeq)
+    }
+    assert(byShard.keySet.subsetOf((0L until 8L).toSet))
+  }
+
+  test("shardAndOrder rejects colliding column names") {
+    import sqlImplicits._
+    val df = Seq((1L, 2L)).toDF("id", "seq")
+    assertThrows[IllegalArgumentException] {
+      Sampling.shardAndOrder(df, col("id").cast("string"), 4, col("id"))
+    }
+  }
 }

@@ -62,4 +62,30 @@ class MixtureSpec extends SparkSpec {
         col("doc_id"), Map("en" -> 1.0))
     }
   }
+
+  test("temperatureTargets: shares sum to ~1 and compress toward uniform") {
+    val rows = Mixture.temperatureTargets(docs, "lang")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3)))
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-5)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-5)
+    // α = 0.5 compresses: every category above-average in raw share loses
+    // share, every below-average category gains — strictly, unless uniform.
+    val k = rows.length
+    rows.foreach { case (_, _, raw, temp) =>
+      if (raw > 1.0 / k + 1e-9) assert(temp < raw)
+      if (raw < 1.0 / k - 1e-9) assert(temp > raw)
+    }
+    // ranking preserved: temperature rebalances, never reorders
+    assert(rows.sortBy(_._3).map(_._1).toSeq ==
+      rows.sortBy(_._4).map(_._1).toSeq)
+  }
+
+  test("temperatureTargets feeds resampleToMixture as-is") {
+    val targets = Mixture.temperatureTargets(docs, "lang")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val out = Mixture.resampleToMixture(docs, "lang",
+      col("doc_id").cast("string"), targets)
+    assert(out.count() > 0)
+  }
 }

@@ -202,4 +202,19 @@ class NearDupSpec extends SparkSpec {
     assert(NearDup.contaminationReport(corpus, "doc_id", "text",
       bench, "doc_id", "text", k = 4, minShared = 7L).count() === 0L)
   }
+
+  test("groupRepresentatives keeps the best-scored member, ties to lower id") {
+    // two groups: {1,2,3} canonical 1, {7,9} canonical 7
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
+      .toDF("doc_id", "canonical")
+    // group 1: doc 2 has the top score; group 7: scores tie — rep is 7
+    val scores = Seq((1L, 0.4), (2L, 0.9), (3L, 0.9 - 1e-9),
+      (7L, 0.5), (9L, 0.5)).toDF("doc_id", "score")
+    val got = NearDup.groupRepresentatives(labels, scores)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got(1L) == ((2L, false)) && got(2L) == ((2L, true)) &&
+      got(3L) == ((2L, false)))
+    assert(got(7L) == ((7L, true)) && got(9L) == ((7L, false)))
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AnalyticsQueries, CoreQueries, PipelineQueries, QualityQueries, ScaleQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, GraphQueries, PipelineQueries, QualityQueries, ScaleQueries}
 
 /** Living assertions over the physical plans of representative graded
   * queries — the properties that make them scale (predicate/projection
@@ -13,7 +13,8 @@ class PlanAuditSpec extends SparkSpec {
 
   private def plan(name: String): String = {
     val all = CoreQueries.queries ++ PipelineQueries.queries ++
-      AnalyticsQueries.queries ++ QualityQueries.queries ++ ScaleQueries.queries
+      AnalyticsQueries.queries ++ QualityQueries.queries ++
+      ScaleQueries.queries ++ GraphQueries.queries
     all(name)(spark, dir).queryExecution.executedPlan.toString
   }
 
@@ -205,5 +206,28 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q81_repetition")
     assert("Exchange".r.findAllIn(p).size === 1, p)
     assert(p.contains("rangepartitioning"), p)
+  }
+
+  test("q109: shard-and-order windows are PARTITIONED — no single-partition sort") {
+    val p = plan("q109_shard_order")
+    assert(!p.contains("Exchange SinglePartition"), p)
+    // window keyed by the shard column, then only the output sort
+    assert(p.contains("hashpartitioning(shard"), p)
+  }
+
+  test("q110: temperature targets aggregate partial-then-final; " +
+      "single-partition exchange carries only the per-category aggregate") {
+    val p = plan("q110_temperature_mix")
+    assert(p.contains("partial_count"), p)
+    // the one single-partition exchange sits ABOVE the aggregate (tiny),
+    // mirroring q80's audited shape
+    assert(p.contains("Exchange SinglePartition"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
+
+  test("q111: blocklist rides a broadcast hash anti-join on the domain key") {
+    val p = plan("q111_host_block")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
   }
 }
