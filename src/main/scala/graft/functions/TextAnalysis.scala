@@ -325,4 +325,36 @@ object TextAnalysis {
         round(col("n_oov").cast("double") / col("n_tok").cast("double"), 6)
           .as("oov_frac"))
   }
+
+  /** Adjacent-symbol pair counts — the statistic one BPE training
+    * iteration maximizes (the top pair is the next merge). Counted the
+    * way BPE trainers actually count: over the DISTINCT word vocabulary
+    * weighted by word frequency, never over raw running text — the
+    * vocabulary is orders of magnitude smaller than the corpus, so the
+    * per-word char explode (the expensive part) runs on ~|V| rows while
+    * the corpus contributes only a word-count aggregation. All counts are
+    * integers — exact in any engine.
+    *
+    * Scale shape: one corpus aggregation (map-side partial counts keyed
+    * by word) then an explode+sum over the vocab; top-k via
+    * TakeOrderedAndProject (no global sort materialized).
+    *
+    * @return (pair, cnt) for the `topK` most frequent adjacent pairs,
+    *         ties broken by pair text
+    */
+  def bpePairCounts(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      topK: Int): org.apache.spark.sql.DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val vocab = docs
+      .select(explode(tokens(lower(col(textCol)))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .filter(length(col("word")) >= 2)
+    vocab
+      .select(col("wc"), explode(
+        transform(sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wc")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(topK)
+  }
 }

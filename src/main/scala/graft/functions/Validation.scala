@@ -60,4 +60,23 @@ object Validation {
   /** F1/F2: normalize a padded string cell: cast to string, Python-strip
     * (NOT Spark `trim` — see [[pyStrip]]). */
   def normalize(c: Column): Column = pyStrip(c.cast("string"))
+
+  /** Luhn checksum validity of a digits-only string — the check that
+    * separates a real payment-card number from an arbitrary 16-digit run,
+    * which is what keeps a card-number redactor's false-positive rate on
+    * phone numbers / order ids tolerable. Pure array HOFs over the
+    * reversed digit string (integer arithmetic only — exact in any
+    * engine); false for anything outside 13–19 digits or containing a
+    * non-digit. */
+  def luhnValid(digits: Column): Column = {
+    val rev = reverse(digits)
+    val contrib = transform(sequence(lit(1), length(rev)), i => {
+      val dig = rev.substr(i, lit(1)).cast("int")
+      val doubled = dig * 2
+      when(i % 2 === 0, when(doubled > 9, doubled - 9).otherwise(doubled))
+        .otherwise(dig)
+    })
+    digits.rlike("^[0-9]{13,19}$") &&
+      pmod(aggregate(contrib, lit(0), (acc, x) => acc + x), lit(10)) === 0
+  }
 }

@@ -124,6 +124,24 @@ object Dedup {
     * plan is evaluated twice (once per side); at 100 TB persist it — it is
     * a narrow map over the scan. Reassembly groups by doc id, bounded by
     * document size. */
+  /** Cross-group duplication matrix: how many distinct content keys each
+    * unordered pair of groups shares — "which sources copy from each
+    * other", the corpus-governance view behind per-source dedup decisions
+    * (a mirror site shows up as one hot cell).
+    *
+    * The inner `distinct` bounds the join: each key occurs at most once
+    * per group, so a key's fan-out is ≤ C(groups,2) — bounded by the
+    * (small) group cardinality, never by how often content repeats inside
+    * a group. Shuffles on the content key only; group strings ride along.
+    */
+  def crossGroupOverlap(df: DataFrame, key: Column, group: Column): DataFrame = {
+    val d = df.select(key.as("k"), group.as("g")).distinct()
+    d.as("a").join(d.as("b"),
+        col("a.k") === col("b.k") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("g1"), col("b.g").as("g2"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   def dedupCorpusLines(lines: DataFrame, idCol: String): DataFrame = {
     val firsts = lines
       .groupBy(col("line"))

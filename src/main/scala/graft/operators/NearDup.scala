@@ -529,6 +529,51 @@ object NearDup {
     labels.select(col("id").as("doc_id"), col("label").as("canonical"))
   }
 
+  /** Content-defined chunking: cut every document into variable-length
+    * chunks whose BOUNDARIES are decided by content (a rolling w-gram hash
+    * hitting 0 mod `modulus`), not by fixed offsets. Fixed-size chunking
+    * breaks under insertion — one added sentence shifts every later chunk
+    * and nothing dedups; content-defined boundaries re-synchronize right
+    * after the edit, so chunk-level dedup still collapses the unchanged
+    * tail (the rsync/LBFS trick, applied to corpus text).
+    *
+    * A chunk starts at position 1 and at every i > 1 where
+    * md5-60(text[i, i+w)) ≡ 0 (mod modulus); expected chunk length ≈
+    * `modulus` chars. Same per-position explode shape as
+    * [[winnowedFingerprints]] — O(total chars) rows, per-doc partitioned
+    * window, no shuffle wider than the doc key — and the same hash
+    * portability contract: md5 for cross-engine grading, [[xx64]] for
+    * production.
+    *
+    * @return (id, chunk_idx, start, chunk_len, chunk_md5) — 1-based char
+    *         offsets; docs shorter than `w` form a single chunk
+    */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 8, modulus: Long = 64L): DataFrame = {
+    require(w >= 2 && modulus >= 2, "need w >= 2 and modulus >= 2")
+    val base = df.select(col(idCol).as("id"), col(textCol).as("t"),
+      length(col(textCol)).cast("long").as("len"))
+    // len >= w+1, not w: Spark's sequence(2, hi) runs DESCENDING when
+    // hi < 2, so the shortest doc with a candidate boundary (s=2 needs
+    // s+w-1 <= len) is the explicit guard
+    val bounds = base.filter(col("len") >= w + 1)
+      .select(col("id"), col("t"), col("len"),
+        explode(sequence(lit(2L), col("len") - (w - 1))).as("s"))
+      .filter(pmod(md5Hash60(col("t").substr(col("s").cast("int"), lit(w))),
+        lit(modulus)) === 0L)
+    val starts = base.select(col("id"), col("t"), col("len"),
+      lit(1L).as("s")).unionAll(bounds)
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("s"))
+    starts
+      .withColumn("e", lead(col("s"), 1, null).over(byDoc))
+      .withColumn("e", coalesce(col("e"), col("len") + 1))
+      .withColumn("chunk_idx", row_number().over(byDoc).cast("long"))
+      .select(col("id"), col("chunk_idx"), col("s").as("start"),
+        (col("e") - col("s")).as("chunk_len"),
+        md5(col("t").substr(col("s").cast("int"),
+          (col("e") - col("s")).cast("int")).cast("binary")).as("chunk_md5"))
+  }
+
   /** Which copy to KEEP per near-dup group — the step after
     * [[connectedComponents]] in a real dedup pipeline. The min-id canonical
     * label is an artifact of the clustering; what a corpus wants kept is

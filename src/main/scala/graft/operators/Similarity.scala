@@ -208,11 +208,16 @@ object Similarity {
     * of the pair self-join plus the final output) — callers composing a
     * pipeline should persist it (see CorpusQueries' stage cache), exactly
     * like NearDup's postings stage. */
-  def assignToCentroids(corpus: DataFrame): DataFrame = {
-    val cents = broadcast(labelCentroids(corpus)
-      .select(col("label").as("clab"), col("centroid")))
-    corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
-      .crossJoin(cents)
+  def assignToCentroids(corpus: DataFrame): DataFrame =
+    assignTo(corpus.select(col("vec_id"), asDouble(col("embedding")).as("e")),
+      labelCentroids(corpus).select(col("label").as("clab"), col("centroid")))
+
+  /** Nearest-centroid assignment core shared by SemDeDup and Lloyd
+    * training: broadcast the centroid table, per-row argmax of the rounded
+    * cosine (ties to the smallest cluster id via the max-struct total
+    * order) — the shuffle carries one row per vector. */
+  private def assignTo(vectors: DataFrame, cents: DataFrame): DataFrame =
+    vectors.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("e"),
         struct(round(cosine(col("e"), col("centroid")), 6).as("sim"),
           (-col("clab")).as("nl")).as("sc"))
@@ -220,6 +225,45 @@ object Similarity {
       .agg(max(col("sc")).as("m"), first(col("e")).as("e"))
       .select(col("vec_id"), col("e"),
         (-col("m.nl")).cast("long").as("cluster"))
+
+  /** Element-wise mean centroid per assigned cluster, components rounded
+    * to 6 (the float-sum portability contract, same as [[labelCentroids]]).
+    * Clusters that lost all members simply vanish — the next assignment
+    * only scores surviving centroids (documented semantics; identical in
+    * any engine, no arbitrary re-seeding). */
+  private def meanCentroids(assigned: DataFrame): DataFrame =
+    assigned.select(col("cluster"), posexplode(col("e")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(avg(col("col")).as("v"))
+      .groupBy(col("cluster").as("clab"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+        s => round(s.getField("v"), 6)).as("centroid"))
+
+  /** k-means (Lloyd) training of the IVF coarse quantizer, run INSIDE the
+    * engine: iteration 1 assigns against the deterministic label-seeded
+    * centroids ([[labelCentroids]] — reproducible seeding, no RNG), each
+    * further iteration recomputes per-cluster means and reassigns. A FIXED
+    * iteration count (not a convergence test) keeps training reproducible
+    * and oracle-checkable; every float that crosses an engine boundary is
+    * rounded to 6 first (centroid components, similarities).
+    *
+    * Scale shape per iteration: one corpus pass for the argmax (broadcast
+    * centroids, map-side-partial max-struct), one explode+mean keyed by
+    * (cluster, pos) — k·dim rows out. The per-iteration result is
+    * localCheckpoint'ed (same discipline as NearDup.connectedComponents):
+    * both consumers of iteration i (centroid build + reassign) read
+    * materialized blocks, and plans don't stack across iterations.
+    *
+    * @return (vec_id, cluster) — final assignment after `iters` rounds
+    */
+  def lloydAssignments(corpus: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 8, "iters must be in [1, 8]")
+    var assigned = assignToCentroids(corpus).localCheckpoint(true)
+    for (_ <- 2 to iters) {
+      assigned = assignTo(assigned.select(col("vec_id"), col("e")),
+        meanCentroids(assigned)).localCheckpoint(true)
+    }
+    assigned.select(col("vec_id"), col("cluster"))
   }
 
   /** SemDeDup stage 2: within-cluster keep-first prune over an

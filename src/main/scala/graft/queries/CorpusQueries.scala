@@ -223,6 +223,30 @@ object CorpusQueries {
       Similarity.quantStats(t(s, dir, "embeddings"))
         .orderBy(col("vec_id"))),
 
+    // k-means (Lloyd) training of the IVF coarse quantizer inside the
+    // engine: label-seeded centroids, 2 fixed reassign+update rounds.
+    // Graded on the final assignment (scalars only); every float crossing
+    // the engine boundary is rounded to 6 first.
+    "q116_kmeans_train" -> ((s, dir) =>
+      Similarity.lloydAssignments(t(s, dir, "embeddings"), iters = 2)
+        .orderBy(col("vec_id"))),
+
+    // BPE training statistic: adjacent-symbol pair counts over the
+    // frequency-weighted word vocabulary (the explode runs on |V| rows,
+    // not the corpus), top-30 merge candidates. Integer counts — exact.
+    "q112_bpe_pairs" -> ((s, dir) =>
+      TextAnalysis.bpePairCounts(t(s, dir, "documents"), "text", topK = 30)
+        .orderBy(col("cnt").desc, col("pair"))),
+
+    // Content-defined chunking: rolling-hash boundaries (md5-60 of the
+    // 8-gram ≡ 0 mod 64) so chunk-level dedup survives insertions —
+    // fixed-size chunks would shift and nothing downstream would match.
+    "q113_cdc_chunks" -> ((s, dir) =>
+      NearDup.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
+        w = 8, modulus = 64L)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // Data card: per-(lang, source) doc/char/token rollup with subtotal
     // and grand-total rows — the corpus summary shipped next to a
     // training-data snapshot. One scan, partial-agg rollup.
@@ -481,6 +505,79 @@ object CorpusQueries {
         |    abs(v[(i + 1)::INTEGER] - qv[(i + 1)::INTEGER] * sc / 127.0))),
         |    6) AS max_err
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    "q116_kmeans_train" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |comp0 AS (SELECT label, r.i AS ord, avg(v[(r.i + 1)::INTEGER]) AS m
+        |          FROM e, range(0, 64) AS r(i) GROUP BY label, r.i),
+        |cent0 AS (SELECT label::BIGINT AS clab,
+        |            list(round(m, 6) ORDER BY ord) AS c
+        |          FROM comp0 GROUP BY label),
+        |a1 AS (
+        |  SELECT vec_id, v, cluster FROM (
+        |    SELECT e.vec_id, e.v, cent0.clab AS cluster,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        round(list_dot_product(e.v, cent0.c) /
+        |          (sqrt(list_dot_product(e.v, e.v)) *
+        |           sqrt(list_dot_product(cent0.c, cent0.c))), 6) DESC,
+        |        cent0.clab) AS rnk
+        |    FROM e CROSS JOIN cent0) WHERE rnk = 1),
+        |comp1 AS (SELECT cluster, r.i AS ord, avg(v[(r.i + 1)::INTEGER]) AS m
+        |          FROM a1, range(0, 64) AS r(i) GROUP BY cluster, r.i),
+        |cent1 AS (SELECT cluster AS clab,
+        |            list(round(m, 6) ORDER BY ord) AS c
+        |          FROM comp1 GROUP BY cluster),
+        |a2 AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT e.vec_id, cent1.clab AS cluster,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        round(list_dot_product(e.v, cent1.c) /
+        |          (sqrt(list_dot_product(e.v, e.v)) *
+        |           sqrt(list_dot_product(cent1.c, cent1.c))), 6) DESC,
+        |        cent1.clab) AS rnk
+        |    FROM e CROSS JOIN cent1) WHERE rnk = 1)
+        |SELECT vec_id, cluster FROM a2 ORDER BY vec_id""".stripMargin,
+
+    "q112_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        |  FROM documents),
+        |v AS (
+        |  SELECT word, count(*) AS wc FROM w
+        |  WHERE length(word) >= 2 GROUP BY word),
+        |p AS (
+        |  SELECT wc, unnest(list_transform(range(1, length(word)),
+        |    i -> substr(word, i::INTEGER, 2))) AS pair
+        |  FROM v),
+        |c AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt
+        |      FROM p GROUP BY pair)
+        |SELECT pair, cnt FROM c
+        |ORDER BY cnt DESC, pair LIMIT 30""".stripMargin,
+
+    "q113_cdc_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text)::BIGINT AS len FROM documents),
+        |cand AS (
+        |  SELECT doc_id, text, len, unnest(range(2, len - 6)) AS s
+        |  FROM d WHERE len >= 9),
+        |bo AS (
+        |  SELECT doc_id, text, len, s FROM cand
+        |  WHERE ('0x' || substr(md5(substr(text, s::INTEGER, 8)), 1, 15))
+        |          ::BIGINT % 64 = 0),
+        |st AS (
+        |  SELECT doc_id, text, len, 1::BIGINT AS s FROM d
+        |  UNION ALL SELECT doc_id, text, len, s FROM bo),
+        |ch AS (
+        |  SELECT doc_id, text, s,
+        |    coalesce(lead(s) OVER (PARTITION BY doc_id ORDER BY s),
+        |             len + 1) AS e,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY s) AS chunk_idx
+        |  FROM st)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(s AS BIGINT) AS "start", CAST(e - s AS BIGINT) AS chunk_len,
+        |  md5(substr(text, s::INTEGER, (e - s)::INTEGER)) AS chunk_md5
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q96_corpus_report" ->
       """SELECT lang, source,

@@ -64,6 +64,15 @@ object PipelineQueries {
     stage(s, dir, "winnow")(
       NearDup.winnowedFingerprints(t(s, dir, "documents"), "doc_id", "text"))
 
+  /** Stage 4: connected-component labels over the verified pairs — the
+    * iterative closure runs ONCE and both its consumers (the q40 group
+    * mapping and the q108 representative selection) read the persisted
+    * labels; re-running the pointer-jumping loop per consumer would repeat
+    * every per-round join. */
+  private def docLabels(s: SparkSession, dir: String): DataFrame =
+    stage(s, dir, "cc_labels")(
+      NearDup.connectedComponents(docPairs(s, dir)))
+
   /** Synthetic email column over `customer` (the testdata has no email
     * field): four deterministic shapes, two valid and two invalid under the
     * reference's regex — '#' is outside the local-part class and a bare
@@ -115,6 +124,19 @@ object PipelineQueries {
       |    WHEN 3 THEN '60' || lpad((c_custkey % 100000000)::VARCHAR, 8, '0')
       |    ELSE '12 345'
       |  END AS phone
+      |FROM customer""".stripMargin
+
+  /** q114 fixture: deterministic 16-digit card-shaped strings; the Luhn
+    * checksum then splits them ~1:9 valid/invalid, both classes present. */
+  private def cardFixture(df: DataFrame): DataFrame =
+    df.select(col("c_custkey"),
+      concat(lit("4"), lpad((col("c_custkey") * 7919 % 1000000000000000L)
+        .cast("string"), 15, "0")).as("cc"))
+
+  private val cardFixtureSql =
+    """SELECT c_custkey,
+      |  '4' || lpad(((c_custkey * 7919) % 1000000000000000)::VARCHAR,
+      |              15, '0') AS cc
       |FROM customer""".stripMargin
 
   /** Shared 3-gram-Jaccard CTE chain (see jaccardPairsSql / q40 oracle). */
@@ -210,6 +232,24 @@ object PipelineQueries {
       emailFixture(t(s, dir, "customer"))
         .withColumn("email_valid", Validation.emailValid(col("email")))
         .orderBy(col("c_custkey"))),
+
+    // PII layer: Luhn checksum — the check separating a payment card from
+    // an arbitrary digit run (false-positive control for redaction).
+    // Integer array HOFs per row, no shuffle.
+    "q114_luhn_cards" -> ((s, dir) =>
+      cardFixture(t(s, dir, "customer"))
+        .withColumn("luhn_valid", Validation.luhnValid(col("cc")))
+        .orderBy(col("c_custkey"))),
+
+    // Corpus governance: cross-source duplication matrix — distinct
+    // shared content keys per source pair (mirror sites show up as hot
+    // cells). Join bounded by the per-key distinct (≤ one row per group).
+    "q115_source_overlap" -> ((s, dir) =>
+      graft.operators.Dedup.crossGroupOverlap(
+        t(s, dir, "documents"),
+        md5((col("doc_id") % 97).cast("string").cast("binary")),
+        col("source"))
+        .orderBy(col("g1"), col("g2"))),
 
     // F4/F5 + A5: phone classification frequency table.
     "q20_phone_classify" -> ((s, dir) =>
@@ -325,16 +365,16 @@ object PipelineQueries {
     // reachable transitively). Iterative min-label propagation vs the
     // oracle's recursive CTE.
     "q40_neardup_groups" -> ((s, dir) =>
-      NearDup.connectedComponents(docPairs(s, dir))
-        .orderBy(col("doc_id"))),
+      docLabels(s, dir).orderBy(col("doc_id"))),
 
     // The step after the closure: which copy to KEEP. Every labeled doc
     // gets its group's best-quality member (ties to lower id) as rep_id
-    // plus the is_rep keep flag — labels are only the paired docs, so the
-    // score join broadcasts.
+    // plus the is_rep keep flag — labels come from the shared persisted
+    // stage (the closure runs once for q40 + q108) and are only the
+    // paired docs, so the score join broadcasts.
     "q108_cluster_rep" -> ((s, dir) =>
       NearDup.groupRepresentatives(
-        NearDup.connectedComponents(docPairs(s, dir)),
+        docLabels(s, dir),
         t(s, dir, "documents").select(col("doc_id"),
           TextAnalysis.qualityScore(col("text")).as("score")))
         .orderBy(col("doc_id"))),
@@ -448,6 +488,28 @@ object PipelineQueries {
     "q37_ann_buckets" -> annBucketsSql,
     "q40_neardup_groups" -> neardupGroupsSql,
     "q108_cluster_rep" -> clusterRepSql,
+
+    "q114_luhn_cards" ->
+      s"""WITH c AS ($cardFixtureSql),
+         |r AS (SELECT c_custkey, cc, reverse(cc) AS rv FROM c)
+         |SELECT c_custkey, cc,
+         |  (regexp_matches(cc, '^[0-9]{13,19}$$') AND
+         |   list_sum(list_transform(range(1, length(rv) + 1), i ->
+         |     CASE WHEN i % 2 = 0 THEN
+         |       CASE WHEN substr(rv, i::INTEGER, 1)::INTEGER * 2 > 9
+         |         THEN substr(rv, i::INTEGER, 1)::INTEGER * 2 - 9
+         |         ELSE substr(rv, i::INTEGER, 1)::INTEGER * 2 END
+         |     ELSE substr(rv, i::INTEGER, 1)::INTEGER END)) % 10 = 0)
+         |    AS luhn_valid
+         |FROM r ORDER BY c_custkey""".stripMargin,
+
+    "q115_source_overlap" ->
+      """WITH d AS (
+        |  SELECT DISTINCT md5((doc_id % 97)::VARCHAR) AS k, source AS g
+        |  FROM documents)
+        |SELECT a.g AS g1, b.g AS g2, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM d a JOIN d b ON a.k = b.k AND a.g < b.g
+        |GROUP BY a.g, b.g ORDER BY g1, g2""".stripMargin,
 
     "q39_cosine_pairs" ->
       """WITH q AS (SELECT vec_id AS v1, embedding::DOUBLE[] AS e1

@@ -203,6 +203,40 @@ class NearDupSpec extends SparkSpec {
       bench, "doc_id", "text", k = 4, minShared = 7L).count() === 0L)
   }
 
+  test("cdcChunks: chunks tile the document exactly and re-sync after an insertion") {
+    val tail = Random.alphanumeric.take(400).mkString
+    val docs = Seq(
+      (1L, s"common prefix $tail"),
+      (2L, s"INSERTED-EDIT common prefix $tail"),  // same content, shifted
+      (3L, "tiny")                                  // shorter than the window
+    ).toDF("doc_id", "text")
+    val got = NearDup.cdcChunks(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+
+    // tiling: per doc, chunks are contiguous from 1 and lengths sum to len
+    val texts = Map(1L -> s"common prefix $tail",
+      2L -> s"INSERTED-EDIT common prefix $tail", 3L -> "tiny")
+    got.groupBy(_._1).foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.head._3 == 1L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + a._4 == b._3)
+        case _ =>
+      }
+      assert(sorted.map(_._4).sum == texts(id).length.toLong)
+    }
+    // doc 3 is one whole-doc chunk
+    assert(got.filter(_._1 == 3L).map(x => (x._2, x._3, x._4)).toSeq ==
+      Seq((1L, 1L, 4L)))
+    // re-synchronization: after the insertion shifts everything, the two
+    // docs still share most chunk hashes (boundaries are content-defined)
+    val h1 = got.filter(_._1 == 1L).map(_._5).toSet
+    val h2 = got.filter(_._1 == 2L).map(_._5).toSet
+    assert((h1 & h2).size >= h1.size / 2,
+      s"only ${(h1 & h2).size} of ${h1.size} chunks survived the insertion")
+  }
+
   test("groupRepresentatives keeps the best-scored member, ties to lower id") {
     // two groups: {1,2,3} canonical 1, {7,9} canonical 7
     val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))

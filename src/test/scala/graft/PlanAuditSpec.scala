@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AnalyticsQueries, CoreQueries, GraphQueries, PipelineQueries, QualityQueries, ScaleQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, CorpusQueries, GraphQueries, PipelineQueries, QualityQueries, ScaleQueries}
 
 /** Living assertions over the physical plans of representative graded
   * queries — the properties that make them scale (predicate/projection
@@ -14,7 +14,7 @@ class PlanAuditSpec extends SparkSpec {
   private def plan(name: String): String = {
     val all = CoreQueries.queries ++ PipelineQueries.queries ++
       AnalyticsQueries.queries ++ QualityQueries.queries ++
-      ScaleQueries.queries ++ GraphQueries.queries
+      ScaleQueries.queries ++ GraphQueries.queries ++ CorpusQueries.queries
     all(name)(spark, dir).queryExecution.executedPlan.toString
   }
 
@@ -229,5 +229,24 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q111_host_block")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
     assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q112: BPE pairs aggregate partially on both the word and pair keys; " +
+      "top-k is TakeOrdered, not a global sort") {
+    val p = plan("q112_bpe_pairs")
+    assert(p.contains("partial_count") && p.contains("partial_sum"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q114: Luhn validation is row-local — only the output sort exchanges") {
+    val p = plan("q114_luhn_cards")
+    assert("Exchange".r.findAllIn(p).size === 1, p)
+    assert(p.contains("rangepartitioning"), p)
+  }
+
+  test("q115: overlap matrix joins on the content key — no cartesian") {
+    val p = plan("q115_source_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(p.contains("HashAggregate"), p)
   }
 }

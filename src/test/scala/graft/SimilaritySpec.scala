@@ -109,6 +109,27 @@ class SimilaritySpec extends SparkSpec {
     assert(got(2L) === ((0L, 0L, 0.0, 0.0)))
   }
 
+  test("lloydAssignments: clean-seeded clusters are a fixpoint; a planted " +
+      "mislabel is corrected by the second iteration") {
+    // corrupt ONE label: vector 0 (cluster 0) claims label 3. Iteration-1
+    // centroids are barely perturbed (24-25 vectors average per cluster),
+    // so assignment 1 already sends vec 0 to its geometric cluster — and
+    // iteration 2 must agree (fixpoint on well-separated blobs).
+    val corrupted = corpus.withColumn("label",
+      when(col("vec_id") === 0L, lit(3)).otherwise(col("label")))
+    val a1 = Similarity.lloydAssignments(corrupted, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a2 = Similarity.lloydAssignments(corrupted, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a2(0L) == a2(4L), "mislabeled vector not reunited with its blob")
+    assert(a1 == a2, "well-separated blobs should be a Lloyd fixpoint")
+    // every vector sits with its geometric cluster-mates
+    (0 until 4).foreach { c =>
+      val members = (0 until 100).filter(_ % 4 == c).map(i => a2(i.toLong))
+      assert(members.distinct.size == 1, s"cluster $c split: $members")
+    }
+  }
+
   test("quantStats max_err is bounded by one quantization step corpus-wide") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     // scale and max_err are reported rounded to 6 decimals, so the bound

@@ -209,4 +209,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2L) === ((4L, 1L, 0.25)))
     assert(got(3L) === ((2L, 2L, 1.0)))
   }
+
+  test("bpePairCounts weights pairs by word frequency over the vocab") {
+    import sqlImplicits._
+    // vocab: "abab" ×3, "ab" ×2, "x" ×1 (dropped: single char)
+    val docs = Seq("abab ab abab", "abab AB x").toDF("text")
+    val got = TextAnalysis.bpePairCounts(docs, "text", topK = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // "abab": pairs ab, ba, ab → ab:2, ba:1 per occurrence (wc=3)
+    // "ab": ab:1 per occurrence (wc=2, case-folded)
+    assert(got == Map("ab" -> 8L, "ba" -> 3L))
+  }
+
+  test("bpePairCounts topK cuts on (cnt desc, pair) deterministically") {
+    import sqlImplicits._
+    val docs = Seq("aa bb cc aa bb aa").toDF("text")
+    val got = TextAnalysis.bpePairCounts(docs, "text", topK = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("aa", 3L), ("bb", 2L)))
+  }
 }

@@ -81,4 +81,20 @@ class ValidationSpec extends SparkSpec {
       .select(Validation.normalize(col("s")).as("t")).head().getString(0)
     assert(got === "MAIL@DOMAIN.COM")
   }
+
+  test("luhnValid accepts the standard public test card numbers only") {
+    // widely-published network TEST numbers (not real cards)
+    val cases = Seq(
+      "4111111111111111" -> true,   // Visa test
+      "5500005555555559" -> true,   // Mastercard test
+      "378282246310005" -> true,    // Amex test (15 digits)
+      "4111111111111112" -> false,  // checksum off by one
+      "1234567890123456" -> false,
+      "41111111"          -> false, // too short
+      "4111-1111-1111-1111" -> false) // non-digit chars: reject, don't clean
+    val got = cases.map(_._1).toDF("cc")
+      .select(col("cc"), Validation.luhnValid(col("cc")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    cases.foreach { case (cc, want) => assert(got(cc) == want, cc) }
+  }
 }
