@@ -49,6 +49,36 @@ object Skew {
     * and AQE's runtime skew splitting covers sort-merge joins it can see —
     * this is the explicit form for when neither applies (e.g. the skew is
     * known ahead of time and the planner's stats miss it). */
+  /** Skew DETECTION, ahead of the salted mitigations below: per hot key,
+    * its row count, its integer-exact share verdicts against two
+    * thresholds — `heavy` (share > 1/heavyDen: a "heavy hitter" by the
+    * classic 1/k definition) and `skewed` (count > skewFactor × the mean
+    * rows-per-key) — plus the corpus-level context (n_rows, n_keys)
+    * needed to read the numbers. All comparisons are cross-multiplied
+    * integers, so the verdicts are bit-exact in any engine.
+    *
+    * This is the report a 100 TB job runs BEFORE choosing a join
+    * strategy: a handful of heavy keys ⇒ salt or AQE-skew-join that key
+    * set; none ⇒ plain hash join. One aggregate pass (map-side partials)
+    * + a top-k (TakeOrdered); the two global scalars ride a tiny
+    * single-partition aggregate joined back by broadcast cross.
+    */
+  def skewReport(df: DataFrame, key: Column, topK: Int = 20,
+      heavyDen: Long = 100L, skewFactor: Long = 4L): DataFrame = {
+    require(topK > 0 && heavyDen > 1 && skewFactor > 0,
+      "need topK > 0, heavyDen > 1, skewFactor > 0")
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("n_rows"),
+      count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("key"), col("cnt"), col("n_rows"), col("n_keys"),
+        (col("cnt") * heavyDen > col("n_rows")).as("heavy"),
+        (col("cnt") * col("n_keys") > col("n_rows") * skewFactor)
+          .as("skewed"))
+      .orderBy(col("cnt").desc, col("key"))
+      .limit(topK)
+  }
+
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       saltCol: Column, saltBuckets: Int): DataFrame = {
     val salted = fact.withColumn("__salt", saltColumn(saltCol, saltBuckets))

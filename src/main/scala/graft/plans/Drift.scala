@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -44,6 +44,49 @@ object Drift {
           .when(abs((col("cur_rows") - col("prev_rows")).cast("double") /
             col("prev_rows")) > tolerance, lit("DRIFT"))
           .otherwise(lit("OK")))
+  }
+
+  /** Histogram (distribution) drift: L1 distance between the two batches'
+    * bucket distributions — the "did the document-length / value profile
+    * move" monitor that [[volumeDrift]] (totals) and [[categoryDrift]]
+    * (labels) both miss when the SHAPE shifts at constant volume and mix.
+    *
+    * The distance is computed in CROSS-MULTIPLIED INTEGERS
+    * (|n_prev·N_cur − n_cur·N_prev| per bucket, one division at the end),
+    * so every engine produces the identical double — no float-sum order
+    * anywhere. Overflow bound: N_prev·N_cur must stay under 2^63 (fine to
+    * ~3·10^9 rows a side; beyond that, pre-aggregate buckets
+    * hierarchically).
+    *
+    * Scale shape: one aggregate per batch (map-side partials), a
+    * full-outer join of the tiny bucket tables, single-partition window
+    * only over those bucket rows — same discipline as [[categoryDrift]].
+    *
+    * @return per bucket: (bucket, n_prev, n_cur, share_diff, l1) where
+    *         l1 (constant across rows) is Σ|share_prev − share_cur|
+    */
+  def histogramDrift(prev: DataFrame, cur: DataFrame,
+      bucket: Column): DataFrame = {
+    def counts(df: DataFrame, out: String) =
+      df.select(bucket.as("bucket")).groupBy(col("bucket"))
+        .agg(count(lit(1)).as(out))
+    val joined = counts(prev, "n_prev")
+      .join(counts(cur, "n_cur"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_prev"), lit(0L)).as("n_prev"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val all = Window.partitionBy()
+    joined
+      .withColumn("__tp", sum(col("n_prev")).over(all))
+      .withColumn("__tc", sum(col("n_cur")).over(all))
+      .withColumn("__num",
+        abs(col("n_prev") * col("__tc") - col("n_cur") * col("__tp")))
+      .withColumn("share_diff", round(col("__num").cast("double") /
+        (col("__tp") * col("__tc")).cast("double"), 6))
+      .withColumn("l1", round(sum(col("__num")).over(all).cast("double") /
+        (col("__tp") * col("__tc")).cast("double"), 6))
+      .select(col("bucket"), col("n_prev"), col("n_cur"),
+        col("share_diff"), col("l1"))
   }
 
   /** Category-distribution drift: each category's SHARE of its batch in

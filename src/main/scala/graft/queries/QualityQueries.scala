@@ -79,7 +79,27 @@ object QualityQueries {
     "q71_category_drift" -> ((s, dir) =>
       Drift.categoryDrift(prevBatch(s, dir), t(s, dir, "orders"),
         category = "o_orderstatus", tolerance = 0.05)
-        .orderBy(col("o_orderstatus")))
+        .orderBy(col("o_orderstatus"))),
+
+    // Skew detection BEFORE mitigation: hot-key report with integer-exact
+    // heavy/skewed verdicts (cross-multiplied comparisons) — the numbers
+    // that decide between a plain hash join and salting/AQE skew-join.
+    "q117_skew_report" -> ((s, dir) =>
+      Skew.skewReport(t(s, dir, "lineitem"), col("l_suppkey"),
+        topK = 20, heavyDen = 500L, skewFactor = 2L)
+        .orderBy(col("cnt").desc, col("key"))),
+
+    // Distribution-shape drift: L1 distance between doc-length histograms
+    // of two snapshots — catches the profile shift that volume and
+    // category drift both miss. Cross-multiplied integers, one division.
+    "q118_histogram_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Drift.histogramDrift(
+        docs.filter(col("doc_id") % 17 =!= 0),
+        docs.filter(col("doc_id") % 13 =!= 0),
+        (col("n_chars") - pmod(col("n_chars"), lit(200L))).as("bucket"))
+        .orderBy(col("bucket"))
+    })
   )
 
   /** Fixture "previous batch": orders with half of F and a tenth of O
@@ -90,6 +110,41 @@ object QualityQueries {
         !(col("o_orderstatus") === "O" && col("o_orderkey") % 10 === 0))
 
   val oracles: Map[String, String] = Map(
+    "q117_skew_report" ->
+      """WITH c AS (
+        |  SELECT l_suppkey AS key, count(*) AS cnt
+        |  FROM lineitem GROUP BY l_suppkey),
+        |t AS (SELECT sum(cnt) AS n_rows, count(*) AS n_keys FROM c)
+        |SELECT key, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(n_rows AS BIGINT) AS n_rows, CAST(n_keys AS BIGINT) AS n_keys,
+        |  cnt * 500 > n_rows AS heavy,
+        |  cnt * n_keys > n_rows * 2 AS skewed
+        |FROM c CROSS JOIN t
+        |ORDER BY cnt DESC, key LIMIT 20""".stripMargin,
+
+    "q118_histogram_drift" ->
+      """WITH a AS (
+        |  SELECT n_chars - n_chars % 200 AS bucket, count(*) AS n_prev
+        |  FROM documents WHERE doc_id % 17 <> 0 GROUP BY 1),
+        |b AS (
+        |  SELECT n_chars - n_chars % 200 AS bucket, count(*) AS n_cur
+        |  FROM documents WHERE doc_id % 13 <> 0 GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(a.bucket, b.bucket) AS bucket,
+        |    coalesce(n_prev, 0) AS n_prev, coalesce(n_cur, 0) AS n_cur
+        |  FROM a FULL OUTER JOIN b ON a.bucket = b.bucket),
+        |w AS (
+        |  SELECT bucket, n_prev, n_cur,
+        |    sum(n_prev) OVER () AS tp, sum(n_cur) OVER () AS tc,
+        |    abs(n_prev * sum(n_cur) OVER () - n_cur * sum(n_prev) OVER ())
+        |      AS num_abs
+        |  FROM j)
+        |SELECT bucket, CAST(n_prev AS BIGINT) AS n_prev,
+        |  CAST(n_cur AS BIGINT) AS n_cur,
+        |  round(num_abs::DOUBLE / (tp * tc)::DOUBLE, 6) AS share_diff,
+        |  round((sum(num_abs) OVER ())::DOUBLE / (tp * tc)::DOUBLE, 6) AS l1
+        |FROM w ORDER BY bucket""".stripMargin,
+
     "q32_salted_mode" ->
       """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS cnt
         |FROM lineitem GROUP BY l_suppkey
