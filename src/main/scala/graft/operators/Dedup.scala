@@ -135,7 +135,11 @@ object Dedup {
     * a group. Shuffles on the content key only; group strings ride along.
     */
   def crossGroupOverlap(df: DataFrame, key: Column, group: Column): DataFrame = {
+    // materialized once: the self-join would otherwise scan and distinct
+    // the corpus twice (exchange reuse does not fire across the a/b
+    // branches); the distinct output is the small side to hold
     val d = df.select(key.as("k"), group.as("g")).distinct()
+      .localCheckpoint(true)
     d.as("a").join(d.as("b"),
         col("a.k") === col("b.k") && col("a.g") < col("b.g"))
       .groupBy(col("a.g").as("g1"), col("b.g").as("g2"))

@@ -553,16 +553,20 @@ object NearDup {
     require(w >= 2 && modulus >= 2, "need w >= 2 and modulus >= 2")
     val base = df.select(col(idCol).as("id"), col(textCol).as("t"),
       length(col(textCol)).cast("long").as("len"))
-    // len >= w+1, not w: Spark's sequence(2, hi) runs DESCENDING when
-    // hi < 2, so the shortest doc with a candidate boundary (s=2 needs
-    // s+w-1 <= len) is the explicit guard
-    val bounds = base.filter(col("len") >= w + 1)
+      .filter(col("t").isNotNull)
+    // ONE corpus scan: every position candidate comes out of a single
+    // explode (s = 1 is the forced first boundary; s >= 2 takes the hash
+    // test). The union-of-two-scans formulation reads the corpus twice.
+    // greatest(.., 1) keeps the sequence ascending for docs shorter than
+    // w+1 (Spark's sequence(a, b) runs DESCENDING when b < a) — those
+    // docs emit exactly the s = 1 whole-doc chunk.
+    val starts = base
       .select(col("id"), col("t"), col("len"),
-        explode(sequence(lit(2L), col("len") - (w - 1))).as("s"))
-      .filter(pmod(md5Hash60(col("t").substr(col("s").cast("int"), lit(w))),
-        lit(modulus)) === 0L)
-    val starts = base.select(col("id"), col("t"), col("len"),
-      lit(1L).as("s")).unionAll(bounds)
+        explode(sequence(lit(1L),
+          greatest(col("len") - (w - 1), lit(1L)))).as("s"))
+      .filter(col("s") === 1L ||
+        pmod(md5Hash60(col("t").substr(col("s").cast("int"), lit(w))),
+          lit(modulus)) === 0L)
     val byDoc = Window.partitionBy(col("id")).orderBy(col("s"))
     starts
       .withColumn("e", lead(col("s"), 1, null).over(byDoc))

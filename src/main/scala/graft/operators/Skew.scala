@@ -67,7 +67,13 @@ object Skew {
       heavyDen: Long = 100L, skewFactor: Long = 4L): DataFrame = {
     require(topK > 0 && heavyDen > 1 && skewFactor > 0,
       "need topK > 0, heavyDen > 1, skewFactor > 0")
+    // materialize the per-key aggregate ONCE (it feeds both the totals
+    // reduction and the report): without it the corpus is scanned and
+    // aggregated twice — Spark's exchange reuse does not fire here because
+    // the two branches prune different columns below the exchange. |keys|
+    // rows, the aggregation output — cheap to hold at any corpus size.
     val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     val totals = counts.agg(sum(col("cnt")).as("n_rows"),
       count(lit(1)).as("n_keys"))
     counts.crossJoin(broadcast(totals))

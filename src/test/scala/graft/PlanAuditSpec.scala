@@ -244,9 +244,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("rangepartitioning"), p)
   }
 
-  test("q115: overlap matrix joins on the content key — no cartesian") {
+  test("q117: skew report scans the corpus ONCE — both consumers read the " +
+      "materialized per-key aggregate") {
+    val p = plan("q117_skew_report")
+    assert(!p.contains("FileScan"), p) // only checkpoint scans remain
+    assert("Scan ExistingRDD".r.findAllIn(p).size === 2, p)
+  }
+
+  test("q115: overlap matrix joins on the content key — no cartesian, and " +
+      "the corpus is distinct-scanned once for both self-join sides") {
     val p = plan("q115_source_overlap")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
     assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("FileScan"), p)
+    assert("Scan ExistingRDD".r.findAllIn(p).size === 2, p)
+  }
+
+  test("q113: CDC chunking is a single corpus scan (no union of scans)") {
+    val p = plan("q113_cdc_chunks")
+    assert("FileScan".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("Union"), p)
   }
 }
