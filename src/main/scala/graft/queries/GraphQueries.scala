@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Urls
-import graft.operators.{Graphs, Mixture, Sampling}
+import graft.operators.{Graphs, Mixture, Ranking, Sampling}
 
 /** Wave 7 — graph and ordering operators for corpus assembly: link-graph
   * PageRank (fixed-point integers, bit-exact in any engine), the
@@ -94,6 +94,17 @@ object GraphQueries {
         t(s, dir, "documents").select(col("source")), "source")
         .orderBy(col("source"))),
 
+    // Exact global rank + equal-frequency decile bins with NO
+    // single-partition window over the data: range-repartition,
+    // per-partition row_number, broadcast partition offsets. Bins are
+    // the floor form floor((rank-1)k/N) — balanced ±1 with the larger
+    // buckets spread across the range (not ntile's front-loading).
+    "q119_equal_freq_bins" -> ((s, dir) =>
+      Ranking.equalFreqBins(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        Seq(col("n_chars"), col("doc_id")), k = 10, parts = 32)
+        .orderBy(col("doc_id"))),
+
     // Domain blocklist: registered-domain extraction + broadcast hash
     // anti-join (never an endsWith scan). Survivors keep their domain.
     "q111_host_block" -> ((s, dir) => {
@@ -128,6 +139,16 @@ object GraphQueries {
         |  round(sqrt(n_docs::DOUBLE) / sum(sqrt(n_docs::DOUBLE)) OVER (), 6)
         |    AS share_t
         |FROM c ORDER BY source""".stripMargin,
+
+    "q119_equal_freq_bins" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS "rank",
+        |    count(*) OVER () AS n
+        |  FROM documents)
+        |SELECT doc_id, n_chars, CAST("rank" AS BIGINT) AS "rank",
+        |  CAST((("rank" - 1) * 10) // n AS BIGINT) AS bin
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "q111_host_block" ->
       """WITH u AS (
