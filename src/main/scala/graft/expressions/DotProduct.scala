@@ -114,7 +114,13 @@ object GraftFunctions {
       entry("graft_token_count", 1)(cs =>
         graft.functions.TextAnalysis.tokenCount(cs.head)),
       entry("graft_md5h60", 1)(cs =>
-        graft.operators.NearDup.md5Hash60(cs.head)))
+        graft.operators.NearDup.md5Hash60(cs.head)),
+      entry("graft_luhn", 1)(cs =>
+        graft.functions.Validation.luhnValid(cs.head)),
+      entry("graft_reg_domain", 1)(cs =>
+        graft.functions.Urls.registeredDomain(cs.head)),
+      entry("graft_dup_gram_frac", 1)(cs =>
+        graft.functions.TextAnalysis.dupGramFraction(cs.head)))
   }
 
   def install(ext: SparkSessionExtensions): Unit = {

@@ -42,6 +42,19 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(viaSql.head.getString(5) == "https://a.com/p?a=1&b=2")
   }
 
+  test("round-6 lifted functions: luhn, registered domain, dup-gram fraction") {
+    val r = spark.sql(
+      """SELECT graft_luhn('4111111111111111') AS l_ok,
+        |  graft_luhn('4111111111111112') AS l_bad,
+        |  graft_reg_domain('https://a.b.Example.COM:8443/x') AS dom,
+        |  graft_dup_gram_frac('a b c a b c a b c') AS rep""".stripMargin)
+      .head()
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+    assert(r.getString(2) == "example.com")
+    // 7 word-3-grams, 3 distinct -> 4/7 duplicated
+    assert(math.abs(r.getDouble(3) - 4.0 / 7.0) < 1e-12)
+  }
+
   test("lifted SQL functions reject wrong arity with a named error") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_token_count('a', 'b')").collect()
