@@ -26,7 +26,8 @@ object ExplainDump {
       "q107_pagerank", "q108_cluster_rep", "q109_shard_order",
       "q110_temperature_mix", "q111_host_block", "q112_bpe_pairs",
       "q113_cdc_chunks", "q114_luhn_cards", "q115_source_overlap",
-      "q117_skew_report", "q118_histogram_drift", "q119_equal_freq_bins")
+      "q117_skew_report", "q118_histogram_drift", "q119_equal_freq_bins",
+      "q120_triangles", "q121_ppr")
     val sb = new StringBuilder
     sb.append("# EXPLAIN — headline query plans (formatted, sf0.001, regenerate with `sbt \"runMain graft.ExplainDump\"`)\n")
     sb.append("\nWhat to look for: `PushedFilters`/`ReadSchema` on every scan, broadcast\njoins where one side is small, partial aggregation before each hash\nexchange, `WindowGroupLimit` ahead of top-k windows, and no\n`CartesianProduct` anywhere.\n")

@@ -93,4 +93,86 @@ object Graphs {
     }
     ranks.select(col("node"), col("pr").as("rank_fp"))
   }
+
+  /** Personalized (topic-sensitive) PageRank, same fixed-point integer
+    * contract as [[pageRankFixedPoint]]: the teleport term lands ONLY on
+    * the `seeds` (each seed gets the full base — the unnormalized form,
+    * ranks proportional to seeded PPR), so scores measure proximity to
+    * the seed set along links — "rank every domain by closeness to these
+    * known-good domains", the trust/quality propagation used to extend a
+    * small curated allowlist over a crawl graph.
+    *
+    * r0 = scale on seeds, 0 elsewhere; per iteration
+    * r' = base·1_seed + damp × Σ incoming shares — all floor-div longs,
+    * bit-exact anywhere. Non-seed nodes unreachable from the seeds stay
+    * at 0 forever (exactly the semantics an allowlist extension wants).
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: Seq[Long], iters: Int,
+      scale: Long = 1000000L, dampNum: Long = 85L,
+      dampDen: Long = 100L): DataFrame = {
+    require(seeds.nonEmpty, "need at least one seed")
+    require(iters >= 1 && iters <= 64, "iters must be in [1, 64]")
+    require(scale > 0 && dampNum > 0 && dampDen > dampNum,
+      "need 0 < dampNum < dampDen and scale > 0")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct()
+      .withColumn("is_seed", col("node").isin(seeds: _*))
+      .localCheckpoint(true)
+    val nNodes = nodes.count()
+    require(BigInt(dampNum) * BigInt(nNodes) * BigInt(scale) < BigInt(1L << 53),
+      s"dampNum*V*scale must stay under 2^53 (V=$nNodes, scale=$scale)")
+    val outdeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("od")).localCheckpoint(true)
+    def idiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      ((a - pmod(a, b)) / b).cast("long")
+    val base = scale * (dampDen - dampNum) / dampDen
+    var ranks = nodes
+      .withColumn("pr", when(col("is_seed"), lit(scale)).otherwise(lit(0L)))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val shares = ranks.join(outdeg, Seq("node"))
+        .select(col("node").as("src"), idiv(col("pr"), col("od")).as("share"))
+      val contrib = e.join(shares, Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("share")).as("in_share"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"), col("is_seed"),
+          (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
+            idiv(lit(dampNum) * coalesce(col("in_share"), lit(0L)),
+              lit(dampDen))).as("pr"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("node"), col("pr").as("rank_fp"))
+  }
+
+  /** Per-node triangle participation counts over the UNDIRECTED skeleton
+    * of `edges` — the local-density signal behind clustering-coefficient
+    * spam-farm / link-ring detection (organic neighborhoods close
+    * triangles; bought links rarely do).
+    *
+    * Canonical a<b edges, then the ordered-wedge join (a<b<c paths
+    * closed by the (a,c) edge) so each triangle is generated exactly
+    * once; the closing check is an equi-join, never a filter over a
+    * cartesian. The canonical edge table is materialized once and feeds
+    * all three join roles. Fan-out is Σ deg(v)² (wedges) — at corpus
+    * scale, cap or sample super-hubs first (the standard mitigation;
+    * same spirit as NearDup's maxDocsPerFp).
+    *
+    * @return (node, n_tri) — nodes in no triangle are absent
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct().localCheckpoint(true)
+    val tri = und.as("e1")
+      .join(und.as("e2"), col("e2.a") === col("e1.b"))
+      .join(und.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+  }
 }

@@ -64,6 +64,35 @@ object GraphQueries {
        |SELECT node, pr AS rank_fp FROM r5 ORDER BY node""".stripMargin
   }
 
+  /** q121 oracle: the q107 recurrence with the teleport term restricted
+    * to the seed set — r0 and base are CASE-on-seed, everything else
+    * identical integer arithmetic. */
+  private val pprSql: String = {
+    val seedList = "(1, 2, 3, 5, 7)"
+    val iterCte = (k: Int) => {
+      val prev = s"r${k - 1}"
+      s"""r$k AS (
+         |  SELECT n.node,
+         |    CAST(CASE WHEN n.node IN $seedList THEN 150000 ELSE 0 END
+         |         + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS pr
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r.pr // o.od) AS c
+         |    FROM edges e JOIN $prev r ON r.node = e.src
+         |                 JOIN outdeg o ON o.node = e.src
+         |    GROUP BY e.dst) s ON s.node = n.node)"""
+    }
+    s"""WITH edges AS ($linkFixtureSql),
+       |nodes AS (SELECT src AS node FROM edges
+       |          UNION SELECT dst FROM edges),
+       |outdeg AS (SELECT src AS node, count(*) AS od FROM edges GROUP BY src),
+       |r0 AS (SELECT node,
+       |         CAST(CASE WHEN node IN $seedList THEN 1000000 ELSE 0 END
+       |              AS BIGINT) AS pr
+       |       FROM nodes),
+       |${(1 to 5).map(iterCte).mkString(",\n")}
+       |SELECT node, pr AS rank_fp FROM r5 ORDER BY node""".stripMargin
+  }
+
   /** q111 fixture: URLs whose registered domain cycles through 7 values so
     * a 2-entry blocklist drops a deterministic ~2/7 of the corpus. */
   private def urlFixture(docId: org.apache.spark.sql.Column) = concat(
@@ -76,6 +105,28 @@ object GraphQueries {
     // in any engine at any parallelism — no float tolerance needed.
     "q107_pagerank" -> ((s, dir) =>
       Graphs.pageRankFixedPoint(linkFixture(s, dir), iters = 5)
+        .orderBy(col("node"))),
+
+    // Per-node triangle counts over the undirected link skeleton — the
+    // local-density signal behind link-ring detection. Ordered-wedge
+    // join; every triangle generated exactly once. Denser 3-generator
+    // fixture: the single affine map of q107 is a permutation graph
+    // (out-degree 1; 3 does not divide ord(7 mod 101)) and has NO
+    // triangles — three generators give 19 of them over 46 nodes.
+    "q120_triangles" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select((col("doc_id") % 101).as("r"))
+      val gen = Seq((7, 3), (13, 5), (29, 11)).map { case (m, c) =>
+        docs.select(col("r").as("src"), ((col("r") * m + c) % 101).as("dst"))
+      }.reduce(_ unionAll _).filter(col("src") =!= col("dst")).distinct()
+      Graphs.triangleCounts(gen).orderBy(col("node"))
+    }),
+
+    // Personalized PageRank from a 5-node seed set: proximity-to-seeds
+    // along links (allowlist extension). Same fixed-point integer
+    // contract as q107; unreachable nodes stay at 0.
+    "q121_ppr" -> ((s, dir) =>
+      Graphs.personalizedPageRank(linkFixture(s, dir),
+        seeds = Seq(1L, 2L, 3L, 5L, 7L), iters = 5)
         .orderBy(col("node"))),
 
     // Deterministic training permutation: md5-shard + in-shard sequence.
@@ -119,6 +170,23 @@ object GraphQueries {
 
   val oracles: Map[String, String] = Map(
     "q107_pagerank" -> pageRankSql,
+    "q121_ppr" -> pprSql,
+
+    "q120_triangles" ->
+      s"""WITH res AS (SELECT doc_id % 101 AS r FROM documents),
+         |edges AS (
+         |  SELECT r AS src, (r * 7 + 3) % 101 AS dst FROM res
+         |  UNION ALL SELECT r, (r * 13 + 5) % 101 FROM res
+         |  UNION ALL SELECT r, (r * 29 + 11) % 101 FROM res),
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |        FROM edges WHERE src <> dst),
+         |tri AS (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM und e1 JOIN und e2 ON e2.a = e1.b
+         |              JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+         |SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+         |FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+         |GROUP BY node ORDER BY node""".stripMargin,
 
     "q109_shard_order" ->
       """WITH h AS (

@@ -77,4 +77,31 @@ class GraphsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("2^53"))
   }
+
+  test("triangleCounts: each triangle counted once per member, direction-free") {
+    // triangle {1,2,3} (one edge reversed), a dangling path 3-4, and a
+    // second triangle {3,4,5} sharing node 3
+    val edges = Seq((1L, 2L), (3L, 2L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 3L)).toDF("src", "dst")
+    val got = Graphs.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 1L))
+    // duplicate and reversed edges must not inflate counts
+    val noisy = edges.unionAll(Seq((2L, 1L), (1L, 2L)).toDF("src", "dst"))
+    val got2 = Graphs.triangleCounts(noisy)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == got)
+  }
+
+  test("personalizedPageRank: mass stays near the seeds; unreachable stays 0") {
+    // two components: 1->2->3->1 (seeded at 1) and 8->9 (unseeded)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (8L, 9L))
+      .toDF("src", "dst")
+    val got = Graphs.personalizedPageRank(edges, seeds = Seq(1L), iters = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(8L) == 0L && got(9L) == 0L, "unseeded component must stay 0")
+    assert(got(1L) > got(2L) && got(2L) > got(3L),
+      "rank must decay with distance from the seed")
+    assert(got(1L) > 0L && got(3L) > 0L)
+  }
 }
