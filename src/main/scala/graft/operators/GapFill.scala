@@ -40,4 +40,51 @@ object GapFill {
       d.withColumn(c, first(col(c), ignoreNulls = true).over(w))
     }
   }
+
+  /** Resample an irregular per-key series onto a DENSE integral bucket grid
+    * (the date spine) with LOCF fill — the step that turns raw event
+    * streams into the fixed-frequency panel a feature store or forecaster
+    * consumes. Composes the two halves this object documents: spine
+    * construction (here) and fill ([[locf]]).
+    *
+    * Per (key, bucket) the LAST observation wins, picked by `order` via a
+    * single max-of-struct aggregate (one shuffle, no window): the struct
+    * comparison is lexicographic on (order…, value), so with a total
+    * `order` the chosen value is unique and engine-independent. The spine
+    * is keys × [global min bucket, global max bucket] — the span is a
+    * 1-row aggregate broadcast into the key list, the grid materializes
+    * O(keys × span) rows (the OUTPUT size — nothing larger exists at any
+    * point), and the fill is one per-key window over the grid.
+    *
+    * The fill copies observed values verbatim (no arithmetic), so outputs
+    * are bit-identical to their source observations in any engine.
+    *
+    * @param bucket integral bucket expression (e.g. `t div 86400000000L`)
+    * @param order  total order within (key, bucket) — last row wins
+    * @return (<keys…>, bucket, observed, <valueCol>) — one row per key per
+    *         bucket in the global span; `observed` marks real data points,
+    *         unfilled leading buckets stay null
+    */
+  def gridLocf(df: DataFrame, keys: Seq[String], bucket: Column,
+      order: Seq[Column], valueCol: String): DataFrame = {
+    val b = df.withColumn("_bk", bucket)
+    val span = b.agg(min(col("_bk")).as("_lo"), max(col("_bk")).as("_hi"))
+    val spine = b.select(keys.map(col): _*).distinct()
+      .crossJoin(broadcast(span)) // 1 row — the span rides to every key
+      .select(keys.map(col) :+
+        explode(sequence(col("_lo"), col("_hi"))).as("_bk"): _*)
+
+    val picked = b
+      .groupBy(keys.map(col) :+ col("_bk"): _*)
+      .agg(max(struct(order :+ col(valueCol).as("_v"): _*)).as("_s"))
+      .select(keys.map(col) :+ col("_bk") :+
+        col("_s").getField("_v").as(valueCol): _*)
+
+    val joined = spine.join(picked, keys :+ "_bk", "left")
+      .withColumn("observed", col(valueCol).isNotNull)
+    locf(joined, keys, Seq(col("_bk")), Seq(valueCol))
+      .withColumnRenamed("_bk", "bucket")
+      .select((keys.map(col) :+ col("bucket") :+ col("observed") :+
+        col(valueCol)): _*)
+  }
 }

@@ -175,4 +175,37 @@ object Graphs {
     tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
   }
+
+  /** Per-node count of DISTINCT nodes reachable within ≤ k directed hops —
+    * the bounded-horizon BFS behind "how much of the graph does this page
+    * influence" and crawl frontier sizing. Exact set semantics (a node
+    * reachable at distances 2 AND 3 counts once); a node on a cycle
+    * through itself counts itself.
+    *
+    * Iterative frontier expansion with a DISTINCT after every round, so
+    * the working set is bounded by reachable PAIRS (never paths — an
+    * unDISTINCTed expansion enumerates exponentially many paths on dense
+    * graphs). Each round: one equi-join of the reach set with the edge
+    * table on the frontier node + one dedup shuffle; lineage truncated per
+    * round. At web scale the pair set itself is the cost driver (k small,
+    * e.g. 2–3, or run on the host graph, not the page graph — standard
+    * practice).
+    *
+    * @return (src, n_reach) — nodes with out-degree 0 are absent
+    */
+  def kHopCounts(edges: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 8, "k must be in [1, 8]")
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(true)
+    var reach = e
+    for (_ <- 2 to k) {
+      reach = reach
+        .unionAll(reach.as("r")
+          .join(e.as("n"), col("r.dst") === col("n.src"))
+          .select(col("r.src"), col("n.dst")))
+        .distinct()
+        .localCheckpoint(true)
+    }
+    reach.groupBy(col("src")).agg(count(lit(1)).as("n_reach"))
+  }
 }

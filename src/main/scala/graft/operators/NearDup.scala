@@ -124,6 +124,72 @@ object NearDup {
       .filter(col("cont") >= threshold)
       .select(col("d1"), col("d2"), round(col("cont"), 4).as("containment"))
 
+  /** [[exactJaccardPairs]] with PREFIX FILTERING (the All-Pairs/PPJoin
+    * family, Bayardo et al. 2007): instead of indexing EVERY shingle of
+    * every document, index only each document's prefix — its
+    * |d| − ⌈τ·|d|⌉ + 1 rarest shingles under one global shingle order.
+    * Any pair with J ≥ τ shares ≥ ⌈τ·|A∪B|⌉ shingles, and two prefixes
+    * that long must overlap in at least one of them (pigeonhole under the
+    * common order), so the candidate set stays COMPLETE while the inverted
+    * index shrinks to the prefix — and because the order is
+    * ascending-document-frequency, the surviving index entries are
+    * precisely the RARE shingles: the hot-shingle quadratic blowup that
+    * motivates LSH mostly disappears while the result stays exact.
+    *
+    * The threshold arrives as a RATIONAL τ = thrNum/thrDen so the prefix
+    * length ⌈τn⌉ is computed in exact integer arithmetic ((num·n+den−1)
+    * div den) — a float ⌈τ·n⌉ that rounds up one too far would SHORTEN a
+    * prefix and silently drop true pairs.
+    *
+    * Plan: one aggregate for document frequency, one per-doc window for
+    * the prefix ranks (partitioned by doc — no global sort), the
+    * candidate equi-join on the prefix shingle with the exact size-band
+    * prune in cross-multiplied integers, then ONE verification join of
+    * the candidates back to the full postings. Output contract identical
+    * to [[exactJaccardPairs]] (d1 < d2, jaccard rounded to 4). */
+  def prefixFilteredJaccardPairs(sh: DataFrame, thrNum: Long,
+      thrDen: Long): DataFrame = {
+    require(thrNum > 0 && thrDen >= thrNum,
+      "threshold must be a rational in (0, 1]")
+    val dfreq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    // Global order = (document frequency asc, shingle asc): total, shared
+    // by every document, rarest-first.
+    val ranked = sh.join(dfreq, Seq("g"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("g"))))
+    // prefix length = n − ⌈τn⌉ + 1, all longs: ⌈τn⌉ = (num·n+den−1) div den
+    val ceilTauN = {
+      val a = col("n") * thrNum + (thrDen - 1)
+      ((a - pmod(a, lit(thrDen))) / thrDen).cast("long")
+    }
+    val prefix = ranked.filter(col("rnk") <= col("n") - ceilTauN + 1)
+      .select(col("id"), col("n"), col("g"))
+
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
+          col("a.n") * thrDen >= col("b.n") * thrNum &&
+          col("b.n") * thrDen >= col("a.n") * thrNum)
+      .select(col("a.id").as("d1"), col("b.id").as("d2"))
+      .distinct()
+
+    val inter = sh.as("x")
+      .join(cand, col("x.id") === col("d1"))
+      .join(sh.as("y"),
+        col("y.id") === col("d2") && col("x.g") === col("y.g"))
+      .groupBy(col("d1"), col("x.n").as("na"), col("d2"),
+        col("y.n").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+
+    inter
+      .select(col("d1"), col("d2"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter"))).as("jac"))
+      // same final gate as exactJaccardPairs (one double compare) so the
+      // two operators are output-identical by construction
+      .filter(col("jac") >= thrNum.toDouble / thrDen)
+      .select(col("d1"), col("d2"), round(col("jac"), 4).as("jaccard"))
+  }
+
   // --- MinHash + LSH --------------------------------------------------------
 
   /** 2^31-1, the Mersenne prime used by the universal hash family

@@ -118,4 +118,36 @@ object Sampling {
     }
     df.filter(hashBucket(key, buckets) < keep)
   }
+
+  /** Portable 48-bit key hash — the first 12 hex digits of md5. 48 bits
+    * (unlike the 60-bit bridge) are EXACTLY representable as a double,
+    * which the weighted priority below depends on. */
+  def md5Hash48(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 12), 16, 10).cast("long")
+
+  /** Deterministic weight-biased sample of k rows — sequential Poisson /
+    * priority sampling (Ohlsson; Duffield-Lund-Thorup): each row gets
+    * priority u/w where u is the uniform-ish 48-bit key hash and w its
+    * weight, and the k SMALLEST priorities win, so inclusion probability
+    * grows ∝ weight (a doc twice as heavy is ~twice as likely in). The
+    * randomness is the key hash, so the sample is reproducible across
+    * runs, engines, partitionings and appends — same contract as
+    * [[hashSample]], but probability-proportional-to-size.
+    *
+    * Portability: u ≤ 2^48 and integral w ≤ 2^53 are both exact doubles,
+    * the priority is ONE IEEE division, so every engine computes the
+    * identical double and the identical top-k. Plan: narrow map + top-k
+    * (TakeOrderedAndProject) — no shuffle of the data, O(k) result.
+    *
+    * @param weight positive integral weight column (e.g. token count)
+    * @param tie    unique tiebreak for fully deterministic selection
+    */
+  def weightedPrioritySample(df: DataFrame, key: Column, weight: Column,
+      k: Int, tie: Column): DataFrame = {
+    require(k > 0, "k must be positive")
+    df.withColumn("priority",
+        md5Hash48(key).cast("double") / weight.cast("double"))
+      .orderBy(col("priority"), tie)
+      .limit(k)
+  }
 }

@@ -129,6 +129,13 @@ object GraphQueries {
         seeds = Seq(1L, 2L, 3L, 5L, 7L), iters = 5)
         .orderBy(col("node"))),
 
+    // Bounded-horizon BFS: distinct nodes reachable within ≤3 directed
+    // hops per source — frontier expansion with a DISTINCT per round
+    // (pairs, never paths), vs the oracle's unrolled UNION chain.
+    "q128_khop_reach" -> ((s, dir) =>
+      Graphs.kHopCounts(linkFixture(s, dir), k = 3)
+        .orderBy(col("src"))),
+
     // Deterministic training permutation: md5-shard + in-shard sequence.
     // The global order is (shard, seq) round-robin; no single-partition
     // window anywhere.
@@ -171,6 +178,18 @@ object GraphQueries {
   val oracles: Map[String, String] = Map(
     "q107_pagerank" -> pageRankSql,
     "q121_ppr" -> pprSql,
+
+    "q128_khop_reach" ->
+      s"""WITH edges AS ($linkFixtureSql),
+         |r2 AS (SELECT src, dst FROM edges
+         |       UNION
+         |       SELECT r.src, e.dst FROM edges r JOIN edges e
+         |         ON r.dst = e.src),
+         |r3 AS (SELECT src, dst FROM r2
+         |       UNION
+         |       SELECT r.src, e.dst FROM r2 r JOIN edges e ON r.dst = e.src)
+         |SELECT src, CAST(count(*) AS BIGINT) AS n_reach
+         |FROM r3 GROUP BY src ORDER BY src""".stripMargin,
 
     "q120_triangles" ->
       s"""WITH res AS (SELECT doc_id % 101 AS r FROM documents),

@@ -344,6 +344,17 @@ object PipelineQueries {
       NearDup.exactJaccardPairs(docPostings(s, dir), threshold = 0.5)
         .orderBy(col("d1"), col("d2"))),
 
+    // LLM dedup 3b (exact, scale-hardened): PREFIX-FILTERED Jaccard join
+    // (All-Pairs/PPJoin) — only each doc's rarest |d|−⌈τ|d|⌉+1 shingles
+    // enter the inverted index, which keeps the candidate set complete
+    // (pigeonhole under the global rarity order) while starving the
+    // hot-shingle quadratic fan-out. Must equal q27/q28 exactly — third
+    // dedup operator sharing the same oracle.
+    "q126_prefix_jaccard" -> ((s, dir) =>
+      NearDup.prefixFilteredJaccardPairs(docPostings(s, dir),
+        thrNum = 1L, thrDen = 2L)
+        .orderBy(col("d1"), col("d2"))),
+
     // LLM similarity 1: exact cosine top-k, query set broadcast, one corpus
     // pass (no crossJoin node; the broadcast nested-loop IS the scan).
     "q29_cosine_topk" -> ((s, dir) => {
@@ -656,6 +667,7 @@ object PipelineQueries {
 
     "q27_minhash_neardup" -> jaccardPairsSql,
     "q28_jaccard_exact" -> jaccardPairsSql,
+    "q126_prefix_jaccard" -> jaccardPairsSql,
 
     "q62_winnow_overlap" ->
       """WITH pos AS (
