@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{AnalyticsQueries, CoreQueries, CorpusQueries, EventQueries, GraphQueries, PipelineQueries, QualityQueries, ScaleQueries, WranglingQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, CorpusQueries, EventQueries, GraphQueries, PipelineQueries, QualityQueries, ScaleQueries, StatsQueries, WranglingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -30,7 +30,8 @@ object SparkEntry {
     CoreQueries.queries ++ PipelineQueries.queries ++
       QualityQueries.queries ++ AnalyticsQueries.queries ++
       ScaleQueries.queries ++ EventQueries.queries ++ CorpusQueries.queries ++
-      GraphQueries.queries ++ WranglingQueries.queries
+      GraphQueries.queries ++ WranglingQueries.queries ++
+      StatsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -38,5 +39,6 @@ object SparkEntry {
     CoreQueries.oracles ++ PipelineQueries.oracles ++
       QualityQueries.oracles ++ AnalyticsQueries.oracles ++
       ScaleQueries.oracles ++ EventQueries.oracles ++ CorpusQueries.oracles ++
-      GraphQueries.oracles ++ WranglingQueries.oracles
+      GraphQueries.oracles ++ WranglingQueries.oracles ++
+      StatsQueries.oracles
 }

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed statistics with portable arithmetic — trend detection,
+  * diversity, digit-distribution auditing, weighted medians and
+  * independence testing, engineered so every output is either an exact
+  * integer or a SHORT fixed chain of IEEE operations on exact integers
+  * (and therefore bit-identical in any engine at any parallelism).
+  *
+  * The recurring trick: keep every AGGREGATION in integers (counts,
+  * integer sums, cross-multiplied comparisons) where addition is
+  * associative, and spend doubles only in the final per-row projection.
+  * A float Σ differs between engines in the last ulp because float
+  * addition does not associate; an integer Σ never does.
+  */
+object Stats {
+
+  /** Trailing-window activity features per key — for each event, the
+    * count / min / max of the key's events in the half-open time window
+    * (t − span, t]. The classic feature-store "activity in the last 24h"
+    * computed with a RANGE frame: one window per key ordered by time, no
+    * self-join, no explode of the window contents.
+    *
+    * Count is an integer; min/max SELECT observed values (order-free
+    * reductions, portable verbatim). A trailing float mean is
+    * deliberately not offered here: a windowed float sum is
+    * accumulation-order-sensitive — derive means downstream from
+    * decimal/integer sums if needed.
+    *
+    * @param time integral time column name (e.g. epoch micros)
+    * @param span trailing window width in `time` units
+    */
+  def trailingWindowFeatures(df: DataFrame, key: String, time: String,
+      valueCol: String, span: Long): DataFrame = {
+    require(span > 0, "span must be positive")
+    val w = Window.partitionBy(col(key)).orderBy(col(time))
+      .rangeBetween(-(span - 1), 0) // (t − span, t] on integral time
+    df.withColumn("w_cnt", count(lit(1)).over(w))
+      .withColumn("w_min", min(col(valueCol)).over(w))
+      .withColumn("w_max", max(col(valueCol)).over(w))
+  }
+
+  /** Per-key least-squares trend over an INTEGER series — "is this user's
+    * daily activity rising or falling", the drift/trend detector run over
+    * count series (which are integers by construction — and integer sums
+    * are exact, so the regression is too).
+    *
+    * slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), emitted BOTH as the exact
+    * integer numerator/denominator pair (cross-multiply them to compare
+    * trends exactly, no division error) and as one IEEE division.
+    * Overflow needs n·|Σxy| < 2^63: with day-index x and count y, fine for
+    * centuries of daily buckets; require() the caller caps the series
+    * length upstream.
+    *
+    * @param x integral regressor column (e.g. day index)
+    * @param y integral response column (e.g. daily count)
+    * @return (<key>, n, slope_num, slope_den, slope) — slope_den = 0 (and
+    *         slope NULL) when all x are equal
+    */
+  def trendSlope(df: DataFrame, key: String, x: String, y: String)
+      : DataFrame =
+    df.groupBy(col(key))
+      .agg(count(lit(1)).as("n"),
+        sum(col(x)).as("sx"), sum(col(y)).as("sy"),
+        sum(col(x) * col(y)).as("sxy"), sum(col(x) * col(x)).as("sxx"))
+      .select(col(key), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+      .withColumn("slope",
+        when(col("slope_den") =!= 0,
+          col("slope_num").cast("double") / col("slope_den")))
+
+  /** Gini diversity (1 − Σ share²) of a categorical column per group —
+    * "how concentrated is each language's corpus across sources". The
+    * portable alternative to Shannon entropy: entropy needs ln (libm,
+    * last-ulp differs across engines), while Gini is Σc² and N — both
+    * exact integers — and ONE division: 1 − Σc²/N². 0 = one category owns
+    * everything; → 1 − 1/k for k equal categories.
+    *
+    * One aggregation keyed by (group, category), one keyed by group —
+    * map-side partials on both, no window over data rows.
+    */
+  def giniDiversity(df: DataFrame, group: String, category: String)
+      : DataFrame =
+    df.groupBy(col(group), col(category)).agg(count(lit(1)).as("c"))
+      .groupBy(col(group))
+      .agg(count(lit(1)).as("n_cats"), sum(col("c")).as("n"),
+        sum(col("c") * col("c")).as("ssq"))
+      .withColumn("gini",
+        lit(1.0) - col("ssq").cast("double") / (col("n") * col("n")))
+
+  /** First-significant-digit profile per group — the Benford's-law audit
+    * used to flag fabricated numeric columns (organic magnitudes follow
+    * P(d) = log10(1+1/d); uniform-made-up numbers don't). The digit is
+    * extracted from the INTEGER part via string of a long — integer
+    * formatting is identical everywhere, where float formatting is not.
+    * Rows with |value| < 1 are excluded (their first significant digit
+    * lives below the decimal point — out of scope for this extractor).
+    *
+    * Output keeps exact counts plus the observed share (one division);
+    * comparison against the Benford expectation is the consumer's
+    * decision (the expected shares are nine constants).
+    */
+  def benfordProfile(df: DataFrame, group: String, valueCol: String)
+      : DataFrame = {
+    // floor BEFORE the long cast: a bare double→long cast truncates in
+    // Spark but ROUNDS in DuckDB — floor is the portable spelling
+    val d = substring(floor(abs(col(valueCol))).cast("long")
+      .cast("string"), 1, 1).cast("int")
+    val counts = df.filter(abs(col(valueCol)) >= 1)
+      .withColumn("digit", d)
+      .groupBy(col(group), col("digit")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col(group))
+    counts
+      .withColumn("n", sum(col("cnt")).over(w))
+      .withColumn("share", col("cnt").cast("double") / col("n"))
+  }
+
+  /** Weighted lower median per group: the smallest value v such that the
+    * cumulative weight through v reaches half the total — "the price such
+    * that half the QUANTITY traded at or below it". Integer weights keep
+    * the half-total comparison exact (cross-multiplied: 2·cumw ≥ W, no
+    * division); the answer is an observed value, portable verbatim.
+    *
+    * One per-group window for the running weight (ordered by value with a
+    * total tiebreak), one per-group argmin over qualifying rows.
+    */
+  def weightedMedian(df: DataFrame, group: String, valueCol: String,
+      weight: Column, tie: Column): DataFrame = {
+    val wc = Window.partitionBy(col(group))
+      .orderBy(col(valueCol), col("_tb")) // _tb: tie evaluated pre-projection
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wg = Window.partitionBy(col(group))
+    df.select(col(group), col(valueCol), weight.as("_w"), tie.as("_tb"))
+      .withColumn("_cum", sum(col("_w")).over(wc))
+      .withColumn("_tot", sum(col("_w")).over(wg))
+      .filter(col("_cum") * 2 >= col("_tot"))
+      .groupBy(col(group))
+      .agg(min(struct(col(valueCol).as("_v"), col("_tb"))).as("_s"),
+        max(col("_tot")).as("w_total"))
+      .select(col(group), col("_s").getField("_v").as("w_median"),
+        col("w_total"))
+  }
+
+  /** Contingency table with χ² contributions — the independence check
+    * between two categorical columns ("is return flag independent of line
+    * status"). Observed counts, row/column totals and N are exact
+    * integers; expected = rowTot·colTot/N is ONE division, and the χ²
+    * contribution (obs − exp)²/exp is the SAME three-operation chain in
+    * any engine — bit-identical because its inputs are. The total χ² is
+    * the consumer's sum (or compare per-cell contributions directly —
+    * at scale the hot cells are the answer anyway).
+    *
+    * Shape: one aggregation on (a, b); row/col totals are windows over
+    * the CELL table (≤ |A|·|B| rows), never over the data.
+    */
+  def contingencyChi2(df: DataFrame, aCol: String, bCol: String)
+      : DataFrame = {
+    val cells = df.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("obs"))
+    val wa = Window.partitionBy(col(aCol))
+    val wb = Window.partitionBy(col(bCol))
+    val wn = Window.partitionBy()
+    cells
+      .withColumn("row_tot", sum(col("obs")).over(wa))
+      .withColumn("col_tot", sum(col("obs")).over(wb))
+      .withColumn("n", sum(col("obs")).over(wn))
+      .withColumn("expected",
+        (col("row_tot") * col("col_tot")).cast("double") / col("n"))
+      .withColumn("chi2",
+        (col("obs") - col("expected")) * (col("obs") - col("expected")) /
+          col("expected"))
+  }
+}

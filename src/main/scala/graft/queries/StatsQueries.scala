@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Stats
+
+/** Wave 9 — portable distributed statistics: trailing-window features,
+  * integer-exact trend slopes, Gini diversity, Benford digit audit,
+  * weighted medians and the χ² independence table.
+  *
+  * Same conventions as every wave: identical column aliases in Spark and
+  * DuckDB, total ORDER BY, counts CAST to BIGINT in the oracle; every
+  * aggregate is an integer (associative, engine-independent) and floats
+  * appear only in final per-row projections — short identical IEEE chains
+  * rounded to 6 in both engines.
+  */
+object StatsQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  private def evMicros(c: String = "ts") = expr(s"$c DIV 1000")
+
+  /** Unique integral tiebreak for lineitem rows (linenumber ∈ 1..7). */
+  private val liTie = "l_orderkey * 10 + l_linenumber"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Trailing 24h activity features per user — RANGE-frame window, no
+    // self-join: count (integer) and min/max (observed values) only; a
+    // windowed float mean is order-sensitive and deliberately absent.
+    "q130_trailing_features" -> ((s, dir) =>
+      Stats.trailingWindowFeatures(
+        t(s, dir, "events").select(col("event_id"), col("user_id"),
+          evMicros().as("t"), col("value")),
+        key = "user_id", time = "t", valueCol = "value",
+        span = 86400000000L)
+        .select(col("event_id"), col("user_id"), col("t"), col("w_cnt"),
+          col("w_min"), col("w_max"))
+        .orderBy(col("event_id"))),
+
+    // Per-user activity trend: least squares over the (day, daily count)
+    // series — integer sums only, slope emitted as the exact rational
+    // num/den plus one IEEE division.
+    "q131_trend_slope" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("user_id"),
+          expr("(ts DIV 1000) DIV 86400000000").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      Stats.trendSlope(daily, "user_id", "day", "cnt")
+        .select(col("user_id"), col("n"), col("slope_num"),
+          col("slope_den"), round(col("slope"), 6).as("slope"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Source concentration per language: Gini diversity 1 − Σc²/N² —
+    // the portable (log-free) diversity index.
+    "q132_gini_diversity" -> ((s, dir) =>
+      Stats.giniDiversity(t(s, dir, "documents"), "lang", "source")
+        .select(col("lang"), col("n_cats"), col("n"), col("ssq"),
+          round(col("gini"), 6).as("gini"))
+        .orderBy(col("lang"))),
+
+    // Benford first-digit audit of order totals per status — digit from
+    // the integer part via long→string (integer formatting is identical
+    // everywhere; float formatting is not).
+    "q133_benford" -> ((s, dir) =>
+      Stats.benfordProfile(t(s, dir, "orders"), "o_orderstatus",
+        "o_totalprice")
+        .select(col("o_orderstatus"), col("digit"), col("cnt"), col("n"),
+          round(col("share"), 6).as("share"))
+        .orderBy(col("o_orderstatus"), col("digit"))),
+
+    // Quantity-weighted median price per return flag: smallest price with
+    // 2·cumulative-quantity ≥ total — cross-multiplied integers, the
+    // answer an observed value.
+    "q134_weighted_median" -> ((s, dir) =>
+      Stats.weightedMedian(t(s, dir, "lineitem"), "l_returnflag",
+        "l_extendedprice", weight = col("l_quantity").cast("long"),
+        tie = expr(liTie))
+        .orderBy(col("l_returnflag"))),
+
+    // χ² independence table for return flag × line status: integer
+    // observed/marginal counts; expected and the χ² contribution are the
+    // same 1- and 3-op IEEE chains in both engines.
+    "q135_chi2" -> ((s, dir) =>
+      Stats.contingencyChi2(t(s, dir, "lineitem"), "l_returnflag",
+        "l_linestatus")
+        .select(col("l_returnflag"), col("l_linestatus"), col("obs"),
+          col("row_tot"), col("col_tot"), col("n"),
+          round(col("expected"), 6).as("expected"),
+          round(col("chi2"), 6).as("chi2"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q130_trailing_features" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t, value
+        |           FROM events)
+        |SELECT event_id, user_id, t,
+        |  CAST(count(*) OVER w AS BIGINT) AS w_cnt,
+        |  min(value) OVER w AS w_min,
+        |  max(value) OVER w AS w_max
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY t
+        |  RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q131_trend_slope" ->
+      """WITH d AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |         count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |a AS (
+        |  SELECT user_id, count(*) AS n, sum(day) AS sx, sum(cnt) AS sy,
+        |         sum(day * cnt) AS sxy, sum(day * day) AS sxx
+        |  FROM d GROUP BY user_id)
+        |SELECT user_id, CAST(n AS BIGINT) AS n,
+        |  CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+        |  CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+        |  CASE WHEN n * sxx - sx * sx <> 0 THEN
+        |    round((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx), 6)
+        |  END AS slope
+        |FROM a ORDER BY user_id""".stripMargin,
+
+    "q132_gini_diversity" ->
+      """WITH c AS (SELECT lang, source, count(*) AS c
+        |           FROM documents GROUP BY 1, 2),
+        |a AS (SELECT lang, count(*) AS n_cats, sum(c) AS n,
+        |             sum(c * c) AS ssq
+        |      FROM c GROUP BY lang)
+        |SELECT lang, CAST(n_cats AS BIGINT) AS n_cats,
+        |  CAST(n AS BIGINT) AS n, CAST(ssq AS BIGINT) AS ssq,
+        |  round(1.0 - ssq::DOUBLE / (n * n), 6) AS gini
+        |FROM a ORDER BY lang""".stripMargin,
+
+    "q133_benford" ->
+      """WITH d AS (
+        |  SELECT o_orderstatus,
+        |    substr(CAST(CAST(floor(abs(o_totalprice)) AS BIGINT) AS VARCHAR),
+        |           1, 1)::INT AS digit
+        |  FROM orders WHERE abs(o_totalprice) >= 1),
+        |c AS (SELECT o_orderstatus, digit, count(*) AS cnt
+        |      FROM d GROUP BY 1, 2)
+        |SELECT o_orderstatus, digit, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(sum(cnt) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS n,
+        |  round(cnt::DOUBLE /
+        |    sum(cnt) OVER (PARTITION BY o_orderstatus), 6) AS share
+        |FROM c ORDER BY o_orderstatus, digit""".stripMargin,
+
+    "q134_weighted_median" ->
+      s"""WITH r AS (
+         |  SELECT l_returnflag, l_extendedprice,
+         |    CAST(l_quantity AS BIGINT) AS w, $liTie AS tb
+         |  FROM lineitem),
+         |c AS (
+         |  SELECT *, sum(w) OVER (PARTITION BY l_returnflag
+         |      ORDER BY l_extendedprice, tb
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    sum(w) OVER (PARTITION BY l_returnflag) AS tot
+         |  FROM r),
+         |q AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+         |        ORDER BY l_extendedprice, tb) AS rn
+         |      FROM c WHERE cum * 2 >= tot)
+         |SELECT l_returnflag, l_extendedprice AS w_median,
+         |  CAST(tot AS BIGINT) AS w_total
+         |FROM q WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+
+    "q135_chi2" ->
+      """WITH cells AS (
+        |  SELECT l_returnflag, l_linestatus, count(*) AS obs
+        |  FROM lineitem GROUP BY 1, 2),
+        |m AS (
+        |  SELECT *,
+        |    sum(obs) OVER (PARTITION BY l_returnflag) AS row_tot,
+        |    sum(obs) OVER (PARTITION BY l_linestatus) AS col_tot,
+        |    sum(obs) OVER () AS n
+        |  FROM cells),
+        |x AS (
+        |  SELECT *, (row_tot * col_tot)::DOUBLE / n AS expected
+        |  FROM m)
+        |SELECT l_returnflag, l_linestatus, CAST(obs AS BIGINT) AS obs,
+        |  CAST(row_tot AS BIGINT) AS row_tot,
+        |  CAST(col_tot AS BIGINT) AS col_tot, CAST(n AS BIGINT) AS n,
+        |  round(expected, 6) AS expected,
+        |  round((obs - expected) * (obs - expected) / expected, 6) AS chi2
+        |FROM x ORDER BY l_returnflag, l_linestatus""".stripMargin
+  )
+}

@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AnalyticsQueries, CoreQueries, CorpusQueries, GraphQueries, PipelineQueries, QualityQueries, ScaleQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, CorpusQueries, GraphQueries, PipelineQueries, QualityQueries, ScaleQueries, StatsQueries, WranglingQueries}
 
 /** Living assertions over the physical plans of representative graded
   * queries — the properties that make them scale (predicate/projection
@@ -14,7 +14,9 @@ class PlanAuditSpec extends SparkSpec {
   private def plan(name: String): String = {
     val all = CoreQueries.queries ++ PipelineQueries.queries ++
       AnalyticsQueries.queries ++ QualityQueries.queries ++
-      ScaleQueries.queries ++ GraphQueries.queries ++ CorpusQueries.queries
+      ScaleQueries.queries ++ GraphQueries.queries ++
+      CorpusQueries.queries ++ WranglingQueries.queries ++
+      StatsQueries.queries
     all(name)(spark, dir).queryExecution.executedPlan.toString
   }
 
@@ -264,5 +266,82 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q113_cdc_chunks")
     assert("FileScan".r.findAllIn(p).size === 1, p)
     assert(!p.contains("Union"), p)
+  }
+
+  test("q122: basket pairs equi-join on the basket key; frequency and " +
+    "total joins broadcast") {
+    val p = plan("q122_basket_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // N rides a broadcast nested loop of ONE row (the columnless count) —
+    // the only BNLJ allowed here
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("q123: fuzzy match candidates come from an EQUI-join on the " +
+    "variant key — never a cartesian levenshtein scan") {
+    val p = plan("q123_fuzzy_match")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.toLowerCase.contains("levenshtein"), p)
+  }
+
+  test("q124: robust stats windows are PARTITIONED by the group — no " +
+    "single-partition exchange; median/MAD joins broadcast") {
+    val p = plan("q124_robust_stats")
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q125: grid resample fill window is partitioned by the key; the " +
+    "only single-partition exchange is the 1-row span aggregate") {
+    val p = plan("q125_grid_resample")
+    // LOCF window partitioned by user_id (never a global sort over rows)
+    assert(p.contains("windowspecdefinition(user_id"), p)
+    // exactly one SinglePartition exchange, and it feeds the columnless
+    // span min/max (partial-then-final — 1 row per input partition)
+    assert("Exchange SinglePartition".r.findAllIn(p).size === 1, p)
+    assert(p.contains("partial_min(_bk") && p.contains("partial_max(_bk"), p)
+    // the span rides the only broadcast nested loop (1 row × keys)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size === 1, p)
+    // the grid joins the picked observations with a broadcast hash join
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q126: prefix filter still verifies via equi-joins only") {
+    val p = plan("q126_prefix_jaccard")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q127: weighted sample is a narrow map + TakeOrderedAndProject") {
+    val p = plan("q127_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("q130: trailing features are ONE per-key window — a single hash " +
+    "exchange plus the output sort") {
+    val p = plan("q130_trailing_features")
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
+
+  test("q131/q132: integer-sum statistics aggregate partial-then-final") {
+    val p1 = plan("q131_trend_slope")
+    assert(p1.contains("partial_sum"), p1)
+    val p2 = plan("q132_gini_diversity")
+    assert(p2.contains("partial_sum"), p2)
+    assert(!p2.contains("Exchange SinglePartition"), p2)
+  }
+
+  test("q135: χ² windows run over the CELL table after full aggregation " +
+    "— the single-partition exchange moves ≤ |A|·|B| rows") {
+    val p = plan("q135_chi2")
+    // the only SinglePartition exchange is above the final aggregate
+    val agg = p.indexOf("HashAggregate")
+    val sp = p.indexOf("Exchange SinglePartition")
+    assert(sp === -1 || agg === -1 || sp < agg, p)
+    assert(p.contains("partial_count"), p)
   }
 }
