@@ -27,7 +27,12 @@ object ExplainDump {
       "q110_temperature_mix", "q111_host_block", "q112_bpe_pairs",
       "q113_cdc_chunks", "q114_luhn_cards", "q115_source_overlap",
       "q117_skew_report", "q118_histogram_drift", "q119_equal_freq_bins",
-      "q120_triangles", "q121_ppr")
+      "q120_triangles", "q121_ppr",
+      "q122_basket_pairs", "q123_fuzzy_match", "q124_robust_stats",
+      "q125_grid_resample", "q126_prefix_jaccard", "q127_weighted_sample",
+      "q128_khop_reach", "q129_scd2_history", "q130_trailing_features",
+      "q131_trend_slope", "q134_weighted_median", "q135_chi2",
+      "q136_rendezvous", "q137_phrase_search", "q138_hard_negatives")
     val sb = new StringBuilder
     sb.append("# EXPLAIN — headline query plans (formatted, sf0.001, regenerate with `sbt \"runMain graft.ExplainDump\"`)\n")
     sb.append("\nWhat to look for: `PushedFilters`/`ReadSchema` on every scan, broadcast\njoins where one side is small, partial aggregation before each hash\nexchange, `WindowGroupLimit` ahead of top-k windows, and no\n`CartesianProduct` anywhere.\n")

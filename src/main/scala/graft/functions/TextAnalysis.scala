@@ -214,6 +214,47 @@ object TextAnalysis {
         col("_t").substr((col("off") + 1).cast("int"), lit(size)).as("chunk"))
   }
 
+  /** Exact phrase search over the corpus via a POSITIONAL inverted index —
+    * the primitive behind "find every document containing this sentence"
+    * (contamination spot-checks, quote tracing, boilerplate hunting).
+    *
+    * ONE corpus scan, no self-join: the positional postings are filtered
+    * to the phrase terms, and each surviving posting emits (start = pos −
+    * offset) for EVERY phrase offset its term occupies. A true occurrence
+    * at `start` is then a (doc, start) group covering ALL offsets 0..n−1
+    * — count(distinct offset) = n — so alignment is a single aggregation
+    * keyed by the candidate start instead of n−1 joins over n references
+    * to the same unpersisted index (which would re-scan the corpus per
+    * phrase term). Fan-out per posting is bounded by the phrase length.
+    *
+    * @param phrase whitespace tokens of the phrase, in order (≥ 1)
+    * @return (<idCol>, n_hits, first_pos) — docs with ≥1 occurrence;
+    *         positions 0-based token offsets
+    */
+  def phraseHits(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, phrase: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    // offsets this term occupies in the phrase, as an array expression
+    val offsetsOf: Column = {
+      val js = phrase.zipWithIndex.map { case (w, j) =>
+        when(col("term") === w, lit(j)).otherwise(lit(-1))
+      }
+      array_remove(array(js: _*), -1)
+    }
+    df.select(col(idCol),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
+      .filter(col("term").isin(phrase.distinct: _*))
+      .select(col(idCol), col("pos"), explode(offsetsOf).as("j"))
+      .select(col(idCol), (col("pos") - col("j")).as("start"), col("j"))
+      .filter(col("start") >= 0)
+      .groupBy(col(idCol), col("start"))
+      .agg(count_distinct(col("j")).as("n_off"))
+      .filter(col("n_off") === phrase.length)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"),
+        min(col("start")).cast("long").as("first_pos"))
+  }
+
   // --- TF-IDF keyword extraction -------------------------------------------
 
   /** Top-`k` characteristic terms per document by TF-IDF, with a RATIONAL

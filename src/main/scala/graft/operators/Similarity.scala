@@ -75,6 +75,28 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Hard-negative mining: for each query, the top-k most-similar corpus
+    * vectors with a DIFFERENT label — the contrastive-training pairs that
+    * actually teach the boundary (easy negatives are already far away;
+    * the hard ones are the near-misses). Same one-pass broadcast scan as
+    * [[bruteForceTopK]], with the label inequality folded into the join
+    * predicate so same-label rows never reach the scorer.
+    *
+    * @return (qid, vec_id, neg_label, sim, rnk) */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int)
+      : DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("qid"),
+      col("label").as("qlabel"), asDouble(col("embedding")).as("qe")))
+    val c = corpus.select(col("vec_id"), col("label"),
+      asDouble(col("embedding")).as("ce"))
+    val scored = c.join(q, col("label") =!= col("qlabel"))
+      .select(col("qid"), col("vec_id"), col("label").as("neg_label"),
+        round(cosine(col("qe"), col("ce")), 6).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("sim"), col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Per-`label` element-wise mean vectors, components rounded to 6 decimals
     * so the (reduction-order-sensitive) float sums compare equal across
     * engines. Stand-in for a k-means coarse quantizer: same plan shape

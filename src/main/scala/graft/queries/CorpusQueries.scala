@@ -65,6 +65,33 @@ object CorpusQueries {
       |FROM documents""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Rendezvous (highest-random-weight) sharding: every doc scored
+    // against the shard list, argmax wins — a pure narrow projection (no
+    // explode/join/shuffle), and topology changes move only the delta.
+    "q136_rendezvous" -> ((s, dir) =>
+      graft.operators.Rendezvous.assign(
+        t(s, dir, "documents").select(col("doc_id")),
+        col("doc_id").cast("string"),
+        Seq("node-a", "node-b", "node-c", "node-d", "node-e"))
+        .orderBy(col("doc_id"))),
+
+    // Exact phrase search via a positional inverted index: postings
+    // filtered to the 3 phrase terms BEFORE the alignment equi-joins —
+    // one corpus scan, joins over per-term postings only.
+    "q137_phrase_search" -> ((s, dir) =>
+      TextAnalysis.phraseHits(t(s, dir, "documents"), "doc_id", "text",
+        Seq("slow", "hash", "batch"))
+        .orderBy(col("doc_id"))),
+
+    // Hard-negative mining for contrastive training: per query, the 5
+    // nearest corpus vectors with a DIFFERENT label — one broadcast
+    // corpus pass, label inequality inside the join predicate.
+    "q138_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegatives(emb.filter(col("vec_id") < 8), emb, k = 5)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // Per-domain cap: at most 10 docs per source, ranked by the portable
     // md5-60 hash of the doc id (a deterministic random-looking subset,
     // not an ingestion-order prefix). WindowGroupLimit keeps the shuffle
@@ -267,6 +294,55 @@ object CorpusQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q136_rendezvous" ->
+      """WITH sc AS (
+        |  SELECT d.doc_id, s.shard,
+        |    ('0x' || substr(md5(s.shard || '|' || d.doc_id::VARCHAR), 1, 15))
+        |      ::BIGINT AS h
+        |  FROM documents d, (VALUES ('node-a'), ('node-b'), ('node-c'),
+        |                            ('node-d'), ('node-e')) s(shard)),
+        |r AS (SELECT doc_id, shard,
+        |        row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY h DESC, shard DESC) AS rn
+        |      FROM sc)
+        |SELECT doc_id, shard FROM r WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "q137_phrase_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, i.i - 1 AS p, w[i.i] AS term
+        |  FROM toks, generate_series(1, 100000) AS i(i)
+        |  WHERE i.i <= len(w)),
+        |hit AS (
+        |  SELECT a.doc_id, a.p AS start
+        |  FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+        |             JOIN pos c ON c.doc_id = a.doc_id AND c.p = a.p + 2
+        |  WHERE a.term = 'slow' AND b.term = 'hash' AND c.term = 'batch')
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |  CAST(min(start) AS BIGINT) AS first_pos
+        |FROM hit GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q138_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, label AS qlabel,
+        |             embedding::DOUBLE[] AS qe
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id, label, embedding::DOUBLE[] AS ce
+        |      FROM embeddings),
+        |s AS (SELECT qid, vec_id, label AS neg_label,
+        |        round(list_dot_product(qe, ce) /
+        |          (sqrt(list_dot_product(qe, qe)) *
+        |           sqrt(list_dot_product(ce, ce))), 6) AS sim
+        |      FROM q CROSS JOIN c WHERE label <> qlabel)
+        |SELECT qid, vec_id, neg_label, sim, rnk FROM (
+        |  SELECT qid, vec_id, neg_label, sim,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY sim DESC, vec_id) AS rnk
+        |  FROM s)
+        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
     "q93_source_cap" ->
       """WITH r AS (
         |  SELECT doc_id, source,

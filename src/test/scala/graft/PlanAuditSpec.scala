@@ -335,6 +335,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p2.contains("Exchange SinglePartition"), p2)
   }
 
+  test("q136: rendezvous sharding is a pure projection — no join, no " +
+    "explode, only the output sort exchanges") {
+    val p = plan("q136_rendezvous")
+    assert("Exchange".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("Join") && !p.contains("Generate"), p)
+  }
+
+  test("q137: phrase search scans the corpus ONCE — no per-term re-scan " +
+    "and no self-join") {
+    val p = plan("q137_phrase_search")
+    assert("FileScan".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q138: hard negatives are one broadcast corpus pass") {
+    val p = plan("q138_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("FileScan".r.findAllIn(p).size === 2, p) // queries + corpus
+  }
+
   test("q135: χ² windows run over the CELL table after full aggregation " +
     "— the single-partition exchange moves ≤ |A|·|B| rows") {
     val p = plan("q135_chi2")
