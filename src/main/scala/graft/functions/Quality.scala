@@ -156,4 +156,22 @@ object Quality {
       // order-insensitive content fingerprint: XOR-aggregate of row hashes
       // (bit_xor is commutative — safe under any partitioning)
       expr(s"bit_xor(xxhash64($key))").as("key_xor"))
+
+  /** k-anonymity audit: group sizes over a quasi-identifier tuple, with
+    * the per-group verdict `anonymous` (size ≥ k) — the release gate a
+    * governance layer runs BEFORE a dataset leaves the pipeline: any
+    * quasi-identifier combination shared by fewer than k individuals
+    * re-identifies them. One aggregation keyed by the tuple; the verdict
+    * is an integer comparison. Generalize (band/truncate) the quasi
+    * columns UPSTREAM and re-run until the audit is clean — the audit
+    * itself never mutates data.
+    *
+    * @return (<quasi…>, group_sz, anonymous) */
+  def kAnonymity(df: DataFrame, quasi: Seq[String], k: Long): DataFrame = {
+    require(quasi.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, "k must be at least 2")
+    df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("group_sz"))
+      .withColumn("anonymous", col("group_sz") >= k)
+  }
 }

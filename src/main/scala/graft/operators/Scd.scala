@@ -59,4 +59,29 @@ object Scd {
       .withColumn("valid_to", lead(col("valid_from"), 1).over(wv))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** Effective-dated lookup: join facts to the dimension version that was
+    * valid AT THE FACT'S TIME — the consumption side of [[scd2History]]
+    * (a fact joined to `is_current` attributes silently rewrites
+    * history). The join is an EQUI-join on the business key; the interval
+    * condition `valid_from ≤ t < valid_to` is a residual predicate on
+    * that key join, which is the right plan because a key's history is a
+    * handful of versions: per-fact fan-out is bounded by the key's
+    * version count, never by the interval width (no range-join machinery
+    * needed — contrast RangeJoin.pointInInterval, where there is no
+    * key to join on). Versions partition the timeline per key, so at
+    * most one version matches; facts before the key's first version (or
+    * with no key match) keep NULL attributes via the left join.
+    *
+    * @param history output of [[scd2History]]
+    * @param facts   fact rows carrying `key` and the integral time `tCol`
+    * @return facts + the matching version's columns */
+  def lookupAsOf(history: DataFrame, facts: DataFrame, key: String,
+      tCol: String): DataFrame =
+    facts.join(history,
+      facts(key) === history(key) &&
+        history("valid_from") <= facts(tCol) &&
+        (history("valid_to").isNull || facts(tCol) < history("valid_to")),
+      "left")
+      .drop(history(key))
 }

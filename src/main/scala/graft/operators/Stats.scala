@@ -145,6 +145,77 @@ object Stats {
         col("w_total"))
   }
 
+  /** Rolling distinct-entity counts — "7-day active users per day", the
+    * windowed-distinct statistic a plain window frame cannot express
+    * (count(DISTINCT) is not a supported window function, and a naive
+    * per-day self-join re-scans the activity table once per window day).
+    *
+    * Contribution trick: reduce to DISTINCT (entity, bucket) activity
+    * first, then each activity row CONTRIBUTES to the `window` report
+    * buckets [b, b+window) — a bounded explode (fan-out = window) — and
+    * one count-distinct per report bucket finishes the job. Report
+    * buckets are restricted to OBSERVED activity buckets (left-semi join
+    * with the distinct bucket list), so trailing phantom days never
+    * appear. Two shuffles total, both keyed; fan-out independent of
+    * entity popularity.
+    *
+    * @param bucket integral time bucket expression
+    * @param window trailing width in buckets (≥ 1)
+    * @return (bucket, n_active) — distinct entities active in
+    *         [bucket − window + 1, bucket] */
+  def rollingActiveCounts(df: DataFrame, entity: String, bucket: Column,
+      window: Int): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val act = df.select(col(entity).as("_e"), bucket.as("_b")).distinct()
+    val days = act.select(col("_b").as("bucket")).distinct()
+    act
+      .select(col("_e"),
+        explode(sequence(col("_b"), col("_b") + (window - 1)))
+          .as("bucket"))
+      .join(days, Seq("bucket"), "left_semi")
+      .groupBy(col("bucket"))
+      .agg(count_distinct(col("_e")).as("n_active"))
+  }
+
+  /** Exact rank-based quantiles per group: for each requested q = num/den,
+    * the OBSERVED value at ascending rank ⌈q·n⌉ — the rank form every
+    * engine agrees on (interpolating quantiles differ across engines in
+    * their even-n/tie handling; a rank-selected value is copied verbatim).
+    * The rank is exact integer arithmetic: (num·n + den − 1) div den.
+    *
+    * ONE window pass serves every quantile: each row emits the quantile
+    * names whose rank it holds (an array filter + explode — no per-q
+    * re-scan of the unpersisted ranked subplan).
+    *
+    * @param quantiles (name, num, den) with 0 < num ≤ den
+    * @return (<group>, q, value, n) — one row per group per quantile */
+  def groupQuantiles(df: DataFrame, group: String, valueCol: String,
+      tie: Column, quantiles: Seq[(String, Long, Long)]): DataFrame = {
+    require(quantiles.nonEmpty, "need at least one quantile")
+    quantiles.foreach { case (nm, num, den) =>
+      require(num > 0 && den >= num, s"quantile $nm must be in (0, 1]")
+    }
+    val w = Window.partitionBy(col(group)).orderBy(col(valueCol), col("_tb"))
+    val ranked = df
+      .select(col(group), col(valueCol), tie.as("_tb"))
+      .filter(col(valueCol).isNotNull)
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col(group))))
+    def rankOf(num: Long, den: Long): Column = {
+      val a = col("_n") * num + (den - 1)
+      ((a - pmod(a, lit(den))) / den).cast("long")
+    }
+    val served = quantiles.map { case (nm, num, den) =>
+      when(col("_rn") === rankOf(num, den), lit(nm))
+        .otherwise(lit(null).cast("string"))
+    }
+    ranked
+      .withColumn("q",
+        explode(filter(array(served: _*), x => x.isNotNull)))
+      .select(col(group), col("q"), col(valueCol).as("value"),
+        col("_n").as("n"))
+  }
+
   /** Contingency table with χ² contributions — the independence check
     * between two categorical columns ("is return flag independent of line
     * status"). Observed counts, row/column totals and N are exact

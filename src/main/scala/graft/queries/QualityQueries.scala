@@ -16,6 +16,17 @@ object QualityQueries {
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Governance: k-anonymity release gate over a quasi-identifier tuple
+    // (segment × nation × balance band) — any combination shared by
+    // fewer than 5 customers re-identifies them.
+    "q141_k_anonymity" -> ((s, dir) =>
+      Quality.kAnonymity(
+        t(s, dir, "customer").select(col("c_mktsegment"),
+          col("c_nationkey"),
+          floor(col("c_acctbal") / 2000).cast("long").as("bal_band")),
+        quasi = Seq("c_mktsegment", "c_nationkey", "bal_band"), k = 5L)
+        .orderBy(col("c_mktsegment"), col("c_nationkey"), col("bal_band"))),
+
     // Skew: two-phase salted count must equal the plain groupBy — the salt
     // only changes the shuffle shape (hot keys spread over 8 reducers).
     "q32_salted_mode" -> ((s, dir) =>
@@ -110,6 +121,15 @@ object QualityQueries {
         !(col("o_orderstatus") === "O" && col("o_orderkey") % 10 === 0))
 
   val oracles: Map[String, String] = Map(
+    "q141_k_anonymity" ->
+      """SELECT c_mktsegment, c_nationkey,
+        |  CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+        |  CAST(count(*) AS BIGINT) AS group_sz,
+        |  count(*) >= 5 AS anonymous
+        |FROM customer
+        |GROUP BY 1, 2, 3
+        |ORDER BY c_mktsegment, c_nationkey, bal_band""".stripMargin,
+
     "q117_skew_report" ->
       """WITH c AS (
         |  SELECT l_suppkey AS key, count(*) AS cnt

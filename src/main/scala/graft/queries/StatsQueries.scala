@@ -80,6 +80,27 @@ object StatsQueries {
         tie = expr(liTie))
         .orderBy(col("l_returnflag"))),
 
+    // Rolling 7-day distinct active users per observed day — the
+    // windowed-distinct no frame can express, via the bounded
+    // contribution explode (fan-out = 7, independent of user activity).
+    "q139_rolling_actives" -> ((s, dir) =>
+      Stats.rollingActiveCounts(
+        t(s, dir, "events").select(col("user_id"), col("ts")),
+        entity = "user_id",
+        bucket = expr("(ts DIV 1000) DIV 86400000000"), window = 7)
+        .orderBy(col("bucket"))),
+
+    // Exact daily p50/p95 of event values: observed values at ranks
+    // ⌈q·n⌉ (integer arithmetic), one window pass serving both quantiles.
+    "q140_group_quantiles" -> ((s, dir) =>
+      Stats.groupQuantiles(
+        t(s, dir, "events").select(
+          expr("(ts DIV 1000) DIV 86400000000").as("day"),
+          col("value"), col("event_id")),
+        group = "day", valueCol = "value", tie = col("event_id"),
+        quantiles = Seq(("p50", 1L, 2L), ("p95", 19L, 20L)))
+        .orderBy(col("day"), col("q"))),
+
     // χ² independence table for return flag × line status: integer
     // observed/marginal counts; expected and the χ² contribution are the
     // same 1- and 3-op IEEE chains in both engines.
@@ -165,6 +186,36 @@ object StatsQueries {
          |SELECT l_returnflag, l_extendedprice AS w_median,
          |  CAST(tot AS BIGINT) AS w_total
          |FROM q WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+
+    "q139_rolling_actives" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS b
+        |  FROM events),
+        |days AS (SELECT DISTINCT b AS bucket FROM act),
+        |contrib AS (
+        |  SELECT user_id, unnest(generate_series(b, b + 6)) AS bucket
+        |  FROM act)
+        |SELECT c.bucket, CAST(count(DISTINCT c.user_id) AS BIGINT)
+        |  AS n_active
+        |FROM contrib c JOIN days d ON d.bucket = c.bucket
+        |GROUP BY c.bucket ORDER BY c.bucket""".stripMargin,
+
+    "q140_group_quantiles" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, value, event_id
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT day, value,
+        |    row_number() OVER (PARTITION BY day ORDER BY value, event_id)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY day) AS n
+        |  FROM e)
+        |SELECT day, q, value, CAST(n AS BIGINT) AS n FROM (
+        |  SELECT day, 'p50' AS q, value, n, rn,
+        |         (n * 1 + 1) // 2 AS want FROM r
+        |  UNION ALL
+        |  SELECT day, 'p95', value, n, rn, (n * 19 + 19) // 20 FROM r)
+        |WHERE rn = want ORDER BY day, q""".stripMargin,
 
     "q135_chi2" ->
       """WITH cells AS (

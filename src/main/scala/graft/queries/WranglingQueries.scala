@@ -106,22 +106,43 @@ object WranglingQueries {
     // SCD-2 dimension history from three stacked snapshots: change points
     // by null-safe lag compare, versions by running change count,
     // validity intervals closed by lead — three key-partitioned passes.
-    "q129_scd2_history" -> ((s, dir) => {
-      val base = t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_orderstatus"))
-      val snaps = (0 to 2).map { b =>
-        base.select(col("o_orderkey"),
-          when((col("o_orderkey") + b) % 4 === 0,
-            concat(lit("X"), lit(b.toLong).cast("string")))
-            .otherwise(col("o_orderstatus")).as("status"),
-          lit(b.toLong).as("batch"))
-      }.reduce(_ unionAll _)
-      Scd.scd2History(snaps, "o_orderkey", Seq("status"), "batch")
+    "q129_scd2_history" -> ((s, dir) =>
+      scd2Fixture(s, dir)
         .select(col("o_orderkey"), col("ver"), col("status"),
           col("valid_from"), col("valid_to"), col("is_current"))
-        .orderBy(col("o_orderkey"), col("ver"))
+        .orderBy(col("o_orderkey"), col("ver"))),
+
+    // Effective-dated lookup: each fact joined to the dimension version
+    // valid AT ITS TIME (equi-join on the key, interval as a residual
+    // predicate — per-fact fan-out bounded by the key's version count).
+    // Facts probe at t = o_orderkey % 3, spanning every batch epoch.
+    "q142_temporal_lookup" -> ((s, dir) => {
+      val facts = t(s, dir, "orders")
+        .select(col("o_orderkey").as("fact_key"),
+          (col("o_orderkey") % 3).as("t"))
+      Scd.lookupAsOf(scd2Fixture(s, dir)
+          .withColumnRenamed("o_orderkey", "k"),
+        facts.withColumnRenamed("fact_key", "k"), "k", "t")
+        .select(col("k").as("o_orderkey"), col("t"), col("status"),
+          col("ver"), col("valid_from"))
+        .orderBy(col("o_orderkey"))
     })
   )
+
+  /** q129/q142 fixture: SCD-2 history over three synthetic snapshots of
+    * orders (batch b mutates keys with (key + b) % 4 == 0). */
+  private def scd2Fixture(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    val snaps = (0 to 2).map { b =>
+      base.select(col("o_orderkey"),
+        when((col("o_orderkey") + b) % 4 === 0,
+          concat(lit("X"), lit(b.toLong).cast("string")))
+          .otherwise(col("o_orderstatus")).as("status"),
+        lit(b.toLong).as("batch"))
+    }.reduce(_ unionAll _)
+    Scd.scd2History(snaps, "o_orderkey", Seq("status"), "batch")
+  }
 
   val oracles: Map[String, String] = Map(
     "q122_basket_pairs" ->
@@ -224,6 +245,35 @@ object WranglingQueries {
         |  FROM documents
         |  ORDER BY priority, doc_id LIMIT 200)
         |ORDER BY doc_id""".stripMargin,
+
+    "q142_temporal_lookup" ->
+      """WITH s AS (
+        |  SELECT o_orderkey, r.b AS batch,
+        |    CASE WHEN (o_orderkey + r.b) % 4 = 0 THEN 'X' || r.b::VARCHAR
+        |         ELSE o_orderstatus END AS status
+        |  FROM orders, range(0, 3) AS r(b)),
+        |c AS (SELECT *,
+        |    CASE WHEN lag(status) OVER (PARTITION BY o_orderkey
+        |           ORDER BY batch) IS NOT DISTINCT FROM status
+        |         THEN 0 ELSE 1 END AS chg
+        |  FROM s),
+        |v AS (SELECT *, sum(chg) OVER (PARTITION BY o_orderkey ORDER BY batch
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ver
+        |  FROM c),
+        |g AS (SELECT o_orderkey, ver, status,
+        |        CAST(min(batch) AS BIGINT) AS valid_from
+        |      FROM v GROUP BY 1, 2, 3),
+        |h AS (SELECT o_orderkey, CAST(ver AS BIGINT) AS ver, status,
+        |        valid_from,
+        |        lead(valid_from) OVER (PARTITION BY o_orderkey
+        |          ORDER BY valid_from) AS valid_to
+        |      FROM g),
+        |f AS (SELECT o_orderkey, o_orderkey % 3 AS t FROM orders)
+        |SELECT f.o_orderkey, f.t, h.status, h.ver, h.valid_from
+        |FROM f LEFT JOIN h
+        |  ON h.o_orderkey = f.o_orderkey AND h.valid_from <= f.t
+        |  AND (h.valid_to IS NULL OR f.t < h.valid_to)
+        |ORDER BY f.o_orderkey""".stripMargin,
 
     "q129_scd2_history" ->
       """WITH s AS (

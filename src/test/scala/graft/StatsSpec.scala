@@ -70,6 +70,27 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Long]("w_total") === 8L)
   }
 
+  test("rollingActiveCounts: trailing-window distinct, observed days only") {
+    // user A active on days 1 and 3; user B on day 3 only; window 3
+    val df = Seq(("A", 1L), ("A", 1L), ("A", 3L), ("B", 3L))
+      .toDF("u", "d")
+    val got = Stats.rollingActiveCounts(df, "u", col("d"), window = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // day 1: {A}; day 3: A (from day 1, still inside [1,3], AND day 3) + B
+    // days 2, 4, 5 are not observed activity days → absent
+    assert(got === Map(1L -> 1L, 3L -> 2L))
+  }
+
+  test("groupQuantiles picks the observed value at rank ceil(q*n)") {
+    // n=10, values 1..10: p50 → rank 5 → 5.0; p95 → rank ceil(9.5)=10 → 10.0
+    val df = (1 to 10).map(i => ("g", i.toDouble, i.toLong))
+      .toDF("k", "v", "id")
+    val got = Stats.groupQuantiles(df, "k", "v", col("id"),
+      Seq(("p50", 1L, 2L), ("p95", 19L, 20L)))
+      .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(got === Map("p50" -> 5.0, "p95" -> 10.0))
+  }
+
   test("contingencyChi2 is exactly zero under perfect independence") {
     // 2×2 with perfectly proportional cells: obs == expected exactly
     val rows = Seq.fill(8)(("a", "x")) ++ Seq.fill(2)(("a", "y")) ++

@@ -194,6 +194,36 @@ class WranglingSpec extends SparkSpec {
       (3L, 3L, null, 2L, None, true)))
   }
 
+  test("lookupAsOf attaches the version valid at the fact time — " +
+    "pre-history facts stay NULL, the open version catches the tail") {
+    val snaps = Seq(
+      (1L, "A", 10L), (1L, "B", 20L), (1L, "B", 30L)
+    ).toDF("k", "attr", "b")
+    val hist = Scd.scd2History(snaps, "k", Seq("attr"), "b")
+    val facts = Seq((1L, 5L), (1L, 10L), (1L, 25L), (1L, 99L), (2L, 10L))
+      .toDF("k", "t")
+    val got = Scd.lookupAsOf(hist, facts, "k", "t")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("t")) ->
+        Option(r.getAs[String]("attr"))).toMap
+    assert(got === Map(
+      (1L, 5L) -> None,        // before the first version
+      (1L, 10L) -> Some("A"),
+      (1L, 25L) -> Some("B"),
+      (1L, 99L) -> Some("B"),  // open current version
+      (2L, 10L) -> None))      // unknown key
+  }
+
+  test("kAnonymity verdict flips exactly at k") {
+    import graft.functions.Quality
+    val df = (Seq.fill(5)(("seg1", 1)) ++ Seq.fill(4)(("seg2", 2)))
+      .toDF("seg", "nat")
+    val got = Quality.kAnonymity(df, Seq("seg", "nat"), k = 5)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("group_sz"), r.getAs[Boolean]("anonymous"))).toMap
+    assert(got("seg1") === ((5L, true)))
+    assert(got("seg2") === ((4L, false)))
+  }
+
   // --- prefix-filtered Jaccard ---------------------------------------------
 
   test("prefixFilteredJaccardPairs equals the full inverted-index join") {
