@@ -67,4 +67,48 @@ object FuzzyMatch {
         levenshtein(col(leftStr), col(rightStr)).cast("long"))
       .filter(col("dist") <= 1)
   }
+
+  /** Sorted-neighborhood matching — the OTHER classic entity-resolution
+    * blocking scheme: order all records under a sort key that co-locates
+    * likely matches, then compare each record only to its next `window`
+    * neighbors in that order. Where [[distance1Join]] is exact for
+    * distance ≤ 1, sorted neighborhood trades exactness for an arbitrary
+    * verifier at higher distances (recall depends on the sort key — the
+    * standard multi-pass remedy is a union over several keys).
+    *
+    * Scale construction: the global order comes from
+    * [[Ranking.globalRank]] (range-repartition + per-partition windows +
+    * broadcast offsets — never a single-partition window), and the
+    * rank-distance join `0 < r₂ − r₁ ≤ window` becomes an EQUI-join on
+    * the rank bucket ⌊(rank−1)/window⌋ with the left side exploded to
+    * (bucket, bucket+1) — candidate fan-out exactly `window` per record,
+    * never a nested loop.
+    *
+    * @return (d1, d2, dist) — d1 the lower-ranked record, verified
+    *         levenshtein ≤ maxDist
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, strCol: String,
+      sortKey: Column, window: Int, maxDist: Int,
+      parts: Int = 32): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    require(maxDist >= 0, "maxDist must be >= 0")
+    val ranked = Ranking.globalRank(
+      df.select(col(idCol), col(strCol)),
+      Seq(sortKey, col(idCol)), parts)
+    def bucketOf(r: Column): Column = {
+      val z = r - 1
+      ((z - pmod(z, lit(window.toLong))) / window).cast("long")
+    }
+    val a = ranked.select(col(idCol).as("d1"), col(strCol).as("_s1"),
+        col("rank").as("_r1"),
+        explode(array(bucketOf(col("rank")), bucketOf(col("rank")) + 1))
+          .as("_bk"))
+    val b = ranked.select(col(idCol).as("d2"), col(strCol).as("_s2"),
+      col("rank").as("_r2"), bucketOf(col("rank")).as("_bk"))
+    a.join(b, Seq("_bk"))
+      .filter(col("_r2") > col("_r1") && col("_r2") <= col("_r1") + window)
+      .withColumn("dist", levenshtein(col("_s1"), col("_s2")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("d1"), col("d2"), col("dist"))
+  }
 }

@@ -64,6 +64,17 @@ object WranglingQueries {
         .orderBy(col("d_id"), col("c_id"))
     }),
 
+    // Sorted-neighborhood matching: rank everyone by name (distributed
+    // exact rank — no single-partition window), compare each record to
+    // its next 3 neighbors only (bucketed rank join, fan-out = window),
+    // verify with levenshtein ≤ 1.
+    "q143_sorted_neighborhood" -> ((s, dir) =>
+      FuzzyMatch.sortedNeighborhoodPairs(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_name")),
+        "c_custkey", "c_name", sortKey = col("c_name"), window = 3,
+        maxDist = 1)
+        .orderBy(col("d1"), col("d2"))),
+
     // Robust per-type value statistics: lower median, MAD and the
     // |x−med| > 3·MAD outlier count — the 50%-breakdown-point quality
     // gate. All windows partitioned by the group; medians are observed
@@ -187,6 +198,17 @@ object WranglingQueries {
         |  AS dist
         |FROM cand WHERE levenshtein(d_name, c_name) <= 1
         |ORDER BY d_id, c_id""".stripMargin,
+
+    "q143_sorted_neighborhood" ->
+      """WITH r AS (
+        |  SELECT c_custkey AS id, c_name AS s,
+        |    row_number() OVER (ORDER BY c_name, c_custkey) AS rnk
+        |  FROM customer)
+        |SELECT a.id AS d1, b.id AS d2,
+        |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        |FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 3
+        |WHERE levenshtein(a.s, b.s) <= 1
+        |ORDER BY d1, d2""".stripMargin,
 
     "q124_robust_stats" ->
       """WITH v AS (SELECT event_type, value AS x, event_id FROM events

@@ -335,6 +335,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p2.contains("Exchange SinglePartition"), p2)
   }
 
+  test("q143: sorted neighborhood joins on the rank bucket — no nested " +
+    "loop; the only single-partition window is the offsets pass") {
+    val p = plan("q143_sorted_neighborhood")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.toLowerCase.contains("levenshtein"), p)
+  }
+
   test("q136: rendezvous sharding is a pure projection — no join, no " +
     "explode, only the output sort exchanges") {
     val p = plan("q136_rendezvous")

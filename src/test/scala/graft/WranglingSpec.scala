@@ -194,6 +194,35 @@ class WranglingSpec extends SparkSpec {
       (3L, 3L, null, 2L, None, true)))
   }
 
+  test("sortedNeighborhoodPairs equals the naive rank-window join") {
+    val words = Seq("apple", "apply", "appla", "banana", "bananb", "cherry",
+      "cherrz", "date", "datf", "datg").zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }
+    val df = words.toDF("id", "s")
+    val fast = FuzzyMatch.sortedNeighborhoodPairs(df, "id", "s",
+      sortKey = col("s"), window = 2, maxDist = 1, parts = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // naive: rank by (s, id), all pairs within rank distance 2, lev <= 1
+    val ranked = words.sortBy { case (i, w) => (w, i) }.zipWithIndex
+    val naive = (for {
+      (a, ra) <- ranked; (b, rb) <- ranked
+      if rb > ra && rb <= ra + 2
+      if levenshteinDist(a._2, b._2) <= 1
+    } yield (a._1, b._1)).toSet
+    assert(fast === naive)
+    assert(fast.nonEmpty)
+  }
+
+  private def levenshteinDist(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = Seq(d(i - 1)(j) + 1, d(i)(j - 1) + 1,
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)).min
+    d(a.length)(b.length)
+  }
+
   test("lookupAsOf attaches the version valid at the fact time — " +
     "pre-history facts stay NULL, the open version catches the tail") {
     val snaps = Seq(
