@@ -114,6 +114,23 @@ object WranglingQueries {
         .select(col("doc_id"), col("n_chars"), col("priority"))
         .orderBy(col("doc_id"))),
 
+    // Incremental aggregate maintenance: three batch states merged by
+    // re-aggregation equal the from-scratch aggregation bit-for-bit —
+    // the oracle computes direct, Spark computes via the merge path.
+    "q144_incremental_agg" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+      val states = (0 to 2).map { b =>
+        graft.operators.Incremental.aggState(
+          docs.filter(col("doc_id") % 3 === b), "source", "n_chars")
+      }
+      graft.operators.Incremental.withMean(
+        graft.operators.Incremental.mergeStates("source", states))
+        .select(col("source"), col("cnt"), col("sum_v"), col("min_v"),
+          col("max_v"), round(col("mean_v"), 6).as("mean_v"))
+        .orderBy(col("source"))
+    }),
+
     // SCD-2 dimension history from three stacked snapshots: change points
     // by null-safe lag compare, versions by running change count,
     // validity intervals closed by lead — three key-partitioned passes.
@@ -267,6 +284,14 @@ object WranglingQueries {
         |  FROM documents
         |  ORDER BY priority, doc_id LIMIT 200)
         |ORDER BY doc_id""".stripMargin,
+
+    "q144_incremental_agg" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_v,
+        |  CAST(min(n_chars) AS BIGINT) AS min_v,
+        |  CAST(max(n_chars) AS BIGINT) AS max_v,
+        |  round(sum(n_chars)::DOUBLE / count(*), 6) AS mean_v
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q142_temporal_lookup" ->
       """WITH s AS (

@@ -253,7 +253,74 @@ class WranglingSpec extends SparkSpec {
     assert(got("seg2") === ((4L, false)))
   }
 
+  // --- incremental aggregate state -----------------------------------------
+
+  test("incremental states merge associatively and equal from-scratch") {
+    import graft.operators.Incremental
+    val rows = (1 to 90).map(i => (s"g${i % 3}", i.toLong))
+    val df = rows.toDF("g", "v")
+    val Seq(b1, b2, b3) = (0 to 2).map(k =>
+      Incremental.aggState(
+        rows.zipWithIndex.filter(_._2 % 3 == k).map(_._1).toDF("g", "v"),
+        "g", "v"))
+    def snap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val leftAssoc = snap(Incremental.mergeStates("g",
+      Seq(Incremental.mergeStates("g", Seq(b1, b2)), b3)))
+    val allAtOnce = snap(Incremental.mergeStates("g", Seq(b1, b2, b3)))
+    val scratch = snap(Incremental.aggState(df, "g", "v"))
+    assert(leftAssoc === scratch)
+    assert(allAtOnce === scratch)
+  }
+
+  test("aggState rejects float value columns (merge would not be exact)") {
+    import graft.operators.Incremental
+    val df = Seq(("g", 1.5)).toDF("g", "v")
+    val e = intercept[IllegalArgumentException] {
+      Incremental.aggState(df, "g", "v")
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   // --- prefix-filtered Jaccard ---------------------------------------------
+
+  test("prefix filtering collapses the candidate set on a hot-shingle corpus") {
+    import graft.operators.NearDup
+    // 60 docs, ALL sharing one ubiquitous boilerplate line (the hot
+    // shingle), otherwise pairwise-distinct content. The plain inverted
+    // index fans out C(60,2) = 1770 candidate pairs from the hot shingle
+    // alone; rarity-ordered prefixes skip it for every doc whose prefix
+    // is satisfied by rarer shingles.
+    val docs = (1 to 60).map { i =>
+      (i.toLong, s"click here to subscribe now w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f")
+    }.toDF("doc_id", "text")
+    val sh = NearDup.shinglePostings(docs, "doc_id", "text", k = 3).persist()
+    try {
+      // replicate the operator's candidate stage: plain vs prefix index
+      val plain = sh.as("a").join(sh.as("b"),
+          col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+        .select(col("a.id"), col("b.id")).distinct().count()
+      val dfreq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      val ranked = sh.join(dfreq, Seq("g")).withColumn("rnk",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+            .orderBy(col("df"), col("g"))))
+      val ceil = (col("n") * 1 + 1) - pmod(col("n") * 1 + 1, lit(2L))
+      val prefix = ranked.filter(col("rnk") <=
+        col("n") - (ceil / 2).cast("long") + 1)
+      val pref = prefix.as("a").join(prefix.as("b"),
+          col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+        .select(col("a.id"), col("b.id")).distinct().count()
+      assert(plain >= 1770L, s"hot shingle should fan out, got $plain")
+      assert(pref < plain / 10,
+        s"prefix candidates $pref vs plain $plain — filter not biting")
+      // and the final answers agree regardless
+      val full = NearDup.exactJaccardPairs(sh, 0.5).count()
+      val filt = NearDup.prefixFilteredJaccardPairs(sh, 1L, 2L).count()
+      assert(full === filt)
+    } finally sh.unpersist()
+  }
 
   test("prefixFilteredJaccardPairs equals the full inverted-index join") {
     import graft.operators.NearDup
