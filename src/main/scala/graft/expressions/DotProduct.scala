@@ -120,7 +120,11 @@ object GraftFunctions {
       entry("graft_reg_domain", 1)(cs =>
         graft.functions.Urls.registeredDomain(cs.head)),
       entry("graft_dup_gram_frac", 1)(cs =>
-        graft.functions.TextAnalysis.dupGramFraction(cs.head)))
+        graft.functions.TextAnalysis.dupGramFraction(cs.head)),
+      entry("graft_first_digit", 1)(cs =>
+        graft.operators.Stats.firstDigit(cs.head)),
+      entry("graft_redact_pii", 1)(cs =>
+        graft.functions.TextAnalysis.redactPii(cs.head)))
   }
 
   def install(ext: SparkSessionExtensions): Unit = {

@@ -255,6 +255,44 @@ object TextAnalysis {
         min(col("start")).cast("long").as("first_pos"))
   }
 
+  /** Vocabulary coverage curve — for each requested vocab size k, the
+    * fraction of ALL token occurrences covered by the k most frequent
+    * words. The "how big must the vocab be" sizing statistic of
+    * tokenizer design (coverage grows fast then flattens; the knee is
+    * the budget answer).
+    *
+    * Scale shape: one corpus explode + word-count aggregation (map-side
+    * partials); the global total is a broadcast 1-row sum of the COUNTS
+    * table; the top-max(k) slice arrives via TakeOrdered (never a global
+    * sort of the vocabulary), and the running sum is a single-partition
+    * window over ≤ max(k) rows — the sequential dependency reduced to
+    * the answer's own size, same discipline as Ranking's offsets pass.
+    * Counts and cumulative sums are integers; the share is one division.
+    *
+    * @return (k, covered, total, share) — one row per requested k
+    *         (ks larger than the vocabulary are absent)
+    */
+  def vocabCoverage(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      ks: Seq[Int]): org.apache.spark.sql.DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), "ks must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val words = docs
+      .select(explode(tokens(lower(col(textCol)))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val total = words.agg(sum(col("cnt")).as("total"))
+    val top = words.orderBy(desc("cnt"), col("w")).limit(ks.max)
+    val ord = Window.orderBy(desc("cnt"), col("w"))
+    top
+      .withColumn("rnk", row_number().over(ord))
+      .withColumn("covered", sum(col("cnt")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("rnk").isin(ks.map(Integer.valueOf): _*))
+      .crossJoin(broadcast(total))
+      .select(col("rnk").cast("long").as("k"), col("covered"),
+        col("total"),
+        (col("covered").cast("double") / col("total")).as("share"))
+  }
+
   // --- TF-IDF keyword extraction -------------------------------------------
 
   /** Top-`k` characteristic terms per document by TF-IDF, with a RATIONAL

@@ -92,13 +92,21 @@ object Stats {
       .withColumn("gini",
         lit(1.0) - col("ssq").cast("double") / (col("n") * col("n")))
 
+  /** First significant digit of |value|, for |value| ≥ 1 (NULL below —
+    * the sub-1 first digit lives under the decimal point, out of scope).
+    * The digit comes from the INTEGER part via string of a long: integer
+    * formatting is identical everywhere, float formatting is not, and
+    * the floor BEFORE the long cast matters — a bare double→long cast
+    * truncates in Spark but ROUNDS in DuckDB. Also on the SQL surface as
+    * `graft_first_digit`. */
+  def firstDigit(c: Column): Column =
+    when(abs(c) >= 1,
+      substring(floor(abs(c)).cast("long").cast("string"), 1, 1)
+        .cast("int"))
+
   /** First-significant-digit profile per group — the Benford's-law audit
     * used to flag fabricated numeric columns (organic magnitudes follow
-    * P(d) = log10(1+1/d); uniform-made-up numbers don't). The digit is
-    * extracted from the INTEGER part via string of a long — integer
-    * formatting is identical everywhere, where float formatting is not.
-    * Rows with |value| < 1 are excluded (their first significant digit
-    * lives below the decimal point — out of scope for this extractor).
+    * P(d) = log10(1+1/d); uniform-made-up numbers don't).
     *
     * Output keeps exact counts plus the observed share (one division);
     * comparison against the Benford expectation is the consumer's
@@ -106,12 +114,9 @@ object Stats {
     */
   def benfordProfile(df: DataFrame, group: String, valueCol: String)
       : DataFrame = {
-    // floor BEFORE the long cast: a bare double→long cast truncates in
-    // Spark but ROUNDS in DuckDB — floor is the portable spelling
-    val d = substring(floor(abs(col(valueCol))).cast("long")
-      .cast("string"), 1, 1).cast("int")
-    val counts = df.filter(abs(col(valueCol)) >= 1)
-      .withColumn("digit", d)
+    val counts = df
+      .withColumn("digit", firstDigit(col(valueCol)))
+      .filter(col("digit").isNotNull)
       .groupBy(col(group), col("digit")).agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy(col(group))
     counts

@@ -92,6 +92,16 @@ object CorpusQueries {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // Vocabulary coverage curve: share of all token occurrences covered
+    // by the top-k words, k ∈ {5, 10, 20, 30} — one corpus aggregation,
+    // TakeOrdered top slice, running sum over ≤100 rows.
+    "q145_vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(t(s, dir, "documents"), "text",
+        ks = Seq(5, 10, 20, 30))
+        .select(col("k"), col("covered"), col("total"),
+          round(col("share"), 6).as("share"))
+        .orderBy(col("k"))),
+
     // Per-domain cap: at most 10 docs per source, ranked by the portable
     // md5-60 hash of the doc id (a deterministic random-looking subset,
     // not an ingestion-order prefix). WindowGroupLimit keeps the shuffle
@@ -294,6 +304,23 @@ object CorpusQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q145_vocab_coverage" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |c AS (SELECT w, count(*) AS cnt FROM w GROUP BY w),
+        |t AS (SELECT sum(cnt) AS total FROM c),
+        |r AS (SELECT cnt,
+        |        row_number() OVER (ORDER BY cnt DESC, w) AS rnk,
+        |        sum(cnt) OVER (ORDER BY cnt DESC, w
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS covered
+        |      FROM c)
+        |SELECT CAST(rnk AS BIGINT) AS k, CAST(covered AS BIGINT) AS covered,
+        |  CAST(total AS BIGINT) AS total,
+        |  round(covered::DOUBLE / total, 6) AS share
+        |FROM r, t WHERE rnk IN (5, 10, 20, 30) ORDER BY k""".stripMargin,
+
     "q136_rendezvous" ->
       """WITH sc AS (
         |  SELECT d.doc_id, s.shard,

@@ -55,6 +55,20 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3) - 4.0 / 7.0) < 1e-12)
   }
 
+  test("wave-14 lifted functions: first digit, PII redaction") {
+    val r = spark.sql(
+      """SELECT graft_first_digit(999.6) AS d_floor,
+        |  graft_first_digit(-23.4) AS d_neg,
+        |  graft_first_digit(0.5) AS d_small,
+        |  graft_redact_pii('mail a@b.com or 12345678') AS scrubbed"""
+        .stripMargin).head()
+    assert(r.getInt(0) === 9)  // floor, never round-to-1000
+    assert(r.getInt(1) === 2)
+    assert(r.isNullAt(2))      // |v| < 1 → NULL
+    assert(!r.getString(3).contains("a@b.com") &&
+      !r.getString(3).contains("12345678"))
+  }
+
   test("lifted SQL functions reject wrong arity with a named error") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_token_count('a', 'b')").collect()
