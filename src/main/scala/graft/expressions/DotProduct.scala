@@ -127,9 +127,27 @@ object GraftFunctions {
         graft.functions.TextAnalysis.redactPii(cs.head)))
   }
 
+  /** graft_rolling_hash(text, n): all n-byte window hashes, O(len) — the
+    * window length must be a literal (it shapes the generated loop). */
+  val rollingHash: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_rolling_hash"),
+    new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        s"graft_rolling_hash requires 2 arguments, got ${children.size}")
+      val n = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(i: Int, _) => i
+        case other => throw new IllegalArgumentException(
+          s"graft_rolling_hash window must be an integer literal, got $other")
+      }
+      RollingHash(children(0), n, RollingHash.DefaultBase)
+    })
+
   def install(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(dotProduct)
     ext.injectFunction(CosineSimFunction.entry)
+    ext.injectFunction(rollingHash)
     liftedFunctions.foreach(ext.injectFunction)
   }
 }

@@ -499,6 +499,12 @@ object NearDup {
         posexplode(sequence(lit(1), length(col("t")) - (n - 1))).as(Seq("p", "i")))
       .select(col("id"), col("i"),
         gramHash(col("t").substr(col("i"), lit(n))).as("h"))
+    winnowMin(positions, w)
+  }
+
+  /** The window-min selection stage shared by both hashing paths:
+    * positions = (id, i, h), one hash per gram position. */
+  private def winnowMin(positions: DataFrame, w: Int): DataFrame = {
     val win = Window.partitionBy(col("id")).orderBy(col("i"))
       .rowsBetween(Window.currentRow, w - 1)
     positions
@@ -510,6 +516,28 @@ object NearDup {
       .filter(col("i") <= col("last_i") - (w - 1))
       .select(col("id"), col("fp"))
       .distinct()
+  }
+
+  /** [[winnowedFingerprints]] on the native O(len) rolling hash
+    * (graft.expressions.RollingHash) — the production hot path. The md5
+    * and xx64 forms hash each position's SUBSTRING: O(len·n) work plus a
+    * temporary string per position; the rolling expression emits every
+    * window hash in one allocation-free codegen'd pass, so the per-
+    * position cost drops from "hash n bytes + allocate" to a multiply-add.
+    * Same explode/window-min selection stage afterwards, so the winnowing
+    * guarantee and density are unchanged (WinnowRollingSpec re-asserts
+    * both); fingerprint VALUES differ from the other hash choices, as
+    * with any `gramHash` swap — byte-level windows, see RollingHash. */
+  def winnowedFingerprintsRolling(df: DataFrame, idCol: String,
+      textCol: String, n: Int = 16, w: Int = 8): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val hs = ColumnBridge.toColumn(graft.expressions.RollingHash(
+      ColumnBridge.toExpression(col(textCol)),
+      n, graft.expressions.RollingHash.DefaultBase))
+    val positions = df
+      .select(col(idCol).as("id"), posexplode(hs).as(Seq("p", "h")))
+      .select(col("id"), (col("p") + 1).as("i"), col("h"))
+    winnowMin(positions, w)
   }
 
   /** Production gram hash for [[winnowedFingerprints]]: xxhash64 — a
