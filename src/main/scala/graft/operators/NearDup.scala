@@ -672,6 +672,50 @@ object NearDup {
           (col("e") - col("s")).cast("int")).cast("binary")).as("chunk_md5"))
   }
 
+  /** [[cdcChunks]] on the native O(len) rolling hash — the production
+    * variant, same motivation and speedup as
+    * [[winnowedFingerprintsRolling]] (the per-position boundary hash is
+    * the dominant cost; the rolling expression computes all of them in
+    * one codegen'd pass). Boundary rule: position s ≥ 2 opens a chunk
+    * when its w-byte window hash ≡ 0 (mod modulus); s = 1 is the forced
+    * first boundary, injected as a SENTINEL element prepended to the
+    * hash array so short docs (< w bytes, empty hash array) still emit
+    * their whole-doc chunk — one corpus scan, no union. Boundary
+    * POSITIONS differ from the md5 variant (different hash family), but
+    * the content-defined property — boundaries re-synchronize after an
+    * insertion — is the contract, re-asserted in WinnowRollingSpec.
+    * Chunk ids are xxhash64 (codegen-native; this variant exists for
+    * throughput, not oracle replay). */
+  def cdcChunksRolling(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 8, modulus: Long = 64L): DataFrame = {
+    require(w >= 2 && modulus >= 2, "need w >= 2 and modulus >= 2")
+    import org.apache.spark.sql.graft.ColumnBridge
+    val hs = ColumnBridge.toColumn(graft.expressions.RollingHash(
+      ColumnBridge.toExpression(col("t")),
+      w, graft.expressions.RollingHash.DefaultBase))
+    val base = df.select(col(idCol).as("id"), col(textCol).as("t"),
+      length(col(textCol)).cast("long").as("len"))
+      .filter(col("t").isNotNull)
+    val starts = base
+      .select(col("id"), col("t"), col("len"),
+        posexplode(concat(array(lit(0L)), hs)).as(Seq("q", "h")))
+      // q = 0 is the sentinel (forced s = 1); q >= 1 maps to s = q, and
+      // q = 1 duplicates the sentinel so only q >= 2 takes the hash test
+      .filter(col("q") === 0 ||
+        (col("q") >= 2 && pmod(col("h"), lit(modulus)) === 0L))
+      .select(col("id"), col("t"), col("len"),
+        greatest(col("q"), lit(1L)).as("s"))
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("s"))
+    starts
+      .withColumn("e", lead(col("s"), 1, null).over(byDoc))
+      .withColumn("e", coalesce(col("e"), col("len") + 1))
+      .withColumn("chunk_idx", row_number().over(byDoc).cast("long"))
+      .select(col("id"), col("chunk_idx"), col("s").as("start"),
+        (col("e") - col("s")).as("chunk_len"),
+        xxhash64(col("t").substr(col("s").cast("int"),
+          (col("e") - col("s")).cast("int"))).as("chunk_id"))
+  }
+
   /** Which copy to KEEP per near-dup group — the step after
     * [[connectedComponents]] in a real dedup pipeline. The min-id canonical
     * label is an artifact of the clustering; what a corpus wants kept is

@@ -75,6 +75,36 @@ class WinnowRollingSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("cdcChunksRolling: exact tiling, whole-doc short chunks, and " +
+    "boundary re-synchronization after an insertion") {
+    val tail = scala.util.Random.alphanumeric.take(400).mkString
+    val docs = Seq(
+      (1L, s"common prefix $tail"),
+      (2L, s"INSERTED-EDIT common prefix $tail"), // same content, shifted
+      (3L, "tiny")                                // shorter than the window
+    ).toDF("doc_id", "text")
+    val got = NearDup.cdcChunksRolling(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val texts = Map(1L -> s"common prefix $tail",
+      2L -> s"INSERTED-EDIT common prefix $tail", 3L -> "tiny")
+    got.groupBy(_._1).foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.head._3 == 1L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + a._4 == b._3)
+        case _ =>
+      }
+      assert(sorted.map(_._4).sum == texts(id).length.toLong)
+    }
+    assert(got.filter(_._1 == 3L).map(x => (x._2, x._3, x._4)).toSeq ==
+      Seq((1L, 1L, 4L)))
+    val h1 = got.filter(_._1 == 1L).map(_._5).toSet
+    val h2 = got.filter(_._1 == 2L).map(_._5).toSet
+    assert((h1 & h2).size >= h1.size / 2,
+      s"only ${(h1 & h2).size} of ${h1.size} chunks survived the insertion")
+  }
+
   test("rolling winnow selects the same POSITIONS density class as the " +
     "md5 path (both pick one min per complete window)") {
     val docs = Seq((1L, "a" * 50 + "bcdefghij" * 10)).toDF("doc_id", "text")
