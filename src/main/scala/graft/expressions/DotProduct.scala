@@ -124,7 +124,17 @@ object GraftFunctions {
       entry("graft_first_digit", 1)(cs =>
         graft.operators.Stats.firstDigit(cs.head)),
       entry("graft_redact_pii", 1)(cs =>
-        graft.functions.TextAnalysis.redactPii(cs.head)))
+        graft.functions.TextAnalysis.redactPii(cs.head)),
+      entry("graft_nfc", 1)(cs =>
+        graft.functions.TextAnalysis.nfc(cs.head)),
+      entry("graft_nfkc", 1)(cs =>
+        graft.functions.TextAnalysis.nfkc(cs.head)),
+      entry("graft_strip_accents", 1)(cs =>
+        graft.functions.TextAnalysis.stripAccents(cs.head)),
+      entry("graft_match_key", 1)(cs =>
+        graft.functions.TextAnalysis.matchKey(cs.head)),
+      entry("graft_strip_markup", 1)(cs =>
+        graft.functions.TextAnalysis.stripMarkup(cs.head)))
   }
 
   /** graft_rolling_hash(text, n): all n-byte window hashes, O(len) — the

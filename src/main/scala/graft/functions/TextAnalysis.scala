@@ -436,4 +436,104 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("pair"))
       .limit(topK)
   }
+
+  // --- Unicode normalization ------------------------------------------------
+
+  private def unicodeNorm(c: Column, mode: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.toColumn(graft.expressions.UnicodeNormalize(
+      ColumnBridge.toExpression(c), mode))
+  }
+
+  /** Canonical composition (NFC) — DuckDB mirror: `nfc_normalize`. */
+  def nfc(c: Column): Column =
+    unicodeNorm(c, graft.expressions.UnicodeNormalize.Nfc)
+
+  /** Compatibility composition (NFKC): also folds ligatures, full-width
+    * forms and compatibility digits. No DuckDB mirror — spec-tested. */
+  def nfkc(c: Column): Column =
+    unicodeNorm(c, graft.expressions.UnicodeNormalize.Nfkc)
+
+  /** Accent stripping (NFD → drop combining marks → NFC) — DuckDB mirror:
+    * `strip_accents` (parity pinned on the Latin range). */
+  def stripAccents(c: Column): Column =
+    unicodeNorm(c, graft.expressions.UnicodeNormalize.Strip)
+
+  /** The standard fuzzy-match key: compose, lowercase, strip accents —
+    * "Café", "CAFÉ", "cafe" + combining acute and "cafe" all collapse to
+    * one key. Lowercase runs between the two normalization steps so
+    * accented CAPITALS fold before their marks are dropped. */
+  def matchKey(c: Column): Column = stripAccents(lower(nfc(c)))
+
+  // --- Markup stripping -----------------------------------------------------
+
+  /** `<script>`/`<style>` elements with their CONTENT (non-greedy, so
+    * adjacent blocks don't merge); alternation instead of a backreference
+    * because the oracle's RE2 has none. Content containing a newline is
+    * not matched (neither engine's `.` crosses lines) — acceptable for
+    * single-line corpus records, documented for multi-line use. */
+  val MarkupBlockPattern = "<script[^>]*>.*?</script>|<style[^>]*>.*?</style>"
+  val MarkupTagPattern = "<[^>]+>"
+
+  /** HTML/markup → text extraction (the WET-style step ahead of every
+    * text-quality stage): drop script/style blocks, strip remaining tags
+    * to spaces, decode the five entities that survive in running text,
+    * collapse whitespace. Pure per-row regex chain — scan speed, no
+    * shuffle, and every step has the identical RE2 spelling for the
+    * oracle. Entity decode runs AFTER tag stripping so a decoded literal
+    * `&lt;p&gt;` cannot be re-interpreted as a tag. */
+  def stripMarkup(html: Column): Column = {
+    val noBlocks = regexp_replace(html, MarkupBlockPattern, " ")
+    val noTags = regexp_replace(noBlocks, MarkupTagPattern, " ")
+    val decoded = Seq("&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<",
+      "&gt;" -> ">", "&#39;" -> "'")
+      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  // --- Boilerplate line removal ---------------------------------------------
+
+  /** Per-source boilerplate line removal — the navigation/footer cleaner
+    * that GLOBAL line dedup (C4-style, q88) misses: a header appearing in
+    * every doc of one domain is boilerplate there even if it is globally
+    * rare. A line is boilerplate in its source when it appears in at least
+    * `num`/`den` of the source's docs (rational threshold — exact integer
+    * comparison `n_docs·den ≥ num·tot`, no float).
+    *
+    * Scale shape — two corpus scans, NO line-level reassembly shuffle:
+    * pass 1 counts distinct docs per (source, line) (the one intrinsic
+    * shuffle; `array_distinct` before the explode keeps in-doc repeats
+    * from inflating counts). The resulting boilerplate SET is small by
+    * construction (only lines crossing the frequency floor survive), so
+    * it aggregates to one array per source and BROADCASTS; pass 2 filters
+    * each doc's line array row-locally against it. Keeping docs as rows
+    * (never exploding them back) avoids shuffling the whole corpus by
+    * line and re-grouping — the naive spelling's dominant cost.
+    *
+    * @return (id, source, n_lines, n_kept, text_clean) — text_clean is ''
+    *         when every line was boilerplate
+    */
+  def stripBoilerplate(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      srcCol: String, textCol: String, num: Int = 1, den: Int = 4)
+      : org.apache.spark.sql.DataFrame = {
+    require(num >= 1 && den >= 1, "threshold must be a positive rational")
+    val base = docs.select(col(idCol).as("id"), col(srcCol).as("source"),
+      col(textCol).as("text"))
+    val srcTot = base.groupBy(col("source")).agg(count(lit(1)).as("tot"))
+    val lineDocs = base
+      .select(col("source"),
+        explode(array_distinct(split(col("text"), "\n"))).as("line"))
+      .groupBy(col("source"), col("line")).agg(count(lit(1)).as("n_docs"))
+    val boiler = lineDocs.join(srcTot, Seq("source"))
+      .filter(col("n_docs") * den >= col("tot") * num)
+      .groupBy(col("source")).agg(collect_list(col("line")).as("bl"))
+    base.join(broadcast(boiler), Seq("source"), "left")
+      .withColumn("ls", split(col("text"), "\n"))
+      .withColumn("kept", filter(col("ls"),
+        l => not(coalesce(array_contains(col("bl"), l), lit(false)))))
+      .select(col("id"), col("source"),
+        size(col("ls")).cast("long").as("n_lines"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(col("kept"), "\n").as("text_clean"))
+  }
 }
