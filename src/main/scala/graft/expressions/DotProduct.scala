@@ -154,10 +154,25 @@ object GraftFunctions {
       RollingHash(children(0), n, RollingHash.DefaultBase)
     })
 
+  /** graft_sorted_contains(sorted_array<bigint>, bigint): binary-search
+    * membership — the broadcast-set prune primitive (see
+    * [[SortedArrayContains]] for the sortedness contract). */
+  val sortedContains: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_sorted_contains"),
+    new ExpressionInfo(classOf[SortedArrayContains].getName,
+      "graft_sorted_contains"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        s"graft_sorted_contains requires 2 arguments, got ${children.size}")
+      SortedArrayContains(children(0), children(1))
+    })
+
   def install(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(dotProduct)
     ext.injectFunction(CosineSimFunction.entry)
     ext.injectFunction(rollingHash)
+    ext.injectFunction(sortedContains)
     liftedFunctions.foreach(ext.injectFunction)
   }
 }

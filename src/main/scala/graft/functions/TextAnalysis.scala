@@ -134,18 +134,27 @@ object TextAnalysis {
     * Empty texts produce no row (no characters to measure). */
   def charDiversity(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
-    val ch = df.filter(length(col(textCol)) > 0)
+    // Row-local: per-char counts via array HOFs over the split text —
+    // O(distinct·len) work per row but ZERO shuffle. The first version
+    // exploded one row per character and aggregated twice; at corpus
+    // scale that shuffles |corpus|·|doc| rows to compute a per-row
+    // statistic. Integer arithmetic identical to the exploded form, so
+    // the oracle is unchanged.
+    val cs = split(col(textCol), "")
+    val sumsq = aggregate(array_distinct(cs), lit(0L),
+      (acc, d) => {
+        val n = size(filter(cs, c => c === d)).cast("long")
+        acc + n * n
+      })
+    df.filter(length(col(textCol)) > 0)
       .select(col(idCol),
-        explode(transform(sequence(lit(1), length(col(textCol))),
-          i => col(textCol).substr(i, lit(1)))).as("c"))
-    ch.groupBy(col(idCol), col("c")).agg(count(lit(1)).as("n"))
-      .groupBy(col(idCol))
-      .agg(sum(col("n") * col("n")).as("sumsq"), sum(col("n")).as("len"))
-      .select(col(idCol),
-        col("len").cast("long").as("n_chars_counted"),
-        col("sumsq").cast("long").as("sumsq"),
-        round((col("len") * col("len") - col("sumsq")).cast("double") /
-          (col("len") * col("len")), 4).as("char_diversity"))
+        length(col(textCol)).cast("long").as("n_chars_counted"),
+        sumsq.as("sumsq"))
+      .select(col(idCol), col("n_chars_counted"), col("sumsq"),
+        round((col("n_chars_counted") * col("n_chars_counted") -
+          col("sumsq")).cast("double") /
+          (col("n_chars_counted") * col("n_chars_counted")), 4)
+          .as("char_diversity"))
   }
 
   // --- fingerprinting -------------------------------------------------------

@@ -80,4 +80,41 @@ object Sketches {
       .groupBy(probes.columns.map(col): _*)
       .agg(min(coalesce(col("__set"), lit(false))).as("bloom_maybe"))
   }
+
+  /** [[bloomBits]] collapsed to ONE row holding the sorted set-bit
+    * positions — the broadcastable form [[bloomPrune]] consumes. Size is
+    * bounded by min(numBits, |keys|·numHashes) longs, chosen small by
+    * construction (a 1M-bit filter is ≤ 8 MB). */
+  def bloomBitsArray(df: DataFrame, key: Column, numBits: Long,
+      numHashes: Int): DataFrame =
+    bloomBits(df, key, numBits, numHashes)
+      .agg(sort_array(collect_list(col("bit"))).as("bloom_bits"))
+
+  /** Bloom-pruned pre-join filter — the 100 TB shuffle cutter: before a
+    * fact⋈dim join whose dim side is selective, drop the fact rows whose
+    * join key CANNOT match (bloom has no false negatives) as a pure
+    * row-local projection. The bit array rides a broadcast; membership is
+    * the native binary-search expression (O(log bits) per probe, where
+    * `array_contains` would scan the whole array per row); the fact table
+    * is never shuffled, grouped or exploded — the surviving (usually
+    * tiny) fraction proceeds to the real join, which now shuffles only
+    * matches + the false-positive residue.
+    *
+    * Contrast [[bloomMaybeContains]]: that emits per-row verdicts via a
+    * bit-table join and re-grouping (a probe-side shuffle) — right for
+    * auditing a sketch, wrong for pruning a corpus. */
+  def bloomPrune(fact: DataFrame, key: Column, bitsArray: DataFrame,
+      numBits: Long, numHashes: Int): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    def contains(h: Column): Column = ColumnBridge.toColumn(
+      graft.expressions.SortedArrayContains(
+        ColumnBridge.toExpression(col("bloom_bits")),
+        ColumnBridge.toExpression(h)))
+    val maybe = (0 until numHashes)
+      .map(s => contains(bucketOf(s, key, numBits)))
+      .reduce(_ && _)
+    fact.crossJoin(broadcast(bitsArray))
+      .filter(maybe)
+      .drop("bloom_bits")
+  }
 }

@@ -229,6 +229,34 @@ object ScaleQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Bloom-PRUNED join: the shuffle cutter. The selective dim side
+    // (every 17th customer) builds a 16Ki-bit filter, collapsed to ONE
+    // broadcast row of sorted set bits; fact rows are pruned ROW-LOCALLY
+    // (native binary-search membership, no fact shuffle/group/explode)
+    // before the real semi join sees them. Graded on the exact funnel:
+    // total → bloom-pass → true-match → false-positive residue + rate.
+    "q149_bloom_prune" -> ((s, dir) => {
+      val dim = t(s, dir, "customer").filter(col("c_custkey") % 17 === 0)
+        .select(col("c_custkey").cast("string").as("k"))
+      val bits = Sketches.bloomBitsArray(dim, col("k"),
+        numBits = 16384L, numHashes = 3)
+      val fact = t(s, dir, "orders")
+        .select(col("o_custkey").cast("string").as("k"))
+      // pruned feeds both the pass-count and the verification semi join;
+      // it is tiny (matches + fp residue), so materialize once
+      val pruned = Sketches.bloomPrune(fact, col("k"), bits,
+        numBits = 16384L, numHashes = 3)
+        .localCheckpoint(true)
+      val stats = fact.agg(count(lit(1)).as("n_fact"))
+        .crossJoin(pruned.agg(count(lit(1)).as("n_bloom_pass")))
+        .crossJoin(pruned.join(dim, Seq("k"), "left_semi")
+          .agg(count(lit(1)).as("n_match")))
+      stats.select(col("n_fact"), col("n_bloom_pass"), col("n_match"),
+        (col("n_bloom_pass") - col("n_match")).as("n_false_pos"),
+        round((col("n_bloom_pass") - col("n_match")).cast("double") /
+          (col("n_fact") - col("n_match")), 6).as("fp_rate"))
+    }),
+
     // C4-style line-level corpus dedup over a planted-boilerplate fixture:
     // every doc gains the 5-word header "terms of use from <source>", so
     // each source group's header collapses to its first sighting while the
@@ -472,6 +500,37 @@ object ScaleQueries {
         |SELECT o_orderkey, present, bloom_maybe,
         |       (NOT present) OR bloom_maybe AS sound
         |FROM v ORDER BY o_orderkey""".stripMargin,
+
+    "q149_bloom_prune" ->
+      """WITH dim AS (
+        |  SELECT c_custkey::VARCHAR AS k FROM customer
+        |  WHERE c_custkey % 17 = 0),
+        |bits AS (
+        |  SELECT DISTINCT
+        |    ('0x' || substr(md5(r.i::VARCHAR || '|' || k), 1, 15))::BIGINT
+        |      % 16384 AS bit
+        |  FROM dim, range(0, 3) AS r(i)),
+        |bl AS (SELECT list(bit) AS bs FROM bits),
+        |f AS (SELECT o_custkey::VARCHAR AS k FROM orders),
+        |fp AS (
+        |  SELECT f.k FROM f, bl
+        |  WHERE list_contains(bs,
+        |          ('0x' || substr(md5('0|' || k), 1, 15))::BIGINT % 16384)
+        |    AND list_contains(bs,
+        |          ('0x' || substr(md5('1|' || k), 1, 15))::BIGINT % 16384)
+        |    AND list_contains(bs,
+        |          ('0x' || substr(md5('2|' || k), 1, 15))::BIGINT % 16384)),
+        |m AS (SELECT k FROM fp WHERE k IN (SELECT k FROM dim)),
+        |c AS (SELECT (SELECT count(*) FROM f) AS n_fact,
+        |             (SELECT count(*) FROM fp) AS n_bloom_pass,
+        |             (SELECT count(*) FROM m) AS n_match)
+        |SELECT CAST(n_fact AS BIGINT) AS n_fact,
+        |  CAST(n_bloom_pass AS BIGINT) AS n_bloom_pass,
+        |  CAST(n_match AS BIGINT) AS n_match,
+        |  CAST(n_bloom_pass - n_match AS BIGINT) AS n_false_pos,
+        |  round((n_bloom_pass - n_match)::DOUBLE / (n_fact - n_match), 6)
+        |    AS fp_rate
+        |FROM c""".stripMargin,
 
     "q88_line_dedup" ->
       """WITH f AS (

@@ -51,4 +51,57 @@ class SketchesSpec extends SparkSpec {
     assert(got.exists { case (_, p, m) => !p && m },
       "a near-saturated filter must show some false positive")
   }
+
+  test("bloomPrune keeps exactly the rows bloomMaybeContains marks maybe " +
+    "(row-local prune ≡ audited verdicts) and never drops a true match") {
+    val dim = (1 to 300).map(i => Tuple1(i.toLong * 3)).toDF("k")
+    val fact = (1 to 2000).map(i => Tuple1(i.toLong)).toDF("k")
+    val nb = 1024L
+    val bits = Sketches.bloomBits(dim, col("k").cast("string"), nb, 3)
+    val viaAudit = Sketches.bloomMaybeContains(bits, fact,
+      col("k").cast("string"), nb, 3)
+      .filter(col("bloom_maybe")).select(col("k"))
+      .collect().map(_.getLong(0)).toSet
+    val bitsArr = Sketches.bloomBitsArray(dim, col("k").cast("string"), nb, 3)
+    val viaPrune = Sketches.bloomPrune(fact, col("k").cast("string"),
+      bitsArr, nb, 3).collect().map(_.getLong(0)).toSet
+    assert(viaPrune === viaAudit)
+    val trueKeys = (1 to 300).map(_.toLong * 3).filter(_ <= 2000).toSet
+    assert(trueKeys.subsetOf(viaPrune), "bloom prune dropped a true match")
+  }
+
+  test("SortedArrayContains: binary search equals array_contains on " +
+    "sorted arrays (codegen and eval), incl. empty array and boundaries") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    import graft.expressions.SortedArrayContains
+    def sc(arr: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
+      ColumnBridge.toColumn(SortedArrayContains(
+        ColumnBridge.toExpression(arr), ColumnBridge.toExpression(v)))
+    val arrs = Seq(
+      (1L, Seq(2L, 4L, 8L, 16L, 32L)),
+      (2L, Seq.empty[Long]),
+      (3L, Seq(7L)),
+      (4L, (0L until 1000L).map(_ * 2).toSeq))
+    val probes = Seq(-1L, 0L, 2L, 7L, 15L, 16L, 32L, 33L, 1998L, 1999L)
+    val df = arrs.toDF("id", "arr")
+    probes.foreach { p =>
+      val got = df.select(col("id"), sc(col("arr"), lit(p)).as("g"),
+        array_contains(col("arr"), lit(p)).as("e")).collect()
+      got.foreach(r => assert(r.getBoolean(1) === r.getBoolean(2),
+        s"probe $p id ${r.getLong(0)}"))
+    }
+    // interpreted eval agrees with the dataframe (codegen) path
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val ev = SortedArrayContains(
+      Literal.create(new GenericArrayData(Array(2L, 4L, 8L)),
+        ArrayType(LongType, containsNull = false)),
+      Literal(8L)).eval(null)
+    assert(ev === true)
+    // SQL surface
+    val viaSql = spark.sql(
+      "SELECT graft_sorted_contains(array(1L, 5L, 9L), 5L) AS m").head()
+    assert(viaSql.getBoolean(0))
+  }
 }
