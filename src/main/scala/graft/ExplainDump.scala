@@ -32,7 +32,10 @@ object ExplainDump {
       "q125_grid_resample", "q126_prefix_jaccard", "q127_weighted_sample",
       "q128_khop_reach", "q129_scd2_history", "q130_trailing_features",
       "q131_trend_slope", "q134_weighted_median", "q135_chi2",
-      "q136_rendezvous", "q137_phrase_search", "q138_hard_negatives")
+      "q136_rendezvous", "q137_phrase_search", "q138_hard_negatives",
+      "q139_rolling_actives", "q140_group_quantiles", "q143_sorted_neighborhood",
+      "q144_incremental_agg", "q145_vocab_coverage", "q146_boilerplate",
+      "q147_markup_strip", "q148_unicode_key", "q149_bloom_prune")
     val sb = new StringBuilder
     sb.append("# EXPLAIN — headline query plans (formatted, sf0.001, regenerate with `sbt \"runMain graft.ExplainDump\"`)\n")
     sb.append("\nWhat to look for: `PushedFilters`/`ReadSchema` on every scan, broadcast\njoins where one side is small, partial aggregation before each hash\nexchange, `WindowGroupLimit` ahead of top-k windows, and no\n`CartesianProduct` anywhere.\n")

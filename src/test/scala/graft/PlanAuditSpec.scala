@@ -11,14 +11,8 @@ class PlanAuditSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private def plan(name: String): String = {
-    val all = CoreQueries.queries ++ PipelineQueries.queries ++
-      AnalyticsQueries.queries ++ QualityQueries.queries ++
-      ScaleQueries.queries ++ GraphQueries.queries ++
-      CorpusQueries.queries ++ WranglingQueries.queries ++
-      StatsQueries.queries
-    all(name)(spark, dir).queryExecution.executedPlan.toString
-  }
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
   test("q01: filter and projection are pushed into the parquet scan") {
     val p = plan("q01_scan_filter_project")
@@ -372,5 +366,55 @@ class PlanAuditSpec extends SparkSpec {
     val sp = p.indexOf("Exchange SinglePartition")
     assert(sp === -1 || agg === -1 || sp < agg, p)
     assert(p.contains("partial_count"), p)
+  }
+
+  test("q146: boilerplate set BROADCASTS onto the doc filter (the corpus " +
+    "is never exploded back and re-grouped); three scans total, one of " +
+    "them source-column-only") {
+    val p = plan("q146_boilerplate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("FileScan".r.findAllIn(p).size === 3, p)
+    // the per-source total pass prunes to the source column alone
+    assert(p.contains("FileScan parquet [source#"), p)
+    // reassembly is row-local: no grouping above the OUTER broadcast join
+    val bj = p.indexOf("BroadcastHashJoin")
+    assert(!p.substring(0, bj).contains("HashAggregate"), p)
+  }
+
+  test("q147: markup strip is a pure projection — no exchange beyond the " +
+    "output sort, no join") {
+    val p = plan("q147_markup_strip")
+    assert("Exchange".r.findAllIn(p).size === 1, p)
+    assert(p.contains("rangepartitioning"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q149: bloom prune touches the fact side with NO exchange before " +
+    "the row-local filter (broadcast bits + native binary search), and " +
+    "the residual join is a broadcast semi join") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Sketches
+    // graded plan: the checkpointed prune feeds a broadcast semi join
+    val p = plan("q149_bloom_prune")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the prune pipeline itself (pre-checkpoint): filter directly above
+    // the broadcast of the bits row — no fact-side exchange at all
+    val dim = graft.Tables.load(spark, dir, "customer")
+      .filter(col("c_custkey") % 17 === 0)
+      .select(col("c_custkey").cast("string").as("k"))
+    val bits = Sketches.bloomBitsArray(dim, col("k"), 16384L, 3)
+    val fact = graft.Tables.load(spark, dir, "orders")
+      .select(col("o_custkey").cast("string").as("k"))
+    val pp = Sketches.bloomPrune(fact, col("k"), bits, 16384L, 3)
+      .queryExecution.executedPlan.toString
+    // Catalyst folds the prune predicate INTO the broadcast join's
+    // condition — the fact side below it is a bare column-pruned scan
+    val bnlj = pp.indexOf("BroadcastNestedLoopJoin")
+    assert(bnlj >= 0, pp)
+    val joinLine = pp.substring(bnlj, pp.indexOf('\n', bnlj))
+    assert(joinLine.contains("graft_sorted_contains"), pp)
+    assert(!pp.substring(0, bnlj).contains("Exchange"), pp)
+    assert(pp.contains("FileScan parquet [o_custkey#"), pp)
   }
 }
