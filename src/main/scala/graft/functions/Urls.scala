@@ -87,6 +87,28 @@ object Urls {
       .drop("__dom")
   }
 
+  /** `<a href="...">` targets of an HTML column. */
+  val HrefPattern = "<a[^>]*href=\"([^\"]*)\""
+
+  /** Outlink extraction — raw markup → the edge list the link-graph
+    * layer (PageRank q107, k-hop q128, domain blocking q111) consumes.
+    * One row per extracted href: `link_no` is the 0-based position among
+    * ALL extracted hrefs (assigned BEFORE the absolute-URL filter, so
+    * positions are stable however many relative/mailto links are
+    * dropped), `url_canon` the canonical form, `domain` the registered
+    * domain. Explode-shaped projection — per-row work only, no shuffle;
+    * at corpus scale this runs at scan speed and its output feeds a
+    * groupBy(domain) or an anti-join directly. */
+  def extractLinks(df: DataFrame, idCol: String, htmlCol: String): DataFrame =
+    df.select(col(idCol),
+        posexplode(regexp_extract_all(col(htmlCol), lit(HrefPattern), lit(1)))
+          .as(Seq("link_no", "url")))
+      .filter(lower(col("url")).startsWith("http://") ||
+        lower(col("url")).startsWith("https://"))
+      .select(col(idCol), col("link_no").cast("long").as("link_no"),
+        canonicalize(col("url")).as("url_canon"),
+        registeredDomain(col("url")).as("domain"))
+
   /** Canonical form of `url`, NULL when `url` has no `scheme://` prefix. */
   def canonicalize(url: Column): Column = {
     val scheme = lower(regexp_extract(url, schemeRe, 1))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.TextAnalysis
+import graft.functions.{TextAnalysis, Urls}
 
 /** Wave 6f \u2014 ingest-side text cleaning: per-source boilerplate line
   * removal, HTML/markup \u2192 text extraction, and Unicode match-key
@@ -88,7 +88,48 @@ object CleaningQueries {
       .otherwise(concat(lit("Touch\u00e9 se\u00f1or "), salt))
   }
 
+  /** q150 fixture: pages with a canonical-form-noisy absolute link on
+    * every doc, a second host on evens, a relative link on every 3rd and
+    * a mailto on every 5th (both non-absolute — extracted, then dropped
+    * with their positions preserved). */
+  private def linkHtmlFixture(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(
+      lit("<p>x</p><a href=\"https://Site"), (col("doc_id") % 19).cast("string"),
+      lit(".Example.COM/p/"), (col("doc_id") % 23).cast("string"),
+      lit("?utm_source=x&b=2&a=1\">t</a>"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit("<a class=\"n\" href=\"http://news.example"),
+          (col("doc_id") % 7).cast("string"), lit(".org/a\">n</a>")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 3 === 0, lit("<a href=\"/relative/p\">r</a>"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit("<a href=\"mailto:x@y.z\">m</a>"))
+        .otherwise(lit(""))).as("html"))
+
+  private val linkHtmlFixtureSql =
+    """SELECT doc_id,
+      |  '<p>x</p><a href="https://Site' || (doc_id % 19)::VARCHAR ||
+      |  '.Example.COM/p/' || (doc_id % 23)::VARCHAR ||
+      |  '?utm_source=x&b=2&a=1">t</a>' ||
+      |  CASE WHEN doc_id % 2 = 0
+      |    THEN '<a class="n" href="http://news.example' ||
+      |         (doc_id % 7)::VARCHAR || '.org/a">n</a>'
+      |    ELSE '' END ||
+      |  CASE WHEN doc_id % 3 = 0
+      |    THEN '<a href="/relative/p">r</a>' ELSE '' END ||
+      |  CASE WHEN doc_id % 5 = 0
+      |    THEN '<a href="mailto:x@y.z">m</a>' ELSE '' END AS html
+      |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Outlink extraction: markup → canonical edge list (the input the
+    // link-graph layer consumes). Explode-shaped projection, stable
+    // link positions, relative/mailto links dropped after extraction.
+    "q150_link_extract" -> ((s, dir) =>
+      Urls.extractLinks(linkHtmlFixture(t(s, dir, "documents")),
+        "doc_id", "html")
+        .orderBy(col("doc_id"), col("link_no"))),
+
     // Per-source boilerplate line removal: lines in >= 1/4 of a source's
     // docs vanish (header, footer, subscribe), rarer lines survive
     // (promo, content). Count pass shuffles (source, line) once; the
@@ -131,6 +172,47 @@ object CleaningQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q150_link_extract" ->
+      (s"""WITH fx AS ($linkHtmlFixtureSql),
+        |raw AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(html, '<a[^>]*href="([^"]*)"', 1) AS ls
+        |  FROM fx),
+        |l AS (
+        |  SELECT doc_id, i.i - 1 AS link_no, ls[i.i] AS url
+        |  FROM raw, generate_series(1, 8) AS i(i) WHERE i.i <= len(ls)),
+        |f AS (
+        |  SELECT doc_id, link_no, url FROM l
+        |  WHERE starts_with(lower(url), 'http://')
+        |     OR starts_with(lower(url), 'https://')),
+        |c AS (
+        |  SELECT doc_id, link_no,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |      || '://' ||
+        |    lower(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
+        |      ||
+        |    CASE WHEN regexp_extract(url,
+        |        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) = ''
+        |      THEN '/' ELSE regexp_extract(url,
+        |        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) END
+        |      ||
+        |    CASE WHEN coalesce(array_to_string(list_sort(list_filter(
+        |        string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+        |        p -> NOT starts_with(p, 'utm_') AND p <> '')), '&'), '') = ''
+        |      THEN ''
+        |      ELSE '?' || array_to_string(list_sort(list_filter(
+        |        string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+        |        p -> NOT starts_with(p, 'utm_') AND p <> '')), '&') END
+        |      AS url_canon,
+        |    array_to_string(
+        |      string_split(regexp_replace(lower(regexp_extract(url,
+        |        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+        |        ':[0-9]+$$', ''), '.')[-2:], '.') AS domain
+        |  FROM f)
+        |SELECT doc_id, CAST(link_no AS BIGINT) AS link_no, url_canon, domain
+        |FROM c ORDER BY doc_id, link_no""").stripMargin,
+
     "q146_boilerplate" ->
       (s"""WITH fx AS ($linesFixtureSql),
         |tot AS (SELECT source, count(*) AS tot FROM fx GROUP BY source),

@@ -100,6 +100,27 @@ class CleaningSpec extends SparkSpec {
     assert(got(1) === "no markup here")
   }
 
+  // --- extractLinks ---------------------------------------------------------
+
+  test("extractLinks keeps absolute http(s) links only, preserves " +
+    "pre-filter positions, canonicalizes and extracts the domain") {
+    val html = "<a href=\"/rel\">r</a>" +
+      "<a href=\"HTTPS://A.B.Example.COM/p?utm_x=1&b=2&a=1\">x</a>" +
+      "<a href=\"mailto:a@b.c\">m</a>" +
+      "<a class=\"z\" href=\"http://news.site.org:80/q\">y</a>"
+    val got = graft.functions.Urls.extractLinks(
+      Seq((7L, html)).toDF("doc_id", "html"), "doc_id", "html")
+      .orderBy(col("link_no")).collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getString(3)))
+    assert(got.toSeq === Seq(
+      (1L, "https://a.b.example.com/p?a=1&b=2", "example.com"),
+      (3L, "http://news.site.org/q", "site.org")))
+    // a page with no links yields no rows, not a null row
+    val none = graft.functions.Urls.extractLinks(
+      Seq((1L, "<p>plain</p>")).toDF("doc_id", "html"), "doc_id", "html")
+    assert(none.count() === 0L)
+  }
+
   // --- stripBoilerplate -----------------------------------------------------
 
   test("stripBoilerplate removes lines above the per-source frequency " +
