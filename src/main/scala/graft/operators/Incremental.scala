@@ -60,4 +60,75 @@ object Incremental {
   def withMean(state: DataFrame): DataFrame =
     state.withColumn("mean_v",
       col("sum_v").cast("double") / col("cnt"))
+
+  /** Floor division for non-negative integral columns, exact at any
+    * magnitude (Spark's `/` is float): (a − a mod b) / b. */
+  private def floorDiv(a: Column, b: Long): Column =
+    ((a - pmod(a, lit(b))) / b).cast("long")
+
+  /** Fixed-geometry histogram state of one batch: (bin, cnt) under bins
+    * of `width` starting at `lo`, tails CLAMPED into the first/last bin.
+    * The mergeable-quantile design: exact quantiles are not mergeable
+    * (q140 must see all rows), but bin counts are plain integer sums —
+    * so per-batch states merge associatively ([[mergeHistStates]]) and
+    * [[quantilesFromHist]] reads estimates off the merged state with
+    * bin-width error, never re-scanning history. The geometry (lo,
+    * width, numBins) is part of the state's identity: only states built
+    * with the same geometry may merge — same contract as count-min
+    * (`Sketches.countMin`) sharing (depth, width). */
+  def histState(batch: DataFrame, value: Column, lo: Long, width: Long,
+      numBins: Int): DataFrame = {
+    require(width > 0 && numBins > 0, "need positive width and bins")
+    val d = value.cast("long") - lo
+    val bin = when(d < 0, lit(0L))
+      .otherwise(least(floorDiv(d, width), lit(numBins - 1L)))
+    batch.select(bin.as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge histogram states built with identical geometry. */
+  def mergeHistStates(states: Seq[DataFrame]): DataFrame = {
+    require(states.nonEmpty, "need at least one state")
+    states.map(_.select(col("bin"), col("cnt"))).reduce(_ unionAll _)
+      .groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Quantile estimates from a histogram state: rank = ⌈q·N⌉ (exact
+    * integer arithmetic on the rational q = num/den), located in the bin
+    * whose cumulative range contains it; the estimate interpolates
+    * linearly inside the bin — bin_lo + width·(rank − cum_before)/cnt,
+    * ONE rational-to-double division so every engine reproduces the
+    * identical float. Error is bounded by the bin width by construction.
+    * The cumulative window runs over the ≤ numBins-row state (the q135
+    * discipline: single-partition exchanges only above full
+    * aggregation). */
+  def quantilesFromHist(state: DataFrame, lo: Long, width: Long,
+      qs: Seq[(String, Long, Long)]): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (_, n, d) => n > 0 && d >= n },
+      "quantiles must be rationals in (0, 1]")
+    val spark = state.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val cum = state.withColumn("cum_before",
+      coalesce(sum(col("cnt")).over(w), lit(0L)))
+    val n = state.agg(sum(col("cnt")).as("n_total"))
+    // ⌈num·N/den⌉ = (num·N + den − 1) div den, all exact integers
+    val a = col("num") * col("n_total") + col("den") - 1
+    val ranks = qs.toDF("qname", "num", "den")
+      .crossJoin(broadcast(n))
+      .withColumn("rank", ((a - pmod(a, col("den"))) / col("den"))
+        .cast("long"))
+      .select(col("qname"), col("rank"))
+    ranks.join(cum,
+        col("cum_before") < col("rank") &&
+          col("rank") <= col("cum_before") + col("cnt"))
+      .select(col("qname"), col("rank"), col("bin"),
+        (lit(lo) + col("bin") * width).as("bin_lo"),
+        col("cum_before"), col("cnt").as("bin_count"),
+        round(lit(lo) + col("bin") * width +
+          lit(width) * ((col("rank") - col("cum_before")).cast("double") /
+            col("cnt")), 6).as("est"))
+  }
 }

@@ -26,6 +26,30 @@ object StatsQueries {
   private val liTie = "l_orderkey * 10 + l_linenumber"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Mergeable approximate quantiles: per-batch fixed-geometry histogram
+    // states (integer bin counts — associative, so three batch states
+    // merged equal the from-scratch histogram bit-for-bit, the q144
+    // contract extended to distributions), quantile estimates read off
+    // the merged ≤30-row state with bin-width error. Exact quantiles
+    // (q140) must see every row; this is what a 100 TB pipeline keeps
+    // BETWEEN full scans.
+    "q151_hist_quantiles" -> ((s, dir) => {
+      val prices = t(s, dir, "orders")
+        .select(floor(col("o_totalprice")).cast("long").as("p"),
+          col("o_orderkey"))
+      val states = (0 to 2).map { b =>
+        graft.operators.Incremental.histState(
+          prices.filter(col("o_orderkey") % 3 === b), col("p"),
+          lo = 0L, width = 20000L, numBins = 30)
+      }
+      graft.operators.Incremental.quantilesFromHist(
+        graft.operators.Incremental.mergeHistStates(states),
+        lo = 0L, width = 20000L,
+        qs = Seq(("p25", 1L, 4L), ("p50", 1L, 2L), ("p75", 3L, 4L),
+          ("p90", 9L, 10L), ("p99", 99L, 100L)))
+        .orderBy(col("qname"))
+    }),
+
     // Trailing 24h activity features per user — RANGE-frame window, no
     // self-join: count (integer) and min/max (observed values) only; a
     // windowed float mean is order-sensitive and deliberately absent.
@@ -115,6 +139,32 @@ object StatsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q151_hist_quantiles" ->
+      """WITH v AS (
+        |  SELECT CAST(floor(o_totalprice) AS BIGINT) AS p FROM orders),
+        |b AS (SELECT least(greatest(p // 20000, 0), 29) AS bin FROM v),
+        |h AS (SELECT bin, count(*) AS cnt FROM b GROUP BY bin),
+        |n AS (SELECT sum(cnt) AS n_total FROM h),
+        |qs AS (SELECT * FROM (VALUES ('p25', 1, 4), ('p50', 1, 2),
+        |         ('p75', 3, 4), ('p90', 9, 10), ('p99', 99, 100))
+        |         q(qname, num, den)),
+        |r AS (SELECT qname, (num * n_total + den - 1) // den AS rank
+        |      FROM qs, n),
+        |c AS (SELECT bin, cnt,
+        |        coalesce(sum(cnt) OVER (ORDER BY bin
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS cum_before
+        |      FROM h)
+        |SELECT qname, CAST(rank AS BIGINT) AS rank,
+        |  CAST(bin AS BIGINT) AS bin,
+        |  CAST(bin * 20000 AS BIGINT) AS bin_lo,
+        |  CAST(cum_before AS BIGINT) AS cum_before,
+        |  CAST(cnt AS BIGINT) AS bin_count,
+        |  round(bin * 20000 +
+        |    20000 * ((rank - cum_before)::DOUBLE / cnt), 6) AS est
+        |FROM r JOIN c
+        |  ON c.cum_before < r.rank AND r.rank <= c.cum_before + c.cnt
+        |ORDER BY qname""".stripMargin,
     "q130_trailing_features" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t, value
         |           FROM events)

@@ -283,6 +283,43 @@ class WranglingSpec extends SparkSpec {
     assert(e.getMessage.contains("integral"))
   }
 
+  test("histogram states merge to the from-scratch histogram; tails clamp " +
+    "into the edge bins") {
+    import graft.operators.Incremental
+    val vals = Seq(-50L, 0L, 5L, 15L, 25L, 99L, 100L, 250L, 999L)
+    val df = vals.map(Tuple1(_)).toDF("v")
+    val scratch = Incremental.histState(df, col("v"), 0L, 10L, 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val parts = (0 to 1).map(k =>
+      Incremental.histState(
+        vals.zipWithIndex.filter(_._2 % 2 == k).map(x => Tuple1(x._1))
+          .toDF("v"), col("v"), 0L, 10L, 10))
+    val merged = Incremental.mergeHistStates(parts)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged === scratch)
+    // -50 clamps to bin 0; 100/250/999 clamp to bin 9
+    assert(scratch(0L) === 3L) // -50, 0, 5
+    assert(scratch(9L) === 4L) // 99 (bin 9 proper) + 100, 250, 999 clamped
+  }
+
+  test("quantilesFromHist: rank arithmetic is ⌈q·N⌉, the estimate " +
+    "interpolates inside the owning bin and lands within one bin width " +
+    "of the exact quantile") {
+    import graft.operators.Incremental
+    val vals = (1L to 1000L)
+    val df = vals.map(Tuple1(_)).toDF("v")
+    val st = Incremental.histState(df, col("v"), 0L, 100L, 10)
+    val got = Incremental.quantilesFromHist(st, 0L, 100L,
+      Seq(("p50", 1L, 2L), ("p90", 9L, 10L)))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(6))).toMap
+    assert(got("p50")._1 === 500L)
+    assert(got("p90")._1 === 900L)
+    // uniform data: the interpolated estimate tracks the exact value
+    assert(math.abs(got("p50")._2 - 500.0) <= 100.0)
+    assert(math.abs(got("p90")._2 - 900.0) <= 100.0)
+  }
+
   // --- prefix-filtered Jaccard ---------------------------------------------
 
   test("prefix filtering collapses the candidate set on a hot-shingle corpus") {
