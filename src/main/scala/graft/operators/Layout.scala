@@ -53,4 +53,30 @@ object Layout {
       .repartitionByRange(numFiles, col(zorderCol))
       .sortWithinPartitions(col(zorderCol))
       .write.mode("overwrite").parquet(path)
+
+  /** Sort-merge-BUCKET layout: persist `df` as a bucketed+sorted table so
+    * every future equi-join or aggregation on `keyCol` runs with NO
+    * exchange — the join co-location is paid ONCE at write time instead
+    * of per query. This is the other half of the shuffle-minimization
+    * story next to broadcast ([[graft.operators.Sketches.bloomPrune]])
+    * and salting: at 100 TB the nightly fact tables are written bucketed
+    * on their join key, and the day's queries read them with zero
+    * fact-side shuffles (`BucketJoinSpec` pins the exchange-free plan).
+    * Both sides of a join must share the bucket count; `sortBy` makes
+    * the per-bucket files merge-join-ready without a sort node. */
+  def bucketedWrite(df: DataFrame, keyCol: String, numBuckets: Int,
+      table: String): Unit =
+    // repartition on the key with the bucket count: Spark's repartition
+    // hash IS the bucketing hash, so every bucket is written by exactly
+    // one task → ONE file per bucket. sortBy then makes each bucket file
+    // a sorted run; the reader still plans a per-bucket Sort (trusting
+    // write order needs the legacy outputOrdering conf) but it runs over
+    // already-sorted single-file buckets — the EXCHANGE elision is the
+    // contract BucketJoinSpec pins.
+    df.repartition(numBuckets, col(keyCol))
+      .write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(numBuckets, keyCol)
+      .sortBy(keyCol)
+      .saveAsTable(table)
 }
