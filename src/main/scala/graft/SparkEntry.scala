@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{AnalyticsQueries, CleaningQueries, CoreQueries, CorpusQueries, EventQueries, GraphQueries, PipelineQueries, QualityQueries, ScaleQueries, StatsQueries, WranglingQueries}
+import graft.queries.{AnalyticsQueries, CleaningQueries, CoreQueries, CorpusQueries, EvalQueries, EventQueries, GraphQueries, PipelineQueries, QualityQueries, ScaleQueries, StatsQueries, WranglingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -31,7 +31,7 @@ object SparkEntry {
       QualityQueries.queries ++ AnalyticsQueries.queries ++
       ScaleQueries.queries ++ EventQueries.queries ++ CorpusQueries.queries ++
       GraphQueries.queries ++ WranglingQueries.queries ++
-      StatsQueries.queries ++ CleaningQueries.queries
+      StatsQueries.queries ++ CleaningQueries.queries ++ EvalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -40,5 +40,5 @@ object SparkEntry {
       QualityQueries.oracles ++ AnalyticsQueries.oracles ++
       ScaleQueries.oracles ++ EventQueries.oracles ++ CorpusQueries.oracles ++
       GraphQueries.oracles ++ WranglingQueries.oracles ++
-      StatsQueries.oracles ++ CleaningQueries.oracles
+      StatsQueries.oracles ++ CleaningQueries.oracles ++ EvalQueries.oracles
 }

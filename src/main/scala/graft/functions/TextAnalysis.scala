@@ -37,6 +37,16 @@ object TextAnalysis {
   def symbolCount(text: Column): Column =
     length(regexp_replace(lower(text), "[a-z0-9\\s]", "")).cast("long")
 
+  /** Trimmed non-empty sentence segments: split on runs of terminal
+    * punctuation (`[.!?]+`). Deliberately the RE2-safe spelling — the
+    * lookbehind form `(?<=[.!?])\s+` keeps the terminator but RE2 (DuckDB)
+    * has no lookbehind, so both engines split on the terminator run and
+    * trim. A document with no terminators is one sentence (its whole
+    * trimmed text). Row-local, codegen'd, no shuffle. */
+  def sentences(text: Column): Column =
+    filter(transform(split(text, "[.!?]+"), s => trim(s)),
+      s => length(s) > 0)
+
   // --- language ID (n-gram/stopword heuristic) ------------------------------
 
   /** Tiny per-language stopword inventories. A real pipeline would use

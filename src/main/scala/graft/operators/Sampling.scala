@@ -150,4 +150,47 @@ object Sampling {
       .orderBy(col("priority"), tie)
       .limit(k)
   }
+
+  /** Leakage-safe temporal split: train = rows at or before the exact
+    * trainNum/trainDen time quantile, test = rows strictly after the
+    * cutoff PLUS an `embargo` gap, and the gap rows labeled `embargo`
+    * (excluded from both sides). The embargo is what makes the split
+    * leakage-safe for time-correlated data: a model scored on events one
+    * tick after its training window is grading itself on autocorrelation.
+    *
+    * The cutoff is an OBSERVED time value at the exact rank
+    * ⌈N·trainNum/trainDen⌉ under the total order (time, tiebreak) — found
+    * with [[graft.operators.Ranking.globalRank]], so there is no
+    * single-partition sort and no approximate quantile; ties on the
+    * cutoff time all fall into train (value-threshold semantics, same in
+    * any engine). Cost: one ranked pass over (time, tiebreak) to find the
+    * scalar cutoff (materialized once; its two consumers — the row count
+    * and the cutoff row — read the same blocks), one labeling pass over
+    * the data. Integer comparisons only.
+    *
+    * @param time    integral event-time column (e.g. epoch micros)
+    * @param tiebreak unique integral tiebreak making the order total
+    * @param embargo  gap after the cutoff, in `time`'s unit
+    */
+  def temporalSplit(df: DataFrame, time: Column, tiebreak: Column,
+      trainNum: Long, trainDen: Long, embargo: Long): DataFrame = {
+    require(trainNum > 0 && trainNum < trainDen, "need 0 < trainNum < trainDen")
+    require(embargo >= 0, "embargo must be non-negative")
+    val ranked = Ranking.globalRank(
+        df.select(time.as("_t"), tiebreak.as("_tb")),
+        Seq(col("_t"), col("_tb")))
+      .localCheckpoint(true)
+    val n = ranked.agg(max(col("rank")).as("_n"))
+    // smallest rank r with r·den ≥ N·num is ⌈N·num/den⌉; its _t is the cutoff
+    val cut = ranked.crossJoin(broadcast(n))
+      .filter(col("rank") * lit(trainDen) >= col("_n") * lit(trainNum))
+      .agg(min(struct(col("rank"), col("_t"))).as("m"))
+      .select(col("m._t").as("_tcut"))
+    df.crossJoin(broadcast(cut))
+      .withColumn("split",
+        when(time <= col("_tcut"), lit("train"))
+          .when(time <= col("_tcut") + lit(embargo), lit("embargo"))
+          .otherwise(lit("test")))
+      .drop("_tcut")
+  }
 }

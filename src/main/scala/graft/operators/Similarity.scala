@@ -330,6 +330,56 @@ object Similarity {
       round(array_max(err), 6).as("max_err"))
   }
 
+  /** ANN index-quality evaluation — recall@k of the IVF probe path against
+    * the exact scan, per query: `hits` = |ivfTopK ∩ bruteForceTopK| and
+    * `recall` = hits/k. This is the measurement a pipeline runs BEFORE
+    * trusting an approximate index at corpus scale: the probe count
+    * (`nprobe`) is a recall/cost dial and this query is its gauge.
+    *
+    * Scale shape: two broadcast-query corpus scans (the exact baseline and
+    * the probed search — evaluation intrinsically pays both; production
+    * search pays only the probed one) feeding an equi-join on
+    * (qid, vec_id) over q·k rows. Every count is an integer; `recall` is
+    * ONE IEEE division of exact integers, identical in any engine. */
+  def recallAtK(queries: DataFrame, corpus: DataFrame, nprobe: Int, k: Int)
+      : DataFrame = {
+    val exact = bruteForceTopK(queries, corpus, k)
+      .select(col("qid"), col("vec_id"))
+    val approx = ivfTopK(queries, corpus, nprobe, k)
+      .select(col("qid"), col("vec_id"))
+    exact.join(approx.withColumn("__hit", lit(1L)), Seq("qid", "vec_id"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+      .select(col("qid"), col("n_exact"), col("hits"),
+        (col("hits").cast("double") / lit(k)).as("recall"))
+  }
+
+  /** Embedding-space eval-set decontamination: for every corpus vector,
+    * the maximum (rounded) cosine against the benchmark/eval embeddings
+    * and a `contaminated` verdict at `tau` — the semantic companion of
+    * the k-gram overlap check (NearDup.contaminationReport): a test item
+    * REPHRASED into the training corpus shares no grams but sits right
+    * next to it in embedding space.
+    *
+    * Scale shape: the eval set is small by nature and broadcast; the
+    * corpus streams through in ONE pass and the shuffle carries one row
+    * per corpus vector (map-side-partial max over rounded sims — MAX is
+    * order-free, so the result is partitioning- and engine-independent).
+    * Self-pairs (the eval rows are usually drawn from the same table)
+    * are excluded by id. */
+  def embeddingContamination(corpus: DataFrame, evalSet: DataFrame,
+      tau: Double): DataFrame = {
+    val ev = broadcast(evalSet.select(col("vec_id").as("eval_id"),
+      asDouble(col("embedding")).as("qe")))
+    corpus.select(col("vec_id"), asDouble(col("embedding")).as("ce"))
+      .join(ev, col("vec_id") =!= col("eval_id"))
+      .groupBy(col("vec_id"))
+      .agg(max(round(cosine(col("ce"), col("qe")), 6)).as("max_eval_sim"))
+      .select(col("vec_id"), col("max_eval_sim"),
+        (col("max_eval_sim") >= tau).as("contaminated"))
+  }
+
   /** Random-hyperplane LSH: `bits` sign bits of dot products with fixed
     * pseudo-random planes (deterministic from `seed`). Equal buckets ⇒
     * cosine-close with probability (1 - θ/π)^bits; near-dup search becomes

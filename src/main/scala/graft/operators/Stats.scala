@@ -249,4 +249,41 @@ object Stats {
         (col("obs") - col("expected")) * (col("obs") - col("expected")) /
           col("expected"))
   }
+
+  /** Cohen's κ between two categorical raters — the label-QA statistic
+    * ("do the heuristic labeler and the recorded label agree beyond
+    * chance") run before trusting either column as training signal.
+    * κ = (N·agree − Σₖ rowTotₖ·colTotₖ) / (N² − Σₖ rowTotₖ·colTotₖ):
+    * every term is an exact integer and κ is ONE IEEE division, so the
+    * result is identical in any engine; κ is NULL when chance agreement
+    * is total (N² = Σ, the undefined case).
+    *
+    * Shape: ONE corpus aggregation to the (a, b) cell table (≤ |A|·|B|
+    * rows, localCheckpoint'ed — its two consumers below would otherwise
+    * each re-run the corpus scan); per-category marginals come from a
+    * single explode of each cell into its row- and column-side
+    * contribution (not two unions — one reference, one pass), which also
+    * yields a marginal row for categories only ONE rater ever uses
+    * (their product term is 0, exactly the κ definition). */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("ka"), col(bCol).as("kb"))
+      .agg(count(lit(1)).as("n")).localCheckpoint(true)
+    val catTot = cells.select(explode(array(
+        struct(col("ka").as("k"), col("n").as("rn"), lit(0L).as("cn")),
+        struct(col("kb").as("k"), lit(0L).as("rn"), col("n").as("cn")))).as("e"))
+      .groupBy(col("e.k"))
+      .agg(sum(col("e.rn")).as("rtot"), sum(col("e.cn")).as("ctot"))
+    val chance = catTot.agg(sum(col("rtot") * col("ctot")).as("chance"))
+    cells.agg(sum(col("n")).as("n_items"),
+        sum(when(col("ka") === col("kb"), col("n")).otherwise(lit(0L)))
+          .as("agree"))
+      .crossJoin(broadcast(chance))
+      .select(col("n_items"), col("agree"), col("chance"),
+        when(col("n_items") * col("n_items") === col("chance"),
+          lit(null).cast("double"))
+          .otherwise(round(
+            (col("n_items") * col("agree") - col("chance")).cast("double") /
+              (col("n_items") * col("n_items") - col("chance")).cast("double"),
+            6)).as("kappa"))
+  }
 }

@@ -1,0 +1,209 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextAnalysis
+import graft.operators.{Sampling, Similarity, Stats}
+
+/** Wave 12 — evaluation & release-gating: the measurements a pipeline runs
+  * BEFORE trusting its own artifacts. An approximate index is graded
+  * against the exact scan (q152), the training corpus is screened against
+  * the eval set in embedding space (q153), the eval split itself is cut
+  * with an embargo so time-correlated rows can't leak (q154), the label
+  * column is graded against an independent rater (q155), and the raw text
+  * is profiled at sentence granularity (q156).
+  *
+  * Same conventions as every wave: identical column aliases in Spark and
+  * DuckDB, total ORDER BY, counts CAST to BIGINT in the oracle; integer
+  * aggregates everywhere, floats only in final short IEEE chains (one
+  * division, rounded identically in both engines).
+  */
+object EvalQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** epoch-micros event time (see AnalyticsQueries: ts is raw nanos). */
+  private def evMicros(c: String = "ts") = expr(s"$c DIV 1000")
+
+  private def segLens(segs: Column): Column =
+    transform(segs, seg => length(seg).cast("long"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Index QA: recall@10 of the nprobe=2 IVF path vs the exact scan —
+    // the gauge read before dialing an approximate index into a corpus
+    // pipeline (probe count is the recall/cost dial).
+    "q152_ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.recallAtK(emb.filter(col("vec_id") < 8), emb,
+          nprobe = 2, k = 10)
+        .orderBy(col("qid"))
+    }),
+
+    // Train/eval screening in embedding space: max cosine of every corpus
+    // vector against the (broadcast) eval slice — the semantic companion
+    // of the k-gram overlap check q82; a rephrased test item shares no
+    // grams but sits next to its source here.
+    "q153_embed_decon" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.embeddingContamination(emb,
+          emb.filter(col("vec_id") % 37 === 0), tau = 0.35)
+        .orderBy(col("vec_id"))
+    }),
+
+    // Leakage-safe eval split: train ≤ exact 4/5-quantile timestamp,
+    // one-day embargo, test after the gap. The cutoff is an observed
+    // value at an exact global rank (no single-partition sort, no
+    // approximate quantile) — ties on the cutoff all fall into train.
+    "q154_temporal_split" -> ((s, dir) =>
+      Sampling.temporalSplit(
+          t(s, dir, "events").select(col("event_id"), evMicros().as("t")),
+          time = col("t"), tiebreak = col("event_id"),
+          trainNum = 4, trainDen = 5, embargo = 86400000000L)
+        .orderBy(col("event_id"))),
+
+    // Label QA: Cohen's κ between the heuristic language-ID rater (q23)
+    // and the recorded lang column — agreement beyond chance, the check
+    // run before trusting either as training signal.
+    "q155_rater_kappa" -> ((s, dir) =>
+      Stats.cohenKappa(
+        t(s, dir, "documents").select(
+          TextAnalysis.langId(col("text")).as("pred"), col("lang")),
+        "pred", "lang")),
+
+    // Sentence-granularity text profile: segment count, total/max/mean
+    // segment length — the fragmentation signal (boilerplate lists score
+    // many short "sentences") that word-level stats miss. Row-local.
+    "q156_sentence_stats" -> ((s, dir) => {
+      val segs = TextAnalysis.sentences(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(segs).cast("long").as("n_sent"),
+          aggregate(segLens(segs), lit(0L), (acc, x) => acc + x)
+            .as("sum_len"),
+          coalesce(array_max(segLens(segs)), lit(0L)).as("max_len"))
+        .withColumn("avg_len", when(col("n_sent") > 0,
+          round(col("sum_len").cast("double") / col("n_sent"), 4)))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q152_ann_recall" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qe FROM e WHERE vec_id < 8),
+        |s AS (SELECT qid, e.vec_id,
+        |        round(list_dot_product(qe, v) /
+        |          (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(v, v))), 6) AS sim
+        |      FROM q CROSS JOIN e WHERE e.vec_id <> qid),
+        |exact AS (SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id,
+        |           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+        |    FROM s)
+        |  WHERE rnk <= 10),
+        |comp AS (SELECT label, r.i AS ord, avg(v[(r.i + 1)::INTEGER]) AS m
+        |         FROM e, range(0, 64) AS r(i) GROUP BY label, r.i),
+        |cent AS (SELECT label, list(round(m, 6) ORDER BY ord) AS c
+        |         FROM comp GROUP BY label),
+        |probes AS (SELECT qid, qe, label FROM (
+        |    SELECT q.qid, q.qe, cent.label,
+        |           row_number() OVER (PARTITION BY q.qid ORDER BY
+        |             round(list_dot_product(q.qe, cent.c) /
+        |               (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(cent.c, cent.c))), 6) DESC,
+        |             cent.label) AS prnk
+        |    FROM q CROSS JOIN cent)
+        |  WHERE prnk <= 2),
+        |scored AS (SELECT p.qid, e.vec_id,
+        |        round(list_dot_product(p.qe, e.v) /
+        |          (sqrt(list_dot_product(p.qe, p.qe)) * sqrt(list_dot_product(e.v, e.v))), 6) AS sim
+        |      FROM probes p JOIN e ON e.label = p.label WHERE e.vec_id <> p.qid),
+        |approx AS (SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id,
+        |           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+        |    FROM scored)
+        |  WHERE rnk <= 10)
+        |SELECT x.qid, CAST(count(*) AS BIGINT) AS n_exact,
+        |       CAST(count(a.vec_id) AS BIGINT) AS hits,
+        |       count(a.vec_id)::DOUBLE / 10 AS recall
+        |FROM exact x LEFT JOIN approx a ON a.qid = x.qid AND a.vec_id = x.vec_id
+        |GROUP BY x.qid ORDER BY x.qid""".stripMargin,
+
+    "q153_embed_decon" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |ev AS (SELECT vec_id AS eval_id, v AS qe FROM e WHERE vec_id % 37 = 0),
+        |m AS (SELECT e.vec_id,
+        |        max(round(list_dot_product(e.v, ev.qe) /
+        |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(ev.qe, ev.qe))), 6)) AS max_eval_sim
+        |      FROM e JOIN ev ON e.vec_id <> ev.eval_id
+        |      GROUP BY e.vec_id)
+        |SELECT vec_id, max_eval_sim, max_eval_sim >= 0.35 AS contaminated
+        |FROM m ORDER BY vec_id""".stripMargin,
+
+    "q154_temporal_split" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS t FROM events),
+        |r AS (SELECT event_id, t,
+        |             row_number() OVER (ORDER BY t, event_id) AS rnk,
+        |             count(*) OVER () AS n
+        |      FROM e),
+        |cut AS (SELECT min(t) AS tcut FROM r WHERE rnk * 5 >= n * 4)
+        |SELECT event_id, t,
+        |  CASE WHEN t <= tcut THEN 'train'
+        |       WHEN t <= tcut + 86400000000 THEN 'embargo'
+        |       ELSE 'test' END AS split
+        |FROM e CROSS JOIN cut ORDER BY event_id""".stripMargin,
+
+    "q155_rater_kappa" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, text,
+        |         string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, lang, text,
+        |    len(list_filter(toks, w -> w IN ('the','a','of','and','to','in','is','on','for','with'))) AS en,
+        |    len(list_filter(toks, w -> w IN ('el','la','de','los','las','en','y','que','por','un'))) AS es,
+        |    len(list_filter(toks, w -> w IN ('le','les','des','et','une','dans','pour','est','du','au'))) AS fr,
+        |    len(list_filter(toks, w -> w IN ('der','die','das','und','ist','mit','von','ein','zu','auf'))) AS de
+        |  FROM t),
+        |p AS (
+        |  SELECT lang,
+        |    CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |         WHEN en = 0 AND es = 0 AND fr = 0 AND de = 0 THEN 'und'
+        |         WHEN en >= es AND en >= fr AND en >= de THEN 'en'
+        |         WHEN es >= fr AND es >= de THEN 'es'
+        |         WHEN fr >= de THEN 'fr'
+        |         ELSE 'de' END AS pred
+        |  FROM h),
+        |cells AS (SELECT pred AS ka, lang AS kb, count(*) AS n
+        |          FROM p GROUP BY 1, 2),
+        |cat AS (SELECT k, sum(rn) AS rtot, sum(cn) AS ctot FROM (
+        |          SELECT ka AS k, n AS rn, 0 AS cn FROM cells
+        |          UNION ALL SELECT kb, 0, n FROM cells)
+        |        GROUP BY k),
+        |ch AS (SELECT CAST(sum(rtot * ctot) AS BIGINT) AS chance FROM cat),
+        |base AS (SELECT CAST(sum(n) AS BIGINT) AS n_items,
+        |                CAST(sum(CASE WHEN ka = kb THEN n ELSE 0 END) AS BIGINT) AS agree
+        |         FROM cells)
+        |SELECT n_items, agree, chance,
+        |  CASE WHEN n_items * n_items = chance THEN NULL
+        |       ELSE round((n_items * agree - chance)::DOUBLE /
+        |                  (n_items * n_items - chance), 6) END AS kappa
+        |FROM base CROSS JOIN ch""".stripMargin,
+
+    "q156_sentence_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(string_split_regex(text, '[.!?]+'),
+        |                               s -> trim(s)),
+        |                s -> length(s) > 0) AS segs
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(segs) AS BIGINT) AS n_sent,
+        |  CAST(coalesce(list_sum(list_transform(segs, s -> length(s))), 0) AS BIGINT) AS sum_len,
+        |  CAST(coalesce(list_max(list_transform(segs, s -> length(s))), 0) AS BIGINT) AS max_len,
+        |  CASE WHEN len(segs) > 0 THEN
+        |    round(list_sum(list_transform(segs, s -> length(s)))::DOUBLE / len(segs), 4)
+        |  END AS avg_len
+        |FROM t ORDER BY doc_id""".stripMargin
+  )
+}

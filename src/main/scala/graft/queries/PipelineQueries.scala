@@ -184,6 +184,28 @@ object PipelineQueries {
        |SELECT a AS doc_id, least(a, min(b)) AS canonical
        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
 
+  /** q157 oracle: the q40 closure reduced to its size DISTRIBUTION. */
+  private val dupSizeHistSql =
+    s"""WITH RECURSIVE $jaccardPairsCtes,
+       |pairs AS (
+       |  SELECT pr.d1, pr.d2
+       |  FROM pr JOIN sz sa ON sa.doc_id = pr.d1 JOIN sz sb ON sb.doc_id = pr.d2
+       |  WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.5),
+       |edges AS (
+       |  SELECT d1 AS src, d2 AS dst FROM pairs
+       |  UNION ALL SELECT d2, d1 FROM pairs),
+       |reach AS (
+       |  SELECT src AS a, dst AS b FROM edges
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+       |lab AS (
+       |  SELECT a AS doc_id, least(a, min(b)) AS canonical
+       |  FROM reach GROUP BY a),
+       |gs AS (SELECT canonical, count(*) AS group_size FROM lab
+       |       GROUP BY canonical)
+       |SELECT group_size, CAST(count(*) AS BIGINT) AS n_groups
+       |FROM gs GROUP BY group_size ORDER BY group_size""".stripMargin
+
   /** q108 oracle: the q40 closure extended with the KEEP decision — the
     * group representative is the member with the best quality score (ties
     * to the lower id), mirrored with first_value over the group window.
@@ -390,6 +412,16 @@ object PipelineQueries {
           TextAnalysis.qualityScore(col("text")).as("score")))
         .orderBy(col("doc_id"))),
 
+    // The headline of every dedup report: how many duplicate clusters of
+    // which size. Fifth consumer of the shared pipeline — reads the
+    // persisted cc_labels stage (labels cover only paired docs, so every
+    // group_size is ≥ 2), adds two aggregations over the tiny label table.
+    "q157_dup_size_hist" -> ((s, dir) =>
+      docLabels(s, dir)
+        .groupBy(col("canonical")).agg(count(lit(1)).as("group_size"))
+        .groupBy(col("group_size")).agg(count(lit(1)).as("n_groups"))
+        .orderBy(col("group_size"))),
+
     // LLM dedup 6 (asymmetric): containment pairs — inter/min(|A|,|B|) —
     // the doc-inside-doc case Jaccard's symmetric denominator misses.
     // Fourth consumer of the persisted postings stage.
@@ -499,6 +531,7 @@ object PipelineQueries {
     "q37_ann_buckets" -> annBucketsSql,
     "q40_neardup_groups" -> neardupGroupsSql,
     "q108_cluster_rep" -> clusterRepSql,
+    "q157_dup_size_hist" -> dupSizeHistSql,
 
     "q114_luhn_cards" ->
       s"""WITH c AS ($cardFixtureSql),

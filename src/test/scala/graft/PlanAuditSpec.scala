@@ -417,4 +417,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(!pp.substring(0, bnlj).contains("Exchange"), pp)
     assert(pp.contains("FileScan parquet [o_custkey#"), pp)
   }
+
+  test("q153: decontamination is one broadcast corpus pass — the shuffle " +
+    "carries one partially-aggregated row per vector") {
+    val p = plan("q153_embed_decon")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // map-side partial max BELOW the hash exchange: the corpus×eval
+    // product collapses per vector before anything moves
+    assert(p.contains("partial_max"), p)
+  }
+
+  test("q154: temporal split labels with a broadcast scalar cutoff — no " +
+    "data-side sort, no single-partition window over the events") {
+    val p = plan("q154_temporal_split")
+    // the labeling pass: events scan + broadcast cutoff + range sort out
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only window machinery ran inside globalRank (checkpointed
+    // before this plan); the labeled output has no Window node at all
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q156: sentence stats are a pure projection — no exchange beyond " +
+    "the output sort, no join") {
+    val p = plan("q156_sentence_stats")
+    assert("Exchange".r.findAllIn(p).size === 1, p)
+    assert(p.contains("rangepartitioning"), p)
+    assert(!p.contains("Join"), p)
+  }
 }
