@@ -75,7 +75,12 @@ object Bench {
       case (k, v) if persistent(k) => "\"" + k + "\":\"" + esc(v) + "\""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"cold_total_sec":${f"$coldTotal%.3f"},"warm_passes":$WarmPasses,"sf":"$sfDir"}"""
+    // Field order matters: the driver's capture can truncate this line from
+    // the FRONT, keeping only the tail. The big `queries` map therefore goes
+    // first and every small summary scalar (metric/value/errors/cold total)
+    // goes LAST, so even a heavily truncated capture still carries the
+    // totals and the alphabetically-late per-query timings it kept.
+    val line = s"""{"queries":$qs,"errors":$errJson,"warm_passes":$WarmPasses,"sf":"$sfDir","cold_total_sec":${f"$coldTotal%.3f"},"metric":"total","unit":"sec","value":$total}"""
     spark.stop()
     // printed after spark.stop() so no executor/log line can follow it
     println(line)

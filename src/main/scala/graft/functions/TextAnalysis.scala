@@ -295,9 +295,14 @@ object TextAnalysis {
       ks: Seq[Int]): org.apache.spark.sql.DataFrame = {
     require(ks.nonEmpty && ks.forall(_ >= 1), "ks must be positive")
     import org.apache.spark.sql.expressions.Window
+    // Materialized once: `total` and `top` both read this aggregate, and
+    // without the checkpoint each would re-run the full corpus explode +
+    // word count (the materialize-once discipline used by
+    // Affinity.pairSupport and the pipeline stage cache).
     val words = docs
       .select(explode(tokens(lower(col(textCol)))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     val total = words.agg(sum(col("cnt")).as("total"))
     val top = words.orderBy(desc("cnt"), col("w")).limit(ks.max)
     val ord = Window.orderBy(desc("cnt"), col("w"))
@@ -454,6 +459,70 @@ object TextAnalysis {
       .groupBy(col("pair")).agg(sum(col("wc")).as("cnt"))
       .orderBy(col("cnt").desc, col("pair"))
       .limit(topK)
+  }
+
+  /** Separator for [[bpeSymbolCount]]'s symbol-string state: U+001F (unit
+    * separator), assumed absent from the text (guard upstream if not). */
+  private val BpeSep = "\u001f"
+
+  /** Number of BPE tokens `word` encodes to under `merges` — the APPLY side
+    * of BPE (q112's [[bpePairCounts]] is the training statistic): start
+    * from characters, apply each merge rule in rank order, count surviving
+    * symbols. Rule application is subword-nmt-style: one pass per rule
+    * merging every left-to-right non-overlapping occurrence — which IS the
+    * per-rule fixpoint, because merging (x, y) → "xy" only creates
+    * adjacencies involving the NEW symbol "xy" ∉ {x, y}, so a rule can
+    * never re-enable itself.
+    *
+    * Implementation: the symbol sequence is one string, every boundary a
+    * DOUBLE ``; rule (x, y) is a literal replace of `·x··y·` with
+    * `·xy·` (single seps at the edges). The double separator makes
+    * adjacent disjoint occurrences character-disjoint — "x y x y" merges
+    * both pairs in ONE replace scan — while the single-sep pattern edges
+    * pin x and y to whole symbols (symbols never contain the separator).
+    * Literal `replace` scans left-to-right non-overlapping identically in
+    * Spark and DuckDB, so every intermediate state is engine-portable.
+    * Pure string expressions — codegen'd, row-local, no UDF. */
+  def bpeSymbolCount(word: Column, merges: Seq[(String, String)]): Column = {
+    val s = BpeSep
+    val init = concat(lit(s + s), array_join(split(word, ""), s + s),
+      lit(s + s))
+    val end = merges.foldLeft(init) { case (st, (x, y)) =>
+      replace(st, lit(s + x + s + s + y + s), lit(s + x + y + s))
+    }
+    ((length(end) - length(replace(end, lit(s)))) / 2 - 1).cast("long")
+  }
+
+  /** Per-document REAL tokenizer counts under a learned BPE merge table —
+    * what a pipeline meters token budgets with (q99 meters whitespace
+    * tokens; this is the trained-tokenizer version).
+    *
+    * Scale shape: the corpus is exploded ONCE into lowercased whitespace
+    * words and aggregated to per-(doc, word) counts; the merge chain runs
+    * over the DISTINCT global vocabulary only (vocabulary-sized work, not
+    * corpus-sized — the standard trick: encode the vocab, multiply by
+    * occurrence counts), then one equi-join on the word and a per-doc sum.
+    * Zipf makes the vocabulary orders of magnitude smaller than the
+    * corpus, and the join key is the word itself (hot words join to ONE
+    * vocab row — no fan-out).
+    *
+    * @return (id, n_words, n_tokens) — whitespace words and BPE tokens
+    */
+  def bpeTokenCounts(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, merges: Seq[(String, String)])
+      : org.apache.spark.sql.DataFrame = {
+    require(merges.nonEmpty, "need at least one merge rule")
+    val words = docs
+      .select(col(idCol).as("id"),
+        explode(tokens(lower(col(textCol)))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("id"), col("w")).agg(count(lit(1)).as("n_w"))
+    val vocab = words.select(col("w")).distinct()
+      .withColumn("n_sym", bpeSymbolCount(col("w"), merges))
+    words.join(vocab, Seq("w"))
+      .groupBy(col("id"))
+      .agg(sum(col("n_w")).cast("long").as("n_words"),
+        sum(col("n_w") * col("n_sym")).cast("long").as("n_tokens"))
   }
 
   // --- Unicode normalization ------------------------------------------------

@@ -87,8 +87,13 @@ object Urls {
       .drop("__dom")
   }
 
-  /** `<a href="...">` targets of an HTML column. */
-  val HrefPattern = "<a[^>]*href=\"([^\"]*)\""
+  /** `<a href="...">` targets of an HTML column — case-insensitive, so
+    * `<A HREF="...">` and mixed-case markup extract too. LIMITATION:
+    * double-quoted values only; single-quoted (`href='...'`) and unquoted
+    * (`href=...`) attributes are not extracted (real-world crawls are
+    * overwhelmingly double-quoted; widening the pattern would need
+    * alternation with a different capture group per quote style). */
+  val HrefPattern = "(?i)<a[^>]*href=\"([^\"]*)\""
 
   /** Outlink extraction — raw markup → the edge list the link-graph
     * layer (PageRank q107, k-hop q128, domain blocking q111) consumes.

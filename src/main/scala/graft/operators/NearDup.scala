@@ -197,6 +197,13 @@ object NearDup {
     * first so a_i·x stays < 2^62 — no Long overflow under ANSI mode. */
   private val P = 2147483647L
 
+  /** The (a_i, b_i) universal-hash coefficients for `n` MinHash functions
+    * under `seed` — public so an oracle can replay the exact signature
+    * pipeline (the coefficients become SQL literals, the way q37 inlines
+    * its hyperplanes). */
+  def hashCoefficients(seed: Long, n: Int): Seq[(Long, Long)] =
+    (0 until n).map(coef(seed, _))
+
   /** Deterministic per-hash coefficients (splitmix64 of the seed). */
   private def coef(seed: Long, i: Int): (Long, Long) = {
     def mix(z0: Long): Long = {
@@ -259,8 +266,9 @@ object NearDup {
     * One xxhash64 per (doc, shingle); numHashes `min` aggregates reduce to
     * the signature with map-side partial aggregation. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      k: Int, numHashes: Int, seed: Long): DataFrame =
-    signaturesOf(shingleRows(df, idCol, textCol, k), numHashes, seed)
+      k: Int, numHashes: Int, seed: Long,
+      baseHash: Column => Column = c => xxhash64(c)): DataFrame =
+    signaturesOf(shingleRows(df, idCol, textCol, k), numHashes, seed, baseHash)
 
   /** [[minhashSignatures]] over a precomputed (id, g) shingle table —
     * `min` is duplicate-invariant, so the signature of the distinct
@@ -268,12 +276,17 @@ object NearDup {
     * persisted postings stage can feed both the signature and the verify
     * paths. */
   def minhashSignaturesFromPostings(sh: DataFrame, numHashes: Int,
-      seed: Long): DataFrame =
-    signaturesOf(sh.select(col("id"), col("g")), numHashes, seed)
+      seed: Long,
+      baseHash: Column => Column = c => xxhash64(c)): DataFrame =
+    signaturesOf(sh.select(col("id"), col("g")), numHashes, seed, baseHash)
 
+  /** `baseHash` is the shingle base hash feeding the universal family —
+    * xxhash64 (codegen-native) for production, [[md5Hash60]] when an
+    * external oracle must replay the identical signature (same pattern as
+    * [[simhash]]'s tokenHash). */
   private def signaturesOf(sh: DataFrame, numHashes: Int,
-      seed: Long): DataFrame = {
-    val hashed = sh.select(col("id"), pmod(xxhash64(col("g")), lit(P)).as("h"))
+      seed: Long, baseHash: Column => Column): DataFrame = {
+    val hashed = sh.select(col("id"), pmod(baseHash(col("g")), lit(P)).as("h"))
     val aggs = (0 until numHashes).map { i =>
       val (a, b) = coef(seed, i)
       min(pmod(col("h") * a + b, lit(P))).as(s"m_$i")
@@ -286,9 +299,10 @@ object NearDup {
   /** (id, band, bucket) rows: the signature cut into `bands` bands of
     * `rowsPerBand` values, each band rendered to a join key. */
   def minHashLsh(df: DataFrame, idCol: String, textCol: String, k: Int,
-      bands: Int, rowsPerBand: Int, seed: Long): DataFrame =
-    bandBuckets(minhashSignatures(df, idCol, textCol, k, bands * rowsPerBand, seed),
-      bands, rowsPerBand)
+      bands: Int, rowsPerBand: Int, seed: Long,
+      baseHash: Column => Column = c => xxhash64(c)): DataFrame =
+    bandBuckets(minhashSignatures(df, idCol, textCol, k, bands * rowsPerBand,
+      seed, baseHash), bands, rowsPerBand)
 
   private def bandBuckets(sigs: DataFrame, bands: Int,
       rowsPerBand: Int): DataFrame = {
@@ -332,6 +346,42 @@ object NearDup {
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2"))
       .distinct()
+  }
+
+  /** Cross-batch incremental NEAR-dup dedup — the fingerprint-level mirror
+    * of [[graft.operators.Dedup.incrementalNew]], the nightly-append story
+    * for MinHash: keep only the docs of `batchLsh` (an (id, band, bucket)
+    * table from [[minHashLsh]] over the new batch) that are near-new, i.e.
+    * share NO LSH bucket with the persisted fingerprint registry of all
+    * prior batches AND have no lower-id bucket-mate already kept earlier
+    * in this batch (the keep-first rule, same as SemDeDup's).
+    *
+    * The registry carries one (band, bucket) row per historical
+    * fingerprint — tiny next to the corpus, broadcast by AQE when it fits
+    * — and the decision is fingerprint-level by design: the historical
+    * docs' texts are NOT needed, so nightly increments never rescan
+    * history (recall/precision are the banding curve, class doc). The
+    * registry for the NEXT run is the union of the old registry and this
+    * result's (band, bucket) rows — the caller appends, exactly like
+    * `incrementalNew`'s digest registry.
+    *
+    * Plan: one semi join (batch × registry) on the bucket key, one
+    * within-batch candidate pass ([[lshCandidates]], bucket-size-capped),
+    * two anti joins on the doc id. No self-join of history, no text
+    * comparison, no corpus shuffle beyond the bucket keys.
+    *
+    * @return the surviving docs' LSH rows (id, band, bucket) — ready to
+    *         append to the registry
+    */
+  def incrementalNearDups(batchLsh: DataFrame, registry: DataFrame,
+      maxDocsPerBucket: Long = Long.MaxValue): DataFrame = {
+    val reg = registry.select(col("band"), col("bucket")).distinct()
+    val vsHistory = batchLsh.join(reg, Seq("band", "bucket"), "left_semi")
+      .select(col("id")).distinct()
+    val fresh = batchLsh.join(vsHistory, Seq("id"), "left_anti")
+    val dups = lshCandidates(fresh, maxDocsPerBucket)
+      .select(col("d2").as("id")).distinct()
+    fresh.join(dups, Seq("id"), "left_anti")
   }
 
   /** LSH candidates verified with the exact Jaccard — same output contract
@@ -685,7 +735,16 @@ object NearDup {
     * the content-defined property — boundaries re-synchronize after an
     * insertion — is the contract, re-asserted in WinnowRollingSpec.
     * Chunk ids are xxhash64 (codegen-native; this variant exists for
-    * throughput, not oracle replay). */
+    * throughput, not oracle replay).
+    *
+    * Offsets are UTF-8 BYTE offsets throughout, unlike the char-based md5
+    * variant: [[graft.expressions.RollingHash]] windows are byte windows,
+    * so `start`/`chunk_len` count bytes and chunks are sliced out of the
+    * encoded bytes. Mixing units (byte boundaries into char substr) would
+    * misalign or truncate chunks on multi-byte text; keeping everything in
+    * bytes makes the slicing exact (a boundary may fall inside a
+    * multi-byte character — harmless for dedup identity, which only needs
+    * byte-stable chunk content). On ASCII the two variants' units agree. */
   def cdcChunksRolling(df: DataFrame, idCol: String, textCol: String,
       w: Int = 8, modulus: Long = 64L): DataFrame = {
     require(w >= 2 && modulus >= 2, "need w >= 2 and modulus >= 2")
@@ -694,16 +753,17 @@ object NearDup {
       ColumnBridge.toExpression(col("t")),
       w, graft.expressions.RollingHash.DefaultBase))
     val base = df.select(col(idCol).as("id"), col(textCol).as("t"),
-      length(col(textCol)).cast("long").as("len"))
+      encode(col(textCol), "UTF-8").as("tb"),
+      octet_length(col(textCol)).cast("long").as("len"))
       .filter(col("t").isNotNull)
     val starts = base
-      .select(col("id"), col("t"), col("len"),
+      .select(col("id"), col("tb"), col("len"),
         posexplode(concat(array(lit(0L)), hs)).as(Seq("q", "h")))
       // q = 0 is the sentinel (forced s = 1); q >= 1 maps to s = q, and
       // q = 1 duplicates the sentinel so only q >= 2 takes the hash test
       .filter(col("q") === 0 ||
         (col("q") >= 2 && pmod(col("h"), lit(modulus)) === 0L))
-      .select(col("id"), col("t"), col("len"),
+      .select(col("id"), col("tb"), col("len"),
         greatest(col("q"), lit(1L)).as("s"))
     val byDoc = Window.partitionBy(col("id")).orderBy(col("s"))
     starts
@@ -712,8 +772,75 @@ object NearDup {
       .withColumn("chunk_idx", row_number().over(byDoc).cast("long"))
       .select(col("id"), col("chunk_idx"), col("s").as("start"),
         (col("e") - col("s")).as("chunk_len"),
-        xxhash64(col("t").substr(col("s").cast("int"),
+        xxhash64(col("tb").substr(col("s").cast("int"),
           (col("e") - col("s")).cast("int"))).as("chunk_id"))
+  }
+
+  /** Exact-substring dedup — the ExactSubstr companion of line-level C4
+    * dedup (Lee et al. 2021, arXiv:2107.06499 "Deduplicating Training
+    * Data Makes Language Models Better", §4.1), in its bounded-gram form:
+    * find, per document, the merged character spans covered by length-`L`
+    * character grams that ALSO occur in another document, exempting each
+    * gram's first holder (minimum doc id) so at least one copy of every
+    * repeated substring survives — keep-first applied in span space. This
+    * catches the case line dedup provably misses: a copied PARAGRAPH
+    * embedded mid-line with different surrounding text, where no two
+    * docs share an identical whole line.
+    *
+    * The full suffix-array construction of the paper is replaced by the
+    * L-gram cover: a maximal repeated substring of length m ≥ L is
+    * covered by exactly its m − L + 1 duplicated grams, which merge back
+    * into one [start, start+m) span in the island pass; substrings
+    * shorter than L are below the removal threshold by definition. That
+    * trade makes the operator one corpus explode + two digest-keyed
+    * shuffles instead of a global suffix sort — and DuckDB-replayable.
+    *
+    * Scale shape: O(total chars) gram rows out of ONE corpus scan (same
+    * per-position family as winnowing/CDC); gram stats are a groupBy on
+    * the md5 digest (well-distributed key); the join back is 1:1 per
+    * occurrence (no pair fan-out — unlike pair mining, a gram in d docs
+    * contributes d rows, not d²); interval merging is a per-doc window.
+    * Hash: md5 for cross-engine grading, same contract as [[cdcChunks]].
+    *
+    * @param L minimum span length in characters (the dedup threshold —
+    *          Lee et al. use 50 BPE tokens; L counts chars here)
+    * @return (id, span_start, span_len, n_grams) — 1-based char offsets,
+    *         one row per maximal removed span, only for NON-first docs
+    */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      L: Int = 32): DataFrame = {
+    require(L >= 2, "L must be >= 2")
+    val base = df.select(col(idCol).as("id"), col(textCol).as("t"),
+      length(col(textCol)).cast("long").as("len"))
+      .filter(col("t").isNotNull && length(col("t")) >= L)
+    val grams = base
+      .select(col("id"),
+        explode(sequence(lit(1L), col("len") - (L - 1))).as("s"),
+        col("t"))
+      .select(col("id"), col("s"),
+        md5(col("t").substr(col("s").cast("int"), lit(L)).cast("binary"))
+          .as("gm"))
+    val stats = grams.groupBy(col("gm"))
+      .agg(min(col("id")).as("first_id"),
+        countDistinct(col("id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+    val covered = grams.join(stats, Seq("gm"))
+      .filter(col("id") =!= col("first_id"))
+      .select(col("id"), col("s"))
+    // island merge: a covered start opens a new span iff it begins past
+    // every previous interval's end (adjacent intervals merge too)
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("s"))
+    covered
+      .withColumn("pm", max(col("s") + L).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("island", sum(
+        when(col("pm").isNull || col("s") > col("pm"), 1L).otherwise(0L))
+        .over(byDoc))
+      .groupBy(col("id"), col("island"))
+      .agg(min(col("s")).as("span_start"),
+        (max(col("s")) + L - min(col("s"))).as("span_len"),
+        count(lit(1)).as("n_grams"))
+      .select(col("id"), col("span_start"), col("span_len"), col("n_grams"))
   }
 
   /** Which copy to KEEP per near-dup group — the step after

@@ -139,13 +139,18 @@ object Sampling {
     * identical double and the identical top-k. Plan: narrow map + top-k
     * (TakeOrderedAndProject) — no shuffle of the data, O(k) result.
     *
-    * @param weight positive integral weight column (e.g. token count)
+    * @param weight positive integral weight column (e.g. token count);
+    *               rows with weight ≤ 0 or null are DROPPED before the
+    *               priority is computed — a zero weight would otherwise
+    *               yield +Infinity (silently never sampled) and a negative
+    *               one a negative priority (silently sampled FIRST)
     * @param tie    unique tiebreak for fully deterministic selection
     */
   def weightedPrioritySample(df: DataFrame, key: Column, weight: Column,
       k: Int, tie: Column): DataFrame = {
     require(k > 0, "k must be positive")
-    df.withColumn("priority",
+    df.filter(weight.isNotNull && weight.cast("double") > 0d)
+      .withColumn("priority",
         md5Hash48(key).cast("double") / weight.cast("double"))
       .orderBy(col("priority"), tie)
       .limit(k)

@@ -216,8 +216,9 @@ object Similarity {
     * decimals before ANY comparison (argmax ordering and the τ test), so
     * assignment and verdicts are bit-identical across engines.
     */
-  def semDedup(corpus: DataFrame, tau: Double): DataFrame =
-    semDedupFromAssigned(assignToCentroids(corpus), tau)
+  def semDedup(corpus: DataFrame, tau: Double,
+      maxPerCluster: Long = Long.MaxValue): DataFrame =
+    semDedupFromAssigned(assignToCentroids(corpus), tau, maxPerCluster)
 
   /** SemDeDup stage 1: nearest-centroid assignment — `(vec_id, e, cluster)`
     * with `e` the float64 embedding carried forward for the pair pass.
@@ -276,11 +277,36 @@ object Similarity {
     * both consumers of iteration i (centroid build + reassign) read
     * materialized blocks, and plans don't stack across iterations.
     *
+    * `k` picks the centroid count: `k = 0` (default) seeds from the
+    * per-`label` centroids (k = |labels|, the deterministic oracle path);
+    * `k > 0` seeds from the k corpus vectors with the smallest
+    * md5(vec_id) (hash-ordered — a reproducible pseudo-random draw, no
+    * RNG), which is how the SemDeDup Σ|cluster|² contract is actually
+    * realized at corpus scale: k ≈ √N lists keep expected cluster size
+    * ≈ √N, so the within-cluster pair pass stays bounded however large
+    * the corpus grows. Seed selection is a TakeOrdered of k rows — no
+    * global sort of the corpus.
+    *
     * @return (vec_id, cluster) — final assignment after `iters` rounds
     */
-  def lloydAssignments(corpus: DataFrame, iters: Int): DataFrame = {
+  def lloydAssignments(corpus: DataFrame, iters: Int, k: Int = 0): DataFrame = {
     require(iters >= 1 && iters <= 8, "iters must be in [1, 8]")
-    var assigned = assignToCentroids(corpus).localCheckpoint(true)
+    val first =
+      if (k == 0) assignToCentroids(corpus)
+      else {
+        val vecs = corpus.select(col("vec_id"),
+          asDouble(col("embedding")).as("e"))
+        val hashOrd = md5(col("vec_id").cast("string").cast("binary"))
+        // k rows total — the row_number window runs over the already-
+        // limited seed set, not the corpus
+        val seeds = vecs.orderBy(hashOrd, col("vec_id")).limit(k)
+          .withColumn("clab", row_number()
+            .over(Window.orderBy(hashOrd, col("vec_id"))).cast("long"))
+          .select(col("clab"),
+            transform(col("e"), x => round(x, 6)).as("centroid"))
+        assignTo(vecs, seeds)
+      }
+    var assigned = first.localCheckpoint(true)
     for (_ <- 2 to iters) {
       assigned = assignTo(assigned.select(col("vec_id"), col("e")),
         meanCentroids(assigned)).localCheckpoint(true)
@@ -289,10 +315,35 @@ object Similarity {
   }
 
   /** SemDeDup stage 2: within-cluster keep-first prune over an
-    * [[assignToCentroids]] result. */
-  def semDedupFromAssigned(assigned: DataFrame, tau: Double): DataFrame = {
+    * [[assignToCentroids]] result.
+    *
+    * `maxPerCluster` is the hot-cluster guard (the same role
+    * `maxDocsPerBucket` plays in [[cosineNearDups]] and the hot-fp cap in
+    * winnowing): each vector is compared only against the `maxPerCluster`
+    * SMALLEST-id members of its cluster, so the pair join costs
+    * Σ|cluster|·cap instead of Σ|cluster|² — one degenerate hot cluster at
+    * corpus scale stays a linear scan instead of a quadratic shuffle with
+    * float64 vectors on both sides. Semantics: EXACT whenever every
+    * cluster fits the cap (the reference set is then the whole cluster);
+    * beyond the cap the verdict errs toward `is_dup = false` (a vector
+    * whose only τ-neighbors sit outside the id-prefix keeps its doc —
+    * safe for corpus assembly), and the all-identical degenerate cluster
+    * is still resolved exactly (every member sees the global min id in
+    * its reference set). The prefix is by vec_id, so the result is total,
+    * partitioning-free and oracle-reproducible. */
+  def semDedupFromAssigned(assigned: DataFrame, tau: Double,
+      maxPerCluster: Long = Long.MaxValue): DataFrame = {
+    val refs =
+      if (maxPerCluster == Long.MaxValue) assigned
+      else {
+        require(maxPerCluster >= 1, "maxPerCluster must be positive")
+        assigned.withColumn("__rr", row_number().over(
+            Window.partitionBy(col("cluster")).orderBy(col("vec_id"))))
+          .filter(col("__rr") <= maxPerCluster)
+          .drop("__rr")
+      }
     val dupIds = assigned.as("a")
-      .join(assigned.as("b"),
+      .join(refs.as("b"),
         col("a.cluster") === col("b.cluster") &&
           col("b.vec_id") < col("a.vec_id"))
       .filter(round(cosine(col("a.e"), col("b.e")), 6) >= tau)

@@ -104,6 +104,11 @@ object CleaningQueries {
       when(col("doc_id") % 3 === 0, lit("<a href=\"/relative/p\">r</a>"))
         .otherwise(lit("")),
       when(col("doc_id") % 5 === 0, lit("<a href=\"mailto:x@y.z\">m</a>"))
+        .otherwise(lit("")),
+      // uppercase tag + scheme: exercises the case-insensitive pattern
+      when(col("doc_id") % 4 === 0,
+        concat(lit("<A HREF=\"HTTPS://Caps.Example"),
+          (col("doc_id") % 11).cast("string"), lit(".NET/Q\">c</A>")))
         .otherwise(lit(""))).as("html"))
 
   private val linkHtmlFixtureSql =
@@ -118,7 +123,11 @@ object CleaningQueries {
       |  CASE WHEN doc_id % 3 = 0
       |    THEN '<a href="/relative/p">r</a>' ELSE '' END ||
       |  CASE WHEN doc_id % 5 = 0
-      |    THEN '<a href="mailto:x@y.z">m</a>' ELSE '' END AS html
+      |    THEN '<a href="mailto:x@y.z">m</a>' ELSE '' END ||
+      |  CASE WHEN doc_id % 4 = 0
+      |    THEN '<A HREF="HTTPS://Caps.Example' ||
+      |         (doc_id % 11)::VARCHAR || '.NET/Q">c</A>'
+      |    ELSE '' END AS html
       |FROM documents""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -176,7 +185,7 @@ object CleaningQueries {
       (s"""WITH fx AS ($linkHtmlFixtureSql),
         |raw AS (
         |  SELECT doc_id,
-        |    regexp_extract_all(html, '<a[^>]*href="([^"]*)"', 1) AS ls
+        |    regexp_extract_all(html, '(?i)<a[^>]*href="([^"]*)"', 1) AS ls
         |  FROM fx),
         |l AS (
         |  SELECT doc_id, i.i - 1 AS link_no, ls[i.i] AS url

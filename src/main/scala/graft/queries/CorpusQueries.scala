@@ -118,11 +118,14 @@ object CorpusQueries {
     // embedding space, where token-level MinHash/SimHash see nothing.
     // The assignment stage is persisted (it feeds both sides of the pair
     // self-join plus the output — one corpus pass instead of three).
+    // maxPerCluster = 32 BINDS at this SF (clusters are ~50 vectors), so
+    // the graded result exercises the hot-cluster guard — the oracle
+    // mirrors the same id-prefix reference-set rule.
     "q94_semdedup" -> ((s, dir) =>
       Similarity.semDedupFromAssigned(
         PipelineQueries.stage(s, dir, "semdedup_assign")(
           Similarity.assignToCentroids(t(s, dir, "embeddings"))),
-        tau = 0.3)
+        tau = 0.3, maxPerCluster = 32L)
         .orderBy(col("vec_id"))),
 
     // URL canonicalization ahead of URL-keyed dedup: scheme/host case,
@@ -275,6 +278,16 @@ object CorpusQueries {
       TextAnalysis.bpePairCounts(t(s, dir, "documents"), "text", topK = 30)
         .orderBy(col("cnt").desc, col("pair"))),
 
+    // BPE APPLY (the other half of q112): real tokenizer counts per doc
+    // under a fixed merge-rank table — what a pipeline actually meters
+    // token budgets with. The merge chain runs over the DISTINCT global
+    // vocabulary only; the corpus pays one explode + one word equi-join.
+    "q160_bpe_encode" -> ((s, dir) =>
+      TextAnalysis.bpeTokenCounts(t(s, dir, "documents"), "doc_id", "text",
+        bpeMerges)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))),
+
     // Content-defined chunking: rolling-hash boundaries (md5-60 of the
     // 8-gram ≡ 0 mod 64) so chunk-level dedup survives insertions —
     // fixed-size chunks would shift and nothing downstream would match.
@@ -303,7 +316,43 @@ object CorpusQueries {
           col("lang").asc_nulls_first, col("source").asc_nulls_first))
   )
 
+  /** q160 merge table: 8 English merges in rank order, chosen so chained
+    * merges are exercised (t+h feeds th+e; a+n feeds an+d) and later rules
+    * can be pre-empted by earlier ones (e+r never fires inside "the"). */
+  private val bpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
+    "an" -> "d", "e" -> "r", "o" -> "n", "r" -> "e")
+
+  /** q160 oracle: the identical replace-chain over the symbol-string state
+    * (double U+001F separators; see TextAnalysis.bpeSymbolCount) — literal
+    * `replace` is left-to-right non-overlapping in both engines, so every
+    * intermediate state matches bit for bit. */
+  private val bpeEncodeSql: String = {
+    val S = "\u001f"
+    val init = s"'$S$S' || regexp_replace(w, '(.)', '\\1$S$S', 'g')"
+    val chain = bpeMerges.foldLeft(init) { case (acc, (x, y)) =>
+      s"replace($acc,\n      '$S$x$S$S$y$S', '$S$x$y$S')"
+    }
+    s"""WITH words AS (
+      |  SELECT doc_id, w FROM (
+      |    SELECT doc_id,
+      |      unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+      |    FROM documents)
+      |  WHERE length(w) > 0),
+      |wc AS (SELECT doc_id, w, count(*) AS n_w FROM words GROUP BY doc_id, w),
+      |st AS (SELECT doc_id, n_w,
+      |    $chain AS s
+      |  FROM wc),
+      |enc AS (SELECT doc_id, n_w,
+      |    (length(s) - length(replace(s, '$S', ''))) / 2 - 1 AS n_sym
+      |  FROM st)
+      |SELECT doc_id, CAST(sum(n_w) AS BIGINT) AS n_words,
+      |       CAST(sum(n_w * n_sym) AS BIGINT) AS n_tokens
+      |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q160_bpe_encode" -> bpeEncodeSql,
     "q145_vocab_coverage" ->
       """WITH w AS (
         |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
@@ -396,9 +445,13 @@ object CorpusQueries {
         |           sqrt(list_dot_product(cent.c, cent.c))), 6) DESC,
         |        cent.clab) AS rnk
         |    FROM e CROSS JOIN cent) WHERE rnk = 1),
+        |refs AS (
+        |  SELECT vec_id, v, cluster,
+        |    row_number() OVER (PARTITION BY cluster ORDER BY vec_id) AS rr
+        |  FROM assign),
         |dups AS (
-        |  SELECT DISTINCT a.vec_id FROM assign a JOIN assign b
-        |    ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+        |  SELECT DISTINCT a.vec_id FROM assign a JOIN refs b
+        |    ON a.cluster = b.cluster AND b.vec_id < a.vec_id AND b.rr <= 32
         |  WHERE round(list_dot_product(a.v, b.v) /
         |          (sqrt(list_dot_product(a.v, a.v)) *
         |           sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3)

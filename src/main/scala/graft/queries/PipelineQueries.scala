@@ -166,6 +166,52 @@ object PipelineQueries {
        |WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.5
        |ORDER BY d1, d2""".stripMargin
 
+  /** q159 oracle: replays the md5-portable MinHash signature pipeline —
+    * the universal-hash coefficients become SQL literals (the q37
+    * hyperplane pattern) and the band/registry/keep-first logic mirrors
+    * [[NearDup.incrementalNearDups]] step for step. */
+  private val neardupRegistrySql: String = {
+    val P = 2147483647L
+    val mins = NearDup.hashCoefficients(42L, 16).zipWithIndex
+      .map { case ((a, b), i) => s"min((h * $a + $b) % $P) AS m_$i" }
+      .mkString(",\n      |    ")
+    val bandRows = (0 until 8).map { j =>
+      s"SELECT doc_id, $j AS band, m_${2 * j}::VARCHAR || ',' || " +
+        s"m_${2 * j + 1}::VARCHAR AS bucket FROM sig"
+    }.mkString("\n      |  UNION ALL ")
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+      |    THEN list_distinct(list_transform(range(len(w)-2),
+      |           i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))
+      |    ELSE [array_to_string(w, ' ')] END) AS g
+      |  FROM toks),
+      |hs AS (
+      |  SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT % $P AS h
+      |  FROM sh),
+      |sig AS (
+      |  SELECT doc_id, $mins
+      |  FROM hs GROUP BY doc_id),
+      |lsh AS (
+      |  $bandRows),
+      |reg AS (SELECT DISTINCT band, bucket FROM lsh WHERE doc_id < 250),
+      |batch AS (SELECT * FROM lsh WHERE doc_id >= 250),
+      |hist AS (
+      |  SELECT DISTINCT doc_id FROM batch JOIN reg USING (band, bucket)),
+      |fresh AS (
+      |  SELECT * FROM batch
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM hist)),
+      |dups AS (
+      |  SELECT DISTINCT b.doc_id FROM fresh a JOIN fresh b
+      |    ON a.band = b.band AND a.bucket = b.bucket
+      |   AND a.doc_id < b.doc_id)
+      |SELECT DISTINCT doc_id FROM fresh
+      |WHERE doc_id NOT IN (SELECT doc_id FROM dups)
+      |ORDER BY doc_id""".stripMargin
+  }
+
   /** q40 oracle: transitive closure of the near-dup pairs by recursive CTE,
     * then min reachable id per member — the canonical-survivor mapping. */
   private val neardupGroupsSql =
@@ -450,6 +496,34 @@ object PipelineQueries {
         maxDocsPerFp = 50L)
         .orderBy(col("d1"), col("d2"))),
 
+    // LLM dedup 8 (exact-substring, Lee et al. ExactSubstr in bounded-gram
+    // form): maximal character spans covered by cross-doc duplicated
+    // 32-char grams, exempting each gram's first (min-id) holder so one
+    // copy of every repeated substring survives. The companion q88's
+    // line dedup can't be: a copied paragraph embedded mid-line with
+    // different neighbours shares no whole line, but its grams repeat.
+    "q158_exact_substring" -> ((s, dir) =>
+      NearDup.repeatedSpans(t(s, dir, "documents"), "doc_id", "text", L = 32)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("span_start"))),
+
+    // LLM dedup 9 (cross-batch registry): the nightly-append near-dup
+    // story — docs ≥ 250 arrive as the new batch, the persisted LSH
+    // fingerprints of docs < 250 are the registry; survivors share no
+    // bucket with history and have no lower-id batch bucket-mate.
+    // md5-portable base hash so the oracle replays every signature bit.
+    "q159_neardup_registry" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def lshOf(d: DataFrame) = NearDup.minHashLsh(d, "doc_id", "text",
+        k = 3, bands = 8, rowsPerBand = 2, seed = 42L,
+        baseHash = NearDup.md5Hash60)
+      val registry = lshOf(docs.filter(col("doc_id") < 250))
+      NearDup.incrementalNearDups(lshOf(docs.filter(col("doc_id") >= 250)),
+          registry)
+        .select(col("id").as("doc_id")).distinct()
+        .orderBy(col("doc_id"))
+    }),
+
     // LLM dedup 4: SimHash fingerprints, cross-engine — 60 bits of the
     // md5-portable token hash so the oracle reproduces every bit.
     "q38_simhash" -> ((s, dir) =>
@@ -725,6 +799,34 @@ object PipelineQueries {
         |FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 5
         |ORDER BY d1, d2""".stripMargin,
+
+    "q158_exact_substring" ->
+      """WITH g AS (
+        |  SELECT doc_id, r.i AS s, md5(substr(text, r.i::INTEGER, 32)) AS gm
+        |  FROM documents, range(1, 100000) AS r(i)
+        |  WHERE length(text) >= 32 AND r.i <= length(text) - 31),
+        |st AS (
+        |  SELECT gm, min(doc_id) AS first_id, count(DISTINCT doc_id) AS n_docs
+        |  FROM g GROUP BY gm),
+        |cov AS (
+        |  SELECT g.doc_id, g.s FROM g JOIN st USING (gm)
+        |  WHERE st.n_docs >= 2 AND g.doc_id <> st.first_id),
+        |m AS (
+        |  SELECT doc_id, s, max(s + 32) OVER (PARTITION BY doc_id ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM cov),
+        |i AS (
+        |  SELECT doc_id, s,
+        |    sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY s) AS island
+        |  FROM m)
+        |SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+        |       CAST(max(s) + 32 - min(s) AS BIGINT) AS span_len,
+        |       CAST(count(*) AS BIGINT) AS n_grams
+        |FROM i GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
+
+    "q159_neardup_registry" -> neardupRegistrySql,
 
     "q59_containment" ->
       s"""WITH $jaccardPairsCtes

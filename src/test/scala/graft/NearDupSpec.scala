@@ -251,4 +251,72 @@ class NearDupSpec extends SparkSpec {
       got(3L) == ((2L, false)))
     assert(got(7L) == ((7L, true)) && got(9L) == ((7L, false)))
   }
+
+  test("incrementalNearDups: history collisions and lower-id batch mates " +
+      "drop; fresh docs survive; appending survivors converges") {
+    def lsh(d: org.apache.spark.sql.DataFrame) =
+      NearDup.minHashLsh(d, "doc_id", "text", k = 3, bands = 16,
+        rowsPerBand = 4, seed = 42L)
+    val freshText = (0 until 60).map(i => s"f$i").mkString(" ")
+    // batch: the corpus' near/exact dups of the base docs (ids >= 40) plus
+    // two IDENTICAL genuinely-new docs (100, 101)
+    val batch = corpus.filter(col("doc_id") >= 40).unionByName(
+      Seq((100L, freshText), (101L, freshText)).toDF("doc_id", "text"))
+    val registry = lsh(corpus.filter(col("doc_id") < 40))
+    val out = NearDup.incrementalNearDups(lsh(batch), registry)
+    val survivors = out.select("id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    // exact dups of base docs MUST collide with the registry
+    assert(!survivors.contains(50L) && !survivors.contains(51L))
+    // the new content survives once: 100 kept, its in-batch twin dropped
+    assert(survivors.contains(100L), s"fresh doc dropped: $survivors")
+    assert(!survivors.contains(101L), "keep-first must drop the twin")
+    // convergence: append the survivors' fingerprints, re-run the same
+    // batch — everything now collides with history, nothing survives
+    val reg2 = registry.select("band", "bucket")
+      .unionByName(out.select("band", "bucket"))
+    assert(NearDup.incrementalNearDups(lsh(batch), reg2).isEmpty)
+  }
+
+  test("repeatedSpans finds a copied mid-line paragraph where line dedup " +
+      "sees nothing, exempting the first holder") {
+    // 60-char paragraph embedded mid-line in both docs; every character
+    // adjacent to the paragraph differs between the docs, so the maximal
+    // common substring is EXACTLY the paragraph — and since neither doc
+    // contains a full line equal to one of the other's, C4-style line
+    // dedup (q88) can remove nothing here.
+    val para = "the quick brown fox jumps over the lazy dog once more tonight"
+    assert(para.length === 61)
+    val a = (1L, "X" * 40 + para + "Y" * 40)
+    val b = (2L, "B" + "Z" * 39 + para + "W" * 40)
+    val df = Seq(a, b).toDF("doc_id", "text")
+    val spans = NearDup.repeatedSpans(df, "doc_id", "text", L = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1 is the min-id holder of every shared gram — exempt
+    assert(spans.forall(_._1 == 2L), s"first holder must keep its copy: ${spans.toSeq}")
+    // doc 2: ONE merged span, exactly the paragraph (1-based start = 41)
+    assert(spans.toSeq === Seq((2L, 41L, 61L, 61L - 32L + 1L)))
+  }
+
+  test("repeatedSpans: three holders — all but the min-id doc get the span; " +
+      "disjoint repeats stay separate islands") {
+    val p1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa ll"
+    val p2 = "one two three four five six seven eight nine ten eleven tw"
+    assert(p1.length >= 32 && p2.length >= 32)
+    // doc 1 holds both paragraphs first; docs 2 and 3 copy them with a
+    // distinct separator wider than L so the two spans cannot merge
+    val df = Seq(
+      (1L, p1 + " @@1@@ " + p2),
+      (2L, "U" * 50 + p1 + "V" * 50 + p2 + "T" * 10),
+      (3L, p2 + "#" * 50 + p1)).toDF("doc_id", "text")
+    val got = NearDup.repeatedSpans(df, "doc_id", "text", L = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(!got.contains(1L), "min-id holder is exempt")
+    assert(got(2L).length === 2, s"doc 2 spans: ${got(2L).toSeq}")
+    assert(got(3L).length === 2, s"doc 3 spans: ${got(3L).toSeq}")
+    // doc 2's spans are exactly the two planted paragraphs
+    assert(got(2L).map(s => (s._2, s._3)).sortBy(_._1).toSeq ===
+      Seq((51L, p1.length.toLong), (51L + p1.length + 50L, p2.length.toLong)))
+  }
 }

@@ -262,6 +262,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Union"), p)
   }
 
+  test("q94: capped SemDeDup pair pass is an equi-join on the cluster key " +
+    "with a rank-capped reference side — never a cartesian") {
+    val p = plan("q94_semdedup")
+    assert(!p.contains("CartesianProduct"), p)
+    // the maxPerCluster guard materializes as a row_number window over the
+    // cluster key feeding the reference (build) side of the pair join
+    assert(p.contains("row_number()"), p)
+    assert(p.contains("hashpartitioning(cluster"), p)
+  }
+
   test("q122: basket pairs equi-join on the basket key; frequency and " +
     "total joins broadcast") {
     val p = plan("q122_basket_pairs")

@@ -130,6 +130,50 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semDedup maxPerCluster: degenerate all-one-cluster corpus is still " +
+      "resolved exactly with a tiny reference cap") {
+    // 200 identical vectors in ONE cluster — the hot-cluster worst case the
+    // cap exists for. With cap = 8 each vector compares against at most 8
+    // reference rows (bounded candidates), and because the global min id is
+    // in every reference prefix, the verdicts are still EXACT: everyone but
+    // vector 0 is a dup.
+    val e = Seq.fill(dim)(1.0)
+    val assigned = (0 until 200).map(i => (i.toLong, e, 1L))
+      .toDF("vec_id", "e", "cluster")
+    val got = Similarity.semDedupFromAssigned(assigned, tau = 0.9,
+        maxPerCluster = 8L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got.size === 200)
+    assert(!got(0L), "min-id representative must survive")
+    assert((1 until 200).forall(i => got(i.toLong)),
+      "every identical copy must be marked dup despite the cap")
+  }
+
+  test("semDedup: a cap at least as large as every cluster is exact") {
+    def verdicts(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val uncapped = verdicts(Similarity.semDedup(corpus, tau = 0.999))
+    val capped = verdicts(
+      Similarity.semDedup(corpus, tau = 0.999, maxPerCluster = 100L))
+    assert(capped === uncapped)
+  }
+
+  test("lloydAssignments with explicit k > |labels|: hash-seeded clusters " +
+      "stay within k and never mix the separated blobs") {
+    val a = Similarity.lloydAssignments(corpus, iters = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.length === 100, "every vector assigned exactly once")
+    val clusters = a.map(_._2).distinct
+    assert(clusters.length >= 4 && clusters.length <= 10,
+      s"got ${clusters.length} clusters from k = 10 seeds")
+    // seeds are real vectors, blobs are well separated — no cluster may
+    // contain members of two different blobs
+    a.groupBy(_._2).foreach { case (c, members) =>
+      val blobs = members.map(_._1 % 4).distinct
+      assert(blobs.size === 1, s"cluster $c mixes blobs $blobs")
+    }
+  }
+
   test("quantStats max_err is bounded by one quantization step corpus-wide") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     // scale and max_err are reported rounded to 6 decimals, so the bound

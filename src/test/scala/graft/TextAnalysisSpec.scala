@@ -228,4 +228,32 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got == Seq(("aa", 3L), ("bb", 2L)))
   }
+
+  private val bpeMerges = Seq("t" -> "h", "th" -> "e", "i" -> "n",
+    "a" -> "n", "an" -> "d", "e" -> "r", "o" -> "n", "r" -> "e")
+
+  test("bpeSymbolCount applies merges in rank order, left-to-right " +
+      "non-overlapping, chained merges included") {
+    val df = Seq("and", "another", "thethe", "x", "thinking", "cat")
+      .toDF("w")
+    val got = df.select(col("w"),
+        TextAnalysis.bpeSymbolCount(col("w"), bpeMerges).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("and") === 1L)      // a+n -> an, then an+d -> and
+    assert(got("another") === 4L)  // an|o|the|r (e already inside "the")
+    assert(got("thethe") === 2L)   // adjacent repeats both merge in one pass
+    assert(got("x") === 1L)
+    assert(got("thinking") === 5L) // th|in|k|in|g
+    assert(got("cat") === 3L)      // no rule applies
+  }
+
+  test("bpeTokenCounts: per-doc totals are occurrence-weighted vocab sums") {
+    val docs = Seq((1L, "the thin cat and another cat"),
+      (2L, "and and and")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTokenCounts(docs, "doc_id", "text", bpeMerges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // the=1, thin=2, cat=3, and=1, another=4 → 1+2+3+1+4+3 = 14 over 6 words
+    assert(got(1L) === ((6L, 14L)))
+    assert(got(2L) === ((3L, 3L)))
+  }
 }
