@@ -32,12 +32,44 @@ object Layout {
     * ≤ 31 so the result fits a long with room. */
   def zValue(a: Column, b: Column, bits: Int): Column = {
     require(bits > 0 && bits <= 31, "need 0 < bits <= 31")
-    val terms = (0 until bits).flatMap { i =>
-      Seq(
-        shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i),
-        shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }
+    zValueN(Seq(a, b), bits)
+  }
+
+  /** N-dimensional Morton/Z-value: bit `i` of dimension `j` lands at
+    * output position `i·N + j` (round-robin interleave — the 2-D case is
+    * exactly [[zValue]]'s layout). The common 3+-column ask is a
+    * (source, lang, date) layout where queries filter any subset of the
+    * dimensions. Same contract as [[zValue]]: inputs are non-negative
+    * grid ordinals below 2^bits, output is a pure codegen'd projection,
+    * and `bits · N ≤ 62` keeps the value in a long. More dimensions split
+    * the fixed bit budget, so per-dimension pruning resolution drops —
+    * the standard Z-order trade (beyond ~4 dims prefer partitioning on
+    * the extra columns). */
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.length
+    require(n >= 2, "need at least 2 dimensions")
+    require(bits > 0 && bits * n <= 62, s"bit budget: bits * $n must be <= 62")
+    val terms = for {
+      i <- 0 until bits
+      (c, j) <- cols.zipWithIndex
+    } yield shiftleft(shiftright(c.cast("long"), i).bitwiseAND(lit(1L)),
+      i * n + j)
     terms.reduce(_ bitwiseOR _).cast("long")
+  }
+
+  /** d-dimensional Hilbert-curve cluster value — the locality-preserving
+    * option next to [[zValueN]] for 3+-column layouts: consecutive Hilbert
+    * indices are always grid neighbors (no power-of-two diagonal jumps),
+    * so range-partitioned files cover tighter per-dimension min/max boxes
+    * and prune better on single-dimension predicates. Same input contract
+    * as [[zValueN]] (non-negative grid ordinals < 2^bits, bits·d ≤ 62);
+    * backed by the native codegen'd [[graft.expressions.HilbertIndex]]
+    * (Skilling's transform — a composed-Column spelling would blow up
+    * exponentially, see the expression doc). */
+  def hilbertValue(cols: Seq[Column], bits: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.toColumn(graft.expressions.HilbertIndex(
+      cols.map(c => ColumnBridge.toExpression(c.cast("long"))), bits))
   }
 
   /** Write `df` clustered by `clusterExpr` (typically a [[zValue]]):

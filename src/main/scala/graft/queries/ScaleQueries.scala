@@ -128,6 +128,33 @@ object ScaleQueries {
             pmod(col("o_orderkey"), lit(256L)), bits = 8).as("z"))
         .orderBy(col("o_orderkey"))),
 
+    // 3-dimensional Morton value — the (source, lang, date)-style layout
+    // key: round-robin bit interleave of three grid ordinals, so a filter
+    // on ANY of the three dimensions prunes files. Pure projection.
+    "q161_zorder3" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          Layout.zValueN(Seq(pmod(col("o_custkey"), lit(256L)),
+            pmod(col("o_orderkey"), lit(256L)),
+            dayofmonth(col("o_orderdate")).cast("long")), bits = 8)
+            .as("z3"))
+        .orderBy(col("o_orderkey"))),
+
+    // 3-dimensional HILBERT value (native codegen'd Skilling transform):
+    // the locality-preserving alternative to q161's Morton interleave —
+    // consecutive indices are always grid neighbors, so clustered files
+    // hold tighter per-dimension min/max boxes. The oracle replays the
+    // transform as layered CTEs (one per invert/exchange step — lateral
+    // alias substitution would blow up exponentially).
+    "q162_hilbert3" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          Layout.hilbertValue(Seq(pmod(col("o_custkey"), lit(16L)),
+            pmod(col("o_orderkey"), lit(16L)),
+            pmod(dayofmonth(col("o_orderdate")).cast("long"), lit(16L))),
+            bits = 4).as("h3"))
+        .orderBy(col("o_orderkey"))),
+
     // Domain-mixture resampling: downsample per language to a 40/20/20/20
     // en/es/fr/de mixture (zh has no target → dropped; the binding
     // category keeps 100%). Membership is the md5 bucket — row-level
@@ -284,6 +311,80 @@ object ScaleQueries {
        |  AS BIGINT) AS z FROM orders ORDER BY o_orderkey""".stripMargin
   }
 
+  /** q161 oracle: the same round-robin interleave — bit i of dim j lands
+    * at position 3i + j. */
+  private val zorder3Sql: String = {
+    val dims = Seq("(o_custkey % 256)", "(o_orderkey % 256)",
+      "day(o_orderdate)")
+    val terms = for { i <- 0 until 8; (d, j) <- dims.zipWithIndex }
+      yield s"((($d >> $i) & 1) << ${3 * i + j})"
+    s"""SELECT o_orderkey, CAST(${terms.mkString("\n  + ")}
+       |  AS BIGINT) AS z3 FROM orders ORDER BY o_orderkey""".stripMargin
+  }
+
+  /** q162 oracle: Skilling's coords→Hilbert transform replayed as layered
+    * CTEs — one CTE per invert/exchange step so every intermediate column
+    * is computed exactly once (inlining the chain as nested expressions
+    * multiplies the x0 subtree per reference and never finishes planning).
+    * Bit-for-bit the loop in graft.expressions.HilbertIndex. */
+  private val hilbert3Sql: String = {
+    val bits = 4
+    val dims = 3
+    val ctes = scala.collection.mutable.ArrayBuffer.empty[String]
+    var prev = "pts"
+    var step = 0
+    var q = 1L << (bits - 1)
+    while (q > 1) {
+      val p = q - 1
+      for (i <- 0 until dims) {
+        val name = s"s$step"
+        if (i == 0) {
+          val others = (1 until dims).map(j => s"x$j").mkString(", ")
+          ctes += s"$name AS (SELECT key, CASE WHEN (x0 & $q) <> 0 " +
+            s"THEN xor(x0, $p) ELSE x0 END AS x0, $others FROM $prev)"
+        } else {
+          val keep = (0 until dims).filter(j => j != 0 && j != i)
+            .map(j => s"x$j")
+          val keepSql = if (keep.isEmpty) "" else keep.mkString(", ", ", ", "")
+          ctes += s"${name}a AS (SELECT key, CASE WHEN (x$i & $q) <> 0 " +
+            s"THEN 0 ELSE xor(x0, x$i) & $p END AS t$keepSql, x0, x$i " +
+            s"FROM $prev)"
+          ctes += s"$name AS (SELECT key, CASE WHEN (x$i & $q) <> 0 " +
+            s"THEN xor(x0, $p) ELSE xor(x0, t) END AS x0, " +
+            s"xor(x$i, t) AS x$i$keepSql FROM ${name}a)"
+        }
+        prev = name
+        step += 1
+      }
+      q >>= 1
+    }
+    for (i <- 1 until dims) {
+      val others = (0 until dims).filter(_ != i).map(j => s"x$j")
+        .mkString(", ")
+      ctes += s"gr$i AS (SELECT key, $others, xor(x$i, x${i - 1}) AS x$i " +
+        s"FROM $prev)"
+      prev = s"gr$i"
+    }
+    val allx = (0 until dims).map(j => s"x$j").mkString(", ")
+    val tfold = (bits - 1 to 1 by -1).map(k =>
+        s"CASE WHEN (x${dims - 1} & ${1L << k}) <> 0 " +
+          s"THEN ${(1L << k) - 1} ELSE 0 END")
+      .reduce((a, b) => s"xor($a, $b)")
+    ctes += s"tf AS (SELECT key, $allx, $tfold AS t FROM $prev)"
+    val fin = (0 until dims).map(j => s"xor(x$j, t) AS x$j").mkString(", ")
+    ctes += s"fin AS (SELECT key, $fin FROM tf)"
+    val parts = for { bi <- 0 until bits; j <- 0 until dims }
+      yield s"(((x$j >> $bi) & 1) << ${bi * dims + (dims - 1 - j)})"
+    ctes += s"hh AS (SELECT key, ${parts.mkString(" + ")} AS h FROM fin)"
+    s"""WITH pts AS (
+       |  SELECT o_orderkey AS key, (o_custkey % 16) AS x0,
+       |    (o_orderkey % 16) AS x1, (day(o_orderdate) % 16) AS x2
+       |  FROM orders),
+       |${ctes.mkString(",\n")}
+       |SELECT key AS o_orderkey, CAST(h AS BIGINT) AS h3
+       |FROM hh ORDER BY o_orderkey""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q73_incremental_dedup" ->
       """WITH seen AS (
@@ -359,6 +460,8 @@ object ScaleQueries {
         |ORDER BY o_orderkey""".stripMargin,
 
     "q79_zorder_value" -> zorderSql,
+    "q161_zorder3" -> zorder3Sql,
+    "q162_hilbert3" -> hilbert3Sql,
 
     // Association mirrors Mixture exactly: ratio = n::DOUBLE / t,
     // m = min(ratio), p = (t * m) / n::DOUBLE, keep when

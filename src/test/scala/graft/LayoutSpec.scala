@@ -77,4 +77,92 @@ class LayoutSpec extends SparkSpec {
       Layout.zValue(lit(1L), lit(1L), bits = 32)
     }
   }
+
+  /** Reference 3-D interleave: bit i of dim j at position 3i + j. */
+  private def z3Ref(a: Long, b: Long, c: Long, bits: Int): Long =
+    (0 until bits).foldLeft(0L) { (acc, i) =>
+      acc | (((a >> i) & 1L) << (3 * i)) |
+        (((b >> i) & 1L) << (3 * i + 1)) |
+        (((c >> i) & 1L) << (3 * i + 2))
+    }
+
+  test("zValueN: 3-D interleave matches the reference; 2-D case equals zValue") {
+    import sqlImplicits._
+    val grid = for { a <- 0L until 8L; b <- 0L until 8L; c <- 0L until 8L }
+      yield (a, b, c)
+    val got = grid.toDF("a", "b", "c")
+      .select(col("a"), col("b"), col("c"),
+        Layout.zValueN(Seq(col("a"), col("b"), col("c")), bits = 3).as("z"),
+        Layout.zValueN(Seq(col("a"), col("b")), bits = 3).as("z2n"),
+        Layout.zValue(col("a"), col("b"), bits = 3).as("z2"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(3) === z3Ref(r.getLong(0), r.getLong(1), r.getLong(2), 3))
+      assert(r.getLong(4) === r.getLong(5), "zValueN(2 dims) must equal zValue")
+    }
+    assert(got.map(_.getLong(3)).distinct.length === 512, "bijection on the grid")
+  }
+
+  test("hilbertValue: bijection over the grid, consecutive indices are grid " +
+      "neighbors (the locality property the z-curve lacks), codegen equals " +
+      "the interpreted reference") {
+    import sqlImplicits._
+    val bits = 2
+    val grid = for { a <- 0L until 4L; b <- 0L until 4L; c <- 0L until 4L }
+      yield (a, b, c)
+    val got = grid.toDF("a", "b", "c")
+      .select(col("a"), col("b"), col("c"),
+        Layout.hilbertValue(Seq(col("a"), col("b"), col("c")), bits).as("h"))
+      .collect().map(r => (r.getLong(3), (r.getLong(0), r.getLong(1), r.getLong(2))))
+    // codegen'd expression == interpreted Scala loop
+    got.foreach { case (h, (a, b, c)) =>
+      assert(h === graft.expressions.HilbertIndex.compute(Array(a, b, c), bits))
+    }
+    // bijection onto [0, 64)
+    val byH = got.toMap
+    assert(byH.size === 64 && byH.keys.min === 0L && byH.keys.max === 63L)
+    // THE Hilbert property: h and h+1 are Manhattan-distance-1 neighbors.
+    // The z-curve fails this at every power-of-two boundary.
+    (0L until 63L).foreach { h =>
+      val (a1, b1, c1) = byH(h)
+      val (a2, b2, c2) = byH(h + 1)
+      val d = math.abs(a1 - a2) + math.abs(b1 - b2) + math.abs(c1 - c2)
+      assert(d === 1L, s"h=$h: ${byH(h)} -> ${byH(h + 1)} jumps distance $d")
+    }
+  }
+
+  test("clusteredWrite on a 3-D hilbert key yields disjoint per-file ranges") {
+    val dir = Files.createTempDirectory("graft_hilbert").toString + "/orders_h"
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    Layout.clusteredWrite(orders,
+      Layout.hilbertValue(Seq(pmod(col("o_custkey"), lit(16L)),
+        pmod(col("o_orderkey"), lit(16L)),
+        pmod(dayofmonth(col("o_orderdate")).cast("long"), lit(16L))),
+        bits = 4),
+      zorderCol = "h", path = dir, numFiles = 8)
+    val ranges = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length > 1, "expected multiple files")
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"overlapping file ranges: $hi1 > $lo2")
+      case _ =>
+    }
+  }
+
+  test("hilbertValue null coordinate yields null; bit budget is enforced") {
+    import sqlImplicits._
+    val df = Seq((1L, Option.empty[Long]), (2L, Some(3L))).toDF("a", "b")
+    val got = df.select(Layout.hilbertValue(Seq(col("a"), col("b")), 4).as("h"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(got.count(_.isEmpty) === 1 && got.count(_.isDefined) === 1)
+    assertThrows[IllegalArgumentException] {
+      graft.expressions.HilbertIndex(Seq.empty, 4)
+    }
+    assertThrows[IllegalArgumentException] {
+      Layout.hilbertValue(Seq(col("a"), col("b")), bits = 32)
+    }
+  }
 }
