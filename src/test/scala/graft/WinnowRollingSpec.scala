@@ -119,4 +119,61 @@ class WinnowRollingSpec extends SparkSpec {
     val maxWindows = (50 + 90) - 16 + 1 - (8 - 1)
     assert(md5Count <= maxWindows && rollCount <= maxWindows)
   }
+
+  test("cdcChunksRolling on multi-byte text: byte-consistent offsets tile " +
+    "the UTF-8 length exactly, no negative or empty chunks") {
+    // é (2 bytes), ñ (2 bytes), 日 (3 bytes) — char length << byte length,
+    // the case that used to misalign when RollingHash's byte boundaries
+    // were sliced with character offsets
+    val t1 = "café señor " * 30 + "日本語テキスト " * 10
+    val t2 = "naïve résumé " * 25
+    val docs = Seq((1L, t1), (2L, t2)).toDF("doc_id", "text")
+    val got = NearDup.cdcChunksRolling(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byteLen = Map(1L -> t1.getBytes("UTF-8").length.toLong,
+      2L -> t2.getBytes("UTF-8").length.toLong)
+    got.groupBy(_._1).foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.head._3 == 1L, "first chunk starts at byte 1")
+      assert(sorted.forall(_._4 > 0L), s"doc $id has a non-positive chunk")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + a._4 == b._3, "chunks must tile")
+        case _ =>
+      }
+      assert(sorted.map(_._4).sum == byteLen(id),
+        s"doc $id chunks cover ${sorted.map(_._4).sum} of ${byteLen(id)} bytes")
+    }
+  }
+
+  test("TIMING GATE: the rolling-hash winnow path beats the md5 oracle " +
+    "path by at least 2x on a same-JVM median-of-3") {
+    // Relative same-session measurement (absolute timings swing 10x on a
+    // shared machine; the RATIO between two plans over the identical
+    // cached input in one JVM is stable). VERDICT r6 measured 3.2x, so a
+    // 2x gate has real margin while still failing if the native
+    // expression ever silently falls out of the fast path. sf0.1 slice:
+    // at sf0.01 the fixed per-job overhead (~0.2s of scheduling/shuffle
+    // setup) compresses the observable ratio below the gate.
+    val docs = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+      .filter(col("doc_id") < 2000)
+      .select(col("doc_id"), col("text")).persist()
+    docs.count() // materialize once; both paths read the same blocks
+    def median3(f: => Unit): Double = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      ts.sorted.apply(1)
+    }
+    // warm both plans (codegen compile, shuffle setup) before timing
+    NearDup.winnowedFingerprints(docs, "doc_id", "text").count()
+    NearDup.winnowedFingerprintsRolling(docs, "doc_id", "text").count()
+    val md5Sec = median3(
+      NearDup.winnowedFingerprints(docs, "doc_id", "text").count())
+    val rollSec = median3(
+      NearDup.winnowedFingerprintsRolling(docs, "doc_id", "text").count())
+    docs.unpersist()
+    assert(rollSec * 2 <= md5Sec,
+      f"rolling $rollSec%.2fs vs md5 $md5Sec%.2fs — production path " +
+        "lost its codegen advantage")
+  }
 }
