@@ -168,11 +168,34 @@ object GraftFunctions {
       SortedArrayContains(children(0), children(1))
     })
 
+  /** graft_hilbert(x0, x1, …, bits): d-dimensional Hilbert-curve index of
+    * integral grid ordinals (auto-cast to bigint); `bits` must be an
+    * integer literal — it shapes the generated loop, like
+    * graft_rolling_hash's window. */
+  val hilbert: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_hilbert"),
+    new ExpressionInfo(classOf[HilbertIndex].getName, "graft_hilbert"),
+    (children: Seq[Expression]) => {
+      require(children.size >= 3,
+        s"graft_hilbert requires >= 2 coordinates plus bits, got ${children.size}")
+      val bits = children.last match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(i: Int, _) => i
+        case other => throw new IllegalArgumentException(
+          s"graft_hilbert bits must be an integer literal, got $other")
+      }
+      import org.apache.spark.sql.catalyst.expressions.Cast
+      import org.apache.spark.sql.types.LongType
+      HilbertIndex(children.init.map(c =>
+        if (c.dataType == LongType) c else Cast(c, LongType)), bits)
+    })
+
   def install(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(dotProduct)
     ext.injectFunction(CosineSimFunction.entry)
     ext.injectFunction(rollingHash)
     ext.injectFunction(sortedContains)
+    ext.injectFunction(hilbert)
     liftedFunctions.foreach(ext.injectFunction)
   }
 }

@@ -808,18 +808,36 @@ object NearDup {
     *         one row per maximal removed span, only for NON-first docs
     */
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
-      L: Int = 32): DataFrame = {
+      L: Int = 32): DataFrame =
+    repeatedSpansFromGrams(repeatedSpanGrams(df, idCol, textCol, L), L)
+
+  /** Stage 1 of [[repeatedSpans]]: the per-position L-gram digest table
+    * `(id, s, gm)` — one row per character position. The downstream pass
+    * reads this TWICE (gram-stats aggregate + the cover join), and Spark
+    * re-evaluates an unpersisted subplan per reference, which doubles the
+    * dominant md5-per-position cost — callers should persist it (the
+    * postings-stage pattern; q158 rides the pipeline stage cache). */
+  def repeatedSpanGrams(df: DataFrame, idCol: String, textCol: String,
+      L: Int): DataFrame = {
     require(L >= 2, "L must be >= 2")
-    val base = df.select(col(idCol).as("id"), col(textCol).as("t"),
-      length(col(textCol)).cast("long").as("len"))
+    df.select(col(idCol).as("id"), col(textCol).as("t"),
+        length(col(textCol)).cast("long").as("len"))
       .filter(col("t").isNotNull && length(col("t")) >= L)
-    val grams = base
       .select(col("id"),
         explode(sequence(lit(1L), col("len") - (L - 1))).as("s"),
         col("t"))
       .select(col("id"), col("s"),
         md5(col("t").substr(col("s").cast("int"), lit(L)).cast("binary"))
           .as("gm"))
+  }
+
+  /** Stage 2 of [[repeatedSpans]] over a (persisted) [[repeatedSpanGrams]]
+    * table. The gram-stats aggregate is map-side combinable on the digest
+    * (hot boilerplate grams reduce within each task — no window-over-
+    * hot-key funnel), and after the `n_docs >= 2` filter the stats table
+    * is duplicated-grams-only — small, so AQE turns the cover join into a
+    * broadcast against the cached gram table. */
+  def repeatedSpansFromGrams(grams: DataFrame, L: Int): DataFrame = {
     val stats = grams.groupBy(col("gm"))
       .agg(min(col("id")).as("first_id"),
         countDistinct(col("id")).as("n_docs"))

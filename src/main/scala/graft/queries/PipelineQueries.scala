@@ -503,7 +503,11 @@ object PipelineQueries {
     // line dedup can't be: a copied paragraph embedded mid-line with
     // different neighbours shares no whole line, but its grams repeat.
     "q158_exact_substring" -> ((s, dir) =>
-      NearDup.repeatedSpans(t(s, dir, "documents"), "doc_id", "text", L = 32)
+      NearDup.repeatedSpansFromGrams(
+        stage(s, dir, "xsub_grams")(
+          NearDup.repeatedSpanGrams(t(s, dir, "documents"), "doc_id",
+            "text", L = 32)),
+        L = 32)
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"), col("span_start"))),
 

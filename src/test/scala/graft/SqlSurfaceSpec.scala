@@ -69,6 +69,22 @@ class SqlSurfaceSpec extends SparkSpec {
       !r.getString(3).contains("12345678"))
   }
 
+  test("graft_hilbert SQL surface: equals the interpreted reference, " +
+      "auto-casts integral coords, demands a literal bits") {
+    val r = spark.sql(
+      "SELECT graft_hilbert(3, 2, 1, 4) AS h3, " +
+        "graft_hilbert(CAST(5 AS BIGINT), CAST(9 AS BIGINT), 4) AS h2")
+      .head()
+    assert(r.getLong(0) ===
+      graft.expressions.HilbertIndex.compute(Array(3L, 2L, 1L), 4))
+    assert(r.getLong(1) ===
+      graft.expressions.HilbertIndex.compute(Array(5L, 9L), 4))
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_hilbert(1, 2, 1 + 3)").collect()
+    }
+    assert(e.getMessage.contains("graft_hilbert"))
+  }
+
   test("lifted SQL functions reject wrong arity with a named error") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_token_count('a', 'b')").collect()
