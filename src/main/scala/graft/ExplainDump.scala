@@ -35,7 +35,11 @@ object ExplainDump {
       "q136_rendezvous", "q137_phrase_search", "q138_hard_negatives",
       "q139_rolling_actives", "q140_group_quantiles", "q143_sorted_neighborhood",
       "q144_incremental_agg", "q145_vocab_coverage", "q146_boilerplate",
-      "q147_markup_strip", "q148_unicode_key", "q149_bloom_prune")
+      "q147_markup_strip", "q148_unicode_key", "q149_bloom_prune",
+      "q150_link_extract", "q151_hist_quantiles", "q152_ann_recall",
+      "q154_temporal_split", "q157_dup_size_hist",
+      "q158_exact_substring", "q159_neardup_registry", "q160_bpe_encode",
+      "q161_zorder3", "q162_hilbert3")
     val sb = new StringBuilder
     sb.append("# EXPLAIN — headline query plans (formatted, sf0.001, regenerate with `sbt \"runMain graft.ExplainDump\"`)\n")
     sb.append("\nWhat to look for: `PushedFilters`/`ReadSchema` on every scan, broadcast\njoins where one side is small, partial aggregation before each hash\nexchange, `WindowGroupLimit` ahead of top-k windows, and no\n`CartesianProduct` anywhere.\n")

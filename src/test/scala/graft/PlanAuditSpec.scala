@@ -272,6 +272,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(cluster"), p)
   }
 
+  test("q158: exact-substring dedup reads the persisted gram stage on " +
+    "both sides — the md5-per-position pass runs once, never twice") {
+    val p = plan("q158_exact_substring")
+    assert(!p.contains("CartesianProduct"), p)
+    // stats side + cover side both read the cache (each InMemoryTableScan
+    // re-prints the cached relation's originating FileScan, so the scan
+    // string count can't distinguish cached from re-computed — the
+    // InMemoryTableScan count is the invariant)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q162: the hilbert value is a pure projection over the scan — no " +
+    "join, no exchange beyond the output sort") {
+    val p = plan("q162_hilbert3")
+    assert("Exchange".r.findAllIn(p).size === 1, p)
+    assert(p.contains("rangepartitioning"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q122: basket pairs equi-join on the basket key; frequency and " +
     "total joins broadcast") {
     val p = plan("q122_basket_pairs")
