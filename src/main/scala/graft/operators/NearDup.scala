@@ -861,6 +861,55 @@ object NearDup {
       .select(col("id"), col("span_start"), col("span_len"), col("n_grams"))
   }
 
+  /** The REMOVAL half of exact-substring dedup: splice the
+    * [[repeatedSpans]] spans out of each document and reassemble the
+    * survivors — q88's line-reassembly, at character-span granularity.
+    * Docs with no spans pass through unchanged; a fully-covered doc
+    * yields an empty clean text (drop it downstream, like q88's
+    * all-boilerplate case).
+    *
+    * Scale shape: spans are rare relative to the corpus (they only exist
+    * where cross-doc duplication was found), so the per-doc span arrays
+    * are small and the reassembly is ROW-LOCAL: one groupBy of the span
+    * table (bounded by spans-per-doc), one equi-join against the corpus,
+    * and a pure expression that walks the sorted span array emitting the
+    * complement segments (`transform` over indices + `array_join` — the
+    * array_sort(collect_list(struct)) ordering idiom, deterministic at
+    * any parallelism). The corpus is never exploded.
+    *
+    * @param spans (id, span_start, span_len) — 1-based char offsets,
+    *              non-overlapping per doc (repeatedSpans' islands)
+    * @return (id, text_clean, n_spans, removed_chars)
+    */
+  def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      spans: DataFrame): DataFrame = {
+    val sp = spans.groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("span_start"), col("span_len"))))
+        .as("sp"))
+    // complement segments: segment i spans [end of span i-1, start of
+    // span i), with segment 0 starting at 1 and segment size(sp) ending
+    // past the last character
+    val segStart = (i: Column) => when(i === 0, lit(1L))
+      .otherwise(element_at(col("sp"), i.cast("int"))("span_start") +
+        element_at(col("sp"), i.cast("int"))("span_len"))
+    val segEnd = (i: Column) => when(i === size(col("sp")),
+        length(col("__t")).cast("long") + 1L)
+      .otherwise(element_at(col("sp"), (i + 1).cast("int"))("span_start"))
+    df.select(col(idCol).as("id"), col(textCol).as("__t"))
+      .join(sp, Seq("id"), "left")
+      .select(col("id"),
+        when(col("sp").isNull, col("__t"))
+          .otherwise(array_join(
+            transform(sequence(lit(0L), size(col("sp")).cast("long")), i =>
+              col("__t").substr(segStart(i).cast("int"),
+                (segEnd(i) - segStart(i)).cast("int"))),
+            "")).as("text_clean"),
+        coalesce(size(col("sp")), lit(0)).cast("long").as("n_spans"),
+        coalesce(aggregate(col("sp"), lit(0L),
+          (acc, s) => acc + s.getField("span_len")), lit(0L))
+          .as("removed_chars"))
+  }
+
   /** Which copy to KEEP per near-dup group — the step after
     * [[connectedComponents]] in a real dedup pipeline. The min-id canonical
     * label is an artifact of the clustering; what a corpus wants kept is

@@ -166,6 +166,30 @@ object PipelineQueries {
        |WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.5
        |ORDER BY d1, d2""".stripMargin
 
+  /** Shared q158/q163 CTE chain: per-position 32-gram digests →
+    * cross-doc-duplicated grams (first holder exempt) → covered
+    * positions → island ids (the merged-span grouping key). */
+  private val exactSubstrCtes =
+    """g AS (
+      |  SELECT doc_id, r.i AS s, md5(substr(text, r.i::INTEGER, 32)) AS gm
+      |  FROM documents, range(1, 100000) AS r(i)
+      |  WHERE length(text) >= 32 AND r.i <= length(text) - 31),
+      |st AS (
+      |  SELECT gm, min(doc_id) AS first_id, count(DISTINCT doc_id) AS n_docs
+      |  FROM g GROUP BY gm),
+      |cov AS (
+      |  SELECT g.doc_id, g.s FROM g JOIN st USING (gm)
+      |  WHERE st.n_docs >= 2 AND g.doc_id <> st.first_id),
+      |m AS (
+      |  SELECT doc_id, s, max(s + 32) OVER (PARTITION BY doc_id ORDER BY s
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |  FROM cov),
+      |i AS (
+      |  SELECT doc_id, s,
+      |    sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY s) AS island
+      |  FROM m)""".stripMargin
+
   /** q159 oracle: replays the md5-portable MinHash signature pipeline —
     * the universal-hash coefficients become SQL literals (the q37
     * hyperplane pattern) and the band/registry/keep-first logic mirrors
@@ -511,6 +535,25 @@ object PipelineQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"), col("span_start"))),
 
+    // The REMOVAL half of q158: splice the detected spans out and
+    // reassemble each doc from its complement segments (row-local — the
+    // corpus is never exploded; spans are rare and ride a small join).
+    // Third consumer of the persisted gram stage. Graded on clean-text
+    // md5 + lengths, the q76 scrubbed-text pattern.
+    "q163_substr_removal" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val spans = NearDup.repeatedSpansFromGrams(
+        stage(s, dir, "xsub_grams")(
+          NearDup.repeatedSpanGrams(docs, "doc_id", "text", L = 32)),
+        L = 32)
+      NearDup.removeRepeatedSpans(docs, "doc_id", "text", spans)
+        .select(col("id").as("doc_id"),
+          length(col("text_clean")).cast("long").as("n_clean"),
+          md5(col("text_clean").cast("binary")).as("clean_md5"),
+          col("n_spans"), col("removed_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // LLM dedup 9 (cross-batch registry): the nightly-append near-dup
     // story — docs ≥ 250 arrive as the new batch, the persisted LSH
     // fingerprints of docs < 250 are the registry; survivors share no
@@ -805,30 +848,48 @@ object PipelineQueries {
         |ORDER BY d1, d2""".stripMargin,
 
     "q158_exact_substring" ->
-      """WITH g AS (
-        |  SELECT doc_id, r.i AS s, md5(substr(text, r.i::INTEGER, 32)) AS gm
-        |  FROM documents, range(1, 100000) AS r(i)
-        |  WHERE length(text) >= 32 AND r.i <= length(text) - 31),
-        |st AS (
-        |  SELECT gm, min(doc_id) AS first_id, count(DISTINCT doc_id) AS n_docs
-        |  FROM g GROUP BY gm),
-        |cov AS (
-        |  SELECT g.doc_id, g.s FROM g JOIN st USING (gm)
-        |  WHERE st.n_docs >= 2 AND g.doc_id <> st.first_id),
-        |m AS (
-        |  SELECT doc_id, s, max(s + 32) OVER (PARTITION BY doc_id ORDER BY s
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
-        |  FROM cov),
-        |i AS (
-        |  SELECT doc_id, s,
-        |    sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY doc_id ORDER BY s) AS island
-        |  FROM m)
+      s"""WITH $exactSubstrCtes
         |SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
         |       CAST(max(s) + 32 - min(s) AS BIGINT) AS span_len,
         |       CAST(count(*) AS BIGINT) AS n_grams
         |FROM i GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin,
+
+    "q163_substr_removal" ->
+      s"""WITH $exactSubstrCtes,
+        |sp AS (
+        |  SELECT doc_id, min(s) AS span_start,
+        |         max(s) + 32 - min(s) AS span_len
+        |  FROM i GROUP BY doc_id, island),
+        |segs AS (
+        |  SELECT doc_id,
+        |    coalesce(lag(span_start + span_len) OVER (
+        |      PARTITION BY doc_id ORDER BY span_start), 1) AS ss,
+        |    span_start AS se
+        |  FROM sp
+        |  UNION ALL
+        |  SELECT sp.doc_id, max(span_start + span_len),
+        |         max(length(d.text)) + 1
+        |  FROM sp JOIN documents d USING (doc_id)
+        |  GROUP BY sp.doc_id),
+        |cl AS (
+        |  SELECT s.doc_id,
+        |    coalesce(string_agg(
+        |      substr(d.text, s.ss::INTEGER, (s.se - s.ss)::INTEGER),
+        |      '' ORDER BY s.ss), '') AS tc
+        |  FROM segs s JOIN documents d USING (doc_id)
+        |  GROUP BY s.doc_id),
+        |ag AS (
+        |  SELECT doc_id, count(*) AS n_spans, sum(span_len) AS removed
+        |  FROM sp GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(length(coalesce(cl.tc, d.text)) AS BIGINT) AS n_clean,
+        |  md5(coalesce(cl.tc, d.text)) AS clean_md5,
+        |  CAST(coalesce(ag.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(ag.removed, 0) AS BIGINT) AS removed_chars
+        |FROM documents d LEFT JOIN cl USING (doc_id)
+        |LEFT JOIN ag USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q159_neardup_registry" -> neardupRegistrySql,
 

@@ -298,6 +298,27 @@ class NearDupSpec extends SparkSpec {
     assert(spans.toSeq === Seq((2L, 41L, 61L, 61L - 32L + 1L)))
   }
 
+  test("removeRepeatedSpans splices spans out and reassembles: copy docs " +
+      "lose exactly the paragraph, the first holder is untouched") {
+    val para = "the quick brown fox jumps over the lazy dog once more tonight"
+    val a = (1L, "X" * 40 + para + "Y" * 40)
+    val b = (2L, "B" + "Z" * 39 + para + "W" * 40)
+    val df = Seq(a, b).toDF("doc_id", "text")
+    val spans = NearDup.repeatedSpans(df, "doc_id", "text", L = 32)
+    val got = NearDup.removeRepeatedSpans(df, "doc_id", "text", spans)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === ((a._2, 0L, 0L)), "first holder keeps its copy")
+    assert(got(2L) === (("B" + "Z" * 39 + "W" * 40, 1L, para.length.toLong)))
+    // a doc made ONLY of duplicated content empties out (drop downstream)
+    val c = Seq((1L, para + "#" + para), (2L, para), (3L, para))
+      .toDF("doc_id", "text")
+    val cSpans = NearDup.repeatedSpans(c, "doc_id", "text", L = 32)
+    val cGot = NearDup.removeRepeatedSpans(c, "doc_id", "text", cSpans)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cGot(2L) === "" && cGot(3L) === "")
+  }
+
   test("repeatedSpans: three holders — all but the min-id doc get the span; " +
       "disjoint repeats stay separate islands") {
     val p1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa ll"
