@@ -861,6 +861,39 @@ object NearDup {
       .select(col("id"), col("span_start"), col("span_len"), col("n_grams"))
   }
 
+  /** Chunk-level dedup accounting over a [[cdcChunks]] table — the
+    * "how much would content-addressed chunk dedup save" estimate a
+    * storage/ingest layer runs before enabling CAS: per document, the
+    * count and character mass of chunks whose content already occurred
+    * earlier in the corpus (first occurrence = smallest (id, chunk_idx),
+    * the q88 keep-first rule at chunk granularity).
+    *
+    * Scale shape: the first-occurrence table is a map-side-combinable
+    * `min(struct)` per chunk digest (hot boilerplate chunks reduce within
+    * each task — no window funnel), and the join back is 1:1 per chunk
+    * row on the well-distributed digest key. Output is one row per doc.
+    *
+    * @return (id, n_chunks, total_chars, dup_chunks, dup_chars, dup_frac)
+    */
+  def chunkDupStats(chunks: DataFrame): DataFrame = {
+    val firsts = chunks.groupBy(col("chunk_md5"))
+      .agg(min(struct(col("id"), col("chunk_idx"))).as("f"))
+      .select(col("chunk_md5"), col("f.id").as("fid"),
+        col("f.chunk_idx").as("fidx"))
+    chunks.join(firsts, Seq("chunk_md5"))
+      .select(col("id"), col("chunk_len"),
+        (col("id") === col("fid") && col("chunk_idx") === col("fidx"))
+          .as("is_first"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("chunk_len")).as("total_chars"),
+        count(when(!col("is_first"), 1)).as("dup_chunks"),
+        coalesce(sum(when(!col("is_first"), col("chunk_len"))), lit(0L))
+          .as("dup_chars"))
+      .withColumn("dup_frac",
+        round(col("dup_chars").cast("double") / col("total_chars"), 6))
+  }
+
   /** The REMOVAL half of exact-substring dedup: splice the
     * [[repeatedSpans]] spans out of each document and reassemble the
     * survivors — q88's line-reassembly, at character-span granularity.

@@ -22,6 +22,14 @@ object CorpusQueries {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
+  /** Persisted CDC chunk table (id, chunk_idx, start, chunk_len,
+    * chunk_md5) — shared by q113 (the chunk list) and q165 (dedup
+    * accounting); the per-position boundary hash is the dominant cost. */
+  private def cdcChunkStage(s: SparkSession, dir: String): DataFrame =
+    PipelineQueries.stage(s, dir, "cdc_chunks")(
+      NearDup.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
+        w = 8, modulus = 64L))
+
   /** q95 fixture: deterministic messy URLs over `documents` — case noise,
     * an explicit default port on every 3rd, tracking params on every even,
     * unsorted params on the rest, fragments on every 5th. Host/path keyed
@@ -291,11 +299,38 @@ object CorpusQueries {
     // Content-defined chunking: rolling-hash boundaries (md5-60 of the
     // 8-gram ≡ 0 mod 64) so chunk-level dedup survives insertions —
     // fixed-size chunks would shift and nothing downstream would match.
+    // The chunk table is persisted: q165 consumes it too, and the
+    // per-position boundary hashing is the dominant cost.
     "q113_cdc_chunks" -> ((s, dir) =>
-      NearDup.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
-        w = 8, modulus = 64L)
+      cdcChunkStage(s, dir)
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // Chunk-level dedup accounting: per doc, the chunk count/char mass
+    // whose content already occurred earlier (first occurrence by
+    // (id, chunk_idx)) — the CAS-storage-win estimate. Second consumer
+    // of the persisted chunk stage; min-struct first table is map-side
+    // combinable, join back is 1:1 on the digest.
+    "q165_chunk_dup_bytes" -> ((s, dir) =>
+      NearDup.chunkDupStats(cdcChunkStage(s, dir))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))),
+
+    // Tokenizer fertility: BPE tokens per whitespace word, per language
+    // — the data-card metric multilingual pipelines watch (a tokenizer
+    // trained on English typically shows fertility inflation on other
+    // languages). Rides q160's vocabulary-encoded counts.
+    "q164_bpe_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.bpeTokenCounts(docs, "doc_id", "text", bpeMerges)
+        .join(docs.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_words")).cast("long").as("n_words"),
+          sum(col("n_tokens")).cast("long").as("n_tokens"))
+        .withColumn("fertility",
+          round(col("n_tokens").cast("double") / col("n_words"), 6))
+        .orderBy(col("lang"))
+    }),
 
     // Data card: per-(lang, source) doc/char/token rollup with subtotal
     // and grand-total rows — the corpus summary shipped next to a
@@ -323,17 +358,41 @@ object CorpusQueries {
     "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
     "an" -> "d", "e" -> "r", "o" -> "n", "r" -> "e")
 
-  /** q160 oracle: the identical replace-chain over the symbol-string state
-    * (double U+001F separators; see TextAnalysis.bpeSymbolCount) — literal
-    * `replace` is left-to-right non-overlapping in both engines, so every
-    * intermediate state matches bit for bit. */
-  private val bpeEncodeSql: String = {
+  /** Shared q113/q165 CTE chain: content-defined chunk boundaries
+    * (md5-60 of the 8-gram ≡ 0 mod 64) through `ch` =
+    * (doc_id, text, s, e, chunk_idx). */
+  private val cdcChunkCtes: String =
+    """d AS (
+      |  SELECT doc_id, text, length(text)::BIGINT AS len FROM documents),
+      |cand AS (
+      |  SELECT doc_id, text, len, unnest(range(2, len - 6)) AS s
+      |  FROM d WHERE len >= 9),
+      |bo AS (
+      |  SELECT doc_id, text, len, s FROM cand
+      |  WHERE ('0x' || substr(md5(substr(text, s::INTEGER, 8)), 1, 15))
+      |          ::BIGINT % 64 = 0),
+      |st AS (
+      |  SELECT doc_id, text, len, 1::BIGINT AS s FROM d
+      |  UNION ALL SELECT doc_id, text, len, s FROM bo),
+      |ch AS (
+      |  SELECT doc_id, text, s,
+      |    coalesce(lead(s) OVER (PARTITION BY doc_id ORDER BY s),
+      |             len + 1) AS e,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY s) AS chunk_idx
+      |  FROM st)""".stripMargin
+
+  /** Shared q160/q164 CTE chain: the identical replace-chain over the
+    * symbol-string state (double U+001F separators; see
+    * TextAnalysis.bpeSymbolCount) — literal `replace` is left-to-right
+    * non-overlapping in both engines, so every intermediate state matches
+    * bit for bit. Ends at `enc` = (doc_id, n_w, n_sym). */
+  private val bpeEncodeCtes: String = {
     val S = "\u001f"
     val init = s"'$S$S' || regexp_replace(w, '(.)', '\\1$S$S', 'g')"
     val chain = bpeMerges.foldLeft(init) { case (acc, (x, y)) =>
       s"replace($acc,\n      '$S$x$S$S$y$S', '$S$x$y$S')"
     }
-    s"""WITH words AS (
+    s"""words AS (
       |  SELECT doc_id, w FROM (
       |    SELECT doc_id,
       |      unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
@@ -345,14 +404,24 @@ object CorpusQueries {
       |  FROM wc),
       |enc AS (SELECT doc_id, n_w,
       |    (length(s) - length(replace(s, '$S', ''))) / 2 - 1 AS n_sym
-      |  FROM st)
-      |SELECT doc_id, CAST(sum(n_w) AS BIGINT) AS n_words,
-      |       CAST(sum(n_w * n_sym) AS BIGINT) AS n_tokens
-      |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |  FROM st)""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
-    "q160_bpe_encode" -> bpeEncodeSql,
+    "q160_bpe_encode" ->
+      s"""WITH $bpeEncodeCtes
+        |SELECT doc_id, CAST(sum(n_w) AS BIGINT) AS n_words,
+        |       CAST(sum(n_w * n_sym) AS BIGINT) AS n_tokens
+        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q164_bpe_fertility" ->
+      s"""WITH $bpeEncodeCtes
+        |SELECT d.lang, CAST(sum(e.n_w) AS BIGINT) AS n_words,
+        |       CAST(sum(e.n_w * e.n_sym) AS BIGINT) AS n_tokens,
+        |       round(sum(e.n_w * e.n_sym)::DOUBLE /
+        |             sum(e.n_w)::DOUBLE, 6) AS fertility
+        |FROM enc e JOIN documents d USING (doc_id)
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "q145_vocab_coverage" ->
       """WITH w AS (
         |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
@@ -712,28 +781,31 @@ object CorpusQueries {
         |ORDER BY cnt DESC, pair LIMIT 30""".stripMargin,
 
     "q113_cdc_chunks" ->
-      """WITH d AS (
-        |  SELECT doc_id, text, length(text)::BIGINT AS len FROM documents),
-        |cand AS (
-        |  SELECT doc_id, text, len, unnest(range(2, len - 6)) AS s
-        |  FROM d WHERE len >= 9),
-        |bo AS (
-        |  SELECT doc_id, text, len, s FROM cand
-        |  WHERE ('0x' || substr(md5(substr(text, s::INTEGER, 8)), 1, 15))
-        |          ::BIGINT % 64 = 0),
-        |st AS (
-        |  SELECT doc_id, text, len, 1::BIGINT AS s FROM d
-        |  UNION ALL SELECT doc_id, text, len, s FROM bo),
-        |ch AS (
-        |  SELECT doc_id, text, s,
-        |    coalesce(lead(s) OVER (PARTITION BY doc_id ORDER BY s),
-        |             len + 1) AS e,
-        |    row_number() OVER (PARTITION BY doc_id ORDER BY s) AS chunk_idx
-        |  FROM st)
+      s"""WITH $cdcChunkCtes
         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
         |  CAST(s AS BIGINT) AS "start", CAST(e - s AS BIGINT) AS chunk_len,
         |  md5(substr(text, s::INTEGER, (e - s)::INTEGER)) AS chunk_md5
         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q165_chunk_dup_bytes" ->
+      s"""WITH $cdcChunkCtes,
+        |ck AS (
+        |  SELECT doc_id, chunk_idx, e - s AS clen,
+        |    md5(substr(text, s::INTEGER, (e - s)::INTEGER)) AS cm
+        |  FROM ch),
+        |rk AS (
+        |  SELECT doc_id, clen,
+        |    row_number() OVER (PARTITION BY cm
+        |      ORDER BY doc_id, chunk_idx) AS rn
+        |  FROM ck)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(clen) AS BIGINT) AS total_chars,
+        |  CAST(count(CASE WHEN rn > 1 THEN 1 END) AS BIGINT) AS dup_chunks,
+        |  CAST(coalesce(sum(CASE WHEN rn > 1 THEN clen END), 0) AS BIGINT)
+        |    AS dup_chars,
+        |  round(coalesce(sum(CASE WHEN rn > 1 THEN clen END), 0)::DOUBLE /
+        |        sum(clen)::DOUBLE, 6) AS dup_frac
+        |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q96_corpus_report" ->
       """SELECT lang, source,

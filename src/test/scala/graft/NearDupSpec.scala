@@ -298,6 +298,24 @@ class NearDupSpec extends SparkSpec {
     assert(spans.toSeq === Seq((2L, 41L, 61L, 61L - 32L + 1L)))
   }
 
+  test("chunkDupStats: an exact copy's chunks are all duplicates of the " +
+      "original's; unique docs carry none") {
+    val rnd = new Random(5)
+    val txt = Seq.fill(120)("w" + rnd.nextInt(100000)).mkString(" ")
+    val other = Seq.fill(120)("x" + rnd.nextInt(100000)).mkString(" ")
+    val docs = Seq((1L, txt), (2L, txt), (3L, other))
+      .toDF("doc_id", "text")
+    val got = NearDup.chunkDupStats(
+        NearDup.cdcChunks(docs, "doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(3), r.getDouble(5)))).toMap
+    val (n2, dup2, frac2) = got(2L)
+    assert(n2 === dup2 && frac2 === 1.0,
+      s"copy doc must be fully duplicate: $got")
+    assert(got(1L)._2 === 0L && got(3L)._2 === 0L,
+      s"original and unique docs must carry no dup chunks: $got")
+  }
+
   test("removeRepeatedSpans splices spans out and reassembles: copy docs " +
       "lose exactly the paragraph, the first holder is untouched") {
     val para = "the quick brown fox jumps over the lazy dog once more tonight"
