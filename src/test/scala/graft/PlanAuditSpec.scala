@@ -283,6 +283,25 @@ class PlanAuditSpec extends SparkSpec {
     assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p)
   }
 
+  test("q159: the registry decision is bucket-keyed semi/anti joins — " +
+    "history is never self-joined and nothing goes cartesian") {
+    val p = plan("q159_neardup_registry")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("q163: span removal never explodes the corpus — the only Generate " +
+    "nodes live inside the cached gram stage") {
+    val p = plan("q163_substr_removal")
+    assert(!p.contains("CartesianProduct"), p)
+    // the reassembly is row-local: above the InMemoryTableScans there is
+    // no Generate (explode); the only explodes are inside the cached
+    // gram stage's InMemoryRelation rendering
+    val aboveCache = p.split("InMemoryRelation").head
+    assert(!aboveCache.contains("Generate"), aboveCache)
+  }
+
   test("q162: the hilbert value is a pure projection over the scan — no " +
     "join, no exchange beyond the output sort") {
     val p = plan("q162_hilbert3")
