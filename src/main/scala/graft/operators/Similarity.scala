@@ -289,7 +289,16 @@ object Similarity {
     *
     * @return (vec_id, cluster) — final assignment after `iters` rounds
     */
-  def lloydAssignments(corpus: DataFrame, iters: Int, k: Int = 0): DataFrame = {
+  def lloydAssignments(corpus: DataFrame, iters: Int, k: Int = 0): DataFrame =
+    lloydAssigned(corpus, iters, k).select(col("vec_id"), col("cluster"))
+
+  /** [[lloydAssignments]] keeping the float64 vector on every row —
+    * `(vec_id, e, cluster)`, the form [[semDedupFromAssigned]]'s pair
+    * pass consumes directly: trained-quantizer SemDeDup is
+    * `semDedupFromAssigned(lloydAssigned(corpus, iters, k ≈ √N), τ,
+    * maxPerCluster)` — k ≈ √N keeps expected cluster size ≈ √N, so with
+    * the rank cap the pair pass is linear in the corpus. */
+  def lloydAssigned(corpus: DataFrame, iters: Int, k: Int = 0): DataFrame = {
     require(iters >= 1 && iters <= 8, "iters must be in [1, 8]")
     val first =
       if (k == 0) assignToCentroids(corpus)
@@ -311,7 +320,7 @@ object Similarity {
       assigned = assignTo(assigned.select(col("vec_id"), col("e")),
         meanCentroids(assigned)).localCheckpoint(true)
     }
-    assigned.select(col("vec_id"), col("cluster"))
+    assigned
   }
 
   /** SemDeDup stage 2: within-cluster keep-first prune over an

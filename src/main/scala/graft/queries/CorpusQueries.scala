@@ -279,6 +279,20 @@ object CorpusQueries {
       Similarity.lloydAssignments(t(s, dir, "embeddings"), iters = 2)
         .orderBy(col("vec_id"))),
 
+    // SemDeDup at k ~ sqrt(N), end to end: hash-seeded k=22 Lloyd
+    // training (2 rounds) feeds the capped within-cluster prune — the
+    // configuration the Σ|cluster|² scaladoc argument assumes, run as
+    // one graded pipeline. Expected cluster size ~ N/k, the rank cap
+    // bounds the pair pass linearly, and every float crossing the
+    // engine boundary is rounded to 6 first.
+    "q166_semdedup_sqrtn" -> ((s, dir) =>
+      Similarity.semDedupFromAssigned(
+        PipelineQueries.stage(s, dir, "sqrtn_assign")(
+          Similarity.lloydAssigned(t(s, dir, "embeddings"), iters = 2,
+            k = 22)),
+        tau = 0.3, maxPerCluster = 16L)
+        .orderBy(col("vec_id"))),
+
     // BPE training statistic: adjacent-symbol pair counts over the
     // frequency-weighted word vocabulary (the explode runs on |V| rows,
     // not the corpus), top-30 merge candidates. Integer counts — exact.
@@ -763,6 +777,50 @@ object CorpusQueries {
         |        cent1.clab) AS rnk
         |    FROM e CROSS JOIN cent1) WHERE rnk = 1)
         |SELECT vec_id, cluster FROM a2 ORDER BY vec_id""".stripMargin,
+
+    "q166_semdedup_sqrtn" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sd AS (SELECT vec_id, v, md5(vec_id::VARCHAR) AS h FROM e
+        |       ORDER BY h, vec_id LIMIT 22),
+        |cent0 AS (SELECT row_number() OVER (ORDER BY h, vec_id) AS clab,
+        |            list_transform(v, x -> round(x, 6)) AS c
+        |          FROM sd),
+        |a1 AS (
+        |  SELECT vec_id, v, cluster FROM (
+        |    SELECT e.vec_id, e.v, cent0.clab AS cluster,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        round(list_dot_product(e.v, cent0.c) /
+        |          (sqrt(list_dot_product(e.v, e.v)) *
+        |           sqrt(list_dot_product(cent0.c, cent0.c))), 6) DESC,
+        |        cent0.clab) AS rnk
+        |    FROM e CROSS JOIN cent0) WHERE rnk = 1),
+        |comp1 AS (SELECT cluster, r.i AS ord, avg(v[(r.i + 1)::INTEGER]) AS m
+        |          FROM a1, range(0, 64) AS r(i) GROUP BY cluster, r.i),
+        |cent1 AS (SELECT cluster AS clab,
+        |            list(round(m, 6) ORDER BY ord) AS c
+        |          FROM comp1 GROUP BY cluster),
+        |a2 AS (
+        |  SELECT vec_id, v, cluster FROM (
+        |    SELECT e.vec_id, e.v, cent1.clab AS cluster,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        round(list_dot_product(e.v, cent1.c) /
+        |          (sqrt(list_dot_product(e.v, e.v)) *
+        |           sqrt(list_dot_product(cent1.c, cent1.c))), 6) DESC,
+        |        cent1.clab) AS rnk
+        |    FROM e CROSS JOIN cent1) WHERE rnk = 1),
+        |refs AS (
+        |  SELECT vec_id, v, cluster,
+        |    row_number() OVER (PARTITION BY cluster ORDER BY vec_id) AS rr
+        |  FROM a2),
+        |dups AS (
+        |  SELECT DISTINCT a.vec_id FROM a2 a JOIN refs b
+        |    ON a.cluster = b.cluster AND b.vec_id < a.vec_id AND b.rr <= 16
+        |  WHERE round(list_dot_product(a.v, b.v) /
+        |          (sqrt(list_dot_product(a.v, a.v)) *
+        |           sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3)
+        |SELECT a.vec_id, a.cluster, (d.vec_id IS NOT NULL) AS is_dup
+        |FROM a2 a LEFT JOIN dups d USING (vec_id)
+        |ORDER BY vec_id""".stripMargin,
 
     "q112_bpe_pairs" ->
       """WITH w AS (
