@@ -296,6 +296,38 @@ object NearDup {
         array((0 until numHashes).map(i => col(s"m_$i")): _*).as("sig"))
   }
 
+  /** ROW-LOCAL MinHash signatures — the dedicated-signature-job fast
+    * path: the whole signature folds inside the projection via the native
+    * [[graft.expressions.MinHashSignature]] expression (one codegen'd
+    * loop over the doc's own shingle array), so the corpus is NEVER
+    * exploded and NEVER shuffled for its signatures — where the aggregate
+    * spelling ([[minhashSignatures]]) pays a corpus-sized exchange of
+    * partial signatures. Bit-identical output (same hash family, same
+    * set semantics — `min` ignores the array-vs-multiset difference).
+    * Use the aggregate spelling only when shingle postings are already
+    * staged for other consumers. */
+  def minhashSignaturesRowLocal(df: DataFrame, idCol: String,
+      textCol: String, k: Int, numHashes: Int, seed: Long): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val sig = ColumnBridge.toColumn(graft.expressions.MinHashSignature(
+      ColumnBridge.toExpression(wordShingles(col(textCol), k)),
+      numHashes, seed))
+    // null text is filtered explicitly: wordShingles' short-doc fallback
+    // (concat_ws) degrades a NULL text to [""] rather than null, but the
+    // aggregate path's explode drops such rows — same contract here
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), sig.as("sig"))
+      .filter(col("sig").isNotNull)
+  }
+
+  /** [[minHashLsh]] on the row-local signature path: the ONLY shuffle of
+    * the whole LSH pipeline is then the bucket groupBy over
+    * (id, band, bucket) rows — bands·|corpus| short rows, not shingles. */
+  def minHashLshRowLocal(df: DataFrame, idCol: String, textCol: String,
+      k: Int, bands: Int, rowsPerBand: Int, seed: Long): DataFrame =
+    bandBuckets(minhashSignaturesRowLocal(df, idCol, textCol, k,
+      bands * rowsPerBand, seed), bands, rowsPerBand)
+
   /** (id, band, bucket) rows: the signature cut into `bands` bands of
     * `rowsPerBand` values, each band rendered to a join key. */
   def minHashLsh(df: DataFrame, idCol: String, textCol: String, k: Int,

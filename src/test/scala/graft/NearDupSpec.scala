@@ -252,6 +252,31 @@ class NearDupSpec extends SparkSpec {
     assert(got(7L) == ((7L, true)) && got(9L) == ((7L, false)))
   }
 
+  test("row-local minhash signatures: bit-identical to the aggregate " +
+      "path, zero exchanges, same LSH buckets") {
+    val agg = NearDup.minhashSignatures(corpus, "doc_id", "text",
+        k = 3, numHashes = 64, seed = 42L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val rlDf = NearDup.minhashSignaturesRowLocal(corpus, "doc_id", "text",
+      k = 3, numHashes = 64, seed = 42L)
+    val rl = rlDf.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(rl === agg, "signatures must match the aggregate formulation")
+    // the point of the native expression: the signature job has NO
+    // exchange at all — the aggregate path shuffles partial signatures
+    val p = rlDf.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    val lshA = NearDup.minHashLsh(corpus, "doc_id", "text", 3, 16, 4, 42L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val lshB = NearDup.minHashLshRowLocal(corpus, "doc_id", "text", 3, 16, 4, 42L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(lshB === lshA)
+    // null text yields no signature row on either path
+    val withNull = corpus.unionByName(
+      Seq((999L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    assert(NearDup.minhashSignaturesRowLocal(withNull, "doc_id", "text",
+      3, 8, 42L).filter(col("id") === 999L).isEmpty)
+  }
+
   test("incrementalNearDups: history collisions and lower-id batch mates " +
       "drop; fresh docs survive; appending survivors converges") {
     def lsh(d: org.apache.spark.sql.DataFrame) =
