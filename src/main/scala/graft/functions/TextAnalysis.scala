@@ -329,24 +329,37 @@ object TextAnalysis {
     * rank at scoring boundaries and break cross-engine verification.
     *
     * Plan shape: the corpus is exploded and aggregated ONCE — tf via
-    * groupBy(doc, term), then df as a window count over the tf table
-    * (one row per distinct (doc, term), so the per-term count IS the
-    * document frequency) — no second tokenization pass and no self-join
-    * of an unpersisted subplan. Then a per-doc window top-k
-    * (WindowGroupLimit prunes before the sort at scale). `n_docs` — the
-    * corpus cardinality for the idf — comes from a broadcast 1-row
-    * columnless count of `docs` (parquet answers it from footer metadata;
-    * at 100 TB it is a metadata pass, not a data pass).
+    * groupBy(doc, term), then df as `tf.groupBy(term).count()` joined back
+    * on term (one tf row per distinct (doc, term), so the per-term count
+    * IS the document frequency) — no second tokenization pass and no
+    * self-join of an unpersisted subplan. df is deliberately NOT a window
+    * count over term: `count(*) over (partition by term)` puts every
+    * (doc, term) row for a stopword into ONE WindowExec partition, and a
+    * window partition can never be split — at corpus scale that is a
+    * straggler task of billions of rows on "the". The partial aggregate +
+    * equi-join shape is map-side combinable AND inherits AQE skew-join
+    * splitting, so a hot term costs a split join, not a stuck task. Then a
+    * per-doc window top-k (WindowGroupLimit prunes before the sort at
+    * scale). `n_docs` — the corpus cardinality for the idf — comes from a
+    * broadcast 1-row columnless count of `docs` (parquet answers it from
+    * footer metadata; at 100 TB it is a metadata pass, not a data pass).
     */
   def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // tf as sum(1), not count(*): identical value (every group has ≥1 row),
+    // but sum's NULLABLE output means the df branch's count(tf) below can't
+    // be constant-rewritten to count(1) — which keeps the tf subtree
+    // canonically identical on both sides of the join, so ReuseExchange
+    // shares ONE tokenize+shuffle pass between them instead of scanning
+    // the corpus twice.
     val tf = docs.select(col(idCol).as("id"),
         explode(tokens(lower(col(textCol)))).as("term"))
-      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("id"), col("term")).agg(sum(lit(1L)).as("tf"))
     val n = broadcast(docs.groupBy().agg(count(lit(1)).as("n_docs")))
+    val df = tf.groupBy(col("term")).agg(count(col("tf")).as("df"))
     val scored = tf
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .join(df, "term")
       .crossJoin(n)
       .withColumn("score",
         col("tf") * ((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))

@@ -385,8 +385,10 @@ object NearDup {
     * for MinHash: keep only the docs of `batchLsh` (an (id, band, bucket)
     * table from [[minHashLsh]] over the new batch) that are near-new, i.e.
     * share NO LSH bucket with the persisted fingerprint registry of all
-    * prior batches AND have no lower-id bucket-mate already kept earlier
-    * in this batch (the keep-first rule, same as SemDeDup's).
+    * prior batches AND have no lower-id bucket-mate anywhere in this
+    * batch, kept or not (the keep-first rule, same as SemDeDup's: the
+    * lowest id per bucket survives; everything above it drops, even when
+    * the doc it matched was itself dropped by a still-lower id).
     *
     * The registry carries one (band, bucket) row per historical
     * fingerprint — tiny next to the corpus, broadcast by AQE when it fits

@@ -141,9 +141,13 @@ object Sampling {
     *
     * @param weight positive integral weight column (e.g. token count);
     *               rows with weight ≤ 0 or null are DROPPED before the
-    *               priority is computed — a zero weight would otherwise
-    *               yield +Infinity (silently never sampled) and a negative
-    *               one a negative priority (silently sampled FIRST)
+    *               priority is computed — Spark's Divide yields a NULL
+    *               priority on a zero weight (or an error under ANSI
+    *               mode), and NULLs sort FIRST under the default
+    *               ascending order (silently sampled first!); a negative
+    *               weight flips the priority's sign (also sampled first).
+    *               The explicit filter is what makes the semantics
+    *               engine-portable.
     * @param tie    unique tiebreak for fully deterministic selection
     */
   def weightedPrioritySample(df: DataFrame, key: Column, weight: Column,

@@ -170,10 +170,11 @@ object PipelineQueries {
     * cross-doc-duplicated grams (first holder exempt) → covered
     * positions → island ids (the merged-span grouping key). */
   private val exactSubstrCtes =
-    """g AS (
-      |  SELECT doc_id, r.i AS s, md5(substr(text, r.i::INTEGER, 32)) AS gm
-      |  FROM documents, range(1, 100000) AS r(i)
-      |  WHERE length(text) >= 32 AND r.i <= length(text) - 31),
+    """pos AS (
+      |  SELECT doc_id, text, unnest(generate_series(1, length(text) - 31)) AS s
+      |  FROM documents WHERE length(text) >= 32),
+      |g AS (
+      |  SELECT doc_id, s, md5(substr(text, s::INTEGER, 32)) AS gm FROM pos),
       |st AS (
       |  SELECT gm, min(doc_id) AS first_id, count(DISTINCT doc_id) AS n_docs
       |  FROM g GROUP BY gm),

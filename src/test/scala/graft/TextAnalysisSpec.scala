@@ -173,6 +173,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!got.contains((2L, 2L)))
   }
 
+  test("tfidfTopTerms: a term present in EVERY doc (worst-case skew) scores df = n_docs") {
+    import sqlImplicits._
+    // the degenerate stopword case: one term in all docs. Under the old
+    // window-over-term df this was the unsplittable straggler partition;
+    // the partial-agg + join shape handles it as an ordinary hot join key.
+    val n = 200
+    val docs = (1 to n).map(i => (i.toLong, s"the word$i")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+    val the = got.filter(col("term") === "the").collect()
+    assert(the.length === n)
+    assert(the.forall(_.getLong(4) === n.toLong))  // df = n_docs
+    // the rare per-doc term always outranks the universal one
+    val top = got.filter(col("rnk") === 1).collect()
+    assert(top.forall(_.getString(2) != "the"))
+  }
+
   test("collocations: lift is exact and the long-doc cap bounds pair mining") {
     import sqlImplicits._
     val docs = Seq(
