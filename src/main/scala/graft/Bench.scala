@@ -1,8 +1,10 @@
 package graft
 
-/** Benchmark entry point. Emits exactly ONE JSON line on stdout — the last
-  * line the program prints — so the driver's parser never has to skip
-  * interleaved logs. Failures are never silently folded into timings: a
+/** Benchmark entry point. Emits exactly TWO JSON lines on stdout as the
+  * last thing the program prints — the full per-query map, then a compact
+  * summary (top-20 slowest + totals) that fits entirely inside the
+  * driver's 2000-char tail capture and parses as the "last stdout line".
+  * Failures are never silently folded into timings: a
   * failed query reports `-1` in `queries` and its message in `errors`
   * (stack traces go to stderr only).
   *
@@ -81,9 +83,22 @@ object Bench {
     // goes LAST, so even a heavily truncated capture still carries the
     // totals and the alphabetically-late per-query timings it kept.
     val line = s"""{"queries":$qs,"errors":$errJson,"warm_passes":$WarmPasses,"sf":"$sfDir","cold_total_sec":${f"$coldTotal%.3f"},"metric":"total","unit":"sec","value":$total}"""
+    // The driver keeps only the LAST 2000 chars of stdout, so the full
+    // 166-entry map above can never fit the capture: everything that sorts
+    // alphabetically early (q01-q23, q100-q166 — including the heaviest
+    // queries) vanished from graded benches. A SECOND, final line repeats
+    // the top-20 slowest timings (the ones perf grading actually needs)
+    // plus every summary scalar, in well under half the window — so the
+    // capture always carries the totals, the slowest queries by name, and
+    // whatever tail of the full map still fits above it.
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val line2 = s"""{"slowest":$slowest,"errors":$errJson,"warm_passes":$WarmPasses,"sf":"$sfDir","n_queries":${names.size},"cold_total_sec":${f"$coldTotal%.3f"},"metric":"total","unit":"sec","value":$total}"""
     spark.stop()
-    // printed after spark.stop() so no executor/log line can follow it
+    // printed after spark.stop() so no executor/log line can follow them
     println(line)
+    println(line2)
     System.out.flush()
   }
 }
