@@ -865,6 +865,35 @@ object NearDup {
           .as("gm"))
   }
 
+  /** Production variant of [[repeatedSpanGrams]] on the native O(len)
+    * rolling hash — the [[winnowedFingerprintsRolling]] split applied to
+    * the exact-substring stage (its md5-per-position kernel is the
+    * heaviest single stage in the bench). One allocation-free codegen'd
+    * pass emits every L-byte window hash; per-position cost drops from
+    * "hash L chars + allocate a substring + hex-encode" to a multiply-add,
+    * and the whole scan stays inside whole-stage codegen.
+    *
+    * Contract differences vs the md5 variant, same as the winnowing and
+    * CDC splits: positions `s` are 1-based UTF-8 BYTE offsets (RollingHash
+    * windows are byte windows) and `gm` is a 64-bit polynomial hash, so
+    * downstream [[repeatedSpansFromGrams]] spans are byte spans and L
+    * counts bytes. On ASCII the two variants agree position-for-position
+    * (byte = char), which is what ExactSubstrRollingSpec pins; on
+    * multi-byte text the guarantee is byte-level — exactly what
+    * cross-document duplicated-content detection needs. Not DuckDB-
+    * replayable (the polynomial is native), which is why the graded q158
+    * path keeps md5; this is the path a 100 TB run would configure. */
+  def repeatedSpanGramsRolling(df: DataFrame, idCol: String, textCol: String,
+      L: Int): DataFrame = {
+    require(L >= 2, "L must be >= 2")
+    import org.apache.spark.sql.graft.ColumnBridge
+    val hs = ColumnBridge.toColumn(graft.expressions.RollingHash(
+      ColumnBridge.toExpression(col(textCol)),
+      L, graft.expressions.RollingHash.DefaultBase))
+    df.select(col(idCol).as("id"), posexplode(hs).as(Seq("p", "gm")))
+      .select(col("id"), (col("p") + 1).cast("long").as("s"), col("gm"))
+  }
+
   /** Stage 2 of [[repeatedSpans]] over a (persisted) [[repeatedSpanGrams]]
     * table. The gram-stats aggregate is map-side combinable on the digest
     * (hot boilerplate grams reduce within each task — no window-over-
