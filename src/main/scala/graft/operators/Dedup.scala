@@ -88,6 +88,52 @@ object Dedup {
       .drop("__fp")
   }
 
+  /** Registry lifecycle — the compaction/retention pass the append-only
+    * digest registry of [[incrementalNew]] needs to run nightly: the
+    * registry grows monotonically (one appended row per kept doc), and
+    * without retirement it eventually dominates the anti join. This
+    * compacts a PROVENANCE-CARRYING registry log — rows
+    * `(digestCol, sourceCol, batchCol)`, one per historical kept row,
+    * possibly holding the same digest many times — down to ONE row per
+    * still-live digest.
+    *
+    * Retirement rules: a holder row is dropped when its source appears in
+    * `tombstoned` (source retraction / takedown — its content must become
+    * admissible again) or its batch is older than `minBatch` (TTL). A
+    * DIGEST survives iff at least one holder survives — content held by
+    * both a tombstoned source and a live one stays blocked, which is what
+    * makes compaction verdict-preserving for all non-retired content
+    * (RegistryLifecycleSpec pins both directions).
+    *
+    * Scale shape: one filter + one anti join against the (tiny, broadcast)
+    * tombstone list + one map-side-combinable aggregate on the digest —
+    * the well-distributed key, no skew by construction. Output carries the
+    * earliest surviving holder `(first_batch, first_source)` (min-struct,
+    * total order → deterministic) and the surviving holder count, so the
+    * compacted table remains a valid provenance log for the NEXT
+    * compaction — compaction composes with itself.
+    *
+    * Feed the result straight back to [[incrementalNew]] as `seenDigests`
+    * by selecting the digest column (it is emitted first).
+    *
+    * @return (digest, first_batch, first_source, n_holders) — one row per
+    *         surviving digest, named after the input columns
+    */
+  def compactRegistry(registry: DataFrame, digestCol: String,
+      sourceCol: String, batchCol: String, tombstoned: DataFrame,
+      minBatch: Long = Long.MinValue): DataFrame = {
+    val ts = tombstoned
+      .select(col(tombstoned.columns.head).as(sourceCol)).distinct()
+    registry
+      .filter(col(batchCol) >= minBatch)
+      .join(broadcast(ts), Seq(sourceCol), "left_anti")
+      .groupBy(col(digestCol))
+      .agg(min(struct(col(batchCol), col(sourceCol))).as("__f"),
+        count(lit(1)).as("n_holders"))
+      .select(col(digestCol), col("__f")(batchCol).as("first_batch"),
+        col("__f")(sourceCol).as("first_source"), col("n_holders"))
+  }
+
   /** Splits documents into fixed-width word "lines" for [[dedupCorpusLines]]:
     * one output row per `wordsPerLine`-word chunk, `(id, pos, line, n_tot)`
     * with `pos` the 0-based chunk index and `n_tot` the doc's total chunk

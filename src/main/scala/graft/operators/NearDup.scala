@@ -418,6 +418,41 @@ object NearDup {
     fresh.join(dups, Seq("id"), "left_anti")
   }
 
+  /** Registry lifecycle for the LSH fingerprint registry of
+    * [[incrementalNearDups]] — the (band, bucket)-level mirror of
+    * [[graft.operators.Dedup.compactRegistry]], same monotonic-growth
+    * problem and same retirement rules: rows
+    * `(band, bucket, sourceCol, batchCol)` (one per appended survivor
+    * fingerprint), a holder retires when its source is tombstoned or its
+    * batch ages past `minBatch`, and a BUCKET stays in the registry iff
+    * any holder survives — so near-dups of still-live content keep
+    * dropping after a compaction, while a fully-retired source's content
+    * becomes admissible again (the takedown contract).
+    *
+    * Same scale shape: filter + broadcast anti join + one map-side-
+    * combinable aggregate on the (band, bucket) key. Output keeps the
+    * provenance columns (earliest surviving holder) so compactions
+    * compose, and feeds [[incrementalNearDups]] directly — it only reads
+    * `band`/`bucket`.
+    *
+    * @return (band, bucket, first_batch, first_source, n_holders)
+    */
+  def compactFingerprints(registry: DataFrame, sourceCol: String,
+      batchCol: String, tombstoned: DataFrame,
+      minBatch: Long = Long.MinValue): DataFrame = {
+    val ts = tombstoned
+      .select(col(tombstoned.columns.head).as(sourceCol)).distinct()
+    registry
+      .filter(col(batchCol) >= minBatch)
+      .join(broadcast(ts), Seq(sourceCol), "left_anti")
+      .groupBy(col("band"), col("bucket"))
+      .agg(min(struct(col(batchCol), col(sourceCol))).as("__f"),
+        count(lit(1)).as("n_holders"))
+      .select(col("band"), col("bucket"),
+        col("__f")(batchCol).as("first_batch"),
+        col("__f")(sourceCol).as("first_source"), col("n_holders"))
+  }
+
   /** LSH candidates verified with the exact Jaccard — same output contract
     * as [[exactJaccardPairs]] (zero false positives; recall per class doc). */
   def verifiedPairs(df: DataFrame, idCol: String, textCol: String, k: Int,

@@ -298,6 +298,24 @@ object ScaleQueries {
           Dedup.toWordLines(fixture, "doc_id", "text", wordsPerLine = 5),
           "doc_id")
         .orderBy(col("doc_id"))
+    }),
+
+    // Registry lifecycle (the q73 registry's nightly compaction): the
+    // append-only digest log — one (digest, source, batch) row per doc,
+    // batch = doc_id % 10 as the append sequence — compacted under a
+    // source takedown (src18 tombstoned) and a TTL (batches 0-1 aged
+    // out). A digest survives iff ANY holder survives; output is one row
+    // per live digest with its earliest surviving provenance — the exact
+    // table the next incrementalNew run anti-joins against.
+    "q167_registry_compact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val reg = docs.select(md5(col("text").cast("binary")).as("digest"),
+        col("source"), (col("doc_id") % 10).as("batch"))
+      val tomb = docs.select(col("source"))
+        .filter(col("source") === "src18").distinct()
+      Dedup.compactRegistry(reg, "digest", "source", "batch", tomb,
+          minBatch = 2L)
+        .orderBy(col("digest"))
     })
   )
 
@@ -651,6 +669,23 @@ object ScaleQueries {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
         |       CAST(max(n_tot) - count(*) AS BIGINT) AS n_dropped,
         |       string_agg(line, chr(10) ORDER BY pos) AS text_clean
-        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q167_registry_compact" ->
+      """WITH reg AS (
+        |  SELECT md5(text) AS digest, source, doc_id % 10 AS batch
+        |  FROM documents),
+        |kept AS (
+        |  SELECT * FROM reg WHERE batch >= 2 AND source <> 'src18'),
+        |fb AS (
+        |  SELECT digest, min(batch) AS first_batch,
+        |         CAST(count(*) AS BIGINT) AS n_holders
+        |  FROM kept GROUP BY digest)
+        |SELECT k.digest, f.first_batch, min(k.source) AS first_source,
+        |       f.n_holders
+        |FROM kept k
+        |JOIN fb f ON k.digest = f.digest AND k.batch = f.first_batch
+        |GROUP BY k.digest, f.first_batch, f.n_holders
+        |ORDER BY k.digest""".stripMargin
   )
 }
