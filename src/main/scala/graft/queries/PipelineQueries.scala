@@ -31,14 +31,30 @@ object PipelineQueries {
     * stopped application whose persisted blocks died with it — removing
     * the map entry releases the last reference to its plan. DataFrames
     * are tiny relative to the corpus (postings ≪ corpus after distinct;
-    * pairs are rare by construction). */
+    * pairs are rare by construction).
+    *
+    * Failure contract (StageCacheSpec pins both directions): a `build`
+    * that THROWS inserts nothing — the next consumer re-runs it, so a
+    * transient build failure can't poison siblings with a dead entry. A
+    * consumer whose downstream ACTION throws leaves the cached stage
+    * untouched — the stage plan is lazy and still valid, so siblings read
+    * it normally (its own recomputation is deterministic either way).
+    * Under a concurrent first-touch race the losing builder unpersists
+    * its copy so no orphaned persist marker accumulates. */
   private[graft] val stages =
     scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
-  private[queries] def stage(s: SparkSession, dir: String, key: String)
+  private[graft] def stage(s: SparkSession, dir: String, key: String)
       (build: => DataFrame): DataFrame = {
     val app = s.sparkContext.applicationId
     stages.keys.withFilter(_._1 != app).foreach(stages.remove)
-    stages.getOrElseUpdate((app, dir, key), build.persist())
+    val k = (app, dir, key)
+    stages.get(k).getOrElse {
+      val df = build.persist() // throws → no insert → sibling retries build
+      stages.putIfAbsent(k, df) match {
+        case Some(winner) => df.unpersist(blocking = false); winner
+        case None         => df
+      }
+    }
   }
 
   /** Drop all materialized stages (bench hygiene: the timed pass must pay
