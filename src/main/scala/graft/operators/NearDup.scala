@@ -959,6 +959,47 @@ object NearDup {
       .select(col("id"), col("span_start"), col("span_len"), col("n_grams"))
   }
 
+  /** [[repeatedSpansFromGrams]] with a Bloom-pruned cover join — the q149
+    * shuffle cutter applied to the engine's heaviest query. The duplicated
+    * gram digests (post `n_docs >= 2` filter) are rare relative to the
+    * corpus, yet the cover join streams EVERY gram row through the join
+    * operator; when the stats side outgrows the broadcast threshold at
+    * corpus scale that join becomes a full shuffle of O(total chars) gram
+    * rows. Here the duplicated digests build a Bloom bit array
+    * (one broadcast row), and grams are pruned ROW-LOCALLY (native
+    * binary-search membership, no exchange) before the join — the join
+    * input shrinks to true matches + the false-positive residue.
+    *
+    * Result EXACTLY equals the unpruned operator: Bloom has no false
+    * negatives, so every row of a duplicated gram survives; survival is
+    * all-or-nothing per digest, so the gram stats recomputed over the
+    * pruned table are unchanged for surviving digests; and a
+    * false-positive digest still carries its true `n_docs = 1`, which the
+    * `>= 2` filter removes — the residue is self-cleaning
+    * (ExactSubstrBloomSpec pins equality and the shrink).
+    *
+    * Cost: ONE extra map-side-combinable aggregate over the (persisted)
+    * gram stage to harvest the duplicated digests. The stats aggregate
+    * inside [[repeatedSpansFromGrams]] then runs over the pruned slice
+    * only, so the two stats passes together cost about the original one.
+    *
+    * @param numBits   Bloom geometry — size for the expected count of
+    *                  DISTINCT duplicated digests (not total grams); the
+    *                  default 2^20 bits / 3 hashes holds ~10^5 digests
+    *                  under 2% false positives and broadcasts as ≤ 8 MB
+    * @param numHashes hash probes per digest */
+  def repeatedSpansFromGramsPruned(grams: DataFrame, L: Int,
+      numBits: Long = 1L << 20, numHashes: Int = 3): DataFrame = {
+    val dupDigests = grams.groupBy(col("gm"))
+      .agg(countDistinct(col("id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("gm"))
+    val bits = Sketches.bloomBitsArray(dupDigests, col("gm"),
+      numBits, numHashes)
+    repeatedSpansFromGrams(
+      Sketches.bloomPrune(grams, col("gm"), bits, numBits, numHashes), L)
+  }
+
   /** Chunk-level dedup accounting over a [[cdcChunks]] table — the
     * "how much would content-addressed chunk dedup save" estimate a
     * storage/ingest layer runs before enabling CAS: per document, the

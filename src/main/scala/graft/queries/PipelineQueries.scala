@@ -543,8 +543,12 @@ object PipelineQueries {
     // copy of every repeated substring survives. The companion q88's
     // line dedup can't be: a copied paragraph embedded mid-line with
     // different neighbours shares no whole line, but its grams repeat.
+    // The cover join rides the q149 Bloom prune: duplicated-gram digests
+    // build one broadcast bit row, gram rows are pruned row-locally
+    // before the join (identical output — Bloom has no false negatives
+    // and the n_docs >= 2 filter cleans the fp residue).
     "q158_exact_substring" -> ((s, dir) =>
-      NearDup.repeatedSpansFromGrams(
+      NearDup.repeatedSpansFromGramsPruned(
         stage(s, dir, "xsub_grams")(
           NearDup.repeatedSpanGrams(t(s, dir, "documents"), "doc_id",
             "text", L = 32)),
@@ -559,7 +563,7 @@ object PipelineQueries {
     // md5 + lengths, the q76 scrubbed-text pattern.
     "q163_substr_removal" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val spans = NearDup.repeatedSpansFromGrams(
+      val spans = NearDup.repeatedSpansFromGramsPruned(
         stage(s, dir, "xsub_grams")(
           NearDup.repeatedSpanGrams(docs, "doc_id", "text", L = 32)),
         L = 32)

@@ -288,6 +288,9 @@ class PlanAuditSpec extends SparkSpec {
     // string count can't distinguish cached from re-computed — the
     // InMemoryTableScan count is the invariant)
     assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p)
+    // the cover join's gram side is Bloom-pruned row-locally before the
+    // join (native binary-search membership over the broadcast bit row)
+    assert(p.contains("graft_sorted_contains"), p)
   }
 
   test("q159: the registry decision is bucket-keyed semi/anti joins — " +
