@@ -364,6 +364,136 @@ object Similarity {
         coalesce(col("is_dup"), lit(false)).as("is_dup"))
   }
 
+  /** Exact maximum-inner-product top-k — the dot-product sibling of
+    * [[bruteForceTopK]] and the baseline [[pqRecallAtK]] grades against:
+    * product quantization approximates the INNER PRODUCT (it decomposes
+    * exactly over subvector slices; the cosine's corpus-side norm does
+    * not), so its gauge must rank the exact scan by the same score. Same
+    * scale shape: broadcast queries, one corpus pass, per-partition
+    * prefilter via the rank window over q·k candidates. */
+  def bruteForceDotTopK(queries: DataFrame, corpus: DataFrame, k: Int)
+      : DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("qid"),
+      asDouble(col("embedding")).as("qe")))
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("ce"))
+    val scored = c.join(q, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qe"), col("ce")), 6).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("sim"), col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Product quantization stage 1 — per-slice quantizer training: the
+    * embedding is cut into `m` contiguous `sub`-wide subvectors and each
+    * slice trains its own [[lloydAssigned]] codebook (hash-seeded, fixed
+    * `iters`, k codewords — the engine's established deterministic
+    * quantizer, reused verbatim per slice). Output is the assignment
+    * table `(slice, vec_id, e, cluster)` with `e` the SUBvector — one row
+    * per (vector, slice).
+    *
+    * This is the PQ trade (Jégou et al., TPAMI 2011): m independent
+    * k-codeword quantizers span k^m effective cells at the storage cost
+    * of m small codebooks + m code bytes per vector — the corpus's float
+    * payload is never needed again after encoding ([[pqAdcTopK]] scores
+    * against codebook entries only).
+    *
+    * Scale shape: each slice's training is the [[lloydAssigned]] shape
+    * (broadcast centroids, map-side-partial argmax, k·sub-row updates);
+    * the union stacks m of them. Downstream consumers read this result
+    * at least twice (codebook build + code join) — persist it (the
+    * stage-cache pattern, same as [[assignToCentroids]]). */
+  def pqAssigned(corpus: DataFrame, m: Int, sub: Int, iters: Int,
+      k: Int): DataFrame = {
+    require(m >= 1 && sub >= 1, "need positive slice geometry")
+    (0 until m).map { j =>
+      lloydAssigned(
+        corpus.select(col("vec_id"),
+          slice(asDouble(col("embedding")), j * sub + 1, sub)
+            .as("embedding")),
+        iters, k)
+        .select(lit(j.toLong).as("slice"), col("vec_id"), col("e"),
+          col("cluster"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** PQ stage 2 — the codebook consistent with a [[pqAssigned]] table:
+    * per (slice, code), the element-wise mean of the assigned subvectors,
+    * components rounded to 6 (one further Lloyd half-step, so codes and
+    * codewords are self-consistent by construction and the whole chain
+    * stays oracle-replayable). Size m·k rows — broadcastable at any
+    * corpus scale. */
+  def pqCodebook(assigned: DataFrame): DataFrame =
+    assigned.select(col("slice"), col("cluster"), posexplode(col("e")))
+      .groupBy(col("slice"), col("cluster"), col("pos"))
+      .agg(avg(col("col")).as("v"))
+      .groupBy(col("slice"), col("cluster").as("code"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+        s => round(s.getField("v"), 6)).as("centroid"))
+
+  /** PQ stage 3 — asymmetric-distance top-k: each query precomputes its
+    * per-(slice, code) partial inner products against the codebook (the
+    * ADC lookup table, q·m·k rows — tiny, broadcast), and a corpus
+    * vector's approximate score is the SUM of its m looked-up partials.
+    * The corpus side touches only the integer code table — never the
+    * float vectors — which is the entire point of PQ at 100 TB: the scan
+    * payload is m codes/vector instead of the embedding.
+    *
+    * Portability: each partial is rounded to 6 then scaled to an integer
+    * (×10⁶ → BIGINT), so the m-way sum is exact in ANY accumulation
+    * order — the approximate score is engine- and partitioning-
+    * independent, no float-sum drift. Ranking is (adc DESC, vec_id).
+    *
+    * Scale shape: codes ⋈ broadcast(lookup) on (slice, code) fans out to
+    * q rows per code row, then a map-side-combinable integer SUM keyed by
+    * (qid, vec_id) — one shuffle of q·N integer rows, against the exact
+    * scan's q·N float-vector traversals. Self-pairs excluded by id.
+    *
+    * @return (qid, vec_id, adc, rnk) — adc is the scaled integer score */
+  def pqAdcTopK(queries: DataFrame, assigned: DataFrame, k: Int): DataFrame = {
+    val cb = pqCodebook(assigned)
+    val q = queries.select(col("vec_id").as("qid"),
+      asDouble(col("embedding")).as("qe"))
+    val lookup = broadcast(
+      q.crossJoin(broadcast(cb))
+        .select(col("qid"), col("slice"), col("code"),
+          round(round(dot(slice(col("qe"),
+              (col("slice") * size(col("centroid")) + 1).cast("int"),
+              size(col("centroid"))), col("centroid")), 6) * 1e6)
+            .cast("long").as("pdi")))
+    val codes = assigned.select(col("slice"), col("vec_id"),
+      col("cluster").as("code"))
+    codes.join(lookup, Seq("slice", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("pdi")).as("adc"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(desc("adc"), col("vec_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** PQ index-quality gauge — recall@k of the ADC path against the exact
+    * inner-product scan, per query (the q152 measurement for the
+    * quantized index): |pqAdcTopK ∩ bruteForceDotTopK| / k. Run BEFORE
+    * trusting a PQ index at corpus scale; `m`/`k`-codeword geometry is
+    * the recall/cost dial this gauges. Evaluation pays both paths by
+    * definition; production search pays only the code scan. */
+  def pqRecallAtK(queries: DataFrame, corpus: DataFrame, assigned: DataFrame,
+      k: Int): DataFrame = {
+    val exact = bruteForceDotTopK(queries, corpus, k)
+      .select(col("qid"), col("vec_id"))
+    val approx = pqAdcTopK(queries, assigned, k)
+      .select(col("qid"), col("vec_id"))
+    exact.join(approx.withColumn("__hit", lit(1L)), Seq("qid", "vec_id"),
+        "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+      .select(col("qid"), col("n_exact"), col("hits"),
+        (col("hits").cast("double") / lit(k)).as("recall"))
+  }
+
   /** Int8 scalar-quantization audit: per vector, quantize each element to
     * `floor(x / s · 127)` with `s` the vector's max |x| (the symmetric
     * per-row scale of standard int8 embedding compression), and report the

@@ -9,11 +9,12 @@ import graft.operators.{Sampling, Similarity, Stats}
 
 /** Wave 12 — evaluation & release-gating: the measurements a pipeline runs
   * BEFORE trusting its own artifacts. An approximate index is graded
-  * against the exact scan (q152), the training corpus is screened against
-  * the eval set in embedding space (q153), the eval split itself is cut
-  * with an embargo so time-correlated rows can't leak (q154), the label
-  * column is graded against an independent rater (q155), and the raw text
-  * is profiled at sentence granularity (q156).
+  * against the exact scan (q152; q168 for the product-quantized index),
+  * the training corpus is screened against the eval set in embedding
+  * space (q153), the eval split itself is cut with an embargo so
+  * time-correlated rows can't leak (q154), the label column is graded
+  * against an independent rater (q155), and the raw text is profiled at
+  * sentence granularity (q156).
   *
   * Same conventions as every wave: identical column aliases in Spark and
   * DuckDB, total ORDER BY, counts CAST to BIGINT in the oracle; integer
@@ -72,6 +73,23 @@ object EvalQueries {
           TextAnalysis.langId(col("text")).as("pred"), col("lang")),
         "pred", "lang")),
 
+    // Index QA for the quantized index: recall@10 of the PQ
+    // asymmetric-distance path (pqM slices x pqSub dims, pqCodewords
+    // codewords each, hash-seeded 2-round Lloyd per slice) against the
+    // exact inner-product scan — the q152 gauge for an index whose
+    // corpus-side payload is pqM small integers per vector instead of
+    // the embedding. The per-slice assignment is staged: codebook build
+    // and code join both read the persisted table.
+    "q168_pq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val assigned = PipelineQueries.stage(s, dir, "pq_assigned")(
+        Similarity.pqAssigned(emb, m = pqM, sub = pqSub, iters = 2,
+          k = pqCodewords))
+      Similarity.pqRecallAtK(emb.filter(col("vec_id") < 8), emb, assigned,
+          k = pqTopK)
+        .orderBy(col("qid"))
+    }),
+
     // Sentence-granularity text profile: segment count, total/max/mean
     // segment length — the fragmentation signal (boilerplate lists score
     // many short "sentences") that word-level stats miss. Row-local.
@@ -89,7 +107,96 @@ object EvalQueries {
     })
   )
 
+  /** q168 geometry, shared by the Spark plan and the generated oracle:
+    * pqM slices of pqSub dims (pqM·pqSub = the 64-dim embedding), each
+    * with a pqCodewords-entry codebook — pqCodewords^pqM effective
+    * cells from pqM·pqCodewords·pqSub stored floats. */
+  private val pqM = 8
+  private val pqSub = 8
+  private val pqCodewords = 32
+  private val pqTopK = 10
+
+  /** q168 oracle: replays the full per-slice PQ chain — hash-seeded
+    * 2-round Lloyd per slice (the q166 CTE pattern, once per slice),
+    * the per-cluster-mean codebook half-step, the integer-scaled
+    * ADC lookup tables, and the recall join against the exact
+    * inner-product scan. The slice blocks are generated, not
+    * hand-copied, so the geometry stays in one place. */
+  private val pqRecallSql: String = {
+    val (m, sub, kq, k) = (pqM, pqSub, pqCodewords, pqTopK)
+    val sliceCtes = (0 until m).map { j =>
+      val lo = j * sub + 1
+      val hi = (j + 1) * sub
+      s"""sl$j AS (SELECT vec_id, v[$lo:$hi] AS sv FROM e),
+         |sd$j AS (SELECT vec_id, sv, md5(vec_id::VARCHAR) AS h FROM sl$j
+         |         ORDER BY h, vec_id LIMIT $kq),
+         |c0$j AS (SELECT row_number() OVER (ORDER BY h, vec_id) AS clab,
+         |           list_transform(sv, x -> round(x, 6)) AS c FROM sd$j),
+         |a1$j AS (SELECT vec_id, sv, cluster FROM (
+         |    SELECT s.vec_id, s.sv, c.clab AS cluster,
+         |      row_number() OVER (PARTITION BY s.vec_id ORDER BY
+         |        round(list_dot_product(s.sv, c.c) /
+         |          (sqrt(list_dot_product(s.sv, s.sv)) *
+         |           sqrt(list_dot_product(c.c, c.c))), 6) DESC,
+         |        c.clab) AS rnk
+         |    FROM sl$j s CROSS JOIN c0$j c) WHERE rnk = 1),
+         |cm$j AS (SELECT cluster, r.i AS ord,
+         |           avg(sv[(r.i + 1)::INTEGER]) AS mv
+         |         FROM a1$j, range(0, $sub) AS r(i) GROUP BY cluster, r.i),
+         |c1$j AS (SELECT cluster AS clab,
+         |           list(round(mv, 6) ORDER BY ord) AS c
+         |         FROM cm$j GROUP BY cluster),
+         |a2$j AS (SELECT vec_id, sv, cluster FROM (
+         |    SELECT s.vec_id, s.sv, c.clab AS cluster,
+         |      row_number() OVER (PARTITION BY s.vec_id ORDER BY
+         |        round(list_dot_product(s.sv, c.c) /
+         |          (sqrt(list_dot_product(s.sv, s.sv)) *
+         |           sqrt(list_dot_product(c.c, c.c))), 6) DESC,
+         |        c.clab) AS rnk
+         |    FROM sl$j s CROSS JOIN c1$j c) WHERE rnk = 1),
+         |cb$j AS (SELECT cluster AS code,
+         |           list(round(mv, 6) ORDER BY ord) AS c
+         |         FROM (SELECT cluster, r.i AS ord,
+         |                 avg(sv[(r.i + 1)::INTEGER]) AS mv
+         |               FROM a2$j, range(0, $sub) AS r(i)
+         |               GROUP BY cluster, r.i)
+         |         GROUP BY cluster),
+         |pt$j AS (SELECT q.qid, cb.code,
+         |           CAST(round(round(list_dot_product(q.qv[$lo:$hi], cb.c),
+         |             6) * 1e6) AS BIGINT) AS pdi
+         |         FROM q CROSS JOIN cb$j cb),
+         |sc$j AS (SELECT p.qid, a.vec_id, p.pdi
+         |         FROM a2$j a JOIN pt$j p ON p.code = a.cluster)"""
+        .stripMargin
+    }.mkString(",\n")
+    val scUnion = (0 until m).map(j => s"SELECT * FROM sc$j")
+      .mkString("\n    UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+      |$sliceCtes,
+      |adc AS (SELECT qid, vec_id, sum(pdi) AS adc FROM (
+      |    $scUnion)
+      |  WHERE vec_id <> qid GROUP BY qid, vec_id),
+      |approx AS (SELECT qid, vec_id FROM (
+      |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+      |      ORDER BY adc DESC, vec_id) AS rnk FROM adc) WHERE rnk <= $k),
+      |ex AS (SELECT qid, e.vec_id,
+      |        round(list_dot_product(qv, v), 6) AS sim
+      |      FROM q CROSS JOIN e WHERE e.vec_id <> qid),
+      |exact AS (SELECT qid, vec_id FROM (
+      |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+      |      ORDER BY sim DESC, vec_id) AS rnk FROM ex) WHERE rnk <= $k)
+      |SELECT x.qid, CAST(count(*) AS BIGINT) AS n_exact,
+      |       CAST(count(a.vec_id) AS BIGINT) AS hits,
+      |       count(a.vec_id)::DOUBLE / $k AS recall
+      |FROM exact x LEFT JOIN approx a
+      |  ON a.qid = x.qid AND a.vec_id = x.vec_id
+      |GROUP BY x.qid ORDER BY x.qid""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q168_pq_recall" -> pqRecallSql,
+
     "q152_ann_recall" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id AS qid, v AS qe FROM e WHERE vec_id < 8),
