@@ -346,6 +346,45 @@ object CorpusQueries {
         .orderBy(col("lang"))
     }),
 
+    // Dedup data card: per-(lang, source), what the dedup stack would
+    // cost/save — exact-substring chars removable (q163's spans), CDC
+    // chunk-dup char mass (q165), and the cross-batch registry drop rate
+    // over the q159 batch (docs >= 250) — the "what did dedup cost me"
+    // summary a 100 TB pipeline publishes next to its snapshot. Every
+    // input rides a persisted stage (gram table, chunk table, LSH
+    // fingerprints); this query adds doc-keyed 1:1 joins + one rollup,
+    // no new corpus text scan.
+    "q169_dedup_card" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val xd = NearDup.repeatedSpansFromGramsPruned(
+          PipelineQueries.xsubGramStage(s, dir), L = 32)
+        .groupBy(col("id").as("doc_id"))
+        .agg(sum(col("span_len")).as("xsub_chars"))
+      val cd = NearDup.chunkDupStats(cdcChunkStage(s, dir))
+        .select(col("id").as("doc_id"), col("dup_chars"))
+      val lsh = PipelineQueries.md5LshStage(s, dir)
+      val kept = NearDup.incrementalNearDups(lsh.filter(col("id") >= 250),
+          lsh.filter(col("id") < 250))
+        .select(col("id").as("doc_id")).distinct()
+        .withColumn("__kept", lit(true))
+      val isBatch = col("doc_id") >= 250
+      docs.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .join(xd, Seq("doc_id"), "left")
+        .join(cd, Seq("doc_id"), "left")
+        .join(kept, Seq("doc_id"), "left")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          coalesce(sum(col("xsub_chars")), lit(0L)).as("xsub_chars"),
+          coalesce(sum(col("dup_chars")), lit(0L)).as("chunk_dup_chars"),
+          count(when(isBatch, 1)).as("n_batch"),
+          count(when(isBatch && col("__kept").isNull, 1))
+            .as("n_reg_dropped"))
+        .withColumn("reg_drop_rate", when(col("n_batch") > 0,
+          round(col("n_reg_dropped").cast("double") / col("n_batch"), 6)))
+        .orderBy(col("lang"), col("source"))
+    }),
+
     // Data card: per-(lang, source) doc/char/token rollup with subtotal
     // and grand-total rows — the corpus summary shipped next to a
     // training-data snapshot. One scan, partial-agg rollup.
@@ -864,6 +903,55 @@ object CorpusQueries {
         |  round(coalesce(sum(CASE WHEN rn > 1 THEN clen END), 0)::DOUBLE /
         |        sum(clen)::DOUBLE, 6) AS dup_frac
         |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // The three dedup chains replayed in one WITH: the registry CTEs
+    // (toks…dups), the exact-substring CTEs (pos…i), and the CDC chunk
+    // CTEs with its `st` renamed to avoid the gram-stats `st` collision.
+    "q169_dedup_card" ->
+      s"""WITH ${PipelineQueries.neardupRegistryCtes},
+        |${PipelineQueries.exactSubstrCtes},
+        |xspan AS (
+        |  SELECT doc_id, island, max(s) + 32 - min(s) AS span_len
+        |  FROM i GROUP BY doc_id, island),
+        |xd AS (
+        |  SELECT doc_id, sum(span_len) AS xsub_chars
+        |  FROM xspan GROUP BY doc_id),
+        |${cdcChunkCtes.replaceAll("\\bst\\b", "cst")},
+        |ck AS (
+        |  SELECT doc_id, chunk_idx, e - s AS clen,
+        |    md5(substr(text, s::INTEGER, (e - s)::INTEGER)) AS cm
+        |  FROM ch),
+        |rk AS (
+        |  SELECT doc_id, clen,
+        |    row_number() OVER (PARTITION BY cm
+        |      ORDER BY doc_id, chunk_idx) AS rn
+        |  FROM ck),
+        |cd AS (
+        |  SELECT doc_id, sum(CASE WHEN rn > 1 THEN clen END) AS dup_chars
+        |  FROM rk GROUP BY doc_id),
+        |kept AS (
+        |  SELECT DISTINCT doc_id FROM fresh
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM dups))
+        |SELECT dd.lang, dd.source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(dd.n_chars) AS BIGINT) AS total_chars,
+        |  CAST(coalesce(sum(xd.xsub_chars), 0) AS BIGINT) AS xsub_chars,
+        |  CAST(coalesce(sum(cd.dup_chars), 0) AS BIGINT) AS chunk_dup_chars,
+        |  CAST(count(CASE WHEN dd.doc_id >= 250 THEN 1 END) AS BIGINT)
+        |    AS n_batch,
+        |  CAST(count(CASE WHEN dd.doc_id >= 250 AND k.doc_id IS NULL
+        |    THEN 1 END) AS BIGINT) AS n_reg_dropped,
+        |  CASE WHEN count(CASE WHEN dd.doc_id >= 250 THEN 1 END) > 0 THEN
+        |    round(count(CASE WHEN dd.doc_id >= 250 AND k.doc_id IS NULL
+        |            THEN 1 END)::DOUBLE /
+        |          count(CASE WHEN dd.doc_id >= 250 THEN 1 END), 6)
+        |  END AS reg_drop_rate
+        |FROM documents dd
+        |LEFT JOIN xd ON xd.doc_id = dd.doc_id
+        |LEFT JOIN cd ON cd.doc_id = dd.doc_id
+        |LEFT JOIN kept k ON k.doc_id = dd.doc_id
+        |GROUP BY dd.lang, dd.source
+        |ORDER BY dd.lang, dd.source""".stripMargin,
 
     "q96_corpus_report" ->
       """SELECT lang, source,

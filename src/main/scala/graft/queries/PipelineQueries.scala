@@ -182,10 +182,29 @@ object PipelineQueries {
        |WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.5
        |ORDER BY d1, d2""".stripMargin
 
+  /** Persisted per-position gram stage shared by q158/q163 (and q169's
+    * data card): the md5-per-position pass is the dominant cost — pay it
+    * once, every consumer reads the cache. */
+  private[queries] def xsubGramStage(s: SparkSession, dir: String): DataFrame =
+    stage(s, dir, "xsub_grams")(
+      NearDup.repeatedSpanGrams(t(s, dir, "documents"), "doc_id", "text",
+        L = 32))
+
+  /** Persisted md5-portable LSH fingerprint table over the WHOLE corpus,
+    * shared by q159 (registry decision) and q169 (data card): signatures
+    * are per-doc, so building once and filtering by id is identical to
+    * building per side — one tokenize+minhash scan instead of two. */
+  private[queries] def md5LshStage(s: SparkSession, dir: String): DataFrame =
+    stage(s, dir, "md5_lsh")(
+      NearDup.minHashLsh(t(s, dir, "documents"), "doc_id", "text",
+        k = 3, bands = 8, rowsPerBand = 2, seed = 42L,
+        baseHash = NearDup.md5Hash60))
+
   /** Shared q158/q163 CTE chain: per-position 32-gram digests →
     * cross-doc-duplicated grams (first holder exempt) → covered
-    * positions → island ids (the merged-span grouping key). */
-  private val exactSubstrCtes =
+    * positions → island ids (the merged-span grouping key). Shared with
+    * q169's data card (private[queries]). */
+  private[queries] val exactSubstrCtes =
     """pos AS (
       |  SELECT doc_id, text, unnest(generate_series(1, length(text) - 31)) AS s
       |  FROM documents WHERE length(text) >= 32),
@@ -207,11 +226,13 @@ object PipelineQueries {
       |      OVER (PARTITION BY doc_id ORDER BY s) AS island
       |  FROM m)""".stripMargin
 
-  /** q159 oracle: replays the md5-portable MinHash signature pipeline —
-    * the universal-hash coefficients become SQL literals (the q37
-    * hyperplane pattern) and the band/registry/keep-first logic mirrors
-    * [[NearDup.incrementalNearDups]] step for step. */
-  private val neardupRegistrySql: String = {
+  /** q159 oracle CTE chain (through `fresh`/`dups` — the survivor set is
+    * `fresh` minus `dups`): replays the md5-portable MinHash signature
+    * pipeline — the universal-hash coefficients become SQL literals (the
+    * q37 hyperplane pattern) and the band/registry/keep-first logic
+    * mirrors [[NearDup.incrementalNearDups]] step for step. Shared with
+    * q169's data card (private[queries]). */
+  private[queries] val neardupRegistryCtes: String = {
     val P = 2147483647L
     val mins = NearDup.hashCoefficients(42L, 16).zipWithIndex
       .map { case ((a, b), i) => s"min((h * $a + $b) % $P) AS m_$i" }
@@ -220,7 +241,7 @@ object PipelineQueries {
       s"SELECT doc_id, $j AS band, m_${2 * j}::VARCHAR || ',' || " +
         s"m_${2 * j + 1}::VARCHAR AS bucket FROM sig"
     }.mkString("\n      |  UNION ALL ")
-    s"""WITH toks AS (
+    s"""toks AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
       |  FROM documents),
       |sh AS (
@@ -247,11 +268,14 @@ object PipelineQueries {
       |dups AS (
       |  SELECT DISTINCT b.doc_id FROM fresh a JOIN fresh b
       |    ON a.band = b.band AND a.bucket = b.bucket
-      |   AND a.doc_id < b.doc_id)
+      |   AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  private val neardupRegistrySql: String =
+    s"""WITH $neardupRegistryCtes
       |SELECT DISTINCT doc_id FROM fresh
       |WHERE doc_id NOT IN (SELECT doc_id FROM dups)
       |ORDER BY doc_id""".stripMargin
-  }
 
   /** q40 oracle: transitive closure of the near-dup pairs by recursive CTE,
     * then min reachable id per member — the canonical-survivor mapping. */
@@ -548,11 +572,7 @@ object PipelineQueries {
     // before the join (identical output — Bloom has no false negatives
     // and the n_docs >= 2 filter cleans the fp residue).
     "q158_exact_substring" -> ((s, dir) =>
-      NearDup.repeatedSpansFromGramsPruned(
-        stage(s, dir, "xsub_grams")(
-          NearDup.repeatedSpanGrams(t(s, dir, "documents"), "doc_id",
-            "text", L = 32)),
-        L = 32)
+      NearDup.repeatedSpansFromGramsPruned(xsubGramStage(s, dir), L = 32)
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"), col("span_start"))),
 
@@ -564,9 +584,7 @@ object PipelineQueries {
     "q163_substr_removal" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val spans = NearDup.repeatedSpansFromGramsPruned(
-        stage(s, dir, "xsub_grams")(
-          NearDup.repeatedSpanGrams(docs, "doc_id", "text", L = 32)),
-        L = 32)
+        xsubGramStage(s, dir), L = 32)
       NearDup.removeRepeatedSpans(docs, "doc_id", "text", spans)
         .select(col("id").as("doc_id"),
           length(col("text_clean")).cast("long").as("n_clean"),
@@ -580,14 +598,13 @@ object PipelineQueries {
     // fingerprints of docs < 250 are the registry; survivors share no
     // bucket with history and have no lower-id batch bucket-mate.
     // md5-portable base hash so the oracle replays every signature bit.
+    // Signatures are per-doc, so the staged whole-corpus LSH table
+    // filtered by id is row-identical to building each side separately
+    // — one tokenize+minhash scan, shared with q169.
     "q159_neardup_registry" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      def lshOf(d: DataFrame) = NearDup.minHashLsh(d, "doc_id", "text",
-        k = 3, bands = 8, rowsPerBand = 2, seed = 42L,
-        baseHash = NearDup.md5Hash60)
-      val registry = lshOf(docs.filter(col("doc_id") < 250))
-      NearDup.incrementalNearDups(lshOf(docs.filter(col("doc_id") >= 250)),
-          registry)
+      val lsh = md5LshStage(s, dir)
+      NearDup.incrementalNearDups(lsh.filter(col("id") >= 250),
+          lsh.filter(col("id") < 250))
         .select(col("id").as("doc_id")).distinct()
         .orderBy(col("doc_id"))
     }),

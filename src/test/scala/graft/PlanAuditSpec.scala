@@ -293,6 +293,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("graft_sorted_contains"), p)
   }
 
+  test("q169: the dedup data card rides the persisted stages (gram, " +
+    "chunk, LSH) — doc-keyed joins + one rollup, no pair fan-out") {
+    val p = plan("q169_dedup_card")
+    assert(!p.contains("CartesianProduct"), p)
+    // all three dedup inputs read caches: the gram stage (cover join
+    // touches it twice more via q158's shape), the CDC chunk stage, and
+    // the whole-corpus LSH fingerprint stage (both filtered sides)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 4, p)
+  }
+
   test("q159: the registry decision is bucket-keyed semi/anti joins — " +
     "history is never self-joined and nothing goes cartesian") {
     val p = plan("q159_neardup_registry")
