@@ -506,6 +506,78 @@ object TextAnalysis {
     ((length(end) - length(replace(end, lit(s)))) / 2 - 1).cast("long")
   }
 
+  /** BPE merge-rule TRAINING inside the engine (Sennrich et al. 2016,
+    * arXiv:1508.07909 — the loop q112 computes one statistic of): `rounds`
+    * greedy iterations, each counting adjacent SYMBOL pairs over the
+    * frequency-weighted vocabulary state and merging the most frequent
+    * pair everywhere (ties to the lexicographically smallest rendering —
+    * deterministic, engine-portable). Round 1 counts character pairs
+    * (every symbol is a character), so its winner equals
+    * [[bpePairCounts]]' top row; later rounds count pairs over the merged
+    * symbols — the part a single pair-count query cannot see.
+    *
+    * The in-engine iterative-training discipline is [[graft.operators.
+    * Similarity.lloydAssigned]]'s, applied to strings: a FIXED round
+    * count (reproducible, oracle-checkable), per-round
+    * localCheckpoint so plans don't stack, every learned rule a
+    * broadcast one-row join. State is the separator-encoded symbol
+    * string of [[bpeSymbolCount]] — literal `replace` applies a rule to
+    * every occurrence in one left-to-right scan identically in Spark and
+    * DuckDB.
+    *
+    * Scale shape: ONE corpus explode builds the weighted vocabulary;
+    * every round after that is vocabulary-sized (Zipf: |V| ≪ corpus) —
+    * a row-local pair explode bounded by word length, a
+    * map-side-combinable pair count, a TakeOrdered(1) argmax (no global
+    * sort), and a broadcast of the single winning rule. The corpus is
+    * never touched again.
+    *
+    * @return (rank, x, y, cnt) — merge rules in learned order; applying
+    *         them via [[bpeSymbolCount]]/[[bpeTokenCounts]] reproduces
+    *         the trained tokenizer */
+  def bpeTrainMerges(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      rounds: Int): org.apache.spark.sql.DataFrame = {
+    require(rounds >= 1 && rounds <= 8, "rounds must be in [1, 8]")
+    val s = BpeSep
+    var vocab = docs
+      .select(explode(tokens(lower(col(textCol)))).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .withColumn("st", concat(lit(s + s),
+        array_join(split(col("word"), ""), s + s), lit(s + s)))
+      .localCheckpoint(true)
+    val learned = Seq.newBuilder[org.apache.spark.sql.DataFrame]
+    for (r <- 1 to rounds) {
+      val syms = filter(split(col("st"), s + s), x => length(x) > 0)
+      // a fully-merged word holds ONE symbol: sequence(1, 0) would step
+      // DOWNWARD, so the pair list must be explicitly empty there
+      val pairs = vocab.select(col("wc"), explode(
+        when(size(syms) >= 2,
+          transform(sequence(lit(1), size(syms) - 1),
+            i => concat(element_at(syms, i.cast("int")), lit(s),
+              element_at(syms, (i + 1).cast("int")))))
+          .otherwise(array().cast("array<string>"))).as("pair"))
+      val winner = pairs.groupBy(col("pair")).agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .withColumn("rank", lit(r.toLong))
+        .localCheckpoint(true)
+      learned += winner
+      vocab = vocab.crossJoin(broadcast(winner.select(col("pair"))))
+        .withColumn("st", replace(col("st"),
+          concat(lit(s), split_part(col("pair"), lit(s), lit(1)),
+            lit(s + s), split_part(col("pair"), lit(s), lit(2)), lit(s)),
+          concat(lit(s), replace(col("pair"), lit(s), lit("")), lit(s))))
+        .drop("pair")
+        .localCheckpoint(true)
+    }
+    learned.result().reduce(_ unionByName _)
+      .select(col("rank"),
+        split_part(col("pair"), lit(s), lit(1)).as("x"),
+        split_part(col("pair"), lit(s), lit(2)).as("y"),
+        col("cnt"))
+      .orderBy(col("rank"))
+  }
+
   /** Per-document REAL tokenizer counts under a learned BPE merge table —
     * what a pipeline meters token budgets with (q99 meters whitespace
     * tokens; this is the trained-tokenizer version).

@@ -385,6 +385,16 @@ object CorpusQueries {
         .orderBy(col("lang"), col("source"))
     }),
 
+    // BPE merge TRAINING run inside the engine (the loop q112 computes
+    // one statistic of): 6 greedy rounds over the frequency-weighted
+    // vocabulary state; round 1's winner provably equals q112's top
+    // character pair, later rounds merge over learned symbols. One
+    // corpus explode, vocabulary-sized rounds, TakeOrdered(1) argmax,
+    // broadcast one-row rule joins.
+    "q170_bpe_train" -> ((s, dir) =>
+      TextAnalysis.bpeTrainMerges(t(s, dir, "documents"), "text",
+        rounds = 6)),
+
     // Data card: per-(lang, source) doc/char/token rollup with subtotal
     // and grand-total rows — the corpus summary shipped next to a
     // training-data snapshot. One scan, partial-agg rollup.
@@ -433,6 +443,52 @@ object CorpusQueries {
       |             len + 1) AS e,
       |    row_number() OVER (PARTITION BY doc_id ORDER BY s) AS chunk_idx
       |  FROM st)""".stripMargin
+
+  /** q170 oracle: the 6 BPE training rounds unrolled — per round, symbol
+    * extraction from the separator state, weighted pair counts, the
+    * (cnt DESC, pair) argmax, and the literal-replace rule application:
+    * exactly the Spark loop's operations in the same order, so every
+    * learned rule and count matches bit for bit. Generated, not
+    * hand-copied — the round count lives in one place. */
+  private val bpeTrainSql: String = {
+    val S = "\u001f"
+    val rounds = 6
+    val roundCtes = (1 to rounds).map { r =>
+      s"""p$r AS (
+        |  SELECT wc, unnest(list_transform(range(len(l) - 1),
+        |    i -> l[(i + 1)::INTEGER] || '$S' || l[(i + 2)::INTEGER]))
+        |    AS pair
+        |  FROM (SELECT wc, list_filter(string_split(st, '$S$S'),
+        |          x -> length(x) > 0) AS l
+        |        FROM v${r - 1})),
+        |w$r AS (
+        |  SELECT pair, cnt FROM (
+        |    SELECT pair, sum(wc) AS cnt FROM p$r GROUP BY pair)
+        |  ORDER BY cnt DESC, pair LIMIT 1),
+        |v$r AS (
+        |  SELECT word, wc, replace(st,
+        |      '$S' || split_part(pair, '$S', 1) || '$S$S' ||
+        |        split_part(pair, '$S', 2) || '$S',
+        |      '$S' || replace(pair, '$S', '') || '$S') AS st
+        |  FROM v${r - 1} CROSS JOIN w$r)""".stripMargin
+    }.mkString(",\n")
+    val winners = (1 to rounds).map(r =>
+      s"SELECT $r AS rank, pair, cnt FROM w$r").mkString("\n  UNION ALL ")
+    s"""WITH wd AS (
+      |  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+      |  FROM documents),
+      |v AS (SELECT word, count(*) AS wc FROM wd
+      |      WHERE length(word) >= 2 GROUP BY word),
+      |v0 AS (SELECT word, wc,
+      |         '$S$S' || regexp_replace(word, '(.)', '\\1$S$S', 'g') AS st
+      |       FROM v),
+      |$roundCtes
+      |SELECT CAST(rank AS BIGINT) AS rank,
+      |  split_part(pair, '$S', 1) AS x, split_part(pair, '$S', 2) AS y,
+      |  CAST(cnt AS BIGINT) AS cnt
+      |FROM ($winners)
+      |ORDER BY rank""".stripMargin
+  }
 
   /** Shared q160/q164 CTE chain: the identical replace-chain over the
     * symbol-string state (double U+001F separators; see
@@ -903,6 +959,8 @@ object CorpusQueries {
         |  round(coalesce(sum(CASE WHEN rn > 1 THEN clen END), 0)::DOUBLE /
         |        sum(clen)::DOUBLE, 6) AS dup_frac
         |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q170_bpe_train" -> bpeTrainSql,
 
     // The three dedup chains replayed in one WITH: the registry CTEs
     // (toks…dups), the exact-substring CTEs (pos…i), and the CDC chunk
