@@ -1,8 +1,10 @@
 package graft
 
-/** Benchmark entry point. Emits exactly TWO JSON lines on stdout as the
+/** Benchmark entry point. Emits exactly THREE JSON lines on stdout as the
   * last thing the program prints — the full per-query map, then a compact
-  * summary (top-20 slowest + totals) that fits entirely inside the
+  * `first51` map (the alphabetically-early timings the tail capture
+  * otherwise loses), then a compact summary (top-20 slowest + totals)
+  * that fits entirely inside the
   * driver's 2000-char tail capture and parses as the "last stdout line".
   * Failures are never silently folded into timings: a
   * failed query reports `-1` in `queries` and its message in `errors`
@@ -50,6 +52,14 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val passes: Seq[Map[String, Double]] = (1 to WarmPasses).map { pass =>
       graft.queries.PipelineQueries.clearStages()
+      // The iterative operators (Lloyd/PQ training, connected components)
+      // localCheckpoint each round; those blocks are freed by the
+      // ContextCleaner only after the RDD references are GARBAGE
+      // COLLECTED, so without a nudge the checkpoint blocks of every
+      // prior pass pile up in storage memory and tax the whole pass
+      // (the round-8 diffuse warm-total regression). One GC between
+      // passes lets the cleaner drop them before the next timed pass.
+      System.gc()
       names.map { name =>
         val t0 = System.nanoTime()
         val ok =
@@ -94,11 +104,21 @@ object Bench {
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val line2 = s"""{"slowest":$slowest,"errors":$errJson,"warm_passes":$WarmPasses,"sf":"$sfDir","n_queries":${names.size},"cold_total_sec":${f"$coldTotal%.3f"},"metric":"total","unit":"sec","value":$total}"""
+    // q01–q51 sort alphabetically EARLY in the full map, so the tail
+    // capture always drops them (round-8 finding). A dedicated compact
+    // line — short keys (the qNN prefix), ids 1..51 — is ~700 chars, so
+    // together with the final summary line it always fits the window.
+    val firstHalf = results.filter { case (n, v) =>
+      v >= 0 && n.drop(1).takeWhile(_.isDigit).toInt <= 51 }
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val line2 = s"""{"first51":$firstHalf}"""
+    val line3 = s"""{"slowest":$slowest,"errors":$errJson,"warm_passes":$WarmPasses,"sf":"$sfDir","n_queries":${names.size},"cold_total_sec":${f"$coldTotal%.3f"},"metric":"total","unit":"sec","value":$total}"""
     spark.stop()
     // printed after spark.stop() so no executor/log line can follow them
     println(line)
     println(line2)
+    println(line3)
     System.out.flush()
   }
 }

@@ -8,11 +8,14 @@ import org.apache.spark.sql.SparkSession
   *  - `shuffle.partitions` = cpu count, not the 200 default: at local[32]
   *    over sf0.1 every extra empty partition is pure scheduling overhead; on
   *    a real cluster this knob is sized to the data (AQE coalesces down).
-  *  - `legacy.parquet.nanosAsLong`: the driver testdata writes `events.ts`
-  *    as parquet TIMESTAMP(NANOS), which Spark 4.x otherwise rejects with
-  *    PARQUET_TYPE_ILLEGAL at scan time. With the flag, `ts` surfaces as
-  *    LongType (epoch nanos) — convert with `timestamp_micros(ts div 1000)`
-  *    where a real timestamp is needed.
+  *  - `legacy.parquet.nanosAsLong`: driver testdata generations have
+  *    written `events.ts` as parquet TIMESTAMP(NANOS), which Spark 4.x
+  *    otherwise rejects with PARQUET_TYPE_ILLEGAL at scan time. With the
+  *    flag, such files surface `ts` as LongType (epoch nanos);
+  *    TIMESTAMP(MICROS) generations surface a µs timestamp instead.
+  *    Tables.load normalizes either to the epoch-nanos LongType contract —
+  *    convert with `timestamp_micros(ts div 1000)` where a real timestamp
+  *    is needed.
   *  - AQE is on by default in Spark 4 (runtime skew-join handling and
   *    shuffle-partition coalescing — part of the 100 TB story, SURVEY.md §4).
   */

@@ -929,22 +929,28 @@ object NearDup {
       .select(col("id"), (col("p") + 1).cast("long").as("s"), col("gm"))
   }
 
-  /** Stage 2 of [[repeatedSpans]] over a (persisted) [[repeatedSpanGrams]]
-    * table. The gram-stats aggregate is map-side combinable on the digest
-    * (hot boilerplate grams reduce within each task — no window-over-
-    * hot-key funnel), and after the `n_docs >= 2` filter the stats table
-    * is duplicated-grams-only — small, so AQE turns the cover join into a
-    * broadcast against the cached gram table. */
-  def repeatedSpansFromGrams(grams: DataFrame, L: Int): DataFrame = {
-    val stats = grams.groupBy(col("gm"))
+  /** The ONE full-gram aggregate of the exact-substring family: per gram
+    * digest, the first (min-id) holder and the distinct-holder count,
+    * filtered to cross-doc duplicated digests. Map-side combinable on the
+    * digest (hot boilerplate grams reduce within each task — no
+    * window-over-hot-key funnel), and after the `n_docs >= 2` filter the
+    * result is duplicated-grams-only — small relative to the corpus.
+    * Both the plain and the Bloom-pruned span passes derive everything
+    * (the Bloom build input AND the cover-join stats side) from this one
+    * table, so the O(total chars) digest shuffle is paid exactly once;
+    * pipelines that run several consumers should persist it (q158/q163/
+    * q169 ride a shared stage). */
+  def repeatedGramStats(grams: DataFrame): DataFrame =
+    grams.groupBy(col("gm"))
       .agg(min(col("id")).as("first_id"),
         countDistinct(col("id")).as("n_docs"))
       .filter(col("n_docs") >= 2)
-    val covered = grams.join(stats, Seq("gm"))
-      .filter(col("id") =!= col("first_id"))
-      .select(col("id"), col("s"))
-    // island merge: a covered start opens a new span iff it begins past
-    // every previous interval's end (adjacent intervals merge too)
+
+  /** Island merge of covered positions `(id, s)` into maximal spans: a
+    * covered start opens a new span iff it begins past every previous
+    * interval's end (adjacent intervals merge too). Per-doc window only —
+    * no global sort. */
+  private def spansFromCovered(covered: DataFrame, L: Int): DataFrame = {
     val byDoc = Window.partitionBy(col("id")).orderBy(col("s"))
     covered
       .withColumn("pm", max(col("s") + L).over(
@@ -959,6 +965,18 @@ object NearDup {
       .select(col("id"), col("span_start"), col("span_len"), col("n_grams"))
   }
 
+  /** Stage 2 of [[repeatedSpans]] over a (persisted) [[repeatedSpanGrams]]
+    * table: [[repeatedGramStats]] (duplicated-grams-only — small, so AQE
+    * turns the cover join into a broadcast against the cached gram table)
+    * joined back per occurrence, islands merged per doc. */
+  def repeatedSpansFromGrams(grams: DataFrame, L: Int): DataFrame = {
+    val stats = repeatedGramStats(grams)
+    val covered = grams.join(stats, Seq("gm"))
+      .filter(col("id") =!= col("first_id"))
+      .select(col("id"), col("s"))
+    spansFromCovered(covered, L)
+  }
+
   /** [[repeatedSpansFromGrams]] with a Bloom-pruned cover join — the q149
     * shuffle cutter applied to the engine's heaviest query. The duplicated
     * gram digests (post `n_docs >= 2` filter) are rare relative to the
@@ -971,33 +989,43 @@ object NearDup {
     * input shrinks to true matches + the false-positive residue.
     *
     * Result EXACTLY equals the unpruned operator: Bloom has no false
-    * negatives, so every row of a duplicated gram survives; survival is
-    * all-or-nothing per digest, so the gram stats recomputed over the
-    * pruned table are unchanged for surviving digests; and a
-    * false-positive digest still carries its true `n_docs = 1`, which the
-    * `>= 2` filter removes — the residue is self-cleaning
-    * (ExactSubstrBloomSpec pins equality and the shrink).
+    * negatives, so every row of a duplicated gram survives the prune; and
+    * the cover join is INNER against the duplicated-digest stats table,
+    * so a false-positive digest (which has no stats row) contributes
+    * nothing — the residue is self-cleaning (ExactSubstrBloomSpec pins
+    * equality and the shrink).
     *
-    * Cost: ONE extra map-side-combinable aggregate over the (persisted)
-    * gram stage to harvest the duplicated digests. The stats aggregate
-    * inside [[repeatedSpansFromGrams]] then runs over the pruned slice
-    * only, so the two stats passes together cost about the original one.
+    * Cost: both the Bloom build input and the cover-join stats side
+    * derive from the SINGLE [[repeatedGramStats]] aggregate — the
+    * O(total chars) digest shuffle runs once, exactly as on the unpruned
+    * path; the prune only ever removes work from the join. Callers with
+    * several consumers (or whose stats table is read twice because this
+    * operator uses it for both the Bloom build and the join) should pass
+    * a persisted `stats` so neither consumer re-aggregates the grams —
+    * the q158/q163/q169 stage pattern.
     *
     * @param numBits   Bloom geometry — size for the expected count of
     *                  DISTINCT duplicated digests (not total grams); the
     *                  default 2^20 bits / 3 hashes holds ~10^5 digests
     *                  under 2% false positives and broadcasts as ≤ 8 MB
-    * @param numHashes hash probes per digest */
+    * @param numHashes hash probes per digest
+    * @param stats     optional precomputed (persisted)
+    *                  [[repeatedGramStats]] of `grams` */
   def repeatedSpansFromGramsPruned(grams: DataFrame, L: Int,
-      numBits: Long = 1L << 20, numHashes: Int = 3): DataFrame = {
-    val dupDigests = grams.groupBy(col("gm"))
-      .agg(countDistinct(col("id")).as("n_docs"))
-      .filter(col("n_docs") >= 2)
-      .select(col("gm"))
-    val bits = Sketches.bloomBitsArray(dupDigests, col("gm"),
-      numBits, numHashes)
-    repeatedSpansFromGrams(
-      Sketches.bloomPrune(grams, col("gm"), bits, numBits, numHashes), L)
+      numBits: Long = 1L << 20, numHashes: Int = 3,
+      stats: Option[DataFrame] = None): DataFrame = {
+    val st = stats.getOrElse(repeatedGramStats(grams))
+    // the prune is output-transparent, so its bloom rides the fast
+    // native hash — an md5 per probe per gram row would cost nearly as
+    // much as the gram digests themselves
+    val bits = Sketches.bloomBitsArray(st.select(col("gm")), col("gm"),
+      numBits, numHashes, Sketches.xxBucket)
+    val pruned = Sketches.bloomPrune(grams, col("gm"), bits,
+      numBits, numHashes, Sketches.xxBucket)
+    val covered = pruned.join(st, Seq("gm"))
+      .filter(col("id") =!= col("first_id"))
+      .select(col("id"), col("s"))
+    spansFromCovered(covered, L)
   }
 
   /** Chunk-level dedup accounting over a [[cdcChunks]] table — the

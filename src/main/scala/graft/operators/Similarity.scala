@@ -473,6 +473,95 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** IVF-ADC index build — attach each vector's coarse list to its PQ
+    * code rows: `(ivf, slice, vec_id, code)`, the table a deployment
+    * STORES (built once per snapshot, m integer codes + one list id per
+    * vector — no floats). The vec_id equi-join runs at index-build time,
+    * never at query time; callers persist the result (stage-cache
+    * pattern), exactly as they persist [[pqAssigned]].
+    *
+    * @param coarse  (vec_id, cluster) coarse-quantizer assignment
+    *                ([[assignToCentroids]] / [[lloydAssignments]])
+    * @param assigned per-slice PQ assignment ([[pqAssigned]]) */
+  def ivfAdcIndex(coarse: DataFrame, assigned: DataFrame): DataFrame =
+    assigned.select(col("slice"), col("vec_id"), col("cluster").as("code"))
+      .join(coarse.select(col("vec_id"), col("cluster").as("ivf")),
+        Seq("vec_id"))
+
+  /** IVF-ADC search — the composition that makes PQ a SCAN win, not just
+    * a storage win (Jégou et al.'s IVFADC): the coarse quantizer routes
+    * each query to its `nprobe` nearest lists, and the ADC sum runs ONLY
+    * over code rows in probed lists — the full-code scan of [[pqAdcTopK]]
+    * (q·N rows through the aggregate) becomes q·N·(nprobe/nlists) in
+    * expectation, while the corpus side still never touches a float.
+    *
+    * Plan shape: the probe set (q·nprobe list ids) joins the per-query
+    * ADC lookup (q·m·k partials) into ONE broadcast table keyed by
+    * (ivf, slice, code); the stored [[ivfAdcIndex]] joins it by those
+    * keys — a single broadcast hash join over the index, then the
+    * map-side-combinable integer SUM per (qid, vec_id). No corpus
+    * shuffle, no full-code scan; ranking contract matches [[ivfTopK]]
+    * (ranks among scanned candidates, `(adc DESC, vec_id)` total order).
+    *
+    * @return (qid, vec_id, adc, rnk) — adc is the scaled integer score */
+  def ivfAdcTopK(queries: DataFrame, corpus: DataFrame, index: DataFrame,
+      assigned: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val cents = broadcast(labelCentroids(corpus))
+    val q = queries.select(col("vec_id").as("qid"),
+      asDouble(col("embedding")).as("qe"))
+    val probeW = Window.partitionBy(col("qid"))
+      .orderBy(desc("csim"), col("label"))
+    val probes = q.crossJoin(cents)
+      .select(col("qid"), col("label"),
+        round(cosine(col("qe"), col("centroid")), 6).as("csim"))
+      .withColumn("prnk", row_number().over(probeW))
+      .filter(col("prnk") <= nprobe)
+      .select(col("qid"), col("label").as("ivf"))
+    val cb = pqCodebook(assigned)
+    val lookup = q.crossJoin(broadcast(cb))
+      .select(col("qid"), col("slice"), col("code"),
+        round(round(dot(slice(col("qe"),
+            (col("slice") * size(col("centroid")) + 1).cast("int"),
+            size(col("centroid"))), col("centroid")), 6) * 1e6)
+          .cast("long").as("pdi"))
+    // one broadcast table: per probed (qid, list), the full ADC row —
+    // q·nprobe·m·k rows, tiny at any corpus scale
+    val probeLookup = broadcast(probes.join(lookup, Seq("qid")))
+    index.join(probeLookup, Seq("ivf", "slice", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("pdi")).as("adc"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(desc("adc"), col("vec_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** IVF-ADC index-quality gauge — recall@k of the coarse-pruned ADC path
+    * against the exact inner-product scan (the q168 gauge for the
+    * composed index): the number read before dialing `nprobe` on a
+    * quantized corpus index. Typically below [[pqRecallAtK]] at the same
+    * geometry (an exact neighbor whose list isn't probed is lost; a
+    * pruned non-neighbor can occasionally let one back in, so the
+    * relation is not per-query monotone) — the gap is the nprobe dial's
+    * cost, and with nprobe ≥ the list count the two are row-identical
+    * (PqSpec pins that degenerate equality). */
+  def ivfAdcRecallAtK(queries: DataFrame, corpus: DataFrame,
+      index: DataFrame, assigned: DataFrame, nprobe: Int, k: Int)
+      : DataFrame = {
+    val exact = bruteForceDotTopK(queries, corpus, k)
+      .select(col("qid"), col("vec_id"))
+    val approx = ivfAdcTopK(queries, corpus, index, assigned, nprobe, k)
+      .select(col("qid"), col("vec_id"))
+    exact.join(approx.withColumn("__hit", lit(1L)), Seq("qid", "vec_id"),
+        "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+      .select(col("qid"), col("n_exact"), col("hits"),
+        (col("hits").cast("double") / lit(k)).as("recall"))
+  }
+
   /** PQ index-quality gauge — recall@k of the ADC path against the exact
     * inner-product scan, per query (the q152 measurement for the
     * quantized index): |pqAdcTopK ∩ bruteForceDotTopK| / k. Run BEFORE

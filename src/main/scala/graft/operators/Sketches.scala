@@ -28,6 +28,17 @@ object Sketches {
     pmod(NearDup.md5Hash60(concat_ws("|", lit(seed.toString), key)),
       lit(width))
 
+  /** Fast NON-portable bucket hash (native xxhash64) for sketches whose
+    * bits never cross the engine boundary. The md5 bridge above exists so
+    * a DuckDB oracle can replay every bit; a Bloom used purely as an
+    * internal pre-join prune ([[bloomPrune]]) is output-transparent —
+    * ANY hash family yields the identical final result — so paying an
+    * md5 per probe per row on a corpus-sized fact table is pure waste.
+    * Build and probe must use the same function; pass this as `bucket`
+    * to BOTH [[bloomBitsArray]] and [[bloomPrune]]. */
+  val xxBucket: (Int, Column, Long) => Column =
+    (seed, key, width) => pmod(xxhash64(lit(seed), key), lit(width))
+
   /** Count-min sketch state: (d, bucket, cnt) — `depth` independent hash
     * rows of `width` buckets, each holding the count of keys landing in
     * it. Merge two batches' states by unioning and summing cnt. */
@@ -86,8 +97,11 @@ object Sketches {
     * bounded by min(numBits, |keys|·numHashes) longs, chosen small by
     * construction (a 1M-bit filter is ≤ 8 MB). */
   def bloomBitsArray(df: DataFrame, key: Column, numBits: Long,
-      numHashes: Int): DataFrame =
-    bloomBits(df, key, numBits, numHashes)
+      numHashes: Int,
+      bucket: (Int, Column, Long) => Column = bucketOf): DataFrame =
+    df.select(explode(array((0 until numHashes).map(
+        bucket(_, key, numBits)): _*)).as("bit"))
+      .distinct()
       .agg(sort_array(collect_list(col("bit"))).as("bloom_bits"))
 
   /** Bloom-pruned pre-join filter — the 100 TB shuffle cutter: before a
@@ -104,14 +118,15 @@ object Sketches {
     * bit-table join and re-grouping (a probe-side shuffle) — right for
     * auditing a sketch, wrong for pruning a corpus. */
   def bloomPrune(fact: DataFrame, key: Column, bitsArray: DataFrame,
-      numBits: Long, numHashes: Int): DataFrame = {
+      numBits: Long, numHashes: Int,
+      bucket: (Int, Column, Long) => Column = bucketOf): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
     def contains(h: Column): Column = ColumnBridge.toColumn(
       graft.expressions.SortedArrayContains(
         ColumnBridge.toExpression(col("bloom_bits")),
         ColumnBridge.toExpression(h)))
     val maybe = (0 until numHashes)
-      .map(s => contains(bucketOf(s, key, numBits)))
+      .map(s => contains(bucket(s, key, numBits)))
       .reduce(_ && _)
     fact.crossJoin(broadcast(bitsArray))
       .filter(maybe)

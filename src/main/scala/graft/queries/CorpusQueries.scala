@@ -357,7 +357,8 @@ object CorpusQueries {
     "q169_dedup_card" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val xd = NearDup.repeatedSpansFromGramsPruned(
-          PipelineQueries.xsubGramStage(s, dir), L = 32)
+          PipelineQueries.xsubGramStage(s, dir), L = 32,
+          stats = Some(PipelineQueries.xsubStatsStage(s, dir)))
         .groupBy(col("id").as("doc_id"))
         .agg(sum(col("span_len")).as("xsub_chars"))
       val cd = NearDup.chunkDupStats(cdcChunkStage(s, dir))

@@ -90,6 +90,28 @@ object EvalQueries {
         .orderBy(col("qid"))
     }),
 
+    // Index QA for the COMPOSED quantized index (IVF-ADC): the coarse
+    // quantizer routes each query to its nprobe=2 nearest lists and the
+    // ADC sum runs only over code rows in probed lists — the q168 scan
+    // becomes a fraction-of-the-codes scan while the corpus side still
+    // never touches a float. Recall@10 vs the exact inner-product scan;
+    // the gap to q168's recall IS the nprobe dial's cost. Both the PQ
+    // assignment and the stored (ivf, slice, code) index ride stages.
+    "q171_ivf_adc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val assigned = PipelineQueries.stage(s, dir, "pq_assigned")(
+        Similarity.pqAssigned(emb, m = pqM, sub = pqSub, iters = 2,
+          k = pqCodewords))
+      val index = PipelineQueries.stage(s, dir, "ivf_adc_index")(
+        Similarity.ivfAdcIndex(
+          Similarity.assignToCentroids(emb)
+            .select(col("vec_id"), col("cluster")),
+          assigned))
+      Similarity.ivfAdcRecallAtK(emb.filter(col("vec_id") < 8), emb,
+          index, assigned, nprobe = ivfNprobe, k = pqTopK)
+        .orderBy(col("qid"))
+    }),
+
     // Sentence-granularity text profile: segment count, total/max/mean
     // segment length — the fragmentation signal (boilerplate lists score
     // many short "sentences") that word-level stats miss. Row-local.
@@ -115,14 +137,18 @@ object EvalQueries {
   private val pqSub = 8
   private val pqCodewords = 32
   private val pqTopK = 10
+  private val ivfNprobe = 2
 
-  /** q168 oracle: replays the full per-slice PQ chain — hash-seeded
-    * 2-round Lloyd per slice (the q166 CTE pattern, once per slice),
-    * the per-cluster-mean codebook half-step, the integer-scaled
+  /** q168/q171 oracle generator: replays the full per-slice PQ chain —
+    * hash-seeded 2-round Lloyd per slice (the q166 CTE pattern, once per
+    * slice), the per-cluster-mean codebook half-step, the integer-scaled
     * ADC lookup tables, and the recall join against the exact
-    * inner-product scan. The slice blocks are generated, not
-    * hand-copied, so the geometry stays in one place. */
-  private val pqRecallSql: String = {
+    * inner-product scan. With `ivfProbe = Some(nprobe)` the chain adds
+    * the coarse label-centroid assignment + per-query probe ranking and
+    * restricts each slice's score rows to probed lists — the q171 IVF-ADC
+    * composition. The slice blocks are generated, not hand-copied, so
+    * the geometry stays in one place. */
+  private def pqChainSql(ivfProbe: Option[Int]): String = {
     val (m, sub, kq, k) = (pqM, pqSub, pqCodewords, pqTopK)
     val sliceCtes = (0 until m).map { j =>
       val lo = j * sub + 1
@@ -166,14 +192,44 @@ object EvalQueries {
          |             6) * 1e6) AS BIGINT) AS pdi
          |         FROM q CROSS JOIN cb$j cb),
          |sc$j AS (SELECT p.qid, a.vec_id, p.pdi
-         |         FROM a2$j a JOIN pt$j p ON p.code = a.cluster)"""
+         |         FROM a2$j a JOIN pt$j p ON p.code = a.cluster${
+           if (ivfProbe.isDefined)
+             s"""
+         |         JOIN ivfco co ON co.vec_id = a.vec_id
+         |         JOIN ivfpr pr ON pr.cluster = co.cluster
+         |                      AND pr.qid = p.qid"""
+           else ""})"""
         .stripMargin
     }.mkString(",\n")
     val scUnion = (0 until m).map(j => s"SELECT * FROM sc$j")
       .mkString("\n    UNION ALL ")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    val dim = m * sub
+    val ivfCtes = ivfProbe.map { np =>
+      s"""ivfcomp AS (SELECT label, r.i AS ord, avg(v[(r.i + 1)::INTEGER]) AS mv
+        |           FROM e, range(0, $dim) AS r(i) GROUP BY label, r.i),
+        |ivfcent AS (SELECT label, list(round(mv, 6) ORDER BY ord) AS c
+        |            FROM ivfcomp GROUP BY label),
+        |ivfco AS (SELECT vec_id, cluster FROM (
+        |    SELECT e.vec_id, ct.label AS cluster,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        round(list_dot_product(e.v, ct.c) /
+        |          (sqrt(list_dot_product(e.v, e.v)) *
+        |           sqrt(list_dot_product(ct.c, ct.c))), 6) DESC,
+        |        ct.label) AS rnk
+        |    FROM e CROSS JOIN ivfcent ct) WHERE rnk = 1),
+        |ivfpr AS (SELECT qid, cluster FROM (
+        |    SELECT q.qid, ct.label AS cluster,
+        |      row_number() OVER (PARTITION BY q.qid ORDER BY
+        |        round(list_dot_product(q.qv, ct.c) /
+        |          (sqrt(list_dot_product(q.qv, q.qv)) *
+        |           sqrt(list_dot_product(ct.c, ct.c))), 6) DESC,
+        |        ct.label) AS prnk
+        |    FROM q CROSS JOIN ivfcent ct) WHERE prnk <= $np),
+        |""".stripMargin
+    }.getOrElse("")
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
-      |$sliceCtes,
+      |$ivfCtes$sliceCtes,
       |adc AS (SELECT qid, vec_id, sum(pdi) AS adc FROM (
       |    $scUnion)
       |  WHERE vec_id <> qid GROUP BY qid, vec_id),
@@ -195,7 +251,8 @@ object EvalQueries {
   }
 
   val oracles: Map[String, String] = Map(
-    "q168_pq_recall" -> pqRecallSql,
+    "q168_pq_recall" -> pqChainSql(None),
+    "q171_ivf_adc" -> pqChainSql(Some(ivfNprobe)),
 
     "q152_ann_recall" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

@@ -190,6 +190,15 @@ object PipelineQueries {
       NearDup.repeatedSpanGrams(t(s, dir, "documents"), "doc_id", "text",
         L = 32))
 
+  /** Persisted duplicated-gram stats over [[xsubGramStage]] — the ONE
+    * full-gram digest shuffle of the exact-substring family. Both the
+    * Bloom build and the cover join (and every q158/q163/q169 consumer)
+    * read this cache; without it the pruned span pass would re-aggregate
+    * the gram table once per reference. Tiny (duplicated digests only). */
+  private[queries] def xsubStatsStage(s: SparkSession, dir: String): DataFrame =
+    stage(s, dir, "xsub_stats")(
+      NearDup.repeatedGramStats(xsubGramStage(s, dir)))
+
   /** Persisted md5-portable LSH fingerprint table over the WHOLE corpus,
     * shared by q159 (registry decision) and q169 (data card): signatures
     * are per-doc, so building once and filtering by id is identical to
@@ -570,9 +579,12 @@ object PipelineQueries {
     // The cover join rides the q149 Bloom prune: duplicated-gram digests
     // build one broadcast bit row, gram rows are pruned row-locally
     // before the join (identical output — Bloom has no false negatives
-    // and the n_docs >= 2 filter cleans the fp residue).
+    // and the inner join vs the duplicated-digest stats cleans the fp
+    // residue). Stats come from the persisted xsub_stats stage, so the
+    // full-gram digest shuffle runs ONCE across q158/q163/q169.
     "q158_exact_substring" -> ((s, dir) =>
-      NearDup.repeatedSpansFromGramsPruned(xsubGramStage(s, dir), L = 32)
+      NearDup.repeatedSpansFromGramsPruned(xsubGramStage(s, dir), L = 32,
+          stats = Some(xsubStatsStage(s, dir)))
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"), col("span_start"))),
 
@@ -584,7 +596,8 @@ object PipelineQueries {
     "q163_substr_removal" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val spans = NearDup.repeatedSpansFromGramsPruned(
-        xsubGramStage(s, dir), L = 32)
+        xsubGramStage(s, dir), L = 32,
+        stats = Some(xsubStatsStage(s, dir)))
       NearDup.removeRepeatedSpans(docs, "doc_id", "text", spans)
         .select(col("id").as("doc_id"),
           length(col("text_clean")).cast("long").as("n_clean"),

@@ -293,6 +293,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("graft_sorted_contains"), p)
   }
 
+  test("q158: ONE full-gram shuffle — the duplicated-gram stats aggregate " +
+    "lives inside the persisted xsub_stats stage; the main plan contains " +
+    "NO gram aggregate and reads the gram cache exactly once") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val lp = SparkEntry.queries("q158_exact_substring")(spark, dir)
+      .queryExecution.optimizedPlan
+    // r8's regression: a SECOND groupBy(gm).agg(countDistinct(id)) harvest
+    // ran in the main plan on top of the stats aggregate. Now every
+    // distinct-holder count lives inside the cached stage (InMemoryRelation
+    // is a leaf — collect does not descend into cachedPlan), so the main
+    // tree must have zero of them.
+    val gramAggs = lp.collect {
+      case a: Aggregate if a.aggregateExpressions.exists(
+        _.toString.toLowerCase.contains("count(distinct")) => a
+    }
+    assert(gramAggs.isEmpty, gramAggs.mkString("\n"))
+    // cache leaves: the gram stage feeds the probe ONCE; the tiny stats
+    // stage is read twice (bloom build + cover join) = 3 total
+    val caches = lp.collect { case r: InMemoryRelation => r }
+    assert(caches.size === 3, lp.toString)
+  }
+
   test("q169: the dedup data card rides the persisted stages (gram, " +
     "chunk, LSH) — doc-keyed joins + one rollup, no pair fan-out") {
     val p = plan("q169_dedup_card")

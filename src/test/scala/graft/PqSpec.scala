@@ -98,6 +98,70 @@ class PqSpec extends SparkSpec {
     } finally { assigned.unpersist(); () }
   }
 
+  test("ivfAdcIndex: m code rows per vector, each carrying the vector's " +
+    "coarse list; no floats in the stored table") {
+    val assigned = Similarity.pqAssigned(emb, m, sub, iters = 1, k = 8)
+      .persist()
+    try {
+      val coarse = Similarity.assignToCentroids(emb)
+        .select(col("vec_id"), col("cluster"))
+      val idx = Similarity.ivfAdcIndex(coarse, assigned)
+      assert(idx.count() === emb.count() * m)
+      // every row's ivf equals its vector's coarse assignment
+      val bad = idx.join(coarse.withColumnRenamed("cluster", "expected"),
+          Seq("vec_id"))
+        .filter(col("ivf") =!= col("expected"))
+      assert(bad.count() === 0L)
+      assert(idx.columns.toSet === Set("vec_id", "slice", "code", "ivf"))
+    } finally { assigned.unpersist(); () }
+  }
+
+  test("ivfAdcTopK with nprobe >= the list count is row-identical to the " +
+    "full-scan pqAdcTopK (probing everything IS the full scan)") {
+    val assigned = Similarity.pqAssigned(emb, m, sub, iters = 1, k = 8)
+      .persist()
+    try {
+      val coarse = Similarity.assignToCentroids(emb)
+        .select(col("vec_id"), col("cluster"))
+      val idx = Similarity.ivfAdcIndex(coarse, assigned)
+      val nLists = coarse.select(col("cluster")).distinct().count().toInt
+      val q = emb.filter(col("vec_id") < 4)
+      val full = Similarity.pqAdcTopK(q, assigned, k = 10)
+      val probedAll = Similarity.ivfAdcTopK(q, emb, idx, assigned,
+        nprobe = nLists, k = 10)
+      assert(probedAll.exceptAll(full).count() === 0L)
+      assert(full.exceptAll(probedAll).count() === 0L)
+    } finally { assigned.unpersist(); () }
+  }
+
+  test("pruning never alters a score: every ivfAdcTopK pair carries " +
+    "exactly the full-ADC integer score, and the recall gauge stays " +
+    "well above chance at nprobe=2") {
+    val assigned = Similarity.pqAssigned(emb, m, sub, iters = 2, k = 32)
+      .persist()
+    try {
+      val coarse = Similarity.assignToCentroids(emb)
+        .select(col("vec_id"), col("cluster"))
+      val idx = Similarity.ivfAdcIndex(coarse, assigned).persist()
+      val q = emb.filter(col("vec_id") < 8)
+      val pruned = Similarity.ivfAdcTopK(q, emb, idx, assigned,
+        nprobe = 2, k = 10)
+      // full ADC scores for ALL pairs (k large enough to keep everything)
+      val full = Similarity.pqAdcTopK(q, assigned, k = 100000)
+        .select(col("qid"), col("vec_id"), col("adc").as("full_adc"))
+      val joined = pruned.join(full, Seq("qid", "vec_id"), "left").persist()
+      assert(joined.filter(col("full_adc").isNull).count() === 0L,
+        "pruned result contained a pair absent from the full scan")
+      assert(joined.filter(col("adc") =!= col("full_adc")).count() === 0L,
+        "pruning changed an ADC score")
+      val r = Similarity.ivfAdcRecallAtK(q, emb, idx, assigned,
+          nprobe = 2, k = 10)
+        .agg(avg(col("recall"))).head().getDouble(0)
+      assert(r >= 0.10, s"mean IVF-ADC recall $r collapsed")
+      joined.unpersist(); idx.unpersist()
+    } finally { assigned.unpersist(); () }
+  }
+
   test("identical vectors quantize to identical codes and tie in ADC") {
     val base = Array.tabulate(64)(i => (math.sin(i * 1.7) * 0.5).toFloat)
     val other = Array.tabulate(64)(i => (math.cos(i * 2.3) * 0.5).toFloat)

@@ -41,7 +41,15 @@ class StreamingSessionSpec extends SparkSpec {
   test("streaming 4h sessions over real events equal the batch Sessionize result") {
     val dir = "/root/testdata/sf0.001"
     val batchEvents = spark.read.parquet(s"$dir/events.parquet")
-    val toTs = expr("timestamp_micros(ts div 1000)")
+    // on-disk ts is either epoch-nanos long or a µs timestamp (see
+    // StreamingSpec) — the file source needs the raw schema, so normalize
+    // here rather than via Tables.load
+    val tsIsLong =
+      batchEvents.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val toTs = if (tsIsLong) expr("timestamp_micros(ts div 1000)")
+      else expr("cast(ts AS timestamp)")
+    val toMicros = if (tsIsLong) expr("ts DIV 1000")
+      else expr("unix_micros(cast(ts AS timestamp))")
 
     val watched = java.nio.file.Files.createTempDirectory("graft-sess")
     java.nio.file.Files.copy(
@@ -62,7 +70,7 @@ class StreamingSessionSpec extends SparkSpec {
       val batch = Sessionize.sessionStats(
         Sessionize.sessionize(
           batchEvents.select(col("user_id"), col("event_id"),
-            expr("ts DIV 1000").as("t")),
+            toMicros.as("t")),
           "user_id", "t", gap = 14400000000L, order = Seq(col("event_id"))),
         "user_id", "t")
         .select(col("user_id"),

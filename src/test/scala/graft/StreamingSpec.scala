@@ -60,8 +60,14 @@ class StreamingSpec extends SparkSpec {
   test("file-stream windowed counts over real events equal the batch result") {
     val dir = "/root/testdata/sf0.001"
     val batch = spark.read.parquet(s"$dir/events.parquet")
-    // events.ts is epoch nanos (LongType via nanosAsLong) → micros timestamp
-    val toTs = org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")
+    // events.ts arrives as epoch-nanos LongType (TIMESTAMP(NANOS) testdata
+    // under nanosAsLong) or as a µs timestamp — normalize either to a
+    // micros-precision TimestampType (the raw read keeps the on-disk schema
+    // the streaming file source needs, so this can't ride Tables.load)
+    val toTs =
+      if (batch.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")
+      else org.apache.spark.sql.functions.expr("cast(ts AS timestamp)")
     // the streaming file source wants a monitored DIRECTORY, not a file
     val watched = java.nio.file.Files.createTempDirectory("graft-events")
     java.nio.file.Files.copy(
