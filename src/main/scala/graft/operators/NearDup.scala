@@ -977,6 +977,56 @@ object NearDup {
     spansFromCovered(covered, L)
   }
 
+  /** Cross-batch exact-substring dedup — the gram-digest mirror of
+    * [[incrementalNearDups]] (and of Dedup.incrementalNew), closing the
+    * registry-family triangle: the digest family has q73, the fingerprint
+    * family q159, and this gives the gram family its nightly-append
+    * story. A new batch's spans are found WITHOUT rescanning historical
+    * corpus text: history is summarized as its distinct gram digests (the
+    * registry — one row per digest, tiny next to the corpus), and a
+    * batch position is covered iff its gram
+    *  (a) appears in the registry (historical content: EVERY batch
+    *      occurrence is covered, no first-holder exemption — one copy
+    *      already survives in history), or
+    *  (b) is duplicated across batch docs (the [[repeatedSpans]]
+    *      within-batch rule, min-id holder exempt).
+    * With an EMPTY registry this degrades exactly to
+    * [[repeatedSpansFromGrams]] (XsubRegistrySpec pins it).
+    *
+    * Scale shape: one semi join of batch grams against the registry
+    * digest set (well-distributed key, broadcast when the registry fits)
+    * + the usual within-batch stats aggregate over BATCH grams only +
+    * the per-doc island window. History text is never read; the
+    * registry for the NEXT run is the old registry plus this batch's
+    * [[gramRegistry]] rows — the caller appends, exactly like the other
+    * two registries, and Dedup.compactRegistry(log, "gm", …) compacts
+    * the provenance log (the digest column name is a parameter there —
+    * composition needs no new code; XsubRegistrySpec replays it).
+    *
+    * @param registry any DataFrame whose FIRST column is the historical
+    *                 gram digest (extra provenance columns ignored)
+    * @return (id, span_start, span_len, n_grams) — batch docs only */
+  def repeatedSpansVsRegistry(grams: DataFrame, registry: DataFrame,
+      L: Int): DataFrame = {
+    val reg = registry.select(col(registry.columns.head).as("gm")).distinct()
+    val stats = repeatedGramStats(grams)
+    val histCovered = grams.join(reg, Seq("gm"), "left_semi")
+      .select(col("id"), col("s"))
+    val batchCovered = grams.join(stats, Seq("gm"))
+      .filter(col("id") =!= col("first_id"))
+      .select(col("id"), col("s"))
+    // a position covered both ways must count once in the island pass
+    spansFromCovered(histCovered.unionByName(batchCovered).distinct(), L)
+  }
+
+  /** The registry-append rows for [[repeatedSpansVsRegistry]]: one row
+    * per distinct gram digest of this batch with its first (min-id)
+    * holder — the provenance a compaction log wants (map the holder to
+    * source/batch columns and Dedup.compactRegistry does the rest).
+    * Map-side-combinable aggregate on the digest; no skew. */
+  def gramRegistry(grams: DataFrame): DataFrame =
+    grams.groupBy(col("gm")).agg(min(col("id")).as("first_holder"))
+
   /** [[repeatedSpansFromGrams]] with a Bloom-pruned cover join — the q149
     * shuffle cutter applied to the engine's heaviest query. The duplicated
     * gram digests (post `n_docs >= 2` filter) are rare relative to the

@@ -213,12 +213,20 @@ object PipelineQueries {
     * cross-doc-duplicated grams (first holder exempt) → covered
     * positions → island ids (the merged-span grouping key). Shared with
     * q169's data card (private[queries]). */
-  private[queries] val exactSubstrCtes =
-    """pos AS (
+  /** The per-position gram-digest table alone (pos → g), shared by the
+    * whole-corpus chain below, the q172 registry-split chain and the
+    * q173 ASCII-slice chain (parameterized source relation). */
+  private[queries] def gramTableCtesFrom(src: String): String =
+    s"""pos AS (
       |  SELECT doc_id, text, unnest(generate_series(1, length(text) - 31)) AS s
-      |  FROM documents WHERE length(text) >= 32),
+      |  FROM $src WHERE length(text) >= 32),
       |g AS (
-      |  SELECT doc_id, s, md5(substr(text, s::INTEGER, 32)) AS gm FROM pos),
+      |  SELECT doc_id, s, md5(substr(text, s::INTEGER, 32)) AS gm FROM pos)"""
+      .stripMargin
+  private[queries] val gramTableCtes = gramTableCtesFrom("documents")
+
+  private[queries] def exactSubstrCtesFrom(src: String): String =
+    s"""${gramTableCtesFrom(src)},
       |st AS (
       |  SELECT gm, min(doc_id) AS first_id, count(DISTINCT doc_id) AS n_docs
       |  FROM g GROUP BY gm),
@@ -234,6 +242,7 @@ object PipelineQueries {
       |    sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
       |      OVER (PARTITION BY doc_id ORDER BY s) AS island
       |  FROM m)""".stripMargin
+  private[queries] val exactSubstrCtes = exactSubstrCtesFrom("documents")
 
   /** q159 oracle CTE chain (through `fresh`/`dups` — the survivor set is
     * `fresh` minus `dups`): replays the md5-portable MinHash signature
@@ -606,6 +615,42 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // LLM dedup 10 (cross-batch exact-substring registry): the q159
+    // nightly-append story at gram-digest granularity — docs >= 250 are
+    // the new batch, the distinct gram digests of docs < 250 are the
+    // registry (history text never rescanned). A batch position is
+    // covered if its gram is historical (no exemption — one copy already
+    // survives in history) or batch-duplicated (min-id holder exempt).
+    // Fourth consumer of the persisted gram stage: both the batch grams
+    // and the registry digests are filters over the cache — zero new
+    // corpus scans.
+    "q172_xsub_registry" -> ((s, dir) => {
+      val grams = xsubGramStage(s, dir)
+      NearDup.repeatedSpansVsRegistry(
+          grams.filter(col("id") >= 250),
+          grams.filter(col("id") < 250).select(col("gm")),
+          L = 32)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
+    // The PRODUCTION gram stage, graded end-to-end: spans from the native
+    // O(len) rolling-hash grams (the >= 2x-faster kernel a 100 TB run
+    // configures) on the corpus's pure-ASCII slice, where byte == char
+    // positions make the result identical to the md5 variant the DuckDB
+    // oracle replays — the WinnowRollingSpec equivalence argument lifted
+    // to grading (ExactSubstrRollingSpec pins position parity; the
+    // 64-bit polynomial is collision-free at any graded scale w.h.p.).
+    "q173_xsub_rolling" -> ((s, dir) => {
+      val ascii = t(s, dir, "documents")
+        .filter(octet_length(col("text")) === length(col("text")))
+      NearDup.repeatedSpansFromGrams(
+          NearDup.repeatedSpanGramsRolling(ascii, "doc_id", "text", L = 32),
+          L = 32)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
     // LLM dedup 9 (cross-batch registry): the nightly-append near-dup
     // story — docs ≥ 250 arrive as the new batch, the persisted LSH
     // fingerprints of docs < 250 are the registry; survivors share no
@@ -900,6 +945,45 @@ object PipelineQueries {
 
     "q158_exact_substring" ->
       s"""WITH $exactSubstrCtes
+        |SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+        |       CAST(max(s) + 32 - min(s) AS BIGINT) AS span_len,
+        |       CAST(count(*) AS BIGINT) AS n_grams
+        |FROM i GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
+
+    "q173_xsub_rolling" ->
+      s"""WITH adoc AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE strlen(text) = length(text)),
+        |${exactSubstrCtesFrom("adoc")}
+        |SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+        |       CAST(max(s) + 32 - min(s) AS BIGINT) AS span_len,
+        |       CAST(count(*) AS BIGINT) AS n_grams
+        |FROM i GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
+
+    "q172_xsub_registry" ->
+      s"""WITH $gramTableCtes,
+        |reg AS (SELECT DISTINCT gm FROM g WHERE doc_id < 250),
+        |bg AS (SELECT doc_id, s, gm FROM g WHERE doc_id >= 250),
+        |st AS (
+        |  SELECT gm, min(doc_id) AS first_id FROM bg
+        |  GROUP BY gm HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, s FROM (
+        |    SELECT bg.doc_id, bg.s FROM bg JOIN reg USING (gm)
+        |    UNION ALL
+        |    SELECT bg.doc_id, bg.s FROM bg JOIN st USING (gm)
+        |    WHERE bg.doc_id <> st.first_id)),
+        |m AS (
+        |  SELECT doc_id, s, max(s + 32) OVER (PARTITION BY doc_id ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM cov),
+        |i AS (
+        |  SELECT doc_id, s,
+        |    sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY s) AS island
+        |  FROM m)
         |SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
         |       CAST(max(s) + 32 - min(s) AS BIGINT) AS span_len,
         |       CAST(count(*) AS BIGINT) AS n_grams

@@ -326,6 +326,49 @@ class PlanAuditSpec extends SparkSpec {
     assert("InMemoryTableScan".r.findAllIn(p).size >= 4, p)
   }
 
+  test("q169: outside the persisted stages the data card never reads " +
+    "document TEXT — the only live parquet scans are metadata-only") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val qe = SparkEntry.queries("q169_dedup_card")(spark, dir).queryExecution
+    // InMemoryTableScan is a leaf in the physical tree — collect sees
+    // only the MAIN plan's parquet scans; the text-reading scans all
+    // live inside the cached gram/chunk/LSH stages. Column pruning must
+    // have stripped `text` from every live scan.
+    val fs = qe.sparkPlan.collect { case f: FileSourceScanExec => f }
+    assert(fs.nonEmpty)
+    assert(!fs.exists(_.output.exists(_.name == "text")),
+      fs.map(_.output.map(_.name).mkString(",")).mkString("\n"))
+    assert(qe.optimizedPlan.collect { case c: InMemoryRelation => c }.size >= 4)
+  }
+
+  test("q171: IVF-ADC search joins the STORED index against a broadcast " +
+    "probe set — both stages cached, no cartesian, no full-vector join") {
+    val p = plan("q171_ivf_adc")
+    assert(!p.contains("CartesianProduct"), p)
+    // pq_assigned + ivf_adc_index both ride the stage cache
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p)
+    // the probe-lookup side is broadcast into the index join
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q172: the gram registry decision rides the persisted gram stage " +
+    "on every side (batch grams, registry digests, stats) — no rescan, " +
+    "history covered via a semi join") {
+    val p = plan("q172_xsub_registry")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3, p)
+  }
+
+  test("q173: the rolling-gram production path stays native — the plan " +
+    "carries the rolling-hash expression, not a per-position md5") {
+    val p = plan("q173_xsub_rolling")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.toLowerCase.contains("graft_rolling"), p)
+    assert(!p.contains("md5"), p)
+  }
+
   test("q159: the registry decision is bucket-keyed semi/anti joins — " +
     "history is never self-joined and nothing goes cartesian") {
     val p = plan("q159_neardup_registry")
