@@ -537,6 +537,98 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Residual vectors for residual IVF-PQ (the full IVFADC of Jégou et
+    * al., TPAMI 2011 §IV): per vector, `v − c(list)` with `c` its
+    * assigned coarse centroid. The residual carries far less energy than
+    * the raw vector, so the same PQ code budget quantizes it finer — the
+    * reason production IVF-PQ encodes residuals, not vectors. Feed the
+    * output straight to [[pqAssigned]] (codebooks train ON residuals;
+    * one shared codebook across lists, the standard trade against
+    * per-list codebooks at corpus scale).
+    *
+    * Broadcast centroid join + a row-local `zip_with` — scan-shaped, no
+    * shuffle. Components stay raw IEEE doubles minus the 6-rounded
+    * centroid — both engines compute the identical subtraction, so the
+    * whole downstream chain remains oracle-replayable.
+    *
+    * @param assigned [[assignToCentroids]] output `(vec_id, e, cluster)`
+    * @param cents    [[labelCentroids]] table `(label, centroid)` */
+  def ivfResiduals(assigned: DataFrame, cents: DataFrame): DataFrame =
+    assigned.join(
+        broadcast(cents.select(col("label").as("cluster"), col("centroid"))),
+        Seq("cluster"))
+      .select(col("vec_id"),
+        zip_with(col("e"), col("centroid"), (a, b) => a - b).as("embedding"))
+
+  /** Residual IVF-PQ search — [[ivfAdcTopK]] upgraded to the full IVFADC
+    * score decomposition: `dot(q, v) = dot(q, c_list) + dot(q, v − c_list)
+    * ≈ base(list) + Σ_slices lookup(slice, code)`, where the codes come
+    * from a [[pqAssigned]] run over [[ivfResiduals]]. The base term is a
+    * per-(query, probed-list) scalar riding the same broadcast
+    * probe-lookup table; the corpus side still touches only the stored
+    * integer codes. Probe RANKING stays the coarse cosine (consistent
+    * with [[assignToCentroids]]); the SCORE is the inner-product
+    * decomposition — both 6-rounded and ×10⁶ integer-scaled, so the
+    * two-term sum is exact in any accumulation order.
+    *
+    * @param index       [[ivfAdcIndex]] over the RESIDUAL assignment
+    * @param assignedRes [[pqAssigned]] over [[ivfResiduals]]
+    * @return (qid, vec_id, adc, rnk) — adc is the scaled integer score */
+  def ivfPqAdcTopK(queries: DataFrame, corpus: DataFrame, index: DataFrame,
+      assignedRes: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val cents = broadcast(labelCentroids(corpus))
+    val q = queries.select(col("vec_id").as("qid"),
+      asDouble(col("embedding")).as("qe"))
+    val probeW = Window.partitionBy(col("qid"))
+      .orderBy(desc("csim"), col("label"))
+    val probes = q.crossJoin(cents)
+      .select(col("qid"), col("qe"), col("label"),
+        round(cosine(col("qe"), col("centroid")), 6).as("csim"),
+        round(round(dot(col("qe"), col("centroid")), 6) * 1e6)
+          .cast("long").as("base"))
+      .withColumn("prnk", row_number().over(probeW))
+      .filter(col("prnk") <= nprobe)
+      .select(col("qid"), col("label").as("ivf"), col("base"))
+    val cb = pqCodebook(assignedRes)
+    val lookup = q.crossJoin(broadcast(cb))
+      .select(col("qid"), col("slice"), col("code"),
+        round(round(dot(slice(col("qe"),
+            (col("slice") * size(col("centroid")) + 1).cast("int"),
+            size(col("centroid"))), col("centroid")), 6) * 1e6)
+          .cast("long").as("pdi"))
+    val probeLookup = broadcast(probes.join(lookup, Seq("qid")))
+    index.join(probeLookup, Seq("ivf", "slice", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      // base is constant within the (qid, vec_id) group — a vector lives
+      // in exactly one list; max() just materializes that constant
+      .agg((sum(col("pdi")) + max(col("base"))).as("adc"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(desc("adc"), col("vec_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Residual IVF-PQ index-quality gauge — recall@k of [[ivfPqAdcTopK]]
+    * against the exact inner-product scan. At the same geometry and
+    * nprobe this is the number to compare against [[ivfAdcRecallAtK]]:
+    * the residual encoding buys its recall from the same code budget. */
+  def ivfPqRecallAtK(queries: DataFrame, corpus: DataFrame,
+      index: DataFrame, assignedRes: DataFrame, nprobe: Int, k: Int)
+      : DataFrame = {
+    val exact = bruteForceDotTopK(queries, corpus, k)
+      .select(col("qid"), col("vec_id"))
+    val approx = ivfPqAdcTopK(queries, corpus, index, assignedRes, nprobe, k)
+      .select(col("qid"), col("vec_id"))
+    exact.join(approx.withColumn("__hit", lit(1L)), Seq("qid", "vec_id"),
+        "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+      .select(col("qid"), col("n_exact"), col("hits"),
+        (col("hits").cast("double") / lit(k)).as("recall"))
+  }
+
   /** IVF-ADC index-quality gauge — recall@k of the coarse-pruned ADC path
     * against the exact inner-product scan (the q168 gauge for the
     * composed index): the number read before dialing `nprobe` on a

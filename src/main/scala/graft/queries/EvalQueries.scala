@@ -25,6 +25,13 @@ object EvalQueries {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
+  /** Persisted coarse-quantizer assignment `(vec_id, e, cluster)` shared
+    * by q171 (IVF-ADC) and q174 (residual IVF-PQ) — one broadcast-argmax
+    * corpus pass feeding both index builds. */
+  private def ivfCoarseStage(s: SparkSession, dir: String) =
+    PipelineQueries.stage(s, dir, "ivf_coarse")(
+      Similarity.assignToCentroids(t(s, dir, "embeddings")))
+
   /** epoch-micros event time (see AnalyticsQueries: ts is raw nanos). */
   private def evMicros(c: String = "ts") = expr(s"$c DIV 1000")
 
@@ -104,11 +111,33 @@ object EvalQueries {
           k = pqCodewords))
       val index = PipelineQueries.stage(s, dir, "ivf_adc_index")(
         Similarity.ivfAdcIndex(
-          Similarity.assignToCentroids(emb)
-            .select(col("vec_id"), col("cluster")),
+          ivfCoarseStage(s, dir).select(col("vec_id"), col("cluster")),
           assigned))
       Similarity.ivfAdcRecallAtK(emb.filter(col("vec_id") < 8), emb,
           index, assigned, nprobe = ivfNprobe, k = pqTopK)
+        .orderBy(col("qid"))
+    }),
+
+    // Index QA for RESIDUAL IVF-PQ (the full IVFADC of Jégou et al.):
+    // codebooks train on v - c(list) residuals (far less energy than raw
+    // vectors, so the same code budget quantizes finer) and the score is
+    // the two-term decomposition base(list) + residual ADC sum — both
+    // integer-scaled, exact in any order. Same geometry and nprobe as
+    // q171, so the recall delta between the two rows IS what residual
+    // encoding buys. Coarse assignment, residual PQ codes and the stored
+    // index all ride stages.
+    "q174_ivfpq_residual" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val coarseA = ivfCoarseStage(s, dir)
+      val assignedRes = PipelineQueries.stage(s, dir, "ivfpq_res_assigned")(
+        Similarity.pqAssigned(
+          Similarity.ivfResiduals(coarseA, Similarity.labelCentroids(emb)),
+          m = pqM, sub = pqSub, iters = 2, k = pqCodewords))
+      val index = PipelineQueries.stage(s, dir, "ivfpq_res_index")(
+        Similarity.ivfAdcIndex(
+          coarseA.select(col("vec_id"), col("cluster")), assignedRes))
+      Similarity.ivfPqRecallAtK(emb.filter(col("vec_id") < 8), emb,
+          index, assignedRes, nprobe = ivfNprobe, k = pqTopK)
         .orderBy(col("qid"))
     }),
 
@@ -146,14 +175,20 @@ object EvalQueries {
     * inner-product scan. With `ivfProbe = Some(nprobe)` the chain adds
     * the coarse label-centroid assignment + per-query probe ranking and
     * restricts each slice's score rows to probed lists — the q171 IVF-ADC
-    * composition. The slice blocks are generated, not hand-copied, so
+    * composition. With `residual = true` (q174) the slice chain trains
+    * and encodes over the v − c(list) residuals and the approximate
+    * score gains the per-(query, list) base term round(dot(q, c))·10⁶.
+    * The slice blocks are generated, not hand-copied, so
     * the geometry stays in one place. */
-  private def pqChainSql(ivfProbe: Option[Int]): String = {
+  private def pqChainSql(ivfProbe: Option[Int],
+      residual: Boolean = false): String = {
+    require(!residual || ivfProbe.isDefined, "residual mode needs probing")
+    val vsrc = if (residual) "res" else "e"
     val (m, sub, kq, k) = (pqM, pqSub, pqCodewords, pqTopK)
     val sliceCtes = (0 until m).map { j =>
       val lo = j * sub + 1
       val hi = (j + 1) * sub
-      s"""sl$j AS (SELECT vec_id, v[$lo:$hi] AS sv FROM e),
+      s"""sl$j AS (SELECT vec_id, v[$lo:$hi] AS sv FROM $vsrc),
          |sd$j AS (SELECT vec_id, sv, md5(vec_id::VARCHAR) AS h FROM sl$j
          |         ORDER BY h, vec_id LIMIT $kq),
          |c0$j AS (SELECT row_number() OVER (ORDER BY h, vec_id) AS clab,
@@ -227,12 +262,34 @@ object EvalQueries {
         |    FROM q CROSS JOIN ivfcent ct) WHERE prnk <= $np),
         |""".stripMargin
     }.getOrElse("")
+    val resCtes = if (!residual) "" else
+      s"""res AS (SELECT e.vec_id,
+        |    list_transform(range($dim),
+        |      i -> e.v[(i + 1)::INTEGER] - ct.c[(i + 1)::INTEGER]) AS v
+        |  FROM e JOIN ivfco co ON co.vec_id = e.vec_id
+        |         JOIN ivfcent ct ON ct.label = co.cluster),
+        |qb AS (SELECT pr.qid, pr.cluster,
+        |    CAST(round(round(list_dot_product(q.qv, ct.c), 6) * 1e6)
+        |      AS BIGINT) AS base
+        |  FROM ivfpr pr JOIN ivfcent ct ON ct.label = pr.cluster
+        |                JOIN q ON q.qid = pr.qid),
+        |""".stripMargin
+    val adcCtes = if (!residual)
+      s"""adc AS (SELECT qid, vec_id, sum(pdi) AS adc FROM (
+        |    $scUnion)
+        |  WHERE vec_id <> qid GROUP BY qid, vec_id),""".stripMargin
+    else
+      s"""adc0 AS (SELECT qid, vec_id, sum(pdi) AS acc FROM (
+        |    $scUnion)
+        |  WHERE vec_id <> qid GROUP BY qid, vec_id),
+        |adc AS (SELECT a.qid, a.vec_id, a.acc + qb.base AS adc
+        |  FROM adc0 a JOIN ivfco co ON co.vec_id = a.vec_id
+        |              JOIN qb ON qb.qid = a.qid
+        |                     AND qb.cluster = co.cluster),""".stripMargin
     s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
-      |$ivfCtes$sliceCtes,
-      |adc AS (SELECT qid, vec_id, sum(pdi) AS adc FROM (
-      |    $scUnion)
-      |  WHERE vec_id <> qid GROUP BY qid, vec_id),
+      |$ivfCtes$resCtes$sliceCtes,
+      |$adcCtes
       |approx AS (SELECT qid, vec_id FROM (
       |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
       |      ORDER BY adc DESC, vec_id) AS rnk FROM adc) WHERE rnk <= $k),
@@ -253,6 +310,7 @@ object EvalQueries {
   val oracles: Map[String, String] = Map(
     "q168_pq_recall" -> pqChainSql(None),
     "q171_ivf_adc" -> pqChainSql(Some(ivfNprobe)),
+    "q174_ivfpq_residual" -> pqChainSql(Some(ivfNprobe), residual = true),
 
     "q152_ann_recall" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

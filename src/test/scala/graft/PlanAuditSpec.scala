@@ -352,6 +352,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q174: residual IVF-PQ keeps the q171 search shape — stored index " +
+    "vs broadcast probe set, stages cached, no cartesian") {
+    val p = plan("q174_ivfpq_residual")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q172: the gram registry decision rides the persisted gram stage " +
     "on every side (batch grams, registry digests, stats) — no rescan, " +
     "history covered via a semi join") {

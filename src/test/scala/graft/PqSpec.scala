@@ -162,6 +162,54 @@ class PqSpec extends SparkSpec {
     } finally { assigned.unpersist(); () }
   }
 
+  test("residual IVF-PQ: residuals carry strictly less energy than the " +
+    "raw vectors, the two-term score is exactly base + ADC sum, and the " +
+    "gauge stays above chance") {
+    val coarseA = Similarity.assignToCentroids(emb).persist()
+    try {
+      val cents = Similarity.labelCentroids(emb)
+      val res = Similarity.ivfResiduals(coarseA, cents)
+      // energy: mean ||r||² < mean ||v||² — the reason residual encoding
+      // quantizes finer on the same code budget
+      val rawE = emb.select(avg(Similarity.dot(
+        col("embedding").cast("array<double>"),
+        col("embedding").cast("array<double>")))).head().getDouble(0)
+      val resE = res.select(avg(Similarity.dot(
+        col("embedding"), col("embedding")))).head().getDouble(0)
+      assert(resE < rawE, s"residual energy $resE !< raw $rawE")
+      val assignedRes = Similarity.pqAssigned(res, m, sub, iters = 2, k = 32)
+        .persist()
+      val idx = Similarity.ivfAdcIndex(
+        coarseA.select(col("vec_id"), col("cluster")), assignedRes).persist()
+      val q = emb.filter(col("vec_id") < 4)
+      // two-term exactness: every result's adc equals the residual ADC
+      // sum (recomputed via a full-probe pqAdcTopK over the residual
+      // codes) plus the query-list base term
+      val got = Similarity.ivfPqAdcTopK(q, emb, idx, assignedRes,
+        nprobe = 2, k = 5)
+      val resOnly = Similarity.pqAdcTopK(q, assignedRes, k = 100000)
+        .select(col("qid"), col("vec_id"), col("adc").as("res_adc"))
+      val base = q.select(col("vec_id").as("qid"),
+          col("embedding").cast("array<double>").as("qe"))
+        .crossJoin(broadcast(
+          cents.select(col("label").as("ivf"), col("centroid"))))
+        .select(col("qid"), col("ivf"),
+          round(round(Similarity.dot(col("qe"), col("centroid")), 6) * 1e6)
+            .cast("long").as("base"))
+      val lists = coarseA.select(col("vec_id"), col("cluster").as("ivf"))
+      val bad = got.join(lists, Seq("vec_id"))
+        .join(base, Seq("qid", "ivf"))
+        .join(resOnly, Seq("qid", "vec_id"))
+        .filter(col("adc") =!= col("res_adc") + col("base"))
+      assert(bad.count() === 0L, "adc != base + residual sum")
+      val r = Similarity.ivfPqRecallAtK(emb.filter(col("vec_id") < 8), emb,
+          idx, assignedRes, nprobe = 2, k = 10)
+        .agg(avg(col("recall"))).head().getDouble(0)
+      assert(r >= 0.10, s"mean residual IVF-PQ recall $r collapsed")
+      assignedRes.unpersist(); idx.unpersist()
+    } finally { coarseA.unpersist(); () }
+  }
+
   test("identical vectors quantize to identical codes and tie in ADC") {
     val base = Array.tabulate(64)(i => (math.sin(i * 1.7) * 0.5).toFloat)
     val other = Array.tabulate(64)(i => (math.cos(i * 2.3) * 0.5).toFloat)

@@ -69,6 +69,79 @@ class XsubRegistrySpec extends SparkSpec {
     assert(!spans.contains(12L), "min-id batch holder stays exempt")
   }
 
+  test("the q149 Bloom prune composes in FRONT of the registry semi join " +
+    "with identical spans — the 100 TB shape when the registry outgrows " +
+    "broadcast") {
+    import graft.operators.Sketches
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val grams = NearDup.repeatedSpanGrams(docs, "doc_id", "text", L).persist()
+    try {
+      val batch = grams.filter(col("id") >= 250)
+      val reg = grams.filter(col("id") < 250).select(col("gm")).distinct()
+      val raw = NearDup.repeatedSpansVsRegistry(batch, reg, L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(raw.nonEmpty)
+      // the realistic direction when history dwarfs the batch: a bloom of
+      // the BATCH's digests prunes registry rows row-locally before the
+      // semi join. No false negatives → every digest the batch actually
+      // contains survives; a false positive adds a registry digest the
+      // batch never probes — coverage only depends on reg ∩ batch
+      // digests, so spans are identical.
+      val bits = Sketches.bloomBitsArray(batch.select(col("gm")), col("gm"),
+        1L << 20, 3, Sketches.xxBucket)
+      val prunedReg = Sketches.bloomPrune(reg, col("gm"), bits, 1L << 20, 3,
+        Sketches.xxBucket)
+      val viaPrune = NearDup.repeatedSpansVsRegistry(batch, prunedReg, L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(viaPrune === raw)
+    } finally { grams.unpersist(); () }
+  }
+
+  test("foreachBatch gram registry accumulates across micro-batches: a " +
+    "paragraph kept in ANY earlier micro-batch covers later copies, and " +
+    "re-fed content converges to zero new spans") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val phrase =
+      "Colorless green ideas sleep furiously in the warm attic tonight."
+    var registry = Seq.empty[(String, Long)].toDF("gm", "first_holder")
+    val spanned = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val grams = NearDup.repeatedSpanGrams(batch, "doc_id", "text", L)
+          .localCheckpoint(true)
+        spanned ++= NearDup.repeatedSpansVsRegistry(grams, registry, L)
+          .select("id").distinct().collect().map(_.getLong(0))
+        registry = registry
+          .unionByName(NearDup.gramRegistry(grams))
+          .groupBy(col("gm")).agg(min(col("first_holder")).as("first_holder"))
+          .localCheckpoint(true)
+        ()
+      }
+      .start()
+    try {
+      // batch 1: doc 1 introduces the paragraph (no span), doc 2 copies
+      // it within-batch (span, min-id exemption)
+      in.addData((1L, pad('a') + phrase + pad('b')),
+        (2L, pad('c') + phrase + pad('d')))
+      q.processAllAvailable()
+      assert(spanned.toSet === Set(2L), s"got $spanned")
+      // batch 2: a copy arrives ALONE — covered purely by the registry,
+      // no within-batch duplicate and no rescan of batch 1
+      in.addData((3L, pad('e') + phrase + pad('f')))
+      q.processAllAvailable()
+      assert(spanned.toSet === Set(2L, 3L), s"got $spanned")
+      // batch 3: fresh content passes untouched
+      in.addData((4L, pad('g') + pad('j') + pad('k')))
+      q.processAllAvailable()
+      assert(spanned.toSet === Set(2L, 3L), s"got $spanned")
+    } finally q.stop()
+  }
+
   test("compaction replay: spans vs the compacted provenance log equal " +
     "spans vs the raw registry; tombstoning the only holder readmits " +
     "its content") {
