@@ -609,25 +609,32 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
-  /** Residual IVF-PQ index-quality gauge — recall@k of [[ivfPqAdcTopK]]
-    * against the exact inner-product scan. At the same geometry and
-    * nprobe this is the number to compare against [[ivfAdcRecallAtK]]:
-    * the residual encoding buys its recall from the same code budget. */
-  def ivfPqRecallAtK(queries: DataFrame, corpus: DataFrame,
-      index: DataFrame, assignedRes: DataFrame, nprobe: Int, k: Int)
-      : DataFrame = {
-    val exact = bruteForceDotTopK(queries, corpus, k)
-      .select(col("qid"), col("vec_id"))
-    val approx = ivfPqAdcTopK(queries, corpus, index, assignedRes, nprobe, k)
-      .select(col("qid"), col("vec_id"))
-    exact.join(approx.withColumn("__hit", lit(1L)), Seq("qid", "vec_id"),
-        "left")
+  /** The recall join every index gauge shares: |exact ∩ approx| / k per
+    * query. `exact` is a (qid, vec_id) top-k table — the THREE quantized
+    * gauges (q168/q171/q174) grade against the SAME exact inner-product
+    * baseline, so pipelines should compute [[bruteForceDotTopK]] once,
+    * persist it, and pass it to each gauge (the `exact_dot_topk` stage). */
+  private def recallVsExact(exact: DataFrame, approx: DataFrame,
+      k: Int): DataFrame =
+    exact.select(col("qid"), col("vec_id"))
+      .join(approx.select(col("qid"), col("vec_id"))
+        .withColumn("__hit", lit(1L)), Seq("qid", "vec_id"), "left")
       .groupBy(col("qid"))
       .agg(count(lit(1)).as("n_exact"),
         sum(coalesce(col("__hit"), lit(0L))).as("hits"))
       .select(col("qid"), col("n_exact"), col("hits"),
         (col("hits").cast("double") / lit(k)).as("recall"))
-  }
+
+  /** Residual IVF-PQ index-quality gauge — recall@k of [[ivfPqAdcTopK]]
+    * against the exact inner-product scan. At the same geometry and
+    * nprobe this is the number to compare against [[ivfAdcRecallAtK]]:
+    * the residual encoding buys its recall from the same code budget.
+    * @param exact optional precomputed (persisted) [[bruteForceDotTopK]] */
+  def ivfPqRecallAtK(queries: DataFrame, corpus: DataFrame,
+      index: DataFrame, assignedRes: DataFrame, nprobe: Int, k: Int,
+      exact: Option[DataFrame] = None): DataFrame =
+    recallVsExact(exact.getOrElse(bruteForceDotTopK(queries, corpus, k)),
+      ivfPqAdcTopK(queries, corpus, index, assignedRes, nprobe, k), k)
 
   /** IVF-ADC index-quality gauge — recall@k of the coarse-pruned ADC path
     * against the exact inner-product scan (the q168 gauge for the
@@ -637,43 +644,25 @@ object Similarity {
     * pruned non-neighbor can occasionally let one back in, so the
     * relation is not per-query monotone) — the gap is the nprobe dial's
     * cost, and with nprobe ≥ the list count the two are row-identical
-    * (PqSpec pins that degenerate equality). */
+    * (PqSpec pins that degenerate equality).
+    * @param exact optional precomputed (persisted) [[bruteForceDotTopK]] */
   def ivfAdcRecallAtK(queries: DataFrame, corpus: DataFrame,
-      index: DataFrame, assigned: DataFrame, nprobe: Int, k: Int)
-      : DataFrame = {
-    val exact = bruteForceDotTopK(queries, corpus, k)
-      .select(col("qid"), col("vec_id"))
-    val approx = ivfAdcTopK(queries, corpus, index, assigned, nprobe, k)
-      .select(col("qid"), col("vec_id"))
-    exact.join(approx.withColumn("__hit", lit(1L)), Seq("qid", "vec_id"),
-        "left")
-      .groupBy(col("qid"))
-      .agg(count(lit(1)).as("n_exact"),
-        sum(coalesce(col("__hit"), lit(0L))).as("hits"))
-      .select(col("qid"), col("n_exact"), col("hits"),
-        (col("hits").cast("double") / lit(k)).as("recall"))
-  }
+      index: DataFrame, assigned: DataFrame, nprobe: Int, k: Int,
+      exact: Option[DataFrame] = None): DataFrame =
+    recallVsExact(exact.getOrElse(bruteForceDotTopK(queries, corpus, k)),
+      ivfAdcTopK(queries, corpus, index, assigned, nprobe, k), k)
 
   /** PQ index-quality gauge — recall@k of the ADC path against the exact
     * inner-product scan, per query (the q152 measurement for the
     * quantized index): |pqAdcTopK ∩ bruteForceDotTopK| / k. Run BEFORE
     * trusting a PQ index at corpus scale; `m`/`k`-codeword geometry is
     * the recall/cost dial this gauges. Evaluation pays both paths by
-    * definition; production search pays only the code scan. */
+    * definition; production search pays only the code scan.
+    * @param exact optional precomputed (persisted) [[bruteForceDotTopK]] */
   def pqRecallAtK(queries: DataFrame, corpus: DataFrame, assigned: DataFrame,
-      k: Int): DataFrame = {
-    val exact = bruteForceDotTopK(queries, corpus, k)
-      .select(col("qid"), col("vec_id"))
-    val approx = pqAdcTopK(queries, assigned, k)
-      .select(col("qid"), col("vec_id"))
-    exact.join(approx.withColumn("__hit", lit(1L)), Seq("qid", "vec_id"),
-        "left")
-      .groupBy(col("qid"))
-      .agg(count(lit(1)).as("n_exact"),
-        sum(coalesce(col("__hit"), lit(0L))).as("hits"))
-      .select(col("qid"), col("n_exact"), col("hits"),
-        (col("hits").cast("double") / lit(k)).as("recall"))
-  }
+      k: Int, exact: Option[DataFrame] = None): DataFrame =
+    recallVsExact(exact.getOrElse(bruteForceDotTopK(queries, corpus, k)),
+      pqAdcTopK(queries, assigned, k), k)
 
   /** Int8 scalar-quantization audit: per vector, quantize each element to
     * `floor(x / s · 127)` with `s` the vector's max |x| (the symmetric

@@ -32,6 +32,17 @@ object EvalQueries {
     PipelineQueries.stage(s, dir, "ivf_coarse")(
       Similarity.assignToCentroids(t(s, dir, "embeddings")))
 
+  /** Persisted exact inner-product top-k baseline shared by the THREE
+    * quantized-index gauges (q168/q171/q174) — they grade against the
+    * same exact scan, so it runs once per session, not once per gauge. */
+  private def exactDotStage(s: SparkSession, dir: String) =
+    PipelineQueries.stage(s, dir, "exact_dot_topk") {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceDotTopK(emb.filter(col("vec_id") < 8), emb,
+          k = pqTopK)
+        .select(col("qid"), col("vec_id"))
+    }
+
   /** epoch-micros event time (see AnalyticsQueries: ts is raw nanos). */
   private def evMicros(c: String = "ts") = expr(s"$c DIV 1000")
 
@@ -93,7 +104,7 @@ object EvalQueries {
         Similarity.pqAssigned(emb, m = pqM, sub = pqSub, iters = 2,
           k = pqCodewords))
       Similarity.pqRecallAtK(emb.filter(col("vec_id") < 8), emb, assigned,
-          k = pqTopK)
+          k = pqTopK, exact = Some(exactDotStage(s, dir)))
         .orderBy(col("qid"))
     }),
 
@@ -114,7 +125,8 @@ object EvalQueries {
           ivfCoarseStage(s, dir).select(col("vec_id"), col("cluster")),
           assigned))
       Similarity.ivfAdcRecallAtK(emb.filter(col("vec_id") < 8), emb,
-          index, assigned, nprobe = ivfNprobe, k = pqTopK)
+          index, assigned, nprobe = ivfNprobe, k = pqTopK,
+          exact = Some(exactDotStage(s, dir)))
         .orderBy(col("qid"))
     }),
 
@@ -137,7 +149,8 @@ object EvalQueries {
         Similarity.ivfAdcIndex(
           coarseA.select(col("vec_id"), col("cluster")), assignedRes))
       Similarity.ivfPqRecallAtK(emb.filter(col("vec_id") < 8), emb,
-          index, assignedRes, nprobe = ivfNprobe, k = pqTopK)
+          index, assignedRes, nprobe = ivfNprobe, k = pqTopK,
+          exact = Some(exactDotStage(s, dir)))
         .orderBy(col("qid"))
     }),
 

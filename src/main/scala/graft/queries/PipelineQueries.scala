@@ -634,6 +634,33 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("span_start"))
     }),
 
+    // The gram registry's LIFECYCLE graded (the q167 story at gram
+    // granularity): history (docs < 250) becomes a provenance log — one
+    // row per (digest, holder) with a synthetic source and batch —
+    // compacted with BOTH retirement rules live (batch-0 holders age out
+    // via minBatch = 1, every 7th source is tombstoned), then the q172
+    // batch decision runs against the compacted registry. Content whose
+    // every holder retired is readmitted; content with any surviving
+    // holder keeps covering. Same generic Dedup.compactRegistry as q167
+    // — the digest column name is a parameter, no new code.
+    "q175_xsub_compact" -> ((s, dir) => {
+      val grams = xsubGramStage(s, dir)
+      val hl = grams.filter(col("id") < 250)
+        .select(col("gm"), col("id")).distinct()
+      val log = hl.select(col("gm"),
+        concat(lit("src_"), col("id")).as("source"),
+        (col("id") % 4).as("batch_id"))
+      val tomb = hl.select(col("id")).distinct()
+        .filter(col("id") % 7 === 0)
+        .select(concat(lit("src_"), col("id")).as("source"))
+      val compacted = Dedup.compactRegistry(log, "gm", "source",
+        "batch_id", tomb, minBatch = 1L)
+      NearDup.repeatedSpansVsRegistry(grams.filter(col("id") >= 250),
+          compacted, L = 32)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
     // The PRODUCTION gram stage, graded end-to-end: spans from the native
     // O(len) rolling-hash grams (the >= 2x-faster kernel a 100 TB run
     // configures) on the corpus's pure-ASCII slice, where byte == char
@@ -956,6 +983,37 @@ object PipelineQueries {
         |  SELECT doc_id, text FROM documents
         |  WHERE strlen(text) = length(text)),
         |${exactSubstrCtesFrom("adoc")}
+        |SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+        |       CAST(max(s) + 32 - min(s) AS BIGINT) AS span_len,
+        |       CAST(count(*) AS BIGINT) AS n_grams
+        |FROM i GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
+
+    "q175_xsub_compact" ->
+      s"""WITH $gramTableCtes,
+        |hl AS (SELECT DISTINCT gm, doc_id FROM g WHERE doc_id < 250),
+        |live AS (
+        |  SELECT DISTINCT gm FROM hl
+        |  WHERE doc_id % 4 >= 1 AND doc_id % 7 <> 0),
+        |bg AS (SELECT doc_id, s, gm FROM g WHERE doc_id >= 250),
+        |st AS (
+        |  SELECT gm, min(doc_id) AS first_id FROM bg
+        |  GROUP BY gm HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, s FROM (
+        |    SELECT bg.doc_id, bg.s FROM bg JOIN live USING (gm)
+        |    UNION ALL
+        |    SELECT bg.doc_id, bg.s FROM bg JOIN st USING (gm)
+        |    WHERE bg.doc_id <> st.first_id)),
+        |m AS (
+        |  SELECT doc_id, s, max(s + 32) OVER (PARTITION BY doc_id ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM cov),
+        |i AS (
+        |  SELECT doc_id, s,
+        |    sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY s) AS island
+        |  FROM m)
         |SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
         |       CAST(max(s) + 32 - min(s) AS BIGINT) AS span_len,
         |       CAST(count(*) AS BIGINT) AS n_grams
