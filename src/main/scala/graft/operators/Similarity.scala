@@ -400,21 +400,32 @@ object Similarity {
     *
     * Scale shape: each slice's training is the [[lloydAssigned]] shape
     * (broadcast centroids, map-side-partial argmax, k·sub-row updates);
-    * the union stacks m of them. Downstream consumers read this result
-    * at least twice (codebook build + code join) — persist it (the
-    * stage-cache pattern, same as [[assignToCentroids]]). */
+    * the union stacks m of them. The m chains are INDEPENDENT, and each
+    * runs `iters` eager localCheckpoint jobs — built serially they
+    * serialize m·iters small jobs through the scheduler, so the slices
+    * are submitted CONCURRENTLY (SparkSession is thread-safe for job
+    * submission; every slice's result is deterministic regardless of
+    * completion order, so the union is too). Downstream consumers read
+    * this result at least twice (codebook build + code join) — persist
+    * it (the stage-cache pattern, same as [[assignToCentroids]]). */
   def pqAssigned(corpus: DataFrame, m: Int, sub: Int, iters: Int,
       k: Int): DataFrame = {
     require(m >= 1 && sub >= 1, "need positive slice geometry")
-    (0 until m).map { j =>
-      lloydAssigned(
-        corpus.select(col("vec_id"),
-          slice(asDouble(col("embedding")), j * sub + 1, sub)
-            .as("embedding")),
-        iters, k)
-        .select(lit(j.toLong).as("slice"), col("vec_id"), col("e"),
-          col("cluster"))
-    }.reduce(_ unionByName _)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val slices = (0 until m).map { j =>
+      Future {
+        lloydAssigned(
+          corpus.select(col("vec_id"),
+            slice(asDouble(col("embedding")), j * sub + 1, sub)
+              .as("embedding")),
+          iters, k)
+          .select(lit(j.toLong).as("slice"), col("vec_id"), col("e"),
+            col("cluster"))
+      }
+    }
+    slices.map(Await.result(_, Duration.Inf)).reduce(_ unionByName _)
   }
 
   /** PQ stage 2 — the codebook consistent with a [[pqAssigned]] table:
