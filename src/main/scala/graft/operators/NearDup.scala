@@ -1005,14 +1005,18 @@ object NearDup {
     *
     * @param registry any DataFrame whose FIRST column is the historical
     *                 gram digest (extra provenance columns ignored)
+    * @param stats    optional precomputed (persisted) [[repeatedGramStats]]
+    *                 of the BATCH grams — pipelines running several
+    *                 registry decisions over one batch (q172/q175) pay
+    *                 the within-batch aggregate once
     * @return (id, span_start, span_len, n_grams) — batch docs only */
   def repeatedSpansVsRegistry(grams: DataFrame, registry: DataFrame,
-      L: Int): DataFrame = {
+      L: Int, stats: Option[DataFrame] = None): DataFrame = {
     val reg = registry.select(col(registry.columns.head).as("gm")).distinct()
-    val stats = repeatedGramStats(grams)
+    val st = stats.getOrElse(repeatedGramStats(grams))
     val histCovered = grams.join(reg, Seq("gm"), "left_semi")
       .select(col("id"), col("s"))
-    val batchCovered = grams.join(stats, Seq("gm"))
+    val batchCovered = grams.join(st, Seq("gm"))
       .filter(col("id") =!= col("first_id"))
       .select(col("id"), col("s"))
     // a position covered both ways must count once in the island pass

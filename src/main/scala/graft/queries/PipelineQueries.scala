@@ -199,6 +199,15 @@ object PipelineQueries {
     stage(s, dir, "xsub_stats")(
       NearDup.repeatedGramStats(xsubGramStage(s, dir)))
 
+  /** Persisted within-batch duplicated-gram stats of the q159-split BATCH
+    * (docs ≥ 250) — q172 and q175 both run the registry decision over the
+    * same batch, so its in-batch aggregate runs once. */
+  private[queries] def xsubBatchStatsStage(s: SparkSession, dir: String)
+      : DataFrame =
+    stage(s, dir, "xsub_batch_stats")(
+      NearDup.repeatedGramStats(
+        xsubGramStage(s, dir).filter(col("id") >= 250)))
+
   /** Persisted md5-portable LSH fingerprint table over the WHOLE corpus,
     * shared by q159 (registry decision) and q169 (data card): signatures
     * are per-doc, so building once and filtering by id is identical to
@@ -629,9 +638,32 @@ object PipelineQueries {
       NearDup.repeatedSpansVsRegistry(
           grams.filter(col("id") >= 250),
           grams.filter(col("id") < 250).select(col("gm")),
-          L = 32)
+          L = 32, stats = Some(xsubBatchStatsStage(s, dir)))
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"), col("span_start"))
+    }),
+
+    // Memorization-risk data card: per document, the fraction of its
+    // 32-gram positions whose content appears verbatim in ANY other doc
+    // (first holders included — risk is symmetric), and the novelty
+    // complement. The signal a training-data card publishes next to the
+    // dedup numbers: high dup_frac docs are the memorization/eval-leak
+    // candidates exact-substring REMOVAL would rewrite. Fifth consumer
+    // of the persisted gram + stats stages — one broadcastable join and
+    // a per-doc aggregate, zero new corpus scans.
+    "q176_gram_novelty" -> ((s, dir) => {
+      val grams = xsubGramStage(s, dir)
+      val dup = xsubStatsStage(s, dir).select(col("gm"))
+        .withColumn("__dup", lit(1L))
+      grams.join(dup, Seq("gm"), "left")
+        .groupBy(col("id").as("doc_id"))
+        .agg(count(lit(1)).as("n_pos"),
+          coalesce(sum(col("__dup")), lit(0L)).as("dup_pos"))
+        .withColumn("dup_frac",
+          round(col("dup_pos").cast("double") / col("n_pos"), 6))
+        .withColumn("novelty", round(lit(1.0) -
+          col("dup_pos").cast("double") / col("n_pos"), 6))
+        .orderBy(col("doc_id"))
     }),
 
     // The gram registry's LIFECYCLE graded (the q167 story at gram
@@ -656,7 +688,7 @@ object PipelineQueries {
       val compacted = Dedup.compactRegistry(log, "gm", "source",
         "batch_id", tomb, minBatch = 1L)
       NearDup.repeatedSpansVsRegistry(grams.filter(col("id") >= 250),
-          compacted, L = 32)
+          compacted, L = 32, stats = Some(xsubBatchStatsStage(s, dir)))
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"), col("span_start"))
     }),
@@ -988,6 +1020,18 @@ object PipelineQueries {
         |       CAST(count(*) AS BIGINT) AS n_grams
         |FROM i GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin,
+
+    "q176_gram_novelty" ->
+      s"""WITH $gramTableCtes,
+        |st AS (
+        |  SELECT gm FROM g GROUP BY gm HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_pos,
+        |       CAST(count(st.gm) AS BIGINT) AS dup_pos,
+        |       round(count(st.gm)::DOUBLE / count(*), 6) AS dup_frac,
+        |       round(1.0 - count(st.gm)::DOUBLE / count(*), 6) AS novelty
+        |FROM g LEFT JOIN st ON st.gm = g.gm
+        |GROUP BY g.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
 
     "q175_xsub_compact" ->
       s"""WITH $gramTableCtes,
