@@ -666,6 +666,25 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Verbatim cross-source overlap matrix: how many distinct 32-grams
+    // each unordered pair of sources shares — q115's "who copies whom"
+    // governance view upgraded from whole-content keys to verbatim
+    // substring evidence (a mirror that rewrites one byte per doc still
+    // lights up here). Sixth consumer of the persisted gram stage. The
+    // (gm, source) distinct bounds the self-join fan-out at
+    // C(#sources, 2) rows per gram — a constant, however hot the gram.
+    "q177_source_verbatim" -> ((s, dir) => {
+      val src = t(s, dir, "documents")
+        .select(col("doc_id").as("id"), col("source"))
+      val gs = xsubGramStage(s, dir).join(src, Seq("id"))
+        .select(col("gm"), col("source")).distinct()
+      gs.as("a").join(gs.as("b"),
+          col("a.gm") === col("b.gm") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+        .agg(countDistinct(col("a.gm")).as("shared_grams"))
+        .orderBy(col("s1"), col("s2"))
+    }),
+
     // The gram registry's LIFECYCLE graded (the q167 story at gram
     // granularity): history (docs < 250) becomes a provenance log — one
     // row per (digest, holder) with a synthetic source and batch —
@@ -1020,6 +1039,17 @@ object PipelineQueries {
         |       CAST(count(*) AS BIGINT) AS n_grams
         |FROM i GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin,
+
+    "q177_source_verbatim" ->
+      s"""WITH $gramTableCtes,
+        |gs AS (
+        |  SELECT DISTINCT gm, d.source FROM g
+        |  JOIN documents d USING (doc_id))
+        |SELECT a.source AS s1, b.source AS s2,
+        |       CAST(count(DISTINCT a.gm) AS BIGINT) AS shared_grams
+        |FROM gs a JOIN gs b ON a.gm = b.gm AND a.source < b.source
+        |GROUP BY 1, 2
+        |ORDER BY s1, s2""".stripMargin,
 
     "q176_gram_novelty" ->
       s"""WITH $gramTableCtes,
