@@ -673,10 +673,17 @@ object PipelineQueries {
     // lights up here). Sixth consumer of the persisted gram stage. The
     // (gm, source) distinct bounds the self-join fan-out at
     // C(#sources, 2) rows per gram — a constant, however hot the gram.
+    // A gram shared by two SOURCES is held by two docs, so the persisted
+    // duplicated-gram stats prune the whole pipeline to the (tiny)
+    // duplicated slice before the distinct — identical result, no fresh
+    // full-gram shuffle.
     "q177_source_verbatim" -> ((s, dir) => {
       val src = t(s, dir, "documents")
         .select(col("doc_id").as("id"), col("source"))
-      val gs = xsubGramStage(s, dir).join(src, Seq("id"))
+      val gs = xsubGramStage(s, dir)
+        .join(xsubStatsStage(s, dir).select(col("gm")), Seq("gm"),
+          "left_semi")
+        .join(src, Seq("id"))
         .select(col("gm"), col("source")).distinct()
       gs.as("a").join(gs.as("b"),
           col("a.gm") === col("b.gm") && col("a.source") < col("b.source"))
