@@ -1,27 +1,37 @@
 package graft
 
 /** Benchmark entry point. Emits exactly THREE JSON lines on stdout as the
-  * last thing the program prints — the full per-query map, then a compact
-  * `first51` map (the alphabetically-early timings the tail capture
-  * otherwise loses), then a compact summary (top-20 slowest + totals)
-  * that fits entirely inside the
-  * driver's 2000-char tail capture and parses as the "last stdout line".
-  * Failures are never silently folded into timings: a
+  * last thing the program prints — the full per-query maps (median AND
+  * min), then a compact rotating-third map (one third of the surface per
+  * round, so the driver's 2000-char tail capture carries full per-query
+  * history every three rounds), then a compact summary (top-20 slowest +
+  * totals) that fits entirely inside the tail capture and parses as the
+  * "last stdout line". Failures are never silently folded into timings: a
   * failed query reports `-1` in `queries` and its message in `errors`
   * (stack traces go to stderr only).
   *
-  * Timings are STEADY-STATE and NOISE-RESISTANT: a full cold pass runs
-  * every query once (absorbing JVM/Janino warmup — whole-stage-codegen
-  * compilation of the wide-aggregate plans costs seconds at any data size
-  * and amortizes to nothing at real scale, measured ~6s on the 64-agg
-  * MinHash plan alone), then THREE timed warm passes re-execute each query
-  * and the reported per-query number is the MEDIAN of the three — a single
-  * run on this shared machine swings up to 10× on identical code, which
-  * made round-over-round comparison meaningless; the median of three
-  * bounds that to the middle observation. The cold pass total is reported
-  * as `cold_total_sec` for transparency. Persisted pipeline stages are
-  * dropped between every pass so each pass pays for its own stage
-  * materialization.
+  * Timings are STEADY-STATE and CONTENTION-RESISTANT: a full cold pass
+  * runs every query once (absorbing JVM/Janino warmup — whole-stage-
+  * codegen compilation of the wide-aggregate plans costs seconds at any
+  * data size and amortizes to nothing at real scale), then THREE timed
+  * warm passes re-execute each query and the report carries BOTH the
+  * per-query MEDIAN (comparable to prior rounds) and the per-query MIN.
+  * The min is the contention-immune statistic for a deterministic
+  * workload: this shared machine swings whole captures ±25–50% and single
+  * runs up to 10× on identical code (adjudicated rounds 8–9 — the
+  * phantom q143 "regression" re-timed at 1/10th of its captured median),
+  * and while one noisy minute can inflate a median it can only ever
+  * RAISE a min's competitors, never the min itself once any single pass
+  * ran clean. Passes are additionally INTERLEAVED: each warm pass visits
+  * the queries in an order rotated by a third of the surface, so a noisy
+  * window lands on different queries in different passes instead of
+  * hitting the same query at the same relative time three times.
+  * Persisted pipeline stages are dropped between passes (each pass pays
+  * stage materialization once, at its first consumer — under rotation
+  * that payer varies, making the MIN the stages-warm steady state and
+  * the median the mixed view). The iterative operators' localCheckpoint
+  * blocks are freed by the ContextCleaner only after GC, so one
+  * System.gc() runs between passes (the round-8 diffuse-regression fix).
   */
 object Bench {
 
@@ -34,6 +44,30 @@ object Bench {
     else if (ok.length % 2 == 1) ok(ok.length / 2)
     else (ok(ok.length / 2 - 1) + ok(ok.length / 2)) / 2.0
   }
+
+  /** Fastest successful observation; -1 if none. */
+  private def minOk(xs: Seq[Double]): Double = {
+    val ok = xs.filter(_ >= 0)
+    if (ok.isEmpty) -1.0 else ok.min
+  }
+
+  /** Numeric query id — safe parse (q-prefix digits); unparseable names
+    * sort last instead of throwing away the whole capture. */
+  private def qNum(name: String): Int =
+    name.drop(1).takeWhile(_.isDigit).toIntOption.getOrElse(Int.MaxValue)
+
+  /** Which third of the surface this round's compact line carries:
+    * env override SPARK_GRAFT_BENCH_THIRD, else (#existing BENCH_r*.json
+    * in cwd + 1) mod 3 — self-rotating as the driver archives a bench
+    * per round, deterministic (no clock, no RNG). */
+  private def thirdOfRound(): Int =
+    sys.env.get("SPARK_GRAFT_BENCH_THIRD").flatMap(_.toIntOption)
+      .getOrElse {
+        val benches = Option(new java.io.File(".").listFiles())
+          .getOrElse(Array.empty)
+          .count(_.getName.matches("BENCH_r\\d+\\.json"))
+        (benches + 1) % 3
+      } % 3
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -50,17 +84,15 @@ object Bench {
     val coldTotal = (System.nanoTime() - tCold) / 1e9
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val passes: Seq[Map[String, Double]] = (1 to WarmPasses).map { pass =>
+    val passes: Seq[Map[String, Double]] = (0 until WarmPasses).map { pass =>
       graft.queries.PipelineQueries.clearStages()
-      // The iterative operators (Lloyd/PQ training, connected components)
-      // localCheckpoint each round; those blocks are freed by the
-      // ContextCleaner only after the RDD references are GARBAGE
-      // COLLECTED, so without a nudge the checkpoint blocks of every
-      // prior pass pile up in storage memory and tax the whole pass
-      // (the round-8 diffuse warm-total regression). One GC between
-      // passes lets the cleaner drop them before the next timed pass.
       System.gc()
-      names.map { name =>
+      // interleave: rotate the visit order by a third per pass so a
+      // noisy wall-clock window maps to DIFFERENT queries in different
+      // passes — min/median then shed it instead of absorbing it
+      val off = (pass * names.length) / WarmPasses
+      val rotated = names.drop(off) ++ names.take(off)
+      rotated.map { name =>
         val t0 = System.nanoTime()
         val ok =
           try { SparkEntry.queries(name)(spark, sfDir).count(); true }
@@ -74,46 +106,58 @@ object Bench {
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }.toMap
     }
-    val results = names.map(n => n -> median(passes.map(_(n))))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+    val med = names.map(n => n -> median(passes.map(_(n))))
+    val mins = names.map(n => n -> minOk(passes.map(_(n)))).toMap
+    def jmap(entries: Seq[(String, Double)], fmt: Double => String) =
+      entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+    val qs = jmap(med, v => f"$v%.3f")
+    val qsMin = jmap(med.map { case (k, _) => k -> mins(k) }, v => f"$v%.3f")
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     // A query that failed one pass but has a positive median recovered — its
     // timing is real; only persistent failures (median -1) surface as errors,
     // so the JSON never reports an error and a success for the same query.
     // Transient failures still leave their stack trace on stderr.
-    val persistent = results.collect { case (n, v) if v < 0 => n }.toSet
+    val persistent = med.collect { case (n, v) if v < 0 => n }.toSet
     val errJson = errors.collect {
       case (k, v) if persistent(k) => "\"" + k + "\":\"" + esc(v) + "\""
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val total = med.collect { case (_, v) if v >= 0 => v }.sum
+    val minTotal = mins.values.filter(_ >= 0).sum
     // Field order matters: the driver's capture can truncate this line from
-    // the FRONT, keeping only the tail. The big `queries` map therefore goes
-    // first and every small summary scalar (metric/value/errors/cold total)
-    // goes LAST, so even a heavily truncated capture still carries the
-    // totals and the alphabetically-late per-query timings it kept.
-    val line = s"""{"queries":$qs,"errors":$errJson,"warm_passes":$WarmPasses,"sf":"$sfDir","cold_total_sec":${f"$coldTotal%.3f"},"metric":"total","unit":"sec","value":$total}"""
-    // The driver keeps only the LAST 2000 chars of stdout, so the full
-    // 166-entry map above can never fit the capture: everything that sorts
-    // alphabetically early (q01-q23, q100-q166 — including the heaviest
-    // queries) vanished from graded benches. A SECOND, final line repeats
-    // the top-20 slowest timings (the ones perf grading actually needs)
-    // plus every summary scalar, in well under half the window — so the
-    // capture always carries the totals, the slowest queries by name, and
-    // whatever tail of the full map still fits above it.
-    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // the FRONT, keeping only the tail. The big maps therefore go first and
+    // every small summary scalar goes LAST, so even a heavily truncated
+    // capture still carries the totals.
+    val line = s"""{"queries":$qs,"queries_min":$qsMin,"errors":$errJson,"warm_passes":$WarmPasses,"sf":"$sfDir","cold_total_sec":${f"$coldTotal%.3f"},"min_total_sec":${f"$minTotal%.3f"},"metric":"total","unit":"sec","value":$total}"""
+    // The driver keeps only the LAST 2000 chars of stdout, so the full map
+    // can never fit the capture. Line 2 carries ONE ROUNDED THIRD of the
+    // surface (by numeric id order, rotating with the round via the
+    // BENCH_r*.json count), so full per-query history exists every three
+    // rounds inside the tail window. Values are per-query MINs (the
+    // contention-immune statistic); keys are the qNN prefix unless that
+    // collides, then the full name.
+    val third = thirdOfRound()
+    val byNum = names.sortBy(n => (qNum(n), n))
+    val chunk = (byNum.length + 2) / 3
+    val band = byNum.slice(third * chunk, (third + 1) * chunk)
+    val prefixCounts = names.groupBy(_.takeWhile(_ != '_')).map {
+      case (p, g) => p -> g.length
+    }
+    def shortKey(n: String) = {
+      val p = n.takeWhile(_ != '_')
+      if (prefixCounts.getOrElse(p, 2) == 1) p else n
+    }
+    val bandJson = band.map { n =>
+      "\"" + shortKey(n) + "\":" + f"${mins(n)}%.2f"
+    }.mkString("{", ",", "}")
+    val line2 = s"""{"third":$third,"min_q":$bandJson}"""
+    // Line 3 (the driver's parsed "last line"): top-20 slowest by median,
+    // each as [min, median] so the contention-immune number rides along,
+    // plus every summary scalar.
+    val slowest = med.filter(_._2 >= 0).sortBy(-_._2).take(20)
+      .map { case (k, v) => "\"" + k + "\":[" + f"${mins(k)}%.3f" + "," + f"$v%.3f" + "]" }
       .mkString("{", ",", "}")
-    // q01–q51 sort alphabetically EARLY in the full map, so the tail
-    // capture always drops them (round-8 finding). A dedicated compact
-    // line — short keys (the qNN prefix), ids 1..51 — is ~700 chars, so
-    // together with the final summary line it always fits the window.
-    val firstHalf = results.filter { case (n, v) =>
-      v >= 0 && n.drop(1).takeWhile(_.isDigit).toInt <= 51 }
-      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val line2 = s"""{"first51":$firstHalf}"""
-    val line3 = s"""{"slowest":$slowest,"errors":$errJson,"warm_passes":$WarmPasses,"sf":"$sfDir","n_queries":${names.size},"cold_total_sec":${f"$coldTotal%.3f"},"metric":"total","unit":"sec","value":$total}"""
+    val line3 = s"""{"slowest":$slowest,"errors":$errJson,"warm_passes":$WarmPasses,"sf":"$sfDir","n_queries":${names.size},"cold_total_sec":${f"$coldTotal%.3f"},"min_total_sec":${f"$minTotal%.3f"},"metric":"total","unit":"sec","value":$total}"""
     spark.stop()
     // printed after spark.stop() so no executor/log line can follow them
     println(line)

@@ -44,7 +44,9 @@ object ExplainDump {
       "q167_registry_compact", "q168_pq_recall", "q169_dedup_card",
       "q170_bpe_train", "q171_ivf_adc", "q172_xsub_registry",
       "q173_xsub_rolling", "q174_ivfpq_residual", "q175_xsub_compact",
-      "q176_gram_novelty", "q177_source_verbatim")
+      "q176_gram_novelty", "q177_source_verbatim",
+      "q178_semdedup_registry", "q179_ivf_nprobe_curve",
+      "q180_pq_energy_audit")
     val sb = new StringBuilder
     sb.append("# EXPLAIN — headline query plans (formatted, sf0.001, regenerate with `sbt \"runMain graft.ExplainDump\"`)\n")
     sb.append("\nWhat to look for: `PushedFilters`/`ReadSchema` on every scan, broadcast\njoins where one side is small, partial aggregation before each hash\nexchange, `WindowGroupLimit` ahead of top-k windows, and no\n`CartesianProduct` anywhere.\n")

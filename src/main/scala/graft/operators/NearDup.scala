@@ -1071,11 +1071,11 @@ object NearDup {
     val st = stats.getOrElse(repeatedGramStats(grams))
     // the prune is output-transparent, so its bloom rides the fast
     // native hash — an md5 per probe per gram row would cost nearly as
-    // much as the gram digests themselves
-    val bits = Sketches.bloomBitsArray(st.select(col("gm")), col("gm"),
-      numBits, numHashes, Sketches.xxBucket)
-    val pruned = Sketches.bloomPrune(grams, col("gm"), bits,
-      numBits, numHashes, Sketches.xxBucket)
+    // much as the gram digests themselves. ONE BloomConfig value carries
+    // the hash family to both build and probe, so they cannot diverge.
+    val bloom = Sketches.xxBloom(numBits, numHashes)
+    val bits = bloom.bitsArray(st.select(col("gm")), col("gm"))
+    val pruned = bloom.prune(grams, col("gm"), bits)
     val covered = pruned.join(st, Seq("gm"))
       .filter(col("id") =!= col("first_id"))
       .select(col("id"), col("s"))

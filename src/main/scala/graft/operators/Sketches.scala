@@ -92,6 +92,32 @@ object Sketches {
       .agg(min(coalesce(col("__set"), lit(false))).as("bloom_maybe"))
   }
 
+  /** The whole Bloom identity — geometry AND hash family — as ONE value
+    * shared by build and probe, so the two sides CANNOT diverge: a bits
+    * array built under one bucket function and probed under another has
+    * silent false NEGATIVES (wrong, over-pruned results — not a
+    * slowdown), and the free-floating `bucket` default args on
+    * [[bloomBitsArray]]/[[bloomPrune]] let exactly that compile. Build
+    * and prune through one `BloomConfig` instance instead; the raw
+    * functions remain for the (already-consistent) legacy call sites. */
+  final case class BloomConfig(numBits: Long, numHashes: Int,
+      bucket: (Int, Column, Long) => Column = bucketOf) {
+    require(numBits > 0 && numHashes > 0, "need positive bits and hashes")
+    /** [[bloomBitsArray]] under this config's hash family. */
+    def bitsArray(df: DataFrame, key: Column): DataFrame =
+      bloomBitsArray(df, key, numBits, numHashes, bucket)
+    /** [[bloomPrune]] under this config's hash family — feed it ONLY a
+      * [[bitsArray]] built from the same instance. */
+    def prune(fact: DataFrame, key: Column, bits: DataFrame): DataFrame =
+      bloomPrune(fact, key, bits, numBits, numHashes, bucket)
+  }
+
+  /** [[BloomConfig]] over the fast native hash — the right family for a
+    * Bloom used purely as an engine-internal prune (output-transparent,
+    * never replayed by an oracle). */
+  def xxBloom(numBits: Long, numHashes: Int): BloomConfig =
+    BloomConfig(numBits, numHashes, xxBucket)
+
   /** [[bloomBits]] collapsed to ONE row holding the sorted set-bit
     * positions — the broadcastable form [[bloomPrune]] consumes. Size is
     * bounded by min(numBits, |keys|·numHashes) longs, chosen small by

@@ -293,6 +293,35 @@ object CorpusQueries {
         tau = 0.3, maxPerCluster = 16L)
         .orderBy(col("vec_id"))),
 
+    // Cross-batch SemDeDup — the registry QUADRILATERAL closed (digest
+    // q73 / fingerprint q159 / gram q172 / embedding HERE): history
+    // (vec_id < 250) is summarized as a FROZEN trained quantizer +
+    // capped kept exemplars, and the new batch (vec_id >= 250) is
+    // semantically deduplicated against both WITHOUT re-clustering or
+    // reading historical vectors again — assignment rides the frozen
+    // centroids, history τ-matches have no first-holder exemption, and
+    // the within-batch rule is q166's unchanged. Frozen centroids,
+    // exemplars and the batch assignment all ride stages (the batch
+    // side is read three times by the prune).
+    "q178_semdedup_registry" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val frozen = PipelineQueries.stage(s, dir, "semreg_frozen")(
+        Similarity.trainedCentroids(
+          Similarity.lloydAssigned(emb.filter(col("vec_id") < 250),
+            iters = 2, k = 16)))
+      val exemplars = PipelineQueries.stage(s, dir, "semreg_exemplars")(
+        Similarity.semDedupExemplars(
+          Similarity.assignEmbeddings(emb.filter(col("vec_id") < 250),
+            frozen),
+          tau = 0.3, maxPerCluster = 16L))
+      val batchA = PipelineQueries.stage(s, dir, "semreg_batch_assign")(
+        Similarity.assignEmbeddings(emb.filter(col("vec_id") >= 250),
+          frozen))
+      Similarity.semDedupVsRegistry(batchA, exemplars,
+          tau = 0.3, maxPerCluster = 16L)
+        .orderBy(col("vec_id"))
+    }),
+
     // BPE training statistic: adjacent-symbol pair counts over the
     // frequency-weighted word vocabulary (the explode runs on |V| rows,
     // not the corpus), top-30 merge candidates. Integer counts — exact.
@@ -517,7 +546,73 @@ object CorpusQueries {
       |  FROM st)""".stripMargin
   }
 
+  /** q178 oracle generators — the q166 CTE vocabulary factored so the
+    * frozen-quantizer chain (2-round Lloyd → freeze → reassign →
+    * exemplar prune → batch verdicts) is assembled, not hand-copied. */
+  private def sdArgmax(out: String, vecs: String, cents: String): String =
+    s"""$out AS (SELECT vec_id, v, cluster FROM (
+       |    SELECT s.vec_id, s.v, c.clab AS cluster,
+       |      row_number() OVER (PARTITION BY s.vec_id ORDER BY
+       |        round(list_dot_product(s.v, c.c) /
+       |          (sqrt(list_dot_product(s.v, s.v)) *
+       |           sqrt(list_dot_product(c.c, c.c))), 6) DESC,
+       |        c.clab) AS rnk
+       |    FROM $vecs s CROSS JOIN $cents c) WHERE rnk = 1)""".stripMargin
+
+  private def sdMeans(out: String, from: String): String =
+    s"""${out}m AS (SELECT cluster, r.i AS ord, avg(v[(r.i + 1)::INTEGER]) AS m
+       |          FROM $from, range(0, 64) AS r(i) GROUP BY cluster, r.i),
+       |$out AS (SELECT cluster AS clab, list(round(m, 6) ORDER BY ord) AS c
+       |         FROM ${out}m GROUP BY cluster)""".stripMargin
+
+  private def sdCos(a: String, b: String): String =
+    s"""round(list_dot_product($a.v, $b.v) /
+       |          (sqrt(list_dot_product($a.v, $a.v)) *
+       |           sqrt(list_dot_product($b.v, $b.v))), 6)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q178_semdedup_registry" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |hist AS (SELECT vec_id, v FROM e WHERE vec_id < 250),
+        |bat AS (SELECT vec_id, v FROM e WHERE vec_id >= 250),
+        |sd AS (SELECT vec_id, v, md5(vec_id::VARCHAR) AS h FROM hist
+        |       ORDER BY h, vec_id LIMIT 16),
+        |cent0 AS (SELECT row_number() OVER (ORDER BY h, vec_id) AS clab,
+        |            list_transform(v, x -> round(x, 6)) AS c FROM sd),
+        |${sdArgmax("a1", "hist", "cent0")},
+        |${sdMeans("cent1", "a1")},
+        |${sdArgmax("a2", "hist", "cent1")},
+        |${sdMeans("cent2", "a2")},
+        |${sdArgmax("ha", "hist", "cent2")},
+        |hrefs AS (SELECT vec_id, v, cluster,
+        |    row_number() OVER (PARTITION BY cluster ORDER BY vec_id) AS rr
+        |  FROM ha),
+        |hdups AS (SELECT DISTINCT a.vec_id FROM ha a JOIN hrefs b
+        |    ON a.cluster = b.cluster AND b.vec_id < a.vec_id AND b.rr <= 16
+        |  WHERE ${sdCos("a", "b")} >= 0.3),
+        |ex AS (SELECT cluster, vec_id, v FROM (
+        |    SELECT h.cluster, h.vec_id, h.v,
+        |      row_number() OVER (PARTITION BY h.cluster
+        |        ORDER BY h.vec_id) AS er
+        |    FROM ha h LEFT JOIN hdups d USING (vec_id)
+        |    WHERE d.vec_id IS NULL) WHERE er <= 16),
+        |${sdArgmax("ba", "bat", "cent2")},
+        |brefs AS (SELECT vec_id, v, cluster,
+        |    row_number() OVER (PARTITION BY cluster ORDER BY vec_id) AS rr
+        |  FROM ba),
+        |vh AS (SELECT DISTINCT a.vec_id FROM ba a JOIN ex b
+        |    ON a.cluster = b.cluster
+        |  WHERE ${sdCos("a", "b")} >= 0.3),
+        |vb AS (SELECT DISTINCT a.vec_id FROM ba a JOIN brefs b
+        |    ON a.cluster = b.cluster AND b.vec_id < a.vec_id AND b.rr <= 16
+        |  WHERE ${sdCos("a", "b")} >= 0.3)
+        |SELECT a.vec_id, a.cluster,
+        |  (h.vec_id IS NOT NULL OR bb.vec_id IS NOT NULL) AS is_dup,
+        |  (h.vec_id IS NOT NULL) AS vs_history
+        |FROM ba a LEFT JOIN vh h USING (vec_id)
+        |          LEFT JOIN vb bb USING (vec_id)
+        |ORDER BY a.vec_id""".stripMargin,
+
     "q160_bpe_encode" ->
       s"""WITH $bpeEncodeCtes
         |SELECT doc_id, CAST(sum(n_w) AS BIGINT) AS n_words,

@@ -360,6 +360,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q178: the SemDeDup registry prune reads ONLY cached stages (batch " +
+    "assignment three ways + exemplars) — no retraining, no corpus " +
+    "rescan, no cartesian pair join") {
+    val p = plan("q178_semdedup_registry")
+    assert(!p.contains("CartesianProduct"), p)
+    // batchA is consumed three times (refs + pair a-side + output base)
+    // and the exemplar table once — all through the stage cache
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 4, p)
+    // the within-batch pair join is a cluster equi-join, never all-pairs
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q179: the nprobe curve keeps the q171 search shape — ONE scan of " +
+    "the stored index against one broadcast probe-lookup carrying the " +
+    "np fan-out; stages cached, no cartesian, no per-nprobe rescan") {
+    val p = plan("q179_ivf_nprobe_curve")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // exactly one join against the stored (ivf, slice, code) index —
+    // the three curve points do NOT triple-scan the codes
+    assert("Join.*ivf#".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("q180: the slice audit rides the cached pq assignment with a " +
+    "broadcast codebook join and partial integer aggregation") {
+    val p = plan("q180_pq_energy_audit")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("q172: the gram registry decision rides the persisted gram stage " +
     "on every side (batch grams, registry digests, stats) — no rescan, " +
     "history covered via a semi join") {

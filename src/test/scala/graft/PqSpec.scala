@@ -162,6 +162,40 @@ class PqSpec extends SparkSpec {
     } finally { assigned.unpersist(); () }
   }
 
+  test("recall-vs-nprobe curve: mean recall is non-decreasing, each point " +
+    "matches the single-shot gauge, and probing every list tops out the " +
+    "curve") {
+    val assigned = Similarity.pqAssigned(emb, m, sub, iters = 1, k = 8)
+      .persist()
+    try {
+      val coarse = Similarity.assignToCentroids(emb)
+        .select(col("vec_id"), col("cluster"))
+      val idx = Similarity.ivfAdcIndex(coarse, assigned).persist()
+      val nLists = coarse.select(col("cluster")).distinct().count().toInt
+      val q = emb.filter(col("vec_id") < 4)
+      val curve = Similarity.ivfAdcRecallCurve(q, emb, idx, assigned,
+        nprobes = Seq(1, 2, nLists), k = 10).persist()
+      // the mean curve is the dial: non-decreasing in nprobe
+      val means = curve.groupBy(col("nprobe"))
+        .agg(avg(col("recall")).as("r"))
+        .orderBy(col("nprobe"))
+        .collect().map(_.getDouble(1))
+      assert(means.length === 3)
+      assert(means.sliding(2).forall(p => p(0) <= p(1) + 1e-12),
+        s"mean recall decreased along the curve: ${means.mkString(", ")}")
+      // every curve point row-matches the independently-computed gauge
+      for (np <- Seq(1, 2, nLists)) {
+        val point = curve.filter(col("nprobe") === np)
+          .select(col("qid"), col("n_exact"), col("hits"), col("recall"))
+        val gauge = Similarity.ivfAdcRecallAtK(q, emb, idx, assigned,
+          nprobe = np, k = 10)
+        assert(point.except(gauge).count() === 0L, s"np=$np extra rows")
+        assert(gauge.except(point).count() === 0L, s"np=$np missing rows")
+      }
+      curve.unpersist(); idx.unpersist()
+    } finally { assigned.unpersist(); () }
+  }
+
   test("residual IVF-PQ: residuals carry strictly less energy than the " +
     "raw vectors, the two-term score is exactly base + ADC sum, and the " +
     "gauge stays above chance") {

@@ -70,6 +70,27 @@ class SketchesSpec extends SparkSpec {
     assert(trueKeys.subsetOf(viaPrune), "bloom prune dropped a true match")
   }
 
+  test("BloomConfig: one config value drives build AND probe — xxBloom " +
+    "prune equals the raw functions under the same hash family, with no " +
+    "true match dropped") {
+    val dim = (1 to 300).map(i => Tuple1(i.toLong * 3)).toDF("k")
+    val fact = (1 to 2000).map(i => Tuple1(i.toLong)).toDF("k")
+    val nb = 1024L
+    val bloom = Sketches.xxBloom(nb, 3)
+    val bits = bloom.bitsArray(dim, col("k").cast("string"))
+    val viaConfig = bloom.prune(fact, col("k").cast("string"), bits)
+      .collect().map(_.getLong(0)).toSet
+    val rawBits = Sketches.bloomBitsArray(dim, col("k").cast("string"),
+      nb, 3, Sketches.xxBucket)
+    val viaRaw = Sketches.bloomPrune(fact, col("k").cast("string"),
+      rawBits, nb, 3, Sketches.xxBucket)
+      .collect().map(_.getLong(0)).toSet
+    assert(viaConfig === viaRaw)
+    val trueKeys = (1 to 300).map(_.toLong * 3).filter(_ <= 2000).toSet
+    assert(trueKeys.subsetOf(viaConfig), "config-driven prune dropped a " +
+      "true match")
+  }
+
   test("SortedArrayContains: binary search equals array_contains on " +
     "sorted arrays (codegen and eval), incl. empty array and boundaries") {
     import org.apache.spark.sql.graft.ColumnBridge
