@@ -472,6 +472,61 @@ object Similarity {
         coalesce(col("__h"), lit(false)).as("vs_history"))
   }
 
+  /** The dup-rate-vs-τ TUNING CURVE over ONE SemDeDup assignment — the
+    * table a corpus engineer reads before dialing the semantic-dedup
+    * threshold (the τ knob is to dedup what `nprobe` is to ANN scan
+    * budget, and this is its [[ivfAdcRecallCurve]] mirror): one row per
+    * candidate τ with the duplicate count and rate the
+    * [[semDedupFromAssigned]] prune WOULD produce at that τ.
+    *
+    * Scale shape: the capped within-cluster pair join runs ONCE (the
+    * exact [[semDedupFromAssigned]] shape — Σ|cluster|·cap, never
+    * quadratic), collapses to ONE row per vector (its max rounded cosine
+    * against its reference set; MAX is order-free, so the value is
+    * partitioning- and engine-independent), and the curve is a row-local
+    * fan-out of that per-vector maximum to the τ values it reaches —
+    * scanning the whole curve costs one pair pass plus |taus| tiny
+    * aggregate rows, NOT one prune per candidate τ. `n_dup` is
+    * non-increasing in τ by construction (a vector duplicated at τ is
+    * duplicated at every lower τ; SemDedupRegistrySpec pins both the
+    * monotonicity and per-point equality with the full prune).
+    *
+    * @param assigned [[assignToCentroids]]/[[lloydAssigned]] output
+    * @return (tau, n_vecs, n_dup, dup_rate) — one row per τ, ascending */
+  def semDedupTauCurve(assigned: DataFrame, taus: Seq[Double],
+      maxPerCluster: Long = Long.MaxValue): DataFrame = {
+    require(taus.nonEmpty, "need at least one tau")
+    val refs =
+      if (maxPerCluster == Long.MaxValue) assigned
+      else {
+        require(maxPerCluster >= 1, "maxPerCluster must be positive")
+        assigned.withColumn("__rr", row_number().over(
+            Window.partitionBy(col("cluster")).orderBy(col("vec_id"))))
+          .filter(col("__rr") <= maxPerCluster)
+          .drop("__rr")
+      }
+    val tauArr = array(taus.distinct.sorted.map(t => lit(t)): _*)
+    // one pair pass → one row per vector: its best reference similarity
+    val maxSim = assigned.as("a")
+      .join(refs.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("b.vec_id") < col("a.vec_id"))
+      .groupBy(col("a.vec_id").as("vec_id"))
+      .agg(max(round(cosine(col("a.e"), col("b.e")), 6)).as("msim"))
+    val dupCounts = maxSim
+      .select(explode(filter(tauArr, t => col("msim") >= t)).as("tau"))
+      .groupBy(col("tau")).agg(count(lit(1)).as("n_dup"))
+    val total = assigned.agg(count(lit(1)).as("n_vecs"))
+    assigned.sparkSession.range(1)
+      .select(explode(tauArr).as("tau"))
+      .join(dupCounts, Seq("tau"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("tau"), col("n_vecs"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("dup_rate",
+        round(col("n_dup").cast("double") / col("n_vecs"), 6))
+  }
+
   /** Exact maximum-inner-product top-k — the dot-product sibling of
     * [[bruteForceTopK]] and the baseline [[pqRecallAtK]] grades against:
     * product quantization approximates the INNER PRODUCT (it decomposes
@@ -557,6 +612,41 @@ object Similarity {
       .groupBy(col("slice"), col("cluster").as("code"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
         s => round(s.getField("v"), 6)).as("centroid"))
+
+  /** Encode vectors against a FROZEN PQ codebook — the nightly-append
+    * half of a deployed quantized index: [[pqAssigned]] trains codebooks
+    * ONCE (on a history snapshot); every later batch is encoded against
+    * those exact bits with this one-pass argmax, so the 100 TB index is
+    * appended to, never retrained or rescanned. Per slice, a vector's
+    * code is its nearest codeword by the engine's assignment contract
+    * (rounded cosine DESC, code ASC — the same total order
+    * [[assignToCentroids]] and the oracle's `row_number` replay use).
+    *
+    * Scale shape: ONE corpus pass against the broadcast codebook (m·k
+    * rows — tiny at any scale); the scored rows collapse with a
+    * map-side-partial max-struct per (slice, vec_id), so the shuffle
+    * carries m rows per vector and nothing is quadratic. Append
+    * invariance holds by construction: encoding a corpus in one pass
+    * equals encoding any partition of it piecewise and unioning
+    * (PqSpec pins it) — "append a batch" IS this operator on
+    * the batch alone.
+    *
+    * @param corpus   (vec_id, embedding) rows to encode
+    * @param codebook frozen [[pqCodebook]] output (slice, code, centroid)
+    * @return (slice, vec_id, cluster) — [[ivfAdcIndex]]'s `assigned`
+    *         input shape (cluster = the assigned code) */
+  def pqEncodeFrozen(corpus: DataFrame, codebook: DataFrame): DataFrame =
+    corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .crossJoin(broadcast(codebook))
+      .select(col("slice"), col("vec_id"),
+        struct(round(cosine(slice(col("v"),
+              (col("slice") * size(col("centroid")) + 1).cast("int"),
+              size(col("centroid"))), col("centroid")), 6).as("sim"),
+          (-col("code")).as("nc")).as("sc"))
+      .groupBy(col("slice"), col("vec_id"))
+      .agg(max(col("sc")).as("m"))
+      .select(col("slice"), col("vec_id"),
+        (-col("m.nc")).cast("long").as("cluster"))
 
   /** PQ stage 3 — asymmetric-distance top-k: each query precomputes its
     * per-(slice, code) partial inner products against the codebook (the
@@ -854,6 +944,60 @@ object Similarity {
         (col("hits").cast("double") / lit(k)).as("recall"))
   }
 
+  /** Ranking-quality metrics of the IVF-ADC search beyond set recall —
+    * MRR and nDCG@k per query, graded against the exact inner-product
+    * top-k as the relevant set: recall@k says how many true neighbors
+    * the index returned; these say WHERE in the ranking it put them
+    * (a retrieval pipeline feeding a context window cares about the
+    * head of the list, not set membership). Definitions: with the
+    * approximate ranking r₁…r_k and rel(i) = [item at rank i ∈ exact
+    * top-k], MRR = 1/min{i : rel(i)} (0 if none), DCG = Σ rel(i) /
+    * log₂(i+1), IDCG = Σ_{i ≤ min(k, n_exact)} 1/log₂(i+1), nDCG =
+    * DCG/IDCG.
+    *
+    * Engine-portability: each discount term 1/log₂(i+1) is rounded to 6
+    * decimals and ×10⁶ integer-scaled BEFORE summing (ranks are small
+    * integers, so the rounded constants are identical in any libm), so
+    * DCG/IDCG sums are order-exact; MRR and the final nDCG ratio are
+    * single IEEE divisions. Scale shape: one [[ivfAdcTopK]] search
+    * (broadcast probe-lookup, no corpus shuffle) plus q·k-row joins —
+    * rides the same persisted index/codebook/exact stages as the recall
+    * gauges.
+    *
+    * @param exact optional precomputed (persisted) [[bruteForceDotTopK]]
+    * @return (qid, n_rel_found, mrr, ndcg) — one row per query */
+  def ivfAdcRankMetrics(queries: DataFrame, corpus: DataFrame,
+      index: DataFrame, assigned: DataFrame, nprobe: Int, k: Int,
+      exact: Option[DataFrame] = None): DataFrame = {
+    def discU(r: Column): Column =
+      round(round(lit(1.0) / log2(r.cast("double") + 1.0), 6) * 1e6)
+        .cast("long")
+    val ex = exact.getOrElse(bruteForceDotTopK(queries, corpus, k))
+      .select(col("qid"), col("vec_id"))
+    val approx = ivfAdcTopK(queries, corpus, index, assigned, nprobe, k)
+      .select(col("qid"), col("vec_id"), col("rnk"))
+    val rel = approx.join(ex.withColumn("__hit", lit(1L)),
+        Seq("qid", "vec_id"), "left")
+      .groupBy(col("qid"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_rel_found"),
+        min(when(col("__hit").isNotNull, col("rnk"))).as("__frk"),
+        sum(when(col("__hit").isNotNull, discU(col("rnk")))
+          .otherwise(lit(0L))).as("__dcg_u"))
+    val idcg = ex.groupBy(col("qid"))
+      .agg(count(lit(1)).as("__n_exact"))
+      .select(col("qid"), explode(sequence(lit(1L),
+        least(col("__n_exact"), lit(k.toLong)))).as("__i"))
+      .groupBy(col("qid"))
+      .agg(sum(discU(col("__i"))).as("__idcg_u"))
+    idcg.join(rel, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_rel_found"), lit(0L)).as("n_rel_found"),
+        coalesce(round(lit(1.0) / col("__frk").cast("double"), 6),
+          lit(0.0)).as("mrr"),
+        round(coalesce(col("__dcg_u"), lit(0L)).cast("double") /
+          col("__idcg_u").cast("double"), 6).as("ndcg"))
+  }
+
   /** PQ index-quality gauge — recall@k of the ADC path against the exact
     * inner-product scan, per query (the q152 measurement for the
     * quantized index): |pqAdcTopK ∩ bruteForceDotTopK| / k. Run BEFORE
@@ -914,6 +1058,43 @@ object Similarity {
           .as("qerr_frac"))
   }
 
+  /** Per-list occupancy drift of a frozen coarse quantizer after an
+    * append — the RETRAIN TRIGGER that completes the [[pqEncodeFrozen]]
+    * append-night story: frozen centroids stay valid exactly as long as
+    * new batches land in the lists the way history did. Per list, the
+    * history/batch member counts, their corpus shares, and the absolute
+    * share drift `|n_b/T_b − n_h/T_h|`; when the drift mass concentrates
+    * (a hot list absorbing the batch), probe routing degrades and the
+    * nightly job should schedule a retrain. Imbalance is also the tail
+    * SCAN bound: the hottest list is the worst-case probe cost.
+    *
+    * Engine-portability: counts are integers; each share and the drift
+    * are fixed short IEEE chains (two divisions, one subtraction)
+    * rounded to 6 — identical in any engine, no order-sensitive float
+    * sum anywhere. Scale shape: one pass over the (persisted) coarse
+    * assignment, a k-row aggregate, and a broadcast one-row total join.
+    *
+    * @param coarse  (vec_id, cluster) assignment rows — history AND batch
+    * @param isBatch predicate marking the appended rows
+    * @return (cluster, n_hist, n_batch, share_hist, share_batch, drift) */
+  def listOccupancyDrift(coarse: DataFrame, isBatch: Column): DataFrame = {
+    val counts = coarse
+      .select(col("cluster"), isBatch.cast("boolean").as("__b"))
+      .groupBy(col("cluster"))
+      .agg(sum(when(!col("__b"), 1L).otherwise(0L)).as("n_hist"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("n_batch"))
+    val tot = counts.agg(sum(col("n_hist")).as("t_hist"),
+      sum(col("n_batch")).as("t_batch"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("cluster"), col("n_hist"), col("n_batch"),
+        round(col("n_hist").cast("double") / col("t_hist"), 6)
+          .as("share_hist"),
+        round(col("n_batch").cast("double") / col("t_batch"), 6)
+          .as("share_batch"),
+        round(abs(col("n_batch").cast("double") / col("t_batch") -
+          col("n_hist").cast("double") / col("t_hist")), 6).as("drift"))
+  }
+
   /** Int8 scalar-quantization audit: per vector, quantize each element to
     * `floor(x / s · 127)` with `s` the vector's max |x| (the symmetric
     * per-row scale of standard int8 embedding compression), and report the
@@ -939,6 +1120,62 @@ object Similarity {
       round(s, 6).as("scale"),
       round(array_max(err), 6).as("max_err"))
   }
+
+  /** Int8 scalar quantization as a STORED search payload (the index
+    * [[quantStats]] audits): per vector, the symmetric per-row scale
+    * `s = max|x|` and the code vector `floor(x / s · 127)` — 1 byte per
+    * dimension plus one float, a 4× payload cut with NO training, no
+    * codebook, no assignment. The codes are small integers carried as
+    * exact doubles, so every downstream dot product is an INTEGER sum
+    * (order-free, engine-exact); `s` is an exact max (order-free), so
+    * nothing here needs rounding to stay portable. Scan-shaped: one
+    * corpus pass, no shuffle — build once, persist (stage pattern). */
+  def sq8Quantize(corpus: DataFrame): DataFrame = {
+    val v = asDouble(col("embedding"))
+    val s = array_max(transform(v, x => abs(x)))
+    corpus.select(col("vec_id"), s.as("s"),
+      transform(v, x => when(s === lit(0.0), lit(0.0))
+        .otherwise(floor(x / s * 127.0))).as("qv"))
+  }
+
+  /** Scalar-quantized maximum-inner-product top-k — the SQ8 member of
+    * the quantized-search family (vs PQ [[pqAdcTopK]] and IVF-ADC
+    * [[ivfAdcTopK]]): the scan still touches every corpus row (no
+    * routing), but reads the 4×-smaller int8 payload instead of the
+    * float vectors; the approximate score is
+    * `intdot(qa, qb) · s_a · s_b / 127²` with the integer dot exact in
+    * any order and the two-multiply float chain identical in any
+    * engine, rounded to 6 before ranking. Same one-pass broadcast shape
+    * as [[bruteForceDotTopK]]; ranking contract matches it
+    * (`(sim DESC, vec_id)` total order, self excluded).
+    *
+    * @param quantized persisted [[sq8Quantize]] output (the stored index)
+    * @return (qid, vec_id, sim, rnk) */
+  def sq8DotTopK(queries: DataFrame, quantized: DataFrame, k: Int)
+      : DataFrame = {
+    val q = broadcast(sq8Quantize(queries).select(col("vec_id").as("qid"),
+      col("s").as("qs"), col("qv").as("qqv")))
+    val scored = quantized.join(q, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qqv"), col("qv")) * col("qs") * col("s") /
+          lit(16129.0), 6).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("sim"), col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** SQ8 index-quality gauge — recall@k of [[sq8DotTopK]] against the
+    * exact inner-product scan. The third row of the quantized-family
+    * table: SQ8 keeps the full scan but cuts the payload 4× (recall
+    * near 1 — int8 barely perturbs a ranking); PQ cuts it ~32× at real
+    * recall cost; IVF-ADC adds routing to cut the SCAN too. This gauge
+    * is what makes that trade legible on the actual corpus.
+    * @param exact optional precomputed (persisted) [[bruteForceDotTopK]] */
+  def sq8RecallAtK(queries: DataFrame, corpus: DataFrame,
+      quantized: DataFrame, k: Int,
+      exact: Option[DataFrame] = None): DataFrame =
+    recallVsExact(exact.getOrElse(bruteForceDotTopK(queries, corpus, k)),
+      sq8DotTopK(queries, quantized, k), k)
 
   /** ANN index-quality evaluation — recall@k of the IVF probe path against
     * the exact scan, per query: `hits` = |ivfTopK ∩ bruteForceTopK| and

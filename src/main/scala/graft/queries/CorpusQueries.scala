@@ -322,6 +322,20 @@ object CorpusQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // The dup-rate-vs-τ tuning curve for semantic dedup — q179's twin
+    // for the OTHER dial a corpus engineer turns: how much of the corpus
+    // each candidate τ would drop, all points priced from ONE capped
+    // pair pass over the SAME persisted q166 assignment (a vector's max
+    // reference cosine fans out row-locally to the τ values it reaches;
+    // no per-τ re-prune). n_dup is non-increasing in τ by construction.
+    "q182_semdedup_tau_curve" -> ((s, dir) =>
+      Similarity.semDedupTauCurve(
+        PipelineQueries.stage(s, dir, "sqrtn_assign")(
+          Similarity.lloydAssigned(t(s, dir, "embeddings"), iters = 2,
+            k = 22)),
+        taus = semTauCurve, maxPerCluster = 16L)
+        .orderBy(col("tau"))),
+
     // BPE training statistic: adjacent-symbol pair counts over the
     // frequency-weighted word vocabulary (the explode runs on |V| rows,
     // not the corpus), top-30 merge candidates. Integer counts — exact.
@@ -546,6 +560,9 @@ object CorpusQueries {
       |  FROM st)""".stripMargin
   }
 
+  /** q182 curve points — bracket the q166/q178 operating point (τ=0.3). */
+  private val semTauCurve = Seq(0.2, 0.3, 0.4)
+
   /** q178 oracle generators — the q166 CTE vocabulary factored so the
     * frozen-quantizer chain (2-round Lloyd → freeze → reassign →
     * exemplar prune → batch verdicts) is assembled, not hand-copied. */
@@ -612,6 +629,31 @@ object CorpusQueries {
         |FROM ba a LEFT JOIN vh h USING (vec_id)
         |          LEFT JOIN vb bb USING (vec_id)
         |ORDER BY a.vec_id""".stripMargin,
+
+    "q182_semdedup_tau_curve" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sd AS (SELECT vec_id, v, md5(vec_id::VARCHAR) AS h FROM e
+        |       ORDER BY h, vec_id LIMIT 22),
+        |cent0 AS (SELECT row_number() OVER (ORDER BY h, vec_id) AS clab,
+        |            list_transform(v, x -> round(x, 6)) AS c FROM sd),
+        |${sdArgmax("a1", "e", "cent0")},
+        |${sdMeans("cent1", "a1")},
+        |${sdArgmax("a2", "e", "cent1")},
+        |refs AS (SELECT vec_id, v, cluster,
+        |    row_number() OVER (PARTITION BY cluster ORDER BY vec_id) AS rr
+        |  FROM a2),
+        |ms AS (SELECT a.vec_id, max(${sdCos("a", "b")}) AS msim
+        |  FROM a2 a JOIN refs b
+        |    ON a.cluster = b.cluster AND b.vec_id < a.vec_id AND b.rr <= 16
+        |  GROUP BY a.vec_id),
+        |taus AS (SELECT unnest([${semTauCurve.mkString("::DOUBLE, ")}::DOUBLE])
+        |           AS tau),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM a2),
+        |cnt AS (SELECT t.tau, CAST(count(m.vec_id) AS BIGINT) AS n_dup
+        |  FROM taus t LEFT JOIN ms m ON m.msim >= t.tau GROUP BY t.tau)
+        |SELECT c.tau, n_vecs, n_dup,
+        |  round(n_dup::DOUBLE / n_vecs, 6) AS dup_rate
+        |FROM cnt c CROSS JOIN tot ORDER BY c.tau""".stripMargin,
 
     "q160_bpe_encode" ->
       s"""WITH $bpeEncodeCtes

@@ -192,6 +192,98 @@ object EvalQueries {
         .orderBy(col("slice"))
     }),
 
+    // The nightly-append story for the ANN index ITSELF (the registry
+    // pattern at index granularity): codebooks and coarse centroids are
+    // trained ONCE on a history snapshot (vec_id % 4 <> 3) and FROZEN;
+    // every vector — history at build time, the new batch at append time
+    // — is encoded against those exact bits with one broadcast argmax
+    // pass, and "append" is a pure union of code rows (PqSpec
+    // pins piecewise == one-pass). The 100 TB index is never retrained
+    // or rescanned for a nightly batch. Graded as recall@10 of the
+    // frozen-artifact IVF-ADC search over the union index vs the exact
+    // scan over the full corpus.
+    "q181_index_append" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val hist = emb.filter(col("vec_id") % 4 =!= 3)
+      val batch = emb.filter(col("vec_id") % 4 === 3)
+      val histAssigned = PipelineQueries.stage(s, dir, "pq_hist_assigned")(
+        Similarity.pqAssigned(hist, m = pqM, sub = pqSub, iters = 2,
+          k = pqCodewords))
+      val cb = PipelineQueries.stage(s, dir, "pq_hist_codebook")(
+        Similarity.pqCodebook(histAssigned))
+      val frozenCents = Similarity.labelCentroids(hist)
+        .select(col("label").as("clab"), col("centroid"))
+      val coarseAll = PipelineQueries.stage(s, dir, "append_coarse")(
+        Similarity.assignEmbeddings(emb, frozenCents)
+          .select(col("vec_id"), col("cluster")))
+      val codesAll = PipelineQueries.stage(s, dir, "append_codes")(
+        Similarity.pqEncodeFrozen(hist, cb)
+          .unionByName(Similarity.pqEncodeFrozen(batch, cb)))
+      val index = PipelineQueries.stage(s, dir, "append_index")(
+        Similarity.ivfAdcIndex(coarseAll, codesAll))
+      Similarity.ivfAdcRecallAtK(emb.filter(col("vec_id") < 8), hist,
+          index, histAssigned, nprobe = ivfNprobe, k = pqTopK,
+          exact = Some(exactDotStage(s, dir)))
+        .orderBy(col("qid"))
+    }),
+
+    // Ranking quality BEYOND set recall for the stored q171 index: MRR
+    // and nDCG@10 of the IVF-ADC ranking against the exact top-k as the
+    // relevant set — where in the list the index puts the true
+    // neighbors, the number a retrieval pipeline feeding a context
+    // window actually cares about. Discount terms are 6-rounded then
+    // ×10⁶ integer-scaled before summing (order-exact in any engine);
+    // rides the same persisted index/code/exact stages as q171/q179.
+    "q183_ann_rank_metrics" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val assigned = PipelineQueries.stage(s, dir, "pq_assigned")(
+        Similarity.pqAssigned(emb, m = pqM, sub = pqSub, iters = 2,
+          k = pqCodewords))
+      val index = PipelineQueries.stage(s, dir, "ivf_adc_index")(
+        Similarity.ivfAdcIndex(
+          ivfCoarseStage(s, dir).select(col("vec_id"), col("cluster")),
+          assigned))
+      Similarity.ivfAdcRankMetrics(emb.filter(col("vec_id") < 8), emb,
+          index, assigned, nprobe = ivfNprobe, k = pqTopK,
+          exact = Some(exactDotStage(s, dir)))
+        .orderBy(col("qid"))
+    }),
+
+    // The THIRD quantized-search family, completing the trade table:
+    // SQ8 scalar quantization keeps the full scan but stores 1 byte per
+    // dimension + one float scale (4× payload cut, no training, no
+    // codebook) — recall near 1 where PQ (q168, ~32× cut) pays real
+    // recall and IVF-ADC (q171) also cuts the scan. Integer dot over
+    // stored codes, two-multiply float chain, rounded before ranking;
+    // the quantized corpus is the persisted stored index.
+    "q184_sq8_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val quant = PipelineQueries.stage(s, dir, "sq8_index")(
+        Similarity.sq8Quantize(emb))
+      Similarity.sq8RecallAtK(emb.filter(col("vec_id") < 8), emb, quant,
+          k = pqTopK, exact = Some(exactDotStage(s, dir)))
+        .orderBy(col("qid"))
+    }),
+
+    // The RETRAIN TRIGGER completing the q181 append-night story: per
+    // frozen coarse list, history vs appended-batch occupancy and the
+    // absolute share drift — frozen centroids stay valid exactly as
+    // long as batches land the way history did, and the hottest list is
+    // the worst-case probe cost. Rides the persisted q181 coarse
+    // assignment: zero extra corpus passes, a k-row aggregate + one
+    // broadcast total join.
+    "q185_index_drift" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val frozenCents = Similarity.labelCentroids(
+          emb.filter(col("vec_id") % 4 =!= 3))
+        .select(col("label").as("clab"), col("centroid"))
+      val coarseAll = PipelineQueries.stage(s, dir, "append_coarse")(
+        Similarity.assignEmbeddings(emb, frozenCents)
+          .select(col("vec_id"), col("cluster")))
+      Similarity.listOccupancyDrift(coarseAll, col("vec_id") % 4 === 3)
+        .orderBy(col("cluster"))
+    }),
+
     // Sentence-granularity text profile: segment count, total/max/mean
     // segment length — the fragmentation signal (boilerplate lists score
     // many short "sentences") that word-level stats miss. Row-local.
@@ -320,26 +412,52 @@ object EvalQueries {
     * (one row per probed list per curve point) and every downstream
     * aggregate/rank/recall is additionally keyed by it — the whole
     * recall-vs-nprobe table from one generated chain.
+    * With `frozenPred` set (q181) the training chains and the coarse
+    * centroids read ONLY the history slice matching the predicate, and
+    * every vector's stored code comes from a fresh argmax against the
+    * frozen cb$j codebooks (the append-night encode), not from the
+    * training assignment. With `metrics = true` (q183) the final select
+    * swaps set recall for MRR/nDCG@k over the probed ranking.
     * The slice blocks are generated, not hand-copied, so
     * the geometry stays in one place. */
   private def pqChainSql(ivfProbe: Option[Int],
-      residual: Boolean = false, curve: Seq[Int] = Nil): String = {
+      residual: Boolean = false, curve: Seq[Int] = Nil,
+      frozenPred: Option[String] = None,
+      metrics: Boolean = false): String = {
     require(!residual || ivfProbe.isDefined, "residual mode needs probing")
     require(curve.isEmpty || (!residual && ivfProbe.isEmpty),
       "curve mode replaces the single-probe and residual modes")
+    require(frozenPred.isEmpty ||
+      (ivfProbe.isDefined && !residual && curve.isEmpty && !metrics),
+      "frozen-append mode composes only with single-probe recall")
+    require(!metrics || (ivfProbe.isDefined && !residual && curve.isEmpty),
+      "metrics mode grades the single-probe index")
     val probed = ivfProbe.isDefined || curve.nonEmpty
-    val vsrc = if (residual) "res" else "e"
+    val frozen = frozenPred.isDefined
+    val vsrc = if (residual) "res" else if (frozen) "eh" else "e"
     val (m, sub, kq, k) = (pqM, pqSub, pqCodewords, pqTopK)
     val sliceCtes = (0 until m).map { j =>
       val lo = j * sub + 1
       val hi = (j + 1) * sub
-      s"""${pqSliceTrainCtes(j, vsrc)},
+      val encCtes = if (!frozen) "" else
+        s""",
+           |acs$j AS (SELECT vec_id, v[$lo:$hi] AS sv FROM e),
+           |ac$j AS (SELECT vec_id, cluster FROM (
+           |    SELECT s.vec_id, c.code AS cluster,
+           |      row_number() OVER (PARTITION BY s.vec_id ORDER BY
+           |        round(list_dot_product(s.sv, c.c) /
+           |          (sqrt(list_dot_product(s.sv, s.sv)) *
+           |           sqrt(list_dot_product(c.c, c.c))), 6) DESC,
+           |        c.code) AS rnk
+           |    FROM acs$j s CROSS JOIN cb$j c) WHERE rnk = 1)""".stripMargin
+      val codeSrc = if (frozen) s"ac$j" else s"a2$j"
+      s"""${pqSliceTrainCtes(j, vsrc)}$encCtes,
          |pt$j AS (SELECT q.qid, cb.code,
          |           CAST(round(round(list_dot_product(q.qv[$lo:$hi], cb.c),
          |             6) * 1e6) AS BIGINT) AS pdi
          |         FROM q CROSS JOIN cb$j cb),
          |sc$j AS (SELECT ${if (curve.nonEmpty) "pr.np, " else ""}p.qid, a.vec_id, p.pdi
-         |         FROM a2$j a JOIN pt$j p ON p.code = a.cluster${
+         |         FROM $codeSrc a JOIN pt$j p ON p.code = a.cluster${
            if (probed)
              s"""
          |         JOIN ivfco co ON co.vec_id = a.vec_id
@@ -375,7 +493,8 @@ object EvalQueries {
             |  JOIN nps n ON t.prnk <= n.np),
             |""".stripMargin
       s"""ivfcomp AS (SELECT label, r.i AS ord, avg(v[(r.i + 1)::INTEGER]) AS mv
-        |           FROM e, range(0, $dim) AS r(i) GROUP BY label, r.i),
+        |           FROM ${if (frozen) "eh" else "e"}, range(0, $dim) AS r(i)
+        |           GROUP BY label, r.i),
         |ivfcent AS (SELECT label, list(round(mv, 6) ORDER BY ord) AS c
         |            FROM ivfcomp GROUP BY label),
         |ivfco AS (SELECT vec_id, cluster FROM (
@@ -421,7 +540,7 @@ object EvalQueries {
       else s"nps AS (SELECT unnest([${curve.distinct.sorted.mkString(", ")}]) AS np),\n"
     val approxCte =
       if (curve.isEmpty)
-        s"""approx AS (SELECT qid, vec_id FROM (
+        s"""approx AS (SELECT qid, vec_id${if (metrics) ", rnk" else ""} FROM (
           |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
           |      ORDER BY adc DESC, vec_id) AS rnk FROM adc) WHERE rnk <= $k),""".stripMargin
       else
@@ -429,7 +548,29 @@ object EvalQueries {
           |    SELECT np, qid, vec_id, row_number() OVER (PARTITION BY np, qid
           |      ORDER BY adc DESC, vec_id) AS rnk FROM adc) WHERE rnk <= $k),""".stripMargin
     val finalSelect =
-      if (curve.isEmpty)
+      if (metrics)
+        s"""rel AS (SELECT a.qid, a.rnk, (x.vec_id IS NOT NULL) AS hit
+          |  FROM approx a LEFT JOIN exact x
+          |    ON x.qid = a.qid AND x.vec_id = a.vec_id),
+          |agg AS (SELECT qid,
+          |    CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS n_rel_found,
+          |    min(CASE WHEN hit THEN rnk END) AS frk,
+          |    sum(CASE WHEN hit THEN CAST(round(1e6 *
+          |        round(1.0 / log2(rnk + 1), 6)) AS BIGINT)
+          |      ELSE 0 END) AS dcg_u
+          |  FROM rel GROUP BY qid),
+          |ne AS (SELECT qid, count(*) AS n_exact FROM exact GROUP BY qid),
+          |idcg AS (SELECT qid, sum(CAST(round(1e6 *
+          |      round(1.0 / log2(r.i + 1), 6)) AS BIGINT)) AS idcg_u
+          |  FROM ne, range(1, ${k + 1}) AS r(i)
+          |  WHERE r.i <= least(ne.n_exact, $k) GROUP BY qid)
+          |SELECT i.qid,
+          |  coalesce(a.n_rel_found, 0) AS n_rel_found,
+          |  coalesce(round(1.0 / a.frk, 6), 0.0) AS mrr,
+          |  round(coalesce(a.dcg_u, 0)::DOUBLE / i.idcg_u, 6) AS ndcg
+          |FROM idcg i LEFT JOIN agg a USING (qid) ORDER BY i.qid""".stripMargin
+      else if (curve.isEmpty)
         s"""SELECT x.qid, CAST(count(*) AS BIGINT) AS n_exact,
           |       CAST(count(a.vec_id) AS BIGINT) AS hits,
           |       count(a.vec_id)::DOUBLE / $k AS recall
@@ -446,9 +587,11 @@ object EvalQueries {
           |LEFT JOIN approx a
           |  ON a.np = x.np AND a.qid = x.qid AND a.vec_id = x.vec_id
           |GROUP BY x.np, x.qid ORDER BY nprobe, x.qid""".stripMargin
+    val ehCte = frozenPred.fold("")(p =>
+      s"eh AS (SELECT vec_id, label, v FROM e WHERE $p),\n")
     s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
-      |$npsCte$ivfCtes$resCtes$sliceCtes,
+      |$ehCte$npsCte$ivfCtes$resCtes$sliceCtes,
       |$adcCtes
       |$approxCte
       |ex AS (SELECT qid, e.vec_id,
@@ -456,8 +599,80 @@ object EvalQueries {
       |      FROM q CROSS JOIN e WHERE e.vec_id <> qid),
       |exact AS (SELECT qid, vec_id FROM (
       |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
-      |      ORDER BY sim DESC, vec_id) AS rnk FROM ex) WHERE rnk <= $k)
+      |      ORDER BY sim DESC, vec_id) AS rnk FROM ex) WHERE rnk <= $k)${
+        if (metrics) "," else ""}
       |$finalSelect""".stripMargin
+  }
+
+  /** q184 oracle: the SQ8 quantize → integer-dot scan → recall chain.
+    * Codes are exact small integers carried as doubles, the score's
+    * two-multiply float chain is the identical expression tree in both
+    * engines, and recall joins the same exact scan as every gauge. */
+  private def sq8Sql: String = {
+    val k = pqTopK
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |qn AS (SELECT vec_id, v,
+      |         list_max(list_transform(v, x -> abs(x))) AS s FROM e),
+      |qq AS (SELECT vec_id, s, list_transform(v,
+      |         x -> CASE WHEN s = 0 THEN 0.0
+      |              ELSE floor(x / s * 127.0) END) AS qv
+      |       FROM qn),
+      |q AS (SELECT vec_id AS qid, s AS qs, qv AS qqv FROM qq
+      |      WHERE vec_id < 8),
+      |sc AS (SELECT q.qid, c.vec_id,
+      |         round(list_dot_product(q.qqv, c.qv) * q.qs * c.s
+      |           / 16129.0, 6) AS sim
+      |       FROM q CROSS JOIN qq c WHERE c.vec_id <> q.qid),
+      |approx AS (SELECT qid, vec_id FROM (
+      |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+      |      ORDER BY sim DESC, vec_id) AS rnk FROM sc) WHERE rnk <= $k),
+      |ex AS (SELECT t.qid, e.vec_id,
+      |        round(list_dot_product(t.qv0, e.v), 6) AS sim
+      |      FROM (SELECT vec_id AS qid, v AS qv0 FROM e
+      |            WHERE vec_id < 8) t, e
+      |      WHERE e.vec_id <> t.qid),
+      |exact AS (SELECT qid, vec_id FROM (
+      |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+      |      ORDER BY sim DESC, vec_id) AS rnk FROM ex) WHERE rnk <= $k)
+      |SELECT x.qid, CAST(count(*) AS BIGINT) AS n_exact,
+      |       CAST(count(a.vec_id) AS BIGINT) AS hits,
+      |       count(a.vec_id)::DOUBLE / $k AS recall
+      |FROM exact x LEFT JOIN approx a
+      |  ON a.qid = x.qid AND a.vec_id = x.vec_id
+      |GROUP BY x.qid ORDER BY x.qid""".stripMargin
+  }
+
+  /** q185 oracle: frozen-centroid assignment replay (the q181 coarse
+    * chain) + per-list history/batch occupancy and share drift. */
+  private def driftSql: String = {
+    val dim = pqM * pqSub
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |eh AS (SELECT * FROM e WHERE vec_id % 4 <> 3),
+      |ivfcomp AS (SELECT label, r.i AS ord, avg(v[(r.i + 1)::INTEGER]) AS mv
+      |           FROM eh, range(0, $dim) AS r(i) GROUP BY label, r.i),
+      |ivfcent AS (SELECT label, list(round(mv, 6) ORDER BY ord) AS c
+      |            FROM ivfcomp GROUP BY label),
+      |ivfco AS (SELECT vec_id, cluster FROM (
+      |    SELECT e.vec_id, ct.label AS cluster,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        round(list_dot_product(e.v, ct.c) /
+      |          (sqrt(list_dot_product(e.v, e.v)) *
+      |           sqrt(list_dot_product(ct.c, ct.c))), 6) DESC,
+      |        ct.label) AS rnk
+      |    FROM e CROSS JOIN ivfcent ct) WHERE rnk = 1),
+      |cnt AS (SELECT cluster,
+      |    CAST(sum(CASE WHEN vec_id % 4 = 3 THEN 0 ELSE 1 END) AS BIGINT)
+      |      AS n_hist,
+      |    CAST(sum(CASE WHEN vec_id % 4 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_batch
+      |  FROM ivfco GROUP BY cluster),
+      |tot AS (SELECT sum(n_hist) AS t_hist, sum(n_batch) AS t_batch FROM cnt)
+      |SELECT CAST(cluster AS BIGINT) AS cluster, n_hist, n_batch,
+      |  round(n_hist::DOUBLE / t_hist, 6) AS share_hist,
+      |  round(n_batch::DOUBLE / t_batch, 6) AS share_batch,
+      |  round(abs(n_batch::DOUBLE / t_batch - n_hist::DOUBLE / t_hist), 6)
+      |    AS drift
+      |FROM cnt CROSS JOIN tot ORDER BY cluster""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -466,6 +681,11 @@ object EvalQueries {
     "q174_ivfpq_residual" -> pqChainSql(Some(ivfNprobe), residual = true),
     "q179_ivf_nprobe_curve" -> pqChainSql(None, curve = probeCurve),
     "q180_pq_energy_audit" -> pqAuditSql,
+    "q181_index_append" ->
+      pqChainSql(Some(ivfNprobe), frozenPred = Some("vec_id % 4 <> 3")),
+    "q183_ann_rank_metrics" -> pqChainSql(Some(ivfNprobe), metrics = true),
+    "q184_sq8_recall" -> sq8Sql,
+    "q185_index_drift" -> driftSql,
 
     "q152_ann_recall" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

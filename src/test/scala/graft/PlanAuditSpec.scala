@@ -622,4 +622,62 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("rangepartitioning"), p)
     assert(!p.contains("Join"), p)
   }
+
+  test("q181: the frozen-append search keeps the q171 shape — the UNION " +
+    "index (history + appended codes) rides the stage cache and joins " +
+    "one broadcast probe-lookup; no cartesian, no retraining in-plan") {
+    val p = plan("q181_index_append")
+    assert(!p.contains("CartesianProduct"), p)
+    // append_index + pq_hist_assigned (codebook side) both cached
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q182: the tau curve rides the cached q166 assignment on both " +
+    "pair sides — one capped cluster equi-join, row-local tau fan-out, " +
+    "no per-tau re-prune, no cartesian pair join") {
+    val p = plan("q182_semdedup_tau_curve")
+    assert(!p.contains("CartesianProduct"), p)
+    // assigned (pair a-side) + refs (b-side) both read the stage cache
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p)
+    // the curve fan-out is a generator over the per-vector max, and the
+    // pair join runs ONCE — cosine appears in a single join, not |taus|
+    assert(p.contains("Generate"), p)
+    assert("graft_cosine".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("q183: rank metrics keep the q171 search shape — stored index vs " +
+    "broadcast probe-lookup, stages cached, integer discount sums " +
+    "partially aggregated, no cartesian") {
+    val p = plan("q183_ann_rank_metrics")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q184: the SQ8 scan reads the persisted quantized index with the " +
+    "broadcast-query one-pass shape and a windowed top-k prefilter — " +
+    "no cartesian, no raw-float corpus join") {
+    val p = plan("q184_sq8_recall")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 1, p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q185: the drift gauge rides the persisted coarse assignment — a " +
+    "list-count aggregate plus one broadcast one-row total join, no new " +
+    "corpus or embedding scan") {
+    val p = plan("q185_index_drift")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // the LIVE reads are the cached (vec_id, cluster) stage — no scan in
+    // the main plan touches the embedding column (the mentions inside
+    // the InMemoryRelation block are the stage's one-time build plan)
+    val liveScans = "InMemoryTableScan \\[[^\\]]*\\]".r.findAllIn(p).toList
+    assert(liveScans.nonEmpty && !liveScans.exists(_.contains("embedding")),
+      liveScans.mkString("\n"))
+  }
 }

@@ -260,4 +260,123 @@ class PqSpec extends SparkSpec {
         s"identical vectors diverged on slice $j")
     }
   }
+
+  test("frozen encode: append invariance (piecewise == one-pass), full " +
+      "slice coverage, and every code exists in the frozen codebook") {
+    val hist = emb.filter(col("vec_id") % 4 =!= 3)
+    val batch = emb.filter(col("vec_id") % 4 === 3)
+    val cb = Similarity.pqCodebook(
+      Similarity.pqAssigned(hist, m, sub, iters = 1, k = 8)).persist()
+    try {
+      val onePass = Similarity.pqEncodeFrozen(emb, cb)
+      val pieces = Similarity.pqEncodeFrozen(hist, cb)
+        .unionByName(Similarity.pqEncodeFrozen(batch, cb))
+      assert(onePass.except(pieces).count() === 0L)
+      assert(pieces.except(onePass).count() === 0L)
+      assert(onePass.count() === emb.count() * m)
+      val orphaned = onePass
+        .select(col("slice"), col("cluster").as("code")).distinct()
+        .join(cb, Seq("slice", "code"), "left_anti")
+      assert(orphaned.count() === 0L)
+    } finally { cb.unpersist(); () }
+  }
+
+  test("SQ8: a binary {0, s} corpus round-trips losslessly — the " +
+      "quantized scan IS the exact scan") {
+    // elements ∈ {0, 0.5} are float32-exact, x/s ∈ {0, 1} is an exact
+    // division, so codes are exactly {0, 127} and
+    // intdot·s_a·s_b/127² = overlap·s² reproduces the exact dot product
+    def v(ns: Int*) = ns.map(n => (n * 0.5).toFloat).toArray
+    val vecs = Seq(
+      (0L, 1L, v(1, 1, 0, 0)), (1L, 1L, v(1, 0, 1, 0)),
+      (2L, 2L, v(1, 1, 1, 0)), (3L, 2L, v(0, 1, 1, 1)),
+      (4L, 2L, v(1, 0, 0, 1))).toDF("vec_id", "label", "embedding")
+    val quant = Similarity.sq8Quantize(vecs)
+    // codes really are the saturated integers
+    val qs = quant.filter(col("vec_id") === 0L)
+      .select(col("qv")).collect()(0).getSeq[Double](0)
+    assert(qs === Seq(127.0, 127.0, 0.0, 0.0))
+    val got = Similarity.sq8DotTopK(vecs.filter(col("vec_id") < 2), quant,
+        k = 3)
+      .select(col("qid"), col("vec_id"), col("sim"), col("rnk"))
+    val want = Similarity.bruteForceDotTopK(vecs.filter(col("vec_id") < 2),
+        vecs, k = 3)
+      .select(col("qid"), col("vec_id"), col("sim"), col("rnk"))
+    assert(got.except(want).count() === 0L)
+    assert(want.except(got).count() === 0L)
+  }
+
+  test("SQ8 on the real corpus: recall@10 far above the PQ gauge at the " +
+      "same k — int8 barely perturbs the ranking") {
+    val queries = emb.filter(col("vec_id") < 8)
+    val quant = Similarity.sq8Quantize(emb).persist()
+    try {
+      val sq8 = Similarity.sq8RecallAtK(queries, emb, quant, k = 10)
+        .agg(avg(col("recall"))).collect()(0).getDouble(0)
+      assert(sq8 >= 0.8, s"SQ8 mean recall $sq8 — int8 should be near-exact")
+    } finally { quant.unpersist(); () }
+  }
+
+  test("listOccupancyDrift: counts conserve the corpus split, shares sum " +
+      "to 1, and drift is the exact share gap") {
+    val coarse = Similarity.assignToCentroids(emb)
+      .select(col("vec_id"), col("cluster"))
+    val drift = Similarity.listOccupancyDrift(coarse,
+      col("vec_id") % 4 === 3).persist()
+    try {
+      val t = drift.agg(sum(col("n_hist")), sum(col("n_batch")),
+          sum(col("share_hist")), sum(col("share_batch")))
+        .collect()(0)
+      assert(t.getLong(0) === emb.filter(col("vec_id") % 4 =!= 3).count())
+      assert(t.getLong(1) === emb.filter(col("vec_id") % 4 === 3).count())
+      assert(math.abs(t.getDouble(2) - 1.0) < 1e-4)
+      assert(math.abs(t.getDouble(3) - 1.0) < 1e-4)
+      assert(drift.filter(col("drift") < 0 || col("drift") > 1)
+        .count() === 0L)
+      // drift really is |share_batch − share_hist| up to the rounding
+      assert(drift.filter(
+        abs(col("drift") - abs(col("share_batch") - col("share_hist")))
+          > 2e-6).count() === 0L)
+    } finally { drift.unpersist(); () }
+  }
+
+  test("rank metrics agree with the recall gauge (n_rel_found == hits) " +
+      "and sit in their defined ranges; a rank-1 hit means mrr == 1") {
+    val queries = emb.filter(col("vec_id") < 8)
+    val assigned = Similarity.pqAssigned(emb, m, sub, iters = 2, k = 16)
+      .persist()
+    try {
+      val coarse = Similarity.assignToCentroids(emb)
+        .select(col("vec_id"), col("cluster"))
+      val index = Similarity.ivfAdcIndex(coarse, assigned)
+        .persist()
+      try {
+        val metrics = Similarity.ivfAdcRankMetrics(queries, emb, index,
+          assigned, nprobe = 2, k = 10).persist()
+        try {
+          val recall = Similarity.ivfAdcRecallAtK(queries, emb, index,
+            assigned, nprobe = 2, k = 10)
+          val mismatched = metrics.join(recall, Seq("qid"))
+            .filter(col("n_rel_found") =!= col("hits"))
+          assert(mismatched.count() === 0L)
+          assert(metrics.filter(col("mrr") < 0 || col("mrr") > 1 ||
+            col("ndcg") < 0 || col("ndcg") > 1).count() === 0L)
+          // mrr == 1 iff the approximate rank-1 item is exact-relevant
+          val approxTop = Similarity.ivfAdcTopK(queries, emb, index,
+              assigned, nprobe = 2, k = 10)
+            .filter(col("rnk") === 1L)
+            .select(col("qid"), col("vec_id"))
+          val exactSet = Similarity.bruteForceDotTopK(queries, emb, 10)
+            .select(col("qid"), col("vec_id"))
+          val top1Hit = approxTop.join(exactSet, Seq("qid", "vec_id"),
+              "left_semi")
+            .select(col("qid")).collect().map(_.getLong(0)).toSet
+          metrics.select(col("qid"), col("mrr")).collect().foreach { r =>
+            assert((r.getDouble(1) == 1.0) === top1Hit(r.getLong(0)),
+              s"mrr/top-1 disagreement for qid ${r.getLong(0)}")
+          }
+        } finally { metrics.unpersist(); () }
+      } finally { index.unpersist(); () }
+    } finally { assigned.unpersist(); () }
+  }
 }

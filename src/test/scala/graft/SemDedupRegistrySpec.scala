@@ -103,4 +103,29 @@ class SemDedupRegistrySpec extends SparkSpec {
     val tombA = Seq("srcA").toDF("source")
     assert(pruneAgainst(tombA) === Array((10L, false), (11L, true)))
   }
+
+  test("tau curve: every point equals the full prune's dup count at that " +
+      "tau, and n_dup is non-increasing in tau") {
+    val assigned = Similarity.lloydAssigned(emb, iters = 2, k = 22)
+      .persist()
+    try {
+      val taus = Seq(0.2, 0.3, 0.4)
+      val curve = Similarity.semDedupTauCurve(assigned, taus,
+          maxPerCluster = 16L)
+        .orderBy(col("tau"))
+        .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+      assert(curve.map(_._1).toSeq === taus)
+      // per-point equality with the full prune
+      taus.zip(curve).foreach { case (tau, (_, nVecs, nDup)) =>
+        val full = Similarity.semDedupFromAssigned(assigned, tau,
+          maxPerCluster = 16L)
+        assert(nVecs === full.count(), s"n_vecs off at tau=$tau")
+        assert(nDup === full.filter(col("is_dup")).count(),
+          s"n_dup off at tau=$tau")
+      }
+      // monotone: a vector duplicated at tau is duplicated at every
+      // lower tau
+      assert(curve.map(_._3).toSeq === curve.map(_._3).sorted.reverse)
+    } finally { assigned.unpersist(); () }
+  }
 }
