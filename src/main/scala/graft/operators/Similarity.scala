@@ -1058,6 +1058,56 @@ object Similarity {
           .as("qerr_frac"))
   }
 
+  /** IVF-SQ8 composed search — coarse routing over an int8 payload (the
+    * FAISS `IVF*,SQ8` deployment shape), completing the routing ×
+    * quantization matrix: [[bruteForceDotTopK]] is full-scan/floats,
+    * [[sq8DotTopK]] full-scan/int8, [[ivfAdcTopK]] routed/PQ, and this
+    * is routed/int8 — the combination that cuts BOTH the scan (probed
+    * lists only) and the payload (4×) while keeping per-vector scoring
+    * exact up to int8. Plan shape: the q·nprobe probe set broadcasts
+    * into one equi-join on `ivf` against the stored index; scoring and
+    * ranking contracts match [[sq8DotTopK]] (integer dot, two-multiply
+    * float chain, rounded, ranks among scanned candidates).
+    *
+    * @param index persisted `(vec_id, s, qv, ivf)` — [[sq8Quantize]]
+    *              output joined to its coarse list at build time
+    * @return (qid, vec_id, sim, rnk) */
+  def ivfSq8TopK(queries: DataFrame, corpus: DataFrame, index: DataFrame,
+      nprobe: Int, k: Int): DataFrame = {
+    val cents = broadcast(labelCentroids(corpus))
+    val q = sq8Quantize(queries).select(col("vec_id").as("qid"),
+      col("s").as("qs"), col("qv").as("qqv"))
+      .join(queries.select(col("vec_id").as("qid"),
+        asDouble(col("embedding")).as("qe")), Seq("qid"))
+    val probeW = Window.partitionBy(col("qid"))
+      .orderBy(desc("csim"), col("label"))
+    val probes = q.crossJoin(cents)
+      .select(col("qid"), col("qs"), col("qqv"), col("label"),
+        round(cosine(col("qe"), col("centroid")), 6).as("csim"))
+      .withColumn("prnk", row_number().over(probeW))
+      .filter(col("prnk") <= nprobe)
+      .select(col("qid"), col("qs"), col("qqv"), col("label").as("ivf"))
+    val scored = index.join(broadcast(probes), Seq("ivf"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qqv"), col("qv")) * col("qs") * col("s") /
+          lit(16129.0), 6).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("sim"), col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** IVF-SQ8 index-quality gauge — recall@k of [[ivfSq8TopK]] against
+    * the exact inner-product scan: the fourth row of the quantized
+    * family table. The gap to [[sq8RecallAtK]] is pure routing loss
+    * (int8 loses almost nothing), so this row ≈ the probe ceiling.
+    * @param exact optional precomputed (persisted) [[bruteForceDotTopK]] */
+  def ivfSq8RecallAtK(queries: DataFrame, corpus: DataFrame,
+      index: DataFrame, nprobe: Int, k: Int,
+      exact: Option[DataFrame] = None): DataFrame =
+    recallVsExact(exact.getOrElse(bruteForceDotTopK(queries, corpus, k)),
+      ivfSq8TopK(queries, corpus, index, nprobe, k), k)
+
   /** Per-list occupancy drift of a frozen coarse quantizer after an
     * append — the RETRAIN TRIGGER that completes the [[pqEncodeFrozen]]
     * append-night story: frozen centroids stay valid exactly as long as

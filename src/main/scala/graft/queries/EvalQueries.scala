@@ -284,6 +284,26 @@ object EvalQueries {
         .orderBy(col("cluster"))
     }),
 
+    // The FOURTH quantized-search row, completing the routing ×
+    // quantization matrix (full/float q29-q152-baseline, full/int8
+    // q184, routed/PQ q171, routed/int8 HERE — the FAISS "IVF,SQ8"
+    // deployment shape): coarse routing cuts the scan to probed lists,
+    // int8 cuts the payload 4×, and the recall gap to q184 is PURE
+    // routing loss. The (vec_id, s, qv, ivf) table is the stored index
+    // (built once from the sq8 codes + the shared coarse stage).
+    "q186_ivf_sq8" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val index = PipelineQueries.stage(s, dir, "ivf_sq8_index")(
+        Similarity.sq8Quantize(emb).join(
+          ivfCoarseStage(s, dir)
+            .select(col("vec_id"), col("cluster").as("ivf")),
+          Seq("vec_id")))
+      Similarity.ivfSq8RecallAtK(emb.filter(col("vec_id") < 8), emb,
+          index, nprobe = ivfNprobe, k = pqTopK,
+          exact = Some(exactDotStage(s, dir)))
+        .orderBy(col("qid"))
+    }),
+
     // Sentence-granularity text profile: segment count, total/max/mean
     // segment length — the fragmentation signal (boilerplate lists score
     // many short "sentences") that word-level stats miss. Row-local.
@@ -642,6 +662,68 @@ object EvalQueries {
       |GROUP BY x.qid ORDER BY x.qid""".stripMargin
   }
 
+  /** q186 oracle: the SQ8 chain + the label-centroid IVF routing chain
+    * (both already graded separately) composed — probed lists only,
+    * int8 scoring, recall vs the same exact scan. */
+  private def ivfSq8Sql: String = {
+    val k = pqTopK
+    val np = ivfNprobe
+    val dim = pqM * pqSub
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |qn AS (SELECT vec_id, v,
+      |         list_max(list_transform(v, x -> abs(x))) AS s FROM e),
+      |qq AS (SELECT vec_id, v, s, list_transform(v,
+      |         x -> CASE WHEN s = 0 THEN 0.0
+      |              ELSE floor(x / s * 127.0) END) AS qv
+      |       FROM qn),
+      |q AS (SELECT vec_id AS qid, v AS qv0, s AS qs, qv AS qqv FROM qq
+      |      WHERE vec_id < 8),
+      |ivfcomp AS (SELECT label, r.i AS ord, avg(v[(r.i + 1)::INTEGER]) AS mv
+      |           FROM e, range(0, $dim) AS r(i) GROUP BY label, r.i),
+      |ivfcent AS (SELECT label, list(round(mv, 6) ORDER BY ord) AS c
+      |            FROM ivfcomp GROUP BY label),
+      |ivfco AS (SELECT vec_id, cluster FROM (
+      |    SELECT e.vec_id, ct.label AS cluster,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        round(list_dot_product(e.v, ct.c) /
+      |          (sqrt(list_dot_product(e.v, e.v)) *
+      |           sqrt(list_dot_product(ct.c, ct.c))), 6) DESC,
+      |        ct.label) AS rnk
+      |    FROM e CROSS JOIN ivfcent ct) WHERE rnk = 1),
+      |ivfpr AS (SELECT qid, cluster FROM (
+      |    SELECT q.qid, ct.label AS cluster,
+      |      row_number() OVER (PARTITION BY q.qid ORDER BY
+      |        round(list_dot_product(q.qv0, ct.c) /
+      |          (sqrt(list_dot_product(q.qv0, q.qv0)) *
+      |           sqrt(list_dot_product(ct.c, ct.c))), 6) DESC,
+      |        ct.label) AS prnk
+      |    FROM q CROSS JOIN ivfcent ct) WHERE prnk <= $np),
+      |sc AS (SELECT q.qid, c.vec_id,
+      |         round(list_dot_product(q.qqv, c.qv) * q.qs * c.s
+      |           / 16129.0, 6) AS sim
+      |       FROM q JOIN ivfpr pr ON pr.qid = q.qid
+      |              JOIN ivfco co ON co.cluster = pr.cluster
+      |              JOIN qq c ON c.vec_id = co.vec_id
+      |       WHERE c.vec_id <> q.qid),
+      |approx AS (SELECT qid, vec_id FROM (
+      |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+      |      ORDER BY sim DESC, vec_id) AS rnk FROM sc) WHERE rnk <= $k),
+      |ex AS (SELECT t.qid, e.vec_id,
+      |        round(list_dot_product(t.qv0, e.v), 6) AS sim
+      |      FROM (SELECT vec_id AS qid, v AS qv0 FROM e
+      |            WHERE vec_id < 8) t, e
+      |      WHERE e.vec_id <> t.qid),
+      |exact AS (SELECT qid, vec_id FROM (
+      |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+      |      ORDER BY sim DESC, vec_id) AS rnk FROM ex) WHERE rnk <= $k)
+      |SELECT x.qid, CAST(count(*) AS BIGINT) AS n_exact,
+      |       CAST(count(a.vec_id) AS BIGINT) AS hits,
+      |       count(a.vec_id)::DOUBLE / $k AS recall
+      |FROM exact x LEFT JOIN approx a
+      |  ON a.qid = x.qid AND a.vec_id = x.vec_id
+      |GROUP BY x.qid ORDER BY x.qid""".stripMargin
+  }
+
   /** q185 oracle: frozen-centroid assignment replay (the q181 coarse
     * chain) + per-list history/batch occupancy and share drift. */
   private def driftSql: String = {
@@ -686,6 +768,7 @@ object EvalQueries {
     "q183_ann_rank_metrics" -> pqChainSql(Some(ivfNprobe), metrics = true),
     "q184_sq8_recall" -> sq8Sql,
     "q185_index_drift" -> driftSql,
+    "q186_ivf_sq8" -> ivfSq8Sql,
 
     "q152_ann_recall" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

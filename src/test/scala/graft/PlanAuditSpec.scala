@@ -666,6 +666,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q186: the IVF-SQ8 search joins the STORED quantized index " +
+    "against a broadcast probe set — stage cached, no cartesian, " +
+    "windowed top-k prefilter") {
+    val p = plan("q186_ivf_sq8")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q185: the drift gauge rides the persisted coarse assignment — a " +
     "list-count aggregate plus one broadcast one-row total join, no new " +
     "corpus or embedding scan") {

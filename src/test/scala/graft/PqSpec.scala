@@ -317,6 +317,25 @@ class PqSpec extends SparkSpec {
     } finally { quant.unpersist(); () }
   }
 
+  test("IVF-SQ8 with nprobe >= the list count is row-identical to the " +
+      "full SQ8 scan (probing everything IS the full scan)") {
+    val queries = emb.filter(col("vec_id") < 4)
+    val quant = Similarity.sq8Quantize(emb)
+    val coarse = Similarity.assignToCentroids(emb)
+      .select(col("vec_id"), col("cluster").as("ivf"))
+    val index = quant.join(coarse, Seq("vec_id")).persist()
+    try {
+      val nLists = emb.select(col("label")).distinct().count().toInt
+      val routed = Similarity.ivfSq8TopK(queries, emb, index,
+          nprobe = nLists, k = 5)
+        .select(col("qid"), col("vec_id"), col("sim"), col("rnk"))
+      val full = Similarity.sq8DotTopK(queries, quant, k = 5)
+        .select(col("qid"), col("vec_id"), col("sim"), col("rnk"))
+      assert(routed.except(full).count() === 0L)
+      assert(full.except(routed).count() === 0L)
+    } finally { index.unpersist(); () }
+  }
+
   test("listOccupancyDrift: counts conserve the corpus split, shares sum " +
       "to 1, and drift is the exact share gap") {
     val coarse = Similarity.assignToCentroids(emb)
