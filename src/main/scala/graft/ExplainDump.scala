@@ -48,7 +48,8 @@ object ExplainDump {
       "q178_semdedup_registry", "q179_ivf_nprobe_curve",
       "q180_pq_energy_audit", "q181_index_append",
       "q182_semdedup_tau_curve", "q183_ann_rank_metrics",
-      "q184_sq8_recall", "q185_index_drift", "q186_ivf_sq8")
+      "q184_sq8_recall", "q185_index_drift", "q186_ivf_sq8",
+      "q187_lang_mix")
     val sb = new StringBuilder
     sb.append("# EXPLAIN — headline query plans (formatted, sf0.001, regenerate with `sbt \"runMain graft.ExplainDump\"`)\n")
     sb.append("\nWhat to look for: `PushedFilters`/`ReadSchema` on every scan, broadcast\njoins where one side is small, partial aggregation before each hash\nexchange, `WindowGroupLimit` ahead of top-k windows, and no\n`CartesianProduct` anywhere.\n")

@@ -86,6 +86,24 @@ object TextAnalysis {
       .otherwise(lit("de"))
   }
 
+  /** [[langId]] over a pre-tokenized SLICE of a document — the half-doc
+    * building block for code-switching detection (q187): identical
+    * stopword-argmax and precedence rules, with the CJK script test on
+    * the space-rejoined slice (script detection is unaffected by the
+    * rejoin). Row-local, no shuffle. */
+  def langIdOfTokens(toks: Column): Column = {
+    val en = stopwordHits(toks, StopEn)
+    val es = stopwordHits(toks, StopEs)
+    val fr = stopwordHits(toks, StopFr)
+    val de = stopwordHits(toks, StopDe)
+    when(array_join(toks, " ").rlike("[\\u4e00-\\u9fff]"), lit("zh"))
+      .when(en === 0 && es === 0 && fr === 0 && de === 0, lit("und"))
+      .when(en >= es && en >= fr && en >= de, lit("en"))
+      .when(es >= fr && es >= de, lit("es"))
+      .when(fr >= de, lit("fr"))
+      .otherwise(lit("de"))
+  }
+
   // --- quality scoring ------------------------------------------------------
 
   /** Type-token ratio: distinct tokens / total tokens (repetition signal). */

@@ -463,6 +463,25 @@ object PipelineQueries {
           TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))),
 
+    // Code-switching detection: q23's language ID run INDEPENDENTLY on
+    // the two token-halves of each document — a multilingual corpus
+    // routes or splits mixed documents before training, and a
+    // whole-doc argmax can't see them (the majority half wins). A doc
+    // is `mixed` when the halves disagree with evidence on BOTH sides
+    // (neither half 'und'). Row-local array slicing, no shuffle.
+    "q187_lang_mix" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(lower(col("text")))
+      val n = size(toks)
+      val hl = floor((n + lit(1)) / lit(2)).cast("int")
+      val lh = TextAnalysis.langIdOfTokens(slice(toks, lit(1), hl))
+      val lt = TextAnalysis.langIdOfTokens(slice(toks, hl + 1, n - hl))
+      t(s, dir, "documents")
+        .select(col("doc_id"), n.cast("long").as("n_tok"),
+          lh.as("lang_head"), lt.as("lang_tail"),
+          (lh =!= lt && lh =!= "und" && lt =!= "und").as("mixed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // LLM text 3: per-document quality signals + composite score.
     "q24_quality_score" -> ((s, dir) => {
       val toks = TextAnalysis.tokens(lower(col("text")))
@@ -802,6 +821,46 @@ object PipelineQueries {
 
   // ---------------------------------------------------------------------------
 
+  /** q187 oracle generator — the q23 language-ID replay applied
+    * independently to each token-half; the stopword lists interpolate
+    * from the SAME TextAnalysis constants the Spark plan uses. */
+  private def langMixSql: String = {
+    def inl(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+    def hits(side: String) =
+      s"""len(list_filter($side, w -> w IN (${inl(TextAnalysis.StopEn)}))) AS en_$side,
+         |  len(list_filter($side, w -> w IN (${inl(TextAnalysis.StopEs)}))) AS es_$side,
+         |  len(list_filter($side, w -> w IN (${inl(TextAnalysis.StopFr)}))) AS fr_$side,
+         |  len(list_filter($side, w -> w IN (${inl(TextAnalysis.StopDe)}))) AS de_$side,
+         |  array_to_string($side, ' ') AS j_$side""".stripMargin
+    def langCase(side: String) =
+      s"""CASE WHEN regexp_matches(j_$side, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+         |    WHEN en_$side = 0 AND es_$side = 0 AND fr_$side = 0
+         |         AND de_$side = 0 THEN 'und'
+         |    WHEN en_$side >= es_$side AND en_$side >= fr_$side
+         |         AND en_$side >= de_$side THEN 'en'
+         |    WHEN es_$side >= fr_$side AND es_$side >= de_$side THEN 'es'
+         |    WHEN fr_$side >= de_$side THEN 'fr' ELSE 'de' END""".stripMargin
+    s"""WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+      |  FROM documents),
+      |sp AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok,
+      |        ((len(toks) + 1) // 2) AS hl FROM t),
+      |p AS (SELECT doc_id, n_tok, toks[1:hl] AS ht,
+      |        toks[hl+1:len(toks)] AS tt FROM sp),
+      |h AS (SELECT doc_id, n_tok,
+      |  ${hits("ht")},
+      |  ${hits("tt")}
+      | FROM p),
+      |v AS (SELECT doc_id, n_tok,
+      |  ${langCase("ht")} AS lang_head,
+      |  ${langCase("tt")} AS lang_tail
+      | FROM h)
+      |SELECT doc_id, n_tok, lang_head, lang_tail,
+      |  (lang_head <> lang_tail AND lang_head <> 'und'
+      |   AND lang_tail <> 'und') AS mixed
+      |FROM v ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // Replays Packing.packGreedy exactly: same md5-60bit shard hash as
     // q48, same whitespace token count as q25, then the sequential greedy
@@ -968,6 +1027,8 @@ object PipelineQueries {
         |       WHEN fr >= de THEN 'fr'
         |       ELSE 'de' END AS lang_pred
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q187_lang_mix" -> langMixSql,
 
     "q24_quality_score" ->
       """WITH t AS (

@@ -666,6 +666,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q187: code-switching detection is a pure row-local projection — " +
+    "no exchange beyond the output sort, no join, no explode") {
+    val p = plan("q187_lang_mix")
+    assert("Exchange".r.findAllIn(p).size === 1, p)
+    assert(p.contains("rangepartitioning"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Generate"), p)
+  }
+
   test("q186: the IVF-SQ8 search joins the STORED quantized index " +
     "against a broadcast probe set — stage cached, no cartesian, " +
     "windowed top-k prefilter") {

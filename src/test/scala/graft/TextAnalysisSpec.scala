@@ -24,6 +24,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(lang("the el") === Seq("en"))                // tie → precedence order
   }
 
+  test("langIdOfTokens: half-doc code-switching is visible where the " +
+      "whole-doc argmax is not, and agrees with langId on full docs") {
+    def halves(text: String): (String, String) = {
+      val toks = TextAnalysis.tokens(lower(col("t")))
+      val n = size(toks)
+      val hl = floor((n + lit(1)) / lit(2)).cast("int")
+      val r = Seq(text).toDF("t").select(
+        TextAnalysis.langIdOfTokens(slice(toks, lit(1), hl)).as("h"),
+        TextAnalysis.langIdOfTokens(slice(toks, hl + 1, n - hl)).as("l"))
+        .collect()(0)
+      (r.getString(0), r.getString(1))
+    }
+    // en head + es tail: the whole doc argmaxes to ONE language (en by
+    // precedence on the 5-5 tie), the halves see both
+    val mixedDoc = "the cat is on the mat " +
+      "el perro y la casa de las casas"
+    assert(lang(mixedDoc) === Seq("es")) // whole doc: es hits outnumber en
+    assert(halves(mixedDoc) === (("en", "es")))
+    // a uniform doc splits into agreeing halves
+    assert(halves("the cat is on the mat and the dog is in the house") ===
+      (("en", "en")))
+    // CJK in one half only
+    assert(halves("the cat is on the mat 你好 世界 你好 世界 你好 世界") ===
+      (("en", "zh")))
+    // full-token slice reproduces langId (CJK check rides the rejoin)
+    val docs = Seq("the cat is on the mat", "el perro y la casa",
+      "你好 world the a", "xyzzy plugh quux")
+    val full = docs.toDF("t").select(
+      TextAnalysis.langIdOfTokens(
+        TextAnalysis.tokens(lower(col("t")))).as("l"))
+      .collect().map(_.getString(0)).toSeq
+    assert(full === lang(docs: _*))
+  }
+
   test("fingerprint: short texts fall back to the whole-text digest") {
     val got = Seq("short", "this one is definitely longer than sixteen chars")
       .toDF("t").select(length(col("t")), TextAnalysis.fingerprint(col("t")).as("fp"))
