@@ -63,6 +63,40 @@ object Mixture {
       .drop("__p")
   }
 
+  /** [[resampleToMixture]] with DATA-DRIVEN targets — the composition
+    * point for semantic (cluster-level) balancing, where the category
+    * shares come out of the corpus itself ([[temperatureTargets]] over
+    * a quantizer assignment) instead of a hand-written map: identical
+    * keep-probability math (M = min(n/t), p = t·M/n, md5-bucket
+    * membership — row-level reproducible cross-engine), with the target
+    * table joined in rather than folded into a literal CASE. Categories
+    * absent from `targets` are dropped, exactly like an omitted map key.
+    *
+    * Scale shape: the targets table is category-sized (broadcast), the
+    * per-category stats are one aggregate pass, and membership is a
+    * row-local hash test — the corpus is never shuffled.
+    *
+    * @param targets  (categoryCol, shareCol) rows; shares must be > 0 */
+  def resampleToTargets(df: DataFrame, categoryCol: String, key: Column,
+      targets: DataFrame, shareCol: String = "share_t"): DataFrame = {
+    val reserved = Set("__t", "__n", "__m", "__p")
+    val clash = df.columns.filter(reserved)
+    require(clash.isEmpty, s"column(s) ${clash.mkString(", ")} collide with " +
+      "Mixture internals; rename before resampling")
+    val tg = targets.select(col(categoryCol),
+      col(shareCol).cast("double").as("__t"))
+    val counts = df.join(broadcast(tg), Seq(categoryCol))
+      .groupBy(col(categoryCol), col("__t")).agg(count(lit(1)).as("__n"))
+    val probs = counts
+      .withColumn("__m", min(col("__n").cast("double") / col("__t"))
+        .over(Window.partitionBy()))
+      .select(col(categoryCol),
+        ((col("__t") * col("__m")) / col("__n").cast("double")).as("__p"))
+    df.join(broadcast(probs), Seq(categoryCol))
+      .filter(NearDup.md5Hash60(key).cast("double") < col("__p") * lit(Two60))
+      .drop("__p")
+  }
+
   /** Temperature-scaled mixture targets (α = 0.5): the multilingual /
     * multi-domain rebalancing rule (share ∝ n^α) that upweights small
     * categories without letting giants dominate — the step that produces

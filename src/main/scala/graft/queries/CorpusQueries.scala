@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{TextAnalysis, Urls}
-import graft.operators.{NearDup, Sampling, Similarity}
+import graft.operators.{Mixture, NearDup, Sampling, Similarity}
 import graft.plans.Drift
 
 /** Wave 5b — corpus-assembly operators graded round 6: the per-domain cap,
@@ -336,6 +336,26 @@ object CorpusQueries {
         taus = semTauCurve, maxPerCluster = 16L)
         .orderBy(col("tau"))),
 
+    // Semantic mixture balancing — q80's domain resampling where the
+    // domains are DISCOVERED (the q166 clusters as topics), for corpora
+    // without trustworthy domain labels: temperature-flattened (α=0.5)
+    // topic targets from the cluster counts, then the md5-bucket
+    // resample against those data-driven shares. Rides the persisted
+    // assignment; the corpus is never reshuffled (targets and keep
+    // probabilities are topic-sized broadcasts, membership is a
+    // row-local hash test).
+    "q188_semantic_balance" -> ((s, dir) => {
+      val cat = PipelineQueries.stage(s, dir, "sqrtn_assign")(
+          Similarity.lloydAssigned(t(s, dir, "embeddings"), iters = 2,
+            k = 22))
+        .select(col("vec_id"), col("cluster").cast("string").as("topic"))
+      Mixture.resampleToTargets(cat, "topic",
+          col("vec_id").cast("string"),
+          Mixture.temperatureTargets(cat, "topic"))
+        .select(col("vec_id"), col("topic"))
+        .orderBy(col("vec_id"))
+    }),
+
     // BPE training statistic: adjacent-symbol pair counts over the
     // frequency-weighted word vocabulary (the explode runs on |V| rows,
     // not the corpus), top-30 merge candidates. Integer counts — exact.
@@ -629,6 +649,29 @@ object CorpusQueries {
         |FROM ba a LEFT JOIN vh h USING (vec_id)
         |          LEFT JOIN vb bb USING (vec_id)
         |ORDER BY a.vec_id""".stripMargin,
+
+    "q188_semantic_balance" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sd AS (SELECT vec_id, v, md5(vec_id::VARCHAR) AS h FROM e
+        |       ORDER BY h, vec_id LIMIT 22),
+        |cent0 AS (SELECT row_number() OVER (ORDER BY h, vec_id) AS clab,
+        |            list_transform(v, x -> round(x, 6)) AS c FROM sd),
+        |${sdArgmax("a1", "e", "cent0")},
+        |${sdMeans("cent1", "a1")},
+        |${sdArgmax("a2", "e", "cent1")},
+        |cat AS (SELECT vec_id, cluster::VARCHAR AS topic FROM a2),
+        |c AS (SELECT topic, count(*) AS n FROM cat GROUP BY topic),
+        |w AS (SELECT topic, n, sqrt(n::DOUBLE) AS sw FROM c),
+        |tgt AS (SELECT topic, n,
+        |          round(sw / (SELECT sum(sw) FROM w), 6) AS t FROM w),
+        |p AS (SELECT topic,
+        |        (t * (SELECT min(n::DOUBLE / t) FROM tgt)) / n::DOUBLE AS p
+        |      FROM tgt)
+        |SELECT c2.vec_id, c2.topic
+        |FROM cat c2 JOIN p USING (topic)
+        |WHERE ('0x' || substr(md5(c2.vec_id::VARCHAR), 1, 15))::BIGINT::DOUBLE
+        |      < p.p * 1152921504606846976.0
+        |ORDER BY c2.vec_id""".stripMargin,
 
     "q182_semdedup_tau_curve" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -88,4 +88,22 @@ class MixtureSpec extends SparkSpec {
       col("doc_id").cast("string"), targets)
     assert(out.count() > 0)
   }
+
+  test("resampleToTargets with a static target table is row-identical " +
+      "to resampleToMixture with the same map") {
+    import sqlImplicits._
+    val tdf = targets.toSeq.toDF("lang", "share_t")
+    val viaTable = Mixture.resampleToTargets(docs, "lang",
+        col("doc_id").cast("string"), tdf)
+      .select(col("doc_id"))
+    val viaMap = Mixture.resampleToMixture(docs, "lang",
+        col("doc_id").cast("string"), targets)
+      .select(col("doc_id"))
+    assert(viaTable.except(viaMap).count() === 0L)
+    assert(viaMap.except(viaTable).count() === 0L)
+    // an untargeted category is dropped, exactly like an omitted map key
+    assert(Mixture.resampleToTargets(docs, "lang",
+      col("doc_id").cast("string"), tdf)
+      .filter(col("lang") === "zh").count() === 0L)
+  }
 }

@@ -666,6 +666,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q188: semantic balancing rides the cached assignment — targets " +
+    "and keep probabilities are topic-sized broadcasts, membership is a " +
+    "row-local hash test, no cartesian") {
+    val p = plan("q188_semantic_balance")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q187: code-switching detection is a pure row-local projection — " +
     "no exchange beyond the output sort, no join, no explode") {
     val p = plan("q187_lang_mix")
