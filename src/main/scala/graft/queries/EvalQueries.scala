@@ -304,6 +304,73 @@ object EvalQueries {
         .orderBy(col("qid"))
     }),
 
+    // The index DECISION CARD: one table a deployment reads to pick its
+    // ANN family — measured mean recall@10 (exact integer hit sums over
+    // the same persisted exact baseline) next to the stored payload
+    // bytes per vector and whether the scan is routed, for all six
+    // graded families. Every gauge rides the already-persisted stages,
+    // so the card costs six top-k searches and six 8-row aggregates —
+    // no new training, no new corpus scans.
+    "q189_index_card" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      val exact = exactDotStage(s, dir)
+      val assigned = PipelineQueries.stage(s, dir, "pq_assigned")(
+        Similarity.pqAssigned(emb, m = pqM, sub = pqSub, iters = 2,
+          k = pqCodewords))
+      val index = PipelineQueries.stage(s, dir, "ivf_adc_index")(
+        Similarity.ivfAdcIndex(
+          ivfCoarseStage(s, dir).select(col("vec_id"), col("cluster")),
+          assigned))
+      val assignedRes = PipelineQueries.stage(s, dir, "ivfpq_res_assigned")(
+        Similarity.pqAssigned(
+          Similarity.ivfResiduals(ivfCoarseStage(s, dir),
+            Similarity.labelCentroids(emb)),
+          m = pqM, sub = pqSub, iters = 2, k = pqCodewords))
+      val indexRes = PipelineQueries.stage(s, dir, "ivfpq_res_index")(
+        Similarity.ivfAdcIndex(
+          ivfCoarseStage(s, dir).select(col("vec_id"), col("cluster")),
+          assignedRes))
+      val quant = PipelineQueries.stage(s, dir, "sq8_index")(
+        Similarity.sq8Quantize(emb))
+      val sq8Idx = PipelineQueries.stage(s, dir, "ivf_sq8_index")(
+        quant.join(ivfCoarseStage(s, dir)
+          .select(col("vec_id"), col("cluster").as("ivf")), Seq("vec_id")))
+      def row(fam: String, gauge: DataFrame, payload: Int,
+          routed: Boolean): DataFrame =
+        gauge.agg(count(lit(1)).as("n_queries"),
+            sum(col("hits")).as("sum_hits"))
+          .select(lit(fam).as("family"), col("n_queries"), col("sum_hits"),
+            round(col("sum_hits").cast("double") /
+              (col("n_queries") * lit(pqTopK)).cast("double"), 6)
+              .as("mean_recall"),
+            lit(payload.toLong).as("payload_bytes_per_vec"),
+            lit(routed).as("routed"))
+      val dim = pqM * pqSub
+      row("exact",
+          exact.groupBy(col("qid")).agg(count(lit(1)).as("hits")),
+          dim * 4, routed = false)
+        .unionByName(row("sq8",
+          Similarity.sq8RecallAtK(queries, emb, quant, k = pqTopK,
+            exact = Some(exact)), dim + 4, routed = false))
+        .unionByName(row("pq",
+          Similarity.pqRecallAtK(queries, emb, assigned, k = pqTopK,
+            exact = Some(exact)), pqM, routed = false))
+        .unionByName(row("ivf_adc",
+          Similarity.ivfAdcRecallAtK(queries, emb, index, assigned,
+            nprobe = ivfNprobe, k = pqTopK, exact = Some(exact)),
+          pqM + 4, routed = true))
+        .unionByName(row("ivf_pq_res",
+          Similarity.ivfPqRecallAtK(queries, emb, indexRes, assignedRes,
+            nprobe = ivfNprobe, k = pqTopK, exact = Some(exact)),
+          pqM + 4, routed = true))
+        .unionByName(row("ivf_sq8",
+          Similarity.ivfSq8RecallAtK(queries, emb, sq8Idx,
+            nprobe = ivfNprobe, k = pqTopK, exact = Some(exact)),
+          dim + 4 + 4, routed = true))
+        .orderBy(col("family"))
+    }),
+
     // Sentence-granularity text profile: segment count, total/max/mean
     // segment length — the fragmentation signal (boilerplate lists score
     // many short "sentences") that word-level stats miss. Row-local.
@@ -724,6 +791,45 @@ object EvalQueries {
       |GROUP BY x.qid ORDER BY x.qid""".stripMargin
   }
 
+  /** q189 oracle: the decision card as a UNION of the per-family chains
+    * (each already graded standalone), every chain wrapped as a
+    * `FROM (WITH … SELECT …)` subquery so the CTE vocabularies can't
+    * collide, aggregated to exact integer hit sums. */
+  private def indexCardSql: String = {
+    val dim = pqM * pqSub
+    def wrap(fam: String, chain: String, payload: Int,
+        routed: Boolean): String =
+      s"""SELECT '$fam' AS family,
+         |  CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(sum(hits) AS BIGINT) AS sum_hits,
+         |  round(sum(hits)::DOUBLE / (count(*) * $pqTopK), 6) AS mean_recall,
+         |  CAST($payload AS BIGINT) AS payload_bytes_per_vec,
+         |  $routed AS routed
+         |FROM (
+         |$chain
+         |) x_$fam""".stripMargin
+    val exactChain =
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |ex AS (SELECT t.qid, e.vec_id,
+        |        round(list_dot_product(t.qv0, e.v), 6) AS sim
+        |      FROM (SELECT vec_id AS qid, v AS qv0 FROM e
+        |            WHERE vec_id < 8) t, e
+        |      WHERE e.vec_id <> t.qid),
+        |exact AS (SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY sim DESC, vec_id) AS rnk FROM ex) WHERE rnk <= $pqTopK)
+        |SELECT qid, count(*) AS hits FROM exact GROUP BY qid""".stripMargin
+    Seq(
+      wrap("exact", exactChain, dim * 4, routed = false),
+      wrap("sq8", sq8Sql, dim + 4, routed = false),
+      wrap("pq", pqChainSql(None), pqM, routed = false),
+      wrap("ivf_adc", pqChainSql(Some(ivfNprobe)), pqM + 4, routed = true),
+      wrap("ivf_pq_res", pqChainSql(Some(ivfNprobe), residual = true),
+        pqM + 4, routed = true),
+      wrap("ivf_sq8", ivfSq8Sql, dim + 4 + 4, routed = true)
+    ).mkString("", "\nUNION ALL\n", "\nORDER BY family")
+  }
+
   /** q185 oracle: frozen-centroid assignment replay (the q181 coarse
     * chain) + per-list history/batch occupancy and share drift. */
   private def driftSql: String = {
@@ -769,6 +875,7 @@ object EvalQueries {
     "q184_sq8_recall" -> sq8Sql,
     "q185_index_drift" -> driftSql,
     "q186_ivf_sq8" -> ivfSq8Sql,
+    "q189_index_card" -> indexCardSql,
 
     "q152_ann_recall" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

@@ -666,6 +666,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q189: the decision card rides ONLY persisted stages — six gauge " +
+    "aggregates over cached indexes, no cartesian, no new training") {
+    val p = plan("q189_index_card")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 6, p)
+  }
+
   test("q188: semantic balancing rides the cached assignment — targets " +
     "and keep probabilities are topic-sized broadcasts, membership is a " +
     "row-local hash test, no cartesian") {

@@ -359,6 +359,23 @@ class PqSpec extends SparkSpec {
     } finally { drift.unpersist(); () }
   }
 
+  test("index decision card: every family row's hit sum equals its " +
+      "standalone gauge, and the lossless families top the table") {
+    val sfDir = dir
+    def sumHits(q: String): Long =
+      SparkEntry.queries(q)(spark, sfDir)
+        .agg(sum(col("hits"))).collect()(0).getLong(0)
+    val card = SparkEntry.queries("q189_index_card")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(card("pq") === sumHits("q168_pq_recall"))
+    assert(card("ivf_adc") === sumHits("q171_ivf_adc"))
+    assert(card("ivf_pq_res") === sumHits("q174_ivfpq_residual"))
+    assert(card("sq8") === sumHits("q184_sq8_recall"))
+    assert(card("ivf_sq8") === sumHits("q186_ivf_sq8"))
+    assert(card("exact") === card.values.max,
+      "exact must top the hit table")
+  }
+
   test("rank metrics agree with the recall gauge (n_rel_found == hits) " +
       "and sit in their defined ranges; a rank-1 hit means mrr == 1") {
     val queries = emb.filter(col("vec_id") < 8)
