@@ -380,6 +380,51 @@ object NearDup {
       .distinct()
   }
 
+  /** The LSH GEOMETRY tuning curve — the (bands, rowsPerBand) dial of
+    * MinHash dedup priced on the actual corpus, the fingerprint-family
+    * mirror of the ANN nprobe curve and the SemDeDup τ curve: for each
+    * candidate geometry over the SAME signature budget, the candidate
+    * count, the hit count against a verified truth set, and the
+    * resulting recall/precision. The S-curve theory says more, shorter
+    * bands catch lower-similarity pairs at higher candidate cost; this
+    * query measures where THIS corpus sits on that trade.
+    *
+    * Monotone BY CONSTRUCTION when geometries refine each other (rows
+    * halving as bands double over one signature): a pair agreeing on a
+    * wide band agrees on both its half-width sub-bands, so the
+    * candidate sets form a SUPERSET CHAIN as bands grow and recall is
+    * non-decreasing (NearDupSpec pins both). Scale shape: the signature
+    * table builds ONCE (persisted stage); each geometry re-bands the
+    * k·|corpus| signature rows locally and pays one bucket self-join —
+    * the corpus text is never rescanned, and the truth join is q·pairs
+    * sized.
+    *
+    * @param sigs    persisted [[minhashSignatures]] output (id, sig)
+    * @param configs (bands, rowsPerBand) pairs; bands·rowsPerBand must
+    *                not exceed the signature length
+    * @param truth   verified true pairs (d1, d2)
+    * @return one row per config: (bands, rows_per_band, n_candidates,
+    *         n_true, hits, recall, precision) */
+  def lshGeometryCurve(sigs: DataFrame, configs: Seq[(Int, Int)],
+      truth: DataFrame): DataFrame = {
+    require(configs.nonEmpty, "need at least one geometry")
+    val tr = truth.select(col("d1"), col("d2"))
+    val nTrue = tr.agg(count(lit(1)).as("n_true"))
+    configs.map { case (b, r) =>
+      val cand = lshCandidates(bandBuckets(sigs, b, r))
+      val hits = cand.join(tr, Seq("d1", "d2"), "left_semi")
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(broadcast(hits.agg(count(lit(1)).as("hits"))))
+        .crossJoin(broadcast(nTrue))
+        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          col("n_candidates"), col("n_true"), col("hits"),
+          round(col("hits").cast("double") / col("n_true"), 6).as("recall"),
+          when(col("n_candidates") === 0, lit(0.0))
+            .otherwise(round(col("hits").cast("double") /
+              col("n_candidates"), 6)).as("precision"))
+    }.reduce(_ unionByName _).orderBy(col("bands"))
+  }
+
   /** Cross-batch incremental NEAR-dup dedup — the fingerprint-level mirror
     * of [[graft.operators.Dedup.incrementalNew]], the nightly-append story
     * for MinHash: keep only the docs of `batchLsh` (an (id, band, bucket)

@@ -304,6 +304,63 @@ object PipelineQueries {
       |WHERE doc_id NOT IN (SELECT doc_id FROM dups)
       |ORDER BY doc_id""".stripMargin
 
+  /** q190 geometries — refinement chain over one 16-hash signature. */
+  private val lshGeoms = Seq((4, 4), (8, 2), (16, 1))
+
+  /** q190 oracle: the md5-portable signature replay (the q159 CTE
+    * vocabulary) re-banded per geometry, candidates self-joined on the
+    * bucket key, graded against the verified Jaccard truth pairs. */
+  private val lshGeometrySql: String = {
+    val P = 2147483647L
+    val mins = NearDup.hashCoefficients(42L, 16).zipWithIndex
+      .map { case ((a, b), i) => s"min((h * $a + $b) % $P) AS m_$i" }
+      .mkString(",\n      |    ")
+    def cfg(b: Int, r: Int): String = {
+      val n = s"b${b}r$r"
+      val bandRows = (0 until b).map { j =>
+        val bucket = (0 until r).map(k => s"m_${r * j + k}::VARCHAR")
+          .mkString(" || ',' || ")
+        s"SELECT doc_id, $j AS band, $bucket AS bucket FROM sig"
+      }.mkString("\n      |  UNION ALL ")
+      s"""lsh_$n AS (
+        |  $bandRows),
+        |cand_$n AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM lsh_$n a JOIN lsh_$n b
+        |    ON a.band = b.band AND a.bucket = b.bucket
+        |   AND a.doc_id < b.doc_id),
+        |res_$n AS (
+        |  SELECT CAST($b AS BIGINT) AS bands,
+        |    CAST($r AS BIGINT) AS rows_per_band,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM cand_$n) AS n_candidates,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM cand_$n c
+        |     JOIN truth t ON t.d1 = c.d1 AND t.d2 = c.d2) AS hits)""".stripMargin
+    }
+    val cfgCtes = lshGeoms.map { case (b, r) => cfg(b, r) }.mkString(",\n")
+    val resUnion = lshGeoms.map { case (b, r) => s"SELECT * FROM res_b${b}r$r" }
+      .mkString("\n  UNION ALL ")
+    s"""WITH $jaccardPairsCtes,
+      |truth AS (
+      |  SELECT pr.d1, pr.d2
+      |  FROM pr JOIN sz sa ON sa.doc_id = pr.d1 JOIN sz sb ON sb.doc_id = pr.d2
+      |  WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.5),
+      |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+      |hs AS (
+      |  SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT % $P AS h
+      |  FROM sh),
+      |sig AS (
+      |  SELECT doc_id, $mins
+      |  FROM hs GROUP BY doc_id),
+      |$cfgCtes
+      |SELECT bands, rows_per_band, n_candidates, nt.n_true, hits,
+      |  round(hits::DOUBLE / nt.n_true, 6) AS recall,
+      |  CASE WHEN n_candidates = 0 THEN 0.0::DOUBLE
+      |       ELSE round(hits::DOUBLE / n_candidates, 6) END AS "precision"
+      |FROM (
+      |  $resUnion) u
+      |CROSS JOIN nt ORDER BY bands""".stripMargin
+  }
+
   /** q40 oracle: transitive closure of the near-dup pairs by recursive CTE,
     * then min reachable id per member — the canonical-survivor mapping. */
   private val neardupGroupsSql =
@@ -514,6 +571,22 @@ object PipelineQueries {
     // derived from the persisted postings stage (shared with q28/q40).
     "q27_minhash_neardup" -> ((s, dir) =>
       docPairs(s, dir).orderBy(col("d1"), col("d2"))),
+
+    // The LSH GEOMETRY tuning curve — the (bands, rows) dial of MinHash
+    // dedup priced on the actual corpus (q179's twin for the
+    // fingerprint family): candidate volume, recall and precision
+    // against the verified q27 truth pairs for three geometries over
+    // ONE persisted 16-hash signature table. The geometries refine each
+    // other (rows halve as bands double), so the candidate sets form a
+    // superset chain and recall is non-decreasing in bands
+    // (NearDupSpec pins both); the corpus text is scanned once.
+    "q190_lsh_geometry" -> ((s, dir) => {
+      val sigs = PipelineQueries.stage(s, dir, "md5_sigs")(
+        NearDup.minhashSignaturesFromPostings(docPostings(s, dir),
+          numHashes = 16, seed = 42L, baseHash = NearDup.md5Hash60))
+      NearDup.lshGeometryCurve(sigs, lshGeoms,
+        docPairs(s, dir).select(col("d1"), col("d2")))
+    }),
 
     // LLM dedup 3 (exact baseline): inverted-index Jaccard join over the
     // same persisted postings — must equal q27's output exactly (same
@@ -1227,6 +1300,7 @@ object PipelineQueries {
         |ORDER BY doc_id""".stripMargin,
 
     "q159_neardup_registry" -> neardupRegistrySql,
+    "q190_lsh_geometry" -> lshGeometrySql,
 
     "q59_containment" ->
       s"""WITH $jaccardPairsCtes

@@ -383,4 +383,40 @@ class NearDupSpec extends SparkSpec {
     assert(got(2L).map(s => (s._2, s._3)).sortBy(_._1).toSeq ===
       Seq((51L, p1.length.toLong), (51L + p1.length + 50L, p2.length.toLong)))
   }
+
+  test("lshGeometryCurve: refining geometries form a candidate SUPERSET " +
+      "chain, so candidate counts and recall are non-decreasing in bands " +
+      "and every curve point matches its standalone candidate set") {
+    val sigs = NearDup.minhashSignatures(corpus, "doc_id", "text",
+      k = 3, numHashes = 16, seed = 42L).persist()
+    try {
+      val truth = NearDup.exactJaccardPairs(
+        NearDup.shinglePostings(corpus, "doc_id", "text", k = 3),
+        threshold = 0.5).select(col("d1"), col("d2")).persist()
+      try {
+        val geoms = Seq((4, 4), (8, 2), (16, 1))
+        val curve = NearDup.lshGeometryCurve(sigs, geoms, truth)
+          .orderBy(col("bands"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+        assert(curve.map(_._1).toSeq === Seq(4L, 8L, 16L))
+        // candidate volume and hits non-decreasing along the refinement
+        assert(curve.map(_._2).toSeq === curve.map(_._2).sorted.toSeq)
+        assert(curve.map(_._4).toSeq === curve.map(_._4).sorted.toSeq)
+        // superset chain on the actual pair sets, not just the counts
+        def cands(b: Int, r: Int) =
+          NearDup.lshCandidates(NearDup.minHashLsh(corpus, "doc_id",
+            "text", k = 3, bands = b, rowsPerBand = r, seed = 42L))
+        val c44 = cands(4, 4); val c82 = cands(8, 2)
+        assert(c44.except(c82).count() === 0L,
+          "a (4,4) candidate must also be an (8,2) candidate")
+        // per-point equality with the standalone candidate set
+        assert(curve(0)._2 === c44.count())
+        assert(curve(1)._2 === c82.count())
+        // the planted near-dups are all caught at every geometry here
+        val nTrue = truth.count()
+        assert(curve.forall(_._3 === nTrue))
+      } finally { truth.unpersist(); () }
+    } finally { sigs.unpersist(); () }
+  }
 }

@@ -666,6 +666,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q190: the geometry curve re-bands ONE persisted signature table " +
+    "per config and joins the persisted truth pairs — the corpus text " +
+    "is never rescanned, no cartesian") {
+    val p = plan("q190_lsh_geometry")
+    assert(!p.contains("CartesianProduct"), p)
+    // signature stage read by each geometry + the truth-pairs stage
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 4, p)
+    // the LIVE plan has no parquet scan at all — InMemoryTableScan is a
+    // leaf, so collect() over sparkPlan sees only the main plan's scans;
+    // every documents scan lives inside a cached stage's build plan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val qe = SparkEntry.queries("q190_lsh_geometry")(spark, dir)
+      .queryExecution
+    val live = qe.sparkPlan.collect { case f: FileSourceScanExec => f }
+    assert(live.isEmpty, live.mkString("\n"))
+  }
+
   test("q189: the decision card rides ONLY persisted stages — six gauge " +
     "aggregates over cached indexes, no cartesian, no new training") {
     val p = plan("q189_index_card")
