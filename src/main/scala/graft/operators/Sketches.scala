@@ -118,6 +118,42 @@ object Sketches {
   def xxBloom(numBits: Long, numHashes: Int): BloomConfig =
     BloomConfig(numBits, numHashes, xxBucket)
 
+  /** The Bloom SIZING curve — the bits-per-key dial priced on the
+    * actual key set (the sketch-family member of the engine's tuning
+    * tables, next to nprobe/τ/LSH-geometry): for each candidate filter
+    * size, the measured false-positive rate against a probe set that is
+    * DISJOINT from the build keys by construction, so every pass is a
+    * false positive and the rate is measured, not modeled. fp_rate is
+    * non-increasing in bits (a larger filter at the same key set and
+    * hash count sets a sparser fraction of its bits; SketchesSpec pins
+    * the monotone curve and cross-checks each point against theory).
+    *
+    * Scale shape: per size, one [[BloomConfig.bitsArray]] build (the
+    * one-row broadcast form) and one row-local [[BloomConfig.prune]]
+    * pass over the probes — no shuffle anywhere; the curve costs
+    * |sizes| hash passes over two key columns.
+    *
+    * @return one row per size: (num_bits, num_hashes, n_keys, n_probes,
+    *         n_fp, fp_rate) */
+  def bloomSizingCurve(build: DataFrame, absentProbes: DataFrame,
+      key: Column, numBitsCurve: Seq[Long], numHashes: Int): DataFrame = {
+    require(numBitsCurve.nonEmpty, "need at least one filter size")
+    val nKeys = build.agg(count(lit(1)).as("n_keys"))
+    val nProbes = absentProbes.agg(count(lit(1)).as("n_probes"))
+    numBitsCurve.distinct.sorted.map { m =>
+      val cfg = BloomConfig(m, numHashes)
+      val fp = cfg.prune(absentProbes, key, cfg.bitsArray(build, key))
+      fp.agg(count(lit(1)).as("n_fp"))
+        .crossJoin(broadcast(nKeys))
+        .crossJoin(broadcast(nProbes))
+        .select(lit(m).as("num_bits"),
+          lit(numHashes.toLong).as("num_hashes"),
+          col("n_keys"), col("n_probes"), col("n_fp"),
+          round(col("n_fp").cast("double") / col("n_probes"), 6)
+            .as("fp_rate"))
+    }.reduce(_ unionByName _)
+  }
+
   /** [[bloomBits]] collapsed to ONE row holding the sorted set-bit
     * positions — the broadcastable form [[bloomPrune]] consumes. Size is
     * bounded by min(numBits, |keys|·numHashes) longs, chosen small by

@@ -256,6 +256,23 @@ object ScaleQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // The Bloom SIZING curve — the bits-per-key dial priced on the
+    // actual key set (the sketch family's tuning table, next to
+    // nprobe/τ/LSH geometry): measured false-positive rate at three
+    // filter sizes against probes DISJOINT from the build keys (every
+    // pass IS a false positive). fp_rate non-increasing in bits,
+    // spec-pinned against theory; no shuffle anywhere.
+    "q191_bloom_curve" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      Sketches.bloomSizingCurve(
+          cust.filter(col("c_custkey") % 3 === 0)
+            .select(col("c_custkey").cast("string").as("k")),
+          cust.filter(col("c_custkey") % 3 =!= 0)
+            .select(col("c_custkey").cast("string").as("k")),
+          col("k"), numBitsCurve = bloomCurveBits, numHashes = 3)
+        .orderBy(col("num_bits"))
+    }),
+
     // Bloom-PRUNED join: the shuffle cutter. The selective dim side
     // (every 17th customer) builds a 16Ki-bit filter, collapsed to ONE
     // broadcast row of sorted set bits; fact rows are pruned ROW-LOCALLY
@@ -403,7 +420,50 @@ object ScaleQueries {
        |FROM hh ORDER BY o_orderkey""".stripMargin
   }
 
+  /** q191 curve sizes — bracket the q149 operating geometry. */
+  private val bloomCurveBits = Seq(512L, 2048L, 8192L)
+
+  /** q191 oracle generator: per filter size, the md5-portable bit set
+    * (the q149 CTE vocabulary) probed by the disjoint key set; counts
+    * only — the per-key verdicts are q87/q149's surface. */
+  private def bloomCurveSql: String = {
+    def h(i: Int, m: Long) =
+      s"('0x' || substr(md5('$i|' || k), 1, 15))::BIGINT % $m"
+    val cfgCtes = bloomCurveBits.map { m =>
+      s"""bits_$m AS (
+        |  SELECT DISTINCT
+        |    ('0x' || substr(md5(r.i::VARCHAR || '|' || k), 1, 15))::BIGINT
+        |      % $m AS bit
+        |  FROM dim, range(0, 3) AS r(i)),
+        |bl_$m AS (SELECT list(bit) AS bs FROM bits_$m),
+        |res_$m AS (
+        |  SELECT CAST($m AS BIGINT) AS num_bits,
+        |    CAST(3 AS BIGINT) AS num_hashes,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM pr, bl_$m
+        |     WHERE list_contains(bs, ${h(0, m)})
+        |       AND list_contains(bs, ${h(1, m)})
+        |       AND list_contains(bs, ${h(2, m)})) AS n_fp)""".stripMargin
+    }.mkString(",\n")
+    val resUnion = bloomCurveBits.map(m => s"SELECT * FROM res_$m")
+      .mkString("\n  UNION ALL ")
+    s"""WITH dim AS (
+      |  SELECT c_custkey::VARCHAR AS k FROM customer
+      |  WHERE c_custkey % 3 = 0),
+      |pr AS (
+      |  SELECT c_custkey::VARCHAR AS k FROM customer
+      |  WHERE c_custkey % 3 <> 0),
+      |nk AS (SELECT CAST(count(*) AS BIGINT) AS n_keys FROM dim),
+      |np AS (SELECT CAST(count(*) AS BIGINT) AS n_probes FROM pr),
+      |$cfgCtes
+      |SELECT num_bits, num_hashes, nk.n_keys, np.n_probes, n_fp,
+      |  round(n_fp::DOUBLE / np.n_probes, 6) AS fp_rate
+      |FROM (
+      |  $resUnion) u
+      |CROSS JOIN nk CROSS JOIN np ORDER BY num_bits""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q191_bloom_curve" -> bloomCurveSql,
     "q73_incremental_dedup" ->
       """WITH seen AS (
         |  SELECT DISTINCT md5(text) AS dg FROM documents WHERE doc_id % 3 = 0),

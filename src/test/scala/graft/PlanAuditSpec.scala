@@ -666,6 +666,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q191: the bloom curve is shuffle-free on the probe side — each " +
+    "size is one broadcast bit-array against a row-local membership " +
+    "filter, no cartesian") {
+    val p = plan("q191_bloom_curve")
+    assert(!p.contains("CartesianProduct"), p)
+    // one broadcast bits-array join per curve size
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 3, p)
+    assert(p.toLowerCase.contains("graft_sorted_contains") ||
+      p.contains("SortedArrayContains"), p)
+  }
+
   test("q190: the geometry curve re-bands ONE persisted signature table " +
     "per config and joins the persisted truth pairs — the corpus text " +
     "is never rescanned, no cartesian") {

@@ -125,4 +125,34 @@ class SketchesSpec extends SparkSpec {
       "SELECT graft_sorted_contains(array(1L, 5L, 9L), 5L) AS m").head()
     assert(viaSql.getBoolean(0))
   }
+
+  test("bloomSizingCurve: fp_rate non-increasing in bits, each point " +
+      "tracks (1-e^{-kn/m})^k, no false negatives at any size, and " +
+      "every point equals a direct prune recount") {
+    val build = (1 to 400).map(i => s"key-$i").toDF("k")
+    val probes = (10001 to 11000).map(i => s"abs-$i").toDF("k")
+    val sizes = Seq(512L, 2048L, 8192L)
+    val curve = Sketches.bloomSizingCurve(build, probes, col("k"),
+        sizes, numHashes = 3)
+      .orderBy(col("num_bits"))
+      .collect().map(r => (r.getLong(0), r.getLong(4), r.getDouble(5)))
+    assert(curve.map(_._1).toSeq === sizes)
+    // monotone non-increasing fp as the filter grows
+    assert(curve.map(_._2).toSeq === curve.map(_._2).sorted.reverse.toSeq)
+    // each measured rate within 2x+0.02 of the standard model
+    curve.foreach { case (m, _, rate) =>
+      val theory = math.pow(1 - math.exp(-3.0 * 400 / m), 3)
+      assert(rate <= theory * 2 + 0.02 && rate >= theory / 2 - 0.02,
+        s"m=$m rate=$rate theory=$theory")
+    }
+    sizes.foreach { m =>
+      val cfg = Sketches.BloomConfig(m, 3)
+      val bits = cfg.bitsArray(build, col("k"))
+      // no false negatives: every build key passes its own filter
+      assert(cfg.prune(build, col("k"), bits).count() === 400L)
+      // the curve point is exactly the direct recount
+      val direct = cfg.prune(probes, col("k"), bits).count()
+      assert(curve.find(_._1 == m).get._2 === direct)
+    }
+  }
 }
