@@ -67,6 +67,46 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
   }
 
+  /** The count-min WIDTH curve — the memory/accuracy dial of the
+    * frequency sketch priced on the actual key distribution (the
+    * estimator-error member of the tuning tables, next to the Bloom
+    * sizing curve's membership FP dial): for each candidate width, the
+    * total and worst per-key OVERCOUNT of the sketch against the exact
+    * counts, plus the undercount count — which is structurally ZERO
+    * (collisions only add; `n_under` rides in the output as a live
+    * invariant, and SketchesSpec pins it). Overcount shrinks as width
+    * grows (fewer collisions per row); the measured curve is what a
+    * deployment reads before fixing depth×width memory.
+    *
+    * Scale shape: per width, one [[countMin]] build (explode ×depth +
+    * one bounded aggregate) and one broadcast-sketch probe join over
+    * the key table — the corpus pays |widths| passes, the aggregates
+    * are sketch- and key-sized. All error columns are exact integers;
+    * only the final mean divides.
+    *
+    * @param key the key column in its STRING form (hash input)
+    * @return one row per width: (width, depth, n_keys, n_under,
+    *         sum_over, max_over, mean_over) */
+  def countMinWidthCurve(df: DataFrame, key: Column, widths: Seq[Long],
+      depth: Int): DataFrame = {
+    require(widths.nonEmpty, "need at least one width")
+    val exact = df.groupBy(key.as("__k"))
+      .agg(count(lit(1)).as("exact_cnt"))
+    widths.distinct.sorted.map { w =>
+      val est = countMinEstimate(countMin(df, key, depth, w), exact,
+        col("__k"), depth, w)
+      est.agg(count(lit(1)).as("n_keys"),
+          sum(when(col("cms_est") < col("exact_cnt"), 1L).otherwise(0L))
+            .as("n_under"),
+          sum(col("cms_est") - col("exact_cnt")).as("sum_over"),
+          max(col("cms_est") - col("exact_cnt")).as("max_over"))
+        .select(lit(w).as("width"), lit(depth.toLong).as("depth"),
+          col("n_keys"), col("n_under"), col("sum_over"), col("max_over"),
+          round(col("sum_over").cast("double") / col("n_keys"), 6)
+            .as("mean_over"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Bloom filter state: the distinct set bit positions of `numBits`
     * slots under `numHashes` hash functions. Merge batches by union +
     * distinct. */

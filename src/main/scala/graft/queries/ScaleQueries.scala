@@ -256,6 +256,17 @@ object ScaleQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // The count-min WIDTH curve — the frequency sketch's memory/accuracy
+    // dial priced on the actual key distribution (the estimator-error
+    // twin of q191's membership-FP dial): total and worst per-key
+    // overcount vs the exact counts at three widths, with the
+    // zero-undercount invariant riding in the output. All error columns
+    // exact integers; the corpus pays one build per width.
+    "q192_cms_width_curve" -> ((s, dir) =>
+      Sketches.countMinWidthCurve(t(s, dir, "lineitem"),
+        col("l_suppkey").cast("string"), widths = cmsCurveWidths, depth = 3)
+        .orderBy(col("width"))),
+
     // The Bloom SIZING curve — the bits-per-key dial priced on the
     // actual key set (the sketch family's tuning table, next to
     // nprobe/τ/LSH geometry): measured false-positive rate at three
@@ -423,6 +434,50 @@ object ScaleQueries {
   /** q191 curve sizes — bracket the q149 operating geometry. */
   private val bloomCurveBits = Seq(512L, 2048L, 8192L)
 
+  /** q192 curve widths — bracket the q86 operating geometry (256). */
+  private val cmsCurveWidths = Seq(64L, 256L, 1024L)
+
+  /** q192 oracle generator: the q86 CMS replay per width, reduced to
+    * integer overcount aggregates over ALL keys. */
+  private def cmsCurveSql: String = {
+    val cfg = cmsCurveWidths.map { w =>
+      s"""cms_$w AS (
+        |  SELECT d, bucket, count(*) AS cnt FROM (
+        |    SELECT r.i AS d,
+        |      ('0x' || substr(md5(r.i::VARCHAR || '|' ||
+        |        l_suppkey::VARCHAR), 1, 15))::BIGINT % $w AS bucket
+        |    FROM lineitem, range(0, 3) AS r(i))
+        |  GROUP BY d, bucket),
+        |est_$w AS (
+        |  SELECT ph.l_suppkey, exact_cnt, min(coalesce(cnt, 0)) AS est
+        |  FROM (
+        |    SELECT k.l_suppkey, exact_cnt, r.i AS d,
+        |      ('0x' || substr(md5(r.i::VARCHAR || '|' ||
+        |        k.l_suppkey::VARCHAR), 1, 15))::BIGINT % $w AS bucket
+        |    FROM k, range(0, 3) AS r(i)) ph
+        |  LEFT JOIN cms_$w USING (d, bucket)
+        |  GROUP BY ph.l_suppkey, exact_cnt),
+        |res_$w AS (
+        |  SELECT CAST($w AS BIGINT) AS width, CAST(3 AS BIGINT) AS depth,
+        |    CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(sum(CASE WHEN est < exact_cnt THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_under,
+        |    CAST(sum(est - exact_cnt) AS BIGINT) AS sum_over,
+        |    CAST(max(est - exact_cnt) AS BIGINT) AS max_over
+        |  FROM est_$w)""".stripMargin
+    }.mkString(",\n")
+    val resUnion = cmsCurveWidths.map(w => s"SELECT * FROM res_$w")
+      .mkString("\n  UNION ALL ")
+    s"""WITH k AS (
+      |  SELECT l_suppkey, count(*) AS exact_cnt FROM lineitem
+      |  GROUP BY l_suppkey),
+      |$cfg
+      |SELECT width, depth, n_keys, n_under, sum_over, max_over,
+      |  round(sum_over::DOUBLE / n_keys, 6) AS mean_over
+      |FROM (
+      |  $resUnion) u ORDER BY width""".stripMargin
+  }
+
   /** q191 oracle generator: per filter size, the md5-portable bit set
     * (the q149 CTE vocabulary) probed by the disjoint key set; counts
     * only — the per-key verdicts are q87/q149's surface. */
@@ -464,6 +519,7 @@ object ScaleQueries {
 
   val oracles: Map[String, String] = Map(
     "q191_bloom_curve" -> bloomCurveSql,
+    "q192_cms_width_curve" -> cmsCurveSql,
     "q73_incremental_dedup" ->
       """WITH seen AS (
         |  SELECT DISTINCT md5(text) AS dg FROM documents WHERE doc_id % 3 = 0),

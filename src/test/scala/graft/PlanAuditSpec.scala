@@ -666,6 +666,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q192: the CMS curve probes each width's sketch as a broadcast " +
+    "join over the key table — sketch-sized aggregates, no cartesian") {
+    val p = plan("q192_cms_width_curve")
+    assert(!p.contains("CartesianProduct"), p)
+    // one broadcast sketch join per curve width
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("q191: the bloom curve is shuffle-free on the probe side — each " +
     "size is one broadcast bit-array against a row-local membership " +
     "filter, no cartesian") {

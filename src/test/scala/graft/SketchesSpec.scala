@@ -126,6 +126,35 @@ class SketchesSpec extends SparkSpec {
     assert(viaSql.getBoolean(0))
   }
 
+  test("countMinWidthCurve: zero undercounts at every width (the CMS " +
+      "guarantee), overcount shrinks as width grows, and every point " +
+      "equals a direct estimate recount") {
+    // skewed keys: 50 distinct keys, counts 1..50 over 1275 rows —
+    // narrow widths force collisions, wide widths clear them
+    val rows = (1 to 50).flatMap(k => Seq.fill(k)(s"key-$k")).toDF("k")
+    val widths = Seq(16L, 64L, 1024L)
+    val curve = Sketches.countMinWidthCurve(rows, col("k"), widths,
+        depth = 3)
+      .orderBy(col("width"))
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(curve.map(_._1).toSeq === widths)
+    assert(curve.forall(_._2 === 0L), s"undercount impossible: $curve")
+    assert(curve.map(_._3).toSeq === curve.map(_._3).sorted.reverse.toSeq,
+      s"overcount must shrink with width: $curve")
+    assert(curve.head._3 > 0L, "width 16 over 50 keys must collide")
+    assert(curve.last._3 === 0L, "width 1024 over 50 keys must be clean")
+    // per-point recount through the public estimate path
+    widths.foreach { w =>
+      val exact = rows.groupBy(col("k").as("__k"))
+        .agg(count(lit(1)).as("exact_cnt"))
+      val est = Sketches.countMinEstimate(
+        Sketches.countMin(rows, col("k"), 3, w), exact, col("__k"), 3, w)
+      val sumOver = est.agg(sum(col("cms_est") - col("exact_cnt")))
+        .collect()(0).getLong(0)
+      assert(curve.find(_._1 == w).get._3 === sumOver)
+    }
+  }
+
   test("bloomSizingCurve: fp_rate non-increasing in bits, each point " +
       "tracks (1-e^{-kn/m})^k, no false negatives at any size, and " +
       "every point equals a direct prune recount") {
