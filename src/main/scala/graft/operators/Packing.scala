@@ -60,6 +60,32 @@ object Packing {
     }(Encoders.row(outSchema))
   }
 
+  /** The packing-efficiency CARD — the padding-waste accounting a
+    * training-data batch actually reports (every unfilled token slot in
+    * a fixed-length training sequence is wasted compute): bins, docs,
+    * packed tokens, nominal capacity, the summed per-bin waste
+    * `max(0, budget − fill)`, the global fill rate, the hottest bin and
+    * the over-budget bin count (legal only for single over-budget
+    * docs — [[packStats]]' invariant, PackingSpec pins it). All columns
+    * are exact integers except the one fill-rate division; the input is
+    * a (persisted) [[packGreedy]] table, so the card costs one
+    * bin-sized aggregate.
+    * @return one row: (n_bins, n_docs, total_tokens, capacity,
+    *         sum_waste, max_fill, n_overbudget, fill_rate) */
+  def packCard(packed: DataFrame, budget: Long): DataFrame =
+    packed.groupBy(col("shard"), col("bin"))
+      .agg(sum(col("w")).as("fill"), count(lit(1)).as("docs"))
+      .agg(count(lit(1)).as("n_bins"), sum(col("docs")).as("n_docs"),
+        sum(col("fill")).as("total_tokens"),
+        (count(lit(1)) * budget).as("capacity"),
+        sum(when(col("fill") < budget, lit(budget) - col("fill"))
+          .otherwise(0L)).as("sum_waste"),
+        max(col("fill")).as("max_fill"),
+        sum(when(col("fill") > budget, 1L).otherwise(0L))
+          .as("n_overbudget"))
+      .withColumn("fill_rate", round(col("total_tokens").cast("double") /
+        col("capacity").cast("double"), 6))
+
   /** Packing efficiency report: bins, mean fill ratio, over-budget bins
     * (only legal for single over-budget docs). */
   def packStats(packed: DataFrame, budget: Long): DataFrame =

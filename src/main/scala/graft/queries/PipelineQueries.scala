@@ -74,6 +74,15 @@ object PipelineQueries {
     stage(s, dir, "pairs")(
       NearDup.verifiedPairsStaged(docPostings(s, dir), threshold = 0.5))
 
+  /** Persisted q61 greedy packing — shared by the packing query and its
+    * efficiency card (q193), so the per-shard greedy runs once. */
+  private def packedStage(s: SparkSession, dir: String): DataFrame =
+    stage(s, dir, "packed")(
+      graft.operators.Packing.packGreedy(
+        t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tok")),
+        "doc_id", "n_tok", budget = 512L, shards = 8))
+
   /** Stage 3: winnowed (doc, fp) fingerprints — persisted so the overlap
     * self-join reads the cache twice instead of re-hashing the corpus. */
   private def docWinnowFps(s: SparkSession, dir: String): DataFrame =
@@ -306,6 +315,29 @@ object PipelineQueries {
 
   /** q190 geometries — refinement chain over one 16-hash signature. */
   private val lshGeoms = Seq((4, 4), (8, 2), (16, 1))
+
+  /** q61/q193 shared chain: the per-shard greedy replayed row-for-row
+    * by a recursive CTE (one document per shard per iteration). */
+  private val packingCtes =
+    """toks AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS id,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS w,
+      |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 8 AS shard
+      |  FROM documents),
+      |docs AS (
+      |  SELECT id, w, shard,
+      |    row_number() OVER (PARTITION BY shard ORDER BY id) AS rn
+      |  FROM toks),
+      |pack AS (
+      |  SELECT id, w, shard, rn, CAST(0 AS BIGINT) AS bin, w AS fill
+      |  FROM docs WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.id, d.w, d.shard, d.rn,
+      |    CASE WHEN p.fill > 0 AND p.fill + d.w > 512
+      |         THEN p.bin + 1 ELSE p.bin END AS bin,
+      |    CASE WHEN p.fill > 0 AND p.fill + d.w > 512
+      |         THEN d.w ELSE p.fill + d.w END AS fill
+      |  FROM pack p JOIN docs d ON d.shard = p.shard AND d.rn = p.rn + 1)""".stripMargin
 
   /** q190 oracle: the md5-portable signature replay (the q159 CTE
     * vocabulary) re-banded per geometry, candidates self-joined on the
@@ -666,11 +698,17 @@ object PipelineQueries {
     // is the oracle; invariants are additionally property-tested in
     // PackingSpec.
     "q61_token_packing" -> ((s, dir) =>
-      graft.operators.Packing.packGreedy(
-        t(s, dir, "documents").select(col("doc_id"),
-          TextAnalysis.tokenCount(col("text")).as("n_tok")),
-        "doc_id", "n_tok", budget = 512L, shards = 8)
-        .orderBy(col("id"))),
+      packedStage(s, dir).orderBy(col("id"))),
+
+    // The packing-efficiency card: padding-waste accounting over the
+    // SAME persisted q61 packing — every unfilled token slot in a
+    // fixed-length training sequence is wasted compute, and this one
+    // row (bins, tokens, capacity, waste, fill rate, over-budget
+    // count) is the number a batch assembly job reports. One bin-sized
+    // aggregate; integers except the fill-rate division.
+    "q193_packing_card" -> ((s, dir) =>
+      graft.operators.Packing.packCard(packedStage(s, dir), budget = 512L)
+        .orderBy(col("n_bins"))),
 
     // LLM dedup 7 (local overlap): winnowed fingerprints — pairs sharing
     // ≥5 window-min 16-gram hashes. Catches a copied PARAGRAPH inside
@@ -941,26 +979,24 @@ object PipelineQueries {
     // step. A new bin opens only when the bin is non-empty AND would
     // overflow (an oversized doc on an empty bin stays — never split).
     "q61_token_packing" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT CAST(doc_id AS BIGINT) AS id,
-        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS w,
-        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 8 AS shard
-        |  FROM documents),
-        |docs AS (
-        |  SELECT id, w, shard,
-        |    row_number() OVER (PARTITION BY shard ORDER BY id) AS rn
-        |  FROM toks),
-        |pack AS (
-        |  SELECT id, w, shard, rn, CAST(0 AS BIGINT) AS bin, w AS fill
-        |  FROM docs WHERE rn = 1
-        |  UNION ALL
-        |  SELECT d.id, d.w, d.shard, d.rn,
-        |    CASE WHEN p.fill > 0 AND p.fill + d.w > 512
-        |         THEN p.bin + 1 ELSE p.bin END AS bin,
-        |    CASE WHEN p.fill > 0 AND p.fill + d.w > 512
-        |         THEN d.w ELSE p.fill + d.w END AS fill
-        |  FROM pack p JOIN docs d ON d.shard = p.shard AND d.rn = p.rn + 1)
+      s"""WITH RECURSIVE $packingCtes
         |SELECT id, w, shard, bin FROM pack ORDER BY id""".stripMargin,
+
+    "q193_packing_card" ->
+      s"""WITH RECURSIVE $packingCtes,
+        |b AS (SELECT shard, bin, sum(w) AS fill, count(*) AS docs
+        |      FROM pack GROUP BY shard, bin)
+        |SELECT CAST(count(*) AS BIGINT) AS n_bins,
+        |  CAST(sum(docs) AS BIGINT) AS n_docs,
+        |  CAST(sum(fill) AS BIGINT) AS total_tokens,
+        |  CAST(count(*) * 512 AS BIGINT) AS capacity,
+        |  CAST(sum(CASE WHEN fill < 512 THEN 512 - fill ELSE 0 END)
+        |    AS BIGINT) AS sum_waste,
+        |  CAST(max(fill) AS BIGINT) AS max_fill,
+        |  CAST(sum(CASE WHEN fill > 512 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_overbudget,
+        |  round(sum(fill)::DOUBLE / (count(*) * 512), 6) AS fill_rate
+        |FROM b""".stripMargin,
 
     "q37_ann_buckets" -> annBucketsSql,
     "q40_neardup_groups" -> neardupGroupsSql,

@@ -63,4 +63,32 @@ class PackingSpec extends SparkSpec {
       .map(r => r.getSeq[Long](1).toSet)
     assert(bins.exists(_ === Set(2L)))
   }
+
+  test("packCard: tokens + waste + over-budget excess tile the capacity " +
+      "exactly, and the card conserves the input") {
+    val df = (1 to 200).map(i => (i.toLong, (i % 90 + 10).toLong))
+      .toDF("doc_id", "n_tok")
+    val budget = 128L
+    val packed = Packing.packGreedy(df, "doc_id", "n_tok", budget, 4)
+      .persist()
+    try {
+      val c = Packing.packCard(packed, budget).collect()(0)
+      val (nBins, nDocs, total, capacity) =
+        (c.getLong(0), c.getLong(1), c.getLong(2), c.getLong(3))
+      val (waste, maxFill, nOver) =
+        (c.getLong(4), c.getLong(5), c.getLong(6))
+      assert(nDocs === 200L)
+      assert(total === df.agg(sum(col("n_tok"))).collect()(0).getLong(0))
+      assert(capacity === nBins * budget)
+      // per-bin: fill + waste = budget when under, fill alone when over —
+      // summed: total + waste − overExcess = capacity
+      val overExcess = packed.groupBy(col("shard"), col("bin"))
+        .agg(sum(col("w")).as("fill"))
+        .filter(col("fill") > budget)
+        .agg(coalesce(sum(col("fill") - budget), lit(0L)))
+        .collect()(0).getLong(0)
+      assert(total + waste - overExcess === capacity)
+      assert(maxFill <= budget || nOver > 0)
+    } finally { packed.unpersist(); () }
+  }
 }

@@ -666,6 +666,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q193: the packing card is one bin-sized aggregate over the " +
+    "persisted q61 packing — no re-pack, no join, no cartesian") {
+    val p = plan("q193_packing_card")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+    // the greedy pack must come from the stage, not re-run: the LIVE
+    // plan has no MapPartitions node (the one in the printed tree is
+    // the cached stage's one-time build plan)
+    import org.apache.spark.sql.execution.MapPartitionsExec
+    val qe = SparkEntry.queries("q193_packing_card")(spark, dir)
+      .queryExecution
+    assert(qe.sparkPlan.collect { case m: MapPartitionsExec => m }.isEmpty)
+  }
+
   test("q192: the CMS curve probes each width's sketch as a broadcast " +
     "join over the key table — sketch-sized aggregates, no cartesian") {
     val p = plan("q192_cms_width_curve")
