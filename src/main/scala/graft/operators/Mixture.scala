@@ -76,7 +76,12 @@ object Mixture {
     * per-category stats are one aggregate pass, and membership is a
     * row-local hash test — the corpus is never shuffled.
     *
-    * @param targets  (categoryCol, shareCol) rows; shares must be > 0 */
+    * @param targets  (categoryCol, shareCol) rows — ONE row per
+    *                 category (a duplicated category would double-join
+    *                 its rows and silently inflate the sample; the
+    *                 join below dedups defensively, keeping the MAX
+    *                 share so the mistake saturates instead of
+    *                 corrupting); shares must be > 0 */
   def resampleToTargets(df: DataFrame, categoryCol: String, key: Column,
       targets: DataFrame, shareCol: String = "share_t"): DataFrame = {
     val reserved = Set("__t", "__n", "__m", "__p")
@@ -84,7 +89,8 @@ object Mixture {
     require(clash.isEmpty, s"column(s) ${clash.mkString(", ")} collide with " +
       "Mixture internals; rename before resampling")
     val tg = targets.select(col(categoryCol),
-      col(shareCol).cast("double").as("__t"))
+        col(shareCol).cast("double").as("__t"))
+      .groupBy(col(categoryCol)).agg(max(col("__t")).as("__t"))
     val counts = df.join(broadcast(tg), Seq(categoryCol))
       .groupBy(col(categoryCol), col("__t")).agg(count(lit(1)).as("__n"))
     val probs = counts

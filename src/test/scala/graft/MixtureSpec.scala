@@ -105,5 +105,13 @@ class MixtureSpec extends SparkSpec {
     assert(Mixture.resampleToTargets(docs, "lang",
       col("doc_id").cast("string"), tdf)
       .filter(col("lang") === "zh").count() === 0L)
+    // a duplicated target row saturates (max share wins) instead of
+    // double-joining and inflating the sample
+    val dup = tdf.unionByName(Seq(("en", 0.1)).toDF("lang", "share_t"))
+    val viaDup = Mixture.resampleToTargets(docs, "lang",
+        col("doc_id").cast("string"), dup)
+      .select(col("doc_id"))
+    assert(viaDup.except(viaMap).count() === 0L)
+    assert(viaMap.except(viaDup).count() === 0L)
   }
 }
