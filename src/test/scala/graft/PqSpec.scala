@@ -359,6 +359,19 @@ class PqSpec extends SparkSpec {
     } finally { drift.unpersist(); () }
   }
 
+  test("listOccupancyDrift zero-guard: a predicate matching ALL rows " +
+      "(empty history) yields share_hist 0.0 and a defined drift, " +
+      "never nulls") {
+    val coarse = Similarity.assignToCentroids(emb)
+      .select(col("vec_id"), col("cluster"))
+    val drift = Similarity.listOccupancyDrift(coarse, lit(true))
+    assert(drift.filter(col("share_hist").isNull ||
+      col("share_batch").isNull || col("drift").isNull).count() === 0L)
+    assert(drift.filter(col("share_hist") =!= 0.0).count() === 0L)
+    assert(drift.filter(abs(col("drift") - col("share_batch")) > 2e-6)
+      .count() === 0L)
+  }
+
   test("index decision card: every family row's hit sum equals its " +
       "standalone gauge, and the lossless families top the table") {
     val sfDir = dir
