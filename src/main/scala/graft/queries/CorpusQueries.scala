@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{TextAnalysis, Urls}
-import graft.operators.{Mixture, NearDup, Sampling, Similarity}
+import graft.operators.{Mixture, NearDup, Sampling, Similarity, Takedown}
 import graft.plans.Drift
 
 /** Wave 5b — corpus-assembly operators graded round 6: the per-domain cap,
@@ -322,6 +322,45 @@ object CorpusQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // TAKEDOWN NIGHT for the SemDeDup registry — q194's sibling at the
+    // registry family (the q178 readmission rule covers tombstoned
+    // SOURCES; this is direct exemplar-id takedown): a tombstone id set
+    // (vec_id % 5 = 2) is deleted from the STORED exemplar table by
+    // anti-join — the registry is tiny (k·cap rows), the corpus and the
+    // frozen quantizer are untouched — and the batch verdicts re-run
+    // against the purged registry. Contract (TakedownSpec pins it):
+    // deletion only UN-covers — a batch row whose every history match
+    // was tombstoned flips vs_history false (its content may re-enter
+    // the corpus, exactly like tombstone readmission in the digest
+    // family), while rows covered by any surviving exemplar, and the
+    // whole within-batch rule, are bit-identical to q178. No rebuild,
+    // no re-clustering: re-picking exemplars from survivors would be a
+    // different (and wrong) operation — takedown must not resurrect a
+    // historical vector as a new exemplar.
+    "q195_registry_takedown" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val frozen = PipelineQueries.stage(s, dir, "semreg_frozen")(
+        Similarity.trainedCentroids(
+          Similarity.lloydAssigned(emb.filter(col("vec_id") < 250),
+            iters = 2, k = 16)))
+      val exemplars = PipelineQueries.stage(s, dir, "semreg_exemplars")(
+        Similarity.semDedupExemplars(
+          Similarity.assignEmbeddings(emb.filter(col("vec_id") < 250),
+            frozen),
+          tau = 0.3, maxPerCluster = 16L))
+      val batchA = PipelineQueries.stage(s, dir, "semreg_batch_assign")(
+        Similarity.assignEmbeddings(emb.filter(col("vec_id") >= 250),
+          frozen))
+      // the takedown list derives from the REGISTRY itself (registry-
+      // sized, zero corpus reads) — production receives it externally
+      val tombs = exemplars.filter(col("vec_id") % 5 === 2)
+        .select(col("vec_id"))
+      Similarity.semDedupVsRegistry(batchA,
+          Takedown.purge(exemplars, tombs, "vec_id"),
+          tau = 0.3, maxPerCluster = 16L)
+        .orderBy(col("vec_id"))
+    }),
+
     // The dup-rate-vs-τ tuning curve for semantic dedup — q179's twin
     // for the OTHER dial a corpus engineer turns: how much of the corpus
     // each candidate τ would drop, all points priced from ONE capped
@@ -607,9 +646,19 @@ object CorpusQueries {
        |          (sqrt(list_dot_product($a.v, $a.v)) *
        |           sqrt(list_dot_product($b.v, $b.v))), 6)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    "q178_semdedup_registry" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  /** q178/q195 oracle generator — the full cross-batch SemDeDup replay
+    * (frozen-quantizer training on history, exemplar pick, batch
+    * assignment, history/batch prunes). With `tombPred` set (q195) the
+    * takedown night rides in: exemplar rows matching the predicate are
+    * deleted (the anti-join purge) BEFORE the history prune, so deleted
+    * exemplars stop covering while everything else — centroids, batch
+    * refs, the within-batch rule — is bit-identical to q178. */
+  private def semRegSql(tombPred: Option[String]): String = {
+    val histRef = tombPred.fold("ex")(_ => "exs")
+    val tombCte = tombPred.fold("")(p =>
+      s"""exs AS (SELECT * FROM ex WHERE NOT ($p)),
+        |""".stripMargin)
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |hist AS (SELECT vec_id, v FROM e WHERE vec_id < 250),
         |bat AS (SELECT vec_id, v FROM e WHERE vec_id >= 250),
         |sd AS (SELECT vec_id, v, md5(vec_id::VARCHAR) AS h FROM hist
@@ -634,10 +683,10 @@ object CorpusQueries {
         |    FROM ha h LEFT JOIN hdups d USING (vec_id)
         |    WHERE d.vec_id IS NULL) WHERE er <= 16),
         |${sdArgmax("ba", "bat", "cent2")},
-        |brefs AS (SELECT vec_id, v, cluster,
+        |${tombCte}brefs AS (SELECT vec_id, v, cluster,
         |    row_number() OVER (PARTITION BY cluster ORDER BY vec_id) AS rr
         |  FROM ba),
-        |vh AS (SELECT DISTINCT a.vec_id FROM ba a JOIN ex b
+        |vh AS (SELECT DISTINCT a.vec_id FROM ba a JOIN $histRef b
         |    ON a.cluster = b.cluster
         |  WHERE ${sdCos("a", "b")} >= 0.3),
         |vb AS (SELECT DISTINCT a.vec_id FROM ba a JOIN brefs b
@@ -648,7 +697,12 @@ object CorpusQueries {
         |  (h.vec_id IS NOT NULL) AS vs_history
         |FROM ba a LEFT JOIN vh h USING (vec_id)
         |          LEFT JOIN vb bb USING (vec_id)
-        |ORDER BY a.vec_id""".stripMargin,
+        |ORDER BY a.vec_id""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q178_semdedup_registry" -> semRegSql(None),
+    "q195_registry_takedown" -> semRegSql(Some("vec_id % 5 = 2")),
 
     "q188_semantic_balance" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextAnalysis
-import graft.operators.{Sampling, Similarity, Stats}
+import graft.operators.{Sampling, Similarity, Stats, Takedown}
 
 /** Wave 12 — evaluation & release-gating: the measurements a pipeline runs
   * BEFORE trusting its own artifacts. An approximate index is graded
@@ -371,6 +371,56 @@ object EvalQueries {
         .orderBy(col("family"))
     }),
 
+    // TAKEDOWN NIGHT for the stored ANN index — the lifecycle edge a
+    // real corpus faces after q181's append night (copyright/PII removal
+    // requests): a tombstone id set (vec_id % 23 = 9 — none of the
+    // queries) is deleted from the STORED append-night code/index tables
+    // by ANTI-JOIN, never by re-encoding or rescanning the corpus, and
+    // the shrunk index is graded exactly like q181: recall@10 of the
+    // frozen-artifact IVF-ADC search vs the exact scan — here over
+    // SURVIVORS, the post-takedown ground truth (a deleted vector must
+    // not count for or against the index). pqEncodeFrozen is row-local,
+    // so the anti-join delete is ROW-IDENTICAL to rebuilding the store
+    // from the survivor corpus with the same frozen bits (TakedownSpec
+    // pins it) — that equivalence is what makes the O(|store|) delete
+    // safe at 100 TB. Probe centroids and codebooks stay frozen: a
+    // takedown removes content, it does not retrain the quantizer
+    // (drift after heavy takedowns shows up in q185's trigger).
+    "q194_index_takedown" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val tomb = col("vec_id") % 23 === 9
+      val hist = emb.filter(col("vec_id") % 4 =!= 3)
+      val histAssigned = PipelineQueries.stage(s, dir, "pq_hist_assigned")(
+        Similarity.pqAssigned(hist, m = pqM, sub = pqSub, iters = 2,
+          k = pqCodewords))
+      val cb = PipelineQueries.stage(s, dir, "pq_hist_codebook")(
+        Similarity.pqCodebook(histAssigned))
+      val frozenCents = Similarity.labelCentroids(hist)
+        .select(col("label").as("clab"), col("centroid"))
+      val coarseAll = PipelineQueries.stage(s, dir, "append_coarse")(
+        Similarity.assignEmbeddings(emb, frozenCents)
+          .select(col("vec_id"), col("cluster")))
+      val codesAll = PipelineQueries.stage(s, dir, "append_codes")(
+        Similarity.pqEncodeFrozen(hist, cb)
+          .unionByName(Similarity.pqEncodeFrozen(
+            emb.filter(col("vec_id") % 4 === 3), cb)))
+      val index = PipelineQueries.stage(s, dir, "append_index")(
+        Similarity.ivfAdcIndex(coarseAll, codesAll))
+      // the takedown list (externally supplied in production; here the
+      // deterministic simulated request) and the anti-join delete
+      val tombs = emb.filter(tomb).select(col("vec_id"))
+      val shrunk = Takedown.purge(index, tombs, "vec_id")
+      // post-takedown ground truth: exact top-k over SURVIVORS
+      val exactSurv = PipelineQueries.stage(s, dir, "takedown_exact")(
+        Similarity.bruteForceDotTopK(emb.filter(col("vec_id") < 8),
+            emb.filter(!tomb), k = pqTopK)
+          .select(col("qid"), col("vec_id")))
+      Similarity.ivfAdcRecallAtK(emb.filter(col("vec_id") < 8), hist,
+          shrunk, histAssigned, nprobe = ivfNprobe, k = pqTopK,
+          exact = Some(exactSurv))
+        .orderBy(col("qid"))
+    }),
+
     // Sentence-granularity text profile: segment count, total/max/mean
     // segment length — the fragmentation signal (boilerplate lists score
     // many short "sentences") that word-level stats miss. Row-local.
@@ -505,18 +555,27 @@ object EvalQueries {
     * frozen cb$j codebooks (the append-night encode), not from the
     * training assignment. With `metrics = true` (q183) the final select
     * swaps set recall for MRR/nDCG@k over the probed ranking.
+    * With `tombFmt` set (q194, frozen mode only) the chain additionally
+    * replays a TAKEDOWN night: code rows whose vec_id matches the
+    * tombstone predicate are dropped from the stored-index scan (the
+    * anti-join delete) and the exact baseline ranks over survivors only
+    * — the predicate is a format taking the qualified id column
+    * (e.g. `c => s"$c % 23 = 9"`).
     * The slice blocks are generated, not hand-copied, so
     * the geometry stays in one place. */
   private def pqChainSql(ivfProbe: Option[Int],
       residual: Boolean = false, curve: Seq[Int] = Nil,
       frozenPred: Option[String] = None,
-      metrics: Boolean = false): String = {
+      metrics: Boolean = false,
+      tombFmt: Option[String => String] = None): String = {
     require(!residual || ivfProbe.isDefined, "residual mode needs probing")
     require(curve.isEmpty || (!residual && ivfProbe.isEmpty),
       "curve mode replaces the single-probe and residual modes")
     require(frozenPred.isEmpty ||
       (ivfProbe.isDefined && !residual && curve.isEmpty && !metrics),
       "frozen-append mode composes only with single-probe recall")
+    require(tombFmt.isEmpty || frozenPred.isDefined,
+      "takedown mode grades the frozen append-night index")
     require(!metrics || (ivfProbe.isDefined && !residual && curve.isEmpty),
       "metrics mode grades the single-probe index")
     val probed = ivfProbe.isDefined || curve.nonEmpty
@@ -550,7 +609,9 @@ object EvalQueries {
          |         JOIN ivfco co ON co.vec_id = a.vec_id
          |         JOIN ivfpr pr ON pr.cluster = co.cluster
          |                      AND pr.qid = p.qid"""
-           else ""})"""
+           else ""}${
+           tombFmt.fold("")(f => s"""
+         |         WHERE NOT (${f("a.vec_id")})""")})"""
         .stripMargin
     }.mkString(",\n")
     val scUnion = (0 until m).map(j => s"SELECT * FROM sc$j")
@@ -683,7 +744,8 @@ object EvalQueries {
       |$approxCte
       |ex AS (SELECT qid, e.vec_id,
       |        round(list_dot_product(qv, v), 6) AS sim
-      |      FROM q CROSS JOIN e WHERE e.vec_id <> qid),
+      |      FROM q CROSS JOIN e WHERE e.vec_id <> qid${
+        tombFmt.fold("")(f => s" AND NOT (${f("e.vec_id")})")}),
       |exact AS (SELECT qid, vec_id FROM (
       |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
       |      ORDER BY sim DESC, vec_id) AS rnk FROM ex) WHERE rnk <= $k)${
@@ -872,6 +934,9 @@ object EvalQueries {
     "q181_index_append" ->
       pqChainSql(Some(ivfNprobe), frozenPred = Some("vec_id % 4 <> 3")),
     "q183_ann_rank_metrics" -> pqChainSql(Some(ivfNprobe), metrics = true),
+    "q194_index_takedown" ->
+      pqChainSql(Some(ivfNprobe), frozenPred = Some("vec_id % 4 <> 3"),
+        tombFmt = Some(c => s"$c % 23 = 9")),
     "q184_sq8_recall" -> sq8Sql,
     "q185_index_drift" -> driftSql,
     "q186_ivf_sq8" -> ivfSq8Sql,

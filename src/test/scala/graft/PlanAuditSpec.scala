@@ -766,4 +766,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(liveScans.nonEmpty && !liveScans.exists(_.contains("embedding")),
       liveScans.mkString("\n"))
   }
+
+  test("q194: the takedown is a LEFT-ANTI join over the STORED index — " +
+    "and the purge subtree in isolation (cached store + tombstone list) " +
+    "contains ZERO file scans: the corpus is never reopened to delete") {
+    val p = plan("q194_index_takedown")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftAnti"), p)
+    // append_index, pq_hist_assigned and takedown_exact all ride the cache
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3, p)
+    // structural no-corpus-rescan: purge(cached store, literal tombs)
+    // must plan without any FileSourceScanExec
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import sqlImplicits._
+    val idx = PipelineQueries.stage(spark, dir, "append_index")(
+      sys.error("append_index must already be cached by the q194 plan"))
+    val shrunk = graft.operators.Takedown.purge(idx,
+      Seq(9L, 32L, 55L).toDF("vec_id"), "vec_id")
+    val scans = shrunk.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.isEmpty, scans.mkString("\n"))
+  }
+
+  test("q195: the registry takedown's ENTIRE live plan reads only cached " +
+    "stages — tombstones derive from the registry itself, so not a " +
+    "single parquet scan survives outside the one-time stage builds") {
+    val df = SparkEntry.queries("q195_registry_takedown")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftAnti"), p)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scans = df.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.isEmpty, scans.mkString("\n"))
+  }
 }

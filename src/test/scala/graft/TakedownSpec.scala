@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Similarity, Takedown}
+
+/** Takedown (tombstone-driven deletion) contracts — q194/q195's spec
+  * backing. The load-bearing claim is DELETE == REBUILD: because every
+  * stored encoding is row-local against frozen artifacts, anti-joining a
+  * tombstone set out of a stored table is row-identical to re-deriving
+  * the table from the survivor corpus with the same frozen bits — which
+  * is exactly why the O(|store|) anti-join (never a corpus rescan) is a
+  * CORRECT takedown, not an approximation of one. */
+class TakedownSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def emb = Tables.load(spark, dir, "embeddings")
+  private val tombPred = col("vec_id") % 23 === 9
+  private def tombs = emb.filter(tombPred).select(col("vec_id"))
+  private def survivors = emb.filter(!tombPred)
+
+  test("delete == rebuild for the frozen PQ code store: purging the " +
+      "tombstones from the full encode is row-identical to encoding " +
+      "the survivor corpus against the same frozen codebook") {
+    val hist = emb.filter(col("vec_id") % 4 =!= 3)
+    val cb = Similarity.pqCodebook(
+      Similarity.pqAssigned(hist, m = 8, sub = 8, iters = 2, k = 32))
+      .persist()
+    try {
+      val full = Similarity.pqEncodeFrozen(emb, cb)
+      val purged = Takedown.purge(full, tombs, "vec_id")
+      val rebuilt = Similarity.pqEncodeFrozen(survivors, cb)
+      assert(purged.except(rebuilt).count() === 0L)
+      assert(rebuilt.except(purged).count() === 0L)
+      // and the takedown really removed something
+      assert(purged.count() < full.count())
+    } finally { cb.unpersist(); () }
+  }
+
+  test("delete == rebuild for the SQ8 store and the IVF-ADC index " +
+      "(per-row scaling and the code⋈coarse join are both row-local)") {
+    val fullQ = Similarity.sq8Quantize(emb)
+    assert(Takedown.purge(fullQ, tombs, "vec_id")
+      .except(Similarity.sq8Quantize(survivors)).count() === 0L)
+    assert(Similarity.sq8Quantize(survivors)
+      .except(Takedown.purge(fullQ, tombs, "vec_id")).count() === 0L)
+
+    val cents = Similarity.labelCentroids(emb.filter(col("vec_id") % 4 =!= 3))
+      .select(col("label").as("clab"), col("centroid"))
+    val coarse = Similarity.assignEmbeddings(emb, cents)
+      .select(col("vec_id"), col("cluster")).persist()
+    try {
+      val cb = Similarity.pqCodebook(Similarity.pqAssigned(
+        emb.filter(col("vec_id") % 4 =!= 3), m = 8, sub = 8, iters = 2,
+        k = 32))
+      val codes = Similarity.pqEncodeFrozen(emb, cb).persist()
+      try {
+        val index = Similarity.ivfAdcIndex(coarse, codes)
+        // purge the assembled index == assemble from purged inputs
+        val a = Takedown.purge(index, tombs, "vec_id")
+        val b = Similarity.ivfAdcIndex(
+          Takedown.purge(coarse, tombs, "vec_id"),
+          Takedown.purge(codes, tombs, "vec_id"))
+        assert(a.except(b).count() === 0L)
+        assert(b.except(a).count() === 0L)
+      } finally { codes.unpersist(); () }
+    } finally { coarse.unpersist(); () }
+  }
+
+  test("post-takedown search never returns a tombstoned id, and the " +
+      "graded q194 recall rides the survivor ground truth") {
+    val sfDir = dir
+    val res = SparkEntry.queries("q194_index_takedown")(spark, sfDir)
+    assert(res.count() === 8L)
+    assert(res.filter(col("recall") < 0 || col("recall") > 1).count() === 0L)
+    // drive the shrunk-index search directly and check the result set
+    val hist = emb.filter(col("vec_id") % 4 =!= 3)
+    val assigned = Similarity.pqAssigned(hist, m = 8, sub = 8, iters = 2,
+      k = 32).persist()
+    try {
+      val cb = Similarity.pqCodebook(assigned)
+      val cents = Similarity.labelCentroids(hist)
+        .select(col("label").as("clab"), col("centroid"))
+      val coarse = Similarity.assignEmbeddings(emb, cents)
+        .select(col("vec_id"), col("cluster"))
+      val index = Similarity.ivfAdcIndex(coarse,
+        Similarity.pqEncodeFrozen(emb, cb))
+      val shrunk = Takedown.purge(index, tombs, "vec_id")
+      val hits = Similarity.ivfAdcTopK(emb.filter(col("vec_id") < 8),
+        hist, shrunk, assigned, nprobe = 2, k = 10)
+      assert(hits.join(tombs, Seq("vec_id"), "left_semi").count() === 0L,
+        "a tombstoned vector surfaced in post-takedown search results")
+    } finally { assigned.unpersist(); () }
+  }
+
+  test("registry takedown only UN-covers: q195 vs_history is a subset " +
+      "of q178's, is_dup never flips false→true, and the within-batch " +
+      "rule is untouched") {
+    val sfDir = dir
+    val before = SparkEntry.queries("q178_semdedup_registry")(spark, sfDir)
+      .select(col("vec_id"), col("is_dup"), col("vs_history")).persist()
+    val after = SparkEntry.queries("q195_registry_takedown")(spark, sfDir)
+      .select(col("vec_id"), col("is_dup").as("is_dup2"),
+        col("vs_history").as("vs_history2"))
+    try {
+      val j = before.join(after, Seq("vec_id")).persist()
+      try {
+        assert(j.count() === before.count(), "row sets must match")
+        assert(j.filter(col("vs_history2") && !col("vs_history"))
+          .count() === 0L, "deletion must never ADD history coverage")
+        assert(j.filter(col("is_dup2") && !col("is_dup")).count() === 0L,
+          "deletion must never create a duplicate verdict")
+        // batch-side coverage is takedown-invariant: any row dup in
+        // q178 but NOT via history stays dup (the within-batch rule
+        // doesn't read the registry)
+        assert(j.filter(col("is_dup") && !col("vs_history") &&
+          !col("is_dup2")).count() === 0L)
+      } finally { j.unpersist(); () }
+    } finally { before.unpersist(); () }
+  }
+
+  test("planted flip: a batch row whose ONLY history match is tombstoned " +
+      "flips vs_history false; a row covered by a surviving exemplar " +
+      "keeps it") {
+    // 2-d synthetic geometry: cluster 0 around (1, 0), cluster 1 around
+    // (0, 1). Exemplars 10 (cluster 0) and 20 (cluster 1); batch 100
+    // matches only exemplar 10, batch 200 only exemplar 20.
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("clab", "centroid")
+    val exemplars = Seq(
+      (0L, 10L, Seq(1.0, 0.01)), (1L, 20L, Seq(0.01, 1.0)))
+      .toDF("cluster", "vec_id", "e")
+    val batch = Seq((100L, Seq(0.99, 0.0)), (200L, Seq(0.0, 0.99)))
+      .toDF("vec_id", "embedding")
+    val batchA = Similarity.assignEmbeddings(batch, cents)
+    def verdicts(ex: org.apache.spark.sql.DataFrame) =
+      Similarity.semDedupVsRegistry(batchA, ex, tau = 0.9)
+        .select(col("vec_id"), col("vs_history"))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val before = verdicts(exemplars)
+    assert(before(100L) && before(200L))
+    val purged = Takedown.purge(exemplars,
+      Seq(Tuple1(10L)).toDF("vec_id"), "vec_id")
+    val after = verdicts(purged)
+    assert(!after(100L), "tombstoned exemplar 10 must stop covering 100")
+    assert(after(200L), "surviving exemplar 20 must keep covering 200")
+  }
+
+  test("purgeReceipt accounts exactly and purge is idempotent") {
+    val store = Similarity.sq8Quantize(emb).persist()
+    try {
+      val r = Takedown.purgeReceipt(store, tombs, "vec_id", "sq8_index")
+        .collect()(0)
+      assert(r.getString(0) === "sq8_index")
+      assert(r.getLong(1) === store.count())
+      assert(r.getLong(1) === r.getLong(2) + r.getLong(3))
+      assert(r.getLong(2) === store.join(tombs, Seq("vec_id"), "left_semi")
+        .count())
+      // re-filing the same takedown drops nothing further
+      val again = Takedown.purge(Takedown.purge(store, tombs, "vec_id"),
+        tombs, "vec_id")
+      assert(again.count() === r.getLong(3))
+    } finally { store.unpersist(); () }
+  }
+}
