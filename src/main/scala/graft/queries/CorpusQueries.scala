@@ -1,12 +1,12 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{TextAnalysis, Urls}
-import graft.operators.{Mixture, NearDup, Sampling, Similarity, Takedown}
+import graft.operators.{Mixture, NearDup, Packing, Sampling, Similarity, Takedown}
 import graft.plans.Drift
 
 /** Wave 5b — corpus-assembly operators graded round 6: the per-domain cap,
@@ -395,6 +395,111 @@ object CorpusQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // THE RELEASE-GATE CAPSTONE — every corpus gate this engine grades
+    // separately, composed into ONE pipeline with its own funnel report:
+    // Gopher acceptance (q97's integer rule battery on the raw text) →
+    // exact digest dedup among survivors (q21's keep-first) → near-dup
+    // gate against the verified q27 pair table (drop a doc that pairs
+    // with a LOWER-id doc surviving the previous gates — the q159
+    // keep-first rule) → decontamination (drop the benchmark docs and
+    // everything q82 flags) → semantic balance (q188's discovered-topic
+    // keep set as a membership filter) → greedy packing of the
+    // survivors (q61's packer, survivors only). Output: one row per
+    // stage with surviving docs + tokens, and the packing row carrying
+    // bins + fill rate — the funnel a release publishes next to its
+    // snapshot.
+    //
+    // Scale shape: ONE persisted per-doc gate table (flags joined from
+    // the shared pair/contamination/balance stages — the corpus text is
+    // scanned only inside the stage builds, each shared with its
+    // standalone query), then the whole funnel is ONE map-side-
+    // combinable conditional aggregate over that cache, unpivoted
+    // row-locally (stack on a 1-row result). Composition costs no
+    // repeated corpus scans — that is the contract this query exists to
+    // prove, and PlanAuditSpec pins it.
+    "q196_release_funnel" -> ((s, dir) => {
+      val gates = PipelineQueries.stage(s, dir, "release_gates") {
+        val docs = t(s, dir, "documents")
+        val ltoks = TextAnalysis.tokens(lower(col("text")))
+        val n = size(ltoks).cast("long")
+        val sumLen = aggregate(transform(ltoks, w => length(w)),
+          lit(0), (acc, v) => acc + v).cast("long")
+        val sym = TextAnalysis.symbolCount(col("text"))
+        val grams = TextAnalysis.wordGrams(ltoks, 3)
+        val g = coalesce(size(grams).cast("long"), lit(0L))
+        val d = coalesce(size(array_distinct(grams)).cast("long"), lit(0L))
+        val base = docs.select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tok"),
+          md5(col("text").cast("binary")).as("__fp"),
+          (n.between(3L, 10000L) && sumLen >= n * 3L && sumLen <= n * 10L &&
+            TextAnalysis.stopwordHits(ltoks, TextAnalysis.StopEn) >= 2L &&
+            sym * 10L <= n && (g - d) * 8L <= g).as("g_gopher"))
+        val firsts = base.filter(col("g_gopher"))
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(col("__fp")).orderBy(col("doc_id"))))
+          .filter(col("__rn") === 1)
+          .select(col("doc_id"), lit(true).as("g_digest"))
+        val ndDrop = PipelineQueries.docPairs(s, dir)
+          .join(firsts.select(col("doc_id").as("d1")), Seq("d1"), "left_semi")
+          .select(col("d2").as("doc_id")).distinct()
+          .withColumn("__nd", lit(true))
+        val contam = ScaleQueries.deconFlagsStage(s, dir)
+          .select(col("doc_id"), lit(true).as("__ct"))
+        val cat = PipelineQueries.stage(s, dir, "sqrtn_assign")(
+            Similarity.lloydAssigned(t(s, dir, "embeddings"), iters = 2,
+              k = 22))
+          .select(col("vec_id"), col("cluster").cast("string").as("topic"))
+        val keep = Mixture.resampleToTargets(cat, "topic",
+            col("vec_id").cast("string"),
+            Mixture.temperatureTargets(cat, "topic"))
+          .select(col("vec_id").as("doc_id"), lit(true).as("__kb"))
+        base.join(firsts, Seq("doc_id"), "left")
+          .join(ndDrop, Seq("doc_id"), "left")
+          .join(contam, Seq("doc_id"), "left")
+          .join(keep, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tok"), col("g_gopher"),
+            coalesce(col("g_digest"), lit(false)).as("g_digest"),
+            (!coalesce(col("__nd"), lit(false))).as("g_neardup"),
+            (col("doc_id") % 97 =!= 0 &&
+              !coalesce(col("__ct"), lit(false))).as("g_decon"),
+            coalesce(col("__kb"), lit(false)).as("g_balance"))
+      }
+      val s1 = col("g_gopher")
+      val s2 = s1 && col("g_digest")
+      val s3 = s2 && col("g_neardup")
+      val s4 = s3 && col("g_decon")
+      val s5 = s4 && col("g_balance")
+      def dAgg(cond: Column, i: Int) = Seq(
+        sum(when(cond, 1L).otherwise(0L)).as(s"d$i"),
+        sum(when(cond, col("n_tok")).otherwise(0L)).as(s"t$i"))
+      val aggs = Seq(count(lit(1)).as("d0"), sum(col("n_tok")).as("t0")) ++
+        dAgg(s1, 1) ++ dAgg(s2, 2) ++ dAgg(s3, 3) ++ dAgg(s4, 4) ++
+        dAgg(s5, 5)
+      val one = gates.agg(aggs.head, aggs.tail: _*)
+      val funnel = one.select(expr(
+          "stack(6, '0_raw', d0, t0, '1_gopher', d1, t1, " +
+            "'2_exact_dedup', d2, t2, '3_near_dup', d3, t3, " +
+            "'4_decontaminate', d4, t4, '5_balance', d5, t5) " +
+            "as (stage, docs, tokens)"))
+        .select(col("stage"), col("docs").cast("long").as("docs"),
+          col("tokens").cast("long").as("tokens"),
+          lit(null).cast("long").as("n_bins"),
+          lit(null).cast("double").as("fill_rate"))
+      val packRow = Packing.packGreedy(
+          gates.filter(s5).select(col("doc_id"), col("n_tok")),
+          "doc_id", "n_tok", budget = 512L, shards = 8)
+        .groupBy(col("shard"), col("bin")).agg(sum(col("w")).as("fill"))
+        .agg(count(lit(1)).as("n_bins"), sum(col("fill")).as("ptok"))
+        .crossJoin(broadcast(one.select(col("d5"))))
+        .select(lit("6_packed").as("stage"),
+          col("d5").cast("long").as("docs"),
+          col("ptok").cast("long").as("tokens"),
+          col("n_bins").cast("long").as("n_bins"),
+          round(col("ptok").cast("double") / (col("n_bins") * 512L), 6)
+            .as("fill_rate"))
+      funnel.unionByName(packRow).orderBy(col("stage"))
+    }),
+
     // BPE training statistic: adjacent-symbol pair counts over the
     // frequency-weighted word vocabulary (the explode runs on |V| rows,
     // not the corpus), top-30 merge candidates. Integer counts — exact.
@@ -700,9 +805,148 @@ object CorpusQueries {
         |ORDER BY a.vec_id""".stripMargin
   }
 
+  /** q196 oracle — the existing per-stage oracle chains composed as one
+    * WITH block (names uniquified): q97's rule battery on the raw text,
+    * q21's keep-first digest dedup over survivors, q27's verified-pair
+    * chain gating by lower-id survivors, q82's 4-gram contamination
+    * chain, q188's Lloyd + temperature-target + md5-bucket keep chain,
+    * and q61's recursive greedy-packing replay over the final survivor
+    * set — then the funnel unioned stage by stage. */
+  private val releaseFunnelSql: String =
+    s"""WITH RECURSIVE
+      |gt AS (SELECT doc_id, text,
+      |    string_split_regex(trim(lower(text)), '\\s+') AS ltoks,
+      |    length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
+      |      AS n_sym,
+      |    len(string_split_regex(trim(text), '\\s+')) AS n_tok
+      |  FROM documents),
+      |gf AS (SELECT doc_id, text, n_tok, n_sym, len(ltoks) AS n,
+      |    list_sum(list_transform(ltoks, w -> length(w))) AS sum_len,
+      |    len(list_filter(ltoks, w -> list_contains(
+      |      ['the','a','of','and','to','in','is','on','for','with'], w)))
+      |      AS stop_hits,
+      |    CASE WHEN len(ltoks) >= 3
+      |      THEN list_transform(range(len(ltoks)-2),
+      |             i -> ltoks[i+1] || ' ' || ltoks[i+2] || ' ' || ltoks[i+3])
+      |      ELSE []::VARCHAR[] END AS grams
+      |  FROM gt),
+      |acc AS (SELECT doc_id, text, n_tok,
+      |    (n BETWEEN 3 AND 10000 AND sum_len >= n * 3 AND sum_len <= n * 10
+      |     AND stop_hits >= 2 AND n_sym * 10 <= n
+      |     AND (len(grams) - len(list_distinct(grams))) * 8 <= len(grams))
+      |      AS g_gopher
+      |  FROM gf),
+      |dd AS (SELECT doc_id, row_number() OVER
+      |    (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |  FROM acc WHERE g_gopher),
+      |fs2 AS (SELECT doc_id FROM dd WHERE rn = 1),
+      |jt AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      |  FROM documents),
+      |jsh AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+      |    THEN list_distinct(list_transform(range(len(w)-2),
+      |           i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))
+      |    ELSE [array_to_string(w, ' ')] END) AS g
+      |  FROM jt),
+      |jsz AS (SELECT doc_id, count(*) AS n FROM jsh GROUP BY doc_id),
+      |jpr AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      |  FROM jsh a JOIN jsh b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |jpairs AS (SELECT d1, d2 FROM jpr
+      |  JOIN jsz sa ON sa.doc_id = jpr.d1
+      |  JOIN jsz sb ON sb.doc_id = jpr.d2
+      |  WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.5),
+      |ndrop AS (SELECT DISTINCT d2 AS doc_id FROM jpairs
+      |  WHERE d1 IN (SELECT doc_id FROM fs2)),
+      |fs3 AS (SELECT doc_id FROM fs2
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM ndrop)),
+      |dg AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 4
+      |    THEN list_distinct(list_transform(range(len(w)-3),
+      |           i -> array_to_string(w[i+1:i+4], ' ')))
+      |    ELSE [array_to_string(w, ' ')] END) AS g
+      |  FROM jt),
+      |dbench AS (SELECT g FROM dg WHERE doc_id % 97 = 0),
+      |dcontam AS (SELECT DISTINCT doc_id FROM dg
+      |  WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM dbench)),
+      |fs4 AS (SELECT doc_id FROM fs3 WHERE doc_id % 97 <> 0
+      |  AND doc_id NOT IN (SELECT doc_id FROM dcontam)),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |sd AS (SELECT vec_id, v, md5(vec_id::VARCHAR) AS h FROM e
+      |       ORDER BY h, vec_id LIMIT 22),
+      |cent0 AS (SELECT row_number() OVER (ORDER BY h, vec_id) AS clab,
+      |            list_transform(v, x -> round(x, 6)) AS c FROM sd),
+      |${sdArgmax("a1", "e", "cent0")},
+      |${sdMeans("cent1", "a1")},
+      |${sdArgmax("a2", "e", "cent1")},
+      |cat AS (SELECT vec_id, cluster::VARCHAR AS topic FROM a2),
+      |c AS (SELECT topic, count(*) AS n FROM cat GROUP BY topic),
+      |w AS (SELECT topic, n, sqrt(n::DOUBLE) AS sw FROM c),
+      |tgt AS (SELECT topic, n,
+      |          round(sw / (SELECT sum(sw) FROM w), 6) AS t FROM w),
+      |p AS (SELECT topic,
+      |        (t * (SELECT min(n::DOUBLE / t) FROM tgt)) / n::DOUBLE AS p
+      |      FROM tgt),
+      |bkeep AS (SELECT c2.vec_id AS doc_id
+      |  FROM cat c2 JOIN p USING (topic)
+      |  WHERE ('0x' || substr(md5(c2.vec_id::VARCHAR), 1, 15))::BIGINT::DOUBLE
+      |        < p.p * 1152921504606846976.0),
+      |fs5 AS (SELECT doc_id FROM fs4
+      |  WHERE doc_id IN (SELECT doc_id FROM bkeep)),
+      |ptoks AS (SELECT CAST(a.doc_id AS BIGINT) AS id, t.n_tok AS pw,
+      |    ('0x' || substr(md5(a.doc_id::VARCHAR), 1, 15))::BIGINT % 8
+      |      AS shard
+      |  FROM fs5 a JOIN acc t ON t.doc_id = a.doc_id),
+      |pdocs AS (SELECT id, pw, shard,
+      |    row_number() OVER (PARTITION BY shard ORDER BY id) AS rn
+      |  FROM ptoks),
+      |pack AS (
+      |  SELECT id, pw, shard, rn, CAST(0 AS BIGINT) AS bin, pw AS fill
+      |  FROM pdocs WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.id, d.pw, d.shard, d.rn,
+      |    CASE WHEN pk.fill > 0 AND pk.fill + d.pw > 512
+      |         THEN pk.bin + 1 ELSE pk.bin END AS bin,
+      |    CASE WHEN pk.fill > 0 AND pk.fill + d.pw > 512
+      |         THEN d.pw ELSE pk.fill + d.pw END AS fill
+      |  FROM pack pk JOIN pdocs d ON d.shard = pk.shard
+      |                           AND d.rn = pk.rn + 1),
+      |pb AS (SELECT shard, bin, sum(pw) AS fill FROM pack
+      |  GROUP BY shard, bin)
+      |SELECT '0_raw' AS stage, CAST(count(*) AS BIGINT) AS docs,
+      |    CAST(sum(n_tok) AS BIGINT) AS tokens,
+      |    CAST(NULL AS BIGINT) AS n_bins, CAST(NULL AS DOUBLE) AS fill_rate
+      |  FROM acc
+      |UNION ALL
+      |SELECT '1_gopher', CAST(count(*) AS BIGINT),
+      |    CAST(sum(n_tok) AS BIGINT), NULL, NULL
+      |  FROM acc WHERE g_gopher
+      |UNION ALL
+      |SELECT '2_exact_dedup', CAST(count(*) AS BIGINT),
+      |    CAST(sum(t.n_tok) AS BIGINT), NULL, NULL
+      |  FROM fs2 JOIN acc t USING (doc_id)
+      |UNION ALL
+      |SELECT '3_near_dup', CAST(count(*) AS BIGINT),
+      |    CAST(sum(t.n_tok) AS BIGINT), NULL, NULL
+      |  FROM fs3 JOIN acc t USING (doc_id)
+      |UNION ALL
+      |SELECT '4_decontaminate', CAST(count(*) AS BIGINT),
+      |    CAST(sum(t.n_tok) AS BIGINT), NULL, NULL
+      |  FROM fs4 JOIN acc t USING (doc_id)
+      |UNION ALL
+      |SELECT '5_balance', CAST(count(*) AS BIGINT),
+      |    CAST(sum(t.n_tok) AS BIGINT), NULL, NULL
+      |  FROM fs5 JOIN acc t USING (doc_id)
+      |UNION ALL
+      |SELECT '6_packed',
+      |    (SELECT CAST(count(*) AS BIGINT) FROM fs5),
+      |    (SELECT CAST(sum(fill) AS BIGINT) FROM pb),
+      |    (SELECT CAST(count(*) AS BIGINT) FROM pb),
+      |    (SELECT round(sum(fill)::DOUBLE / (count(*) * 512), 6) FROM pb)
+      |ORDER BY stage""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q178_semdedup_registry" -> semRegSql(None),
     "q195_registry_takedown" -> semRegSql(Some("vec_id % 5 = 2")),
+    "q196_release_funnel" -> releaseFunnelSql,
 
     "q188_semantic_balance" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -70,7 +70,7 @@ object PipelineQueries {
       NearDup.shinglePostings(t(s, dir, "documents"), "doc_id", "text", k = 3))
 
   /** Stage 2: LSH-mined, exact-verified near-dup pairs at J ≥ 0.5. */
-  private def docPairs(s: SparkSession, dir: String): DataFrame =
+  private[queries] def docPairs(s: SparkSession, dir: String): DataFrame =
     stage(s, dir, "pairs")(
       NearDup.verifiedPairsStaged(docPostings(s, dir), threshold = 0.5))
 

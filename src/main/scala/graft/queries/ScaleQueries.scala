@@ -20,6 +20,19 @@ object ScaleQueries {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
+  /** Persisted q82 contamination flags `(doc_id, shared_grams,
+    * bench_docs)` — the 4-gram corpus-vs-benchmark pass runs once; q82
+    * reports it and the q196 release funnel's decontamination gate
+    * anti-joins it. */
+  private[queries] def deconFlagsStage(s: SparkSession, dir: String)
+      : DataFrame =
+    PipelineQueries.stage(s, dir, "decon_flags") {
+      val docs = t(s, dir, "documents")
+      NearDup.contaminationReport(
+        docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", k = 4)
+    }
+
   /** events.ts is TIMESTAMP(NANOS) read as a raw nanos long; integer DIV
     * bridges to the µs instant DuckDB's epoch_us(ts) sees (a double
     * round-trip would lose precision at 1.7e18). */
@@ -186,13 +199,11 @@ object ScaleQueries {
     // with shared-gram / benchmark-doc counts. (Real pipelines use
     // 8–13-grams; k=4 gives this small synthetic corpus the same
     // sparse-hit shape.)
-    "q82_decontamination" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      NearDup.contaminationReport(
-        docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
-        docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", k = 4)
-        .orderBy(col("doc_id"))
-    }),
+    // The report is a persisted stage: the q196 release funnel's
+    // decontamination gate reads the same flags, so the 4-gram pass over
+    // the corpus runs once for both consumers.
+    "q82_decontamination" -> ((s, dir) =>
+      deconFlagsStage(s, dir).orderBy(col("doc_id"))),
 
     // Character-diversity (Gini–Simpson) signal: exact-integer numerator,
     // one final division — bit-identical cross-engine.

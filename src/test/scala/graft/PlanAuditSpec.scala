@@ -802,4 +802,22 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(scans.isEmpty, scans.mkString("\n"))
   }
+
+  test("q196: the composed release funnel's live plan reads ONLY the " +
+    "cached gate table — zero parquet scans outside the shared stage " +
+    "builds, one conditional aggregate, a row-local stack unpivot") {
+    val df = SparkEntry.queries("q196_release_funnel")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scans = df.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.isEmpty, scans.mkString("\n"))
+    // the funnel rows come from ONE partial+final aggregate over the
+    // cache, unpivoted row-locally
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("Generate"), p)
+  }
 }

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** q196 release-funnel composition contracts — the capstone chains the
+  * standalone graded gates (q97 rules, q21 digest dedup, q27 pairs, q82
+  * contamination, q188 balance, q61 packing), so each funnel row must
+  * reconcile EXACTLY with its standalone query on the same data. */
+class ReleaseFunnelSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def funnel: Map[String, (Long, Long, Option[Long], Option[Double])] =
+    SparkEntry.queries("q196_release_funnel")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))))
+      .toMap
+
+  test("the funnel is monotone: docs and tokens never increase through " +
+      "the gates, and the raw row covers the whole corpus") {
+    val f = funnel
+    val order = Seq("0_raw", "1_gopher", "2_exact_dedup", "3_near_dup",
+      "4_decontaminate", "5_balance")
+    assert(f.keySet === (order :+ "6_packed").toSet)
+    val docs = order.map(f(_)._1)
+    val toks = order.map(f(_)._2)
+    assert(docs === docs.sorted.reverse, s"docs not monotone: $docs")
+    assert(toks === toks.sorted.reverse, s"tokens not monotone: $toks")
+    assert(f("0_raw")._1 ===
+      Tables.load(spark, dir, "documents").count())
+    assert(f("5_balance")._1 > 0L, "an empty release is a broken funnel")
+  }
+
+  test("the packing row conserves the balance survivors exactly and its " +
+      "fill rate is tokens over capacity") {
+    val f = funnel
+    val (bd, bt, _, _) = f("5_balance")
+    val (pd, pt, bins, fill) = f("6_packed")
+    assert(pd === bd, "packing must not add or drop documents")
+    assert(pt === bt, "packing must conserve the token mass")
+    assert(bins.exists(_ >= (bt + 511) / 512),
+      "bins cannot beat the capacity bound")
+    assert(fill.exists(fr => math.abs(
+      fr - math.rint(1e6 * bt.toDouble / (bins.get * 512)) / 1e6) < 1e-9))
+  }
+
+  test("each gate reconciles with its standalone graded query: q82 flags " +
+      "and benchmark ids are all excluded by stage 4, and stage 5 is a " +
+      "subset of the q188 keep set") {
+    val f = funnel
+    val gates = graft.queries.PipelineQueries
+      .stage(spark, dir, "release_gates")(
+        sys.error("release_gates must be cached by the funnel run"))
+    val s4 = gates.filter(col("g_gopher") && col("g_digest") &&
+      col("g_neardup") && col("g_decon"))
+    assert(s4.count() === f("4_decontaminate")._1)
+    // no q82-flagged or benchmark doc survives stage 4
+    val flagged = SparkEntry.queries("q82_decontamination")(spark, dir)
+      .select(col("doc_id"))
+    assert(s4.join(flagged, Seq("doc_id"), "left_semi").count() === 0L)
+    assert(s4.filter(col("doc_id") % 97 === 0).count() === 0L)
+    // stage 5 ⊆ the q188 keep set (same persisted assignment + targets)
+    val keep = SparkEntry.queries("q188_semantic_balance")(spark, dir)
+      .select(col("vec_id").as("doc_id"))
+    val s5 = s4.filter(col("g_balance"))
+    assert(s5.count() === f("5_balance")._1)
+    assert(s5.join(keep, Seq("doc_id"), "left_anti").count() === 0L)
+    // near-dup gate: every dropped-by-stage-3 doc really pairs with a
+    // lower-id stage-2 survivor in the q27 pair table
+    val s2 = gates.filter(col("g_gopher") && col("g_digest"))
+    val droppedNd = s2.filter(!col("g_neardup")).select(col("doc_id"))
+    val pairs = SparkEntry.queries("q27_minhash_neardup")(spark, dir)
+    val justified = pairs
+      .join(s2.select(col("doc_id").as("d1")), Seq("d1"), "left_semi")
+      .select(col("d2").as("doc_id")).distinct()
+    assert(droppedNd.join(justified, Seq("doc_id"), "left_anti")
+      .count() === 0L)
+  }
+}
