@@ -134,6 +134,42 @@ object Dedup {
         col("__f")(sourceCol).as("first_source"), col("n_holders"))
   }
 
+  /** The registry OPS CARD — the one-row dashboard an operator reads
+    * before scheduling a [[compactRegistry]] night: total provenance
+    * rows, distinct sources, how many rows a pending tombstone set
+    * condemns, how many the TTL (`minBatch`) expires, how many survive
+    * both (what compaction will keep, pre-dedup), the distinct keys
+    * among the survivors (the post-compaction registry size), and the
+    * newest batch seen. A row can be both tombstoned and expired — the
+    * two counts are independent filters, `n_live` is their conjunction.
+    *
+    * Scale shape: one broadcast tombstone flag join + ONE map-side-
+    * combinable aggregate over the registry (registries are tiny next
+    * to the corpus; the card is an aggregate over the small table, the
+    * corpus is untouched). Same column contract per family, so the four
+    * family cards union into one table. */
+  def registryOpsCard(registry: DataFrame, keyCol: String,
+      sourceCol: String, batchCol: String, tombstoned: DataFrame,
+      minBatch: Long, family: String): DataFrame = {
+    val ts = tombstoned
+      .select(col(tombstoned.columns.head).as(sourceCol)).distinct()
+      .withColumn("__t", lit(true))
+    val live = coalesce(col("__t"), lit(false)).unary_! &&
+      col(batchCol) >= minBatch
+    registry.join(broadcast(ts), Seq(sourceCol), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(sourceCol)).as("n_sources"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("n_tombstoned"),
+        sum(when(col(batchCol) < minBatch, 1L).otherwise(0L))
+          .as("n_expired"),
+        sum(when(live, 1L).otherwise(0L)).as("n_live"),
+        countDistinct(when(live, col(keyCol))).as("n_keys_live"),
+        max(col(batchCol)).cast("long").as("last_batch"))
+      .select(lit(family).as("family"), col("n_rows"), col("n_sources"),
+        col("n_tombstoned"), col("n_expired"), col("n_live"),
+        col("n_keys_live"), col("last_batch"))
+  }
+
   /** Splits documents into fixed-width word "lines" for [[dedupCorpusLines]]:
     * one output row per `wordsPerLine`-word chunk, `(id, pos, line, n_tot)`
     * with `pos` the 0-based chunk index and `n_tot` the doc's total chunk

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{TextAnalysis, Urls}
-import graft.operators.{Mixture, NearDup, Packing, Sampling, Similarity, Takedown}
+import graft.operators.{Dedup, Mixture, NearDup, Packing, Sampling, Similarity, Takedown}
 import graft.plans.Drift
 
 /** Wave 5b — corpus-assembly operators graded round 6: the per-domain cap,
@@ -500,6 +500,75 @@ object CorpusQueries {
       funnel.unionByName(packRow).orderBy(col("stage"))
     }),
 
+    // The registry OPS CARD — one row per registry family (digest /
+    // fingerprint / gram / embedding-exemplar), each summarizing the
+    // provenance log its graded lifecycle queries maintain (q167 / q159
+    // / q175 / q178): total rows, distinct sources, rows a pending
+    // tombstone set condemns, rows the TTL expires, the live remainder,
+    // the distinct keys among the live rows (the post-compaction
+    // registry size), and the newest batch seen — the dashboard an
+    // operator reads before scheduling a compaction night. Registries
+    // are corpus-summaries (tiny); the card is one broadcast-flag join
+    // + one aggregate per family, riding the same persisted stages as
+    // the lifecycle queries. RegistryLifecycleSpec pins n_keys_live ==
+    // the actual compactRegistry output size for every family.
+    "q197_registry_ops" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      // digest family — the q167 log and tombstone set
+      val dlog = docs.select(md5(col("text").cast("binary")).as("digest"),
+        col("source"), (col("doc_id") % 10).as("batch"))
+      val dtomb = docs.select(col("source"))
+        .filter(col("source") === "src18").distinct()
+      val dRow = Dedup.registryOpsCard(dlog, "digest", "source", "batch",
+        dtomb, minBatch = 2L, family = "digest")
+      // fingerprint family — the q159 LSH registry with q175-shaped
+      // provenance (source/batch derived from the holder id)
+      val lsh = PipelineQueries.md5LshStage(s, dir)
+        .filter(col("id") < 250)
+      val flog = lsh.select(
+        concat(col("band").cast("string"), lit(":"),
+          col("bucket").cast("string")).as("fpkey"),
+        concat(lit("src_"), col("id")).as("source"),
+        (col("id") % 4).as("batch"))
+      val ftomb = lsh.select(col("id")).distinct()
+        .filter(col("id") % 7 === 0)
+        .select(concat(lit("src_"), col("id")).as("source"))
+      val fRow = Dedup.registryOpsCard(flog, "fpkey", "source", "batch",
+        ftomb, minBatch = 1L, family = "fingerprint")
+      // gram family — exactly the q175 provenance log
+      val hl = PipelineQueries.xsubGramStage(s, dir)
+        .filter(col("id") < 250)
+        .select(col("gm"), col("id")).distinct()
+      val glog = hl.select(col("gm"),
+        concat(lit("src_"), col("id")).as("source"),
+        (col("id") % 4).as("batch"))
+      val gtomb = hl.select(col("id")).distinct()
+        .filter(col("id") % 7 === 0)
+        .select(concat(lit("src_"), col("id")).as("source"))
+      val gRow = Dedup.registryOpsCard(glog, "gm", "source", "batch",
+        gtomb, minBatch = 1L, family = "gram")
+      // embedding family — the q178 exemplar registry's provenance log
+      val emb = t(s, dir, "embeddings")
+      val frozen = PipelineQueries.stage(s, dir, "semreg_frozen")(
+        Similarity.trainedCentroids(
+          Similarity.lloydAssigned(emb.filter(col("vec_id") < 250),
+            iters = 2, k = 16)))
+      val exemplars = PipelineQueries.stage(s, dir, "semreg_exemplars")(
+        Similarity.semDedupExemplars(
+          Similarity.assignEmbeddings(emb.filter(col("vec_id") < 250),
+            frozen),
+          tau = 0.3, maxPerCluster = 16L))
+      val elog = exemplars.select(col("vec_id"),
+        concat(lit("src_"), col("vec_id") % 10).as("source"),
+        (col("vec_id") % 4).as("batch"))
+      val etomb = elog.select(col("source"))
+        .filter(col("source") === "src_3").distinct()
+      val eRow = Dedup.registryOpsCard(elog, "vec_id", "source", "batch",
+        etomb, minBatch = 1L, family = "embedding")
+      dRow.unionByName(fRow).unionByName(gRow).unionByName(eRow)
+        .orderBy(col("family"))
+    }),
+
     // BPE training statistic: adjacent-symbol pair counts over the
     // frequency-weighted word vocabulary (the explode runs on |V| rows,
     // not the corpus), top-30 merge candidates. Integer counts — exact.
@@ -943,10 +1012,78 @@ object CorpusQueries {
       |    (SELECT round(sum(fill)::DOUBLE / (count(*) * 512), 6) FROM pb)
       |ORDER BY stage""".stripMargin
 
+  /** q197 oracle: the four provenance logs rebuilt by their own graded
+    * chains (documents digest, the md5-portable LSH signature chain, the
+    * 32-gram digest chain, the q178 exemplar training chain), then one
+    * identical aggregate per family — tombstone membership re-expressed
+    * as the equivalent id predicate where the source string encodes it. */
+  private val registryOpsSql: String = {
+    def famAgg(family: String, from: String, tombExpr: String,
+        minBatch: Long): String =
+      s"""SELECT '$family' AS family,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT src) AS BIGINT) AS n_sources,
+        |  CAST(sum(CASE WHEN $tombExpr THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_tombstoned,
+        |  CAST(sum(CASE WHEN batch < $minBatch THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_expired,
+        |  CAST(sum(CASE WHEN NOT ($tombExpr) AND batch >= $minBatch
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+        |  CAST(count(DISTINCT CASE WHEN NOT ($tombExpr)
+        |    AND batch >= $minBatch THEN k END) AS BIGINT) AS n_keys_live,
+        |  CAST(max(batch) AS BIGINT) AS last_batch
+        |FROM $from""".stripMargin
+    s"""WITH ${PipelineQueries.neardupRegistryCtes},
+      |${PipelineQueries.gramTableCtes},
+      |dlog AS (SELECT md5(text) AS k, source AS src, doc_id % 10 AS batch
+      |  FROM documents),
+      |flog AS (SELECT band::VARCHAR || ':' || bucket AS k,
+      |    'src_' || doc_id AS src, doc_id % 4 AS batch, doc_id
+      |  FROM lsh WHERE doc_id < 250),
+      |glog AS (SELECT gm AS k, 'src_' || doc_id AS src,
+      |    doc_id % 4 AS batch, doc_id
+      |  FROM (SELECT DISTINCT gm, doc_id FROM g WHERE doc_id < 250)),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |ehist AS (SELECT vec_id, v FROM e WHERE vec_id < 250),
+      |sd AS (SELECT vec_id, v, md5(vec_id::VARCHAR) AS h FROM ehist
+      |       ORDER BY h, vec_id LIMIT 16),
+      |cent0 AS (SELECT row_number() OVER (ORDER BY h, vec_id) AS clab,
+      |            list_transform(v, x -> round(x, 6)) AS c FROM sd),
+      |${sdArgmax("a1", "ehist", "cent0")},
+      |${sdMeans("cent1", "a1")},
+      |${sdArgmax("a2", "ehist", "cent1")},
+      |${sdMeans("cent2", "a2")},
+      |${sdArgmax("ha", "ehist", "cent2")},
+      |hrefs AS (SELECT vec_id, v, cluster,
+      |    row_number() OVER (PARTITION BY cluster ORDER BY vec_id) AS rr
+      |  FROM ha),
+      |hdups AS (SELECT DISTINCT a.vec_id FROM ha a JOIN hrefs b
+      |    ON a.cluster = b.cluster AND b.vec_id < a.vec_id AND b.rr <= 16
+      |  WHERE ${sdCos("a", "b")} >= 0.3),
+      |ex AS (SELECT cluster, vec_id, v FROM (
+      |    SELECT h.cluster, h.vec_id, h.v,
+      |      row_number() OVER (PARTITION BY h.cluster
+      |        ORDER BY h.vec_id) AS er
+      |    FROM ha h LEFT JOIN hdups d USING (vec_id)
+      |    WHERE d.vec_id IS NULL) WHERE er <= 16),
+      |elog AS (SELECT vec_id AS k, 'src_' || (vec_id % 10) AS src,
+      |    vec_id % 4 AS batch
+      |  FROM ex)
+      |${famAgg("digest", "dlog", "src = 'src18'", 2L)}
+      |UNION ALL
+      |${famAgg("fingerprint", "flog", "doc_id % 7 = 0", 1L)}
+      |UNION ALL
+      |${famAgg("gram", "glog", "doc_id % 7 = 0", 1L)}
+      |UNION ALL
+      |${famAgg("embedding", "elog", "src = 'src_3'", 1L)}
+      |ORDER BY family""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q178_semdedup_registry" -> semRegSql(None),
     "q195_registry_takedown" -> semRegSql(Some("vec_id % 5 = 2")),
     "q196_release_funnel" -> releaseFunnelSql,
+    "q197_registry_ops" -> registryOpsSql,
 
     "q188_semantic_balance" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

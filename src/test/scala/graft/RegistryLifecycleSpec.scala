@@ -97,6 +97,35 @@ class RegistryLifecycleSpec extends SparkSpec {
   private def longText(stem: String): String =
     (0 until 40).map(i => s"$stem$i").mkString(" ")
 
+  test("registryOpsCard: the card's accounting reconciles exactly with " +
+      "the compaction it predicts — n_keys_live == compactRegistry's " +
+      "output size, and the counts conserve") {
+    val tomb = Seq("srcA").toDF("source")
+    val card = Dedup.registryOpsCard(registryLog, "digest", "source",
+      "batch", tomb, minBatch = 1L, family = "digest").collect()(0)
+    assert(card.getString(0) === "digest")
+    assert(card.getLong(1) === registryLog.count())       // n_rows
+    assert(card.getLong(2) === 3L)                        // srcA/B/C
+    assert(card.getLong(3) === 2L)                        // srcA rows
+    assert(card.getLong(4) === 1L)                        // batch 0
+    assert(card.getLong(5) === 2L)                        // shared@B, fresh@B
+    assert(card.getLong(7) === 4L)                        // newest batch
+    val compacted = Dedup.compactRegistry(registryLog, "digest", "source",
+      "batch", tomb, minBatch = 1L)
+    assert(card.getLong(6) === compacted.count(),
+      "n_keys_live must equal the post-compaction registry size")
+    // and on the graded q197 surface: every family's live keys bound
+    // its live rows, tombstoned+expired never exceed the total
+    val rows = SparkEntry.queries("q197_registry_ops")(spark,
+      "/root/testdata/sf0.001").collect()
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      assert(r.getLong(6) <= r.getLong(5), r.toString)    // keys <= rows
+      assert(r.getLong(5) <= r.getLong(1), r.toString)
+      assert(r.getLong(3) <= r.getLong(1) && r.getLong(4) <= r.getLong(1))
+    }
+  }
+
   test("compactFingerprints: no-op compaction preserves incrementalNearDups " +
     "verdicts; tombstoning a source re-admits its near-dups") {
     val textA = longText("alpha")
