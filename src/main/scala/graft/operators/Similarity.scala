@@ -1108,6 +1108,90 @@ object Similarity {
     recallVsExact(exact.getOrElse(bruteForceDotTopK(queries, corpus, k)),
       ivfSq8TopK(queries, corpus, index, nprobe, k), k)
 
+  /** NSW-LITE graph build — the batch-expressible member of the
+    * graph-ANN family (Malkov & Yashunin's HNSW is a greedy best-first
+    * walk over a layered proximity graph: inherently SEQUENTIAL per
+    * query and per insert, so a faithful port would serialize on the
+    * driver — the q180 discipline says build the batch-shaped variant
+    * and measure it instead). The stored artifact is a bounded-degree
+    * proximity graph: each vector's top-`m` neighbors by rounded cosine
+    * WITHIN its coarse cluster (deterministic `(sim DESC, dst)`
+    * tiebreak). Bounding candidates by the cluster keeps the build the
+    * capped equi-self-join every SemDeDup pass already uses —
+    * Σ|cluster|² pairs, never the corpus square.
+    * @param assigned [[assignToCentroids]] output (vec_id, e, cluster)
+    * @return (src, dst) — ≤ m rows per src */
+  def nswEdges(assigned: DataFrame, m: Int): DataFrame = {
+    require(m >= 1, "need at least one neighbor per node")
+    assigned.as("a").join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        round(cosine(col("a.e"), col("b.e")), 6).as("sim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("src")).orderBy(desc("sim"), col("dst"))))
+      .filter(col("rnk") <= m)
+      .select(col("src"), col("dst"))
+  }
+
+  /** NSW-lite search — fixed-round breadth expansion over the stored
+    * [[nswEdges]] graph instead of HNSW's greedy walk: each query
+    * enters at the smallest-id node of its `entries` nearest coarse
+    * clusters, the frontier expands `rounds` times through the edge
+    * table (every hop is one equi-join of the tiny (qid, node) frontier
+    * against the stored edges — candidates are bounded by
+    * entries·Σmᶦ, so the whole search is oracle-replayable and
+    * deterministic), and the gathered candidates are scored EXACTLY
+    * against their stored vectors (graph indexes keep the floats — the
+    * payload trade vs PQ is the whole point of the q189 comparison).
+    * Candidate sets grow as supersets across rounds (NswSpec pins it).
+    * @return (qid, vec_id, sim, rnk) — contract of [[bruteForceDotTopK]] */
+  def nswTopK(queries: DataFrame, corpus: DataFrame, edges: DataFrame,
+      assigned: DataFrame, entries: Int, rounds: Int, k: Int): DataFrame = {
+    require(entries >= 1 && rounds >= 0, "need entries and >= 0 rounds")
+    val cents = broadcast(labelCentroids(corpus))
+    val q = broadcast(queries.select(col("vec_id").as("qid"),
+      asDouble(col("embedding")).as("qe")))
+    val probeW = Window.partitionBy(col("qid"))
+      .orderBy(desc("csim"), col("label"))
+    val probes = q.crossJoin(cents)
+      .select(col("qid"), col("label"),
+        round(cosine(col("qe"), col("centroid")), 6).as("csim"))
+      .withColumn("prnk", row_number().over(probeW))
+      .filter(col("prnk") <= entries)
+      .select(col("qid"), col("label").as("cluster"))
+    val entryNodes = assigned.groupBy(col("cluster"))
+      .agg(min(col("vec_id")).as("vec_id"))
+    var cands = probes.join(entryNodes, Seq("cluster"))
+      .select(col("qid"), col("vec_id"))
+    for (_ <- 0 until rounds) {
+      val hop = cands.join(edges, cands("vec_id") === edges("src"))
+        .select(col("qid"), col("dst").as("vec_id"))
+      cands = cands.unionByName(hop).distinct()
+    }
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("ce"))
+    cands.join(c, Seq("vec_id"))
+      .join(q, Seq("qid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qe"), col("ce")), 6).as("sim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("sim"), col("vec_id")))
+        .cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** NSW-lite index-quality gauge — the seventh row of the q189 family
+    * table: recall@k of the bounded-round graph expansion vs the exact
+    * scan. Payload per vector: the full float vector PLUS m neighbor
+    * ids — graph ANN trades storage for routing quality.
+    * @param exact optional precomputed (persisted) [[bruteForceDotTopK]] */
+  def nswRecallAtK(queries: DataFrame, corpus: DataFrame,
+      edges: DataFrame, assigned: DataFrame, entries: Int, rounds: Int,
+      k: Int, exact: Option[DataFrame] = None): DataFrame =
+    recallVsExact(exact.getOrElse(bruteForceDotTopK(queries, corpus, k)),
+      nswTopK(queries, corpus, edges, assigned, entries, rounds, k), k)
+
   /** Per-list occupancy drift of a frozen coarse quantizer after an
     * append — the RETRAIN TRIGGER that completes the [[pqEncodeFrozen]]
     * append-night story: frozen centroids stay valid exactly as long as

@@ -368,7 +368,37 @@ object EvalQueries {
           Similarity.ivfSq8RecallAtK(queries, emb, sq8Idx,
             nprobe = ivfNprobe, k = pqTopK, exact = Some(exact)),
           dim + 4 + 4, routed = true))
+        .unionByName(row("nsw_lite",
+          Similarity.nswRecallAtK(queries, emb,
+            PipelineQueries.stage(s, dir, "nsw_edges")(
+              Similarity.nswEdges(ivfCoarseStage(s, dir), m = nswM)),
+            ivfCoarseStage(s, dir).select(col("vec_id"), col("cluster")),
+            entries = nswEntries, rounds = nswRounds, k = pqTopK,
+            exact = Some(exact)),
+          // graph ANN stores the FULL float vector plus m neighbor ids
+          dim * 4 + nswM * 8, routed = true))
         .orderBy(col("family"))
+    }),
+
+    // The GRAPH-ANN family row the q189 card was missing, built the
+    // batch-expressible way (a faithful HNSW is a greedy sequential
+    // walk — wrong shape for Spark; q180's measure-the-variant
+    // discipline applies): a stored bounded-degree proximity graph
+    // (top-6 within-cluster cosine neighbors per node, one capped
+    // equi-self-join to build) searched by fixed-round frontier
+    // expansion — 2 entry clusters, 2 hops, candidates bounded by
+    // entries·(1+m+m²) — then EXACT scoring of the gathered candidates
+    // against their stored vectors. Graded as recall@10 vs the shared
+    // exact baseline, like every other family gauge.
+    "q198_nsw_lite" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val edges = PipelineQueries.stage(s, dir, "nsw_edges")(
+        Similarity.nswEdges(ivfCoarseStage(s, dir), m = nswM))
+      Similarity.nswRecallAtK(emb.filter(col("vec_id") < 8), emb, edges,
+          ivfCoarseStage(s, dir).select(col("vec_id"), col("cluster")),
+          entries = nswEntries, rounds = nswRounds, k = pqTopK,
+          exact = Some(exactDotStage(s, dir)))
+        .orderBy(col("qid"))
     }),
 
     // TAKEDOWN NIGHT for the stored ANN index — the lifecycle edge a
@@ -447,6 +477,11 @@ object EvalQueries {
   private val pqCodewords = 32
   private val pqTopK = 10
   private val ivfNprobe = 2
+  /** q198 NSW-lite geometry: per-node degree, entry clusters per query,
+    * expansion rounds — candidates bounded by entries·(1+m+m²). */
+  private val nswM = 6
+  private val nswEntries = 2
+  private val nswRounds = 2
   /** q179 curve points — brackets the q171 operating point (nprobe=2). */
   private val probeCurve = Seq(1, 2, 4)
 
@@ -853,6 +888,80 @@ object EvalQueries {
       |GROUP BY x.qid ORDER BY x.qid""".stripMargin
   }
 
+  /** q198 oracle: the NSW-lite chain — label-centroid coarse assignment,
+    * within-cluster top-m cosine edge build, entry-cluster probe
+    * ranking, two UNION-distinct frontier hops (the fixed-round
+    * expansion, replayed literally), exact candidate scoring, recall vs
+    * the same exact scan as every family gauge. */
+  private def nswSql: String = {
+    val (k, m, entries) = (pqTopK, nswM, nswEntries)
+    val dim = pqM * pqSub
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+      |ivfcomp AS (SELECT label, r.i AS ord, avg(v[(r.i + 1)::INTEGER]) AS mv
+      |           FROM e, range(0, $dim) AS r(i) GROUP BY label, r.i),
+      |ivfcent AS (SELECT label, list(round(mv, 6) ORDER BY ord) AS c
+      |            FROM ivfcomp GROUP BY label),
+      |ivfco AS (SELECT vec_id, cluster FROM (
+      |    SELECT e.vec_id, ct.label AS cluster,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        round(list_dot_product(e.v, ct.c) /
+      |          (sqrt(list_dot_product(e.v, e.v)) *
+      |           sqrt(list_dot_product(ct.c, ct.c))), 6) DESC,
+      |        ct.label) AS rnk
+      |    FROM e CROSS JOIN ivfcent ct) WHERE rnk = 1),
+      |av AS (SELECT e.vec_id, e.v, co.cluster
+      |  FROM e JOIN ivfco co USING (vec_id)),
+      |edges AS (SELECT src, dst FROM (
+      |    SELECT a.vec_id AS src, b.vec_id AS dst,
+      |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+      |        round(list_dot_product(a.v, b.v) /
+      |          (sqrt(list_dot_product(a.v, a.v)) *
+      |           sqrt(list_dot_product(b.v, b.v))), 6) DESC,
+      |        b.vec_id) AS rnk
+      |    FROM av a JOIN av b ON a.cluster = b.cluster
+      |                       AND a.vec_id <> b.vec_id) WHERE rnk <= $m),
+      |probes AS (SELECT qid, cluster FROM (
+      |    SELECT q.qid, ct.label AS cluster,
+      |      row_number() OVER (PARTITION BY q.qid ORDER BY
+      |        round(list_dot_product(q.qv, ct.c) /
+      |          (sqrt(list_dot_product(q.qv, q.qv)) *
+      |           sqrt(list_dot_product(ct.c, ct.c))), 6) DESC,
+      |        ct.label) AS prnk
+      |    FROM q CROSS JOIN ivfcent ct) WHERE prnk <= $entries),
+      |emin AS (SELECT cluster, min(vec_id) AS vec_id FROM av
+      |  GROUP BY cluster),
+      |c0 AS (SELECT p.qid, em.vec_id FROM probes p
+      |  JOIN emin em USING (cluster)),
+      |c1 AS (SELECT qid, vec_id FROM c0
+      |  UNION SELECT c0.qid, ed.dst FROM c0 JOIN edges ed
+      |    ON ed.src = c0.vec_id),
+      |c2 AS (SELECT qid, vec_id FROM c1
+      |  UNION SELECT c1.qid, ed.dst FROM c1 JOIN edges ed
+      |    ON ed.src = c1.vec_id),
+      |nsc AS (SELECT c2.qid, c2.vec_id,
+      |         round(list_dot_product(q.qv, e.v), 6) AS sim
+      |       FROM c2 JOIN q USING (qid) JOIN e ON e.vec_id = c2.vec_id
+      |       WHERE c2.vec_id <> c2.qid),
+      |approx AS (SELECT qid, vec_id FROM (
+      |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+      |      ORDER BY sim DESC, vec_id) AS rnk FROM nsc) WHERE rnk <= $k),
+      |ex AS (SELECT t.qid, e.vec_id,
+      |        round(list_dot_product(t.qv0, e.v), 6) AS sim
+      |      FROM (SELECT vec_id AS qid, v AS qv0 FROM e
+      |            WHERE vec_id < 8) t, e
+      |      WHERE e.vec_id <> t.qid),
+      |exact AS (SELECT qid, vec_id FROM (
+      |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+      |      ORDER BY sim DESC, vec_id) AS rnk FROM ex) WHERE rnk <= $k)
+      |SELECT x.qid, CAST(count(*) AS BIGINT) AS n_exact,
+      |       CAST(count(a.vec_id) AS BIGINT) AS hits,
+      |       count(a.vec_id)::DOUBLE / $k AS recall
+      |FROM exact x LEFT JOIN approx a
+      |  ON a.qid = x.qid AND a.vec_id = x.vec_id
+      |GROUP BY x.qid ORDER BY x.qid""".stripMargin
+  }
+
   /** q189 oracle: the decision card as a UNION of the per-family chains
     * (each already graded standalone), every chain wrapped as a
     * `FROM (WITH … SELECT …)` subquery so the CTE vocabularies can't
@@ -888,7 +997,8 @@ object EvalQueries {
       wrap("ivf_adc", pqChainSql(Some(ivfNprobe)), pqM + 4, routed = true),
       wrap("ivf_pq_res", pqChainSql(Some(ivfNprobe), residual = true),
         pqM + 4, routed = true),
-      wrap("ivf_sq8", ivfSq8Sql, dim + 4 + 4, routed = true)
+      wrap("ivf_sq8", ivfSq8Sql, dim + 4 + 4, routed = true),
+      wrap("nsw_lite", nswSql, dim * 4 + nswM * 8, routed = true)
     ).mkString("", "\nUNION ALL\n", "\nORDER BY family")
   }
 
@@ -941,6 +1051,7 @@ object EvalQueries {
     "q185_index_drift" -> driftSql,
     "q186_ivf_sq8" -> ivfSq8Sql,
     "q189_index_card" -> indexCardSql,
+    "q198_nsw_lite" -> nswSql,
 
     "q152_ann_recall" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

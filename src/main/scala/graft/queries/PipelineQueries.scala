@@ -64,6 +64,18 @@ object PipelineQueries {
     stages.clear()
   }
 
+  /** Force-materialize every REGISTERED stage (bench accounting: after
+    * constructing all query plans — which registers their stages — this
+    * prices the shared stage builds as ONE timed phase, so the per-query
+    * timings that follow are pure marginal costs with stages warm).
+    * Dependent stages materialize implicitly inside their consumers;
+    * a failing build is swallowed here (its consumer will surface the
+    * error in its own timed run). */
+  def materializeStages(): Unit =
+    stages.values.foreach { df =>
+      try { df.count(); () } catch { case _: Throwable => () }
+    }
+
   /** Stage 1: distinct (id, g, n) word-3-gram postings of `documents`. */
   private def docPostings(s: SparkSession, dir: String): DataFrame =
     stage(s, dir, "postings")(

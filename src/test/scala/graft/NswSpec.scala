@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** NSW-lite graph-ANN contracts (q198 / the 7th q189 card row): the
+  * bounded-degree edge table, the fixed-round frontier expansion's
+  * superset chain, and reachability of every returned candidate. */
+class NswSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def emb = Tables.load(spark, dir, "embeddings")
+  private def queries = emb.filter(col("vec_id") < 4)
+
+  test("nswEdges: bounded degree, no self loops, every edge stays " +
+      "within its coarse cluster") {
+    val assigned = Similarity.assignToCentroids(emb).persist()
+    try {
+      val edges = Similarity.nswEdges(assigned, m = 6).persist()
+      try {
+        assert(edges.filter(col("src") === col("dst")).count() === 0L)
+        assert(edges.groupBy(col("src")).count()
+          .filter(col("count") > 6).count() === 0L)
+        val clus = assigned.select(col("vec_id"), col("cluster"))
+        val cross = edges
+          .join(clus.select(col("vec_id").as("src"),
+            col("cluster").as("cs")), Seq("src"))
+          .join(clus.select(col("vec_id").as("dst"),
+            col("cluster").as("cd")), Seq("dst"))
+          .filter(col("cs") =!= col("cd"))
+        assert(cross.count() === 0L)
+      } finally { edges.unpersist(); () }
+    } finally { assigned.unpersist(); () }
+  }
+
+  test("expansion is a superset chain in rounds: every candidate " +
+      "surfaced at r rounds is still scanned at r+1, so adding rounds " +
+      "never loses a scanned candidate; candidate counts respect the " +
+      "entries·(1+m+m²) bound") {
+    val assigned = Similarity.assignToCentroids(emb).persist()
+    try {
+      val edges = Similarity.nswEdges(assigned, m = 6).persist()
+      try {
+        val clus = assigned.select(col("vec_id"), col("cluster"))
+        def scanned(rounds: Int) =
+          Similarity.nswTopK(queries, emb, edges, clus,
+            entries = 2, rounds = rounds, k = 1000)
+            .select(col("qid"), col("vec_id"))
+        val r0 = scanned(0); val r1 = scanned(1); val r2 = scanned(2)
+        assert(r0.except(r1).count() === 0L)
+        assert(r1.except(r2).count() === 0L)
+        // per-query candidate bound: 2 · (1 + 6 + 36)
+        val maxCands = r2.groupBy(col("qid")).count()
+          .agg(max(col("count"))).collect()(0).getLong(0)
+        assert(maxCands <= 2L * (1 + 6 + 36), s"bound broken: $maxCands")
+        // zero rounds returns only entry nodes (≤ entries per query)
+        assert(r0.groupBy(col("qid")).count()
+          .filter(col("count") > 2).count() === 0L)
+      } finally { edges.unpersist(); () }
+    } finally { assigned.unpersist(); () }
+  }
+
+  test("every candidate is graph-reachable from an entry node within " +
+      "the round budget (driver replay over the collected edge table)") {
+    val assigned = Similarity.assignToCentroids(emb).persist()
+    try {
+      val edges = Similarity.nswEdges(assigned, m = 6).persist()
+      try {
+        val adj = edges.collect()
+          .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+          .toMap
+        val clus = assigned.select(col("vec_id"), col("cluster"))
+        val entryByCluster = clus.groupBy(col("cluster"))
+          .agg(min(col("vec_id")).as("v")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val got = Similarity.nswTopK(queries, emb, edges, clus,
+            entries = 2, rounds = 2, k = 1000)
+          .select(col("qid"), col("vec_id")).collect()
+          .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+          .toMap
+        val allEntries = entryByCluster.values.toSet
+        got.foreach { case (qid, cands) =>
+          // expand every possible entry pair's 2-hop ball; candidates
+          // must sit inside the union ball (minus the query itself)
+          val ball0 = allEntries
+          val ball1 = ball0 ++ ball0.flatMap(adj.getOrElse(_, Set.empty))
+          val ball2 = ball1 ++ ball1.flatMap(adj.getOrElse(_, Set.empty))
+          assert(cands.subsetOf(ball2 - qid),
+            s"query $qid returned unreachable candidates: " +
+              (cands -- ball2).take(5))
+        }
+      } finally { edges.unpersist(); () }
+    } finally { assigned.unpersist(); () }
+  }
+}

@@ -820,4 +820,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_sum"), p)
     assert(p.contains("Generate"), p)
   }
+
+  test("q198: the NSW search reads the STORED edge stage for its hops — " +
+    "frontier joins are hash joins, candidate scoring touches only the " +
+    "gathered ids, no cartesian corpus pair join") {
+    val p = plan("q198_nsw_lite")
+    assert(!p.contains("CartesianProduct"), p)
+    // nsw_edges + ivf_coarse + exact_dot_topk ride the cache
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }

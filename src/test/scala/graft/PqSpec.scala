@@ -385,6 +385,7 @@ class PqSpec extends SparkSpec {
     assert(card("ivf_pq_res") === sumHits("q174_ivfpq_residual"))
     assert(card("sq8") === sumHits("q184_sq8_recall"))
     assert(card("ivf_sq8") === sumHits("q186_ivf_sq8"))
+    assert(card("nsw_lite") === sumHits("q198_nsw_lite"))
     assert(card("exact") === card.values.max,
       "exact must top the hit table")
   }
