@@ -1,0 +1,68 @@
+package graft
+
+/** Scale-exponent probe: times a fixed set of the historically slowest
+  * graded queries at two data scales (sf0.1 and the ScaleGen 10× slice)
+  * and reports the time ratio per query — turning the "no scale-killer"
+  * plan-audit argument into a measured exponent (a ratio ≫ factor means
+  * super-linear work and needs a plan fix or a documented cap).
+  *
+  * Protocol per dir: stages cleared, one un-timed warm pass (JIT/codegen
+  * absorb), then `Passes` timed passes; per query the MIN is reported
+  * (contention-immune, same argument as Bench). Stage builds are timed
+  * inside their first consumer here — unlike Bench — because at a new
+  * scale the stage build IS part of the cost being measured; the probe
+  * reports the per-dir stage-inclusive totals alongside. */
+object ScaleProbe {
+
+  private val Probes = Seq(
+    "q158_exact_substring", "q62_winnow_overlap", "q172_xsub_registry",
+    "q174_ivfpq_residual", "q126_prefix_jaccard", "q113_cdc_chunks",
+    "q165_chunk_dup_bytes", "q159_neardup_registry", "q173_xsub_rolling",
+    "q175_xsub_compact", "q190_lsh_geometry", "q196_release_funnel")
+  private val Passes = 2
+
+  def main(args: Array[String]): Unit = {
+    val small = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val big = if (args.length > 1) args(1) else "/root/repo/tmp/scale10"
+    val spark = Sessions.local("graft-scaleprobe")
+
+    def timeDir(dir: String): Map[String, Double] = {
+      graft.queries.PipelineQueries.clearStages()
+      System.gc()
+      Probes.foreach { n =>
+        try { SparkEntry.queries(n)(spark, dir).count(); () }
+        catch { case e: Throwable =>
+          System.err.println(s"[probe] warm $n @ $dir failed: $e")
+        }
+      }
+      val obs = (0 until Passes).map { _ =>
+        graft.queries.PipelineQueries.clearStages()
+        System.gc()
+        Probes.map { n =>
+          val t0 = System.nanoTime()
+          val ok = try { SparkEntry.queries(n)(spark, dir).count(); true }
+            catch { case _: Throwable => false }
+          n -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        }.toMap
+      }
+      Probes.map { n =>
+        val xs = obs.map(_(n)).filter(_ >= 0)
+        n -> (if (xs.isEmpty) -1.0 else xs.min)
+      }.toMap
+    }
+
+    val tSmall = timeDir(small)
+    val tBig = timeDir(big)
+    spark.stop()
+    println("| query | sf0.1 s | 10x s | ratio |")
+    println("|---|---|---|---|")
+    Probes.foreach { n =>
+      val (a, b) = (tSmall(n), tBig(n))
+      val r = if (a > 0 && b > 0) f"${b / a}%.2f" else "err"
+      println(f"| $n | $a%.2f | $b%.2f | $r |")
+    }
+    val (sa, sb) = (tSmall.values.filter(_ >= 0).sum,
+      tBig.values.filter(_ >= 0).sum)
+    println(f"TOTALS small=$sa%.2f big=$sb%.2f ratio=${sb / sa}%.2f")
+  }
+}
