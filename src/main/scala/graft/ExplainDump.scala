@@ -52,7 +52,8 @@ object ExplainDump {
       "q187_lang_mix", "q188_semantic_balance", "q189_index_card",
       "q190_lsh_geometry", "q191_bloom_curve", "q192_cms_width_curve",
       "q193_packing_card", "q194_index_takedown", "q195_registry_takedown",
-      "q196_release_funnel", "q197_registry_ops", "q198_nsw_lite")
+      "q196_release_funnel", "q197_registry_ops", "q198_nsw_lite",
+      "q199_takedown_receipt")
     val sb = new StringBuilder
     sb.append("# EXPLAIN — headline query plans (formatted, sf0.001, regenerate with `sbt \"runMain graft.ExplainDump\"`)\n")
     sb.append("\nWhat to look for: `PushedFilters`/`ReadSchema` on every scan, broadcast\njoins where one side is small, partial aggregation before each hash\nexchange, `WindowGroupLimit` ahead of top-k windows, and no\n`CartesianProduct` anywhere.\n")

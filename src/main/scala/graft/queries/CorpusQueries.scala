@@ -22,6 +22,28 @@ object CorpusQueries {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
+  /** Persisted frozen quantizer of the q178 SemDeDup registry (trained
+    * once on history, vec_id < 250). */
+  private[queries] def semregFrozenStage(s: SparkSession, dir: String)
+      : DataFrame =
+    PipelineQueries.stage(s, dir, "semreg_frozen")(
+      Similarity.trainedCentroids(
+        Similarity.lloydAssigned(
+          t(s, dir, "embeddings").filter(col("vec_id") < 250),
+          iters = 2, k = 16)))
+
+  /** Persisted q178 exemplar registry — shared by the registry query
+    * (q178), its takedown night (q195), the ops card (q197) and the
+    * takedown receipt (q199). */
+  private[queries] def semregExemplarsStage(s: SparkSession, dir: String)
+      : DataFrame =
+    PipelineQueries.stage(s, dir, "semreg_exemplars")(
+      Similarity.semDedupExemplars(
+        Similarity.assignEmbeddings(
+          t(s, dir, "embeddings").filter(col("vec_id") < 250),
+          semregFrozenStage(s, dir)),
+        tau = 0.3, maxPerCluster = 16L))
+
   /** Persisted CDC chunk table (id, chunk_idx, start, chunk_len,
     * chunk_md5) — shared by q113 (the chunk list) and q165 (dedup
     * accounting); the per-position boundary hash is the dominant cost. */
@@ -305,19 +327,10 @@ object CorpusQueries {
     // side is read three times by the prune).
     "q178_semdedup_registry" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val frozen = PipelineQueries.stage(s, dir, "semreg_frozen")(
-        Similarity.trainedCentroids(
-          Similarity.lloydAssigned(emb.filter(col("vec_id") < 250),
-            iters = 2, k = 16)))
-      val exemplars = PipelineQueries.stage(s, dir, "semreg_exemplars")(
-        Similarity.semDedupExemplars(
-          Similarity.assignEmbeddings(emb.filter(col("vec_id") < 250),
-            frozen),
-          tau = 0.3, maxPerCluster = 16L))
       val batchA = PipelineQueries.stage(s, dir, "semreg_batch_assign")(
         Similarity.assignEmbeddings(emb.filter(col("vec_id") >= 250),
-          frozen))
-      Similarity.semDedupVsRegistry(batchA, exemplars,
+          semregFrozenStage(s, dir)))
+      Similarity.semDedupVsRegistry(batchA, semregExemplarsStage(s, dir),
           tau = 0.3, maxPerCluster = 16L)
         .orderBy(col("vec_id"))
     }),
@@ -339,18 +352,10 @@ object CorpusQueries {
     // historical vector as a new exemplar.
     "q195_registry_takedown" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val frozen = PipelineQueries.stage(s, dir, "semreg_frozen")(
-        Similarity.trainedCentroids(
-          Similarity.lloydAssigned(emb.filter(col("vec_id") < 250),
-            iters = 2, k = 16)))
-      val exemplars = PipelineQueries.stage(s, dir, "semreg_exemplars")(
-        Similarity.semDedupExemplars(
-          Similarity.assignEmbeddings(emb.filter(col("vec_id") < 250),
-            frozen),
-          tau = 0.3, maxPerCluster = 16L))
+      val exemplars = semregExemplarsStage(s, dir)
       val batchA = PipelineQueries.stage(s, dir, "semreg_batch_assign")(
         Similarity.assignEmbeddings(emb.filter(col("vec_id") >= 250),
-          frozen))
+          semregFrozenStage(s, dir)))
       // the takedown list derives from the REGISTRY itself (registry-
       // sized, zero corpus reads) — production receives it externally
       val tombs = exemplars.filter(col("vec_id") % 5 === 2)
@@ -548,17 +553,7 @@ object CorpusQueries {
       val gRow = Dedup.registryOpsCard(glog, "gm", "source", "batch",
         gtomb, minBatch = 1L, family = "gram")
       // embedding family — the q178 exemplar registry's provenance log
-      val emb = t(s, dir, "embeddings")
-      val frozen = PipelineQueries.stage(s, dir, "semreg_frozen")(
-        Similarity.trainedCentroids(
-          Similarity.lloydAssigned(emb.filter(col("vec_id") < 250),
-            iters = 2, k = 16)))
-      val exemplars = PipelineQueries.stage(s, dir, "semreg_exemplars")(
-        Similarity.semDedupExemplars(
-          Similarity.assignEmbeddings(emb.filter(col("vec_id") < 250),
-            frozen),
-          tau = 0.3, maxPerCluster = 16L))
-      val elog = exemplars.select(col("vec_id"),
+      val elog = semregExemplarsStage(s, dir).select(col("vec_id"),
         concat(lit("src_"), col("vec_id") % 10).as("source"),
         (col("vec_id") % 4).as("batch"))
       val etomb = elog.select(col("source"))
@@ -1079,11 +1074,60 @@ object CorpusQueries {
       |ORDER BY family""".stripMargin
   }
 
+  /** q199 oracle (the query lives in EvalQueries; the oracle lives here
+    * because it replays the exemplar training chain): closed-form
+    * counting — the PQ stores hold m=8 rows per vector, SQ8 one, and
+    * the exemplar store's counts come from the q178 chain. */
+  private val takedownReceiptSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN vec_id % 23 = 9 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS nt FROM e),
+      |ehist AS (SELECT vec_id, v FROM e WHERE vec_id < 250),
+      |sd AS (SELECT vec_id, v, md5(vec_id::VARCHAR) AS h FROM ehist
+      |       ORDER BY h, vec_id LIMIT 16),
+      |cent0 AS (SELECT row_number() OVER (ORDER BY h, vec_id) AS clab,
+      |            list_transform(v, x -> round(x, 6)) AS c FROM sd),
+      |${sdArgmax("a1", "ehist", "cent0")},
+      |${sdMeans("cent1", "a1")},
+      |${sdArgmax("a2", "ehist", "cent1")},
+      |${sdMeans("cent2", "a2")},
+      |${sdArgmax("ha", "ehist", "cent2")},
+      |hrefs AS (SELECT vec_id, v, cluster,
+      |    row_number() OVER (PARTITION BY cluster ORDER BY vec_id) AS rr
+      |  FROM ha),
+      |hdups AS (SELECT DISTINCT a.vec_id FROM ha a JOIN hrefs b
+      |    ON a.cluster = b.cluster AND b.vec_id < a.vec_id AND b.rr <= 16
+      |  WHERE ${sdCos("a", "b")} >= 0.3),
+      |ex AS (SELECT cluster, vec_id, v FROM (
+      |    SELECT h.cluster, h.vec_id, h.v,
+      |      row_number() OVER (PARTITION BY h.cluster
+      |        ORDER BY h.vec_id) AS er
+      |    FROM ha h LEFT JOIN hdups d USING (vec_id)
+      |    WHERE d.vec_id IS NULL) WHERE er <= 16),
+      |exs AS (SELECT CAST(count(*) AS BIGINT) AS nex,
+      |    CAST(sum(CASE WHEN vec_id % 5 = 2 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS dex FROM ex)
+      |SELECT 'append_codes' AS store,
+      |    CAST(8 * n AS BIGINT) AS rows_before,
+      |    CAST(8 * nt AS BIGINT) AS rows_dropped,
+      |    CAST(8 * (n - nt) AS BIGINT) AS rows_after FROM nn
+      |UNION ALL
+      |SELECT 'append_index', CAST(8 * n AS BIGINT),
+      |    CAST(8 * nt AS BIGINT), CAST(8 * (n - nt) AS BIGINT) FROM nn
+      |UNION ALL
+      |SELECT 'sq8_index', n, nt, CAST(n - nt AS BIGINT) FROM nn
+      |UNION ALL
+      |SELECT 'semreg_exemplars', nex, dex,
+      |    CAST(nex - dex AS BIGINT) FROM exs
+      |ORDER BY store""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q178_semdedup_registry" -> semRegSql(None),
     "q195_registry_takedown" -> semRegSql(Some("vec_id % 5 = 2")),
     "q196_release_funnel" -> releaseFunnelSql,
     "q197_registry_ops" -> registryOpsSql,
+    "q199_takedown_receipt" -> takedownReceiptSql,
 
     "q188_semantic_balance" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -451,6 +451,50 @@ object EvalQueries {
         .orderBy(col("qid"))
     }),
 
+    // The RECEIPT a takedown night files — q194/q195's accounting face,
+    // and the takedown analog of the q197 ops card: per affected store
+    // (the append-night code and index tables, the SQ8 index, the
+    // SemDeDup exemplar registry), rows before / dropped / after under
+    // the same tombstone sets the graded takedowns use. A tombstoned
+    // vector costs m code rows but one SQ8 row — the receipt is where
+    // that fan-out becomes visible to the operator. One aggregate pair
+    // per store over persisted stages; oracle is closed-form counting.
+    "q199_takedown_receipt" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val tomb = col("vec_id") % 23 === 9
+      val hist = emb.filter(col("vec_id") % 4 =!= 3)
+      val histAssigned = PipelineQueries.stage(s, dir, "pq_hist_assigned")(
+        Similarity.pqAssigned(hist, m = pqM, sub = pqSub, iters = 2,
+          k = pqCodewords))
+      val cb = PipelineQueries.stage(s, dir, "pq_hist_codebook")(
+        Similarity.pqCodebook(histAssigned))
+      val frozenCents = Similarity.labelCentroids(hist)
+        .select(col("label").as("clab"), col("centroid"))
+      val coarseAll = PipelineQueries.stage(s, dir, "append_coarse")(
+        Similarity.assignEmbeddings(emb, frozenCents)
+          .select(col("vec_id"), col("cluster")))
+      val codesAll = PipelineQueries.stage(s, dir, "append_codes")(
+        Similarity.pqEncodeFrozen(hist, cb)
+          .unionByName(Similarity.pqEncodeFrozen(
+            emb.filter(col("vec_id") % 4 === 3), cb)))
+      val index = PipelineQueries.stage(s, dir, "append_index")(
+        Similarity.ivfAdcIndex(coarseAll, codesAll))
+      val quant = PipelineQueries.stage(s, dir, "sq8_index")(
+        Similarity.sq8Quantize(emb))
+      val tombs = emb.filter(tomb).select(col("vec_id"))
+      val exemplars = CorpusQueries.semregExemplarsStage(s, dir)
+      val exTombs = exemplars.filter(col("vec_id") % 5 === 2)
+        .select(col("vec_id"))
+      Takedown.purgeReceipt(codesAll, tombs, "vec_id", "append_codes")
+        .unionByName(Takedown.purgeReceipt(index, tombs, "vec_id",
+          "append_index"))
+        .unionByName(Takedown.purgeReceipt(quant, tombs, "vec_id",
+          "sq8_index"))
+        .unionByName(Takedown.purgeReceipt(exemplars, exTombs, "vec_id",
+          "semreg_exemplars"))
+        .orderBy(col("store"))
+    }),
+
     // Sentence-granularity text profile: segment count, total/max/mean
     // segment length — the fragmentation signal (boilerplate lists score
     // many short "sentences") that word-level stats miss. Row-local.

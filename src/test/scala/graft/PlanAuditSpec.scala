@@ -821,6 +821,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Generate"), p)
   }
 
+  test("q199: the takedown receipt is four aggregate pairs over cached " +
+    "stores — LeftAnti accounting, no cartesian beyond the broadcast " +
+    "one-row crossJoins") {
+    val p = plan("q199_takedown_receipt")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 4, p)
+  }
+
   test("q198: the NSW search reads the STORED edge stage for its hops — " +
     "frontier joins are hash joins, candidate scoring touches only the " +
     "gathered ids, no cartesian corpus pair join") {
