@@ -86,6 +86,45 @@ object Packing {
       .withColumn("fill_rate", round(col("total_tokens").cast("double") /
         col("capacity").cast("double"), 6))
 
+  /** Takedown BLAST RADIUS over a stored packing — when a tombstone set
+    * arrives, the packed training batches containing condemned docs are
+    * DIRTY and must be reassembled (a fixed-length sequence with a hole
+    * is not servable); everything else ships untouched. One row:
+    * total/dirty bin counts, the condemned docs and token mass, the
+    * innocent docs/tokens that need re-packing because they share a bin
+    * with a condemned doc, and the dirty fraction — the number that
+    * decides whether the night re-packs incrementally (small radius) or
+    * rebuilds the snapshot (radius ≈ 1).
+    *
+    * Scale shape: one semi-join of the packed table against the
+    * (broadcast) tombstones to mark dirty bins, one bin-keyed
+    * aggregate, one bin-count-sized reduction — the corpus text is
+    * never touched, only the (id, w, shard, bin) manifest. */
+  def takedownBlastRadius(packed: DataFrame, tombstones: DataFrame,
+      idCol: String): DataFrame = {
+    val tomb = tombstones.select(col(idCol).as("id")).distinct()
+      .withColumn("__t", lit(true))
+    val flagged = packed.join(broadcast(tomb), Seq("id"), "left")
+      .select(col("id"), col("w"), col("shard"), col("bin"),
+        coalesce(col("__t"), lit(false)).as("__t"))
+    val bins = flagged.groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("docs"), sum(col("w")).as("fill"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("n_tomb"),
+        sum(when(col("__t"), col("w")).otherwise(0L)).as("w_tomb"))
+    bins.agg(count(lit(1)).as("n_bins"),
+        sum(when(col("n_tomb") > 0, 1L).otherwise(0L)).as("n_dirty_bins"),
+        sum(col("n_tomb")).as("n_docs_dropped"),
+        sum(col("w_tomb")).as("tokens_dropped"),
+        sum(when(col("n_tomb") > 0, col("docs") - col("n_tomb"))
+          .otherwise(0L)).as("n_docs_repack"),
+        sum(when(col("n_tomb") > 0, col("fill") - col("w_tomb"))
+          .otherwise(0L)).as("tokens_repack"))
+      .select(col("n_bins"), col("n_dirty_bins"), col("n_docs_dropped"),
+        col("tokens_dropped"), col("n_docs_repack"), col("tokens_repack"),
+        round(col("n_dirty_bins").cast("double") / col("n_bins"), 6)
+          .as("dirty_frac"))
+  }
+
   /** Packing efficiency report: bins, mean fill ratio, over-budget bins
     * (only legal for single over-budget docs). */
   def packStats(packed: DataFrame, budget: Long): DataFrame =

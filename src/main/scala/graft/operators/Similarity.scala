@@ -1121,8 +1121,17 @@ object Similarity {
     * Σ|cluster|² pairs, never the corpus square.
     * @param assigned [[assignToCentroids]] output (vec_id, e, cluster)
     * @return (src, dst) — ≤ m rows per src */
-  def nswEdges(assigned: DataFrame, m: Int): DataFrame = {
-    require(m >= 1, "need at least one neighbor per node")
+  def nswEdges(assigned: DataFrame, m: Int): DataFrame =
+    nswEdgesRanked(assigned, m).select(col("src"), col("dst"))
+
+  /** [[nswEdges]] with the neighbor rank kept — ONE stored table serves
+    * every degree ≤ `mMax`: `edges(m) = rnk <= m`, so degree-sub-setting
+    * is a row-local filter and the degree curve never rebuilds the
+    * graph. Edge sets nest by construction (rank is per-src total
+    * order), which is what makes the [[nswDegreeCurve]] candidate sets
+    * a superset chain. */
+  def nswEdgesRanked(assigned: DataFrame, mMax: Int): DataFrame = {
+    require(mMax >= 1, "need at least one neighbor per node")
     assigned.as("a").join(assigned.as("b"),
         col("a.cluster") === col("b.cluster") &&
           col("a.vec_id") =!= col("b.vec_id"))
@@ -1130,8 +1139,38 @@ object Similarity {
         round(cosine(col("a.e"), col("b.e")), 6).as("sim"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("src")).orderBy(desc("sim"), col("dst"))))
-      .filter(col("rnk") <= m)
-      .select(col("src"), col("dst"))
+      .filter(col("rnk") <= mMax)
+      .select(col("src"), col("dst"), col("rnk"))
+  }
+
+  /** The degree TUNING CURVE of the NSW-lite graph — the `m` dial's
+    * q179/q182/q190 mirror, completing the every-family-ships-its-curve
+    * discipline for the graph family: recall@k per candidate degree,
+    * all degrees served by ONE stored ranked edge table
+    * ([[nswEdgesRanked]] at max(ms); each point is a row-local
+    * `rnk <= m` filter plus the frontier-sized search — the graph is
+    * never rebuilt and the corpus never rescanned; the exact baseline
+    * is the same persisted scan every gauge grades against). Edge sets
+    * nest in m, so candidate sets form a superset chain per query and
+    * the MEAN recall curve is the dial (per-query dips are possible,
+    * same caveat as the nprobe curve; NswSpec pins the chain and the
+    * mean monotonicity at the graded geometry).
+    * @return (degree, qid, n_exact, hits, recall) — degree ascending */
+  def nswDegreeCurve(queries: DataFrame, corpus: DataFrame,
+      rankedEdges: DataFrame, assigned: DataFrame, ms: Seq[Int],
+      entries: Int, rounds: Int, k: Int,
+      exact: Option[DataFrame] = None): DataFrame = {
+    require(ms.nonEmpty, "need at least one degree")
+    val ex = exact.getOrElse(bruteForceDotTopK(queries, corpus, k))
+    ms.distinct.sorted.map { m =>
+      recallVsExact(ex,
+        nswTopK(queries, corpus,
+          rankedEdges.filter(col("rnk") <= m)
+            .select(col("src"), col("dst")),
+          assigned, entries, rounds, k), k)
+        .select(lit(m.toLong).as("degree"), col("qid"), col("n_exact"),
+          col("hits"), col("recall"))
+    }.reduce(_ unionByName _)
   }
 
   /** NSW-lite search — fixed-round breadth expansion over the stored

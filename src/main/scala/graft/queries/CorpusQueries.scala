@@ -505,6 +505,104 @@ object CorpusQueries {
       funnel.unionByName(packRow).orderBy(col("stage"))
     }),
 
+    // THE NIGHTLY INCREMENTAL FUNNEL — q196's counterpart for the shape
+    // a deployed pipeline actually runs every night: the NEW BATCH
+    // (doc_id >= 250) flows through the registry quadrilateral instead
+    // of corpus-wide gates — Gopher rules on the batch text, then exact
+    // dedup against the HISTORY DIGEST REGISTRY (within-batch keep-first
+    // + anti-join on stored digests, q73's shape), then the FINGERPRINT
+    // REGISTRY gate (q159's near-new rule: no bucket shared with
+    // history, no lower-id batch bucket-mate), then the SEMDEDUP
+    // EXEMPLAR REGISTRY gate (q178's verdicts under the frozen
+    // quantizer), then packing of the admitted remainder. History is
+    // consulted ONLY through its registries — digests, (band, bucket)
+    // fingerprints, capped exemplars — never by rescanning historical
+    // text, which is the whole point of the quadrilateral at 100 TB.
+    // Same one-persisted-gate-table + one-conditional-aggregate shape
+    // as q196 (PlanAuditSpec pins zero live parquet scans).
+    "q202_incremental_funnel" -> ((s, dir) => {
+      val gates = PipelineQueries.stage(s, dir, "nightly_gates") {
+        val docs = t(s, dir, "documents")
+        val batch = docs.filter(col("doc_id") >= 250)
+        val ltoks = TextAnalysis.tokens(lower(col("text")))
+        val n = size(ltoks).cast("long")
+        val sumLen = aggregate(transform(ltoks, w => length(w)),
+          lit(0), (acc, v) => acc + v).cast("long")
+        val sym = TextAnalysis.symbolCount(col("text"))
+        val grams = TextAnalysis.wordGrams(ltoks, 3)
+        val g = coalesce(size(grams).cast("long"), lit(0L))
+        val d = coalesce(size(array_distinct(grams)).cast("long"), lit(0L))
+        val base = batch.select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tok"),
+          md5(col("text").cast("binary")).as("__fp"),
+          (n.between(3L, 10000L) && sumLen >= n * 3L && sumLen <= n * 10L &&
+            TextAnalysis.stopwordHits(ltoks, TextAnalysis.StopEn) >= 2L &&
+            sym * 10L <= n && (g - d) * 8L <= g).as("g_gopher"))
+        // history digest registry: one digest row per historical doc
+        val histDigests = docs.filter(col("doc_id") < 250)
+          .select(md5(col("text").cast("binary")).as("__fp")).distinct()
+        val firsts = base.filter(col("g_gopher"))
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(col("__fp")).orderBy(col("doc_id"))))
+          .filter(col("__rn") === 1)
+          .join(histDigests, Seq("__fp"), "left_anti")
+          .select(col("doc_id"), lit(true).as("g_digest"))
+        // fingerprint registry: q159's near-new survivors
+        val lsh = PipelineQueries.md5LshStage(s, dir)
+        val nearNew = NearDup.incrementalNearDups(
+            lsh.filter(col("id") >= 250), lsh.filter(col("id") < 250))
+          .select(col("id").as("doc_id")).distinct()
+          .withColumn("__nn", lit(true))
+        // exemplar registry: q178's verdicts under the frozen quantizer
+        val batchA = PipelineQueries.stage(s, dir, "semreg_batch_assign")(
+          Similarity.assignEmbeddings(
+            t(s, dir, "embeddings").filter(col("vec_id") >= 250),
+            semregFrozenStage(s, dir)))
+        val sem = Similarity.semDedupVsRegistry(batchA,
+            semregExemplarsStage(s, dir), tau = 0.3, maxPerCluster = 16L)
+          .select(col("vec_id").as("doc_id"),
+            (!col("is_dup")).as("__sem"))
+        base.join(firsts, Seq("doc_id"), "left")
+          .join(nearNew, Seq("doc_id"), "left")
+          .join(sem, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tok"), col("g_gopher"),
+            coalesce(col("g_digest"), lit(false)).as("g_digest"),
+            coalesce(col("__nn"), lit(false)).as("g_neardup"),
+            coalesce(col("__sem"), lit(false)).as("g_semdedup"))
+      }
+      val s1 = col("g_gopher")
+      val s2 = s1 && col("g_digest")
+      val s3 = s2 && col("g_neardup")
+      val s4 = s3 && col("g_semdedup")
+      def dAgg(cond: Column, i: Int) = Seq(
+        sum(when(cond, 1L).otherwise(0L)).as(s"d$i"),
+        sum(when(cond, col("n_tok")).otherwise(0L)).as(s"t$i"))
+      val aggs = Seq(count(lit(1)).as("d0"), sum(col("n_tok")).as("t0")) ++
+        dAgg(s1, 1) ++ dAgg(s2, 2) ++ dAgg(s3, 3) ++ dAgg(s4, 4)
+      val one = gates.agg(aggs.head, aggs.tail: _*)
+      val funnel = one.select(expr(
+          "stack(5, '0_batch', d0, t0, '1_gopher', d1, t1, " +
+            "'2_digest_registry', d2, t2, '3_neardup_registry', d3, t3, " +
+            "'4_semdedup_registry', d4, t4) as (stage, docs, tokens)"))
+        .select(col("stage"), col("docs").cast("long").as("docs"),
+          col("tokens").cast("long").as("tokens"),
+          lit(null).cast("long").as("n_bins"),
+          lit(null).cast("double").as("fill_rate"))
+      val packRow = Packing.packGreedy(
+          gates.filter(s4).select(col("doc_id"), col("n_tok")),
+          "doc_id", "n_tok", budget = 512L, shards = 8)
+        .groupBy(col("shard"), col("bin")).agg(sum(col("w")).as("fill"))
+        .agg(count(lit(1)).as("n_bins"), sum(col("fill")).as("ptok"))
+        .crossJoin(broadcast(one.select(col("d4"))))
+        .select(lit("5_packed").as("stage"),
+          col("d4").cast("long").as("docs"),
+          col("ptok").cast("long").as("tokens"),
+          col("n_bins").cast("long").as("n_bins"),
+          round(col("ptok").cast("double") / (col("n_bins") * 512L), 6)
+            .as("fill_rate"))
+      funnel.unionByName(packRow).orderBy(col("stage"))
+    }),
+
     // The registry OPS CARD — one row per registry family (digest /
     // fingerprint / gram / embedding-exemplar), each summarizing the
     // provenance log its graded lifecycle queries maintain (q167 / q159
@@ -1122,8 +1220,104 @@ object CorpusQueries {
       |    CAST(nex - dex AS BIGINT) FROM exs
       |ORDER BY store""".stripMargin
 
+  /** q202 oracle: the nightly chains composed — the gopher/digest CTEs
+    * inline (batch-filtered), the q159 fingerprint-registry chain and
+    * the full q178 exemplar chain each wrapped as collision-free
+    * subqueries (the indexCardSql pattern), the recursive packing
+    * replay over the admitted set. */
+  private val incrementalFunnelSql: String =
+    s"""WITH RECURSIVE
+      |bgt AS (SELECT doc_id, text,
+      |    string_split_regex(trim(lower(text)), '\\s+') AS ltoks,
+      |    length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
+      |      AS n_sym,
+      |    len(string_split_regex(trim(text), '\\s+')) AS n_tok
+      |  FROM documents WHERE doc_id >= 250),
+      |bgf AS (SELECT doc_id, text, n_tok, n_sym, len(ltoks) AS n,
+      |    list_sum(list_transform(ltoks, w -> length(w))) AS sum_len,
+      |    len(list_filter(ltoks, w -> list_contains(
+      |      ['the','a','of','and','to','in','is','on','for','with'], w)))
+      |      AS stop_hits,
+      |    CASE WHEN len(ltoks) >= 3
+      |      THEN list_transform(range(len(ltoks)-2),
+      |             i -> ltoks[i+1] || ' ' || ltoks[i+2] || ' ' || ltoks[i+3])
+      |      ELSE []::VARCHAR[] END AS grams
+      |  FROM bgt),
+      |bacc AS (SELECT doc_id, text, n_tok,
+      |    (n BETWEEN 3 AND 10000 AND sum_len >= n * 3 AND sum_len <= n * 10
+      |     AND stop_hits >= 2 AND n_sym * 10 <= n
+      |     AND (len(grams) - len(list_distinct(grams))) * 8 <= len(grams))
+      |      AS g_gopher
+      |  FROM bgf),
+      |bhd AS (SELECT DISTINCT md5(text) AS fp FROM documents
+      |  WHERE doc_id < 250),
+      |bdd AS (SELECT doc_id, md5(text) AS fp, row_number() OVER
+      |    (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |  FROM bacc WHERE g_gopher),
+      |bs2 AS (SELECT doc_id FROM bdd WHERE rn = 1
+      |  AND fp NOT IN (SELECT fp FROM bhd)),
+      |bnn AS (SELECT doc_id FROM (
+      |  WITH ${PipelineQueries.neardupRegistryCtes}
+      |  SELECT DISTINCT doc_id FROM fresh
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM dups))),
+      |bs3 AS (SELECT doc_id FROM bs2
+      |  WHERE doc_id IN (SELECT doc_id FROM bnn)),
+      |bsem AS (SELECT vec_id AS doc_id FROM (
+      |  ${semRegSql(None)}
+      |  ) WHERE NOT is_dup),
+      |bs4 AS (SELECT doc_id FROM bs3
+      |  WHERE doc_id IN (SELECT doc_id FROM bsem)),
+      |bptoks AS (SELECT CAST(a.doc_id AS BIGINT) AS id, t.n_tok AS pw,
+      |    ('0x' || substr(md5(a.doc_id::VARCHAR), 1, 15))::BIGINT % 8
+      |      AS shard
+      |  FROM bs4 a JOIN bacc t ON t.doc_id = a.doc_id),
+      |bpdocs AS (SELECT id, pw, shard,
+      |    row_number() OVER (PARTITION BY shard ORDER BY id) AS rn
+      |  FROM bptoks),
+      |bpack AS (
+      |  SELECT id, pw, shard, rn, CAST(0 AS BIGINT) AS bin, pw AS fill
+      |  FROM bpdocs WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.id, d.pw, d.shard, d.rn,
+      |    CASE WHEN pk.fill > 0 AND pk.fill + d.pw > 512
+      |         THEN pk.bin + 1 ELSE pk.bin END AS bin,
+      |    CASE WHEN pk.fill > 0 AND pk.fill + d.pw > 512
+      |         THEN d.pw ELSE pk.fill + d.pw END AS fill
+      |  FROM bpack pk JOIN bpdocs d ON d.shard = pk.shard
+      |                            AND d.rn = pk.rn + 1),
+      |bpb AS (SELECT shard, bin, sum(pw) AS fill FROM bpack
+      |  GROUP BY shard, bin)
+      |SELECT '0_batch' AS stage, CAST(count(*) AS BIGINT) AS docs,
+      |    CAST(sum(n_tok) AS BIGINT) AS tokens,
+      |    CAST(NULL AS BIGINT) AS n_bins, CAST(NULL AS DOUBLE) AS fill_rate
+      |  FROM bacc
+      |UNION ALL
+      |SELECT '1_gopher', CAST(count(*) AS BIGINT),
+      |    CAST(sum(n_tok) AS BIGINT), NULL, NULL
+      |  FROM bacc WHERE g_gopher
+      |UNION ALL
+      |SELECT '2_digest_registry', CAST(count(*) AS BIGINT),
+      |    CAST(sum(t.n_tok) AS BIGINT), NULL, NULL
+      |  FROM bs2 JOIN bacc t USING (doc_id)
+      |UNION ALL
+      |SELECT '3_neardup_registry', CAST(count(*) AS BIGINT),
+      |    CAST(sum(t.n_tok) AS BIGINT), NULL, NULL
+      |  FROM bs3 JOIN bacc t USING (doc_id)
+      |UNION ALL
+      |SELECT '4_semdedup_registry', CAST(count(*) AS BIGINT),
+      |    CAST(sum(t.n_tok) AS BIGINT), NULL, NULL
+      |  FROM bs4 JOIN bacc t USING (doc_id)
+      |UNION ALL
+      |SELECT '5_packed',
+      |    (SELECT CAST(count(*) AS BIGINT) FROM bs4),
+      |    (SELECT CAST(sum(fill) AS BIGINT) FROM bpb),
+      |    (SELECT CAST(count(*) AS BIGINT) FROM bpb),
+      |    (SELECT round(sum(fill)::DOUBLE / (count(*) * 512), 6) FROM bpb)
+      |ORDER BY stage""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q178_semdedup_registry" -> semRegSql(None),
+    "q202_incremental_funnel" -> incrementalFunnelSql,
     "q195_registry_takedown" -> semRegSql(Some("vec_id % 5 = 2")),
     "q196_release_funnel" -> releaseFunnelSql,
     "q197_registry_ops" -> registryOpsSql,

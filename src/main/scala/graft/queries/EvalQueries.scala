@@ -369,9 +369,7 @@ object EvalQueries {
             nprobe = ivfNprobe, k = pqTopK, exact = Some(exact)),
           dim + 4 + 4, routed = true))
         .unionByName(row("nsw_lite",
-          Similarity.nswRecallAtK(queries, emb,
-            PipelineQueries.stage(s, dir, "nsw_edges")(
-              Similarity.nswEdges(ivfCoarseStage(s, dir), m = nswM)),
+          Similarity.nswRecallAtK(queries, emb, nswEdgesAtM(s, dir),
             ivfCoarseStage(s, dir).select(col("vec_id"), col("cluster")),
             entries = nswEntries, rounds = nswRounds, k = pqTopK,
             exact = Some(exact)),
@@ -392,13 +390,30 @@ object EvalQueries {
     // exact baseline, like every other family gauge.
     "q198_nsw_lite" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val edges = PipelineQueries.stage(s, dir, "nsw_edges")(
-        Similarity.nswEdges(ivfCoarseStage(s, dir), m = nswM))
-      Similarity.nswRecallAtK(emb.filter(col("vec_id") < 8), emb, edges,
+      Similarity.nswRecallAtK(emb.filter(col("vec_id") < 8), emb,
+          nswEdgesAtM(s, dir),
           ivfCoarseStage(s, dir).select(col("vec_id"), col("cluster")),
           entries = nswEntries, rounds = nswRounds, k = pqTopK,
           exact = Some(exactDotStage(s, dir)))
         .orderBy(col("qid"))
+    }),
+
+    // The degree TUNING CURVE of the NSW graph — the m dial's
+    // q179/q182/q190 mirror, completing the every-family-ships-its-
+    // curve discipline for the newest family: recall@10 per stored
+    // degree, every point served by ONE persisted ranked edge table
+    // (degree-sub-setting is a row-local rank filter — the graph is
+    // never rebuilt, the corpus never rescanned). Edge sets nest in m,
+    // so candidates form a superset chain per query and the mean curve
+    // is the dial (NswSpec pins chain + mean monotonicity).
+    "q201_nsw_degree_curve" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.nswDegreeCurve(emb.filter(col("vec_id") < 8), emb,
+          nswRankedStage(s, dir),
+          ivfCoarseStage(s, dir).select(col("vec_id"), col("cluster")),
+          ms = nswDegrees, entries = nswEntries, rounds = nswRounds,
+          k = pqTopK, exact = Some(exactDotStage(s, dir)))
+        .orderBy(col("degree"), col("qid"))
     }),
 
     // TAKEDOWN NIGHT for the stored ANN index — the lifecycle edge a
@@ -526,6 +541,21 @@ object EvalQueries {
   private val nswM = 6
   private val nswEntries = 2
   private val nswRounds = 2
+  /** q201 degree-curve points — bracket the q198 operating point. */
+  private val nswDegrees = Seq(2, 6, 12)
+
+  /** Persisted ranked NSW edge table at the curve's max degree — ONE
+    * graph build serves q198, the q189 card row and every q201 curve
+    * point (degree-sub-setting is a row-local rank filter). */
+  private def nswRankedStage(s: SparkSession, dir: String): DataFrame =
+    PipelineQueries.stage(s, dir, "nsw_edges_ranked")(
+      Similarity.nswEdgesRanked(ivfCoarseStage(s, dir),
+        mMax = nswDegrees.max))
+
+  /** The q198/q189 operating-point edge set, filtered from the stage. */
+  private def nswEdgesAtM(s: SparkSession, dir: String): DataFrame =
+    nswRankedStage(s, dir).filter(col("rnk") <= nswM)
+      .select(col("src"), col("dst"))
   /** q179 curve points — brackets the q171 operating point (nprobe=2). */
   private val probeCurve = Seq(1, 2, 4)
 
@@ -937,8 +967,8 @@ object EvalQueries {
     * ranking, two UNION-distinct frontier hops (the fixed-round
     * expansion, replayed literally), exact candidate scoring, recall vs
     * the same exact scan as every family gauge. */
-  private def nswSql: String = {
-    val (k, m, entries) = (pqTopK, nswM, nswEntries)
+  private def nswSql(m: Int = nswM): String = {
+    val (k, entries) = (pqTopK, nswEntries)
     val dim = pqM * pqSub
     s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
@@ -1042,7 +1072,7 @@ object EvalQueries {
       wrap("ivf_pq_res", pqChainSql(Some(ivfNprobe), residual = true),
         pqM + 4, routed = true),
       wrap("ivf_sq8", ivfSq8Sql, dim + 4 + 4, routed = true),
-      wrap("nsw_lite", nswSql, dim * 4 + nswM * 8, routed = true)
+      wrap("nsw_lite", nswSql(), dim * 4 + nswM * 8, routed = true)
     ).mkString("", "\nUNION ALL\n", "\nORDER BY family")
   }
 
@@ -1095,7 +1125,12 @@ object EvalQueries {
     "q185_index_drift" -> driftSql,
     "q186_ivf_sq8" -> ivfSq8Sql,
     "q189_index_card" -> indexCardSql,
-    "q198_nsw_lite" -> nswSql,
+    "q198_nsw_lite" -> nswSql(),
+    // q201: per-degree chains (same generator), each wrapped so the CTE
+    // vocabularies can't collide — the q189-card union pattern
+    "q201_nsw_degree_curve" -> nswDegrees.map(m =>
+        s"SELECT CAST($m AS BIGINT) AS degree, * FROM (\n${nswSql(m)}\n) nsw_$m")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY degree, qid"),
 
     "q152_ann_recall" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

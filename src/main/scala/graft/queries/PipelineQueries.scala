@@ -722,6 +722,20 @@ object PipelineQueries {
       graft.operators.Packing.packCard(packedStage(s, dir), budget = 512L)
         .orderBy(col("n_bins"))),
 
+    // Takedown BLAST RADIUS on the stored packing — the downstream edge
+    // of the q194/q195 takedown nights: a packed training sequence with
+    // a condemned doc in it is DIRTY and must be reassembled; this one
+    // row (total/dirty bins, condemned docs+tokens, innocent docs+tokens
+    // forced to re-pack, dirty fraction) decides between an incremental
+    // re-pack and a snapshot rebuild. Tombstones derive from the cached
+    // manifest itself (id-only); the corpus text is never touched.
+    "q200_takedown_blast" -> ((s, dir) => {
+      val packed = packedStage(s, dir)
+      val tombs = packed.filter(col("id") % 23 === 9).select(col("id"))
+      graft.operators.Packing.takedownBlastRadius(packed, tombs, "id")
+        .orderBy(col("n_bins"))
+    }),
+
     // LLM dedup 7 (local overlap): winnowed fingerprints — pairs sharing
     // ≥5 window-min 16-gram hashes. Catches a copied PARAGRAPH inside
     // otherwise-different docs, where whole-document Jaccard/cosine ~ 0.
@@ -993,6 +1007,25 @@ object PipelineQueries {
     "q61_token_packing" ->
       s"""WITH RECURSIVE $packingCtes
         |SELECT id, w, shard, bin FROM pack ORDER BY id""".stripMargin,
+
+    "q200_takedown_blast" ->
+      s"""WITH RECURSIVE $packingCtes,
+        |pb AS (SELECT shard, bin, count(*) AS docs, sum(w) AS fill,
+        |    sum(CASE WHEN id % 23 = 9 THEN 1 ELSE 0 END) AS n_tomb,
+        |    sum(CASE WHEN id % 23 = 9 THEN w ELSE 0 END) AS w_tomb
+        |  FROM pack GROUP BY shard, bin)
+        |SELECT CAST(count(*) AS BIGINT) AS n_bins,
+        |  CAST(sum(CASE WHEN n_tomb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dirty_bins,
+        |  CAST(sum(n_tomb) AS BIGINT) AS n_docs_dropped,
+        |  CAST(sum(w_tomb) AS BIGINT) AS tokens_dropped,
+        |  CAST(sum(CASE WHEN n_tomb > 0 THEN docs - n_tomb ELSE 0 END)
+        |    AS BIGINT) AS n_docs_repack,
+        |  CAST(sum(CASE WHEN n_tomb > 0 THEN fill - w_tomb ELSE 0 END)
+        |    AS BIGINT) AS tokens_repack,
+        |  round(sum(CASE WHEN n_tomb > 0 THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*), 6) AS dirty_frac
+        |FROM pb""".stripMargin,
 
     "q193_packing_card" ->
       s"""WITH RECURSIVE $packingCtes,

@@ -61,6 +61,39 @@ class NswSpec extends SparkSpec {
     } finally { assigned.unpersist(); () }
   }
 
+  test("degree curve: edge sets nest in m (rank filter == standalone " +
+      "build), candidate sets form a superset chain, mean recall is " +
+      "monotone at the graded geometry, and the m=6 point equals the " +
+      "standalone q198 gauge") {
+    val sfDir = dir
+    val curve = SparkEntry.queries("q201_nsw_degree_curve")(spark, sfDir)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(rs => (rs.map(_.getLong(3)).sum,
+        rs.map(_.getDouble(4)).sum / rs.length)).toMap
+    val degrees = curve.keys.toSeq.sorted
+    assert(degrees === Seq(2L, 6L, 12L))
+    val means = degrees.map(curve(_)._2)
+    assert(means === means.sorted, s"mean recall not monotone: $means")
+    // per-point equality with the standalone gauge at the operating m
+    val standalone = SparkEntry.queries("q198_nsw_lite")(spark, sfDir)
+      .agg(sum(col("hits"))).collect()(0).getLong(0)
+    assert(curve(6L)._1 === standalone)
+    // rank-filtered edges == edges built standalone at that m
+    val assigned = Similarity.assignToCentroids(emb).persist()
+    try {
+      val ranked = Similarity.nswEdgesRanked(assigned, mMax = 12)
+        .persist()
+      try {
+        val viaFilter = ranked.filter(col("rnk") <= 2)
+          .select(col("src"), col("dst"))
+        val direct = Similarity.nswEdges(assigned, m = 2)
+        assert(viaFilter.except(direct).count() === 0L)
+        assert(direct.except(viaFilter).count() === 0L)
+      } finally { ranked.unpersist(); () }
+    } finally { assigned.unpersist(); () }
+  }
+
   test("every candidate is graph-reachable from an entry node within " +
       "the round budget (driver replay over the collected edge table)") {
     val assigned = Similarity.assignToCentroids(emb).persist()

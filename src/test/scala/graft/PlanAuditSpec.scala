@@ -835,8 +835,44 @@ class PlanAuditSpec extends SparkSpec {
     "gathered ids, no cartesian corpus pair join") {
     val p = plan("q198_nsw_lite")
     assert(!p.contains("CartesianProduct"), p)
-    // nsw_edges + ivf_coarse + exact_dot_topk ride the cache
+    // nsw_edges_ranked + ivf_coarse + exact_dot_topk ride the cache
     assert("InMemoryTableScan".r.findAllIn(p).size >= 3, p)
     assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q200: the blast radius reads ONLY the cached packing manifest — " +
+    "tombstones derive from it, so the entire live plan is parquet-free") {
+    val df = SparkEntry.queries("q200_takedown_blast")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scans = df.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.isEmpty, scans.mkString("\n"))
+  }
+
+  test("q201: every degree point rides the SAME ranked edge stage — the " +
+    "graph is never rebuilt per point and no cartesian appears") {
+    val p = plan("q201_nsw_degree_curve")
+    assert(!p.contains("CartesianProduct"), p)
+    // one InMemoryTableScan of the ranked edges per curve point (x2
+    // hops), plus coarse/exact stages
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 6, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q202: the nightly funnel's live plan reads only cached stages — " +
+    "history is consulted through its registries, never rescanned") {
+    val df = SparkEntry.queries("q202_incremental_funnel")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scans = df.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.isEmpty, scans.mkString("\n"))
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("Generate"), p)
   }
 }

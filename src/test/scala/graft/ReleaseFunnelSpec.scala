@@ -78,4 +78,43 @@ class ReleaseFunnelSpec extends SparkSpec {
     assert(droppedNd.join(justified, Seq("doc_id"), "left_anti")
       .count() === 0L)
   }
+
+  test("q202 nightly funnel reconciles with its registry queries: the " +
+      "near-dup gate is exactly the q159 keep set, the semantic gate " +
+      "exactly the q178 survivors, and no history digest survives the " +
+      "digest gate") {
+    val rows = SparkEntry.queries("q202_incremental_funnel")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val order = Seq("0_batch", "1_gopher", "2_digest_registry",
+      "3_neardup_registry", "4_semdedup_registry")
+    val docs = order.map(rows(_))
+    assert(docs === docs.sorted.reverse, s"not monotone: $docs")
+    assert(rows("5_packed") === rows("4_semdedup_registry"))
+    val gates = graft.queries.PipelineQueries
+      .stage(spark, dir, "nightly_gates")(
+        sys.error("nightly_gates must be cached by the funnel run"))
+    // near-dup gate == q159 membership on the batch
+    val q159 = SparkEntry.queries("q159_neardup_registry")(spark, dir)
+      .select(col("doc_id"))
+    val ndMismatch = gates.select(col("doc_id"), col("g_neardup"))
+      .join(q159.withColumn("__in", lit(true)), Seq("doc_id"), "left")
+      .filter(col("g_neardup") =!= coalesce(col("__in"), lit(false)))
+    assert(ndMismatch.count() === 0L)
+    // semantic gate == q178 survivors
+    val q178 = SparkEntry.queries("q178_semdedup_registry")(spark, dir)
+      .select(col("vec_id").as("doc_id"), (!col("is_dup")).as("keep"))
+    val semMismatch = gates.select(col("doc_id"), col("g_semdedup"))
+      .join(q178, Seq("doc_id"))
+      .filter(col("g_semdedup") =!= col("keep"))
+    assert(semMismatch.count() === 0L)
+    // digest gate: no surviving batch doc shares a digest with history
+    val docsT = Tables.load(spark, dir, "documents")
+    val histFp = docsT.filter(col("doc_id") < 250)
+      .select(md5(col("text").cast("binary")).as("fp")).distinct()
+    val survFp = gates.filter(col("g_gopher") && col("g_digest"))
+      .select(col("doc_id"))
+      .join(docsT.select(col("doc_id"),
+        md5(col("text").cast("binary")).as("fp")), Seq("doc_id"))
+    assert(survFp.join(histFp, Seq("fp"), "left_semi").count() === 0L)
+  }
 }

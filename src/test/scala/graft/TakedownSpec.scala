@@ -147,6 +147,37 @@ class TakedownSpec extends SparkSpec {
     assert(after(200L), "surviving exemplar 20 must keep covering 200")
   }
 
+  test("takedownBlastRadius conserves: dropped + repack == docs in " +
+      "dirty bins, clean bins contribute nothing, empty tombstones " +
+      "dirty nothing") {
+    import sqlImplicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val packed = graft.operators.Packing.packGreedy(
+      docs.select(col("doc_id"),
+        graft.functions.TextAnalysis.tokenCount(col("text")).as("n_tok")),
+      "doc_id", "n_tok", budget = 512L, shards = 8).persist()
+    try {
+      val tombs = packed.filter(col("id") % 23 === 9).select(col("id"))
+      val r = graft.operators.Packing
+        .takedownBlastRadius(packed, tombs, "id").collect()(0)
+      val nBins = packed.select(col("shard"), col("bin")).distinct().count()
+      assert(r.getLong(0) === nBins)
+      assert(r.getLong(2) === tombs.count(), "dropped == tombstoned docs")
+      // docs in dirty bins == dropped + repack
+      val dirtyBins = packed.join(tombs, Seq("id"), "left_semi")
+        .select(col("shard"), col("bin")).distinct()
+      val docsInDirty = packed.join(dirtyBins, Seq("shard", "bin"),
+        "left_semi").count()
+      assert(r.getLong(2) + r.getLong(4) === docsInDirty)
+      assert(r.getLong(1) === dirtyBins.count())
+      // empty tombstone set: zero radius
+      val none = graft.operators.Packing.takedownBlastRadius(packed,
+        Seq.empty[Long].toDF("id"), "id").collect()(0)
+      assert(none.getLong(1) === 0L && none.getLong(2) === 0L &&
+        none.getDouble(6) === 0.0)
+    } finally { packed.unpersist(); () }
+  }
+
   test("purgeReceipt accounts exactly and purge is idempotent") {
     val store = Similarity.sq8Quantize(emb).persist()
     try {
