@@ -416,6 +416,52 @@ object EvalQueries {
         .orderBy(col("degree"), col("qid"))
     }),
 
+    // NSW TAKEDOWN — and the REPAIR question, measured q180-style: a
+    // graph index is the one ANN store where delete-by-anti-join is NOT
+    // identical to rebuild (dropping a condemned neighbor leaves
+    // survivors with fewer than m edges; a rebuild promotes next-ranked
+    // survivors). Both variants are graded against the same survivor
+    // ground truth: 'purged' keeps the stored ranks and drops condemned
+    // endpoints (O(|edges|) anti-join, the cheap night), 'rebuilt'
+    // re-ranks neighbors among survivors (one capped self-join, the
+    // expensive night). The mean-recall gap between the two rows IS the
+    // measured repair debt — the number that decides whether the cheap
+    // purge suffices until the next scheduled rebuild. Purged edges are
+    // always a subset of rebuilt edges (removal only removes ranking
+    // competitors; NswSpec pins it), so rebuilt recall is the ceiling.
+    "q203_nsw_takedown" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      val tomb = col("vec_id") % 23 === 9
+      val coarse = ivfCoarseStage(s, dir)
+      val tombs = coarse.filter(tomb).select(col("vec_id"))
+      val purged = Takedown.purge(
+        Takedown.purge(nswEdgesAtM(s, dir),
+          tombs.select(col("vec_id").as("src")), "src"),
+        tombs.select(col("vec_id").as("dst")), "dst")
+      val rebuilt = PipelineQueries.stage(s, dir, "nsw_edges_rebuilt")(
+        Similarity.nswEdges(coarse.filter(!tomb), m = nswM))
+      val survAssigned = coarse.filter(!tomb)
+        .select(col("vec_id"), col("cluster"))
+      val exactSurv = PipelineQueries.stage(s, dir, "takedown_exact")(
+        Similarity.bruteForceDotTopK(queries, emb.filter(!tomb),
+            k = pqTopK)
+          .select(col("qid"), col("vec_id")))
+      def variantRow(v: String, edges: DataFrame): DataFrame =
+        Similarity.nswRecallAtK(queries, emb, edges, survAssigned,
+            entries = nswEntries, rounds = nswRounds, k = pqTopK,
+            exact = Some(exactSurv))
+          .agg(count(lit(1)).as("n_queries"),
+            sum(col("hits")).as("sum_hits"))
+          .select(lit(v).as("variant"), col("n_queries"), col("sum_hits"),
+            round(col("sum_hits").cast("double") /
+              (col("n_queries") * lit(pqTopK)).cast("double"), 6)
+              .as("mean_recall"))
+      variantRow("purged", purged)
+        .unionByName(variantRow("rebuilt", rebuilt))
+        .orderBy(col("variant"))
+    }),
+
     // TAKEDOWN NIGHT for the stored ANN index — the lifecycle edge a
     // real corpus faces after q181's append night (copyright/PII removal
     // requests): a tombstone id set (vec_id % 23 = 9 — none of the
@@ -967,9 +1013,27 @@ object EvalQueries {
     * ranking, two UNION-distinct frontier hops (the fixed-round
     * expansion, replayed literally), exact candidate scoring, recall vs
     * the same exact scan as every family gauge. */
-  private def nswSql(m: Int = nswM): String = {
+  /** With `tombFmt` set the chain replays an NSW TAKEDOWN night (q203):
+    * entry nodes and the exact baseline restrict to survivors, and the
+    * edge table either keeps its stored ranks and drops condemned
+    * endpoints (`rebuilt = false` — the purge) or re-ranks neighbors
+    * among survivors (`rebuilt = true` — the repair). */
+  private def nswSql(m: Int = nswM,
+      tombFmt: Option[String => String] = None,
+      rebuilt: Boolean = false): String = {
+    require(!rebuilt || tombFmt.isDefined, "rebuilt mode needs tombstones")
     val (k, entries) = (pqTopK, nswEntries)
     val dim = pqM * pqSub
+    val avsCte = tombFmt.fold("")(f => s"""
+      |avs AS (SELECT * FROM av WHERE NOT (${f("vec_id")})),"""
+      .stripMargin)
+    val edgeSrc = if (rebuilt) "avs" else "av"
+    val eminSrc = if (tombFmt.isDefined) "avs" else "av"
+    val purgeWhere =
+      if (tombFmt.isDefined && !rebuilt)
+        s" AND NOT (${tombFmt.get("src")}) AND NOT (${tombFmt.get("dst")})"
+      else ""
+    val exTomb = tombFmt.fold("")(f => s" AND NOT (${f("e.vec_id")})")
     s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
       |ivfcomp AS (SELECT label, r.i AS ord, avg(v[(r.i + 1)::INTEGER]) AS mv
@@ -985,7 +1049,7 @@ object EvalQueries {
       |        ct.label) AS rnk
       |    FROM e CROSS JOIN ivfcent ct) WHERE rnk = 1),
       |av AS (SELECT e.vec_id, e.v, co.cluster
-      |  FROM e JOIN ivfco co USING (vec_id)),
+      |  FROM e JOIN ivfco co USING (vec_id)),$avsCte
       |edges AS (SELECT src, dst FROM (
       |    SELECT a.vec_id AS src, b.vec_id AS dst,
       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
@@ -993,8 +1057,9 @@ object EvalQueries {
       |          (sqrt(list_dot_product(a.v, a.v)) *
       |           sqrt(list_dot_product(b.v, b.v))), 6) DESC,
       |        b.vec_id) AS rnk
-      |    FROM av a JOIN av b ON a.cluster = b.cluster
-      |                       AND a.vec_id <> b.vec_id) WHERE rnk <= $m),
+      |    FROM $edgeSrc a JOIN $edgeSrc b ON a.cluster = b.cluster
+      |                       AND a.vec_id <> b.vec_id)
+      |  WHERE rnk <= $m$purgeWhere),
       |probes AS (SELECT qid, cluster FROM (
       |    SELECT q.qid, ct.label AS cluster,
       |      row_number() OVER (PARTITION BY q.qid ORDER BY
@@ -1003,7 +1068,7 @@ object EvalQueries {
       |           sqrt(list_dot_product(ct.c, ct.c))), 6) DESC,
       |        ct.label) AS prnk
       |    FROM q CROSS JOIN ivfcent ct) WHERE prnk <= $entries),
-      |emin AS (SELECT cluster, min(vec_id) AS vec_id FROM av
+      |emin AS (SELECT cluster, min(vec_id) AS vec_id FROM $eminSrc
       |  GROUP BY cluster),
       |c0 AS (SELECT p.qid, em.vec_id FROM probes p
       |  JOIN emin em USING (cluster)),
@@ -1024,7 +1089,7 @@ object EvalQueries {
       |        round(list_dot_product(t.qv0, e.v), 6) AS sim
       |      FROM (SELECT vec_id AS qid, v AS qv0 FROM e
       |            WHERE vec_id < 8) t, e
-      |      WHERE e.vec_id <> t.qid),
+      |      WHERE e.vec_id <> t.qid$exTomb),
       |exact AS (SELECT qid, vec_id FROM (
       |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
       |      ORDER BY sim DESC, vec_id) AS rnk FROM ex) WHERE rnk <= $k)
@@ -1131,6 +1196,23 @@ object EvalQueries {
     "q201_nsw_degree_curve" -> nswDegrees.map(m =>
         s"SELECT CAST($m AS BIGINT) AS degree, * FROM (\n${nswSql(m)}\n) nsw_$m")
       .mkString("", "\nUNION ALL\n", "\nORDER BY degree, qid"),
+    // q203: purge vs rebuild under the same tombstones, each chain
+    // wrapped collision-free and aggregated to the per-variant card row
+    "q203_nsw_takedown" -> {
+      val tomb = (c: String) => s"$c % 23 = 9"
+      def wrapV(v: String, chain: String) =
+        s"""SELECT '$v' AS variant,
+           |  CAST(count(*) AS BIGINT) AS n_queries,
+           |  CAST(sum(hits) AS BIGINT) AS sum_hits,
+           |  round(sum(hits)::DOUBLE / (count(*) * $pqTopK), 6)
+           |    AS mean_recall
+           |FROM (
+           |${chain}
+           |) v_$v""".stripMargin
+      Seq(wrapV("purged", nswSql(nswM, Some(tomb))),
+          wrapV("rebuilt", nswSql(nswM, Some(tomb), rebuilt = true)))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY variant")
+    },
 
     "q152_ann_recall" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

@@ -94,6 +94,33 @@ class NswSpec extends SparkSpec {
     } finally { assigned.unpersist(); () }
   }
 
+  test("takedown: purged edges are a SUBSET of the rebuilt graph's " +
+      "(removal only removes ranking competitors), so the rebuild's " +
+      "recall is the ceiling — and the q203 card orders that way") {
+    val assigned = Similarity.assignToCentroids(emb).persist()
+    try {
+      val tomb = col("vec_id") % 23 === 9
+      val tombs = assigned.filter(tomb).select(col("vec_id"))
+      val full = Similarity.nswEdges(assigned, m = 6)
+      val purged = graft.operators.Takedown.purge(
+        graft.operators.Takedown.purge(full,
+          tombs.select(col("vec_id").as("src")), "src"),
+        tombs.select(col("vec_id").as("dst")), "dst")
+      val rebuilt = Similarity.nswEdges(assigned.filter(!tomb), m = 6)
+      assert(purged.except(rebuilt).count() === 0L,
+        "a purged edge must survive the rebuild (rank can only improve)")
+      // no condemned endpoint anywhere after either night
+      assert(purged.join(tombs.select(col("vec_id").as("src")),
+        Seq("src"), "left_semi").count() === 0L)
+      assert(rebuilt.join(tombs.select(col("vec_id").as("dst")),
+        Seq("dst"), "left_semi").count() === 0L)
+      // the graded card: rebuilt recall >= purged recall
+      val card = SparkEntry.queries("q203_nsw_takedown")(spark, dir)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(card("rebuilt") >= card("purged"))
+    } finally { assigned.unpersist(); () }
+  }
+
   test("every candidate is graph-reachable from an entry node within " +
       "the round budget (driver replay over the collected edge table)") {
     val assigned = Similarity.assignToCentroids(emb).persist()
