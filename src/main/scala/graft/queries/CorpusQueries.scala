@@ -662,6 +662,22 @@ object CorpusQueries {
         .orderBy(col("family"))
     }),
 
+    // The temperature-α TUNING CURVE — the dial behind q188's balancing
+    // (which fixes α = 0.5), closing the last un-curved dial: per
+    // candidate α, the flattened target share each discovered topic
+    // would get. One category-count aggregate over the persisted
+    // assignment; every α point is row-local over those k rows. α = 1
+    // reproduces the natural shares, α = 0 is uniform, and the max
+    // share flattens monotonically as α falls (MixtureSpec pins it).
+    "q204_temperature_curve" -> ((s, dir) => {
+      val cat = PipelineQueries.stage(s, dir, "sqrtn_assign")(
+          Similarity.lloydAssigned(t(s, dir, "embeddings"), iters = 2,
+            k = 22))
+        .select(col("vec_id"), col("cluster").cast("string").as("topic"))
+      Mixture.temperatureCurve(cat, "topic", alphas = Seq(0.0, 0.5, 1.0))
+        .orderBy(col("alpha"), col("topic"))
+    }),
+
     // BPE training statistic: adjacent-symbol pair counts over the
     // frequency-weighted word vocabulary (the explode runs on |V| rows,
     // not the corpus), top-30 merge candidates. Integer counts — exact.
@@ -1315,9 +1331,40 @@ object CorpusQueries {
       |    (SELECT round(sum(fill)::DOUBLE / (count(*) * 512), 6) FROM bpb)
       |ORDER BY stage""".stripMargin
 
+  /** q204 oracle: the q188 Lloyd chain feeding the per-α share rows —
+    * α ∈ {0, 0.5, 1} expressed with EXACT functions (1, sqrt, n). */
+  private val temperatureCurveSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |sd AS (SELECT vec_id, v, md5(vec_id::VARCHAR) AS h FROM e
+      |       ORDER BY h, vec_id LIMIT 22),
+      |cent0 AS (SELECT row_number() OVER (ORDER BY h, vec_id) AS clab,
+      |            list_transform(v, x -> round(x, 6)) AS c FROM sd),
+      |${sdArgmax("a1", "e", "cent0")},
+      |${sdMeans("cent1", "a1")},
+      |${sdArgmax("a2", "e", "cent1")},
+      |cat AS (SELECT vec_id, cluster::VARCHAR AS topic FROM a2),
+      |c AS (SELECT topic, count(*) AS n FROM cat GROUP BY topic)
+      |SELECT 0.0 AS alpha, topic, CAST(n AS BIGINT) AS n_docs,
+      |  round(n::DOUBLE / (SELECT sum(n) FROM c), 6) AS share_raw,
+      |  round(1.0 / (SELECT count(*) FROM c), 6) AS share_t
+      |FROM c
+      |UNION ALL
+      |SELECT 0.5, topic, CAST(n AS BIGINT),
+      |  round(n::DOUBLE / (SELECT sum(n) FROM c), 6),
+      |  round(sqrt(n::DOUBLE) /
+      |    (SELECT sum(sqrt(n::DOUBLE)) FROM c), 6)
+      |FROM c
+      |UNION ALL
+      |SELECT 1.0, topic, CAST(n AS BIGINT),
+      |  round(n::DOUBLE / (SELECT sum(n) FROM c), 6),
+      |  round(n::DOUBLE / (SELECT sum(n::DOUBLE) FROM c), 6)
+      |FROM c
+      |ORDER BY alpha, topic""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q178_semdedup_registry" -> semRegSql(None),
     "q202_incremental_funnel" -> incrementalFunnelSql,
+    "q204_temperature_curve" -> temperatureCurveSql,
     "q195_registry_takedown" -> semRegSql(Some("vec_id % 5 = 2")),
     "q196_release_funnel" -> releaseFunnelSql,
     "q197_registry_ops" -> registryOpsSql,

@@ -71,6 +71,20 @@ object EvalQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // The contamination-τ TUNING CURVE — the dial behind q153's
+    // verdict: how much of the corpus each candidate threshold would
+    // flag, all points from ONE max-cosine pass (the per-vector max
+    // fans out row-locally to the τ values it reaches; zero-hit τ
+    // points still emit). Brackets the q153 operating point (0.35);
+    // n_flagged is non-increasing in τ by construction.
+    "q205_decon_tau_curve" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.contaminationTauCurve(emb,
+          emb.filter(col("vec_id") % 37 === 0),
+          taus = Seq(0.3, 0.35, 0.4, 0.5))
+        .orderBy(col("tau"))
+    }),
+
     // Leakage-safe eval split: train ≤ exact 4/5-quantile timestamp,
     // one-day embargo, test after the gap. The cutoff is an observed
     // value at an exact global rank (no single-partition sort, no
@@ -1263,6 +1277,23 @@ object EvalQueries {
         |      GROUP BY e.vec_id)
         |SELECT vec_id, max_eval_sim, max_eval_sim >= 0.35 AS contaminated
         |FROM m ORDER BY vec_id""".stripMargin,
+
+    "q205_decon_tau_curve" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |ev AS (SELECT vec_id AS eval_id, v AS qe FROM e WHERE vec_id % 37 = 0),
+        |m AS (SELECT e.vec_id,
+        |        max(round(list_dot_product(e.v, ev.qe) /
+        |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(ev.qe, ev.qe))), 6)) AS s
+        |      FROM e JOIN ev ON e.vec_id <> ev.eval_id
+        |      GROUP BY e.vec_id),
+        |taus AS (SELECT unnest([0.3, 0.35, 0.4, 0.5]) AS tau)
+        |SELECT tau,
+        |  CAST((SELECT count(*) FROM m) AS BIGINT) AS n_vecs,
+        |  CAST(sum(CASE WHEN s >= tau THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flagged,
+        |  round(sum(CASE WHEN s >= tau THEN 1 ELSE 0 END)::DOUBLE /
+        |    (SELECT count(*) FROM m), 6) AS rate
+        |FROM taus CROSS JOIN m GROUP BY tau ORDER BY tau""".stripMargin,
 
     "q154_temporal_split" ->
       """WITH e AS (SELECT event_id, epoch_us(ts) AS t FROM events),

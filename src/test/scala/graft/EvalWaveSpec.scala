@@ -54,6 +54,31 @@ class EvalWaveSpec extends SparkSpec {
     assert(!got.contains(100L))
   }
 
+  test("contaminationTauCurve: monotone non-increasing in tau, every " +
+      "point equals the fixed-tau verdict count, zero-hit taus still " +
+      "emit their rows") {
+    val sfDir = "/root/testdata/sf0.001"
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val evalSet = emb.filter(col("vec_id") % 37 === 0)
+    val taus = Seq(0.3, 0.35, 0.4, 0.99)
+    val curve = Similarity.contaminationTauCurve(emb, evalSet, taus)
+      .collect().map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(curve.keySet === taus.toSet, "every tau must emit a row")
+    val flagged = taus.map(curve(_)._2)
+    assert(flagged === flagged.sorted.reverse,
+      s"not monotone: $flagged")
+    // per-point equality with the fixed-tau verdict
+    taus.foreach { t =>
+      val direct = Similarity.embeddingContamination(emb, evalSet, t)
+        .filter(col("contaminated")).count()
+      assert(curve(t)._2 === direct, s"tau=$t")
+    }
+    // denominators: every compared vector counted once
+    val nv = Similarity.maxEvalSim(emb, evalSet).count()
+    assert(curve.values.forall(_._1 == nv))
+  }
+
   // --- temporalSplit --------------------------------------------------------
 
   test("temporalSplit cuts at the exact quantile with an embargo gap") {

@@ -81,6 +81,37 @@ class MixtureSpec extends SparkSpec {
       rows.sortBy(_._4).map(_._1).toSeq)
   }
 
+  test("temperatureCurve: alpha=1 reproduces natural shares, alpha=0 is " +
+      "uniform, the max share flattens monotonically as alpha falls, " +
+      "and the alpha=0.5 point equals temperatureTargets") {
+    val cat = docs.select(col("doc_id"), col("lang").as("topic"))
+    val curve = Mixture.temperatureCurve(cat, "topic",
+      alphas = Seq(0.0, 0.5, 1.0)).persist()
+    try {
+      val k = cat.select(col("topic")).distinct().count()
+      // alpha = 0: uniform 1/k
+      val uni = math.rint(1e6 / k) / 1e6
+      assert(curve.filter(col("alpha") === 0.0)
+        .filter(abs(col("share_t") - uni) > 2e-6).count() === 0L)
+      // alpha = 1: share_t == share_raw
+      assert(curve.filter(col("alpha") === 1.0)
+        .filter(abs(col("share_t") - col("share_raw")) > 2e-6)
+        .count() === 0L)
+      // flattening: max share non-increasing as alpha falls
+      val maxes = curve.groupBy(col("alpha"))
+        .agg(max(col("share_t")).as("m")).orderBy(col("alpha"))
+        .collect().map(_.getDouble(1))
+      assert(maxes.toSeq === maxes.sorted.toSeq, maxes.toSeq.toString)
+      // the 0.5 point is exactly temperatureTargets
+      val half = curve.filter(col("alpha") === 0.5)
+        .select(col("topic"), col("share_t"))
+      val tt = Mixture.temperatureTargets(cat, "topic")
+        .select(col("topic"), col("share_t"))
+      assert(half.except(tt).count() === 0L)
+      assert(tt.except(half).count() === 0L)
+    } finally { curve.unpersist(); () }
+  }
+
   test("temperatureTargets feeds resampleToMixture as-is") {
     val targets = Mixture.temperatureTargets(docs, "lang")
       .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
