@@ -1394,6 +1394,50 @@ object Similarity {
     * order-free, so the result is partitioning- and engine-independent).
     * Self-pairs (the eval rows are usually drawn from the same table)
     * are excluded by id. */
+  /** The DIMENSION-TRUNCATION recall curve — the Matryoshka/MRL storage
+    * dial (Kusupati et al., NeurIPS 2022): recall@k of the exact dot
+    * scan over the FIRST `d` dimensions only, per candidate width d —
+    * the table read before truncating stored vectors to cut index
+    * payload d/D. All widths priced in ONE broadcast corpus pass: each
+    * (query, vector) pair computes its per-width prefix dots row-locally
+    * and fans out one scored row per width; ranking is per (dim, qid).
+    * The full-width point is definitionally the exact scan itself —
+    * recall 1.0, row-identical (SimilaritySpec pins it).
+    * @return (dim, qid, n_exact, hits, recall) — dim ascending */
+  def dimTruncationCurve(queries: DataFrame, corpus: DataFrame,
+      dims: Seq[Int], k: Int,
+      exact: Option[DataFrame] = None): DataFrame = {
+    require(dims.nonEmpty, "need at least one width")
+    val ds = dims.distinct.sorted
+    val q = broadcast(queries.select(col("vec_id").as("qid"),
+      asDouble(col("embedding")).as("qe")))
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("ce"))
+    val perDim = c.join(q, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        explode(array(ds.map(d => struct(lit(d.toLong).as("dim"),
+          round(dot(slice(col("qe"), 1, d), slice(col("ce"), 1, d)), 6)
+            .as("sim"))): _*)).as("p"))
+      .select(col("qid"), col("vec_id"), col("p.dim").as("dim"),
+        col("p.sim").as("sim"))
+    val ranked = perDim.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("dim"), col("qid"))
+          .orderBy(desc("sim"), col("vec_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+    val ex = exact.getOrElse(bruteForceDotTopK(queries, corpus, k))
+      .select(col("qid"), col("vec_id"))
+    // recall per (dim, qid): the exact set replicated per width (a
+    // row-local literal fan-out), left-joined against each width's top-k
+    val exDims = ex.select(col("qid"), col("vec_id"),
+        explode(array(ds.map(d => lit(d.toLong)): _*)).as("dim"))
+    exDims.join(ranked.select(col("dim"), col("qid"), col("vec_id"))
+        .withColumn("__hit", lit(1L)), Seq("dim", "qid", "vec_id"), "left")
+      .groupBy(col("dim"), col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+      .select(col("dim"), col("qid"), col("n_exact"), col("hits"),
+        (col("hits").cast("double") / lit(k)).as("recall"))
+  }
+
   /** Per-corpus-vector max rounded cosine against the broadcast eval
     * slice — the ONE corpus pass both [[embeddingContamination]] (the
     * verdict at a fixed τ) and [[contaminationTauCurve]] (the τ dial)

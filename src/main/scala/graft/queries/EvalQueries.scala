@@ -430,6 +430,20 @@ object EvalQueries {
         .orderBy(col("degree"), col("qid"))
     }),
 
+    // The DIMENSION-TRUNCATION recall curve — the Matryoshka/MRL
+    // storage dial (Kusupati et al., NeurIPS 2022): recall@10 of the
+    // exact scan over the first d dims only, the table read before
+    // truncating stored vectors to cut payload d/D. All widths priced
+    // in ONE broadcast corpus pass (per-pair prefix dots fan out
+    // row-locally); the full-width point is the exact scan itself —
+    // recall 1.0 structurally (SimilaritySpec pins it).
+    "q206_dim_trunc_curve" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.dimTruncationCurve(emb.filter(col("vec_id") < 8), emb,
+          dims = mrlDims, k = pqTopK, exact = Some(exactDotStage(s, dir)))
+        .orderBy(col("dim"), col("qid"))
+    }),
+
     // NSW TAKEDOWN — and the REPAIR question, measured q180-style: a
     // graph index is the one ANN store where delete-by-anti-join is NOT
     // identical to rebuild (dropping a condemned neighbor leaves
@@ -603,6 +617,8 @@ object EvalQueries {
   private val nswRounds = 2
   /** q201 degree-curve points — bracket the q198 operating point. */
   private val nswDegrees = Seq(2, 6, 12)
+  /** q206 truncation widths — 64 is the full (exact-identical) width. */
+  private val mrlDims = Seq(16, 32, 64)
 
   /** Persisted ranked NSW edge table at the curve's max degree — ONE
     * graph build serves q198, the q189 card row and every q201 curve
@@ -1210,6 +1226,37 @@ object EvalQueries {
     "q201_nsw_degree_curve" -> nswDegrees.map(m =>
         s"SELECT CAST($m AS BIGINT) AS degree, * FROM (\n${nswSql(m)}\n) nsw_$m")
       .mkString("", "\nUNION ALL\n", "\nORDER BY degree, qid"),
+    "q206_dim_trunc_curve" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+        |ds AS (SELECT unnest([${mrlDims.mkString(", ")}]) AS dim),
+        |sc AS (SELECT ds.dim, q.qid, e.vec_id,
+        |    round(list_dot_product(q.qv[1:ds.dim], e.v[1:ds.dim]), 6)
+        |      AS sim
+        |  FROM q CROSS JOIN e CROSS JOIN ds
+        |  WHERE e.vec_id <> q.qid),
+        |approx AS (SELECT dim, qid, vec_id FROM (
+        |    SELECT dim, qid, vec_id, row_number() OVER
+        |      (PARTITION BY dim, qid ORDER BY sim DESC, vec_id) AS rnk
+        |    FROM sc) WHERE rnk <= $pqTopK),
+        |ex AS (SELECT t.qid, e.vec_id,
+        |        round(list_dot_product(t.qv0, e.v), 6) AS sim
+        |      FROM (SELECT vec_id AS qid, v AS qv0 FROM e
+        |            WHERE vec_id < 8) t, e
+        |      WHERE e.vec_id <> t.qid),
+        |exact AS (SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY sim DESC, vec_id) AS rnk FROM ex)
+        |  WHERE rnk <= $pqTopK)
+        |SELECT CAST(x.dim AS BIGINT) AS dim, x.qid,
+        |       CAST(count(*) AS BIGINT) AS n_exact,
+        |       CAST(count(a.vec_id) AS BIGINT) AS hits,
+        |       count(a.vec_id)::DOUBLE / $pqTopK AS recall
+        |FROM (SELECT ds.dim, t.qid, t.vec_id FROM exact t CROSS JOIN ds) x
+        |LEFT JOIN approx a
+        |  ON a.dim = x.dim AND a.qid = x.qid AND a.vec_id = x.vec_id
+        |GROUP BY x.dim, x.qid ORDER BY dim, x.qid""".stripMargin,
+
     // q203: purge vs rebuild under the same tombstones, each chain
     // wrapped collision-free and aggregated to the per-variant card row
     "q203_nsw_takedown" -> {

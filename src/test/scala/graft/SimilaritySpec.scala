@@ -182,4 +182,22 @@ class SimilaritySpec extends SparkSpec {
       .filter(col("max_err") > col("scale") / 127.0 + 2e-6).count()
     assert(bad == 0L)
   }
+
+  test("dimTruncationCurve: the full-width point IS the exact scan " +
+      "(recall 1.0 for every query), mean recall is monotone in width " +
+      "at the graded geometry, and every width emits every query") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+    val curve = Similarity.dimTruncationCurve(queries, emb,
+      dims = Seq(16, 32, 64), k = 10).persist()
+    try {
+      assert(curve.count() === 3L * queries.count())
+      assert(curve.filter(col("dim") === 64 && col("recall") =!= 1.0)
+        .count() === 0L, "full width must reproduce the exact scan")
+      val means = curve.groupBy(col("dim"))
+        .agg(avg(col("recall")).as("m")).orderBy(col("dim"))
+        .collect().map(_.getDouble(1))
+      assert(means.toSeq === means.sorted.toSeq, means.toSeq.toString)
+    } finally { curve.unpersist(); () }
+  }
 }
