@@ -44,6 +44,65 @@ object CorpusQueries {
           semregFrozenStage(s, dir)),
         tau = 0.3, maxPerCluster = 16L))
 
+  /** Persisted per-doc NIGHTLY gate table of the incremental funnel —
+    * one row per batch doc with its token count and the four gate
+    * verdicts (gopher rules; keep-first + digest-registry anti-join;
+    * q159 fingerprint-registry near-new membership; q178 exemplar-
+    * registry survivor membership). The three dedup verdicts are
+    * INDEPENDENT memberships (not sequential), which is what lets q207
+    * measure the families' overlap on the same batch. Shared by q202
+    * (the funnel) and q207 (the complementarity card). */
+  private def nightlyGatesStage(s: SparkSession, dir: String): DataFrame =
+    PipelineQueries.stage(s, dir, "nightly_gates") {
+      val docs = t(s, dir, "documents")
+      val batch = docs.filter(col("doc_id") >= 250)
+      val ltoks = TextAnalysis.tokens(lower(col("text")))
+      val n = size(ltoks).cast("long")
+      val sumLen = aggregate(transform(ltoks, w => length(w)),
+        lit(0), (acc, v) => acc + v).cast("long")
+      val sym = TextAnalysis.symbolCount(col("text"))
+      val grams = TextAnalysis.wordGrams(ltoks, 3)
+      val g = coalesce(size(grams).cast("long"), lit(0L))
+      val d = coalesce(size(array_distinct(grams)).cast("long"), lit(0L))
+      val base = batch.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok"),
+        md5(col("text").cast("binary")).as("__fp"),
+        (n.between(3L, 10000L) && sumLen >= n * 3L && sumLen <= n * 10L &&
+          TextAnalysis.stopwordHits(ltoks, TextAnalysis.StopEn) >= 2L &&
+          sym * 10L <= n && (g - d) * 8L <= g).as("g_gopher"))
+      // history digest registry: one digest row per historical doc
+      val histDigests = docs.filter(col("doc_id") < 250)
+        .select(md5(col("text").cast("binary")).as("__fp")).distinct()
+      val firsts = base.filter(col("g_gopher"))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("__fp")).orderBy(col("doc_id"))))
+        .filter(col("__rn") === 1)
+        .join(histDigests, Seq("__fp"), "left_anti")
+        .select(col("doc_id"), lit(true).as("g_digest"))
+      // fingerprint registry: q159's near-new survivors
+      val lsh = PipelineQueries.md5LshStage(s, dir)
+      val nearNew = NearDup.incrementalNearDups(
+          lsh.filter(col("id") >= 250), lsh.filter(col("id") < 250))
+        .select(col("id").as("doc_id")).distinct()
+        .withColumn("__nn", lit(true))
+      // exemplar registry: q178's verdicts under the frozen quantizer
+      val batchA = PipelineQueries.stage(s, dir, "semreg_batch_assign")(
+        Similarity.assignEmbeddings(
+          t(s, dir, "embeddings").filter(col("vec_id") >= 250),
+          semregFrozenStage(s, dir)))
+      val sem = Similarity.semDedupVsRegistry(batchA,
+          semregExemplarsStage(s, dir), tau = 0.3, maxPerCluster = 16L)
+        .select(col("vec_id").as("doc_id"),
+          (!col("is_dup")).as("__sem"))
+      base.join(firsts, Seq("doc_id"), "left")
+        .join(nearNew, Seq("doc_id"), "left")
+        .join(sem, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"), col("g_gopher"),
+          coalesce(col("g_digest"), lit(false)).as("g_digest"),
+          coalesce(col("__nn"), lit(false)).as("g_neardup"),
+          coalesce(col("__sem"), lit(false)).as("g_semdedup"))
+    }
+
   /** Persisted CDC chunk table (id, chunk_idx, start, chunk_len,
     * chunk_md5) — shared by q113 (the chunk list) and q165 (dedup
     * accounting); the per-position boundary hash is the dominant cost. */
@@ -521,55 +580,7 @@ object CorpusQueries {
     // Same one-persisted-gate-table + one-conditional-aggregate shape
     // as q196 (PlanAuditSpec pins zero live parquet scans).
     "q202_incremental_funnel" -> ((s, dir) => {
-      val gates = PipelineQueries.stage(s, dir, "nightly_gates") {
-        val docs = t(s, dir, "documents")
-        val batch = docs.filter(col("doc_id") >= 250)
-        val ltoks = TextAnalysis.tokens(lower(col("text")))
-        val n = size(ltoks).cast("long")
-        val sumLen = aggregate(transform(ltoks, w => length(w)),
-          lit(0), (acc, v) => acc + v).cast("long")
-        val sym = TextAnalysis.symbolCount(col("text"))
-        val grams = TextAnalysis.wordGrams(ltoks, 3)
-        val g = coalesce(size(grams).cast("long"), lit(0L))
-        val d = coalesce(size(array_distinct(grams)).cast("long"), lit(0L))
-        val base = batch.select(col("doc_id"),
-          TextAnalysis.tokenCount(col("text")).as("n_tok"),
-          md5(col("text").cast("binary")).as("__fp"),
-          (n.between(3L, 10000L) && sumLen >= n * 3L && sumLen <= n * 10L &&
-            TextAnalysis.stopwordHits(ltoks, TextAnalysis.StopEn) >= 2L &&
-            sym * 10L <= n && (g - d) * 8L <= g).as("g_gopher"))
-        // history digest registry: one digest row per historical doc
-        val histDigests = docs.filter(col("doc_id") < 250)
-          .select(md5(col("text").cast("binary")).as("__fp")).distinct()
-        val firsts = base.filter(col("g_gopher"))
-          .withColumn("__rn", row_number().over(
-            Window.partitionBy(col("__fp")).orderBy(col("doc_id"))))
-          .filter(col("__rn") === 1)
-          .join(histDigests, Seq("__fp"), "left_anti")
-          .select(col("doc_id"), lit(true).as("g_digest"))
-        // fingerprint registry: q159's near-new survivors
-        val lsh = PipelineQueries.md5LshStage(s, dir)
-        val nearNew = NearDup.incrementalNearDups(
-            lsh.filter(col("id") >= 250), lsh.filter(col("id") < 250))
-          .select(col("id").as("doc_id")).distinct()
-          .withColumn("__nn", lit(true))
-        // exemplar registry: q178's verdicts under the frozen quantizer
-        val batchA = PipelineQueries.stage(s, dir, "semreg_batch_assign")(
-          Similarity.assignEmbeddings(
-            t(s, dir, "embeddings").filter(col("vec_id") >= 250),
-            semregFrozenStage(s, dir)))
-        val sem = Similarity.semDedupVsRegistry(batchA,
-            semregExemplarsStage(s, dir), tau = 0.3, maxPerCluster = 16L)
-          .select(col("vec_id").as("doc_id"),
-            (!col("is_dup")).as("__sem"))
-        base.join(firsts, Seq("doc_id"), "left")
-          .join(nearNew, Seq("doc_id"), "left")
-          .join(sem, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_tok"), col("g_gopher"),
-            coalesce(col("g_digest"), lit(false)).as("g_digest"),
-            coalesce(col("__nn"), lit(false)).as("g_neardup"),
-            coalesce(col("__sem"), lit(false)).as("g_semdedup"))
-      }
+      val gates = nightlyGatesStage(s, dir)
       val s1 = col("g_gopher")
       val s2 = s1 && col("g_digest")
       val s3 = s2 && col("g_neardup")
@@ -601,6 +612,45 @@ object CorpusQueries {
           round(col("ptok").cast("double") / (col("n_bins") * 512L), 6)
             .as("fill_rate"))
       funnel.unionByName(packRow).orderBy(col("stage"))
+    }),
+
+    // DEDUP-FAMILY COMPLEMENTARITY — the data-card question "does
+    // semantic dedup catch anything MinHash doesn't?": pairwise overlap
+    // (Jaccard) of the three INDEPENDENT drop verdicts (digest /
+    // fingerprint / semantic, each a registry membership computed
+    // without seeing the others) on the same gopher-surviving batch.
+    // High overlap ⇒ the cheaper family subsumes the expensive one on
+    // THIS corpus; low overlap ⇒ the families are complementary and all
+    // belong in the funnel. One conditional aggregate over the cached
+    // q202 gate table, unpivoted row-locally.
+    "q207_dedup_overlap" -> ((s, dir) => {
+      val g = nightlyGatesStage(s, dir).filter(col("g_gopher"))
+        .select((!col("g_digest")).as("dd"),
+          (!col("g_neardup")).as("df"),
+          (!col("g_semdedup")).as("ds"))
+      val one = g.agg(
+        sum(when(col("dd"), 1L).otherwise(0L)).as("nd"),
+        sum(when(col("df"), 1L).otherwise(0L)).as("nf"),
+        sum(when(col("ds"), 1L).otherwise(0L)).as("ns"),
+        sum(when(col("dd") && col("df"), 1L).otherwise(0L)).as("ndf"),
+        sum(when(col("dd") && col("ds"), 1L).otherwise(0L)).as("nds"),
+        sum(when(col("df") && col("ds"), 1L).otherwise(0L)).as("nfs"))
+      one.select(expr(
+          "stack(3, 'digest', 'fingerprint', nd, nf, ndf, " +
+            "'digest', 'semantic', nd, ns, nds, " +
+            "'fingerprint', 'semantic', nf, ns, nfs) " +
+            "as (family_a, family_b, n_a, n_b, n_both)"))
+        .select(col("family_a"), col("family_b"),
+          col("n_a").cast("long").as("n_a"),
+          col("n_b").cast("long").as("n_b"),
+          col("n_both").cast("long").as("n_both"),
+          (col("n_a") + col("n_b") - col("n_both")).cast("long")
+            .as("n_union"),
+          when(col("n_a") + col("n_b") - col("n_both") === 0, lit(0.0))
+            .otherwise(round(col("n_both").cast("double") /
+              (col("n_a") + col("n_b") - col("n_both")).cast("double"), 6))
+            .as("jaccard"))
+        .orderBy(col("family_a"), col("family_b"))
     }),
 
     // The registry OPS CARD — one row per registry family (digest /
@@ -1241,9 +1291,10 @@ object CorpusQueries {
     * the full q178 exemplar chain each wrapped as collision-free
     * subqueries (the indexCardSql pattern), the recursive packing
     * replay over the admitted set. */
-  private val incrementalFunnelSql: String =
-    s"""WITH RECURSIVE
-      |bgt AS (SELECT doc_id, text,
+  /** The nightly gate CTE block (through `bsem`) shared by the funnel
+    * oracle (q202) and the family-overlap card (q207). */
+  private val nightlyGateCtes: String =
+    s"""bgt AS (SELECT doc_id, text,
       |    string_split_regex(trim(lower(text)), '\\s+') AS ltoks,
       |    length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
       |      AS n_sym,
@@ -1280,7 +1331,11 @@ object CorpusQueries {
       |  WHERE doc_id IN (SELECT doc_id FROM bnn)),
       |bsem AS (SELECT vec_id AS doc_id FROM (
       |  ${semRegSql(None)}
-      |  ) WHERE NOT is_dup),
+      |  ) WHERE NOT is_dup)""".stripMargin
+
+  private val incrementalFunnelSql: String =
+    s"""WITH RECURSIVE
+      |$nightlyGateCtes,
       |bs4 AS (SELECT doc_id FROM bs3
       |  WHERE doc_id IN (SELECT doc_id FROM bsem)),
       |bptoks AS (SELECT CAST(a.doc_id AS BIGINT) AS id, t.n_tok AS pw,
@@ -1361,10 +1416,46 @@ object CorpusQueries {
       |FROM c
       |ORDER BY alpha, topic""".stripMargin
 
+  /** q207 oracle: the shared nightly gate chains + one aggregate of the
+    * pairwise drop overlaps among gopher survivors. */
+  private val dedupOverlapSql: String = {
+    def row(a: String, b: String, na: String, nb: String,
+        nboth: String): String =
+      s"""SELECT '$a' AS family_a, '$b' AS family_b,
+        |  CAST($na AS BIGINT) AS n_a, CAST($nb AS BIGINT) AS n_b,
+        |  CAST($nboth AS BIGINT) AS n_both,
+        |  CAST($na + $nb - $nboth AS BIGINT) AS n_union,
+        |  CASE WHEN $na + $nb - $nboth = 0 THEN 0.0
+        |       ELSE round($nboth::DOUBLE / ($na + $nb - $nboth), 6)
+        |  END AS jaccard
+        |FROM ag""".stripMargin
+    s"""WITH $nightlyGateCtes,
+      |gs AS (SELECT a.doc_id,
+      |    (a.doc_id NOT IN (SELECT doc_id FROM bs2)) AS dd,
+      |    (a.doc_id NOT IN (SELECT doc_id FROM bnn)) AS df,
+      |    (a.doc_id NOT IN (SELECT doc_id FROM bsem)) AS dsem
+      |  FROM bacc a WHERE a.g_gopher),
+      |ag AS (SELECT
+      |    sum(CASE WHEN dd THEN 1 ELSE 0 END) AS nd,
+      |    sum(CASE WHEN df THEN 1 ELSE 0 END) AS nf,
+      |    sum(CASE WHEN dsem THEN 1 ELSE 0 END) AS ns,
+      |    sum(CASE WHEN dd AND df THEN 1 ELSE 0 END) AS ndf,
+      |    sum(CASE WHEN dd AND dsem THEN 1 ELSE 0 END) AS nds,
+      |    sum(CASE WHEN df AND dsem THEN 1 ELSE 0 END) AS nfs
+      |  FROM gs)
+      |${row("digest", "fingerprint", "nd", "nf", "ndf")}
+      |UNION ALL
+      |${row("digest", "semantic", "nd", "ns", "nds")}
+      |UNION ALL
+      |${row("fingerprint", "semantic", "nf", "ns", "nfs")}
+      |ORDER BY family_a, family_b""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q178_semdedup_registry" -> semRegSql(None),
     "q202_incremental_funnel" -> incrementalFunnelSql,
     "q204_temperature_curve" -> temperatureCurveSql,
+    "q207_dedup_overlap" -> dedupOverlapSql,
     "q195_registry_takedown" -> semRegSql(Some("vec_id % 5 = 2")),
     "q196_release_funnel" -> releaseFunnelSql,
     "q197_registry_ops" -> registryOpsSql,

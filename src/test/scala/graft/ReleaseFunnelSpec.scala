@@ -117,4 +117,33 @@ class ReleaseFunnelSpec extends SparkSpec {
         md5(col("text").cast("binary")).as("fp")), Seq("doc_id"))
     assert(survFp.join(histFp, Seq("fp"), "left_semi").count() === 0L)
   }
+
+  test("q207 overlap card reconciles with direct flag counting on the " +
+      "gate table, and every row satisfies the set identities") {
+    val rows = SparkEntry.queries("q207_dedup_overlap")(spark, dir)
+      .collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      val (na, nb, nboth, nunion, j) = (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))
+      assert(nboth <= math.min(na, nb), r.toString)
+      assert(nunion === na + nb - nboth, r.toString)
+      assert(j >= 0.0 && j <= 1.0, r.toString)
+      if (nunion > 0)
+        assert(math.abs(j - math.rint(1e6 * nboth.toDouble / nunion) / 1e6)
+          < 1e-9, r.toString)
+    }
+    // direct recount of one pair from the cached gate table
+    val gates = graft.queries.PipelineQueries
+      .stage(spark, dir, "nightly_gates")(
+        sys.error("nightly_gates must be cached by the card run"))
+      .filter(col("g_gopher"))
+    val nf = gates.filter(!col("g_neardup")).count()
+    val ns = gates.filter(!col("g_semdedup")).count()
+    val nfs = gates.filter(!col("g_neardup") && !col("g_semdedup")).count()
+    val fs = rows.find(r => r.getString(0) == "fingerprint" &&
+      r.getString(1) == "semantic").get
+    assert(fs.getLong(2) === nf && fs.getLong(3) === ns &&
+      fs.getLong(4) === nfs)
+  }
 }
