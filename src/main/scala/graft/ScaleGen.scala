@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
   * DISJOINT across copies — so dedup structure (near-dup pairs,
   * repeated substrings, LSH collisions) replicates linearly instead of
   * exploding quadratically into a 10-way near-dup soup no real 10×
-  * corpus would exhibit. Embeddings get a small deterministic
-  * per-(copy, dim) offset: distinct vectors, same cluster geometry. */
+  * corpus would exhibit. Embeddings mirror the text contract exactly:
+  * copy 0 is the ORIGINAL vectors verbatim (same preservation gate as
+  * the text column), and copies i > 0 get a small deterministic
+  * per-(copy, dim) offset — distinct vectors, same cluster geometry. */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -43,9 +45,10 @@ object ScaleGen {
     val emb = Tables.load(spark, src, "embeddings")
     emb.crossJoin(copies)
       .select((col("vec_id") * factor + col("cp")).as("vec_id"),
-        transform(col("embedding"),
-          (x, d) => (x + ((col("vec_id") * 131 + col("cp") * 17 + d) % 1000
-            - 500).cast("double") * lit(1e-4)).cast("float"))
+        when(col("cp") === 0, col("embedding"))
+          .otherwise(transform(col("embedding"),
+            (x, d) => (x + ((col("vec_id") * 131 + col("cp") * 17 + d) % 1000
+              - 500).cast("double") * lit(1e-4)).cast("float")))
           .as("embedding"),
         col("label"))
       .repartition(32)

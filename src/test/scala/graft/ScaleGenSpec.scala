@@ -47,6 +47,31 @@ class ScaleGenSpec extends SparkSpec {
     assert(tc.filter(col("d") =!= 1).count() === 0L)
   }
 
+  test("copy 0 of the embedding slice is the original vectors verbatim " +
+      "(the same preservation gate as the text column)") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val copies = spark.range(0, factor).select(col("id").as("cp"))
+    val scaledEmb = emb.crossJoin(copies)
+      .select((col("vec_id") * factor + col("cp")).as("vec_id"),
+        when(col("cp") === 0, col("embedding"))
+          .otherwise(transform(col("embedding"),
+            (x, d) => (x + ((col("vec_id") * 131 + col("cp") * 17 + d) % 1000
+              - 500).cast("double") * lit(1e-4)).cast("float")))
+          .as("embedding"))
+    val c0 = scaledEmb.filter(col("vec_id") % factor === 0)
+      .select((col("vec_id") / factor).cast("long").as("vec_id"),
+        col("embedding"))
+    assert(c0.except(emb.select(col("vec_id"), col("embedding")))
+      .count() === 0L)
+    // copies > 0 are all DISTINCT from the original (the offset is
+    // nonzero in at least one dim for every vector)
+    val cN = scaledEmb.filter(col("vec_id") % factor =!= 0)
+      .select((col("vec_id") / factor).cast("long").as("vec_id"),
+        col("embedding"))
+    assert(cN.intersect(emb.select(col("vec_id"), col("embedding")))
+      .count() === 0L)
+  }
+
   test("gram vocabularies are disjoint across copies, so near-dup pairs " +
       "replicate linearly: every verified pair stays within one copy and " +
       "per-copy pair counts all equal the original's") {
