@@ -1121,18 +1121,44 @@ object Similarity {
     * Σ|cluster|² pairs, never the corpus square.
     * @param assigned [[assignToCentroids]] output (vec_id, e, cluster)
     * @return (src, dst) — ≤ m rows per src */
-  def nswEdges(assigned: DataFrame, m: Int): DataFrame =
-    nswEdgesRanked(assigned, m).select(col("src"), col("dst"))
+  def nswEdges(assigned: DataFrame, m: Int,
+      maxPerCluster: Long = Long.MaxValue): DataFrame =
+    nswEdgesRanked(assigned, m, maxPerCluster)
+      .select(col("src"), col("dst"))
 
   /** [[nswEdges]] with the neighbor rank kept — ONE stored table serves
     * every degree ≤ `mMax`: `edges(m) = rnk <= m`, so degree-sub-setting
     * is a row-local filter and the degree curve never rebuilds the
     * graph. Edge sets nest by construction (rank is per-src total
     * order), which is what makes the [[nswDegreeCurve]] candidate sets
-    * a superset chain. */
-  def nswEdgesRanked(assigned: DataFrame, mMax: Int): DataFrame = {
+    * a superset chain.
+    *
+    * `maxPerCluster` is the HOT-CLUSTER guard (the same role the cap
+    * plays in [[semDedupFromAssigned]] and `lshCandidates`): the
+    * CANDIDATE side of the self-join is bounded to the `maxPerCluster`
+    * hash-first members of each cluster (deterministic
+    * `(md5(vec_id), vec_id)` order — an unbiased sample, unlike an id
+    * prefix), so the build costs Σ|cluster|·cap instead of Σ|cluster|²
+    * and one degenerate hot cluster at corpus scale stays a linear
+    * scan. Semantics: EXACT whenever every cluster fits the cap (the
+    * candidate set is then the whole cluster — the graded geometry);
+    * beyond the cap each node ranks its neighbors within the capped
+    * sample, so degrees stay ≤ mMax and the graph stays valid while
+    * routing recall degrades gracefully (NswSpec pins both regimes). */
+  def nswEdgesRanked(assigned: DataFrame, mMax: Int,
+      maxPerCluster: Long = Long.MaxValue): DataFrame = {
     require(mMax >= 1, "need at least one neighbor per node")
-    assigned.as("a").join(assigned.as("b"),
+    val cands =
+      if (maxPerCluster == Long.MaxValue) assigned
+      else {
+        require(maxPerCluster >= 1, "maxPerCluster must be positive")
+        assigned.withColumn("__cr", row_number().over(
+            Window.partitionBy(col("cluster"))
+              .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))))
+          .filter(col("__cr") <= maxPerCluster)
+          .drop("__cr")
+      }
+    assigned.as("a").join(cands.as("b"),
         col("a.cluster") === col("b.cluster") &&
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),

