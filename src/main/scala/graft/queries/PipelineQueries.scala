@@ -43,16 +43,35 @@ object PipelineQueries {
     * its copy so no orphaned persist marker accumulates. */
   private[graft] val stages =
     scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
+  /** Registration ORDER per stage key (monotone sequence assigned on
+    * successful insert). Because a stage's `build` block constructs its
+    * dependency stages BEFORE the dependent entry is inserted (the
+    * by-name argument is evaluated first), insertion order is a
+    * topological order of the stage graph — which is what lets
+    * [[materializeStagesTimed]] attribute each stage's build to ITSELF:
+    * forcing in insertion order means every dependency is already
+    * materialized when its consumer's clock starts. */
+  private val stageSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val stageOrder =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), Long]
+  /** stage() calls per key — a consumer-count estimate for the bench
+    * stage-graph audit (first call is the registering build; each later
+    * call is another consumer riding the cache). */
+  private val stageCalls =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), Long]
   private[graft] def stage(s: SparkSession, dir: String, key: String)
       (build: => DataFrame): DataFrame = {
     val app = s.sparkContext.applicationId
-    stages.keys.withFilter(_._1 != app).foreach(stages.remove)
+    stages.keys.withFilter(_._1 != app).foreach { k =>
+      stages.remove(k); stageOrder.remove(k); stageCalls.remove(k); ()
+    }
     val k = (app, dir, key)
+    stageCalls.updateWith(k)(c => Some(c.getOrElse(0L) + 1L))
     stages.get(k).getOrElse {
       val df = build.persist() // throws → no insert → sibling retries build
       stages.putIfAbsent(k, df) match {
         case Some(winner) => df.unpersist(blocking = false); winner
-        case None         => df
+        case None => stageOrder.put(k, stageSeq.incrementAndGet()); df
       }
     }
   }
@@ -62,19 +81,34 @@ object PipelineQueries {
   def clearStages(): Unit = {
     stages.values.foreach(_.unpersist(blocking = true))
     stages.clear()
+    stageOrder.clear()
+    stageCalls.clear()
   }
 
-  /** Force-materialize every REGISTERED stage (bench accounting: after
-    * constructing all query plans — which registers their stages — this
-    * prices the shared stage builds as ONE timed phase, so the per-query
-    * timings that follow are pure marginal costs with stages warm).
-    * Dependent stages materialize implicitly inside their consumers;
-    * a failing build is swallowed here (its consumer will surface the
-    * error in its own timed run). */
-  def materializeStages(): Unit =
-    stages.values.foreach { df =>
-      try { df.count(); () } catch { case _: Throwable => () }
-    }
+  /** stage() call counts by key name — the bench's consumer-count
+    * estimate (count − 1 ≈ number of cache-riding consumers). */
+  def stageCallCounts(): Map[String, Long] =
+    stageCalls.toMap.map { case ((_, _, key), n) => key -> n }
+
+  /** Force-materialize every REGISTERED stage IN INSERTION ORDER,
+    * timing each individually (bench accounting: after constructing all
+    * query plans — which registers their stages — this prices the
+    * shared stage builds as their own timed phase AND attributes the
+    * cost per stage; insertion order is topological, so a stage's time
+    * is its OWN build, not a dependency's). A failing build is
+    * swallowed here (its consumer will surface the error in its own
+    * timed run) and reports -1. */
+  def materializeStagesTimed(): Seq[(String, Double)] =
+    stages.toSeq
+      .sortBy { case (k, _) => stageOrder.getOrElse(k, Long.MaxValue) }
+      .map { case ((_, _, key), df) =>
+        val t0 = System.nanoTime()
+        val ok = try { df.count(); true } catch { case _: Throwable => false }
+        key -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+
+  /** Force-materialize every registered stage (un-timed form). */
+  def materializeStages(): Unit = { materializeStagesTimed(); () }
 
   /** Stage 1: distinct (id, g, n) word-3-gram postings of `documents`. */
   private def docPostings(s: SparkSession, dir: String): DataFrame =
