@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -489,6 +490,77 @@ object EvalQueries {
       variantRow("purged", purged)
         .unionByName(variantRow("rebuilt", rebuilt))
         .orderBy(col("variant"))
+    }),
+
+    // The TAKEDOWN-RATE curve of the NSW graph — q203 measured the
+    // purge-vs-rebuild repair debt at ONE (~4%) tombstone rate; this is
+    // the dial: per nested tombstone rate {5, 15, 30}% (residues mod 20
+    // chosen off the query ids, each set a superset of the previous),
+    // the mean recall of THREE repair policies against the same
+    // survivor ground truth. 'purged' drops condemned endpoints from
+    // the stored degree-6 edges (the O(|edges|) anti-join night);
+    // 'repaired' promotes next-ranked SURVIVORS from the stored rank
+    // horizon (rnk <= 12) — still a pure row-local pass over the stored
+    // table, no vectors touched; 'rebuilt' re-ranks among survivors
+    // (the expensive night, one capped self-join per rate). Within a
+    // rate the edge sets CHAIN — purged ⊆ repaired ⊆ rebuilt, because a
+    // survivor inside the stored horizon always outranks one beyond it
+    // — so recalls order and both debts are nonnegative by
+    // construction (NswSpec pins chain + ordering; monotonicity of
+    // purge_debt in the rate is pinned at the graded geometry). The
+    // card's operational read: as long as repair_debt is 0, the nightly
+    // can promote from stored ranks and defer the rebuild.
+    "q209_nsw_takedown_curve" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      val ranked = nswRankedStage(s, dir)
+      val coarse = ivfCoarseStage(s, dir)
+      val rates: Seq[(Int, Column)] = Seq(
+        5 -> (col("vec_id") % 20 === 9),
+        15 -> (col("vec_id") % 20).isin(9, 11, 13),
+        30 -> (col("vec_id") % 20).isin(9, 11, 13, 15, 17, 19))
+      rates.map { case (rate, tomb) =>
+        val tombs = coarse.filter(tomb).select(col("vec_id"))
+        def dropEnds(edges: DataFrame): DataFrame =
+          Takedown.purge(
+            Takedown.purge(edges, tombs.select(col("vec_id").as("src")),
+              "src"),
+            tombs.select(col("vec_id").as("dst")), "dst")
+        val purged = dropEnds(ranked.filter(col("rnk") <= nswM))
+          .select(col("src"), col("dst"))
+        val repaired = dropEnds(ranked)
+          .withColumn("__rr", row_number().over(
+            Window.partitionBy(col("src")).orderBy(col("rnk"))))
+          .filter(col("__rr") <= nswM)
+          .select(col("src"), col("dst"))
+        val rebuilt = PipelineQueries.stage(s, dir, s"nsw_rebuilt_r$rate")(
+          Similarity.nswEdges(coarse.filter(!tomb), m = nswM,
+            maxPerCluster = nswCap))
+        val survAssigned = coarse.filter(!tomb)
+          .select(col("vec_id"), col("cluster"))
+        val exactSurv = PipelineQueries.stage(s, dir, s"nsw_exact_r$rate")(
+          Similarity.bruteForceDotTopK(queries, emb.filter(!tomb),
+              k = pqTopK)
+            .select(col("qid"), col("vec_id")))
+        def meanRow(tag: String, edges: DataFrame): DataFrame =
+          Similarity.nswRecallAtK(queries, emb, edges, survAssigned,
+              entries = nswEntries, rounds = nswRounds, k = pqTopK,
+              exact = Some(exactSurv))
+            .agg(count(lit(1)).as(s"n_$tag"),
+              round(sum(col("hits")).cast("double") /
+                (count(lit(1)) * lit(pqTopK)).cast("double"), 6)
+                .as(s"r_$tag"))
+        meanRow("p", purged)
+          .crossJoin(broadcast(meanRow("rp", repaired)))
+          .crossJoin(broadcast(meanRow("rb", rebuilt)))
+          .select(lit(rate.toLong).as("rate_pct"),
+            col("n_p").cast("long").as("n_queries"),
+            col("r_p").as("recall_purged"),
+            col("r_rp").as("recall_repaired"),
+            col("r_rb").as("recall_rebuilt"),
+            round(col("r_rb") - col("r_p"), 6).as("purge_debt"),
+            round(col("r_rb") - col("r_rp"), 6).as("repair_debt"))
+      }.reduce(_ unionByName _).orderBy(col("rate_pct"))
     }),
 
     // TAKEDOWN NIGHT for the stored ANN index — the lifecycle edge a
@@ -1052,15 +1124,21 @@ object EvalQueries {
     * ranking, two UNION-distinct frontier hops (the fixed-round
     * expansion, replayed literally), exact candidate scoring, recall vs
     * the same exact scan as every family gauge. */
-  /** With `tombFmt` set the chain replays an NSW TAKEDOWN night (q203):
-    * entry nodes and the exact baseline restrict to survivors, and the
-    * edge table either keeps its stored ranks and drops condemned
-    * endpoints (`rebuilt = false` — the purge) or re-ranks neighbors
-    * among survivors (`rebuilt = true` — the repair). */
+  /** With `tombFmt` set the chain replays an NSW TAKEDOWN night
+    * (q203/q209): entry nodes and the exact baseline restrict to
+    * survivors, and the edge table either keeps its stored ranks and
+    * drops condemned endpoints (the purge), promotes next-ranked
+    * survivors from the stored `horizon` ranks (`repaired = true` —
+    * the q209 stored-rank repair), or re-ranks neighbors among
+    * survivors (`rebuilt = true` — the full rebuild). */
   private def nswSql(m: Int = nswM,
       tombFmt: Option[String => String] = None,
-      rebuilt: Boolean = false): String = {
+      rebuilt: Boolean = false,
+      repaired: Boolean = false,
+      horizon: Int = 12): String = {
     require(!rebuilt || tombFmt.isDefined, "rebuilt mode needs tombstones")
+    require(!repaired || tombFmt.isDefined, "repaired mode needs tombstones")
+    require(!(rebuilt && repaired), "pick one repair policy")
     val (k, entries) = (pqTopK, nswEntries)
     val dim = pqM * pqSub
     val avsCte = tombFmt.fold("")(f => s"""
@@ -1069,10 +1147,28 @@ object EvalQueries {
     val edgeSrc = if (rebuilt) "avs" else "av"
     val eminSrc = if (tombFmt.isDefined) "avs" else "av"
     val purgeWhere =
-      if (tombFmt.isDefined && !rebuilt)
+      if (tombFmt.isDefined && !rebuilt && !repaired)
         s" AND NOT (${tombFmt.get("src")}) AND NOT (${tombFmt.get("dst")})"
       else ""
     val exTomb = tombFmt.fold("")(f => s" AND NOT (${f("e.vec_id")})")
+    val repairedEdges = if (!repaired) "" else {
+      val f = tombFmt.get
+      s"""edges AS (SELECT src, dst FROM (
+        |    SELECT src, dst,
+        |      row_number() OVER (PARTITION BY src ORDER BY rnk) AS rr
+        |    FROM (
+        |      SELECT a.vec_id AS src, b.vec_id AS dst,
+        |        row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |          round(list_dot_product(a.v, b.v) /
+        |            (sqrt(list_dot_product(a.v, a.v)) *
+        |             sqrt(list_dot_product(b.v, b.v))), 6) DESC,
+        |          b.vec_id) AS rnk
+        |      FROM av a JOIN av b ON a.cluster = b.cluster
+        |                         AND a.vec_id <> b.vec_id)
+        |    WHERE rnk <= $horizon AND NOT (${f("src")})
+        |      AND NOT (${f("dst")}))
+        |  WHERE rr <= $m)""".stripMargin
+    }
     s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
       |ivfcomp AS (SELECT label, r.i AS ord, avg(v[(r.i + 1)::INTEGER]) AS mv
@@ -1089,7 +1185,8 @@ object EvalQueries {
       |    FROM e CROSS JOIN ivfcent ct) WHERE rnk = 1),
       |av AS (SELECT e.vec_id, e.v, co.cluster
       |  FROM e JOIN ivfco co USING (vec_id)),$avsCte
-      |edges AS (SELECT src, dst FROM (
+      |${if (repaired) repairedEdges else
+        s"""edges AS (SELECT src, dst FROM (
       |    SELECT a.vec_id AS src, b.vec_id AS dst,
       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
       |        round(list_dot_product(a.v, b.v) /
@@ -1098,7 +1195,7 @@ object EvalQueries {
       |        b.vec_id) AS rnk
       |    FROM $edgeSrc a JOIN $edgeSrc b ON a.cluster = b.cluster
       |                       AND a.vec_id <> b.vec_id)
-      |  WHERE rnk <= $m$purgeWhere),
+      |  WHERE rnk <= $m$purgeWhere)"""},
       |probes AS (SELECT qid, cluster FROM (
       |    SELECT q.qid, ct.label AS cluster,
       |      row_number() OVER (PARTITION BY q.qid ORDER BY
@@ -1282,6 +1379,34 @@ object EvalQueries {
       Seq(wrapV("purged", nswSql(nswM, Some(tomb))),
           wrapV("rebuilt", nswSql(nswM, Some(tomb), rebuilt = true)))
         .mkString("", "\nUNION ALL\n", "\nORDER BY variant")
+    },
+
+    // q209: per nested tombstone rate, the three repair policies' mean
+    // recalls and the two debts — nine chains, each wrapped
+    // collision-free and aggregated to its policy's one-row mean
+    "q209_nsw_takedown_curve" -> {
+      val rateTombs: Seq[(Int, String => String)] = Seq(
+        5 -> ((c: String) => s"$c % 20 = 9"),
+        15 -> ((c: String) => s"$c % 20 IN (9, 11, 13)"),
+        30 -> ((c: String) => s"$c % 20 IN (9, 11, 13, 15, 17, 19)"))
+      rateTombs.map { case (rate, tomb) =>
+        def agg(tag: String, chain: String) =
+          s"""(SELECT CAST(count(*) AS BIGINT) AS n_queries,
+             |  round(sum(hits)::DOUBLE / (count(*) * $pqTopK), 6) AS mr
+             |FROM (
+             |$chain
+             |) x_${tag}_$rate) $tag""".stripMargin
+        s"""SELECT CAST($rate AS BIGINT) AS rate_pct, p.n_queries,
+           |  p.mr AS recall_purged, rp.mr AS recall_repaired,
+           |  rb.mr AS recall_rebuilt,
+           |  round(rb.mr - p.mr, 6) AS purge_debt,
+           |  round(rb.mr - rp.mr, 6) AS repair_debt
+           |FROM ${agg("p", nswSql(nswM, Some(tomb)))},
+           |${agg("rp", nswSql(nswM, Some(tomb), repaired = true,
+              horizon = nswDegrees.max))},
+           |${agg("rb", nswSql(nswM, Some(tomb), rebuilt = true))}"""
+          .stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY rate_pct")
     },
 
     "q152_ann_recall" ->

@@ -162,6 +162,54 @@ class NswSpec extends SparkSpec {
     } finally { assigned.unpersist(); () }
   }
 
+  test("takedown-rate curve (q209): per rate the edge sets CHAIN " +
+      "purged ⊆ repaired ⊆ rebuilt (a survivor inside the stored rank " +
+      "horizon always outranks one beyond it), debts order " +
+      "0 ≤ repair_debt ≤ purge_debt, and purge_debt is weakly monotone " +
+      "in the rate at the graded geometry") {
+    // edge-set chain at the 30% rate, replicated from the q209
+    // construction (stored horizon 12, degree 6)
+    val assigned = Similarity.assignToCentroids(emb).persist()
+    try {
+      val ranked = Similarity.nswEdgesRanked(assigned, mMax = 12).persist()
+      try {
+        val tomb = (col("vec_id") % 20).isin(9, 11, 13, 15, 17, 19)
+        val tombs = assigned.filter(tomb).select(col("vec_id"))
+        def dropEnds(edges: org.apache.spark.sql.DataFrame) =
+          edges.join(tombs.select(col("vec_id").as("src")), Seq("src"),
+              "left_anti")
+            .join(tombs.select(col("vec_id").as("dst")), Seq("dst"),
+              "left_anti")
+        val purged = dropEnds(ranked.filter(col("rnk") <= 6))
+          .select(col("src"), col("dst"))
+        val repaired = dropEnds(ranked)
+          .withColumn("__rr", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("src")).orderBy(col("rnk"))))
+          .filter(col("__rr") <= 6)
+          .select(col("src"), col("dst"))
+        val rebuilt = Similarity.nswEdges(assigned.filter(!tomb), m = 6)
+        assert(purged.except(repaired).count() === 0L,
+          "purged must be a subset of repaired")
+        assert(repaired.except(rebuilt).count() === 0L,
+          "repaired must be a subset of rebuilt")
+      } finally { ranked.unpersist(); () }
+    } finally { assigned.unpersist(); () }
+    // debts from the graded card itself
+    val rows = SparkEntry.queries("q209_nsw_takedown_curve")(spark, dir)
+      .collect().sortBy(_.getAs[Long]("rate_pct"))
+    assert(rows.map(_.getAs[Long]("rate_pct")).toSeq === Seq(5L, 15L, 30L))
+    rows.foreach { r =>
+      val (pd, rd) = (r.getAs[Double]("purge_debt"),
+        r.getAs[Double]("repair_debt"))
+      assert(rd >= 0.0 && pd >= rd,
+        s"debts must order 0 <= repair <= purge at rate ${r.get(0)}: $rd $pd")
+    }
+    val debts = rows.map(_.getAs[Double]("purge_debt")).toSeq
+    assert(debts === debts.sorted,
+      s"purge_debt must be weakly monotone in the rate: $debts")
+  }
+
   test("every candidate is graph-reachable from an entry node within " +
       "the round budget (driver replay over the collected edge table)") {
     val assigned = Similarity.assignToCentroids(emb).persist()

@@ -862,6 +862,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q209: all three repair policies per rate ride cached stages — " +
+    "purged and repaired are row-local passes over the ONE ranked edge " +
+    "stage (no per-rate graph build), and no cartesian appears") {
+    val p = plan("q209_nsw_takedown_curve")
+    assert(!p.contains("CartesianProduct"), p)
+    // purged + repaired per rate read the ranked stage (plus
+    // coarse/exact/rebuilt stages) — many cache reads, zero rebuilds
+    // outside the three explicit per-rate rebuilt stages
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 12, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q202: the nightly funnel's live plan reads only cached stages — " +
     "history is consulted through its registries, never rescanned") {
     val df = SparkEntry.queries("q202_incremental_funnel")(spark, dir)
