@@ -57,7 +57,8 @@ object ExplainDump {
       "q201_nsw_degree_curve", "q202_incremental_funnel",
       "q203_nsw_takedown", "q204_temperature_curve",
       "q205_decon_tau_curve", "q206_dim_trunc_curve",
-      "q207_dedup_overlap", "q209_nsw_takedown_curve")
+      "q207_dedup_overlap", "q208_release_lifecycle",
+      "q209_nsw_takedown_curve")
     val sb = new StringBuilder
     sb.append("# EXPLAIN — headline query plans (formatted, sf0.001, regenerate with `sbt \"runMain graft.ExplainDump\"`)\n")
     sb.append("\nWhat to look for: `PushedFilters`/`ReadSchema` on every scan, broadcast\njoins where one side is small, partial aggregation before each hash\nexchange, `WindowGroupLimit` ahead of top-k windows, and no\n`CartesianProduct` anywhere.\n")

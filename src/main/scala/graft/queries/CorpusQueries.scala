@@ -32,6 +32,17 @@ object CorpusQueries {
           t(s, dir, "embeddings").filter(col("vec_id") < 250),
           iters = 2, k = 16)))
 
+  /** Persisted assignment of the HISTORY vectors under the era's frozen
+    * quantizer — the one coarse pass the exemplar registry (q195/q197/
+    * q199 via [[semregExemplarsStage]]) and the v1 release's balance
+    * topics (q208) both ride. */
+  private[queries] def semregHistAssignStage(s: SparkSession, dir: String)
+      : DataFrame =
+    PipelineQueries.stage(s, dir, "semreg_hist_assign")(
+      Similarity.assignEmbeddings(
+        t(s, dir, "embeddings").filter(col("vec_id") < 250),
+        semregFrozenStage(s, dir)))
+
   /** Persisted q178 exemplar registry — shared by the registry query
     * (q178), its takedown night (q195), the ops card (q197) and the
     * takedown receipt (q199). */
@@ -39,9 +50,7 @@ object CorpusQueries {
       : DataFrame =
     PipelineQueries.stage(s, dir, "semreg_exemplars")(
       Similarity.semDedupExemplars(
-        Similarity.assignEmbeddings(
-          t(s, dir, "embeddings").filter(col("vec_id") < 250),
-          semregFrozenStage(s, dir)),
+        semregHistAssignStage(s, dir),
         tau = 0.3, maxPerCluster = 16L))
 
   /** Persisted per-doc NIGHTLY gate table of the incremental funnel —
@@ -97,10 +106,69 @@ object CorpusQueries {
       base.join(firsts, Seq("doc_id"), "left")
         .join(nearNew, Seq("doc_id"), "left")
         .join(sem, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_tok"), col("g_gopher"),
+        .select(col("doc_id"), col("n_tok"), col("__fp").as("fp"),
+          col("g_gopher"),
           coalesce(col("g_digest"), lit(false)).as("g_digest"),
           coalesce(col("__nn"), lit(false)).as("g_neardup"),
           coalesce(col("__sem"), lit(false)).as("g_semdedup"))
+    }
+
+  /** Persisted per-doc RELEASE gate table — one row per corpus doc with
+    * its token count, content digest and the five gate verdicts (gopher;
+    * corpus keep-first digest; near-dup vs surviving lower ids;
+    * decontamination; sqrt-N balance membership). Shared by q196 (the
+    * release funnel) and q208 (the release-to-release lifecycle, which
+    * restricts the first four gates to the history era — they are
+    * restriction-stable because every gate consults only LOWER ids or
+    * per-doc state, ReleaseLifecycleSpec pins it — and recomputes only
+    * the balance gate on the era's own topic counts). */
+  private def releaseGatesStage(s: SparkSession, dir: String): DataFrame =
+    PipelineQueries.stage(s, dir, "release_gates") {
+      val docs = t(s, dir, "documents")
+      val ltoks = TextAnalysis.tokens(lower(col("text")))
+      val n = size(ltoks).cast("long")
+      val sumLen = aggregate(transform(ltoks, w => length(w)),
+        lit(0), (acc, v) => acc + v).cast("long")
+      val sym = TextAnalysis.symbolCount(col("text"))
+      val grams = TextAnalysis.wordGrams(ltoks, 3)
+      val g = coalesce(size(grams).cast("long"), lit(0L))
+      val d = coalesce(size(array_distinct(grams)).cast("long"), lit(0L))
+      val base = docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok"),
+        md5(col("text").cast("binary")).as("__fp"),
+        (n.between(3L, 10000L) && sumLen >= n * 3L && sumLen <= n * 10L &&
+          TextAnalysis.stopwordHits(ltoks, TextAnalysis.StopEn) >= 2L &&
+          sym * 10L <= n && (g - d) * 8L <= g).as("g_gopher"))
+      val firsts = base.filter(col("g_gopher"))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("__fp")).orderBy(col("doc_id"))))
+        .filter(col("__rn") === 1)
+        .select(col("doc_id"), lit(true).as("g_digest"))
+      val ndDrop = PipelineQueries.docPairs(s, dir)
+        .join(firsts.select(col("doc_id").as("d1")), Seq("d1"), "left_semi")
+        .select(col("d2").as("doc_id")).distinct()
+        .withColumn("__nd", lit(true))
+      val contam = ScaleQueries.deconFlagsStage(s, dir)
+        .select(col("doc_id"), lit(true).as("__ct"))
+      val cat = PipelineQueries.stage(s, dir, "sqrtn_assign")(
+          Similarity.lloydAssigned(t(s, dir, "embeddings"), iters = 2,
+            k = 22))
+        .select(col("vec_id"), col("cluster").cast("string").as("topic"))
+      val keep = Mixture.resampleToTargets(cat, "topic",
+          col("vec_id").cast("string"),
+          Mixture.temperatureTargets(cat, "topic"))
+        .select(col("vec_id").as("doc_id"), lit(true).as("__kb"))
+      base.join(firsts, Seq("doc_id"), "left")
+        .join(ndDrop, Seq("doc_id"), "left")
+        .join(contam, Seq("doc_id"), "left")
+        .join(keep, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"), col("__fp").as("fp"),
+          col("g_gopher"),
+          coalesce(col("g_digest"), lit(false)).as("g_digest"),
+          (!coalesce(col("__nd"), lit(false))).as("g_neardup"),
+          (col("doc_id") % 97 =!= 0 &&
+            !coalesce(col("__ct"), lit(false))).as("g_decon"),
+          coalesce(col("__kb"), lit(false)).as("g_balance"))
     }
 
   /** Persisted CDC chunk table (id, chunk_idx, start, chunk_len,
@@ -482,52 +550,7 @@ object CorpusQueries {
     // repeated corpus scans — that is the contract this query exists to
     // prove, and PlanAuditSpec pins it.
     "q196_release_funnel" -> ((s, dir) => {
-      val gates = PipelineQueries.stage(s, dir, "release_gates") {
-        val docs = t(s, dir, "documents")
-        val ltoks = TextAnalysis.tokens(lower(col("text")))
-        val n = size(ltoks).cast("long")
-        val sumLen = aggregate(transform(ltoks, w => length(w)),
-          lit(0), (acc, v) => acc + v).cast("long")
-        val sym = TextAnalysis.symbolCount(col("text"))
-        val grams = TextAnalysis.wordGrams(ltoks, 3)
-        val g = coalesce(size(grams).cast("long"), lit(0L))
-        val d = coalesce(size(array_distinct(grams)).cast("long"), lit(0L))
-        val base = docs.select(col("doc_id"),
-          TextAnalysis.tokenCount(col("text")).as("n_tok"),
-          md5(col("text").cast("binary")).as("__fp"),
-          (n.between(3L, 10000L) && sumLen >= n * 3L && sumLen <= n * 10L &&
-            TextAnalysis.stopwordHits(ltoks, TextAnalysis.StopEn) >= 2L &&
-            sym * 10L <= n && (g - d) * 8L <= g).as("g_gopher"))
-        val firsts = base.filter(col("g_gopher"))
-          .withColumn("__rn", row_number().over(
-            Window.partitionBy(col("__fp")).orderBy(col("doc_id"))))
-          .filter(col("__rn") === 1)
-          .select(col("doc_id"), lit(true).as("g_digest"))
-        val ndDrop = PipelineQueries.docPairs(s, dir)
-          .join(firsts.select(col("doc_id").as("d1")), Seq("d1"), "left_semi")
-          .select(col("d2").as("doc_id")).distinct()
-          .withColumn("__nd", lit(true))
-        val contam = ScaleQueries.deconFlagsStage(s, dir)
-          .select(col("doc_id"), lit(true).as("__ct"))
-        val cat = PipelineQueries.stage(s, dir, "sqrtn_assign")(
-            Similarity.lloydAssigned(t(s, dir, "embeddings"), iters = 2,
-              k = 22))
-          .select(col("vec_id"), col("cluster").cast("string").as("topic"))
-        val keep = Mixture.resampleToTargets(cat, "topic",
-            col("vec_id").cast("string"),
-            Mixture.temperatureTargets(cat, "topic"))
-          .select(col("vec_id").as("doc_id"), lit(true).as("__kb"))
-        base.join(firsts, Seq("doc_id"), "left")
-          .join(ndDrop, Seq("doc_id"), "left")
-          .join(contam, Seq("doc_id"), "left")
-          .join(keep, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_tok"), col("g_gopher"),
-            coalesce(col("g_digest"), lit(false)).as("g_digest"),
-            (!coalesce(col("__nd"), lit(false))).as("g_neardup"),
-            (col("doc_id") % 97 =!= 0 &&
-              !coalesce(col("__ct"), lit(false))).as("g_decon"),
-            coalesce(col("__kb"), lit(false)).as("g_balance"))
-      }
+      val gates = releaseGatesStage(s, dir)
       val s1 = col("g_gopher")
       val s2 = s1 && col("g_digest")
       val s3 = s2 && col("g_neardup")
@@ -612,6 +635,112 @@ object CorpusQueries {
           round(col("ptok").cast("double") / (col("n_bins") * 512L), 6)
             .as("fill_rate"))
       funnel.unionByName(packRow).orderBy(col("stage"))
+    }),
+
+    // THE RELEASE-TO-RELEASE LIFECYCLE — the capstone that composes
+    // what q196/q194/q202/q101 grade separately into the story an
+    // actual corpus release publishes ACROSS TIME: release v1 is built
+    // from the HISTORY era (doc_id < 250) through the q196 gate
+    // families — the first four gates are row-restrictions of the
+    // persisted corpus-wide gate table (each consults only lower ids or
+    // per-doc state, so history-restricted == corpus-wide-filtered;
+    // ReleaseLifecycleSpec pins the equality), and only the balance
+    // gate is recomputed on the era's own topic counts under the SAME
+    // frozen quantizer the semantic registry persists (the
+    // semreg_hist_assign stage) — then a takedown night removes the
+    // tombstoned docs (doc_id % 23 = 9, the q194 rule) by anti-join,
+    // the nightly batch admits q202's registry-gated survivors, and
+    // release v2 = (v1 − takedown) ∪ admitted. The card closes with the
+    // v1→v2 snapshot diff (q101's Drift.snapshotDiff over content
+    // digests carried on the gate stages — statuses NEW/GONE/CHANGED/
+    // SAME; CHANGED is structurally zero here because no doc text
+    // mutates between eras, which q101 grades separately). Scale shape:
+    // every row is a conditional aggregate over persisted stages — the
+    // corpus is never rescanned (PlanAuditSpec pins a parquet-free live
+    // plan), and the registries keep their full-history memory (a
+    // takedown shrinks the RELEASE, not the dedup registries — those
+    // run their own tombstone lifecycle, q197).
+    "q208_release_lifecycle" -> ((s, dir) => {
+      val rg = releaseGatesStage(s, dir).filter(col("doc_id") < 250)
+      // v1 balance: the era's own sqrt-N targets over topics assigned
+      // under the era's frozen quantizer
+      val catH = semregHistAssignStage(s, dir)
+        .select(col("vec_id"), col("cluster").cast("string").as("topic"))
+      val keepH = Mixture.resampleToTargets(catH, "topic",
+          col("vec_id").cast("string"),
+          Mixture.temperatureTargets(catH, "topic"))
+        .select(col("vec_id").as("doc_id"), lit(true).as("__kb"))
+      val gh = rg.join(keepH, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"), col("fp"), col("g_gopher"),
+          col("g_digest"), col("g_neardup"), col("g_decon"),
+          coalesce(col("__kb"), lit(false)).as("g_balance"))
+      val s1 = col("g_gopher")
+      val s2 = s1 && col("g_digest")
+      val s3 = s2 && col("g_neardup")
+      val s4 = s3 && col("g_decon")
+      val s5 = s4 && col("g_balance")
+      def dAgg(cond: Column, i: Int) = Seq(
+        sum(when(cond, 1L).otherwise(0L)).as(s"d$i"),
+        sum(when(cond, col("n_tok")).otherwise(0L)).as(s"t$i"))
+      val aggs = Seq(count(lit(1)).as("d0"), sum(col("n_tok")).as("t0")) ++
+        dAgg(s1, 1) ++ dAgg(s2, 2) ++ dAgg(s3, 3) ++ dAgg(s4, 4) ++
+        dAgg(s5, 5)
+      val funnel = gh.agg(aggs.head, aggs.tail: _*).select(expr(
+          "stack(6, '0_v1_raw', d0, t0, '1_v1_gopher', d1, t1, " +
+            "'2_v1_exact_dedup', d2, t2, '3_v1_near_dup', d3, t3, " +
+            "'4_v1_decontaminate', d4, t4, '5_v1_balance', d5, t5) " +
+            "as (stage, docs, tokens)"))
+        .select(col("stage"), col("docs").cast("long").as("docs"),
+          col("tokens").cast("long").as("tokens"))
+      // the takedown night: anti-join purge of the v1 membership
+      val v1 = gh.filter(s5).select(col("doc_id"), col("n_tok"), col("fp"))
+      val tomb = col("doc_id") % 23 === 9
+      val tombs = rg.filter(tomb).select(col("doc_id"))
+      val kept = Takedown.purge(v1, tombs, "doc_id")
+      val goneRow = v1.join(tombs, Seq("doc_id"), "left_semi")
+        .agg(count(lit(1)).as("docs"), sum(col("n_tok")).as("tokens"))
+        .select(lit("6_takedown_gone").as("stage"),
+          col("docs").cast("long").as("docs"),
+          coalesce(col("tokens"), lit(0L)).cast("long").as("tokens"))
+      // the nightly batch: q202's registry-gated admissions
+      val ng = nightlyGatesStage(s, dir)
+      val admitted = ng.filter(col("g_gopher") && col("g_digest") &&
+          col("g_neardup") && col("g_semdedup"))
+        .select(col("doc_id"), col("n_tok"), col("fp"))
+      val admRow = admitted
+        .agg(count(lit(1)).as("docs"), sum(col("n_tok")).as("tokens"))
+        .select(lit("7_nightly_admitted").as("stage"),
+          col("docs").cast("long").as("docs"),
+          coalesce(col("tokens"), lit(0L)).cast("long").as("tokens"))
+      // release v2 and the v1→v2 diff card
+      val v2 = kept.unionByName(admitted)
+      val v2Row = v2
+        .agg(count(lit(1)).as("docs"), sum(col("n_tok")).as("tokens"))
+        .select(lit("8_v2_release").as("stage"),
+          col("docs").cast("long").as("docs"),
+          coalesce(col("tokens"), lit(0L)).cast("long").as("tokens"))
+      // v1 ids (< 250) and admitted ids (>= 250) are disjoint, so the
+      // union is already one row per doc_id
+      val toks = v1.select(col("doc_id"), col("n_tok"))
+        .unionByName(admitted.select(col("doc_id"), col("n_tok")))
+      val diff = Drift.snapshotDiff(
+          v1.select(col("doc_id"), col("fp")),
+          v2.select(col("doc_id"), col("fp")), "doc_id", "fp")
+        .join(toks, Seq("doc_id"), "left")
+      def sAgg(st: String, tag: String) = Seq(
+        sum(when(col("status") === st, 1L).otherwise(0L)).as(s"d$tag"),
+        sum(when(col("status") === st, col("n_tok")).otherwise(0L))
+          .as(s"t$tag"))
+      val dAggs = sAgg("NEW", "n") ++ sAgg("GONE", "g") ++
+        sAgg("CHANGED", "c") ++ sAgg("SAME", "s")
+      val diffRows = diff.agg(dAggs.head, dAggs.tail: _*).select(expr(
+          "stack(4, '9a_diff_new', dn, tn, '9b_diff_gone', dg, tg, " +
+            "'9c_diff_changed', dc, tc, '9d_diff_same', ds, ts) " +
+            "as (stage, docs, tokens)"))
+        .select(col("stage"), col("docs").cast("long").as("docs"),
+          col("tokens").cast("long").as("tokens"))
+      funnel.unionByName(goneRow).unionByName(admRow).unionByName(v2Row)
+        .unionByName(diffRows).orderBy(col("stage"))
     }),
 
     // DEDUP-FAMILY COMPLEMENTARITY — the data-card question "does
@@ -1171,6 +1300,172 @@ object CorpusQueries {
       |    (SELECT round(sum(fill)::DOUBLE / (count(*) * 512), 6) FROM pb)
       |ORDER BY stage""".stripMargin
 
+  /** q208 oracle: the release-to-release lifecycle — the corpus-wide
+    * gopher/pair/decon chains (as q196, restricted to the history era
+    * per gate), the era's frozen-quantizer Lloyd chain (as q197/q199)
+    * feeding the v1 balance targets, the takedown predicate, the full
+    * q202 nightly gate chain for the admissions, and the v1→v2
+    * digest-diff statuses via one full-outer join. */
+  // lazy: interpolates nightlyGateCtes, which is declared further down
+  // the object — the oracles map forces this only after full init
+  private lazy val releaseLifecycleSql: String =
+    s"""WITH gt AS (SELECT doc_id, text,
+      |    string_split_regex(trim(lower(text)), '\\s+') AS ltoks,
+      |    length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
+      |      AS n_sym,
+      |    len(string_split_regex(trim(text), '\\s+')) AS n_tok
+      |  FROM documents),
+      |gf AS (SELECT doc_id, text, n_tok, n_sym, len(ltoks) AS n,
+      |    list_sum(list_transform(ltoks, w -> length(w))) AS sum_len,
+      |    len(list_filter(ltoks, w -> list_contains(
+      |      ['the','a','of','and','to','in','is','on','for','with'], w)))
+      |      AS stop_hits,
+      |    CASE WHEN len(ltoks) >= 3
+      |      THEN list_transform(range(len(ltoks)-2),
+      |             i -> ltoks[i+1] || ' ' || ltoks[i+2] || ' ' || ltoks[i+3])
+      |      ELSE []::VARCHAR[] END AS grams
+      |  FROM gt),
+      |acc AS (SELECT doc_id, text, n_tok,
+      |    (n BETWEEN 3 AND 10000 AND sum_len >= n * 3 AND sum_len <= n * 10
+      |     AND stop_hits >= 2 AND n_sym * 10 <= n
+      |     AND (len(grams) - len(list_distinct(grams))) * 8 <= len(grams))
+      |      AS g_gopher
+      |  FROM gf),
+      |jt AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      |  FROM documents),
+      |jsh AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+      |    THEN list_distinct(list_transform(range(len(w)-2),
+      |           i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))
+      |    ELSE [array_to_string(w, ' ')] END) AS g
+      |  FROM jt),
+      |jsz AS (SELECT doc_id, count(*) AS n FROM jsh GROUP BY doc_id),
+      |jpr AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      |  FROM jsh a JOIN jsh b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |jpairs AS (SELECT d1, d2 FROM jpr
+      |  JOIN jsz sa ON sa.doc_id = jpr.d1
+      |  JOIN jsz sb ON sb.doc_id = jpr.d2
+      |  WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.5),
+      |dg AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 4
+      |    THEN list_distinct(list_transform(range(len(w)-3),
+      |           i -> array_to_string(w[i+1:i+4], ' ')))
+      |    ELSE [array_to_string(w, ' ')] END) AS g
+      |  FROM jt),
+      |dbench AS (SELECT g FROM dg WHERE doc_id % 97 = 0),
+      |dcontam AS (SELECT DISTINCT doc_id FROM dg
+      |  WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM dbench)),
+      |hdd AS (SELECT doc_id, row_number() OVER
+      |    (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |  FROM acc WHERE g_gopher AND doc_id < 250),
+      |hfs2 AS (SELECT doc_id FROM hdd WHERE rn = 1),
+      |hnd AS (SELECT DISTINCT d2 AS doc_id FROM jpairs
+      |  WHERE d2 < 250 AND d1 IN (SELECT doc_id FROM hfs2)),
+      |hfs3 AS (SELECT doc_id FROM hfs2
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM hnd)),
+      |hfs4 AS (SELECT doc_id FROM hfs3 WHERE doc_id % 97 <> 0
+      |  AND doc_id NOT IN (SELECT doc_id FROM dcontam)),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |ehist AS (SELECT vec_id, v FROM e WHERE vec_id < 250),
+      |sd AS (SELECT vec_id, v, md5(vec_id::VARCHAR) AS h FROM ehist
+      |       ORDER BY h, vec_id LIMIT 16),
+      |cent0 AS (SELECT row_number() OVER (ORDER BY h, vec_id) AS clab,
+      |            list_transform(v, x -> round(x, 6)) AS c FROM sd),
+      |${sdArgmax("a1", "ehist", "cent0")},
+      |${sdMeans("cent1", "a1")},
+      |${sdArgmax("a2", "ehist", "cent1")},
+      |${sdMeans("cent2", "a2")},
+      |${sdArgmax("ha", "ehist", "cent2")},
+      |hcat AS (SELECT vec_id, cluster::VARCHAR AS topic FROM ha),
+      |hc AS (SELECT topic, count(*) AS n FROM hcat GROUP BY topic),
+      |hw AS (SELECT topic, n, sqrt(n::DOUBLE) AS sw FROM hc),
+      |htgt AS (SELECT topic, n,
+      |          round(sw / (SELECT sum(sw) FROM hw), 6) AS t FROM hw),
+      |hp AS (SELECT topic,
+      |        (t * (SELECT min(n::DOUBLE / t) FROM htgt)) / n::DOUBLE AS p
+      |      FROM htgt),
+      |hbkeep AS (SELECT c2.vec_id AS doc_id
+      |  FROM hcat c2 JOIN hp USING (topic)
+      |  WHERE ('0x' || substr(md5(c2.vec_id::VARCHAR), 1, 15))::BIGINT::DOUBLE
+      |        < hp.p * 1152921504606846976.0),
+      |v1 AS (SELECT doc_id FROM hfs4
+      |  WHERE doc_id IN (SELECT doc_id FROM hbkeep)),
+      |vgone AS (SELECT doc_id FROM v1 WHERE doc_id % 23 = 9),
+      |vkept AS (SELECT doc_id FROM v1 WHERE doc_id % 23 <> 9),
+      |$nightlyGateCtes,
+      |bs4 AS (SELECT doc_id FROM bs3
+      |  WHERE doc_id IN (SELECT doc_id FROM bsem)),
+      |v2 AS (SELECT doc_id FROM vkept
+      |  UNION ALL SELECT doc_id FROM bs4),
+      |tok AS (SELECT doc_id, n_tok FROM acc WHERE doc_id < 250
+      |  UNION ALL SELECT doc_id, n_tok FROM bacc),
+      |pv AS (SELECT v1.doc_id, md5(d.text) AS dgst
+      |  FROM v1 JOIN documents d USING (doc_id)),
+      |cv AS (SELECT v2.doc_id, md5(d.text) AS dgst
+      |  FROM v2 JOIN documents d USING (doc_id)),
+      |dstat AS (SELECT coalesce(pv.doc_id, cv.doc_id) AS doc_id,
+      |    CASE WHEN pv.doc_id IS NULL THEN 'NEW'
+      |         WHEN cv.doc_id IS NULL THEN 'GONE'
+      |         WHEN pv.dgst <> cv.dgst THEN 'CHANGED'
+      |         ELSE 'SAME' END AS status
+      |  FROM pv FULL OUTER JOIN cv ON pv.doc_id = cv.doc_id),
+      |dagg AS (SELECT
+      |    sum(CASE WHEN status = 'NEW' THEN 1 ELSE 0 END) AS dn,
+      |    sum(CASE WHEN status = 'NEW' THEN t.n_tok ELSE 0 END) AS tn,
+      |    sum(CASE WHEN status = 'GONE' THEN 1 ELSE 0 END) AS dgo,
+      |    sum(CASE WHEN status = 'GONE' THEN t.n_tok ELSE 0 END) AS tgo,
+      |    sum(CASE WHEN status = 'CHANGED' THEN 1 ELSE 0 END) AS dc,
+      |    sum(CASE WHEN status = 'CHANGED' THEN t.n_tok ELSE 0 END) AS tc,
+      |    sum(CASE WHEN status = 'SAME' THEN 1 ELSE 0 END) AS ds,
+      |    sum(CASE WHEN status = 'SAME' THEN t.n_tok ELSE 0 END) AS ts
+      |  FROM dstat JOIN tok t USING (doc_id))
+      |SELECT '0_v1_raw' AS stage, CAST(count(*) AS BIGINT) AS docs,
+      |    CAST(sum(n_tok) AS BIGINT) AS tokens
+      |  FROM acc WHERE doc_id < 250
+      |UNION ALL
+      |SELECT '1_v1_gopher', CAST(count(*) AS BIGINT),
+      |    CAST(sum(n_tok) AS BIGINT)
+      |  FROM acc WHERE doc_id < 250 AND g_gopher
+      |UNION ALL
+      |SELECT '2_v1_exact_dedup', CAST(count(*) AS BIGINT),
+      |    CAST(sum(t.n_tok) AS BIGINT)
+      |  FROM hfs2 JOIN acc t USING (doc_id)
+      |UNION ALL
+      |SELECT '3_v1_near_dup', CAST(count(*) AS BIGINT),
+      |    CAST(sum(t.n_tok) AS BIGINT)
+      |  FROM hfs3 JOIN acc t USING (doc_id)
+      |UNION ALL
+      |SELECT '4_v1_decontaminate', CAST(count(*) AS BIGINT),
+      |    CAST(sum(t.n_tok) AS BIGINT)
+      |  FROM hfs4 JOIN acc t USING (doc_id)
+      |UNION ALL
+      |SELECT '5_v1_balance', CAST(count(*) AS BIGINT),
+      |    CAST(sum(t.n_tok) AS BIGINT)
+      |  FROM v1 JOIN acc t USING (doc_id)
+      |UNION ALL
+      |SELECT '6_takedown_gone', CAST(count(*) AS BIGINT),
+      |    CAST(coalesce(sum(t.n_tok), 0) AS BIGINT)
+      |  FROM vgone JOIN acc t USING (doc_id)
+      |UNION ALL
+      |SELECT '7_nightly_admitted', CAST(count(*) AS BIGINT),
+      |    CAST(coalesce(sum(t.n_tok), 0) AS BIGINT)
+      |  FROM bs4 JOIN bacc t USING (doc_id)
+      |UNION ALL
+      |SELECT '8_v2_release', CAST(count(*) AS BIGINT),
+      |    CAST(coalesce(sum(t.n_tok), 0) AS BIGINT)
+      |  FROM v2 JOIN tok t USING (doc_id)
+      |UNION ALL
+      |SELECT '9a_diff_new', CAST(dn AS BIGINT), CAST(tn AS BIGINT) FROM dagg
+      |UNION ALL
+      |SELECT '9b_diff_gone', CAST(dgo AS BIGINT), CAST(tgo AS BIGINT)
+      |  FROM dagg
+      |UNION ALL
+      |SELECT '9c_diff_changed', CAST(dc AS BIGINT), CAST(tc AS BIGINT)
+      |  FROM dagg
+      |UNION ALL
+      |SELECT '9d_diff_same', CAST(ds AS BIGINT), CAST(ts AS BIGINT)
+      |  FROM dagg
+      |ORDER BY stage""".stripMargin
+
   /** q197 oracle: the four provenance logs rebuilt by their own graded
     * chains (documents digest, the md5-portable LSH signature chain, the
     * 32-gram digest chain, the q178 exemplar training chain), then one
@@ -1454,6 +1749,7 @@ object CorpusQueries {
   val oracles: Map[String, String] = Map(
     "q178_semdedup_registry" -> semRegSql(None),
     "q202_incremental_funnel" -> incrementalFunnelSql,
+    "q208_release_lifecycle" -> releaseLifecycleSql,
     "q204_temperature_curve" -> temperatureCurveSql,
     "q207_dedup_overlap" -> dedupOverlapSql,
     "q195_registry_takedown" -> semRegSql(Some("vec_id % 5 = 2")),

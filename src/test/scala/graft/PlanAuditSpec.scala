@@ -862,6 +862,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q208: the release-to-release lifecycle's live plan reads ONLY " +
+    "cached stages — both eras' gates, the takedown, the admissions and " +
+    "the diff all derive from persisted tables, zero corpus rescans") {
+    val df = SparkEntry.queries("q208_release_lifecycle")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scans = df.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.isEmpty, scans.mkString("\n"))
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
   test("q209: all three repair policies per rate ride cached stages — " +
     "purged and repaired are row-local passes over the ONE ranked edge " +
     "stage (no per-rate graph build), and no cartesian appears") {
