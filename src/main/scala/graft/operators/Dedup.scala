@@ -159,11 +159,14 @@ object Dedup {
     registry.join(broadcast(ts), Seq(sourceCol), "left")
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col(sourceCol)).as("n_sources"),
-        sum(when(col("__t"), 1L).otherwise(0L)).as("n_tombstoned"),
-        sum(when(col(batchCol) < minBatch, 1L).otherwise(0L))
-          .as("n_expired"),
-        sum(when(live, 1L).otherwise(0L)).as("n_live"),
+        coalesce(sum(when(col("__t"), 1L).otherwise(0L)), lit(0L))
+          .as("n_tombstoned"),
+        coalesce(sum(when(col(batchCol) < minBatch, 1L).otherwise(0L)),
+          lit(0L)).as("n_expired"),
+        coalesce(sum(when(live, 1L).otherwise(0L)), lit(0L)).as("n_live"),
         countDistinct(when(live, col(keyCol))).as("n_keys_live"),
+        // an EMPTY registry's last_batch stays null — "no batch seen"
+        // is the honest value; the count/sum zeros above are guarded
         max(col(batchCol)).cast("long").as("last_batch"))
       .select(lit(family).as("family"), col("n_rows"), col("n_sources"),
         col("n_tombstoned"), col("n_expired"), col("n_live"),

@@ -75,16 +75,19 @@ object Packing {
   def packCard(packed: DataFrame, budget: Long): DataFrame =
     packed.groupBy(col("shard"), col("bin"))
       .agg(sum(col("w")).as("fill"), count(lit(1)).as("docs"))
-      .agg(count(lit(1)).as("n_bins"), sum(col("docs")).as("n_docs"),
-        sum(col("fill")).as("total_tokens"),
+      .agg(count(lit(1)).as("n_bins"),
+        coalesce(sum(col("docs")), lit(0L)).as("n_docs"),
+        coalesce(sum(col("fill")), lit(0L)).as("total_tokens"),
         (count(lit(1)) * budget).as("capacity"),
-        sum(when(col("fill") < budget, lit(budget) - col("fill"))
-          .otherwise(0L)).as("sum_waste"),
-        max(col("fill")).as("max_fill"),
-        sum(when(col("fill") > budget, 1L).otherwise(0L))
-          .as("n_overbudget"))
-      .withColumn("fill_rate", round(col("total_tokens").cast("double") /
-        col("capacity").cast("double"), 6))
+        coalesce(sum(when(col("fill") < budget, lit(budget) - col("fill"))
+          .otherwise(0L)), lit(0L)).as("sum_waste"),
+        coalesce(max(col("fill")), lit(0L)).as("max_fill"),
+        coalesce(sum(when(col("fill") > budget, 1L).otherwise(0L)),
+          lit(0L)).as("n_overbudget"))
+      // empty-packing guard: zero capacity reads as zero fill, not null
+      .withColumn("fill_rate", when(col("capacity") === 0, lit(0.0))
+        .otherwise(round(col("total_tokens").cast("double") /
+          col("capacity").cast("double"), 6)))
 
   /** Takedown BLAST RADIUS over a stored packing — when a tombstone set
     * arrives, the packed training batches containing condemned docs are
@@ -112,17 +115,20 @@ object Packing {
         sum(when(col("__t"), 1L).otherwise(0L)).as("n_tomb"),
         sum(when(col("__t"), col("w")).otherwise(0L)).as("w_tomb"))
     bins.agg(count(lit(1)).as("n_bins"),
-        sum(when(col("n_tomb") > 0, 1L).otherwise(0L)).as("n_dirty_bins"),
-        sum(col("n_tomb")).as("n_docs_dropped"),
-        sum(col("w_tomb")).as("tokens_dropped"),
-        sum(when(col("n_tomb") > 0, col("docs") - col("n_tomb"))
-          .otherwise(0L)).as("n_docs_repack"),
-        sum(when(col("n_tomb") > 0, col("fill") - col("w_tomb"))
-          .otherwise(0L)).as("tokens_repack"))
+        coalesce(sum(when(col("n_tomb") > 0, 1L).otherwise(0L)), lit(0L))
+          .as("n_dirty_bins"),
+        coalesce(sum(col("n_tomb")), lit(0L)).as("n_docs_dropped"),
+        coalesce(sum(col("w_tomb")), lit(0L)).as("tokens_dropped"),
+        coalesce(sum(when(col("n_tomb") > 0, col("docs") - col("n_tomb"))
+          .otherwise(0L)), lit(0L)).as("n_docs_repack"),
+        coalesce(sum(when(col("n_tomb") > 0, col("fill") - col("w_tomb"))
+          .otherwise(0L)), lit(0L)).as("tokens_repack"))
       .select(col("n_bins"), col("n_dirty_bins"), col("n_docs_dropped"),
         col("tokens_dropped"), col("n_docs_repack"), col("tokens_repack"),
-        round(col("n_dirty_bins").cast("double") / col("n_bins"), 6)
-          .as("dirty_frac"))
+        // empty-manifest guard: no bins means nothing is dirty, not null
+        when(col("n_bins") === 0, lit(0.0))
+          .otherwise(round(col("n_dirty_bins").cast("double") /
+            col("n_bins"), 6)).as("dirty_frac"))
   }
 
   /** Packing efficiency report: bins, mean fill ratio, over-budget bins
@@ -131,7 +137,8 @@ object Packing {
     packed.groupBy(col("shard"), col("bin"))
       .agg(sum(col("w")).as("fill"), count(lit(1)).as("docs"))
       .agg(count(lit(1)).as("bins"),
-        round(avg(col("fill")).cast("double") / budget, 4).as("mean_fill"),
+        coalesce(round(avg(col("fill")).cast("double") / budget, 4),
+          lit(0.0)).as("mean_fill"),
         count(when(col("fill") > budget && col("docs") > 1, 1))
           .as("illegal_bins"))
 }

@@ -524,7 +524,9 @@ object Similarity {
       .select(col("tau"), col("n_vecs"),
         coalesce(col("n_dup"), lit(0L)).as("n_dup"))
       .withColumn("dup_rate",
-        round(col("n_dup").cast("double") / col("n_vecs"), 6))
+        // empty-corpus guard: zero vectors means zero dup rate, not null
+        when(col("n_vecs") === 0, lit(0.0))
+          .otherwise(round(col("n_dup").cast("double") / col("n_vecs"), 6)))
   }
 
   /** Exact maximum-inner-product top-k — the dot-product sibling of
@@ -1505,8 +1507,10 @@ object Similarity {
       .join(flagged, Seq("tau"), "left")
       .select(col("tau"), col("n_vecs"),
         coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
-        round(coalesce(col("n_flagged"), lit(0L)).cast("double") /
-          col("n_vecs"), 6).as("rate"))
+        // empty-corpus guard: zero vectors means zero rate, not null
+        when(col("n_vecs") === 0, lit(0.0))
+          .otherwise(round(coalesce(col("n_flagged"), lit(0L))
+            .cast("double") / col("n_vecs"), 6)).as("rate"))
       .orderBy(col("tau"))
   }
 

@@ -96,14 +96,18 @@ object Sketches {
       val est = countMinEstimate(countMin(df, key, depth, w), exact,
         col("__k"), depth, w)
       est.agg(count(lit(1)).as("n_keys"),
-          sum(when(col("cms_est") < col("exact_cnt"), 1L).otherwise(0L))
-            .as("n_under"),
-          sum(col("cms_est") - col("exact_cnt")).as("sum_over"),
-          max(col("cms_est") - col("exact_cnt")).as("max_over"))
+          coalesce(sum(when(col("cms_est") < col("exact_cnt"), 1L)
+            .otherwise(0L)), lit(0L)).as("n_under"),
+          coalesce(sum(col("cms_est") - col("exact_cnt")), lit(0L))
+            .as("sum_over"),
+          coalesce(max(col("cms_est") - col("exact_cnt")), lit(0L))
+            .as("max_over"))
         .select(lit(w).as("width"), lit(depth.toLong).as("depth"),
           col("n_keys"), col("n_under"), col("sum_over"), col("max_over"),
-          round(col("sum_over").cast("double") / col("n_keys"), 6)
-            .as("mean_over"))
+          // empty-input guard: zero keys means zero mean error, not null
+          when(col("n_keys") === 0, lit(0.0))
+            .otherwise(round(col("sum_over").cast("double") /
+              col("n_keys"), 6)).as("mean_over"))
     }.reduce(_ unionByName _)
   }
 
@@ -189,8 +193,10 @@ object Sketches {
         .select(lit(m).as("num_bits"),
           lit(numHashes.toLong).as("num_hashes"),
           col("n_keys"), col("n_probes"), col("n_fp"),
-          round(col("n_fp").cast("double") / col("n_probes"), 6)
-            .as("fp_rate"))
+          // empty-probe guard: no probes means no false positives, not null
+          when(col("n_probes") === 0, lit(0.0))
+            .otherwise(round(col("n_fp").cast("double") /
+              col("n_probes"), 6)).as("fp_rate"))
     }.reduce(_ unionByName _)
   }
 

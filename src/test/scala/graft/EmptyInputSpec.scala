@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Mixture, NearDup, Packing, Similarity,
+  Sketches, Takedown}
+
+/** The division-hardening sweep (ADVICE pattern, bitten twice before
+  * round 11's guards): every curve/card operator must stay WELL-DEFINED
+  * on an EMPTY corpus — counts zero, rates 0.0, never a silent null
+  * from an unguarded division. Each test asserts no-throw plus no-null
+  * in every output column (the one documented exception: an empty
+  * registry's `last_batch` is null — "no batch seen" is the honest
+  * value, there is no division behind it). */
+class EmptyInputSpec extends SparkSpec {
+
+  private def assertNoNulls(df: DataFrame,
+      allowNull: Set[String] = Set.empty): Unit = {
+    val cols = df.columns
+    df.collect().foreach { r =>
+      cols.zipWithIndex.foreach { case (c, i) =>
+        if (!allowNull(c))
+          assert(!r.isNullAt(i), s"unguarded null in column $c of row $r")
+        if (!r.isNullAt(i)) r.get(i) match {
+          case d: Double => assert(!d.isNaN, s"NaN in column $c of row $r")
+          case _ => ()
+        }
+      }
+    }
+  }
+
+  private def emptyDocs = {
+    import spark.implicits._
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+  }
+  private def emptyEmb = {
+    import spark.implicits._
+    Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+  }
+  private def emptyPacked = {
+    import spark.implicits._
+    Seq.empty[(Long, Long, Long, Long)].toDF("id", "w", "shard", "bin")
+  }
+
+  test("packing family: packGreedy of an empty corpus is empty; the " +
+      "card, stats and blast radius report zeros with fill/dirty " +
+      "fractions 0.0, never null") {
+    import spark.implicits._
+    val packed = Packing.packGreedy(emptyDocs, "doc_id",
+      "doc_id", budget = 512L, shards = 4)
+    assert(packed.count() === 0L)
+    val card = Packing.packCard(emptyPacked, budget = 512L)
+    assertNoNulls(card)
+    assert(card.collect().head.getAs[Double]("fill_rate") === 0.0)
+    val stats = Packing.packStats(emptyPacked, budget = 512L)
+    assertNoNulls(stats)
+    assert(stats.collect().head.getAs[Double]("mean_fill") === 0.0)
+    val blast = Packing.takedownBlastRadius(emptyPacked,
+      Seq(1L, 2L).toDF("id"), "id")
+    assertNoNulls(blast)
+    val b = blast.collect().head
+    assert(b.getAs[Long]("n_bins") === 0L)
+    assert(b.getAs[Double]("dirty_frac") === 0.0)
+  }
+
+  test("takedown family: purging an empty store is empty and the " +
+      "receipt files an all-zero line") {
+    import spark.implicits._
+    val store = Seq.empty[(Long, Long)].toDF("vec_id", "code")
+    val tombs = Seq(3L, 9L).toDF("vec_id")
+    assert(Takedown.purge(store, tombs, "vec_id").count() === 0L)
+    val receipt = Takedown.purgeReceipt(store, tombs, "vec_id", "s")
+    assertNoNulls(receipt)
+    val r = receipt.collect().head
+    assert(r.getAs[Long]("rows_before") === 0L &&
+      r.getAs[Long]("rows_dropped") === 0L &&
+      r.getAs[Long]("rows_after") === 0L)
+  }
+
+  test("similarity curves: tau curve, contamination curve, occupancy " +
+      "drift, dimension truncation and quantStats are all well-defined " +
+      "on an empty embedding corpus") {
+    import spark.implicits._
+    val assigned = Seq.empty[(Long, Array[Double], Int)]
+      .toDF("vec_id", "e", "cluster")
+    val tau = Similarity.semDedupTauCurve(assigned, Seq(0.2, 0.5))
+    assertNoNulls(tau)
+    assert(tau.collect().forall(_.getAs[Double]("dup_rate") === 0.0))
+    val cont = Similarity.contaminationTauCurve(emptyEmb, emptyEmb,
+      Seq(0.3, 0.7))
+    assertNoNulls(cont)
+    assert(cont.collect().forall(_.getAs[Double]("rate") === 0.0))
+    val coarse = Seq.empty[(Long, Int)].toDF("vec_id", "cluster")
+    val drift = Similarity.listOccupancyDrift(coarse, col("vec_id") >= 250)
+    assertNoNulls(drift)
+    assert(drift.count() === 0L)
+    assert(Similarity.dimTruncationCurve(emptyEmb, emptyEmb,
+      dims = Seq(4), k = 5).count() === 0L)
+    assert(Similarity.quantStats(emptyEmb).count() === 0L)
+    // the non-empty degenerate: an all-zero vector quantizes to zeros,
+    // never divides by its zero scale
+    val zeroVec = Seq((1L, Array.fill(4)(0.0f))).toDF("vec_id", "embedding")
+    val qs = Similarity.quantStats(zeroVec)
+    assertNoNulls(qs)
+    assert(qs.collect().head.getAs[Double]("scale") === 0.0)
+  }
+
+  test("mixture family: temperature curve/targets and resampling are " +
+      "empty on an empty corpus, not null-bearing") {
+    import spark.implicits._
+    val cat = Seq.empty[(Long, String)].toDF("vec_id", "topic")
+    assert(Mixture.temperatureCurve(cat, "topic",
+      Seq(0.0, 0.5, 1.0)).count() === 0L)
+    val targets = Mixture.temperatureTargets(cat, "topic")
+    assert(targets.count() === 0L)
+    assert(Mixture.resampleToTargets(cat, "topic",
+      col("vec_id").cast("string"), targets).count() === 0L)
+  }
+
+  test("sketch curves: count-min width and bloom sizing report zero " +
+      "error/fp rates on empty builds and probes, never null") {
+    import spark.implicits._
+    val d = emptyDocs
+    val cms = Sketches.countMinWidthCurve(d, col("doc_id").cast("string"),
+      widths = Seq(16L, 64L), depth = 3)
+    assertNoNulls(cms)
+    assert(cms.collect().forall(r => r.getAs[Long]("n_keys") === 0L &&
+      r.getAs[Double]("mean_over") === 0.0))
+    val bloom = Sketches.bloomSizingCurve(d, d,
+      col("doc_id").cast("string"), numBitsCurve = Seq(64L), numHashes = 2)
+    assertNoNulls(bloom)
+    assert(bloom.collect().forall(_.getAs[Double]("fp_rate") === 0.0))
+  }
+
+  test("lsh geometry curve: empty signatures and truth produce guarded " +
+      "zero recall/precision rows") {
+    import spark.implicits._
+    val sigs = Seq.empty[(Long, Array[Long])].toDF("id", "sig")
+    val truth = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    val curve = NearDup.lshGeometryCurve(sigs, Seq((4, 2)), truth)
+    assertNoNulls(curve)
+    curve.collect().foreach { r =>
+      assert(r.getAs[Long]("n_candidates") === 0L)
+      assert(r.getAs[Double]("recall") === 0.0)
+      assert(r.getAs[Double]("precision") === 0.0)
+    }
+  }
+
+  test("registry ops card: an empty provenance log files an all-zero " +
+      "family row whose only null is the documented last_batch") {
+    import spark.implicits._
+    val log = Seq.empty[(String, String, Long)].toDF("k", "src", "batch")
+    val tomb = Seq.empty[(String, Long)].toDF("src", "x")
+    val row = Dedup.registryOpsCard(log, "k", "src", "batch", tomb,
+      minBatch = 1L, family = "empty")
+    assertNoNulls(row, allowNull = Set("last_batch"))
+    val r = row.collect().head
+    assert(r.getAs[Long]("n_rows") === 0L &&
+      r.getAs[Long]("n_live") === 0L &&
+      r.getAs[Long]("n_keys_live") === 0L)
+  }
+}
