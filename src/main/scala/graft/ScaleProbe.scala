@@ -18,13 +18,41 @@ object ScaleProbe {
     "q158_exact_substring", "q62_winnow_overlap", "q172_xsub_registry",
     "q174_ivfpq_residual", "q126_prefix_jaccard", "q113_cdc_chunks",
     "q165_chunk_dup_bytes", "q159_neardup_registry", "q173_xsub_rolling",
-    "q175_xsub_compact", "q190_lsh_geometry", "q196_release_funnel")
+    "q175_xsub_compact", "q190_lsh_geometry", "q196_release_funnel",
+    // round-11/12 successors: the packing blast radius, the nightly
+    // funnel, the complementarity card, the lifecycle capstone and the
+    // NSW takedown-rate curve
+    "q200_takedown_blast", "q202_incremental_funnel", "q207_dedup_overlap",
+    "q208_release_lifecycle", "q209_nsw_takedown_curve")
   private val Passes = 2
 
   def main(args: Array[String]): Unit = {
     val small = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val big = if (args.length > 1) args(1) else "/root/repo/tmp/scale10"
     val spark = Sessions.local("graft-scaleprobe")
+
+    /** The STAGE-BUILD phase at this scale, attributed per stage (the
+      * round-12 ask: stages are now the dominant fleet cost, so their
+      * exponent is the one that matters at 100 TB). Plans of every
+      * probe query are constructed (registering the stages the probe
+      * surface rides), then each stage is forced under its own clock in
+      * topological order; min of `Passes` measurements. */
+    def timeStages(dir: String): Map[String, Double] = {
+      val obs = (0 until Passes).map { _ =>
+        graft.queries.PipelineQueries.clearStages()
+        System.gc()
+        Probes.foreach { n =>
+          try { SparkEntry.queries(n)(spark, dir); () }
+          catch { case _: Throwable => () }
+        }
+        graft.queries.PipelineQueries.materializeStagesTimed().toMap
+      }
+      val keys = obs.flatMap(_.keys).distinct
+      keys.map { k =>
+        val xs = obs.flatMap(_.get(k)).filter(_ >= 0)
+        k -> (if (xs.isEmpty) -1.0 else xs.min)
+      }.toMap
+    }
 
     def timeDir(dir: String): Map[String, Double] = {
       graft.queries.PipelineQueries.clearStages()
@@ -53,6 +81,8 @@ object ScaleProbe {
 
     val tSmall = timeDir(small)
     val tBig = timeDir(big)
+    val sSmall = timeStages(small)
+    val sBig = timeStages(big)
     spark.stop()
     println("| query | sf0.1 s | 10x s | ratio |")
     println("|---|---|---|---|")
@@ -64,5 +94,16 @@ object ScaleProbe {
     val (sa, sb) = (tSmall.values.filter(_ >= 0).sum,
       tBig.values.filter(_ >= 0).sum)
     println(f"TOTALS small=$sa%.2f big=$sb%.2f ratio=${sb / sa}%.2f")
+    println()
+    println("| stage | sf0.1 s | 10x s | ratio |")
+    println("|---|---|---|---|")
+    sSmall.keys.toSeq.sortBy(k => -sBig.getOrElse(k, 0.0)).foreach { k =>
+      val (a, b) = (sSmall.getOrElse(k, -1.0), sBig.getOrElse(k, -1.0))
+      val r = if (a > 0 && b > 0) f"${b / a}%.2f" else "err"
+      println(f"| $k | $a%.2f | $b%.2f | $r |")
+    }
+    val (ta, tb) = (sSmall.values.filter(_ >= 0).sum,
+      sBig.values.filter(_ >= 0).sum)
+    println(f"STAGE TOTALS small=$ta%.2f big=$tb%.2f ratio=${tb / ta}%.2f")
   }
 }
