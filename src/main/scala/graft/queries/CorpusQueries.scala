@@ -53,6 +53,35 @@ object CorpusQueries {
         semregHistAssignStage(s, dir),
         tau = 0.3, maxPerCluster = 16L))
 
+  /** Persisted per-doc TEXT FEATURES — one row per corpus doc with its
+    * token count, content digest and Gopher verdict. This is the
+    * single most expensive projection in the engine (the wide
+    * text-analysis expressions over every doc), and BOTH gate tables
+    * need exactly it: the release gates corpus-wide, the nightly gates
+    * on the batch slice plus the history digests. Factoring it means
+    * the corpus text is analyzed ONCE per session however many gate
+    * stages ride it (the round-12 stage-graph audit: release_gates and
+    * nightly_gates were 60% of the bench stage phase, most of it this
+    * duplicated projection). */
+  private def docFeaturesStage(s: SparkSession, dir: String): DataFrame =
+    PipelineQueries.stage(s, dir, "doc_features") {
+      val docs = t(s, dir, "documents")
+      val ltoks = TextAnalysis.tokens(lower(col("text")))
+      val n = size(ltoks).cast("long")
+      val sumLen = aggregate(transform(ltoks, w => length(w)),
+        lit(0), (acc, v) => acc + v).cast("long")
+      val sym = TextAnalysis.symbolCount(col("text"))
+      val grams = TextAnalysis.wordGrams(ltoks, 3)
+      val g = coalesce(size(grams).cast("long"), lit(0L))
+      val d = coalesce(size(array_distinct(grams)).cast("long"), lit(0L))
+      docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok"),
+        md5(col("text").cast("binary")).as("fp"),
+        (n.between(3L, 10000L) && sumLen >= n * 3L && sumLen <= n * 10L &&
+          TextAnalysis.stopwordHits(ltoks, TextAnalysis.StopEn) >= 2L &&
+          sym * 10L <= n && (g - d) * 8L <= g).as("g_gopher"))
+    }
+
   /** Persisted per-doc NIGHTLY gate table of the incremental funnel —
     * one row per batch doc with its token count and the four gate
     * verdicts (gopher rules; keep-first + digest-registry anti-join;
@@ -63,25 +92,13 @@ object CorpusQueries {
     * (the funnel) and q207 (the complementarity card). */
   private def nightlyGatesStage(s: SparkSession, dir: String): DataFrame =
     PipelineQueries.stage(s, dir, "nightly_gates") {
-      val docs = t(s, dir, "documents")
-      val batch = docs.filter(col("doc_id") >= 250)
-      val ltoks = TextAnalysis.tokens(lower(col("text")))
-      val n = size(ltoks).cast("long")
-      val sumLen = aggregate(transform(ltoks, w => length(w)),
-        lit(0), (acc, v) => acc + v).cast("long")
-      val sym = TextAnalysis.symbolCount(col("text"))
-      val grams = TextAnalysis.wordGrams(ltoks, 3)
-      val g = coalesce(size(grams).cast("long"), lit(0L))
-      val d = coalesce(size(array_distinct(grams)).cast("long"), lit(0L))
-      val base = batch.select(col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).as("n_tok"),
-        md5(col("text").cast("binary")).as("__fp"),
-        (n.between(3L, 10000L) && sumLen >= n * 3L && sumLen <= n * 10L &&
-          TextAnalysis.stopwordHits(ltoks, TextAnalysis.StopEn) >= 2L &&
-          sym * 10L <= n && (g - d) * 8L <= g).as("g_gopher"))
+      val feats = docFeaturesStage(s, dir)
+      val base = feats.filter(col("doc_id") >= 250)
+        .select(col("doc_id"), col("n_tok"), col("fp").as("__fp"),
+          col("g_gopher"))
       // history digest registry: one digest row per historical doc
-      val histDigests = docs.filter(col("doc_id") < 250)
-        .select(md5(col("text").cast("binary")).as("__fp")).distinct()
+      val histDigests = feats.filter(col("doc_id") < 250)
+        .select(col("fp").as("__fp")).distinct()
       val firsts = base.filter(col("g_gopher"))
         .withColumn("__rn", row_number().over(
           Window.partitionBy(col("__fp")).orderBy(col("doc_id"))))
@@ -124,21 +141,9 @@ object CorpusQueries {
     * the balance gate on the era's own topic counts). */
   private def releaseGatesStage(s: SparkSession, dir: String): DataFrame =
     PipelineQueries.stage(s, dir, "release_gates") {
-      val docs = t(s, dir, "documents")
-      val ltoks = TextAnalysis.tokens(lower(col("text")))
-      val n = size(ltoks).cast("long")
-      val sumLen = aggregate(transform(ltoks, w => length(w)),
-        lit(0), (acc, v) => acc + v).cast("long")
-      val sym = TextAnalysis.symbolCount(col("text"))
-      val grams = TextAnalysis.wordGrams(ltoks, 3)
-      val g = coalesce(size(grams).cast("long"), lit(0L))
-      val d = coalesce(size(array_distinct(grams)).cast("long"), lit(0L))
-      val base = docs.select(col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).as("n_tok"),
-        md5(col("text").cast("binary")).as("__fp"),
-        (n.between(3L, 10000L) && sumLen >= n * 3L && sumLen <= n * 10L &&
-          TextAnalysis.stopwordHits(ltoks, TextAnalysis.StopEn) >= 2L &&
-          sym * 10L <= n && (g - d) * 8L <= g).as("g_gopher"))
+      val base = docFeaturesStage(s, dir)
+        .select(col("doc_id"), col("n_tok"), col("fp").as("__fp"),
+          col("g_gopher"))
       val firsts = base.filter(col("g_gopher"))
         .withColumn("__rn", row_number().over(
           Window.partitionBy(col("__fp")).orderBy(col("doc_id"))))
