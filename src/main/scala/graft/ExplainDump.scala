@@ -58,7 +58,9 @@ object ExplainDump {
       "q203_nsw_takedown", "q204_temperature_curve",
       "q205_decon_tau_curve", "q206_dim_trunc_curve",
       "q207_dedup_overlap", "q208_release_lifecycle",
-      "q209_nsw_takedown_curve")
+      "q209_nsw_takedown_curve", "q210_split_leakage",
+      "q211_unigram_xent", "q212_soft_dedup", "q213_xent_frozen",
+      "q214_unigram_compact")
     val sb = new StringBuilder
     sb.append("# EXPLAIN — headline query plans (formatted, sf0.001, regenerate with `sbt \"runMain graft.ExplainDump\"`)\n")
     sb.append("\nWhat to look for: `PushedFilters`/`ReadSchema` on every scan, broadcast\njoins where one side is small, partial aggregation before each hash\nexchange, `WindowGroupLimit` ahead of top-k windows, and no\n`CartesianProduct` anywhere.\n")

@@ -460,6 +460,107 @@ object TextAnalysis {
           .as("oov_frac"))
   }
 
+  /** Per-document unigram cross-entropy under the corpus's OWN unigram
+    * language model — the CCNet-style (Wenzek et al., LREC 2020)
+    * perplexity quality signal collapsed to its order-0 form: documents
+    * whose tokens are systematically rare under the corpus distribution
+    * (boilerplate lists, ID dumps, lorem-noise) score HIGH and are the
+    * filter's first candidates; fluent prose built from head tokens
+    * scores LOW. Order-0 because an n-gram LM's backoff chain is a
+    * per-token sequential dependency, while the unigram form is two
+    * aggregations and one join — the shape that scales:
+    *
+    *   - the model is `(term, ln p)` with p = count/total — ONE grouped
+    *     count over the exploded corpus plus a one-row broadcast total
+    *     (map-side partials make the count linear; no collect);
+    *   - scoring re-joins tokens to the model BY TERM — a standard
+    *     shuffle hash join (the model is |vocab|-sized, NOT broadcast:
+    *     at 100 TB a web-corpus vocabulary is itself huge), immediately
+    *     re-aggregated per doc, so term-frequency skew ("the") collapses
+    *     into map-side partial sums;
+    *   - every token is in-vocabulary by construction (the model is
+    *     built on the same corpus), so the inner join drops nothing and
+    *     smoothing is a non-issue — the incremental-scoring variant
+    *     (new batch vs a FROZEN model) is where OOV handling would
+    *     enter, via [[oovRate]]'s left-join shape.
+    *
+    * Cross-engine: counts are exact integers; ln(c) − ln(total) and the
+    * per-doc mean are short double chains rounded once at the end.
+    *
+    * @return (id, n_tok, xent) — xent = −mean ln p(token), nats, 4 dp
+    */
+  def unigramXent(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val counts = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val total = broadcast(counts.groupBy().agg(sum(col("cnt")).as("tot")))
+    val model = counts.crossJoin(total).select(col("term"),
+      (log(col("cnt").cast("double")) - log(col("tot").cast("double")))
+        .as("logp"))
+    toks.join(model, Seq("term"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tok"),
+        round(-avg(col("logp")), 4).as("xent"))
+  }
+
+  /** Unigram term counts — the order-0 LM in table form `(term, cnt)`.
+    * One grouped count over the exploded corpus (map-side partials);
+    * the additive building block of the LM family's lifecycle: built
+    * per era, merged by [[mergeUnigramCounts]] on append nights, scored
+    * against by [[unigramXentFrozen]]. */
+  def unigramCounts(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    docs.select(explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+
+  /** Merge two unigram count tables — counts are ADDITIVE, so the
+    * append night is one union + grouped sum (never a rescan of the
+    * history corpus: the registry IS the sufficient statistic of every
+    * document ever counted — the property that makes an order-0 LM
+    * maintainable incrementally where a neural scorer needs retraining). */
+  def mergeUnigramCounts(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    a.unionByName(b).groupBy(col("term")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Score a NEW batch against a FROZEN unigram model `(term, cnt)` —
+    * the deployment form of [[unigramXent]]: the model is an artifact
+    * of a previous era, so the batch can (and does) contain
+    * out-of-vocabulary tokens, handled by add-one smoothing over the
+    * frozen vocabulary plus a single unseen type:
+    *
+    *   p(w) = (cnt(w) + 1) / (total + |V| + 1),   cnt(w) = 0 if unseen
+    *
+    * — every probability is positive, the distribution stays proper,
+    * and the unseen-token penalty is the model's own tail mass, not an
+    * arbitrary floor. Shapes: the (total, |V|) pair is ONE broadcast
+    * one-row aggregate of the model; scoring joins batch tokens to the
+    * model BY TERM with a LEFT join (OOV keeps the row, null cnt) and
+    * re-aggregates per doc immediately — the [[unigramXent]] scale
+    * argument unchanged.
+    *
+    * @return (id, n_tok, n_oov, xent) — xent in nats, 4 dp
+    */
+  def unigramXentFrozen(model: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = batch.select(col(idCol).as("id"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val stats = broadcast(model.groupBy().agg(
+      coalesce(sum(col("cnt")), lit(0L)).as("tot"),
+      count(lit(1)).as("v")))
+    toks.join(model.select(col("term"), col("cnt")), Seq("term"), "left")
+      .crossJoin(stats)
+      .select(col("id"), col("cnt"),
+        (log(coalesce(col("cnt"), lit(0L)).cast("double") + lit(1.0)) -
+          log(col("tot").cast("double") + col("v").cast("double") + lit(1.0)))
+          .as("logp"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("n_oov"),
+        round(-avg(col("logp")), 4).as("xent"))
+  }
+
   /** Adjacent-symbol pair counts — the statistic one BPE training
     * iteration maximizes (the top pair is the next merge). Counted the
     * way BPE trainers actually count: over the DISTINCT word vocabulary

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{Quality, TextAnalysis, Validation}
-import graft.operators.{Dedup, NearDup, Similarity}
+import graft.operators.{Dedup, NearDup, Sampling, Similarity}
 
 /** Wave 2 — the validation family wired to graded queries (VERDICT.md round-1
   * items 3) and the LLM-data-pipeline surface (items 4–5): exact/near dedup,
@@ -143,6 +143,16 @@ object PipelineQueries {
   private def docLabels(s: SparkSession, dir: String): DataFrame =
     stage(s, dir, "cc_labels")(
       NearDup.connectedComponents(docPairs(s, dir)))
+
+  /** Persisted history-era (doc_id < 250, the q159 era split) unigram
+    * count table — the FROZEN order-0 LM artifact shared by the q213
+    * scoring night and the q214 merge night: built once, scored against
+    * and merged into without ever rescanning the history corpus. */
+  private def unigramHistStage(s: SparkSession, dir: String): DataFrame =
+    stage(s, dir, "unigram_hist")(
+      TextAnalysis.unigramCounts(
+        t(s, dir, "documents").filter(col("doc_id") < 250),
+        "doc_id", "text"))
 
   /** Synthetic email column over `customer` (the testdata has no email
     * field): four deterministic shapes, two valid and two invalid under the
@@ -974,6 +984,136 @@ object PipelineQueries {
       emb.select(col("vec_id"),
           Similarity.hyperplaneBuckets(dim = 64, bits = 16, seed = 7L))
         .orderBy(col("vec_id"))
+    }),
+
+    // LLM split QA: near-dup leakage across the train/val/test cut. The
+    // q103 hash split is append-stable but DUPLICATE-BLIND — two near-
+    // identical docs hash independently, and every pair that straddles
+    // train/test is eval contamination (the q82/q153 decontamination
+    // problem created by the splitter itself). The fix is to key the
+    // split hash on the near-dup CLUSTER canonical (q40's closure;
+    // singletons key on their own id) so a cluster lands in ONE split by
+    // construction. This card grades both policies side-by-side: per-
+    // split doc counts (the cluster policy moves whole clusters, so the
+    // 80/10/10 shares shift only by cluster granularity) and the count
+    // of verified near-dup pairs whose endpoints land in different
+    // splits — structurally ZERO for the cluster policy (spec-pinned).
+    // Scale shape: labels/pairs come from the persisted cc_labels/pairs
+    // stages (built once for q40/q108/q157); the label join broadcasts
+    // (labels cover only paired docs); the leak join is two standard
+    // equi-joins keyed by doc id, re-aggregated immediately.
+    "q210_split_leakage" -> ((s, dir) => {
+      val splits = Seq(("train", 80), ("val", 10), ("test", 10))
+      val keyed = t(s, dir, "documents").select(col("doc_id"))
+        .join(broadcast(docLabels(s, dir)), Seq("doc_id"), "left")
+      def perDoc(policy: String, key: org.apache.spark.sql.Column) =
+        Sampling.hashSplit(
+            keyed.select(col("doc_id"), key.cast("string").as("k")),
+            col("k"), splits)
+          .select(lit(policy).as("policy"), col("doc_id"), col("split"))
+      val byDoc = perDoc("naive", col("doc_id"))
+        .unionByName(perDoc("cluster",
+          coalesce(col("canonical"), col("doc_id"))))
+      val pairs = docPairs(s, dir).select(col("d1"), col("d2"))
+      val leaks = pairs
+        .join(byDoc.select(col("policy"), col("doc_id").as("d1"),
+          col("split").as("s1")), Seq("d1"))
+        .join(byDoc.select(col("policy"), col("doc_id").as("d2"),
+          col("split").as("s2")), Seq("policy", "d2"))
+        .groupBy(col("policy"))
+        .agg(sum(when(col("s1") =!= col("s2"), 1L).otherwise(0L))
+          .as("leak_pairs"))
+      byDoc.groupBy(col("policy"))
+        .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+          sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+        .join(leaks, Seq("policy"), "left")
+        .select(col("policy"), col("n_train"), col("n_val"), col("n_test"),
+          coalesce(col("leak_pairs"), lit(0L)).as("leak_pairs"))
+        .orderBy(col("policy"))
+    }),
+
+    // LLM quality 9: unigram cross-entropy under the corpus's own token
+    // distribution — the CCNet perplexity filter in its order-0,
+    // fully-distributed form (model = one grouped count + a broadcast
+    // one-row total; scoring = one join-by-term + per-doc mean). See
+    // [[TextAnalysis.unigramXent]] for the 100 TB shape argument.
+    "q211_unigram_xent" -> ((s, dir) =>
+      TextAnalysis.unigramXent(t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))),
+
+    // LLM quality 10 (the deployment form of q211): score the NEW batch
+    // (docs >= 250, the q159-era split) against the FROZEN history-era
+    // unigram model with add-one smoothing over the frozen vocabulary —
+    // OOV tokens keep their rows through the left join and price in as
+    // the model's own tail mass. The model rides the persisted
+    // unigram_hist stage shared with the q214 merge night.
+    "q213_xent_frozen" -> ((s, dir) =>
+      TextAnalysis.unigramXentFrozen(
+          unigramHistStage(s, dir),
+          t(s, dir, "documents").filter(col("doc_id") >= 250),
+          "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))),
+
+    // LLM quality 11 (the LM family's append/compaction night): merge
+    // the batch's counts into the frozen count registry WITHOUT
+    // rescanning history — counts are additive, so the registry is the
+    // sufficient statistic and the night is one full-outer join on
+    // term. Each merged term carries its provenance (hist/batch/both)
+    // and a live flag at min-count 2 — the prune decision recorded the
+    // tombstone way (flagged, not silently dropped), mirroring
+    // q167/q197's registry discipline.
+    "q214_unigram_compact" -> ((s, dir) => {
+      val hist = unigramHistStage(s, dir)
+        .select(col("term"), col("cnt").as("hist_cnt"))
+      val batch = TextAnalysis.unigramCounts(
+          t(s, dir, "documents").filter(col("doc_id") >= 250),
+          "doc_id", "text")
+        .select(col("term"), col("cnt").as("batch_cnt"))
+      hist.join(batch, Seq("term"), "full_outer")
+        .select(col("term"),
+          coalesce(col("hist_cnt"), lit(0L)).as("hist_cnt"),
+          coalesce(col("batch_cnt"), lit(0L)).as("batch_cnt"),
+          (coalesce(col("hist_cnt"), lit(0L)) +
+            coalesce(col("batch_cnt"), lit(0L))).as("cnt"),
+          when(col("hist_cnt").isNotNull && col("batch_cnt").isNotNull,
+              "both")
+            .when(col("hist_cnt").isNotNull, "hist")
+            .otherwise("batch").as("src"),
+          (coalesce(col("hist_cnt"), lit(0L)) +
+            coalesce(col("batch_cnt"), lit(0L)) >= 2L).as("live"))
+        .orderBy(col("term"))
+    }),
+
+    // LLM dedup 9 (SOFT dedup): instead of deleting duplicates, weight
+    // every doc by 1/|its near-dup cluster| (singletons weigh 1) so each
+    // cluster contributes ONE copy's worth of sampling mass — the
+    // trainer-side alternative to hard removal when provenance balance
+    // matters more than storage. The card is what a mixture planner
+    // reads: per source, raw vs effective (weighted) token budget — the
+    // gap IS the duplication tax q157 histograms, priced in tokens.
+    // Labels ride the persisted cc_labels stage; the cluster-size agg
+    // and the weight join stay on the tiny label table (broadcast), and
+    // the corpus pass is one projection + one grouped sum.
+    "q212_soft_dedup" -> ((s, dir) => {
+      val labels = docLabels(s, dir)
+      val weights = labels.join(
+          labels.groupBy(col("canonical")).agg(count(lit(1)).as("sz")),
+          Seq("canonical"))
+        .select(col("doc_id"), (lit(1.0) / col("sz").cast("double")).as("w"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).as("n_tok"))
+        .join(broadcast(weights), Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("w").isNotNull, 1L).otherwise(0L)).as("n_clustered"),
+          sum(col("n_tok")).as("raw_tokens"),
+          round(sum(coalesce(col("w"), lit(1.0)) * col("n_tok").cast("double")), 2)
+            .as("eff_tokens"))
+        .orderBy(col("source"))
     })
   )
 
@@ -1468,6 +1608,147 @@ object PipelineQueries {
         |  SELECT qid, vec_id, sim,
         |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
         |  FROM scored)
-        |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+        |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
+
+    "q210_split_leakage" ->
+      s"""WITH RECURSIVE $jaccardPairsCtes,
+         |pairs AS (
+         |  SELECT pr.d1, pr.d2
+         |  FROM pr JOIN sz sa ON sa.doc_id = pr.d1 JOIN sz sb ON sb.doc_id = pr.d2
+         |  WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.5),
+         |edges AS (
+         |  SELECT d1 AS src, d2 AS dst FROM pairs
+         |  UNION ALL SELECT d2, d1 FROM pairs),
+         |reach AS (
+         |  SELECT src AS a, dst AS b FROM edges
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         |lab AS (
+         |  SELECT a AS doc_id, least(a, min(b)) AS canonical
+         |  FROM reach GROUP BY a),
+         |keyed AS (
+         |  SELECT d.doc_id, d.doc_id::VARCHAR AS key_naive,
+         |         coalesce(l.canonical, d.doc_id)::VARCHAR AS key_cluster
+         |  FROM documents d LEFT JOIN lab l USING (doc_id)),
+         |perdoc AS (
+         |  SELECT 'naive' AS policy, doc_id,
+         |    CASE WHEN ('0x' || substr(md5(key_naive), 1, 15))::BIGINT
+         |           % 100 < 80 THEN 'train'
+         |         WHEN ('0x' || substr(md5(key_naive), 1, 15))::BIGINT
+         |           % 100 < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM keyed
+         |  UNION ALL
+         |  SELECT 'cluster' AS policy, doc_id,
+         |    CASE WHEN ('0x' || substr(md5(key_cluster), 1, 15))::BIGINT
+         |           % 100 < 80 THEN 'train'
+         |         WHEN ('0x' || substr(md5(key_cluster), 1, 15))::BIGINT
+         |           % 100 < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM keyed),
+         |leaks AS (
+         |  SELECT p1.policy,
+         |         sum(CASE WHEN p1.split <> p2.split THEN 1 ELSE 0 END)
+         |           AS leak_pairs
+         |  FROM pairs pr2
+         |  JOIN perdoc p1 ON p1.doc_id = pr2.d1
+         |  JOIN perdoc p2 ON p2.doc_id = pr2.d2 AND p2.policy = p1.policy
+         |  GROUP BY p1.policy)
+         |SELECT c.policy,
+         |  CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_train,
+         |  CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_val,
+         |  CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_test,
+         |  CAST(coalesce(any_value(l.leak_pairs), 0) AS BIGINT) AS leak_pairs
+         |FROM perdoc c LEFT JOIN leaks l ON l.policy = c.policy
+         |GROUP BY c.policy ORDER BY c.policy""".stripMargin,
+
+    "q211_unigram_xent" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+        |tot AS (SELECT sum(c) AS t FROM cnt),
+        |model AS (
+        |  SELECT term, ln(c::DOUBLE) - ln((SELECT t FROM tot)::DOUBLE) AS logp
+        |  FROM cnt)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |       round(-avg(logp), 4) AS xent
+        |FROM tok JOIN model USING (term)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q213_xent_frozen" ->
+      """WITH htok AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents WHERE doc_id < 250),
+        |hcnt AS (SELECT term, count(*) AS c FROM htok GROUP BY 1),
+        |st AS (SELECT coalesce(sum(c), 0) AS tot, count(*) AS v FROM hcnt),
+        |btok AS (
+        |  SELECT doc_id,
+        |         unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents WHERE doc_id >= 250)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |  CAST(sum(CASE WHEN h.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  round(-avg(ln((coalesce(h.c, 0) + 1)::DOUBLE) -
+        |             ln((st.tot + st.v + 1)::DOUBLE)), 4) AS xent
+        |FROM btok b LEFT JOIN hcnt h USING (term) CROSS JOIN st
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q214_unigram_compact" ->
+      """WITH hcnt AS (
+        |  SELECT term, count(*) AS hist_cnt FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |    FROM documents WHERE doc_id < 250) GROUP BY 1),
+        |bcnt AS (
+        |  SELECT term, count(*) AS batch_cnt FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |    FROM documents WHERE doc_id >= 250) GROUP BY 1)
+        |SELECT coalesce(h.term, b.term) AS term,
+        |  CAST(coalesce(hist_cnt, 0) AS BIGINT) AS hist_cnt,
+        |  CAST(coalesce(batch_cnt, 0) AS BIGINT) AS batch_cnt,
+        |  CAST(coalesce(hist_cnt, 0) + coalesce(batch_cnt, 0) AS BIGINT)
+        |    AS cnt,
+        |  CASE WHEN hist_cnt IS NOT NULL AND batch_cnt IS NOT NULL THEN 'both'
+        |       WHEN hist_cnt IS NOT NULL THEN 'hist'
+        |       ELSE 'batch' END AS src,
+        |  coalesce(hist_cnt, 0) + coalesce(batch_cnt, 0) >= 2 AS live
+        |FROM hcnt h FULL OUTER JOIN bcnt b ON h.term = b.term
+        |ORDER BY term""".stripMargin,
+
+    "q212_soft_dedup" ->
+      s"""WITH RECURSIVE $jaccardPairsCtes,
+         |pairs AS (
+         |  SELECT pr.d1, pr.d2
+         |  FROM pr JOIN sz sa ON sa.doc_id = pr.d1 JOIN sz sb ON sb.doc_id = pr.d2
+         |  WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.5),
+         |edges AS (
+         |  SELECT d1 AS src, d2 AS dst FROM pairs
+         |  UNION ALL SELECT d2, d1 FROM pairs),
+         |reach AS (
+         |  SELECT src AS a, dst AS b FROM edges
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         |lab AS (
+         |  SELECT a AS doc_id, least(a, min(b)) AS canonical
+         |  FROM reach GROUP BY a),
+         |csz AS (SELECT canonical, count(*) AS sz FROM lab GROUP BY 1),
+         |w AS (
+         |  SELECT l.doc_id, 1.0 / sz AS w
+         |  FROM lab l JOIN csz USING (canonical)),
+         |d AS (
+         |  SELECT doc_id, source,
+         |         len(string_split_regex(trim(text), '\\s+')) AS n_tok
+         |  FROM documents)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN w.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_clustered,
+         |  CAST(sum(n_tok) AS BIGINT) AS raw_tokens,
+         |  round(sum(coalesce(w.w, 1.0) * n_tok), 2) AS eff_tokens
+         |FROM d LEFT JOIN w ON d.doc_id = w.doc_id
+         |GROUP BY source ORDER BY source""".stripMargin
   )
 }

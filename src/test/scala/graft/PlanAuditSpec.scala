@@ -14,6 +14,23 @@ class PlanAuditSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
+  /** LIVE parquet scans of a query's physical plan: descends through the
+    * AQE wrapper but treats InMemoryTableScan as a LEAF, so a cached
+    * stage's (already-paid) build plan doesn't count against the query —
+    * the string rendering does include it, which is why plan-string
+    * "FileScan" counting over-reports on stage-riding queries. */
+  private def liveScans(name: String): Seq[String] = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def walk(p: SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f.toString.linesIterator.next())
+      case other => other.children.flatMap(walk)
+    }
+    walk(SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan)
+  }
+
   test("q01: filter and projection are pushed into the parquet scan") {
     val p = plan("q01_scan_filter_project")
     assert(p.contains("isnotnull(l_shipdate") && p.contains("FileScan parquet"))
@@ -900,5 +917,61 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans.isEmpty, scans.mkString("\n"))
     assert(p.contains("partial_sum"), p)
     assert(p.contains("Generate"), p)
+  }
+
+  test("q210: both split policies and the leak join ride the cached " +
+    "cc_labels/pairs stages; the label join broadcasts; the per-policy " +
+    "counts aggregate map-side") {
+    val p = plan("q210_split_leakage")
+    assert(!p.contains("CartesianProduct"), p)
+    // labels (counts side, twice via the union) + pairs (leak side)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q211: the unigram model's total is a broadcast one-row " +
+    "aggregate and both aggregations are partial (the token->model " +
+    "join's strategy is size-driven — broadcast at toy sf, shuffle at " +
+    "scale — so it is deliberately NOT pinned here)") {
+    val p = plan("q211_unigram_xent")
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // one-row total only
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q212: the weight join broadcasts the tiny label table, the " +
+    "corpus is scanned once, and the per-source sums are partial") {
+    val p = plan("q212_soft_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_sum"), p)
+    // one live parquet scan (documents); labels ride the cached stage
+    val scans = liveScans("q212_soft_dedup")
+    assert(scans.size === 1, scans.mkString("\n"))
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
+  test("q213: the frozen model rides the cached unigram_hist stage, its " +
+    "(total,|V|) pair is one broadcast row, OOV keeps rows via a left " +
+    "join, and the era filter is pushed into the batch scan") {
+    val p = plan("q213_xent_frozen")
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // one-row stats only
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), " +
+      "GreaterThanOrEqual(doc_id,250)"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q214: the merge night is one full-outer join on term over the " +
+    "cached registry — history is never rescanned, the batch is counted " +
+    "with map-side partials") {
+    val p = plan("q214_unigram_compact")
+    assert(p.contains("FullOuter"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.contains("partial_count"), p)
+    // one live parquet scan: the batch era; history is the registry
+    val scans = liveScans("q214_unigram_compact")
+    assert(scans.size === 1, scans.mkString("\n"))
   }
 }

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** The LM family's lifecycle contracts (q213/q214): frozen-model
+  * scoring with add-one smoothing (hand-checked values, OOV accounting)
+  * and the additive count-registry merge night (the merged registry
+  * must equal a from-scratch count of the full corpus — the sufficient-
+  * statistic property that makes the night a join, not a rescan). */
+class UnigramLmSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("unigramXentFrozen: hand-checked add-one values — model a:3 b:1 " +
+      "(tot 4, |V| 2), batch doc 'a c' scores p(a)=4/7, p(c)=1/7 with " +
+      "one OOV token") {
+    val hist = Seq((1L, "a a a"), (2L, "b")).toDF("doc_id", "text")
+    val model = TextAnalysis.unigramCounts(hist, "doc_id", "text")
+    val batch = Seq((10L, "a c")).toDF("doc_id", "text")
+    val r = TextAnalysis.unigramXentFrozen(model, batch, "doc_id", "text")
+      .head()
+    assert(r.getLong(1) === 2L) // n_tok
+    assert(r.getLong(2) === 1L) // n_oov: 'c'
+    val want = -(math.log(4.0 / 7.0) + math.log(1.0 / 7.0)) / 2.0
+    assert(r.getDouble(3) === math.round(want * 1e4) / 1e4) // 1.2528
+  }
+
+  test("q213: one score per batch doc, token counts reconcile, and OOV " +
+      "never exceeds the doc's token count") {
+    val out = SparkEntry.queries("q213_xent_frozen")(spark, dir).collect()
+    val batch = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") >= 250)
+    assert(out.length === batch.count())
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"n_oov > n_tok in $r")
+      assert(r.getDouble(3) > 0.0, s"non-positive xent in $r")
+    }
+    val totalToks = batch
+      .agg(sum(TextAnalysis.tokenCount(col("text")))).head.getLong(0)
+    assert(out.map(_.getLong(1)).sum === totalToks)
+  }
+
+  test("q214: the merged registry IS the from-scratch count of the full " +
+      "corpus — counts are a sufficient statistic, so merge == rebuild " +
+      "term-for-term; provenance flags partition the vocabulary") {
+    val merged = SparkEntry.queries("q214_unigram_compact")(spark, dir)
+    val rebuilt = TextAnalysis.unigramCounts(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+    val diff = merged.select(col("term"), col("cnt"))
+      .except(rebuilt.select(col("term"), col("cnt")))
+    assert(diff.count() === 0L)
+    assert(merged.count() === rebuilt.count())
+    merged.collect().foreach { r =>
+      val (h, b, src) = (r.getLong(1), r.getLong(2), r.getString(4))
+      src match {
+        case "both"  => assert(h > 0L && b > 0L, s"row $r")
+        case "hist"  => assert(h > 0L && b === 0L, s"row $r")
+        case "batch" => assert(h === 0L && b > 0L, s"row $r")
+      }
+      assert(r.getLong(3) === h + b)
+      assert(r.getBoolean(5) === (h + b >= 2L))
+    }
+  }
+
+  test("mergeUnigramCounts is associative-by-construction: merging era " +
+      "counts in either grouping equals the one-shot count") {
+    val d1 = Seq((1L, "x y")).toDF("doc_id", "text")
+    val d2 = Seq((2L, "y z")).toDF("doc_id", "text")
+    val d3 = Seq((3L, "z z q")).toDF("doc_id", "text")
+    def c(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.unigramCounts(df, "doc_id", "text")
+    val left = TextAnalysis.mergeUnigramCounts(
+      TextAnalysis.mergeUnigramCounts(c(d1), c(d2)), c(d3))
+    val right = TextAnalysis.mergeUnigramCounts(
+      c(d1), TextAnalysis.mergeUnigramCounts(c(d2), c(d3)))
+    val oneShot = c(d1.unionByName(d2).unionByName(d3))
+    assert(left.except(oneShot).count() === 0L)
+    assert(oneShot.except(left).count() === 0L)
+    assert(right.except(oneShot).count() === 0L)
+    assert(oneShot.except(right).count() === 0L)
+  }
+}
