@@ -141,12 +141,77 @@ object TextAnalysis {
     * Boilerplate, keyword stuffing and looping generations all push this
     * up while length/TTR can stay plausible. Per-row only (no shuffle);
     * the raw (unrounded) fraction is returned so thresholds compare
-    * exactly — round for display. */
-  def dupGramFraction(text: Column, n: Int = 3): Column = {
-    val grams = wordGrams(tokens(lower(text)), n)
+    * exactly — round for display.
+    *
+    * PERF: this convenience form inlines the split+gram pipeline into
+    * every reference — fine when the result is consumed ONCE. Queries
+    * that combine it with other token-derived flags must use
+    * [[dupGramFractionFrom]] over a MATERIALIZED grams column instead
+    * (see [[withTokens]] for why). */
+  def dupGramFraction(text: Column, n: Int = 3): Column =
+    dupGramFractionFrom(wordGrams(tokens(lower(text)), n))
+
+  /** [[dupGramFraction]] over an already-computed grams column. */
+  def dupGramFractionFrom(grams: Column): Column =
     when(size(grams) <= 0, lit(0.0))
       .otherwise((size(grams) - size(array_distinct(grams))).cast("double") /
         size(grams))
+
+  /** Append materialized token (and optionally word-`n`-gram) columns to
+    * `docs` as STAGED projections — the load-bearing perf shape for every
+    * multi-flag per-doc text battery, discovered the hard way in round 12:
+    *
+    * Spark's subexpression elimination SKIPS any expression containing a
+    * lambda, so composing flags from `tokens(text)`-rooted Column
+    * expressions re-evaluates the regex split once per reference — and
+    * WORSE, [[wordGrams]]'s element lambda indexes the token array three
+    * times per gram, so an inlined toks expression makes ONE grams
+    * evaluation O(|text|·|grams|): quadratic per doc. (Measured on the
+    * q97 battery at sf0.1: 36 s single-task inlined → ~1 s staged.)
+    *
+    * Materializing toks/grams as their own projections fixes both: the
+    * flags reference cheap ATTRIBUTES, and CollapseProject deliberately
+    * keeps a non-cheap projection that is referenced more than once, so
+    * the optimizer cannot undo the staging. Row-local, zero shuffle,
+    * column-pruned like any projection. */
+  def withTokens(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      toksCol: String, gramsCol: Option[(String, Int)] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val withT = docs.withColumn(toksCol, tokens(lower(col(textCol))))
+    gramsCol.fold(withT) { case (gc, n) =>
+      withT.withColumn(gc, wordGrams(col(toksCol), n))
+    }
+  }
+
+  /** The five Gopher acceptance rules (Rae et al. 2021, table A1
+    * condensed — word-count bounds, mean-word-length bounds, stopword
+    * evidence, symbol-to-word ratio, duplicate-3-gram share) as integer-
+    * exact flag columns over MATERIALIZED toks/grams attributes (see
+    * [[withTokens]]). Every rule is an integer comparison (10·sym ≤ n,
+    * 3n ≤ Σlen ≤ 10n, 8·(g−d) ≤ g) so verdicts are bit-exact across
+    * engines with no float thresholds.
+    *
+    * @return (f_nwords, f_wlen, f_stop, f_sym, f_rep)
+    */
+  def gopherRuleCols(text: Column, toks: Column, grams: Column)
+      : (Column, Column, Column, Column, Column) = {
+    val n = size(toks).cast("long")
+    val sumLen = aggregate(transform(toks, w => length(w)),
+      lit(0), (acc, v) => acc + v).cast("long")
+    val sym = symbolCount(text)
+    val g = size(grams).cast("long")
+    val d = size(array_distinct(grams)).cast("long")
+    (n.between(3L, 10000L),
+      sumLen >= n * 3L && sumLen <= n * 10L,
+      stopwordHits(toks, StopEn) >= 2L,
+      sym * 10L <= n,
+      (g - d) * 8L <= g)
+  }
+
+  /** Conjunction of the five [[gopherRuleCols]] flags. */
+  def gopherAccept(text: Column, toks: Column, grams: Column): Column = {
+    val (a, b, c, d, e) = gopherRuleCols(text, toks, grams)
+    a && b && c && d && e
   }
 
   /** Character-diversity (Gini–Simpson) signal per document:
@@ -559,6 +624,161 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tok"),
         sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("n_oov"),
         round(-avg(col("logp")), 4).as("xent"))
+  }
+
+  /** DSIR-style importance log-ratio per document (Xie et al., NeurIPS
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling"): how much more likely a doc's tokens are under the
+    * TARGET distribution (rows where `isTarget`) than under the RAW
+    * corpus distribution, using HASHED unigram features — each token is
+    * bucketed by the md5-60bit bridge into a FIXED `buckets`-slot
+    * feature space, the paper's scale move and the reason this shape
+    * survives 100 TB: both models together are one `buckets`-row table
+    * (broadcastable — a few KB at B=4096) regardless of vocabulary
+    * size, so scoring is a map-side broadcast join + per-doc sum.
+    * Contrast [[unigramXent]], whose open-vocabulary model must
+    * shuffle-join by term. Add-one smoothing over the B buckets keeps
+    * both distributions proper on empty buckets, and because BOTH sides
+    * are smoothed over the SAME B, the +ln(B) terms inside the two
+    * normalizers are the only asymmetry — the ratio is well-defined for
+    * every token.
+    *
+    * `selected` is the RELATIVE verdict — the doc's log-ratio above the
+    * corpus mean (one broadcast row). Relative rather than the absolute
+    * ratio>1 cut because add-one smoothing biases every ratio by
+    * ln[(α·T+α·B)/(α·T+B)] (α = target share, T = raw token count): a
+    * term that vanishes when T ≫ B — i.e. at any real corpus — but
+    * swamps the signal when the toy corpus is comparable to B. The
+    * mean-centered flag is scale-free: it reads the same ranking at
+    * every sf. (The paper resamples WITH Gumbel noise proportional to
+    * these weights; the deterministic flag is the gradable core, and
+    * [[graft.operators.Sampling]]'s hash machinery is the seeded-noise
+    * path when sampling is wanted.)
+    *
+    * @return (id, n_tok, log_ratio, selected), log_ratio in nats, 4 dp
+    */
+  def dsirLogRatio(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, isTarget: Column,
+      buckets: Int = 4096): org.apache.spark.sql.DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val toks = docs.select(col(idCol).as("id"), isTarget.as("tgt"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .select(col("id"), col("tgt"),
+        pmod(graft.operators.NearDup.md5Hash60(col("term")),
+          lit(buckets.toLong)).as("f"))
+    val counts = toks.groupBy(col("f")).agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    val stats = broadcast(counts.groupBy().agg(
+      coalesce(sum(col("ct")), lit(0L)).as("tt"),
+      coalesce(sum(col("cr")), lit(0L)).as("tr")))
+    val b = lit(buckets.toDouble)
+    // per-bucket ln p_T − ln p_R, both add-one smoothed over B buckets
+    val model = broadcast(counts.crossJoin(stats).select(col("f"),
+      (log(col("ct").cast("double") + lit(1.0)) -
+        log(col("tt").cast("double") + b) -
+        log(col("cr").cast("double") + lit(1.0)) +
+        log(col("tr").cast("double") + b)).as("lr")))
+    // every observed token's bucket is in the model by construction
+    val perDoc = toks.join(model, Seq("f"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tok"),
+        round(sum(col("lr")), 4).as("log_ratio"))
+    val meanLr = broadcast(perDoc.groupBy()
+      .agg(avg(col("log_ratio")).as("mlr")))
+    perDoc.crossJoin(meanLr)
+      .select(col("id"), col("n_tok"), col("log_ratio"),
+        (col("log_ratio") > col("mlr")).as("selected"))
+  }
+
+  /** Bigram-interpolation cross-entropy curve — the ORDER dial of the
+    * n-gram LM family: score the batch era against the frozen
+    * history-era models at several interpolation weights λ,
+    *
+    *   p_λ(w_i | w_{i−1}) = λ·p_ML-bigram + (1−λ)·p_add-one-unigram,
+    *
+    * where the bigram term is the maximum-likelihood conditional
+    * c(w_{i−1}, w_i) / c(w_{i−1}·) on history (0 when the context or
+    * pair is unseen, and for each doc's first token), and the unigram
+    * term is [[unigramXentFrozen]]'s add-one form — so λ=0 reproduces
+    * the pure frozen-unigram score and λ→1 trusts context fully (λ=1
+    * itself is excluded: an unseen pair would price at −ln 0). Where
+    * the curve's minimum lands tells how much order-1 context signal
+    * the corpus actually carries — the measured answer to "is the
+    * bigram model worth its storage over the unigram registry".
+    *
+    * Scale shapes: token sequencing is a lag window PARTITIONED BY doc
+    * (never a global window); the three model joins are vocab-sized
+    * equi-joins by term/pair (deliberately not broadcast — q211's
+    * argument); and the λ grid is priced in ONE pass as parallel
+    * aggregate columns over the scored-token frame, unpivoted to rows
+    * afterward — the established one-pass curve discipline (q182/q201/
+    * q204), never a per-λ rescan or a ×|grid| row explode.
+    *
+    * @return one row per λ: (lam, n_tok, n_ctx_hit, n_pair_hit, xent) —
+    *         hit counts are λ-free coverage stats, xent in nats, 4 dp
+    */
+  def bigramLambdaCurve(hist: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String,
+      lambdas: Seq[Double] = Seq(0.0, 0.25, 0.5, 0.75, 0.9))
+      : org.apache.spark.sql.DataFrame = {
+    require(lambdas.nonEmpty && lambdas.forall(l => l >= 0.0 && l < 1.0),
+      "each lambda must be in [0, 1): at 1.0 an unseen pair scores -ln 0")
+    import org.apache.spark.sql.expressions.Window
+    def seqToks(df: org.apache.spark.sql.DataFrame) =
+      df.select(col(idCol).as("id"),
+          posexplode(tokens(lower(col(textCol)))))
+        .withColumnRenamed("col", "term")
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val ht = seqToks(hist)
+    val hbig = ht.withColumn("prev", lag(col("term"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("term")).agg(count(lit(1)).as("c2"))
+    val hctx = hbig.groupBy(col("prev"))
+      .agg(sum(col("c2")).as("c1"))
+    val huni = ht.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val stats = broadcast(huni.groupBy().agg(
+      coalesce(sum(col("c")), lit(0L)).as("tot"),
+      count(lit(1)).as("v")))
+    val scored = seqToks(batch)
+      .withColumn("prev", lag(col("term"), 1).over(w))
+      .join(hbig, Seq("prev", "term"), "left")
+      .join(hctx, Seq("prev"), "left")
+      .join(huni, Seq("term"), "left")
+      .crossJoin(stats)
+      .select(
+        when(col("c2").isNotNull,
+            col("c2").cast("double") / col("c1").cast("double"))
+          .otherwise(lit(0.0)).as("pbi"),
+        ((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
+          (col("tot") + col("v") + lit(1L)).cast("double")).as("puni"),
+        col("c1").isNotNull.as("ctx_hit"),
+        col("c2").isNotNull.as("pair_hit"))
+    // coalesce guards the empty-batch regime only (zero scored tokens →
+    // avg is null): a present token always has puni > 0 and λ < 1 keeps
+    // the mixture positive, so no other null can reach the log
+    val xents = lambdas.zipWithIndex.map { case (l, i) =>
+      coalesce(round(-avg(log(lit(l) * col("pbi") +
+        lit(1.0 - l) * col("puni"))), 4), lit(0.0)).as(s"x_$i")
+    }
+    val one = scored.agg(
+      count(lit(1)).as("n_tok"),
+      (Seq(
+        coalesce(sum(when(col("ctx_hit"), 1L).otherwise(0L)), lit(0L))
+          .as("n_ctx_hit"),
+        coalesce(sum(when(col("pair_hit"), 1L).otherwise(0L)), lit(0L))
+          .as("n_pair_hit")) ++
+        xents): _*)
+    val stackExpr = s"stack(${lambdas.length}, " +
+      lambdas.zipWithIndex
+        .map { case (l, i) => s"CAST($l AS DOUBLE), x_$i" }
+        .mkString(", ") + ") AS (lam, xent)"
+    one.select(expr(stackExpr),
+        col("n_tok"), col("n_ctx_hit"), col("n_pair_hit"))
+      .select(col("lam"), col("n_tok"), col("n_ctx_hit"),
+        col("n_pair_hit"), col("xent"))
+      .orderBy(col("lam"))
   }
 
   /** Adjacent-symbol pair counts — the statistic one BPE training

@@ -65,21 +65,16 @@ object CorpusQueries {
     * duplicated projection). */
   private def docFeaturesStage(s: SparkSession, dir: String): DataFrame =
     PipelineQueries.stage(s, dir, "doc_features") {
-      val docs = t(s, dir, "documents")
-      val ltoks = TextAnalysis.tokens(lower(col("text")))
-      val n = size(ltoks).cast("long")
-      val sumLen = aggregate(transform(ltoks, w => length(w)),
-        lit(0), (acc, v) => acc + v).cast("long")
-      val sym = TextAnalysis.symbolCount(col("text"))
-      val grams = TextAnalysis.wordGrams(ltoks, 3)
-      val g = coalesce(size(grams).cast("long"), lit(0L))
-      val d = coalesce(size(array_distinct(grams)).cast("long"), lit(0L))
-      docs.select(col("doc_id"),
+      // staged toks/grams projections — NEVER inline the split into the
+      // flag expressions (quadratic per doc; see TextAnalysis.withTokens)
+      val staged = TextAnalysis.withTokens(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "text", "__toks", Some(("__grams", 3)))
+      staged.select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tok"),
         md5(col("text").cast("binary")).as("fp"),
-        (n.between(3L, 10000L) && sumLen >= n * 3L && sumLen <= n * 10L &&
-          TextAnalysis.stopwordHits(ltoks, TextAnalysis.StopEn) >= 2L &&
-          sym * 10L <= n && (g - d) * 8L <= g).as("g_gopher"))
+        TextAnalysis.gopherAccept(col("text"), col("__toks"),
+          col("__grams")).as("g_gopher"))
     }
 
   /** Persisted per-doc NIGHTLY gate table of the incremental funnel —
@@ -311,22 +306,16 @@ object CorpusQueries {
     // deterministically (too-short docs, long-word tails, symbol runs,
     // spam repetition) so every flag fires both ways.
     "q97_gopher_rules" -> ((s, dir) => {
-      val fx = gopherFixture(t(s, dir, "documents"))
-      val toks = TextAnalysis.tokens(lower(col("text")))
-      val n = size(toks).cast("long")
-      val sumLen = aggregate(transform(toks, w => length(w)),
-        lit(0), (acc, v) => acc + v).cast("long")
-      val sym = TextAnalysis.symbolCount(col("text"))
-      val grams = TextAnalysis.wordGrams(toks, 3)
-      val g = coalesce(size(grams).cast("long"), lit(0L))
-      val d = coalesce(size(array_distinct(grams)).cast("long"), lit(0L))
-      fx.select(col("doc_id"),
-        n.between(3L, 10000L).as("f_nwords"),
-        (sumLen >= n * 3L && sumLen <= n * 10L).as("f_wlen"),
-        (TextAnalysis.stopwordHits(toks, TextAnalysis.StopEn) >= 2L)
-          .as("f_stop"),
-        (sym * 10L <= n).as("f_sym"),
-        ((g - d) * 8L <= g).as("f_rep"))
+      // staged toks/grams — see TextAnalysis.withTokens for why inlining
+      // the split into five flag expressions is quadratic per doc
+      val staged = TextAnalysis.withTokens(
+        gopherFixture(t(s, dir, "documents")), "text", "__toks",
+        Some(("__grams", 3)))
+      val (fN, fW, fS, fSym, fRep) = TextAnalysis.gopherRuleCols(
+        col("text"), col("__toks"), col("__grams"))
+      staged.select(col("doc_id"),
+        fN.as("f_nwords"), fW.as("f_wlen"), fS.as("f_stop"),
+        fSym.as("f_sym"), fRep.as("f_rep"))
         .withColumn("accept",
           col("f_nwords") && col("f_wlen") && col("f_stop") &&
             col("f_sym") && col("f_rep"))
@@ -773,6 +762,61 @@ object CorpusQueries {
           "stack(3, 'digest', 'fingerprint', nd, nf, ndf, " +
             "'digest', 'semantic', nd, ns, nds, " +
             "'fingerprint', 'semantic', nf, ns, nfs) " +
+            "as (family_a, family_b, n_a, n_b, n_both)"))
+        .select(col("family_a"), col("family_b"),
+          col("n_a").cast("long").as("n_a"),
+          col("n_b").cast("long").as("n_b"),
+          col("n_both").cast("long").as("n_both"),
+          (col("n_a") + col("n_b") - col("n_both")).cast("long")
+            .as("n_union"),
+          when(col("n_a") + col("n_b") - col("n_both") === 0, lit(0.0))
+            .otherwise(round(col("n_both").cast("double") /
+              (col("n_a") + col("n_b") - col("n_both")).cast("double"), 6))
+            .as("jaccard"))
+        .orderBy(col("family_a"), col("family_b"))
+    }),
+
+    // The q207 complementarity question asked of the QUALITY families:
+    // over the q97 planted-noise fixture (where every filter actually
+    // fires), three independent drop verdicts — the structural Gopher
+    // battery (any of the five rules), the standalone repetition filter
+    // (dup-3-gram fraction > 1/8), and low character diversity
+    // (Gini–Simpson < 0.9) — pairwise overlap + Jaccard. The card's
+    // designed contrast: repetition's threshold IS the battery's f_rep
+    // rule, so repetition⊆structural (its Jaccard row measures pure
+    // containment share), while diversity fires on character-level
+    // degeneracy the token-level rules can miss — the measured verdict
+    // on which filters earn independent passes in a funnel. All three
+    // verdicts are exact comparisons (integer rules, an exact rational,
+    // a 4-dp-rounded exact division), so the counts are bit-stable
+    // cross-engine. One corpus pass for the row-local flags + the q83
+    // per-char aggregation; the card itself is one aggregate.
+    "q217_filter_overlap" -> ((s, dir) => {
+      val fx = gopherFixture(t(s, dir, "documents"))
+      // staged toks/grams shared by the battery AND the repetition flag
+      // (see TextAnalysis.withTokens — inlining is quadratic per doc)
+      val staged = TextAnalysis.withTokens(fx, "text", "__toks",
+        Some(("__grams", 3)))
+      val flags = staged.select(col("doc_id"),
+          (!TextAnalysis.gopherAccept(col("text"), col("__toks"),
+            col("__grams"))).as("fs"),
+          (TextAnalysis.dupGramFractionFrom(col("__grams")) > lit(0.125))
+            .as("fr"))
+        .join(TextAnalysis.charDiversity(fx, "doc_id", "text")
+          .select(col("doc_id"),
+            (col("char_diversity") < lit(0.9)).as("fd")),
+          Seq("doc_id"))
+      val one = flags.agg(
+        sum(when(col("fs"), 1L).otherwise(0L)).as("ns"),
+        sum(when(col("fr"), 1L).otherwise(0L)).as("nr"),
+        sum(when(col("fd"), 1L).otherwise(0L)).as("nv"),
+        sum(when(col("fs") && col("fr"), 1L).otherwise(0L)).as("nsr"),
+        sum(when(col("fs") && col("fd"), 1L).otherwise(0L)).as("nsv"),
+        sum(when(col("fr") && col("fd"), 1L).otherwise(0L)).as("nrv"))
+      one.select(expr(
+          "stack(3, 'diversity', 'repetition', nv, nr, nrv, " +
+            "'diversity', 'structural', nv, ns, nsv, " +
+            "'repetition', 'structural', nr, ns, nsr) " +
             "as (family_a, family_b, n_a, n_b, n_both)"))
         .select(col("family_a"), col("family_b"),
           col("n_a").cast("long").as("n_a"),
@@ -1757,6 +1801,70 @@ object CorpusQueries {
     "q208_release_lifecycle" -> releaseLifecycleSql,
     "q204_temperature_curve" -> temperatureCurveSql,
     "q207_dedup_overlap" -> dedupOverlapSql,
+    "q217_filter_overlap" ->
+      (s"""WITH fx AS ($gopherFixtureSql),
+        |t AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(trim(lower(text)), '\\s+') AS toks,
+        |    length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
+        |      AS n_sym
+        |  FROM fx),
+        |g AS (
+        |  SELECT doc_id, n_sym, len(toks) AS n,
+        |    list_sum(list_transform(toks, w -> length(w))) AS sum_len,
+        |    len(list_filter(toks, w -> list_contains(
+        |      ['the','a','of','and','to','in','is','on','for','with'], w)))
+        |      AS stop_hits,
+        |    CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(len(toks)-2),
+        |             i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+        |      ELSE []::VARCHAR[] END AS grams
+        |  FROM t),
+        |fl0 AS (
+        |  SELECT doc_id,
+        |    NOT ((n BETWEEN 3 AND 10000)
+        |      AND (sum_len >= n * 3 AND sum_len <= n * 10)
+        |      AND stop_hits >= 2 AND n_sym * 10 <= n
+        |      AND (len(grams) - len(list_distinct(grams))) * 8
+        |            <= len(grams)) AS fs,
+        |    CASE WHEN len(grams) <= 0 THEN FALSE
+        |      ELSE (len(grams) - len(list_distinct(grams)))::DOUBLE
+        |             / len(grams) > 0.125 END AS fr
+        |  FROM g),
+        |ch AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(length(text)),
+        |      i -> substr(text, (i+1)::INTEGER, 1))) AS c
+        |  FROM fx WHERE length(text) > 0),
+        |cc AS (SELECT doc_id, c, count(*) AS nn FROM ch GROUP BY doc_id, c),
+        |dv AS (
+        |  SELECT doc_id,
+        |    round((sum(nn)*sum(nn) - sum(nn*nn))::DOUBLE
+        |            / (sum(nn)*sum(nn)), 4) < 0.9 AS fd
+        |  FROM cc GROUP BY doc_id),
+        |fl AS (SELECT f.doc_id, fs, fr, fd FROM fl0 f JOIN dv USING (doc_id)),
+        |one AS (
+        |  SELECT
+        |    sum(CASE WHEN fs THEN 1 ELSE 0 END) AS ns,
+        |    sum(CASE WHEN fr THEN 1 ELSE 0 END) AS nr,
+        |    sum(CASE WHEN fd THEN 1 ELSE 0 END) AS nv,
+        |    sum(CASE WHEN fs AND fr THEN 1 ELSE 0 END) AS nsr,
+        |    sum(CASE WHEN fs AND fd THEN 1 ELSE 0 END) AS nsv,
+        |    sum(CASE WHEN fr AND fd THEN 1 ELSE 0 END) AS nrv
+        |  FROM fl),
+        |pairs AS (
+        |  SELECT 'diversity' AS family_a, 'repetition' AS family_b,
+        |         nv AS n_a, nr AS n_b, nrv AS n_both FROM one
+        |  UNION ALL SELECT 'diversity', 'structural', nv, ns, nsv FROM one
+        |  UNION ALL SELECT 'repetition', 'structural', nr, ns, nsr FROM one)
+        |SELECT family_a, family_b,
+        |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(n_both AS BIGINT) AS n_both,
+        |  CAST(n_a + n_b - n_both AS BIGINT) AS n_union,
+        |  CASE WHEN n_a + n_b - n_both = 0 THEN 0.0
+        |    ELSE round(n_both::DOUBLE / (n_a + n_b - n_both), 6) END
+        |    AS jaccard
+        |FROM pairs ORDER BY family_a, family_b""").stripMargin,
     "q195_registry_takedown" -> semRegSql(Some("vec_id % 5 = 2")),
     "q196_release_funnel" -> releaseFunnelSql,
     "q197_registry_ops" -> registryOpsSql,

@@ -1114,6 +1114,38 @@ object PipelineQueries {
           round(sum(coalesce(col("w"), lit(1.0)) * col("n_tok").cast("double")), 2)
             .as("eff_tokens"))
         .orderBy(col("source"))
+    }),
+
+    // LLM selection (DSIR, Xie et al. NeurIPS 2023): importance log-ratio
+    // of every doc under a TARGET token distribution (the lang='en'
+    // slice — the curated-seed stand-in) vs the RAW corpus, over
+    // md5-HASHED unigram buckets. The hashing is the 100 TB shape: the
+    // feature space is a fixed 4096 slots, so both models are ONE
+    // broadcastable table and scoring is a map-side join + per-doc sum —
+    // no vocab-sized shuffle anywhere (contrast q211, whose open-vocab
+    // model join must shuffle). selected = above the corpus-mean
+    // log-ratio — the scale-free relative verdict (see
+    // [[TextAnalysis.dsirLogRatio]] for why the absolute ratio>1 cut is
+    // smoothing-biased when the corpus is comparable to the bucket
+    // count).
+    "q215_dsir_weights" -> ((s, dir) =>
+      TextAnalysis.dsirLogRatio(t(s, dir, "documents"), "doc_id", "text",
+          isTarget = col("lang") === "en", buckets = 4096)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))),
+
+    // LLM quality 12 — the n-gram ORDER dial: batch-era cross-entropy
+    // under λ·bigram-ML + (1−λ)·add-one-unigram interpolation of the
+    // FROZEN history models, λ ∈ {0, .25, .5, .75, .9} priced in ONE
+    // pass (parallel aggregate columns, stack-unpivoted — the q204
+    // curve discipline). The measured answer to "does an order-1 model
+    // earn its |V|² storage over the q214 unigram registry" — and the
+    // natural extension point toward CCNet's 5-gram KenLM scoring.
+    "q216_bigram_lambda_curve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.bigramLambdaCurve(
+        docs.filter(col("doc_id") < 250),
+        docs.filter(col("doc_id") >= 250), "doc_id", "text")
     })
   )
 
@@ -1749,6 +1781,85 @@ object PipelineQueries {
          |  CAST(sum(n_tok) AS BIGINT) AS raw_tokens,
          |  round(sum(coalesce(w.w, 1.0) * n_tok), 2) AS eff_tokens
          |FROM d LEFT JOIN w ON d.doc_id = w.doc_id
-         |GROUP BY source ORDER BY source""".stripMargin
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q215_dsir_weights" ->
+      """WITH tf AS (
+        |  SELECT doc_id, lang = 'en' AS tgt,
+        |    ('0x' || substr(md5(term), 1, 15))::BIGINT % 4096 AS f
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |    FROM documents)),
+        |cnt AS (
+        |  SELECT f, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+        |         count(*) AS cr
+        |  FROM tf GROUP BY f),
+        |st AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM cnt),
+        |model AS (
+        |  SELECT f,
+        |    ln(ct + 1.0) - ln((SELECT tt FROM st) + 4096.0)
+        |      - ln(cr + 1.0) + ln((SELECT tr FROM st) + 4096.0) AS lr
+        |  FROM cnt),
+        |perdoc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |         round(sum(lr), 4) AS log_ratio
+        |  FROM tf JOIN model USING (f)
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_tok, log_ratio,
+        |       log_ratio > (SELECT avg(log_ratio) FROM perdoc) AS selected
+        |FROM perdoc ORDER BY doc_id""".stripMargin,
+
+    "q216_bigram_lambda_curve" ->
+      """WITH htok AS (
+        |  SELECT doc_id, unnest(arr) AS term,
+        |         generate_subscripts(arr, 1) AS pos
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(trim(lower(text)), '\s+') AS arr
+        |        FROM documents WHERE doc_id < 250)),
+        |hbig AS (
+        |  SELECT prev, term, count(*) AS c2 FROM (
+        |    SELECT lag(term) OVER (PARTITION BY doc_id ORDER BY pos)
+        |             AS prev, term
+        |    FROM htok)
+        |  WHERE prev IS NOT NULL GROUP BY prev, term),
+        |hctx AS (
+        |  SELECT prev, CAST(sum(c2) AS BIGINT) AS c1 FROM hbig
+        |  GROUP BY prev),
+        |huni AS (SELECT term, count(*) AS c FROM htok GROUP BY term),
+        |st AS (SELECT CAST(sum(c) AS BIGINT) AS tot, count(*) AS v
+        |       FROM huni),
+        |bprev AS (
+        |  SELECT doc_id, term,
+        |         lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM (
+        |    SELECT doc_id, unnest(arr) AS term,
+        |           generate_subscripts(arr, 1) AS pos
+        |    FROM (SELECT doc_id,
+        |            string_split_regex(trim(lower(text)), '\s+') AS arr
+        |          FROM documents WHERE doc_id >= 250))),
+        |scored AS (
+        |  SELECT
+        |    CASE WHEN hbig.c2 IS NOT NULL
+        |         THEN hbig.c2::DOUBLE / hctx.c1::DOUBLE ELSE 0.0 END AS pbi,
+        |    (coalesce(huni.c, 0) + 1)::DOUBLE
+        |      / ((SELECT tot FROM st) + (SELECT v FROM st) + 1)::DOUBLE
+        |      AS puni,
+        |    hctx.c1 IS NOT NULL AS ctx_hit,
+        |    hbig.c2 IS NOT NULL AS pair_hit
+        |  FROM bprev
+        |  LEFT JOIN hbig ON hbig.prev = bprev.prev
+        |                AND hbig.term = bprev.term
+        |  LEFT JOIN hctx ON hctx.prev = bprev.prev
+        |  LEFT JOIN huni ON huni.term = bprev.term)
+        |SELECT l.lam, CAST(count(*) AS BIGINT) AS n_tok,
+        |  CAST(sum(CASE WHEN ctx_hit THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_ctx_hit,
+        |  CAST(sum(CASE WHEN pair_hit THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pair_hit,
+        |  round(-avg(ln(l.lam * pbi + (1 - l.lam) * puni)), 4) AS xent
+        |FROM scored
+        |CROSS JOIN (SELECT unnest([0.0, 0.25, 0.5, 0.75, 0.9]) AS lam) l
+        |GROUP BY l.lam ORDER BY l.lam""".stripMargin
   )
 }

@@ -181,14 +181,15 @@ object ScaleQueries {
 
     // Repetition quality signal: fraction of duplicate word 3-grams per
     // doc (threshold 0.125 is binary-exact so the flag compares the same
-    // double in both engines).
+    // double in both engines). Grams are STAGED once per row — the
+    // output references them four times, and inlining the split into
+    // each reference is quadratic per doc (TextAnalysis.withTokens).
     "q81_repetition" -> ((s, dir) => {
-      val fr = TextAnalysis.dupGramFraction(col("text"), n = 3)
-      t(s, dir, "documents")
+      val fr = TextAnalysis.dupGramFractionFrom(col("__grams"))
+      TextAnalysis.withTokens(t(s, dir, "documents"), "text", "__toks",
+          Some(("__grams", 3)))
         .select(col("doc_id"),
-          size(TextAnalysis.wordGrams(
-            TextAnalysis.tokens(lower(col("text"))), 3)).cast("long")
-            .as("n_grams"),
+          size(col("__grams")).cast("long").as("n_grams"),
           round(fr, 4).as("dup_frac"),
           (fr > lit(0.125)).as("repetitive"))
         .orderBy(col("doc_id"))

@@ -160,4 +160,22 @@ class EmptyInputSpec extends SparkSpec {
       r.getAs[Long]("n_live") === 0L &&
       r.getAs[Long]("n_keys_live") === 0L)
   }
+
+  test("LM/selection family: the bigram λ-curve on empty eras still " +
+      "emits one guarded zero row per λ, and DSIR on an empty corpus " +
+      "is empty, never null") {
+    val d = emptyDocs
+    val curve = graft.functions.TextAnalysis.bigramLambdaCurve(
+      d, d, "doc_id", "text", lambdas = Seq(0.0, 0.5))
+    assertNoNulls(curve)
+    val rows = curve.collect()
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_tok") === 0L)
+      assert(r.getAs[Double]("xent") === 0.0)
+    }
+    val dsir = graft.functions.TextAnalysis.dsirLogRatio(
+      d, "doc_id", "text", isTarget = lit(true))
+    assert(dsir.count() === 0L)
+  }
 }

@@ -974,4 +974,39 @@ class PlanAuditSpec extends SparkSpec {
     val scans = liveScans("q214_unigram_compact")
     assert(scans.size === 1, scans.mkString("\n"))
   }
+
+  test("q215: the hashed-feature DSIR model joins as a BROADCAST hash " +
+    "join (the fixed-B feature space is the paper's scale move — no " +
+    "vocab-sized shuffle reaches the scoring pass) and the bucket " +
+    "counts aggregate map-side") {
+    val p = plan("q215_dsir_weights")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // one-row stats/mean
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q216: both era filters are pushed into their parquet scans, " +
+    "the lag windows are PARTITIONED by doc (never a global window), " +
+    "and the (tot,|V|) pair is one broadcast row") {
+    val p = plan("q216_bigram_lambda_curve")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), " +
+      "LessThan(doc_id,250)"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), " +
+      "GreaterThanOrEqual(doc_id,250)"), p)
+    assert(p.contains("windowspecdefinition(id#"), p) // partitioned lag
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q217: the filter-overlap card is row-local flags + one " +
+    "aggregate — broadcast-joined diversity side, map-side partial " +
+    "sums, no cartesian anywhere") {
+    val p = plan("q217_filter_overlap")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("SortMergeJoin"), p)
+  }
 }
