@@ -224,13 +224,29 @@ object Bench {
     val bandJson = band.map { n =>
       "\"" + shortKey(n) + "\":" + f"${mins(n)}%.2f"
     }.mkString("{", ",", "}")
-    val line2 = s"""{"third":$third,"min_q":$bandJson}"""
-    // Line 3 (the driver's parsed "last line"): top-20 slowest by median,
+    // The per-stage map gets the SAME rotating-third treatment (the
+    // round-12 lesson: line 1's full stage_sec map is truncated away by
+    // the driver's tail capture, and line 3's top-5 hid doc_features —
+    // 16.5s locally — behind the cutoff). One third of the per-stage
+    // MINs per round, alphabetical order, so full per-stage history
+    // survives the 2000-char window every three rounds.
+    val stageSorted = byStage.sortBy(_._1)
+    val sChunk = (stageSorted.length + 2) / 3
+    val sBand = stageSorted.slice(third * sChunk, (third + 1) * sChunk)
+    val stageBandJson = sBand.map { case (k, _, mn) =>
+      "\"" + k + "\":" + f"$mn%.2f"
+    }.mkString("{", ",", "}")
+    val line2 =
+      s"""{"third":$third,"min_q":$bandJson,"stage_min_third":$stageBandJson}"""
+    // Line 3 (the driver's parsed "last line"): top-10 slowest by median
+    // (was top-20 — trimmed to keep lines 2+3 inside the driver's
+    // 2000-char tail once line 2 carries the rotating stage band; at 222
+    // queries the two lines measure ~1950 chars, leaving ~50 headroom),
     // each as [min, median] so the contention-immune number rides along,
-    // the top-5 most expensive STAGES (as [min, median, consumers] —
-    // the stage-graph audit's headline), plus every summary scalar.
-    val slowest = med.filter(_._2 >= 0).sortBy(-_._2).take(20)
-      .map { case (k, v) => "\"" + k + "\":[" + f"${mins(k)}%.3f" + "," + f"$v%.3f" + "]" }
+    // the top-5 most expensive STAGES (as [min, median, consumers] — the
+    // stage-graph audit's headline), plus every summary scalar.
+    val slowest = med.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":[" + f"${mins(k)}%.2f" + "," + f"$v%.2f" + "]" }
       .mkString("{", ",", "}")
     val slowStages = byStage.sortBy(-_._2).take(5)
       .map { case (k, m, mn) =>

@@ -225,6 +225,24 @@ object TextAnalysis {
     * identical double. Explode → two doc-keyed aggregations with map-side
     * partials — codegen all the way, no HOF fallback in the hot path.
     * Empty texts produce no row (no characters to measure). */
+  /** [[charDiversity]]'s statistic as a single row-local Column over a
+    * NON-EMPTY text (an empty text divides 0/0 → null; the DataFrame
+    * form drops such rows instead). Identical integer-exact arithmetic
+    * and 4-dp rounding — `TextAnalysisSpec` pins the two forms equal —
+    * so a projection can carry the diversity signal alongside other
+    * per-doc flags in ONE pass (the q217 fixture stage). */
+  def charDiversityCol(text: Column): Column = {
+    val cs = split(text, "")
+    val sumsq = aggregate(array_distinct(cs), lit(0L),
+      (acc, d) => {
+        val n = size(filter(cs, c => c === d)).cast("long")
+        acc + n * n
+      })
+    val n2 = length(text).cast("long") * length(text).cast("long")
+    // explicit empty guard: ANSI mode makes 0/0 an error, not a null
+    when(length(text) > 0, round((n2 - sumsq).cast("double") / n2, 4))
+  }
+
   def charDiversity(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
     // Row-local: per-char counts via array HOFs over the split text —
@@ -684,11 +702,106 @@ object TextAnalysis {
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_tok"),
         round(sum(col("lr")), 4).as("log_ratio"))
+    // the mean is rounded to the SAME 4 dp as log_ratio before the
+    // comparison: the distributed double average's partial-sum order
+    // differs across engines/partitionings, and a doc sitting exactly
+    // at the boundary must not flip its flag between them
     val meanLr = broadcast(perDoc.groupBy()
-      .agg(avg(col("log_ratio")).as("mlr")))
+      .agg(round(avg(col("log_ratio")), 4).as("mlr")))
     perDoc.crossJoin(meanLr)
       .select(col("id"), col("n_tok"), col("log_ratio"),
         (col("log_ratio") > col("mlr")).as("selected"))
+  }
+
+  /** Closed-form Naive-Bayes quality classifier over hashed unigram
+    * features — the fastText-style curated-vs-raw selection model every
+    * public pipeline pairs with perplexity and DSIR (CCNet's linear
+    * classifier, RedPajama/Llama's "looks like Wikipedia" filter), in
+    * the one form that needs NO iterative training: with naive-Bayes
+    * factorization the maximum-likelihood model IS a grouped count, so
+    * training is a single aggregation (DuckDB-replayable, no SGD) and
+    * the whole fitted model — per-bucket class log-odds — is ONE
+    * `buckets`-row broadcastable table over [[dsirLogRatio]]'s fixed
+    * hashed feature space.
+    *
+    * Train: per-(bucket, class) token counts over the `isTrain` slice
+    * only (the labeled subset — held-out docs are scored by a model
+    * that never saw them), add-one smoothed over the B buckets per
+    * class. Score: per-doc sum of bucket log-odds (a map-side
+    * BroadcastHashJoin — the 100 TB shape, same argument as DSIR) plus
+    * the add-one-smoothed doc-level class-prior log-odds
+    * ln(n_target+1) − ln(n_raw+1). A bucket never seen in training
+    * scores the smoothing-only constant ln(tr+B) − ln(tt+B) (both
+    * classes back off to 1/(tot+B)), carried through the left join's
+    * coalesce so open-vocabulary scoring stays total.
+    *
+    * Two verdict flags, both over the 4-dp-ROUNDED logit (the repo's
+    * bit-stability discipline — no unrounded distributed double ever
+    * decides a flag): `nb_keep` is the absolute Bayes decision
+    * logit > 0 — the deployment form, correct when corpus ≫ buckets
+    * (any real scale) but swamped at toy scale by the same add-one
+    * smoothing bias [[dsirLogRatio]]'s scaladoc derives (at sf0.01 it
+    * keeps zero docs — an honest measurement, kept as documentation);
+    * `nb_selected` is the mean-centered RELATIVE verdict (above the
+    * corpus-mean logit), scale-free for the same reason q215's
+    * `selected` is, and the flag the q222 agreement card grades.
+    *
+    * Relation to DSIR: the per-bucket log-odds is algebraically DSIR's
+    * per-bucket log-ratio with class-conditional counts from the train
+    * slice instead of whole-corpus target/raw counts, plus the prior —
+    * which is exactly why grading their selection agreement (q222's
+    * card) measures what the labeled slice adds, not implementation
+    * noise.
+    *
+    * @return (id, n_tok, nb_logit, nb_keep, nb_selected), logit in
+    *         nats, 4 dp
+    */
+  def nbQualityScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, isTrain: Column, isTarget: Column,
+      buckets: Int = 4096): org.apache.spark.sql.DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val toks = docs.select(col(idCol).as("id"), isTrain.as("trn"),
+        isTarget.as("tgt"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .select(col("id"), col("trn"), col("tgt"),
+        pmod(graft.operators.NearDup.md5Hash60(col("term")),
+          lit(buckets.toLong)).as("f"))
+    // train = one grouped count per (bucket, class) over the labeled slice
+    val counts = toks.filter(col("trn")).groupBy(col("f")).agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+      sum(when(!col("tgt"), 1L).otherwise(0L)).as("cr"))
+    val stats = broadcast(counts.groupBy().agg(
+      coalesce(sum(col("ct")), lit(0L)).as("tt"),
+      coalesce(sum(col("cr")), lit(0L)).as("tr")))
+    val prior = broadcast(docs.select(isTrain.as("trn"), isTarget.as("tgt"))
+      .filter(col("trn")).groupBy().agg(
+        sum(when(col("tgt"), 1L).otherwise(0L)).as("ndt"),
+        sum(when(!col("tgt"), 1L).otherwise(0L)).as("ndr")))
+    val b = lit(buckets.toDouble)
+    // the fitted model: per-bucket class log-odds, ONE broadcastable table
+    val model = broadcast(counts.crossJoin(stats).select(col("f"),
+      (log(col("ct").cast("double") + lit(1.0)) -
+        log(col("tt").cast("double") + b) -
+        log(col("cr").cast("double") + lit(1.0)) +
+        log(col("tr").cast("double") + b)).as("lo")))
+    val perDoc = toks.join(model, Seq("f"), "left").crossJoin(stats)
+      .select(col("id"),
+        coalesce(col("lo"),
+          log(col("tr").cast("double") + b) -
+            log(col("tt").cast("double") + b)).as("lo"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("lo")).as("slo"))
+    val logits = perDoc.crossJoin(prior)
+      .select(col("id"), col("n_tok"),
+        round(log(col("ndt").cast("double") + lit(1.0)) -
+          log(col("ndr").cast("double") + lit(1.0)) + col("slo"), 4)
+          .as("nb_logit"))
+    val meanLogit = broadcast(logits.groupBy()
+      .agg(round(avg(col("nb_logit")), 4).as("ml")))
+    logits.crossJoin(meanLogit)
+      .select(col("id"), col("n_tok"), col("nb_logit"),
+        (col("nb_logit") > lit(0.0)).as("nb_keep"),
+        (col("nb_logit") > col("ml")).as("nb_selected"))
   }
 
   /** Bigram-interpolation cross-entropy curve — the ORDER dial of the
@@ -717,6 +830,14 @@ object TextAnalysis {
     *
     * @return one row per λ: (lam, n_tok, n_ctx_hit, n_pair_hit, xent) —
     *         hit counts are λ-free coverage stats, xent in nats, 4 dp
+    *
+    * Empty-regime contract (Scala-only, excluded from the oracle): on an
+    * EMPTY batch era this emits one row per λ with n_tok = 0 and
+    * xent = 0.0 — the shape a downstream curve consumer can always
+    * join — while the q216 SQL oracle (whose λ grid cross-joins the
+    * scored set) would emit zero rows. The graded comparison never sees
+    * the divergence (the sf tables are non-empty); `EmptyInputSpec`
+    * pins the Scala shape.
     */
   def bigramLambdaCurve(hist: org.apache.spark.sql.DataFrame,
       batch: org.apache.spark.sql.DataFrame, idCol: String,

@@ -221,6 +221,33 @@ object CorpusQueries {
       |  END AS text
       |FROM documents""".stripMargin
 
+  /** Persisted per-doc FIXTURE FEATURES — the q97 planted-noise fixture
+    * analyzed ONCE per session: the five Gopher rule flags, the
+    * duplicate-3-gram fraction and the char-diversity statistic, all
+    * row-local, in ONE projection pass over the fixture text. This is
+    * the round-12 doc_features pattern applied to the fixture, which
+    * was previously recomputed three times (q97 once, q217's token
+    * branch and per-char branch once each) — the fleet's costliest
+    * marginal. Shared by q97 (the rule battery) and q217 (the quality
+    * complementarity card). */
+  private def fixtureFeaturesStage(s: SparkSession, dir: String): DataFrame =
+    PipelineQueries.stage(s, dir, "fixture_features") {
+      // staged toks/grams — see TextAnalysis.withTokens for why inlining
+      // the split into the flag expressions is quadratic per doc
+      val staged = TextAnalysis.withTokens(
+        gopherFixture(t(s, dir, "documents")), "text", "__toks",
+        Some(("__grams", 3)))
+      val (fN, fW, fS, fSym, fRep) = TextAnalysis.gopherRuleCols(
+        col("text"), col("__toks"), col("__grams"))
+      staged.select(col("doc_id"),
+        fN.as("f_nwords"), fW.as("f_wlen"), fS.as("f_stop"),
+        fSym.as("f_sym"), fRep.as("f_rep"),
+        TextAnalysis.dupGramFractionFrom(col("__grams")).as("dup_frac"),
+        // fixture texts are never empty (the stub is "ok"), so the
+        // column form's 0/0 → null regime cannot occur here
+        TextAnalysis.charDiversityCol(col("text")).as("char_diversity"))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Rendezvous (highest-random-weight) sharding: every doc scored
     // against the shard list, argmax wins — a pure narrow projection (no
@@ -305,22 +332,17 @@ object CorpusQueries {
     // engines with no float thresholds at all. Noise is planted
     // deterministically (too-short docs, long-word tails, symbol runs,
     // spam repetition) so every flag fires both ways.
-    "q97_gopher_rules" -> ((s, dir) => {
-      // staged toks/grams — see TextAnalysis.withTokens for why inlining
-      // the split into five flag expressions is quadratic per doc
-      val staged = TextAnalysis.withTokens(
-        gopherFixture(t(s, dir, "documents")), "text", "__toks",
-        Some(("__grams", 3)))
-      val (fN, fW, fS, fSym, fRep) = TextAnalysis.gopherRuleCols(
-        col("text"), col("__toks"), col("__grams"))
-      staged.select(col("doc_id"),
-        fN.as("f_nwords"), fW.as("f_wlen"), fS.as("f_stop"),
-        fSym.as("f_sym"), fRep.as("f_rep"))
+    "q97_gopher_rules" -> ((s, dir) =>
+      // flags read from the persisted fixture_features stage — the
+      // fixture text is analyzed once per session however many fixture
+      // queries ride it (q97 + q217)
+      fixtureFeaturesStage(s, dir)
+        .select(col("doc_id"), col("f_nwords"), col("f_wlen"),
+          col("f_stop"), col("f_sym"), col("f_rep"))
         .withColumn("accept",
           col("f_nwords") && col("f_wlen") && col("f_stop") &&
             col("f_sym") && col("f_rep"))
-        .orderBy(col("doc_id"))
-    }),
+        .orderBy(col("doc_id"))),
 
     // Quality percentile normalization: cume_dist of the composite quality
     // score within each source (rank fractions are rationals — identical
@@ -789,23 +811,17 @@ object CorpusQueries {
     // on which filters earn independent passes in a funnel. All three
     // verdicts are exact comparisons (integer rules, an exact rational,
     // a 4-dp-rounded exact division), so the counts are bit-stable
-    // cross-engine. One corpus pass for the row-local flags + the q83
-    // per-char aggregation; the card itself is one aggregate.
+    // cross-engine. All three flags read the persisted fixture_features
+    // stage (round-13: previously the token branch and the per-char
+    // branch each recomputed the fixture and joined — two corpus
+    // passes; now the card is one row-local projection + one aggregate
+    // over the stage q97 also rides).
     "q217_filter_overlap" -> ((s, dir) => {
-      val fx = gopherFixture(t(s, dir, "documents"))
-      // staged toks/grams shared by the battery AND the repetition flag
-      // (see TextAnalysis.withTokens — inlining is quadratic per doc)
-      val staged = TextAnalysis.withTokens(fx, "text", "__toks",
-        Some(("__grams", 3)))
-      val flags = staged.select(col("doc_id"),
-          (!TextAnalysis.gopherAccept(col("text"), col("__toks"),
-            col("__grams"))).as("fs"),
-          (TextAnalysis.dupGramFractionFrom(col("__grams")) > lit(0.125))
-            .as("fr"))
-        .join(TextAnalysis.charDiversity(fx, "doc_id", "text")
-          .select(col("doc_id"),
-            (col("char_diversity") < lit(0.9)).as("fd")),
-          Seq("doc_id"))
+      val flags = fixtureFeaturesStage(s, dir).select(col("doc_id"),
+        (!(col("f_nwords") && col("f_wlen") && col("f_stop") &&
+          col("f_sym") && col("f_rep"))).as("fs"),
+        (col("dup_frac") > lit(0.125)).as("fr"),
+        (col("char_diversity") < lit(0.9)).as("fd"))
       val one = flags.agg(
         sum(when(col("fs"), 1L).otherwise(0L)).as("ns"),
         sum(when(col("fr"), 1L).otherwise(0L)).as("nr"),

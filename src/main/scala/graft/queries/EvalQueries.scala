@@ -695,7 +695,7 @@ object EvalQueries {
     * are bit-unchanged — while at sf0.1+ (hottest cluster > 200) and on
     * any skew-degenerate corpus the build stays Σ|cluster|·128 instead
     * of quadratic. */
-  private val nswCap = 128L
+  private[graft] val nswCap = 128L
   /** q201 degree-curve points — bracket the q198 operating point. */
   private val nswDegrees = Seq(2, 6, 12)
   /** q206 truncation widths — 64 is the full (exact-identical) width. */

@@ -1129,10 +1129,7 @@ object PipelineQueries {
     // smoothing-biased when the corpus is comparable to the bucket
     // count).
     "q215_dsir_weights" -> ((s, dir) =>
-      TextAnalysis.dsirLogRatio(t(s, dir, "documents"), "doc_id", "text",
-          isTarget = col("lang") === "en", buckets = 4096)
-        .withColumnRenamed("id", "doc_id")
-        .orderBy(col("doc_id"))),
+      dsirScoresStage(s, dir).orderBy(col("doc_id"))),
 
     // LLM quality 12 — the n-gram ORDER dial: batch-era cross-entropy
     // under λ·bigram-ML + (1−λ)·add-one-unigram interpolation of the
@@ -1146,8 +1143,67 @@ object PipelineQueries {
       TextAnalysis.bigramLambdaCurve(
         docs.filter(col("doc_id") < 250),
         docs.filter(col("doc_id") >= 250), "doc_id", "text")
+    }),
+
+    // LLM selection 2 — the trained quality classifier (fastText-style
+    // curated-vs-raw, the CCNet/RedPajama companion to perplexity and
+    // DSIR) in its closed-form Naive-Bayes shape: training is ONE
+    // grouped count per (bucket, class) over the labeled history era
+    // (doc_id < 250 — held-out docs are scored by a model that never
+    // saw them), the fitted model is one broadcast 4096-row log-odds
+    // table, scoring a map-side BroadcastHashJoin + per-doc sum. No
+    // SGD, no iterations — DuckDB replays the training exactly.
+    "q218_nb_classifier" -> ((s, dir) =>
+      nbScoresStage(s, dir).orderBy(col("doc_id"))),
+
+    // LLM selection 3 — the complementarity card for the SELECTION
+    // families (the q207/q217 question asked of the selectors): how
+    // much does the q218 classifier's labeled-slice training change
+    // the kept set vs q215's unsupervised whole-corpus DSIR cut? Both
+    // graded flags are the mean-centered RELATIVE verdicts (the
+    // scale-free form — see nbQualityScore for why the absolute Bayes
+    // cut is smoothing-swamped at toy scale), both read the persisted
+    // score stages (zero recompute); the card is one doc-keyed join +
+    // one aggregate. The two scores share the hashed feature space by
+    // construction, so agreement measures what the LABELS add — not
+    // featurization noise.
+    "q222_selection_agreement" -> ((s, dir) => {
+      val flags = dsirScoresStage(s, dir)
+        .select(col("doc_id"), col("selected").as("fa"))
+        .join(nbScoresStage(s, dir)
+          .select(col("doc_id"), col("nb_selected").as("fb")),
+          Seq("doc_id"))
+      flags.agg(
+          sum(when(col("fa"), 1L).otherwise(0L)).as("n_dsir"),
+          sum(when(col("fb"), 1L).otherwise(0L)).as("n_nb"),
+          sum(when(col("fa") && col("fb"), 1L).otherwise(0L)).as("n_both"),
+          count(lit(1)).as("n_docs"))
+        .select(col("n_dsir"), col("n_nb"), col("n_both"), col("n_docs"),
+          (col("n_dsir") + col("n_nb") - col("n_both")).as("n_union"),
+          when(col("n_dsir") + col("n_nb") - col("n_both") === 0, lit(0.0))
+            .otherwise(round(col("n_both").cast("double") /
+              (col("n_dsir") + col("n_nb") - col("n_both")).cast("double"),
+              6)).as("jaccard"))
     })
   )
+
+  /** Persisted q215 DSIR score table — shared by q215 and the q222
+    * selection-agreement card. */
+  private def dsirScoresStage(s: SparkSession, dir: String): DataFrame =
+    stage(s, dir, "dsir_scores")(
+      TextAnalysis.dsirLogRatio(t(s, dir, "documents"), "doc_id", "text",
+          isTarget = col("lang") === "en", buckets = 4096)
+        .withColumnRenamed("id", "doc_id"))
+
+  /** Persisted q218 Naive-Bayes score table — shared by q218 and the
+    * q222 selection-agreement card. Train slice = the labeled history
+    * era (doc_id < 250), target class = lang = 'en'. */
+  private def nbScoresStage(s: SparkSession, dir: String): DataFrame =
+    stage(s, dir, "nb_scores")(
+      TextAnalysis.nbQualityScore(t(s, dir, "documents"), "doc_id", "text",
+          isTrain = col("doc_id") < 250, isTarget = col("lang") === "en",
+          buckets = 4096)
+        .withColumnRenamed("id", "doc_id"))
 
   /** q37 oracle: the same 16 hyperplanes as DOUBLE[] literals (Scala's
     * Double.toString is shortest-round-trip, so DuckDB parses back the
@@ -1807,7 +1863,8 @@ object PipelineQueries {
         |  FROM tf JOIN model USING (f)
         |  GROUP BY doc_id)
         |SELECT doc_id, n_tok, log_ratio,
-        |       log_ratio > (SELECT avg(log_ratio) FROM perdoc) AS selected
+        |       log_ratio > round((SELECT avg(log_ratio) FROM perdoc), 4)
+        |         AS selected
         |FROM perdoc ORDER BY doc_id""".stripMargin,
 
     "q216_bigram_lambda_curve" ->
@@ -1860,6 +1917,94 @@ object PipelineQueries {
         |  round(-avg(ln(l.lam * pbi + (1 - l.lam) * puni)), 4) AS xent
         |FROM scored
         |CROSS JOIN (SELECT unnest([0.0, 0.25, 0.5, 0.75, 0.9]) AS lam) l
-        |GROUP BY l.lam ORDER BY l.lam""".stripMargin
+        |GROUP BY l.lam ORDER BY l.lam""".stripMargin,
+
+    "q218_nb_classifier" ->
+      s"""WITH $nbScoreCtes
+         |SELECT doc_id, n_tok, nb_logit, nb_logit > 0 AS nb_keep,
+         |  nb_logit > round((SELECT avg(nb_logit) FROM nbdoc), 4)
+         |    AS nb_selected
+         |FROM nbdoc ORDER BY doc_id""".stripMargin,
+
+    "q222_selection_agreement" ->
+      s"""WITH $nbScoreCtes,
+         |dcnt AS (
+         |  SELECT f, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+         |         count(*) AS cr
+         |  FROM tfx GROUP BY f),
+         |dst AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM dcnt),
+         |dmodel AS (
+         |  SELECT f,
+         |    ln(ct + 1.0) - ln((SELECT tt FROM dst) + 4096.0)
+         |      - ln(cr + 1.0) + ln((SELECT tr FROM dst) + 4096.0) AS lr
+         |  FROM dcnt),
+         |dperdoc AS (
+         |  SELECT doc_id, round(sum(lr), 4) AS log_ratio
+         |  FROM tfx JOIN dmodel USING (f) GROUP BY doc_id),
+         |flags AS (
+         |  SELECT d.doc_id,
+         |    d.log_ratio >
+         |      round((SELECT avg(log_ratio) FROM dperdoc), 4) AS fa,
+         |    n.nb_logit >
+         |      round((SELECT avg(nb_logit) FROM nbdoc), 4) AS fb
+         |  FROM dperdoc d JOIN nbdoc n USING (doc_id))
+         |SELECT
+         |  CAST(sum(CASE WHEN fa THEN 1 ELSE 0 END) AS BIGINT) AS n_dsir,
+         |  CAST(sum(CASE WHEN fb THEN 1 ELSE 0 END) AS BIGINT) AS n_nb,
+         |  CAST(sum(CASE WHEN fa AND fb THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_both,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN fa THEN 1 ELSE 0 END)
+         |     + sum(CASE WHEN fb THEN 1 ELSE 0 END)
+         |     - sum(CASE WHEN fa AND fb THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_union,
+         |  CASE WHEN sum(CASE WHEN fa THEN 1 ELSE 0 END)
+         |          + sum(CASE WHEN fb THEN 1 ELSE 0 END)
+         |          - sum(CASE WHEN fa AND fb THEN 1 ELSE 0 END) = 0
+         |       THEN 0.0
+         |       ELSE round(sum(CASE WHEN fa AND fb THEN 1 ELSE 0 END)::DOUBLE
+         |         / (sum(CASE WHEN fa THEN 1 ELSE 0 END)
+         |            + sum(CASE WHEN fb THEN 1 ELSE 0 END)
+         |            - sum(CASE WHEN fa AND fb THEN 1 ELSE 0 END))::DOUBLE, 6)
+         |  END AS jaccard
+         |FROM flags""".stripMargin
   )
+
+  /** Shared CTE block: tokenize + hash (`tfx`, with train/target flags)
+    * and the q218 Naive-Bayes score per doc (`nbdoc`) — used by the
+    * q218 oracle directly and by q222's (which appends the DSIR side
+    * over the same `tfx`). Mirrors [[TextAnalysis.nbQualityScore]] at
+    * the graded parameters (buckets=4096, train = doc_id < 250, target
+    * = lang = 'en'). */
+  private def nbScoreCtes: String =
+    """tfx AS (
+      |  SELECT doc_id, doc_id < 250 AS trn, lang = 'en' AS tgt,
+      |    ('0x' || substr(md5(term), 1, 15))::BIGINT % 4096 AS f
+      |  FROM (
+      |    SELECT doc_id, lang,
+      |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      |    FROM documents)),
+      |ncnt AS (
+      |  SELECT f, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+      |         sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS cr
+      |  FROM tfx WHERE trn GROUP BY f),
+      |nst AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM ncnt),
+      |pri AS (
+      |  SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ndt,
+      |         sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS ndr
+      |  FROM documents WHERE doc_id < 250),
+      |nmodel AS (
+      |  SELECT f,
+      |    ln(ct + 1.0) - ln((SELECT tt FROM nst) + 4096.0)
+      |      - ln(cr + 1.0) + ln((SELECT tr FROM nst) + 4096.0) AS lo
+      |  FROM ncnt),
+      |nbdoc AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+      |    round(ln((SELECT ndt FROM pri) + 1.0)
+      |        - ln((SELECT ndr FROM pri) + 1.0)
+      |        + sum(coalesce(lo, ln((SELECT tr FROM nst) + 4096.0)
+      |                         - ln((SELECT tt FROM nst) + 4096.0))), 4)
+      |      AS nb_logit
+      |  FROM tfx LEFT JOIN nmodel USING (f)
+      |  GROUP BY doc_id)""".stripMargin
 }

@@ -242,4 +242,21 @@ class NswSpec extends SparkSpec {
       } finally { edges.unpersist(); () }
     } finally { assigned.unpersist(); () }
   }
+
+  test("nswCap geometry assertion: the cap is NON-BINDING at the " +
+      "oracle-checked scale (sf0.01) — the q198/q201/q203/q209 DuckDB " +
+      "oracles do not model the per-cluster sample, so this fails " +
+      "loudly if testdata geometry ever makes the cap bite there") {
+    val sf001 = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val hottest = Similarity.assignToCentroids(sf001)
+      .groupBy(col("cluster")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(hottest < graft.queries.EvalQueries.nswCap,
+      s"hottest ivf_coarse cluster ($hottest) >= nswCap " +
+        s"(${graft.queries.EvalQueries.nswCap}) at the oracle-checked " +
+        "sf0.01 — the cap now binds and the SQL oracles (which do not " +
+        "model the (md5(vec_id), vec_id)-ordered sample) would " +
+        "silently diverge; either mirror the cap in the oracles or " +
+        "raise it above this geometry")
+  }
 }

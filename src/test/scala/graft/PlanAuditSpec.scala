@@ -1000,13 +1000,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
-  test("q217: the filter-overlap card is row-local flags + one " +
-    "aggregate — broadcast-joined diversity side, map-side partial " +
-    "sums, no cartesian anywhere") {
+  test("q217: the filter-overlap card rides the fixture_features stage " +
+    "— ONE fixture computation per session (round-13: previously the " +
+    "token and per-char branches each recomputed it and joined), so " +
+    "the live plan is a row-local projection of the cached stage + one " +
+    "aggregate: no join, no cartesian, no live corpus scan once the " +
+    "stage is materialized, map-side partial sums") {
+    // materialize the stage the way a session would (q97 rides it too)
+    SparkEntry.queries("q97_gopher_rules")(spark, dir).count()
     val p = plan("q217_filter_overlap")
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("partial_sum"), p)
-    assert(p.contains("BroadcastHashJoin") ||
-      p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Join"), p) // the two-pass self-join is gone
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(liveScans("q217_filter_overlap").isEmpty, p)
+  }
+
+  test("q218: the fitted Naive-Bayes model (per-bucket log-odds) joins " +
+    "as a BROADCAST hash join — the fixed-B model table is one " +
+    "broadcastable side regardless of vocabulary, the same scale shape " +
+    "as q215 — and the closed-form training aggregates map-side") {
+    val p = plan("q218_nb_classifier")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // one-row stats/prior
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q222: the selection-agreement card reads BOTH persisted score " +
+    "stages — once materialized the live plan is a doc-keyed join of " +
+    "two cached tables + one aggregate, no live corpus scan, no " +
+    "cartesian") {
+    SparkEntry.queries("q215_dsir_weights")(spark, dir).count()
+    SparkEntry.queries("q218_nb_classifier")(spark, dir).count()
+    val p = plan("q222_selection_agreement")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(liveScans("q222_selection_agreement").isEmpty, p)
   }
 }

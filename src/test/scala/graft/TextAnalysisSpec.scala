@@ -188,6 +188,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!got.contains(4L))
   }
 
+  test("charDiversityCol: the column form equals the DataFrame form on " +
+      "every non-empty text (the q217 fixture-stage contract) and is " +
+      "null on empty text") {
+    import sqlImplicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq((1L, "aaaa"), (2L, "abab"), (3L, "abcd"),
+      (4L, "mississippi river"), (5L, "")).toDF("doc_id", "text")
+    val colForm = rows.select(col("doc_id"),
+        TextAnalysis.charDiversityCol(col("text")).as("cd"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val dfForm = TextAnalysis.charDiversity(rows, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    dfForm.foreach { case (id, v) => assert(colForm(id) === Some(v)) }
+    assert(colForm(5L) === None)
+  }
+
   test("tfidfTopTerms ranks a doc's distinctive term above the corpus-wide one") {
     import sqlImplicits._
     val docs = Seq(

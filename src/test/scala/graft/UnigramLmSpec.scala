@@ -82,4 +82,74 @@ class UnigramLmSpec extends SparkSpec {
     assert(right.except(oneShot).count() === 0L)
     assert(oneShot.except(right).count() === 0L)
   }
+
+  /** Independent re-implementation of the md5-60 bucket (plain
+    * MessageDigest, no Spark expression) — the hand-check below derives
+    * every expected log-odds from THIS, so a bug in the Catalyst
+    * md5/conv/pmod chain cannot cancel itself out. */
+  private def bucket(term: String, b: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(term.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16) % b
+  }
+
+  test("nbQualityScore: hand-checked log-odds, prior, train-slice " +
+      "restriction and the unseen-bucket default over an independently " +
+      "hashed 8-bucket fixture; both flags follow the rounded logits") {
+    val B = 8
+    val docs = Seq(
+      (1L, "aa aa bb", true, true),   // train, target
+      (2L, "bb cc cc", true, false),  // train, raw
+      (3L, "aa aa aa", true, true),   // train, target
+      (4L, "aa dd", false, true),     // held out — never trains
+      (5L, "cc cc", false, false)
+    ).toDF("doc_id", "text", "trn", "tgt")
+    val got = TextAnalysis.nbQualityScore(docs, "doc_id", "text",
+        isTrain = col("trn"), isTarget = col("tgt"), buckets = B)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3), r.getBoolean(4))))
+      .toMap
+    // expected model from the independent hash: per-bucket train counts
+    val trainToks = Seq("aa" -> true, "aa" -> true, "bb" -> true,
+      "bb" -> false, "cc" -> false, "cc" -> false,
+      "aa" -> true, "aa" -> true, "aa" -> true)
+    val ct = trainToks.filter(_._2).groupBy(t => bucket(t._1, B))
+      .view.mapValues(_.size.toLong).toMap
+    val cr = trainToks.filterNot(_._2).groupBy(t => bucket(t._1, B))
+      .view.mapValues(_.size.toLong).toMap
+    val seen = (ct.keySet ++ cr.keySet)
+    val (tt, tr) = (ct.values.sum, cr.values.sum) // 6 target, 3 raw
+    def lo(f: Long): Double =
+      if (seen(f))
+        math.log(ct.getOrElse(f, 0L) + 1.0) - math.log(tt + B.toDouble) -
+          math.log(cr.getOrElse(f, 0L) + 1.0) + math.log(tr + B.toDouble)
+      else math.log(tr + B.toDouble) - math.log(tt + B.toDouble)
+    val prior = math.log(2.0 + 1.0) - math.log(1.0 + 1.0) // 2 tgt, 1 raw doc
+    def logit(terms: Seq[String]): Double = {
+      val raw = prior + terms.map(t => lo(bucket(t, B))).sum
+      math.round(raw * 1e4) / 1e4
+    }
+    val expected = Map(
+      1L -> Seq("aa", "aa", "bb"), 2L -> Seq("bb", "cc", "cc"),
+      3L -> Seq("aa", "aa", "aa"), 4L -> Seq("aa", "dd"),
+      5L -> Seq("cc", "cc"))
+    // 'dd' trains nowhere — if its bucket collides with no train term,
+    // doc 4 exercises the unseen-bucket default constant (true for B=8:
+    // assert it so a hash change that silently voids the default path
+    // fails here instead of passing vacuously)
+    assert(!seen(bucket("dd", B)), "fixture no longer covers the " +
+      "unseen-bucket path — pick a different held-out term")
+    val logits = expected.view.mapValues(logit).toMap
+    val mean = math.round(logits.values.sum / logits.size * 1e4) / 1e4
+    logits.foreach { case (id, l) =>
+      val (nTok, gotLogit, keep, sel) = got(id)
+      assert(nTok === expected(id).size, s"doc $id")
+      assert(gotLogit === l, s"doc $id logit")
+      assert(keep === (l > 0.0), s"doc $id nb_keep")
+      assert(sel === (l > mean), s"doc $id nb_selected")
+    }
+    // the fixture is non-degenerate: both flags fire both ways
+    assert(got.values.exists(_._3) && got.values.exists(!_._3))
+    assert(got.values.exists(_._4) && got.values.exists(!_._4))
+  }
 }
