@@ -472,6 +472,81 @@ object TextAnalysis {
         col("tf"), col("df"), round(col("score"), 4).as("score"))
   }
 
+  /** BM25 top-k retrieval — Robertson's public k1/b formula (Robertson &
+    * Zaragoza 2009, "The Probabilistic Relevance Framework"), the
+    * standard retrieval scorer behind dedup-by-retrieval and eval-set
+    * mining:
+    *
+    *   score(q,d) = Σ_{t∈q} ln((N − df + 0.5)/(df + 0.5)) ·
+    *                tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * — [[tfidfTopTerms]]'s idf argument with the log restored, plus the
+    * two things raw TF-IDF lacks: term-frequency SATURATION (k1 bounds
+    * how much a repeated term can earn) and document-LENGTH
+    * normalization (b discounts long documents toward the corpus
+    * average length).
+    *
+    * Cross-engine exactness: each per-term contribution is 6-rounded
+    * then ×10⁶ integer-scaled BEFORE the per-(query, doc) sum (the q183
+    * DCG discipline) — long sums are order-exact in any engine and any
+    * partitioning, so the rank comparison is integer and the ln's
+    * last-ulp hazard is confined to a contribution's 7th decimal.
+    * Ties break by doc_id.
+    *
+    * Scale shapes: ONE corpus tokenize pass — tf per (doc, term), dl
+    * derived from tf by a per-doc sum, never a second scan; postings
+    * are pruned to the QUERY VOCABULARY by a broadcast join BEFORE df
+    * counting and scoring, so the scoring join is |query-vocab
+    * postings|, not the corpus; (N, total_tokens) is one broadcast row;
+    * per-query top-k is a WindowGroupLimit row_number (partial top-k
+    * before the shuffle), never a global sort. */
+  def bm25TopK(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, queries: Seq[(Long, String)], k: Int,
+      k1: Double = 1.2, b: Double = 0.75)
+      : org.apache.spark.sql.DataFrame = {
+    require(queries.nonEmpty && k > 0, "need queries and k > 0")
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tf = docs.select(col(idCol).as("id"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col("id"), col("term")).agg(sum(lit(1L)).as("tf"))
+    val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+    val stats = broadcast(dl.groupBy().agg(
+      sum(col("dl")).as("tot"), count(lit(1)).as("nd")))
+    val qterms = queries.flatMap { case (qid, text) =>
+      text.toLowerCase.trim.split("\\s+").toSeq.distinct.map(t => (qid, t))
+    }.toDF("qid", "term")
+    // postings restricted to the query vocabulary FIRST — df and the
+    // scoring join never touch a non-query term
+    val post = tf.join(broadcast(qterms.select(col("term")).distinct()),
+      Seq("term"))
+    val dfreq = broadcast(post.groupBy(col("term"))
+      .agg(count(lit(1L)).as("df")))
+    val avgdl = col("tot").cast("double") / col("nd").cast("double")
+    val idf = log(((col("nd") - col("df")).cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5)))
+    val sat = (col("tf").cast("double") * (lit(k1) + lit(1.0))) /
+      (col("tf").cast("double") +
+        lit(k1) * ((lit(1.0) - lit(b)) +
+          (lit(b) * col("dl").cast("double")) / avgdl))
+    val contrib = post.join(broadcast(qterms), Seq("term"))
+      .join(dfreq, Seq("term"))
+      .join(dl, Seq("id"))
+      .crossJoin(stats)
+      .select(col("qid"), col("id"),
+        round(round(idf * sat, 6) * lit(1e6)).cast("long").as("sc"))
+    val scored = contrib.groupBy(col("qid"), col("id"))
+      .agg(sum(col("sc")).as("ssc"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("ssc").desc, col("id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk").cast("long").as("rnk"),
+        col("id"), round(col("ssc").cast("double") / lit(1e6), 6)
+          .as("score"))
+  }
+
   /** Collocation mining: document-level term co-occurrence with
     * lift = (n_ab · N) / (n_a · n_b) — PMI's argument without the log (ln
     * differs in last-ulp across libms; the rational product-of-counts

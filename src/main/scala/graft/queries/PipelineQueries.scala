@@ -1145,6 +1145,18 @@ object PipelineQueries {
         docs.filter(col("doc_id") >= 250), "doc_id", "text")
     }),
 
+    // Seeded epoch shuffle over the SAME persisted q61 packing — the
+    // deterministic training order a trainer replays: bins ranked by
+    // md5(seed:shard:bin), positions from the distributed-exact
+    // globalRank (range-partition + broadcast offsets — no
+    // single-partition window however many bins exist). One permutation
+    // per seed; PackingSpec pins repartition-invariance and the
+    // clusteredWrite file-range property (each written file = one
+    // contiguous slice of the epoch = one data-loader shard).
+    "q221_epoch_shuffle" -> ((s, dir) =>
+      graft.operators.Packing.epochShuffle(packedStage(s, dir), seed = 13L)
+        .orderBy(col("pos"))),
+
     // LLM selection 2 — the trained quality classifier (fastText-style
     // curated-vs-raw, the CCNet/RedPajama companion to perplexity and
     // DSIR) in its closed-form Naive-Bayes shape: training is ONE
@@ -1288,6 +1300,20 @@ object PipelineQueries {
         |  round(sum(CASE WHEN n_tomb > 0 THEN 1 ELSE 0 END)::DOUBLE
         |    / count(*), 6) AS dirty_frac
         |FROM pb""".stripMargin,
+
+    "q221_epoch_shuffle" ->
+      s"""WITH RECURSIVE $packingCtes,
+        |b AS (SELECT shard, bin, count(*) AS n_docs, sum(w) AS n_tokens
+        |      FROM pack GROUP BY shard, bin),
+        |k AS (SELECT shard, bin, n_docs, n_tokens,
+        |        md5(13::VARCHAR || ':' || shard::VARCHAR || ':'
+        |            || bin::VARCHAR) AS order_key
+        |      FROM b)
+        |SELECT CAST(row_number() OVER (ORDER BY order_key, shard, bin)
+        |         AS BIGINT) AS pos,
+        |       shard, bin, CAST(n_docs AS BIGINT) AS n_docs,
+        |       CAST(n_tokens AS BIGINT) AS n_tokens, order_key
+        |FROM k ORDER BY pos""".stripMargin,
 
     "q193_packing_card" ->
       s"""WITH RECURSIVE $packingCtes,

@@ -356,8 +356,29 @@ object ScaleQueries {
       Dedup.compactRegistry(reg, "digest", "source", "batch", tomb,
           minBatch = 2L)
         .orderBy(col("digest"))
-    })
+    }),
+
+    // BM25 top-10 retrieval (Robertson k1/b — q75's idf with the log
+    // restored plus tf saturation and length normalization, the scorer
+    // behind dedup-by-retrieval and eval-set mining). Contributions are
+    // 6-rounded ×10⁶ integer-scaled before the per-(query, doc) sum
+    // (q183's DCG discipline — order-exact ranks in any engine);
+    // postings are pruned to the query vocabulary before df counting
+    // and scoring; per-query top-k is a WindowGroupLimit, never a
+    // global sort.
+    "q219_bm25_topk" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+          bm25QueryFixture, k = 10)
+        .select(col("qid"), col("rnk"), col("id").as("doc_id"),
+          col("score"))
+        .orderBy(col("qid"), col("rnk")))
   )
+
+  /** q219's query set — terms drawn from the documents vocabulary so
+    * every query retrieves; shared with the generated oracle VALUES. */
+  private val bm25QueryFixture: Seq[(Long, String)] = Seq(
+    1L -> "hash join", 2L -> "stream batch window",
+    3L -> "slow scan filter", 4L -> "spark merge vector")
 
   /** q79 oracle: the same 8-bit interleave as explicit shift/mask terms. */
   private val zorderSql: String = {
@@ -814,6 +835,53 @@ object ScaleQueries {
         |FROM kept k
         |JOIN fb f ON k.digest = f.digest AND k.batch = f.first_batch
         |GROUP BY k.digest, f.first_batch, f.n_holders
-        |ORDER BY k.digest""".stripMargin
+        |ORDER BY k.digest""".stripMargin,
+
+    "q219_bm25_topk" -> bm25Sql
   )
+
+  /** q219 oracle, generated from [[bm25QueryFixture]] so the query set
+    * lives in exactly one place. Arithmetic mirrors
+    * [[graft.functions.TextAnalysis.bm25TopK]] term for term (same
+    * literals, same parenthesization, same round-then-scale), with
+    * k1 = 1.2, b = 0.75, k = 10. */
+  private def bm25Sql: String = {
+    val values = bm25QueryFixture.flatMap { case (qid, text) =>
+      text.toLowerCase.trim.split("\\s+").toSeq.distinct
+        .map(t => s"($qid, '$t')")
+    }.mkString(", ")
+    s"""WITH q(qid, term) AS (VALUES $values),
+       |tok AS (
+       |  SELECT doc_id AS id,
+       |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+       |  FROM documents),
+       |tf AS (SELECT id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT id, sum(tf) AS dl FROM tf GROUP BY 1),
+       |st AS (SELECT sum(dl) AS tot, count(*) AS nd FROM dl),
+       |post AS (
+       |  SELECT * FROM tf
+       |  WHERE term IN (SELECT DISTINCT term FROM q)),
+       |dfq AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+       |c AS (
+       |  SELECT q.qid, post.id,
+       |    CAST(round(round(
+       |      ln((((SELECT nd FROM st) - df)::DOUBLE + 0.5)
+       |          / (df::DOUBLE + 0.5)) *
+       |      ((tf::DOUBLE * (1.2 + 1.0)) /
+       |        (tf::DOUBLE + 1.2 * ((1.0 - 0.75) +
+       |          (0.75 * dl::DOUBLE) /
+       |          ((SELECT tot FROM st)::DOUBLE
+       |            / (SELECT nd FROM st)::DOUBLE)))), 6)
+       |      * 1000000.0, 0) AS BIGINT) AS sc
+       |  FROM post
+       |  JOIN q USING (term) JOIN dfq USING (term) JOIN dl USING (id)),
+       |s AS (SELECT qid, id, sum(sc) AS ssc FROM c GROUP BY 1, 2),
+       |r AS (
+       |  SELECT qid, id, ssc, row_number() OVER (
+       |    PARTITION BY qid ORDER BY ssc DESC, id) AS rnk
+       |  FROM s)
+       |SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS BIGINT) AS rnk,
+       |       id AS doc_id, round(ssc::DOUBLE / 1000000.0, 6) AS score
+       |FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+  }
 }

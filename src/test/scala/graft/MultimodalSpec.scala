@@ -64,4 +64,42 @@ class MultimodalSpec extends SparkSpec {
       .head().getSeq[Int](0)
     assert(offs === Seq(13, 33))
   }
+
+  test("averageHash: a planted near-identical payload (few pixels " +
+      "perturbed) lands within Hamming 3 of its original and is found " +
+      "by the SimHash banding machinery, while an unrelated image is " +
+      "far; corrupt payloads are invalid, never zero-hash impostors") {
+    import graft.operators.NearDup
+    def px(seed: Long)(i: Int): Int = ((seed * 31 + i) % 256).toInt
+    val w = 16
+    val h = 16
+    val original = Multimodal.encodeFakeWith(w, h, 1)(px(42L))
+    // the twin: same image, one pixel (a sampled grid cell) flipped hard
+    val twin = Multimodal.encodeFakeWith(w, h, 1)(i =>
+      if (i == 0) (px(42L)(i) + 128) % 256 else px(42L)(i))
+    val unrelated = Multimodal.encodeFakeWith(w, h, 1)(px(7L))
+    val fleet = Seq(
+      Asset(1L, "image", original), Asset(2L, "image", twin),
+      Asset(3L, "image", unrelated),
+      Asset(4L, "image", Array[Byte](1, 2, 3))).toDS()
+    val hs = Multimodal.averageHash(fleet).collect()
+      .map(p => p.asset_id -> p).toMap
+    assert(hs(1L).valid && hs(2L).valid && hs(3L).valid)
+    assert(!hs(4L).valid) // corrupt: routed, not hashed
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val dTwin = ham(hs(1L).phash, hs(2L).phash)
+    assert(dTwin >= 1 && dTwin <= 3,
+      s"twin should be near but not identical (got $dTwin)")
+    assert(ham(hs(1L).phash, hs(3L).phash) > 3,
+      "unrelated image should be far")
+    // banding surfaces the planted pair without an all-pairs join
+    val edges = NearDup.simhashCandidateEdges(
+        fleet.toDF().filter(col("asset_id") =!= 4L)
+          .join(Multimodal.averageHash(fleet).toDF()
+            .filter(col("valid")), Seq("asset_id"))
+          .select(col("asset_id"), col("phash")),
+        "asset_id", "phash")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges.contains((1L, 2L)))
+  }
 }

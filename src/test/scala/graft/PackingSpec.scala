@@ -91,4 +91,64 @@ class PackingSpec extends SparkSpec {
       assert(maxFill <= budget || nOver > 0)
     } finally { packed.unpersist(); () }
   }
+
+  test("epochShuffle: a permutation of the bins (pos 1..n, every bin " +
+      "once), invariant under input repartitioning, different seeds " +
+      "give different orders, and same seed replays identically") {
+    import sqlImplicits._
+    val df = (1L to 200L).map(i => (i, (i * 7) % 90 + 10))
+      .toDF("doc_id", "n_tok")
+    val packed = Packing.packGreedy(df, "doc_id", "n_tok", 128L, 4)
+      .persist()
+    try {
+      def order(p: org.apache.spark.sql.DataFrame, seed: Long) =
+        Packing.epochShuffle(p, seed).orderBy(col("pos"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSeq
+      val e1 = order(packed, 13L)
+      val nBins = packed.select(col("shard"), col("bin")).distinct().count()
+      assert(e1.map(_._1) === (1L to nBins).toSeq) // pos is 1..n, unique
+      assert(e1.map(t => (t._2, t._3)).toSet ===
+        packed.select(col("shard"), col("bin")).distinct()
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+      // replay + partitioning invariance: the order is a pure function
+      // of (packing, seed), not of physical layout
+      assert(order(packed.repartition(7), 13L) === e1)
+      assert(order(packed, 13L) === e1)
+      // a different epoch is a different permutation of the same bins
+      val e2 = order(packed, 14L)
+      assert(e2 !== e1)
+      assert(e2.map(t => (t._2, t._3)).toSet ===
+        e1.map(t => (t._2, t._3)).toSet)
+    } finally { packed.unpersist(); () }
+  }
+
+  test("epochShuffle + clusteredWrite: each written file covers a " +
+      "disjoint contiguous pos range — a file IS a data-loader shard " +
+      "of the epoch") {
+    import sqlImplicits._
+    val df = (1L to 400L).map(i => (i, (i * 11) % 90 + 10))
+      .toDF("doc_id", "n_tok")
+    val packed = Packing.packGreedy(df, "doc_id", "n_tok", 128L, 4)
+    val epoch = Packing.epochShuffle(packed, seed = 5L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_epoch")
+      .toString + "/epoch_5"
+    graft.operators.Layout.clusteredWrite(epoch,
+      col("pos"), zorderCol = "pos_k", path = dir, numFiles = 4)
+    val ranges = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("pos")).as("lo"), max(col("pos")).as("hi"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(ranges.length > 1, "expected multiple files")
+    // disjoint AND contiguous: file i ends exactly where i+1 begins
+    ranges.sliding(2).foreach {
+      case Array((lo1, hi1, n1), (lo2, _, _)) =>
+        assert(hi1 < lo2, s"overlapping file ranges: $hi1 >= $lo2")
+        assert(hi1 - lo1 + 1 === n1 && hi1 + 1 === lo2,
+          s"epoch slice not contiguous: [$lo1,$hi1] n=$n1 next=$lo2")
+      case _ =>
+    }
+  }
 }

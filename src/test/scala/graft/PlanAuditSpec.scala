@@ -1027,6 +1027,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("q219: BM25 postings are pruned to the query vocabulary by " +
+    "BROADCAST joins before scoring, the per-query top-k is a " +
+    "WindowGroupLimit (no global sort of the scored set), and tf " +
+    "aggregates map-side") {
+    val p = plan("q219_bm25_topk")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q220: perceptual near-dup is banded, never all-pairs — the " +
+    "cross-candidate side is a (chunk, value) grouped aggregate and the " +
+    "star side an fp equi-join; the payload column is pruned away " +
+    "before every exchange (only the 64-bit hash shuffles)") {
+    val p = plan("q220_phash_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("MapPartitions"), p) // the typed codec path
+    assert(p.contains("partial_count") || p.contains("partial_min"), p)
+    // no exchange carries the binary payload — hashes shuffle, bytes don't
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty && !exchanges.exists(_.contains("payload")), p)
+  }
+
+  test("q221: the epoch-shuffle manifest is bin-sized and its global " +
+    "positions come from the range-partition + broadcast-offset rank " +
+    "construction — the only unpartitioned window is the <=parts-row " +
+    "offsets pass, and the bin aggregation is map-side partial") {
+    val p = plan("q221_epoch_shuffle")
+    assert(!p.contains("CartesianProduct"), p)
+    // globalRank materializes the range-parted bins (localCheckpoint →
+    // Scan ExistingRDD) and joins the broadcast offsets back — the
+    // per-partition row_number is partitioned by _pid, never global
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("windowspecdefinition(_pid"), p)
+  }
+
   test("q222: the selection-agreement card reads BOTH persisted score " +
     "stages — once materialized the live plan is a doc-keyed join of " +
     "two cached tables + one aggregate, no live corpus scan, no " +

@@ -205,6 +205,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(colForm(5L) === None)
   }
 
+  test("bm25TopK: hand-checked Robertson scores on a 3-doc fixture — " +
+      "saturation and length norm follow plain-Scala arithmetic, docs " +
+      "without a query term never appear, ranks break ties by doc id") {
+    import sqlImplicits._
+    val docs = Seq((1L, "a b"), (2L, "a a a"), (3L, "c"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+        queries = Seq(7L -> "a"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // independent plain-Scala replay: N=3, tot=6, avgdl=2, df(a)=2;
+    // a single-term query makes score == the 6dp contribution itself
+    def contrib(tf: Double, dl: Double): Double = {
+      val idf = math.log(((3L - 2L).toDouble + 0.5) / (2.0 + 0.5))
+      val sat = (tf * (1.2 + 1.0)) /
+        (tf + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / (6.0 / 3.0)))
+      BigDecimal(idf * sat)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val s1 = contrib(1.0, 2.0) // doc 1: tf=1, dl=2 → sat exactly 1
+    val s2 = contrib(3.0, 3.0) // doc 2: saturated but longer
+    assert(s1 > s2) // idf(a) < 0 (df > N/2): the shorter doc wins
+    assert(got.toSeq === Seq((7L, 1L, 1L, s1), (7L, 2L, 2L, s2)))
+  }
+
   test("tfidfTopTerms ranks a doc's distinctive term above the corpus-wide one") {
     import sqlImplicits._
     val docs = Seq(
