@@ -63,7 +63,8 @@ object ExplainDump {
       "q214_unigram_compact", "q215_dsir_weights",
       "q216_bigram_lambda_curve", "q217_filter_overlap",
       "q218_nb_classifier", "q219_bm25_topk", "q220_phash_neardup",
-      "q221_epoch_shuffle", "q222_selection_agreement")
+      "q221_epoch_shuffle", "q222_selection_agreement",
+      "q223_classifier_eval")
     val sb = new StringBuilder
     sb.append("# EXPLAIN — headline query plans (formatted, sf0.001, regenerate with `sbt \"runMain graft.ExplainDump\"`)\n")
     sb.append("\nWhat to look for: `PushedFilters`/`ReadSchema` on every scan, broadcast\njoins where one side is small, partial aggregation before each hash\nexchange, `WindowGroupLimit` ahead of top-k windows, and no\n`CartesianProduct` anywhere.\n")

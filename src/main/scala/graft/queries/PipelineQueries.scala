@@ -1168,6 +1168,62 @@ object PipelineQueries {
     "q218_nb_classifier" -> ((s, dir) =>
       nbScoresStage(s, dir).orderBy(col("doc_id"))),
 
+    // LLM selection 4 — the classifier EVAL card (the fastText paper's
+    // own measurement, completing the q218 story): precision / recall /
+    // F1 of each q218 verdict flag against the true class label, on the
+    // HELD-OUT era ONLY (doc_id >= 250 — docs the model never trained
+    // on; evaluating on train rows flatters every classifier). One row
+    // per decision flag: the absolute Bayes cut AND the mean-centered
+    // relative cut, so the card itself documents the toy-scale
+    // smoothing collapse (keep: recall 0) next to the flag that
+    // actually ranks (selected). Metrics are single divisions of exact
+    // integer counts, 6-rounded — bit-stable. Rides the persisted
+    // nb_scores stage: the card is one broadcast-joined aggregate, no
+    // rescoring. The measured verdict on THIS corpus is itself the
+    // point (the q216 honesty pattern): held-out precision 0.408 vs a
+    // 0.448 base rate — the synthetic word-soup has NO lang-specific
+    // vocabulary (per-term target/raw ratios are flat), so the
+    // features carry no label signal and the card correctly reads
+    // "chance"; a corpus where the classes differ lexically moves
+    // these rows, and THAT is what the card exists to detect.
+    "q223_classifier_eval" -> ((s, dir) => {
+      val truth = t(s, dir, "documents")
+        .filter(col("doc_id") >= 250)
+        .select(col("doc_id"), (col("lang") === "en").as("y"))
+      val flags = nbScoresStage(s, dir)
+        .join(truth, Seq("doc_id"))
+        .select(col("y"), col("nb_keep"), col("nb_selected"))
+      val counts = flags.agg(
+        count(lit(1)).as("n_eval"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("nb_keep") && col("y"), 1L).otherwise(0L)).as("tp_k"),
+        sum(when(col("nb_keep") && !col("y"), 1L).otherwise(0L)).as("fp_k"),
+        sum(when(col("nb_selected") && col("y"), 1L).otherwise(0L))
+          .as("tp_s"),
+        sum(when(col("nb_selected") && !col("y"), 1L).otherwise(0L))
+          .as("fp_s"))
+      counts.select(expr(
+          "stack(2, 'keep', tp_k, fp_k, n_pos, n_eval, " +
+            "'selected', tp_s, fp_s, n_pos, n_eval) " +
+            "as (flag, tp, fp, n_pos, n_eval)"))
+        .select(col("flag"), col("tp").cast("long").as("tp"),
+          col("fp").cast("long").as("fp"),
+          (col("n_pos") - col("tp")).cast("long").as("fn"),
+          (col("n_eval") - col("n_pos") - col("fp")).cast("long").as("tn"),
+          when(col("tp") + col("fp") === 0, lit(0.0))
+            .otherwise(round(col("tp").cast("double") /
+              (col("tp") + col("fp")).cast("double"), 6)).as("precision"),
+          when(col("n_pos") === 0, lit(0.0))
+            .otherwise(round(col("tp").cast("double") /
+              col("n_pos").cast("double"), 6)).as("recall"),
+          when(col("tp") * 2 + col("fp") + (col("n_pos") - col("tp")) === 0,
+            lit(0.0))
+            .otherwise(round((col("tp") * 2).cast("double") /
+              (col("tp") * 2 + col("fp") + (col("n_pos") - col("tp")))
+                .cast("double"), 6)).as("f1"))
+        .orderBy(col("flag"))
+    }),
+
     // LLM selection 3 — the complementarity card for the SELECTION
     // families (the q207/q217 question asked of the selectors): how
     // much does the q218 classifier's labeled-slice training change
@@ -1951,6 +2007,42 @@ object PipelineQueries {
          |  nb_logit > round((SELECT avg(nb_logit) FROM nbdoc), 4)
          |    AS nb_selected
          |FROM nbdoc ORDER BY doc_id""".stripMargin,
+
+    "q223_classifier_eval" ->
+      s"""WITH $nbScoreCtes,
+         |fl AS (
+         |  SELECT n.doc_id, n.nb_logit > 0 AS keepf,
+         |    n.nb_logit > round((SELECT avg(nb_logit) FROM nbdoc), 4)
+         |      AS sel,
+         |    d.lang = 'en' AS y
+         |  FROM nbdoc n JOIN documents d USING (doc_id)
+         |  WHERE n.doc_id >= 250),
+         |c AS (
+         |  SELECT count(*) AS n_eval,
+         |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS n_pos,
+         |    sum(CASE WHEN keepf AND y THEN 1 ELSE 0 END) AS tp_k,
+         |    sum(CASE WHEN keepf AND NOT y THEN 1 ELSE 0 END) AS fp_k,
+         |    sum(CASE WHEN sel AND y THEN 1 ELSE 0 END) AS tp_s,
+         |    sum(CASE WHEN sel AND NOT y THEN 1 ELSE 0 END) AS fp_s
+         |  FROM fl),
+         |u AS (
+         |  SELECT 'keep' AS flag, tp_k AS tp, fp_k AS fp, n_pos, n_eval
+         |  FROM c
+         |  UNION ALL
+         |  SELECT 'selected', tp_s, fp_s, n_pos, n_eval FROM c)
+         |SELECT flag, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+         |  CAST(n_pos - tp AS BIGINT) AS fn,
+         |  CAST(n_eval - n_pos - fp AS BIGINT) AS tn,
+         |  CASE WHEN tp + fp = 0 THEN 0.0
+         |       ELSE round(tp::DOUBLE / (tp + fp)::DOUBLE, 6)
+         |  END AS "precision",
+         |  CASE WHEN n_pos = 0 THEN 0.0
+         |       ELSE round(tp::DOUBLE / n_pos::DOUBLE, 6) END AS recall,
+         |  CASE WHEN 2 * tp + fp + (n_pos - tp) = 0 THEN 0.0
+         |       ELSE round((2 * tp)::DOUBLE
+         |         / (2 * tp + fp + (n_pos - tp))::DOUBLE, 6)
+         |  END AS f1
+         |FROM u ORDER BY flag""".stripMargin,
 
     "q222_selection_agreement" ->
       s"""WITH $nbScoreCtes,

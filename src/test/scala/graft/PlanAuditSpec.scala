@@ -1065,6 +1065,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(_pid"), p)
   }
 
+  test("q223: the classifier-eval card rides the persisted nb_scores " +
+    "stage (no rescoring) joined to a truth side whose held-out-era " +
+    "filter is pushed into the parquet scan; the card is one " +
+    "map-side-partial aggregate") {
+    SparkEntry.queries("q218_nb_classifier")(spark, dir).count()
+    val p = plan("q223_classifier_eval")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), " +
+      "GreaterThanOrEqual(doc_id,250)"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("q222: the selection-agreement card reads BOTH persisted score " +
     "stages — once materialized the live plan is a doc-keyed join of " +
     "two cached tables + one aggregate, no live corpus scan, no " +

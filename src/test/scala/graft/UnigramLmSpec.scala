@@ -152,4 +152,22 @@ class UnigramLmSpec extends SparkSpec {
     assert(got.values.exists(_._3) && got.values.exists(!_._3))
     assert(got.values.exists(_._4) && got.values.exists(!_._4))
   }
+
+  test("q223: confusion identities hold per flag (tp+fn = positives, " +
+      "all four cells sum to the held-out count) and the eval never " +
+      "sees a training row") {
+    val rows = SparkEntry.queries("q223_classifier_eval")(spark, dir)
+      .collect()
+    assert(rows.length === 2)
+    val heldOut = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") >= 250)
+    val nEval = heldOut.count()
+    val nPos = heldOut.filter(col("lang") === "en").count()
+    rows.foreach { r =>
+      val (tp, fp, fn, tn) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(tp + fn === nPos, s"${r.getString(0)}: tp+fn")
+      assert(tp + fp + fn + tn === nEval, s"${r.getString(0)}: cells")
+    }
+  }
 }
