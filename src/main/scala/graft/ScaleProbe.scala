@@ -23,7 +23,16 @@ object ScaleProbe {
     // funnel, the complementarity card, the lifecycle capstone and the
     // NSW takedown-rate curve
     "q200_takedown_blast", "q202_incremental_funnel", "q207_dedup_overlap",
-    "q208_release_lifecycle", "q209_nsw_takedown_curve")
+    "q208_release_lifecycle", "q209_nsw_takedown_curve",
+    // round-13 successors with scale-relevant shapes: BM25 (corpus
+    // tokenize + vocab-pruned scoring), perceptual near-dup (codec pass
+    // + banding) and the epoch shuffle (bin manifest + globalRank);
+    // q218/q222/q223 are stage-riding aggregates and ride q215's
+    // already-probed shape; q224's vocab-sized model joins + doc-
+    // partitioned lag are the open-vocabulary LM shape worth a measured
+    // exponent of its own
+    "q219_bm25_topk", "q220_phash_neardup", "q221_epoch_shuffle",
+    "q224_kneser_ney")
   private val Passes = 2
 
   def main(args: Array[String]): Unit = {

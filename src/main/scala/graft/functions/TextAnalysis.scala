@@ -977,6 +977,98 @@ object TextAnalysis {
       .orderBy(col("lam"))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring of a batch era under the
+    * FROZEN history model — the smoothing the real CCNet-lineage LMs
+    * use (Kneser & Ney 1995; Chen & Goodman 1998's interpolated form),
+    * where [[bigramLambdaCurve]]'s naive λ-mixture was the dial. The
+    * two ideas naive interpolation lacks: ABSOLUTE DISCOUNTING (each
+    * seen bigram donates a fixed D of its count to smoothing, so
+    * frequent pairs keep almost all their evidence while rare pairs
+    * are shrunk hard) and the CONTINUATION distribution (a word's
+    * back-off weight is how many DISTINCT contexts it follows, not how
+    * often it occurs — "Francisco" is frequent but only ever follows
+    * "San", so its continuation probability is tiny):
+    *
+    *   p(w|u) = (max(c(u,w) − D, 0) + D·N1+(u·)·p_c(w)) / c(u·)
+    *   p_c(w) = (N1+(·w) + 1) / (N1+(··) + V + 1)
+    *
+    * with D = 0.75 (Chen–Goodman's rule-of-thumb, exactly binary-
+    * representable). A doc-initial token or unseen context scores
+    * p_c(w) directly. The continuation distribution is add-one
+    * smoothed over the frozen vocabulary PLUS an OOV outcome — the
+    * standard recipe leaves p_c(OOV) = 0 (−ln 0 on any novel token);
+    * this keeps open-vocabulary scoring total while preserving the
+    * continuation ordering, the same move [[unigramXentFrozen]] makes
+    * for the unigram registry.
+    *
+    * Scale shapes (the q211/q216 discipline): token sequencing is a
+    * lag window PARTITIONED by doc; the three model joins (pair,
+    * context, continuation) are vocab-sized equi-joins — deliberately
+    * NOT broadcast at open vocabulary; the two scalars (N1+(··), V)
+    * are one broadcast row. Every count is an exact integer; D and the
+    * divisions are the only float ops, so both engines produce
+    * identical doubles and the 4-dp xent is bit-stable.
+    *
+    * @return per batch doc: (id, n_tok, n_ctx_hit, n_pair_hit, xent)
+    */
+  def knBigramXent(hist: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, discount: Double = 0.75)
+      : org.apache.spark.sql.DataFrame = {
+    require(discount > 0.0 && discount < 1.0, "discount must be in (0,1)")
+    import org.apache.spark.sql.expressions.Window
+    def seqToks(df: org.apache.spark.sql.DataFrame) =
+      df.select(col(idCol).as("id"),
+          posexplode(tokens(lower(col(textCol)))))
+        .withColumnRenamed("col", "term")
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val ht = seqToks(hist)
+    val hbig = ht.withColumn("prev", lag(col("term"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("term")).agg(count(lit(1)).as("c2"))
+    // context totals + distinct-continuation counts, one pass over hbig
+    val hctx = hbig.groupBy(col("prev"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1u"))
+    // continuation counts: distinct left-contexts per word = the rows
+    // of hbig grouped by term (hbig is already distinct per (u, w))
+    val hcont = hbig.groupBy(col("term")).agg(count(lit(1)).as("n1w"))
+    val stats = broadcast(hbig.groupBy().agg(
+      coalesce(count(lit(1)), lit(0L)).as("n1all"))
+      .crossJoin(ht.select(col("term")).distinct().groupBy()
+        .agg(count(lit(1)).as("v"))))
+    val d = lit(discount)
+    val scored = seqToks(batch)
+      .withColumn("prev", lag(col("term"), 1).over(w))
+      .join(hbig, Seq("prev", "term"), "left")
+      .join(hctx, Seq("prev"), "left")
+      .join(hcont, Seq("term"), "left")
+      .crossJoin(stats)
+      .select(col("id"),
+        col("c1").isNotNull.as("ctx_hit"),
+        col("c2").isNotNull.as("pair_hit"),
+        // p_c(w): add-one over frozen vocab + one OOV outcome
+        ((coalesce(col("n1w"), lit(0L)) + lit(1L)).cast("double") /
+          (col("n1all") + col("v") + lit(1L)).cast("double")).as("pc"),
+        col("c2"), col("c1"), col("n1u"))
+      .select(col("id"), col("ctx_hit"), col("pair_hit"),
+        // c2 coalesced explicitly: Spark's greatest skips nulls but the
+        // oracle must not depend on either engine's null-vs-greatest
+        // lore — both sides discount a coalesced integer
+        when(col("ctx_hit"),
+          (greatest(coalesce(col("c2"), lit(0L)).cast("double") - d,
+            lit(0.0)) +
+            d * col("n1u").cast("double") * col("pc")) /
+            col("c1").cast("double"))
+          .otherwise(col("pc")).as("p"))
+    scored.groupBy(col("id")).agg(
+      count(lit(1)).as("n_tok"),
+      coalesce(sum(when(col("ctx_hit"), 1L).otherwise(0L)), lit(0L))
+        .as("n_ctx_hit"),
+      coalesce(sum(when(col("pair_hit"), 1L).otherwise(0L)), lit(0L))
+        .as("n_pair_hit"),
+      round(-avg(log(col("p"))), 4).as("xent"))
+  }
+
   /** Adjacent-symbol pair counts — the statistic one BPE training
     * iteration maximizes (the top pair is the next merge). Counted the
     * way BPE trainers actually count: over the DISTINCT word vocabulary

@@ -671,6 +671,47 @@ object EvalQueries {
         .withColumn("avg_len", when(col("n_sent") > 0,
           round(col("sum_len").cast("double") / col("n_sent"), 4)))
         .orderBy(col("doc_id"))
+    }),
+
+    // LLM eval 7 — the complementarity card for the DECONTAMINATION
+    // families, completing the series (q207 dedup, q217 quality, q222
+    // selection): how much of the lexical gate's flag set does the
+    // semantic gate reproduce, over the SAME benchmark membership (the
+    // q82/q196 funnel identity, doc_id % 97 — q153's own %37 operating
+    // point is a different benchmark and would make the intersection
+    // meaningless)? The lexical side RIDES the persisted decon_flags
+    // stage (the q196 gate's own artifact); the semantic side is the
+    // one broadcast max-cosine pass that gate costs anyway, at q153's
+    // τ = 0.35. The measured verdict IS the card's point: jaccard
+    // 0.0625 at sf0.01 (8 lexical, 9 semantic, ONE shared) — a
+    // rephrased test item shares no 4-grams and a lexically-overlapping
+    // doc can sit far away in embedding space, so the two gates flag
+    // near-DISJOINT sets and a release funnel that runs only one of
+    // them misses most of what the other catches.
+    "q227_decon_agreement" -> ((s, dir) => {
+      val lex = ScaleQueries.deconFlagsStage(s, dir)
+        .select(col("doc_id"), lit(true).as("fl"))
+      val emb = t(s, dir, "embeddings")
+      val sem = Similarity.embeddingContamination(
+          emb.filter(col("vec_id") % 97 =!= 0),
+          emb.filter(col("vec_id") % 97 === 0), tau = 0.35)
+        .filter(col("contaminated"))
+        .select(col("vec_id").as("doc_id"), lit(true).as("fs"))
+      t(s, dir, "documents").filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"))
+        .join(lex, Seq("doc_id"), "left")
+        .join(sem, Seq("doc_id"), "left")
+        .agg(
+          sum(when(col("fl"), 1L).otherwise(0L)).as("n_lex"),
+          sum(when(col("fs"), 1L).otherwise(0L)).as("n_sem"),
+          sum(when(col("fl") && col("fs"), 1L).otherwise(0L)).as("n_both"),
+          count(lit(1)).as("n_docs"))
+        .select(col("n_lex"), col("n_sem"), col("n_both"), col("n_docs"),
+          (col("n_lex") + col("n_sem") - col("n_both")).as("n_union"),
+          when(col("n_lex") + col("n_sem") - col("n_both") === 0, lit(0.0))
+            .otherwise(round(col("n_both").cast("double") /
+              (col("n_lex") + col("n_sem") - col("n_both")).cast("double"),
+              6)).as("jaccard"))
     })
   )
 
@@ -1540,6 +1581,61 @@ object EvalQueries {
         |  CASE WHEN len(segs) > 0 THEN
         |    round(list_sum(list_transform(segs, s -> length(s)))::DOUBLE / len(segs), 4)
         |  END AS avg_len
-        |FROM t ORDER BY doc_id""".stripMargin
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    // Replays q82's word-4-gram lexical pass and q153's max-cosine pass
+    // at the SHARED %97 benchmark membership, then the set algebra.
+    "q227_decon_agreement" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(w) >= 4
+        |    THEN list_distinct(list_transform(range(len(w)-3),
+        |           i -> array_to_string(w[i+1:i+4], ' ')))
+        |    ELSE [array_to_string(w, ' ')] END) AS g
+        |  FROM docs),
+        |bench AS (SELECT doc_id AS bid, g FROM g WHERE doc_id % 97 = 0),
+        |corp AS (SELECT doc_id, g FROM g WHERE doc_id % 97 <> 0),
+        |lex AS (SELECT DISTINCT corp.doc_id FROM corp JOIN bench USING (g)),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |ev AS (SELECT vec_id AS eval_id, v AS qe FROM e
+        |       WHERE vec_id % 97 = 0),
+        |m AS (SELECT e.vec_id,
+        |        max(round(list_dot_product(e.v, ev.qe) /
+        |          (sqrt(list_dot_product(e.v, e.v)) *
+        |           sqrt(list_dot_product(ev.qe, ev.qe))), 6)) AS s
+        |      FROM e JOIN ev ON e.vec_id <> ev.eval_id
+        |      WHERE e.vec_id % 97 <> 0
+        |      GROUP BY e.vec_id),
+        |sem AS (SELECT vec_id AS doc_id FROM m WHERE s >= 0.35),
+        |fl AS (
+        |  SELECT d.doc_id,
+        |    l.doc_id IS NOT NULL AS flex, se.doc_id IS NOT NULL AS fsem
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+        |  LEFT JOIN lex l ON l.doc_id = d.doc_id
+        |  LEFT JOIN sem se ON se.doc_id = d.doc_id)
+        |SELECT
+        |  CAST(sum(CASE WHEN flex THEN 1 ELSE 0 END) AS BIGINT) AS n_lex,
+        |  CAST(sum(CASE WHEN fsem THEN 1 ELSE 0 END) AS BIGINT) AS n_sem,
+        |  CAST(sum(CASE WHEN flex AND fsem THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_both,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN flex THEN 1 ELSE 0 END)
+        |     + sum(CASE WHEN fsem THEN 1 ELSE 0 END)
+        |     - sum(CASE WHEN flex AND fsem THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_union,
+        |  CASE WHEN sum(CASE WHEN flex THEN 1 ELSE 0 END)
+        |          + sum(CASE WHEN fsem THEN 1 ELSE 0 END)
+        |          - sum(CASE WHEN flex AND fsem THEN 1 ELSE 0 END) = 0
+        |       THEN 0.0
+        |       ELSE round(
+        |         sum(CASE WHEN flex AND fsem THEN 1 ELSE 0 END)::DOUBLE /
+        |         (sum(CASE WHEN flex THEN 1 ELSE 0 END)
+        |          + sum(CASE WHEN fsem THEN 1 ELSE 0 END)
+        |          - sum(CASE WHEN flex AND fsem THEN 1 ELSE 0 END))::DOUBLE,
+        |         6)
+        |  END AS jaccard
+        |FROM fl""".stripMargin
   )
 }

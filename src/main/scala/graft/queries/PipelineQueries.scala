@@ -1049,13 +1049,10 @@ object PipelineQueries {
     // OOV tokens keep their rows through the left join and price in as
     // the model's own tail mass. The model rides the persisted
     // unigram_hist stage shared with the q214 merge night.
+    // Rides the persisted uni_scores stage (shared with q225) since
+    // round 13.
     "q213_xent_frozen" -> ((s, dir) =>
-      TextAnalysis.unigramXentFrozen(
-          unigramHistStage(s, dir),
-          t(s, dir, "documents").filter(col("doc_id") >= 250),
-          "doc_id", "text")
-        .withColumnRenamed("id", "doc_id")
-        .orderBy(col("doc_id"))),
+      uniScoresStage(s, dir).orderBy(col("doc_id"))),
 
     // LLM quality 11 (the LM family's append/compaction night): merge
     // the batch's counts into the frozen count registry WITHOUT
@@ -1143,6 +1140,108 @@ object PipelineQueries {
       TextAnalysis.bigramLambdaCurve(
         docs.filter(col("doc_id") < 250),
         docs.filter(col("doc_id") >= 250), "doc_id", "text")
+    }),
+
+    // LLM quality 13 — Kneser–Ney interpolated bigram scoring of the
+    // batch era under the frozen history model: the smoothing the real
+    // CCNet-lineage LMs use, completing the dial q216 measured
+    // naively. Absolute discounting (D=0.75, exactly binary) +
+    // continuation counts (how many DISTINCT contexts a word follows,
+    // not how often it occurs); continuation add-one smoothed over
+    // frozen vocab + an OOV outcome so open-vocabulary scoring is
+    // total. Same era split and plan shapes as q216 (doc-partitioned
+    // lag, vocab-sized equi-joins, one broadcast scalar row). The
+    // measured verdict: token-weighted KN xent 3.4358 sits between the
+    // λ-curve's λ=0 (pure unigram, 3.4072) and λ=0.5 (3.4247→3.4465)
+    // — on i.i.d. word soup even the right smoothing cannot make
+    // context pay (the unigram IS the process), but KN beats every
+    // context-heavy naive mixture (λ≥0.75), which is exactly its
+    // design: discounting returns unearned bigram mass to the back-off
+    // before the naive mixture would overtrust it. q216's "context
+    // buys nothing here", confirmed from a second angle.
+    "q224_kneser_ney" -> ((s, dir) =>
+      knScoresStage(s, dir).orderBy(col("doc_id"))),
+
+    // LLM mixture 4 — ONE exponentiated-gradient step of DoReMi domain
+    // reweighting (Xie et al., NeurIPS 2023, "Doremi: Optimizing Data
+    // Mixtures Speeds Up Language Model Pretraining"), in the closed
+    // form the frozen-model family supports: domains = `source`,
+    // reference model = the q213 frozen add-one unigram, proxy = the
+    // q224 Kneser–Ney bigram, per-domain excess loss = clip(proxy −
+    // reference, 0) token-weighted over the held-out era, and the EG
+    // update w ∝ w_base·exp(η·excess) at η = 1 from the token-share
+    // baseline. The full algorithm iterates this while TRAINING the
+    // proxy; one step over two frozen models is the honest batch form —
+    // and the direction is real: domains where even the stronger
+    // context model stays surprised (high excess) get upweighted, the
+    // paper's headroom argument. Exactness discipline: per-doc xents
+    // are the stages' 4-dp values, ×10⁴ re-rounded to exact longs, so
+    // every per-domain sum is integer arithmetic; the only cross-engine
+    // float ops are the final divisions, one exp of a 4-dp-rounded
+    // argument, and the 8-dp-rounded normalization. Both score tables
+    // ride persisted stages, and the two normalizers are empty-partition
+    // window sums over the DOMAIN-sized grouped table (the mixture-
+    // family idiom — a scalar crossJoin would re-plan the whole corpus
+    // subtree per normalizer) — the card itself rescans nothing.
+    "q225_doremi_step" -> ((s, dir) => {
+      val all = org.apache.spark.sql.expressions.Window.partitionBy()
+      val src = t(s, dir, "documents").filter(col("doc_id") >= 250)
+        .select(col("doc_id"), col("source"))
+      val ref = uniScoresStage(s, dir).select(col("doc_id"), col("n_tok"),
+        round(col("xent") * 1e4, 0).cast("long").as("xr"))
+      val prox = knScoresStage(s, dir).select(col("doc_id"),
+        round(col("xent") * 1e4, 0).cast("long").as("xp"))
+      src.join(ref, Seq("doc_id")).join(prox, Seq("doc_id"))
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tok"),
+          sum(col("n_tok") * col("xr")).as("sxr"),
+          sum(col("n_tok") * col("xp")).as("sxp"))
+        .select(col("source"), col("n_docs"), col("n_tok"),
+          round(col("sxr").cast("double") /
+            (col("n_tok") * 10000L).cast("double"), 4).as("xent_ref"),
+          round(col("sxp").cast("double") /
+            (col("n_tok") * 10000L).cast("double"), 4).as("xent_proxy"),
+          greatest(round((col("sxp") - col("sxr")).cast("double") /
+            (col("n_tok") * 10000L).cast("double"), 4), lit(0.0))
+            .as("excess"),
+          (col("n_tok").cast("double") /
+            sum(col("n_tok")).over(all).cast("double")).as("wb"))
+        .withColumn("u", round(col("wb") * exp(col("excess")), 8))
+        .select(col("source"), col("n_docs"), col("n_tok"),
+          col("xent_ref"), col("xent_proxy"), col("excess"),
+          round(col("wb"), 6).as("w_base"),
+          round(col("u") / sum(col("u")).over(all), 6).as("w_doremi"))
+        .orderBy(col("source"))
+    }),
+
+    // LLM selection 5 — the calibration card for the q218 classifier
+    // (reliability diagram as rows): held-out docs ranked by nb_logit
+    // into 10 EXACT equal-frequency bins via the distributed-exact
+    // Ranking.equalFreqBins (range-partition + broadcast offsets — no
+    // global single-partition window, no SQL ntile whose front-loaded
+    // remainders differ by engine), then per decile the empirical
+    // positive rate vs the mean logit. A calibrated ranker shows
+    // pos_rate rising with decile; THIS corpus shows it flat at the
+    // base rate — the q223 "no label signal" verdict re-measured as a
+    // curve, which is exactly what the card is for. Mean logit is
+    // integer-exact (4-dp scores ×10⁴ summed as longs); pos_rate is
+    // one division of exact counts.
+    "q226_calibration_card" -> ((s, dir) => {
+      val truth = t(s, dir, "documents").filter(col("doc_id") >= 250)
+        .select(col("doc_id"), (col("lang") === "en").as("y"))
+      val scored = nbScoresStage(s, dir).join(truth, Seq("doc_id"))
+      graft.operators.Ranking.equalFreqBins(scored,
+          Seq(col("nb_logit"), col("doc_id")), k = 10)
+        .groupBy((col("bin") + 1L).as("decile"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
+          round(sum(round(col("nb_logit") * 1e4, 0).cast("long"))
+            .cast("double") / (count(lit(1)) * 10000L).cast("double"), 4)
+            .as("avg_logit"),
+          round(sum(when(col("y"), 1L).otherwise(0L)).cast("double") /
+            count(lit(1)).cast("double"), 6).as("pos_rate"))
+        .orderBy(col("decile"))
     }),
 
     // Seeded epoch shuffle over the SAME persisted q61 packing — the
@@ -1273,6 +1372,28 @@ object PipelineQueries {
           buckets = 4096)
         .withColumnRenamed("id", "doc_id"))
 
+  /** Persisted q213 frozen-unigram score table (the REFERENCE model's
+    * per-doc xent in DoReMi terms) — shared by q213 and the q225
+    * reweighting card. */
+  private def uniScoresStage(s: SparkSession, dir: String): DataFrame =
+    stage(s, dir, "uni_scores")(
+      TextAnalysis.unigramXentFrozen(
+          unigramHistStage(s, dir),
+          t(s, dir, "documents").filter(col("doc_id") >= 250),
+          "doc_id", "text")
+        .withColumnRenamed("id", "doc_id"))
+
+  /** Persisted q224 Kneser–Ney score table (the PROXY model's per-doc
+    * xent in DoReMi terms) — shared by q224 and the q225 reweighting
+    * card. */
+  private def knScoresStage(s: SparkSession, dir: String): DataFrame =
+    stage(s, dir, "kn_scores")(
+      TextAnalysis.knBigramXent(
+          t(s, dir, "documents").filter(col("doc_id") < 250),
+          t(s, dir, "documents").filter(col("doc_id") >= 250),
+          "doc_id", "text")
+        .withColumnRenamed("id", "doc_id"))
+
   /** q37 oracle: the same 16 hyperplanes as DOUBLE[] literals (Scala's
     * Double.toString is shortest-round-trip, so DuckDB parses back the
     * identical bits), each contributing its power-of-two on a non-negative
@@ -1356,6 +1477,151 @@ object PipelineQueries {
         |  round(sum(CASE WHEN n_tomb > 0 THEN 1 ELSE 0 END)::DOUBLE
         |    / count(*), 6) AS dirty_frac
         |FROM pb""".stripMargin,
+
+    "q224_kneser_ney" ->
+      """WITH htok AS (
+        |  SELECT doc_id, unnest(arr) AS term,
+        |         generate_subscripts(arr, 1) AS pos
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(trim(lower(text)), '\s+') AS arr
+        |        FROM documents WHERE doc_id < 250)),
+        |hprev AS (
+        |  SELECT doc_id, term,
+        |         lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM htok),
+        |hbig AS (
+        |  SELECT prev, term, count(*) AS c2 FROM hprev
+        |  WHERE prev IS NOT NULL GROUP BY prev, term),
+        |hctx AS (
+        |  SELECT prev, CAST(sum(c2) AS BIGINT) AS c1, count(*) AS n1u
+        |  FROM hbig GROUP BY prev),
+        |hcont AS (SELECT term, count(*) AS n1w FROM hbig GROUP BY term),
+        |st AS (SELECT (SELECT count(*) FROM hbig) AS n1all,
+        |              (SELECT count(DISTINCT term) FROM htok) AS v),
+        |bprev AS (
+        |  SELECT doc_id, term,
+        |         lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM (
+        |    SELECT doc_id, unnest(arr) AS term,
+        |           generate_subscripts(arr, 1) AS pos
+        |    FROM (SELECT doc_id,
+        |            string_split_regex(trim(lower(text)), '\s+') AS arr
+        |          FROM documents WHERE doc_id >= 250))),
+        |sc AS (
+        |  SELECT b.doc_id,
+        |    hctx.c1 IS NOT NULL AS ctx_hit,
+        |    hbig.c2 IS NOT NULL AS pair_hit,
+        |    CASE WHEN hctx.c1 IS NOT NULL THEN
+        |      (greatest(coalesce(hbig.c2, 0)::DOUBLE - 0.75, 0.0)
+        |       + 0.75 * hctx.n1u::DOUBLE *
+        |         ((coalesce(hcont.n1w, 0) + 1)::DOUBLE /
+        |          ((SELECT n1all FROM st) + (SELECT v FROM st) + 1)::DOUBLE))
+        |      / hctx.c1::DOUBLE
+        |    ELSE (coalesce(hcont.n1w, 0) + 1)::DOUBLE /
+        |         ((SELECT n1all FROM st) + (SELECT v FROM st) + 1)::DOUBLE
+        |    END AS p
+        |  FROM bprev b
+        |  LEFT JOIN hbig ON hbig.prev = b.prev AND hbig.term = b.term
+        |  LEFT JOIN hctx ON hctx.prev = b.prev
+        |  LEFT JOIN hcont ON hcont.term = b.term)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |  CAST(sum(CASE WHEN ctx_hit THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_ctx_hit,
+        |  CAST(sum(CASE WHEN pair_hit THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pair_hit,
+        |  round(-avg(ln(p)), 4) AS xent
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Replays the q213 unigram scoring and the q224 KN scoring per doc
+    // (identical CTEs), then the per-domain integer-scaled sums and the
+    // one EG step.
+    "q225_doremi_step" ->
+      """WITH ucnt AS (
+        |  SELECT term, count(*) AS c FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |      AS term
+        |    FROM documents WHERE doc_id < 250) GROUP BY 1),
+        |ust AS (SELECT coalesce(sum(c), 0) AS tot, count(*) AS v FROM ucnt),
+        |btok AS (
+        |  SELECT doc_id,
+        |         unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents WHERE doc_id >= 250),
+        |udoc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |    round(-avg(ln((coalesce(u.c, 0) + 1)::DOUBLE) -
+        |               ln((ust.tot + ust.v + 1)::DOUBLE)), 4) AS xent
+        |  FROM btok b LEFT JOIN ucnt u USING (term) CROSS JOIN ust
+        |  GROUP BY doc_id),
+        |hprev AS (
+        |  SELECT doc_id, term,
+        |         lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM (
+        |    SELECT doc_id, unnest(arr) AS term,
+        |           generate_subscripts(arr, 1) AS pos
+        |    FROM (SELECT doc_id,
+        |            string_split_regex(trim(lower(text)), '\s+') AS arr
+        |          FROM documents WHERE doc_id < 250))),
+        |hbig AS (
+        |  SELECT prev, term, count(*) AS c2 FROM hprev
+        |  WHERE prev IS NOT NULL GROUP BY prev, term),
+        |hctx AS (
+        |  SELECT prev, CAST(sum(c2) AS BIGINT) AS c1, count(*) AS n1u
+        |  FROM hbig GROUP BY prev),
+        |hcont AS (SELECT term, count(*) AS n1w FROM hbig GROUP BY term),
+        |st AS (SELECT (SELECT count(*) FROM hbig) AS n1all,
+        |              (SELECT count(DISTINCT term) FROM
+        |                 (SELECT unnest(string_split_regex(
+        |                    trim(lower(text)), '\s+')) AS term
+        |                  FROM documents WHERE doc_id < 250)) AS v),
+        |bprev AS (
+        |  SELECT doc_id, term,
+        |         lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM (
+        |    SELECT doc_id, unnest(arr) AS term,
+        |           generate_subscripts(arr, 1) AS pos
+        |    FROM (SELECT doc_id,
+        |            string_split_regex(trim(lower(text)), '\s+') AS arr
+        |          FROM documents WHERE doc_id >= 250))),
+        |ksc AS (
+        |  SELECT b.doc_id,
+        |    CASE WHEN hctx.c1 IS NOT NULL THEN
+        |      (greatest(coalesce(hbig.c2, 0)::DOUBLE - 0.75, 0.0)
+        |       + 0.75 * hctx.n1u::DOUBLE *
+        |         ((coalesce(hcont.n1w, 0) + 1)::DOUBLE /
+        |          ((SELECT n1all FROM st) + (SELECT v FROM st) + 1)::DOUBLE))
+        |      / hctx.c1::DOUBLE
+        |    ELSE (coalesce(hcont.n1w, 0) + 1)::DOUBLE /
+        |         ((SELECT n1all FROM st) + (SELECT v FROM st) + 1)::DOUBLE
+        |    END AS p
+        |  FROM bprev b
+        |  LEFT JOIN hbig ON hbig.prev = b.prev AND hbig.term = b.term
+        |  LEFT JOIN hctx ON hctx.prev = b.prev
+        |  LEFT JOIN hcont ON hcont.term = b.term),
+        |kdoc AS (
+        |  SELECT doc_id, round(-avg(ln(p)), 4) AS xent
+        |  FROM ksc GROUP BY doc_id),
+        |dom AS (
+        |  SELECT d.source, count(*) AS n_docs, sum(u.n_tok) AS n_tok,
+        |    sum(u.n_tok * CAST(round(u.xent * 10000, 0) AS BIGINT)) AS sxr,
+        |    sum(u.n_tok * CAST(round(k.xent * 10000, 0) AS BIGINT)) AS sxp
+        |  FROM udoc u JOIN kdoc k USING (doc_id)
+        |  JOIN documents d USING (doc_id)
+        |  GROUP BY d.source),
+        |tt AS (SELECT sum(n_tok) AS t_tok FROM dom),
+        |stepped AS (
+        |  SELECT source, n_docs, n_tok,
+        |    round(sxr::DOUBLE / (n_tok * 10000)::DOUBLE, 4) AS xent_ref,
+        |    round(sxp::DOUBLE / (n_tok * 10000)::DOUBLE, 4) AS xent_proxy,
+        |    greatest(round((sxp - sxr)::DOUBLE / (n_tok * 10000)::DOUBLE,
+        |      4), 0.0) AS excess,
+        |    n_tok::DOUBLE / (SELECT t_tok FROM tt)::DOUBLE AS wb
+        |  FROM dom),
+        |uw AS (SELECT *, round(wb * exp(excess), 8) AS u FROM stepped)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_tok AS BIGINT) AS n_tok, xent_ref, xent_proxy, excess,
+        |  round(wb, 6) AS w_base,
+        |  round(u / (SELECT sum(u) FROM uw), 6) AS w_doremi
+        |FROM uw ORDER BY source""".stripMargin,
 
     "q221_epoch_shuffle" ->
       s"""WITH RECURSIVE $packingCtes,
@@ -2085,7 +2351,28 @@ object PipelineQueries {
          |            + sum(CASE WHEN fb THEN 1 ELSE 0 END)
          |            - sum(CASE WHEN fa AND fb THEN 1 ELSE 0 END))::DOUBLE, 6)
          |  END AS jaccard
-         |FROM flags""".stripMargin
+         |FROM flags""".stripMargin,
+
+    // Replays Ranking.equalFreqBins' floor form exactly: integer
+    // cross-multiplication over the (nb_logit, doc_id) row_number —
+    // deliberately NOT SQL ntile, whose front-loaded remainder buckets
+    // differ from the spread-even floor form.
+    "q226_calibration_card" ->
+      s"""WITH $nbScoreCtes,
+         |r AS (
+         |  SELECT n.doc_id, n.nb_logit, d.lang = 'en' AS y,
+         |    row_number() OVER (ORDER BY n.nb_logit, n.doc_id) AS rk,
+         |    count(*) OVER () AS nn
+         |  FROM nbdoc n JOIN documents d USING (doc_id)
+         |  WHERE n.doc_id >= 250)
+         |SELECT CAST(((rk - 1) * 10) // nn + 1 AS BIGINT) AS decile,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |  round(sum(CAST(round(nb_logit * 10000, 0) AS BIGINT))::DOUBLE
+         |    / (count(*) * 10000)::DOUBLE, 4) AS avg_logit,
+         |  round(sum(CASE WHEN y THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*)::DOUBLE, 6) AS pos_rate
+         |FROM r GROUP BY 1 ORDER BY decile""".stripMargin
   )
 
   /** Shared CTE block: tokenize + hash (`tfx`, with train/target flags)

@@ -178,4 +178,33 @@ class EmptyInputSpec extends SparkSpec {
       d, "doc_id", "text", isTarget = lit(true))
     assert(dsir.count() === 0L)
   }
+
+  test("round-13 family: NB scores, KN scoring, BM25 and the epoch " +
+      "shuffle are all well-defined on empty inputs — empty in, empty " +
+      "out (per-doc/per-bin ops), and KN against an EMPTY history " +
+      "degenerates to the documented uniform-certainty regime (p = 1, " +
+      "xent 0) rather than a null or a -ln 0") {
+    import sqlImplicits._
+    val d = emptyDocs
+    assert(graft.functions.TextAnalysis.nbQualityScore(
+      d, "doc_id", "text", isTrain = lit(true), isTarget = lit(true))
+      .count() === 0L)
+    assert(graft.functions.TextAnalysis.knBigramXent(
+      d, d, "doc_id", "text").count() === 0L)
+    // empty HISTORY, non-empty batch: continuation collapses to the
+    // single OOV outcome (pc = 1) — every token scores ln 1 = 0; the
+    // honest reading is "a model with no evidence constrains nothing"
+    val batch = Seq((1L, "x y")).toDF("doc_id", "text")
+    val kn = graft.functions.TextAnalysis.knBigramXent(
+      d, batch, "doc_id", "text")
+    assertNoNulls(kn)
+    assert(kn.head().getDouble(4) === 0.0)
+    assert(graft.functions.TextAnalysis.bm25TopK(
+      d, "doc_id", "text", queries = Seq(1L -> "x"), k = 5)
+      .count() === 0L)
+    assert(Packing.epochShuffle(
+      Packing.packGreedy(d.select(col("doc_id"),
+        lit(1L).as("n_tok")), "doc_id", "n_tok", 10L, 2), seed = 1L)
+      .count() === 0L)
+  }
 }

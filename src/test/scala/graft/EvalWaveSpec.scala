@@ -175,4 +175,24 @@ class EvalWaveSpec extends SparkSpec {
     assert(mass == labels.count())
     assert(hist.forall(_.getLong(0) >= 2L))
   }
+
+  test("q227: the decon-agreement card's set algebra is consistent with " +
+      "its own inputs — n_lex equals the persisted lexical flag count, " +
+      "n_both <= min(n_lex, n_sem), the union identity holds against " +
+      "n_docs, jaccard in [0,1], and the population excludes the " +
+      "benchmark era") {
+    val dir = "/root/testdata/sf0.01"
+    val r = SparkEntry.queries("q227_decon_agreement")(spark, dir).head()
+    val (nLex, nSem, nBoth, nDocs, nUnion) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val lex = SparkEntry.queries("q82_decontamination")(spark, dir)
+    assert(nLex === lex.count())
+    assert(nBoth <= math.min(nLex, nSem))
+    assert(nUnion === nLex + nSem - nBoth)
+    assert(nUnion <= nDocs)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    assert(nDocs === docs.filter(col("doc_id") % 97 =!= 0).count())
+    val j = r.getDouble(5)
+    assert(j >= 0.0 && j <= 1.0)
+  }
 }

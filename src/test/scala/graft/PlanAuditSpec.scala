@@ -1078,6 +1078,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("q224: Kneser–Ney scoring keeps q216's shapes — era filters " +
+    "pushed to the parquet scans, lag windows PARTITIONED by doc, the " +
+    "(n1all, V) scalars one broadcast row, model joins vocab-sized " +
+    "equi-joins (deliberately not broadcast), no cartesian") {
+    val p = plan("q224_kneser_ney")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), " +
+      "LessThan(doc_id,250)"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), " +
+      "GreaterThanOrEqual(doc_id,250)"), p)
+    assert(p.contains("windowspecdefinition(id#"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("q222: the selection-agreement card reads BOTH persisted score " +
     "stages — once materialized the live plan is a doc-keyed join of " +
     "two cached tables + one aggregate, no live corpus scan, no " +
@@ -1089,5 +1104,49 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"), p)
     assert(p.contains("partial_sum"), p)
     assert(liveScans("q222_selection_agreement").isEmpty, p)
+  }
+
+  test("q225: the DoReMi step rides BOTH persisted score stages — the " +
+    "only live scan is the documents source-column projection (filter " +
+    "pushed), the aggregation is map-side partial, and the two " +
+    "normalizers are window sums over the domain-sized grouped table " +
+    "(ONE plan subtree — a scalar crossJoin would re-plan the corpus " +
+    "branch per normalizer), no cartesian") {
+    SparkEntry.queries("q213_xent_frozen")(spark, dir).count()
+    SparkEntry.queries("q224_kneser_ney")(spark, dir).count()
+    val p = plan("q225_doremi_step")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.contains("partial_sum"), p)
+    val live = liveScans("q225_doremi_step")
+    assert(live.size === 1, live)
+    assert(live.head.contains("documents"), live)
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), " +
+      "GreaterThanOrEqual(doc_id,250)"), p)
+  }
+
+  test("q227: the decon-agreement card rides the persisted decon_flags " +
+    "stage for its lexical side, the semantic side is the one " +
+    "broadcast max-cosine pass the gate costs anyway (the only " +
+    "non-equi join is the documented probe x eval broadcast), and the " +
+    "benchmark-era filters reach the scans — no cartesian") {
+    SparkEntry.queries("q82_decontamination")(spark, dir).count()
+    val p = plan("q227_decon_agreement")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("PushedFilters"), p)
+  }
+
+  test("q226: the calibration card ranks through equalFreqBins' " +
+    "range-partition construction (localCheckpoint -> Scan ExistingRDD; " +
+    "the per-partition row_number is partitioned by _pid, never " +
+    "global), the bin total is a broadcast one-row side, no cartesian") {
+    SparkEntry.queries("q218_nb_classifier")(spark, dir).count()
+    val p = plan("q226_calibration_card")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("windowspecdefinition(_pid"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 }

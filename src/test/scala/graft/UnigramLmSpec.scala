@@ -153,6 +153,28 @@ class UnigramLmSpec extends SparkSpec {
     assert(got.values.exists(_._4) && got.values.exists(!_._4))
   }
 
+  test("knBigramXent: hand-checked interpolated Kneser–Ney — " +
+      "discounted seen pair, back-off through the continuation " +
+      "distribution on an unseen pair, doc-initial/unseen context " +
+      "scores continuation directly, OOV stays finite") {
+    val hist = Seq((1L, "a b a b"), (2L, "b c")).toDF("doc_id", "text")
+    val batch = Seq((10L, "a b d")).toDF("doc_id", "text")
+    val r = TextAnalysis.knBigramXent(hist, batch, "doc_id", "text")
+      .head()
+    // model by hand: hbig {(a,b):2,(b,a):1,(b,c):1}, n1all=3, V=3;
+    // hctx a:(c1 2,n1u 1), b:(c1 2,n1u 2); n1w: a=1,b=1,c=1
+    def pc(n1w: Long): Double = (n1w + 1.0) / (3.0 + 3.0 + 1.0)
+    val d = 0.75
+    val pA = pc(1) // doc-initial 'a': unseen context → continuation
+    val pAB = (math.max(2.0 - d, 0.0) + d * 1.0 * pc(1)) / 2.0
+    val pBD = (0.0 + d * 2.0 * pc(0)) / 2.0 // OOV 'd': pc = 1/7, finite
+    val want = -(math.log(pA) + math.log(pAB) + math.log(pBD)) / 3.0
+    assert(r.getLong(1) === 3L) // n_tok
+    assert(r.getLong(2) === 2L) // n_ctx_hit ('b' after a, 'd' after b)
+    assert(r.getLong(3) === 1L) // n_pair_hit ((a,b) only)
+    assert(r.getDouble(4) === math.round(want * 1e4) / 1e4)
+  }
+
   test("q223: confusion identities hold per flag (tp+fn = positives, " +
       "all four cells sum to the held-out count) and the eval never " +
       "sees a training row") {
@@ -168,6 +190,54 @@ class UnigramLmSpec extends SparkSpec {
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
       assert(tp + fn === nPos, s"${r.getString(0)}: tp+fn")
       assert(tp + fp + fn + tn === nEval, s"${r.getString(0)}: cells")
+    }
+  }
+
+  test("q225: the EG step's invariants — excess clipped at 0, both " +
+      "weight columns are distributions (sum 1 within rounding), the " +
+      "output is self-consistent with w ∝ w_base·exp(excess) recomputed " +
+      "from its own rows, and the update direction is monotone in " +
+      "excess (higher headroom → larger upweighting ratio)") {
+    val rows = SparkEntry.queries("q225_doremi_step")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getString(0)).distinct.length === rows.length)
+    val ex = rows.map(_.getDouble(5))
+    val wb = rows.map(_.getDouble(6))
+    val wd = rows.map(_.getDouble(7))
+    assert(ex.forall(_ >= 0.0))
+    assert(math.abs(wb.sum - 1.0) < 1e-4, wb.sum)
+    assert(math.abs(wd.sum - 1.0) < 1e-4, wd.sum)
+    // self-consistency: replay the EG step from the card's own columns
+    val u = wb.zip(ex).map { case (b, e) => b * math.exp(e) }
+    val z = u.sum
+    wd.zip(u).foreach { case (got, ui) =>
+      assert(math.abs(got - ui / z) < 2e-6, s"$got vs ${ui / z}")
+    }
+    // monotone: the upweighting ratio w/w_base orders with excess
+    rows.sortBy(_.getDouble(5)).map(r => r.getDouble(7) / r.getDouble(6))
+      .toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(b >= a - 1e-4, s"$a -> $b")
+        case _ =>
+      }
+  }
+
+  test("q226: the calibration card's invariants — deciles are exactly " +
+      "1..10 with sizes balanced to within one row over the held-out " +
+      "era, positives conserve, and avg_logit is nondecreasing in " +
+      "decile (each decile's rows all sort at or below the next's)") {
+    val rows = SparkEntry.queries("q226_calibration_card")(spark, dir)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 10L))
+    val heldOut = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") >= 250)
+    val ns = rows.map(_.getLong(1))
+    assert(ns.sum === heldOut.count())
+    assert(ns.max - ns.min <= 1L)
+    assert(rows.map(_.getLong(2)).sum ===
+      heldOut.filter(col("lang") === "en").count())
+    rows.map(_.getDouble(3)).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(b >= a, s"$a -> $b")
+      case _ =>
     }
   }
 }
