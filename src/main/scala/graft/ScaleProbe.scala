@@ -32,7 +32,12 @@ object ScaleProbe {
     // partitioned lag are the open-vocabulary LM shape worth a measured
     // exponent of its own
     "q219_bm25_topk", "q220_phash_neardup", "q221_epoch_shuffle",
-    "q224_kneser_ney")
+    "q224_kneser_ney",
+    // round-13 second wave: the hybrid fusion (two corpus-scale
+    // retrieval passes + list-sized fusion) and the eval-side severity
+    // card (one corpus shingle scan vs a broadcast bench); q229/q230
+    // are stage-riding aggregates over already-probed scores
+    "q228_hybrid_rrf", "q231_eval_contamination")
   private val Passes = 2
 
   def main(args: Array[String]): Unit = {

@@ -504,19 +504,34 @@ object TextAnalysis {
       textCol: String, queries: Seq[(Long, String)], k: Int,
       k1: Double = 1.2, b: Double = 0.75)
       : org.apache.spark.sql.DataFrame = {
-    require(queries.nonEmpty && k > 0, "need queries and k > 0")
-    import org.apache.spark.sql.expressions.Window
+    require(queries.nonEmpty, "need at least one query")
     val spark = docs.sparkSession
     import spark.implicits._
+    val qterms = queries.flatMap { case (qid, text) =>
+      text.toLowerCase.trim.split("\\s+").toSeq.distinct.map(t => (qid, t))
+    }.toDF("qid", "term")
+    bm25TopKTerms(docs, idCol, textCol, qterms, k, k1, b)
+  }
+
+  /** [[bm25TopK]] over a DataFrame query-term table — the form
+    * DATA-DERIVED query sets use (eval documents as queries, the
+    * dedup-by-retrieval probe set). `qterms` must be (qid, term),
+    * DISTINCT per pair, and small relative to the corpus: it is
+    * broadcast twice (once term-only to prune the postings, once with
+    * qids to attach them), which is exactly the eval-set-sized shape
+    * the lexical side of a hybrid retriever needs. */
+  def bm25TopKTerms(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, qterms: org.apache.spark.sql.DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75)
+      : org.apache.spark.sql.DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
     val tf = docs.select(col(idCol).as("id"),
         explode(tokens(lower(col(textCol)))).as("term"))
       .groupBy(col("id"), col("term")).agg(sum(lit(1L)).as("tf"))
     val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
     val stats = broadcast(dl.groupBy().agg(
       sum(col("dl")).as("tot"), count(lit(1)).as("nd")))
-    val qterms = queries.flatMap { case (qid, text) =>
-      text.toLowerCase.trim.split("\\s+").toSeq.distinct.map(t => (qid, t))
-    }.toDF("qid", "term")
     // postings restricted to the query vocabulary FIRST — df and the
     // scoring join never touch a non-query term
     val post = tf.join(broadcast(qterms.select(col("term")).distinct()),
@@ -545,6 +560,61 @@ object TextAnalysis {
       .select(col("qid"), col("rnk").cast("long").as("rnk"),
         col("id"), round(col("ssc").cast("double") / lit(1e6), 6)
           .as("score"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
+    * fuse per-query rankings from heterogeneous retrievers —
+    *
+    *   score(q, d) = Σ_sides 1 / (K + rank_side(q, d))
+    *
+    * — the standard hybrid (lexical BM25 + dense cosine) combiner,
+    * robust precisely because it reads only RANKS and never the
+    * mutually-incomparable raw scores.
+    *
+    * Cross-engine exactness: each contribution is round(10⁶/(K+rank))
+    * taken as a LONG before summing (HALF_UP rounding of a positive
+    * double agrees between Spark's BigDecimal rounding and DuckDB's
+    * away-from-zero), so the fused comparison is an integer with the
+    * doc id as total tiebreak — order-exact in any engine and any
+    * partitioning.
+    *
+    * Scale shapes: the inputs are per-query TOP-K LISTS, so every row
+    * here is list-sized (≤ |queries|·k·|sides|), the union + groupBy
+    * shuffles at list scale never corpus scale, and a doc absent from
+    * one side simply contributes no row (no outer-join chain — the
+    * union IS the sparse sum).
+    *
+    * @param sides (name, ranking) pairs; each ranking has columns
+    *              (qid, id, rnk) with rnk 1-based
+    * @return (qid, rnk, id, rrf, <name>_rnk per side; 0 = absent),
+    *         top `k` fused rows per query
+    */
+  def rrfFuse(sides: Seq[(String, org.apache.spark.sql.DataFrame)],
+      k: Int, kconst: Int = 60): org.apache.spark.sql.DataFrame = {
+    require(sides.nonEmpty && k > 0 && kconst > 0,
+      "need sides, k > 0 and kconst > 0")
+    import org.apache.spark.sql.expressions.Window
+    val tagged = sides.map { case (name, df) =>
+      df.select(col("qid"), col("id"), lit(name).as("side"),
+        col("rnk").cast("long").as("in_rnk"))
+    }.reduce(_ unionByName _)
+    val aggCols =
+      sum(col("c")).as("rrf") +: sides.map { case (name, _) =>
+        coalesce(max(when(col("side") === name, col("in_rnk"))), lit(0L))
+          .as(s"${name}_rnk")
+      }
+    val fused = tagged
+      .withColumn("c", round(lit(1e6) /
+        (lit(kconst.toDouble) + col("in_rnk").cast("double")), 0)
+        .cast("long"))
+      .groupBy(col("qid"), col("id"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf").desc, col("id").asc)
+    fused.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(Seq(col("qid"), col("rnk"), col("id"), col("rrf")) ++
+        sides.map { case (name, _) => col(s"${name}_rnk") }: _*)
   }
 
   /** Collocation mining: document-level term co-occurrence with
@@ -1067,6 +1137,125 @@ object TextAnalysis {
       coalesce(sum(when(col("pair_hit"), 1L).otherwise(0L)), lit(0L))
         .as("n_pair_hit"),
       round(-avg(log(col("p"))), 4).as("xent"))
+  }
+
+  /** CCNet-style perplexity buckets (Wenzek et al., LREC 2020 — the
+    * public pipeline's head/middle/tail split): per group (language),
+    * cut the LM-scored documents into thirds by cross-entropy — the
+    * classic quality stratification that trained filters largely
+    * replaced but every corpus card still reports, because "which
+    * third did we keep" is the first question about any perplexity
+    * gate. Cuts are VALUE thresholds read off the grouped CDF:
+    * cut1 = min xent v with 3·|{xent ≤ v}| ≥ N, cut2 likewise at 2N —
+    * ties at a threshold all fall on the same side, so a doc's bucket
+    * is a pure function of its (group, xent) pair in any engine and
+    * any partitioning (row_number tertiles would instead depend on the
+    * tiebreak order, and SQL ntile on the engine's remainder
+    * placement).
+    *
+    * Scale shapes: xent is 4-dp, so the (group, xent) CDF table is
+    * BOUNDED (groups × distinct 4-dp values, ~10⁵ rows per group at
+    * ANY corpus size) — the doc-level scores are read in ONE grouped
+    * pass, and everything downstream (CDF windows, cuts, bucket
+    * assignment, the card, the token share) runs entirely on that
+    * grouped table; the score table is never re-planned per branch
+    * and never joined back.
+    *
+    * @param scores one row per scored doc: groupCol, xentCol (4-dp),
+    *               tokCol
+    * @return (group, bucket, n_docs, n_tok, min_xent, max_xent,
+    *         tok_share) — head = lowest-xent (most-fluent) third
+    */
+  def perplexityBuckets(scores: org.apache.spark.sql.DataFrame,
+      groupCol: String, xentCol: String, tokCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    require(!scores.columns.contains("_grp"),
+      "column _grp collides with perplexityBuckets internals")
+    import org.apache.spark.sql.expressions.Window
+    // ONE pass over the doc-level scores; everything after this line —
+    // CDF, cuts, bucket assignment, the card itself — lives on the
+    // bounded (group, 4-dp xent) grouped table, so the score table is
+    // never re-planned per branch (the q225 normalizer lesson).
+    val g = scores.groupBy(col(groupCol).as("_grp"), col(xentCol).as("x"))
+      .agg(count(lit(1)).as("n"), sum(col(tokCol)).as("t"))
+    val wc = Window.partitionBy(col("_grp")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wa = Window.partitionBy(col("_grp"))
+    val bucketed = g.withColumn("cum", sum(col("n")).over(wc))
+      .withColumn("ntot", sum(col("n")).over(wa))
+      .withColumn("cut1",
+        min(when(col("cum") * 3 >= col("ntot"), col("x"))).over(wa))
+      .withColumn("cut2",
+        min(when(col("cum") * 3 >= col("ntot") * 2, col("x"))).over(wa))
+      .withColumn("bucket", when(col("x") <= col("cut1"), lit("head"))
+        .when(col("x") <= col("cut2"), lit("middle"))
+        .otherwise(lit("tail")))
+    bucketed.groupBy(col("_grp").as(groupCol), col("bucket"))
+      .agg(sum(col("n")).as("n_docs"), sum(col("t")).as("n_tok"),
+        min(col("x")).as("min_xent"), max(col("x")).as("max_xent"))
+      .withColumn("tok_share", round(col("n_tok").cast("double") /
+        sum(col("n_tok")).over(Window.partitionBy(col(groupCol)))
+          .cast("double"), 6))
+  }
+
+  /** Selection-threshold tuning curve for a mean-centered classifier
+    * cut — the operating question behind every trained quality filter
+    * (the FineWeb-Edu release ships exactly this sweep): what does
+    * each candidate threshold COST in kept documents and kept tokens?
+    * Thresholds are offsets δ over the mean logit, so the curve is
+    * scale-free like the q218 `nb_selected` verdict itself.
+    *
+    * Cross-engine exactness (the q215 boundary discipline): the mean
+    * is integer-exact — 4-dp logits ×10⁴ summed as longs, ONE final
+    * division — each threshold is round(mean + δ, 4), and the kept
+    * comparison is a 4-dp double against a 4-dp double, so no
+    * partial-sum ordering can move a boundary doc between engines.
+    * All δ are priced in ONE pass as parallel aggregate columns,
+    * unpivoted to rows afterward (the established curve discipline) —
+    * never a per-δ rescan.
+    *
+    * Empty-regime contract (Scala-only, the q216 precedent): on an
+    * empty score set this emits one row per δ with n_kept = 0 and a
+    * NULL threshold/fraction — the joinable curve shape — while a SQL
+    * replay whose grid joins against the empty set may emit zero rows.
+    *
+    * @param scores one row per doc: logitCol (4-dp), tokCol
+    * @return one row per δ, ascending: (delta, thr, n_kept, kept_tok,
+    *         keep_frac, tok_frac)
+    */
+  def selectionThresholdCurve(scores: org.apache.spark.sql.DataFrame,
+      logitCol: String, tokCol: String, deltas: Seq[Double])
+      : org.apache.spark.sql.DataFrame = {
+    require(deltas.nonEmpty, "need at least one delta")
+    val ds = deltas.distinct.sorted
+    val mean = col("sl").cast("double") / (col("n") * 10000L).cast("double")
+    val stats = broadcast(scores.groupBy().agg(
+      sum(round(col(logitCol) * 1e4, 0).cast("long")).as("sl"),
+      count(lit(1)).as("n"), sum(col(tokCol)).as("ttok")))
+    val perDelta = ds.zipWithIndex.flatMap { case (d, i) =>
+      val thr = round(mean + lit(d), 4)
+      Seq(
+        max(thr).as(s"_h$i"),
+        coalesce(sum(when(col(logitCol) >= thr, 1L).otherwise(0L)), lit(0L))
+          .as(s"_k$i"),
+        coalesce(sum(when(col(logitCol) >= thr, col(tokCol))
+          .otherwise(lit(0L))), lit(0L)).as(s"_t$i"))
+    }
+    val aggCols = Seq(max(col("n")).as("n"), max(col("ttok")).as("ttok")) ++
+      perDelta
+    val one = scores.crossJoin(stats)
+      .groupBy().agg(aggCols.head, aggCols.tail: _*)
+    one.select(explode(array(ds.zipWithIndex.map { case (d, i) =>
+        struct(lit(d).as("delta"), col(s"_h$i").as("thr"),
+          col(s"_k$i").as("n_kept"), col(s"_t$i").as("kept_tok"))
+      }: _*)).as("r"), col("n"), col("ttok"))
+      .select(col("r.delta").as("delta"), col("r.thr").as("thr"),
+        col("r.n_kept").as("n_kept"), col("r.kept_tok").as("kept_tok"),
+        when(col("n") > 0, round(col("r.n_kept").cast("double") /
+          col("n").cast("double"), 6)).as("keep_frac"),
+        when(col("ttok") > 0, round(col("r.kept_tok").cast("double") /
+          col("ttok").cast("double"), 6)).as("tok_frac"))
+      .orderBy(col("delta"))
   }
 
   /** Adjacent-symbol pair counts — the statistic one BPE training

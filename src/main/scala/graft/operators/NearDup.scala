@@ -262,6 +262,47 @@ object NearDup {
       .select(col("id").as("doc_id"), col("shared_grams"), col("bench_docs"))
   }
 
+  /** [[contaminationReport]] read from the EVAL side — the per-item
+    * severity card every public contamination report tabulates (the
+    * PaLM / GPT-4 appendices' "fraction of each eval item's n-grams
+    * found in training data"): for each benchmark document, how many of
+    * ITS distinct word k-grams appear anywhere in the corpus
+    * (containment fraction) and how many corpus documents hit it. The
+    * corpus-side report (q82) answers "which training docs to drop";
+    * this answers "which eval items are already burned" — the two
+    * directions of the same join.
+    *
+    * Same scale shape as the corpus report: the benchmark side is an
+    * eval set — small by nature — so its distinct (bench doc, gram)
+    * pairs BROADCAST; the corpus streams through the lead-window
+    * shingle scan once; only matching grams reach the bench-doc-sized
+    * aggregation. Items with zero corpus hits survive through the left
+    * join with exact zeros (an eval card must list the CLEAN items
+    * too — that is its point).
+    *
+    * @return per benchmark doc: (bench_id, n_grams, shared_grams,
+    *         corpus_docs, containment = shared/n 6-dp)
+    */
+  def evalContaminationSeverity(corpus: DataFrame, corpusId: String,
+      corpusText: String, benchmark: DataFrame, benchId: String,
+      benchText: String, k: Int): DataFrame = {
+    val bg = benchmark.select(col(benchId).as("bench_id"),
+      explode(wordShingles(col(benchText), k)).as("g"))
+    val btot = bg.groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    val hits = shingleRows(corpus, corpusId, corpusText, k)
+      .join(broadcast(bg), Seq("g"))
+      .groupBy(col("bench_id"))
+      .agg(countDistinct(col("g")).as("shared_grams"),
+        countDistinct(col("id")).as("corpus_docs"))
+    btot.join(hits, Seq("bench_id"), "left")
+      .select(col("bench_id"), col("n_grams"),
+        coalesce(col("shared_grams"), lit(0L)).as("shared_grams"),
+        coalesce(col("corpus_docs"), lit(0L)).as("corpus_docs"),
+        round(coalesce(col("shared_grams"), lit(0L)).cast("double") /
+          col("n_grams").cast("double"), 6).as("containment"))
+  }
+
   /** (id, sig: array<long>) — MinHash signatures of the shingle sets.
     * One xxhash64 per (doc, shingle); numHashes `min` aggregates reduce to
     * the signature with map-side partial aggregation. */

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextAnalysis
-import graft.operators.{Sampling, Similarity, Stats, Takedown}
+import graft.operators.{NearDup, Sampling, Similarity, Stats, Takedown}
 
 /** Wave 12 — evaluation & release-gating: the measurements a pipeline runs
   * BEFORE trusting its own artifacts. An approximate index is graded
@@ -712,6 +712,24 @@ object EvalQueries {
             .otherwise(round(col("n_both").cast("double") /
               (col("n_lex") + col("n_sem") - col("n_both")).cast("double"),
               6)).as("jaccard"))
+    }),
+
+    // LLM eval 8 — the q82 contamination join read from the EVAL side
+    // (the PaLM / GPT-4 appendix table): per benchmark item, what
+    // fraction of ITS distinct word 4-grams appears anywhere in the
+    // corpus, and how many corpus docs hit it. q82 answers "which
+    // training docs to drop"; this answers "which eval items are
+    // already burned" — the severity triage a release report tabulates
+    // before trusting a benchmark number. Same %97 membership and the
+    // same broadcast-bench / one-corpus-scan shape as q82; items with
+    // zero hits keep their rows with exact zeros (the CLEAN list is
+    // the point of the card).
+    "q231_eval_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      NearDup.evalContaminationSeverity(
+          docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", k = 4)
+        .orderBy(col("bench_id"))
     })
   )
 
@@ -1636,6 +1654,36 @@ object EvalQueries {
         |          - sum(CASE WHEN flex AND fsem THEN 1 ELSE 0 END))::DOUBLE,
         |         6)
         |  END AS jaccard
-        |FROM fl""".stripMargin
+        |FROM fl""".stripMargin,
+
+    // Replays the 4-gram pass with the bench side grouped instead of
+    // the corpus side — the CASE fallback mirrors wordShingles' short-
+    // text whole-text shingle.
+    "q231_eval_contamination" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(w) >= 4
+        |    THEN list_distinct(list_transform(range(len(w)-3),
+        |           i -> array_to_string(w[i+1:i+4], ' ')))
+        |    ELSE [array_to_string(w, ' ')] END) AS g
+        |  FROM docs),
+        |bench AS (SELECT doc_id AS bench_id, g FROM g WHERE doc_id % 97 = 0),
+        |corp AS (SELECT doc_id, g FROM g WHERE doc_id % 97 <> 0),
+        |btot AS (SELECT bench_id, CAST(count(*) AS BIGINT) AS n_grams
+        |         FROM bench GROUP BY 1),
+        |hit AS (
+        |  SELECT b.bench_id,
+        |    CAST(count(DISTINCT b.g) AS BIGINT) AS shared_grams,
+        |    CAST(count(DISTINCT c.doc_id) AS BIGINT) AS corpus_docs
+        |  FROM bench b JOIN corp c USING (g) GROUP BY 1)
+        |SELECT t.bench_id, t.n_grams,
+        |  coalesce(h.shared_grams, 0) AS shared_grams,
+        |  coalesce(h.corpus_docs, 0) AS corpus_docs,
+        |  round(coalesce(h.shared_grams, 0)::DOUBLE / t.n_grams::DOUBLE, 6)
+        |    AS containment
+        |FROM btot t LEFT JOIN hit h USING (bench_id)
+        |ORDER BY t.bench_id""".stripMargin
   )
 }

@@ -1244,6 +1244,43 @@ object PipelineQueries {
         .orderBy(col("decile"))
     }),
 
+    // LLM quality 14 — CCNet's head/middle/tail perplexity buckets per
+    // language (Wenzek et al. 2020), the classic stratification every
+    // corpus card reports: thirds by frozen-LM cross-entropy, cut at
+    // VALUE thresholds read off the per-language CDF so a doc's bucket
+    // is a pure function of its (lang, xent) pair — ties at a cut all
+    // fall one side, no engine-dependent row tiebreak. Rides the
+    // persisted uni_scores stage (third consumer); the CDF windows run
+    // over the BOUNDED (lang, 4-dp xent) grouped table, never the
+    // corpus; the cut pairs broadcast back. The measured card: on this
+    // i.i.d. word-soup corpus every language's three buckets sit within
+    // ~0.1 nats — the stratification exists to catch corpora where
+    // they DON'T.
+    "q229_perplexity_buckets" -> ((s, dir) =>
+      TextAnalysis.perplexityBuckets(
+          uniScoresStage(s, dir).join(
+            t(s, dir, "documents").select(col("doc_id"), col("lang")),
+            Seq("doc_id")),
+          "lang", "xent", "n_tok")
+        .orderBy(col("lang"), col("bucket"))),
+
+    // LLM selection 6 — the threshold tuning curve for the q218
+    // classifier's mean-centered cut (the FineWeb-Edu operating
+    // question: what does each candidate threshold COST in kept
+    // data?), over the held-out era the selection would actually run
+    // on. Offsets δ over the integer-exact mean logit (4-dp logits
+    // ×10⁴ summed as longs, one final division — the q215 boundary
+    // discipline), every δ priced in ONE pass as parallel aggregate
+    // columns over the persisted nb_scores stage. n_kept is
+    // non-increasing in δ by construction; the δ=0 row IS q218's
+    // nb_selected count on the held-out era.
+    "q230_selection_threshold_curve" -> ((s, dir) =>
+      TextAnalysis.selectionThresholdCurve(
+          nbScoresStage(s, dir).filter(col("doc_id") >= 250),
+          "nb_logit", "n_tok",
+          deltas = Seq(-2.0, -1.0, -0.5, 0.0, 0.5, 1.0, 2.0))
+        .orderBy(col("delta"))),
+
     // Seeded epoch shuffle over the SAME persisted q61 packing — the
     // deterministic training order a trainer replays: bins ranked by
     // md5(seed:shard:bin), positions from the distributed-exact
@@ -2372,7 +2409,76 @@ object PipelineQueries {
          |    / (count(*) * 10000)::DOUBLE, 4) AS avg_logit,
          |  round(sum(CASE WHEN y THEN 1 ELSE 0 END)::DOUBLE
          |    / count(*)::DOUBLE, 6) AS pos_rate
-         |FROM r GROUP BY 1 ORDER BY decile""".stripMargin
+         |FROM r GROUP BY 1 ORDER BY decile""".stripMargin,
+
+    // Replays the q213 unigram scoring (same CTEs), then the per-lang
+    // CDF value cuts and the bucket card.
+    "q229_perplexity_buckets" ->
+      """WITH ucnt AS (
+        |  SELECT term, count(*) AS c FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |      AS term
+        |    FROM documents WHERE doc_id < 250) GROUP BY 1),
+        |ust AS (SELECT coalesce(sum(c), 0) AS tot, count(*) AS v FROM ucnt),
+        |btok AS (
+        |  SELECT doc_id,
+        |         unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents WHERE doc_id >= 250),
+        |udoc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |    round(-avg(ln((coalesce(u.c, 0) + 1)::DOUBLE) -
+        |               ln((ust.tot + ust.v + 1)::DOUBLE)), 4) AS xent
+        |  FROM btok b LEFT JOIN ucnt u USING (term) CROSS JOIN ust
+        |  GROUP BY doc_id),
+        |sc AS (SELECT u.doc_id, d.lang, u.n_tok, u.xent
+        |       FROM udoc u JOIN documents d USING (doc_id)),
+        |g AS (SELECT lang, xent, count(*) AS n FROM sc GROUP BY 1, 2),
+        |cdf AS (SELECT lang, xent,
+        |          sum(n) OVER (PARTITION BY lang ORDER BY xent) AS cum,
+        |          sum(n) OVER (PARTITION BY lang) AS ntot
+        |        FROM g),
+        |cuts AS (SELECT lang,
+        |           min(CASE WHEN cum * 3 >= ntot THEN xent END) AS cut1,
+        |           min(CASE WHEN cum * 3 >= ntot * 2 THEN xent END) AS cut2
+        |         FROM cdf GROUP BY lang),
+        |lb AS (SELECT sc.lang, sc.n_tok, sc.xent,
+        |         CASE WHEN sc.xent <= c.cut1 THEN 'head'
+        |              WHEN sc.xent <= c.cut2 THEN 'middle'
+        |              ELSE 'tail' END AS bucket
+        |       FROM sc JOIN cuts c USING (lang)),
+        |card AS (SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |           CAST(sum(n_tok) AS BIGINT) AS n_tok,
+        |           min(xent) AS min_xent, max(xent) AS max_xent
+        |         FROM lb GROUP BY 1, 2)
+        |SELECT lang, bucket, n_docs, n_tok, min_xent, max_xent,
+        |  round(n_tok::DOUBLE /
+        |    (sum(n_tok) OVER (PARTITION BY lang))::DOUBLE, 6) AS tok_share
+        |FROM card ORDER BY lang, bucket""".stripMargin,
+
+    // Replays the q218 scoring on the held-out era, the integer-exact
+    // mean, then the per-δ kept counts through a threshold left join.
+    "q230_selection_threshold_curve" ->
+      s"""WITH $nbScoreCtes,
+         |held AS (SELECT doc_id, n_tok, nb_logit FROM nbdoc
+         |         WHERE doc_id >= 250),
+         |stt AS (SELECT sum(CAST(round(nb_logit * 10000, 0) AS BIGINT))
+         |                 AS sl,
+         |               count(*) AS n, sum(n_tok) AS ttok FROM held),
+         |grid AS (SELECT unnest(
+         |  [-2.0, -1.0, -0.5, 0.0, 0.5, 1.0, 2.0]::DOUBLE[]) AS delta)
+         |SELECT g.delta,
+         |  round((SELECT sl FROM stt)::DOUBLE
+         |    / ((SELECT n FROM stt) * 10000)::DOUBLE + g.delta, 4) AS thr,
+         |  CAST(count(h.doc_id) AS BIGINT) AS n_kept,
+         |  CAST(coalesce(sum(h.n_tok), 0) AS BIGINT) AS kept_tok,
+         |  round(count(h.doc_id)::DOUBLE
+         |    / (SELECT n FROM stt)::DOUBLE, 6) AS keep_frac,
+         |  round(coalesce(sum(h.n_tok), 0)::DOUBLE
+         |    / (SELECT ttok FROM stt)::DOUBLE, 6) AS tok_frac
+         |FROM grid g LEFT JOIN held h
+         |  ON h.nb_logit >= round((SELECT sl FROM stt)::DOUBLE
+         |       / ((SELECT n FROM stt) * 10000)::DOUBLE + g.delta, 4)
+         |GROUP BY g.delta ORDER BY g.delta""".stripMargin
   )
 
   /** Shared CTE block: tokenize + hash (`tfx`, with train/target flags)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{Quality, TextAnalysis}
-import graft.operators.{Dedup, GapFill, Layout, Mixture, NearDup, RangeJoin, Sampling, Sketches}
+import graft.operators.{Dedup, GapFill, Layout, Mixture, NearDup, RangeJoin, Sampling, Similarity, Sketches}
 
 /** Wave 4 — the scale-layer operators graded round 6: cross-batch
   * incremental dedup, the bucketed range join, TF-IDF keyword extraction,
@@ -371,7 +371,42 @@ object ScaleQueries {
           bm25QueryFixture, k = 10)
         .select(col("qid"), col("rnk"), col("id").as("doc_id"),
           col("score"))
-        .orderBy(col("qid"), col("rnk")))
+        .orderBy(col("qid"), col("rnk"))),
+
+    // Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    // ranking (q219's scorer, data-derived query set) and the dense
+    // cosine ranking (q29's scorer) over the SAME eval-doc queries —
+    // the standard two-tower retrieval stack, fused by RANK (Cormack
+    // et al. 2009) because the two raw score scales are incomparable.
+    // Queries are the %97 eval membership (the q82/q196/q227 funnel
+    // identity): each eval doc's first 8 tokens query the lexical side,
+    // its embedding queries the dense side, and both retrieve from the
+    // %97-excluded corpus, so no query can match itself. Every fused
+    // score is an integer (round(10⁶/(60+rank)) summed as longs) with
+    // doc-id tiebreak — order-exact cross-engine. Scale: both sides
+    // are top-20 lists, so the fusion shuffles at list size; the
+    // lexical side prunes postings to the 8·|eval| query vocabulary
+    // before df counting; the dense side is one broadcast corpus scan.
+    "q228_hybrid_rrf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val qterms = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("qid"),
+          explode(slice(TextAnalysis.tokens(lower(col("text"))), 1, 8))
+            .as("term"))
+        .distinct()
+      val lex = TextAnalysis.bm25TopKTerms(
+          docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+          qterms, k = 20)
+        .select(col("qid"), col("id"), col("rnk"))
+      val dense = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") % 97 === 0),
+          emb.filter(col("vec_id") % 97 =!= 0), k = 20)
+        .select(col("qid"), col("vec_id").as("id"), col("rnk"))
+      TextAnalysis.rrfFuse(Seq("bm25" -> lex, "cos" -> dense), k = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("qid"), col("rnk"))
+    })
   )
 
   /** q219's query set — terms drawn from the documents vocabulary so
@@ -837,7 +872,78 @@ object ScaleQueries {
         |GROUP BY k.digest, f.first_batch, f.n_holders
         |ORDER BY k.digest""".stripMargin,
 
-    "q219_bm25_topk" -> bm25Sql
+    "q219_bm25_topk" -> bm25Sql,
+
+    // Replays the BM25 pass (same arithmetic as bm25Sql, query set
+    // derived from the eval docs, corpus %97-restricted), the cosine
+    // pass (q29's form), then the integer RRF fusion.
+    "q228_hybrid_rrf" ->
+      """WITH qd AS (
+        |  SELECT doc_id AS qid,
+        |         string_split_regex(trim(lower(text)), '\s+') AS arr
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |q AS (SELECT DISTINCT qid, unnest(arr[1:8]) AS term FROM qd),
+        |tok AS (
+        |  SELECT doc_id AS id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents WHERE doc_id % 97 <> 0),
+        |tf AS (SELECT id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |st AS (SELECT sum(dl) AS tot, count(*) AS nd FROM dl),
+        |post AS (
+        |  SELECT * FROM tf
+        |  WHERE term IN (SELECT DISTINCT term FROM q)),
+        |dfq AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+        |c AS (
+        |  SELECT q.qid, post.id,
+        |    CAST(round(round(
+        |      ln((((SELECT nd FROM st) - df)::DOUBLE + 0.5)
+        |          / (df::DOUBLE + 0.5)) *
+        |      ((tf::DOUBLE * (1.2 + 1.0)) /
+        |        (tf::DOUBLE + 1.2 * ((1.0 - 0.75) +
+        |          (0.75 * dl::DOUBLE) /
+        |          ((SELECT tot FROM st)::DOUBLE
+        |            / (SELECT nd FROM st)::DOUBLE)))), 6)
+        |      * 1000000.0, 0) AS BIGINT) AS sc
+        |  FROM post
+        |  JOIN q USING (term) JOIN dfq USING (term) JOIN dl USING (id)),
+        |s AS (SELECT qid, id, sum(sc) AS ssc FROM c GROUP BY 1, 2),
+        |bl AS (
+        |  SELECT qid, id, rnk FROM (
+        |    SELECT qid, id, row_number() OVER (
+        |      PARTITION BY qid ORDER BY ssc DESC, id) AS rnk
+        |    FROM s) WHERE rnk <= 20),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |qe AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 97 = 0),
+        |ce AS (SELECT vec_id, v FROM e WHERE vec_id % 97 <> 0),
+        |cs AS (
+        |  SELECT qid, vec_id AS id,
+        |    round(list_dot_product(qv, v) /
+        |      (sqrt(list_dot_product(qv, qv)) *
+        |       sqrt(list_dot_product(v, v))), 6) AS sim
+        |  FROM qe CROSS JOIN ce WHERE vec_id <> qid),
+        |cl AS (
+        |  SELECT qid, id, rnk FROM (
+        |    SELECT qid, id, row_number() OVER (
+        |      PARTITION BY qid ORDER BY sim DESC, id) AS rnk
+        |    FROM cs) WHERE rnk <= 20),
+        |u AS (
+        |  SELECT qid, id, 'bm25' AS side, rnk FROM bl
+        |  UNION ALL SELECT qid, id, 'cos' AS side, rnk FROM cl),
+        |f AS (
+        |  SELECT qid, id,
+        |    CAST(sum(CAST(round(1000000.0 / (60 + rnk), 0) AS BIGINT))
+        |      AS BIGINT) AS rrf,
+        |    CAST(coalesce(max(CASE WHEN side = 'bm25' THEN rnk END), 0)
+        |      AS BIGINT) AS bm25_rnk,
+        |    CAST(coalesce(max(CASE WHEN side = 'cos' THEN rnk END), 0)
+        |      AS BIGINT) AS cos_rnk
+        |  FROM u GROUP BY qid, id),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY qid ORDER BY rrf DESC, id) AS rnk FROM f)
+        |SELECT qid, CAST(rnk AS BIGINT) AS rnk, id AS doc_id, rrf,
+        |       bm25_rnk, cos_rnk
+        |FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
   )
 
   /** q219 oracle, generated from [[bm25QueryFixture]] so the query set

@@ -207,4 +207,37 @@ class EmptyInputSpec extends SparkSpec {
         lit(1L).as("n_tok")), "doc_id", "n_tok", 10L, 2), seed = 1L)
       .count() === 0L)
   }
+
+  test("round-13 second wave: RRF over empty rank lists, buckets over " +
+      "an empty score set and severity over an empty bench are all " +
+      "empty-in/empty-out; the threshold curve keeps its documented " +
+      "one-row-per-delta shape with zero kept counts and null " +
+      "threshold/fractions") {
+    import sqlImplicits._
+    val ranks = Seq.empty[(Long, Long, Long)].toDF("qid", "id", "rnk")
+    assert(graft.functions.TextAnalysis.rrfFuse(
+      Seq("a" -> ranks, "b" -> ranks), k = 5).count() === 0L)
+    val scores = Seq.empty[(Long, String, Double, Long)]
+      .toDF("doc_id", "lang", "xent", "n_tok")
+    assert(graft.functions.TextAnalysis.perplexityBuckets(
+      scores, "lang", "xent", "n_tok").count() === 0L)
+    val d = emptyDocs
+    assert(graft.operators.NearDup.evalContaminationSeverity(
+      d, "doc_id", "text", d, "doc_id", "text", k = 4).count() === 0L)
+    // a non-empty CORPUS against an empty bench is still empty (the
+    // card is per bench item), never an error
+    val corpus = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    assert(graft.operators.NearDup.evalContaminationSeverity(
+      corpus, "doc_id", "text", d, "doc_id", "text", k = 4).count() === 0L)
+    val curve = graft.functions.TextAnalysis.selectionThresholdCurve(
+      scores, "xent", "n_tok", deltas = Seq(-1.0, 0.0, 1.0))
+    val rows = curve.orderBy(col("delta")).collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") === 0L &&
+        r.getAs[Long]("kept_tok") === 0L)
+      assert(r.isNullAt(r.fieldIndex("thr")) &&
+        r.isNullAt(r.fieldIndex("keep_frac")))
+    }
+  }
 }

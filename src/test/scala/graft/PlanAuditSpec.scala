@@ -1149,4 +1149,61 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(_pid"), p)
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q228: the hybrid fusion's lexical side prunes postings to the " +
+    "query vocabulary by BROADCAST before df counting, the dense side " +
+    "is the one broadcast corpus scan, every per-query top-k is a " +
+    "WindowGroupLimit (never a global sort), and the fusion shuffles " +
+    "only list-sized rows — no cartesian") {
+    val p = plan("q228_hybrid_rrf")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // dense qxcorpus scan
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q229: the bucket card rides the persisted uni_scores stage — " +
+    "the only live scan is the documents (doc_id, lang) projection " +
+    "read ONCE, and the CDF, cuts, buckets and card all live on the " +
+    "bounded (group, xent) grouped table with group-partitioned " +
+    "windows (never an empty-partition data window, never a re-joined " +
+    "score pass) — no cartesian") {
+    SparkEntry.queries("q213_xent_frozen")(spark, dir).count()
+    val p = plan("q229_perplexity_buckets")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+    val live = liveScans("q229_perplexity_buckets")
+    assert(live.size === 1 && live.head.contains("documents"), live)
+    assert(p.contains("windowspecdefinition(_grp"), p)
+  }
+
+  test("q230: the threshold curve rides the persisted nb_scores stage " +
+    "with NO live scan at all — one broadcast stats row, all deltas " +
+    "priced in a single partial-then-final aggregate pass, the grid " +
+    "unpivoted afterward — no cartesian beyond the documented one-row " +
+    "broadcast") {
+    SparkEntry.queries("q218_nb_classifier")(spark, dir).count()
+    val p = plan("q230_selection_threshold_curve")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(liveScans("q230_selection_threshold_curve").isEmpty, p)
+    assert(p.contains("partial_count"), p)
+    // exactly one GRID unpivot generate (the cached stage's own plan
+    // rendering contains its tokenize explodes — not this query's cost)
+    assert("Generate explode\\(array\\(struct\\(delta".r
+      .findAllIn(p).size === 1, p)
+  }
+
+  test("q231: the eval-severity card broadcasts the bench grams and " +
+    "streams the corpus shingle scan once (windows partitioned by " +
+    "doc), items with zero hits survive the LEFT join — no cartesian, " +
+    "no corpus self-join") {
+    val p = plan("q231_eval_contamination")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("windowspecdefinition(id#"), p)
+    assert(p.contains("LeftOuter") || p.contains("BuildRight"), p)
+    assert(p.contains("PushedFilters"), p)
+  }
 }
