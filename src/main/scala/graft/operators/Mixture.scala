@@ -169,4 +169,109 @@ object Mixture {
       .withColumn("share_t", round(col("__w") / sum(col("__w")).over(all), 6))
       .drop("__w")
   }
+
+  /** UniMax token-budget allocation (Chung et al., ICLR 2023, "UniMax:
+    * Fairer and More Effective Language Sampling for Large-Scale
+    * Multilingual Pretraining"): split a total token budget as EVENLY
+    * as possible across domains, except no domain may be read more
+    * than `maxEpochs` times — the budget a capped domain cannot absorb
+    * waterfills to the rest. The closed-form waterfill is exact
+    * integer arithmetic end to end: with domains ranked by capacity
+    * cap = n_tok·maxEpochs ascending (id tiebreak), domain r is
+    * SATURATED iff cap_r·(k−r+1) + S_{r−1} ≤ B (S = prefix capacity
+    * sum) — the left side is nondecreasing in r, so the saturated set
+    * is a well-defined prefix and every row can evaluate its own
+    * predicate independently; the rest share
+    * floor((B − S_sat)/(k − m)) each, with the ≤ k−m−1 remainder
+    * tokens reported, not silently spread (spreading would need an
+    * arbitrary order).
+    *
+    * Budget is SF-RELATIVE: B = (Σ n_tok · budgetNum) div budgetDen —
+    * an exact integer derived from the data, so the same query is
+    * non-degenerate at every scale factor.
+    *
+    * Scale shape: ONE aggregate pass produces the k-row (domain,
+    * n_tok) table (the caller usually has it as a stage already);
+    * every window here runs over those k rows — the mixture-family
+    * idiom. The corpus itself is never re-read or shuffled.
+    *
+    * @param counts one row per domain: domainCol, tokCol (unique
+    *               tokens available)
+    * @return (domain, n_tok, cap, saturated, alloc, epochs_used 4-dp,
+    *         leftover — the global undistributed remainder, constant
+    *         across rows)
+    */
+  def unimaxAllocation(counts: DataFrame, domainCol: String,
+      tokCol: String, maxEpochs: Long, budgetNum: Long,
+      budgetDen: Long): DataFrame = {
+    require(maxEpochs > 0 && budgetNum > 0 && budgetDen > 0,
+      "maxEpochs and the budget fraction must be positive")
+    val base = counts.select(col(domainCol), col(tokCol).as("n_tok"))
+      .withColumn("cap", col("n_tok") * lit(maxEpochs))
+    val wOrd = Window.orderBy(col("cap"), col(domainCol))
+    val all = Window.partitionBy()
+    val ranked = base
+      .withColumn("_r", row_number().over(wOrd).cast("long"))
+      .withColumn("_s", coalesce(sum(col("cap")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_k", count(lit(1)).over(all))
+      .withColumn("_b", expr(
+        s"(sum(n_tok) over () * $budgetNum) div $budgetDen"))
+      .withColumn("saturated",
+        col("cap") * (col("_k") - col("_r") + 1L) + col("_s") <= col("_b"))
+    val solved = ranked
+      .withColumn("_m", sum(when(col("saturated"), 1L).otherwise(0L))
+        .over(all))
+      .withColumn("_ssat", coalesce(sum(when(col("saturated"), col("cap")))
+        .over(all), lit(0L)))
+      .withColumn("_share", when(col("_k") > col("_m"),
+        expr("(_b - _ssat) div (_k - _m)")).otherwise(lit(0L)))
+      .withColumn("alloc",
+        when(col("saturated"), col("cap")).otherwise(col("_share")))
+    solved.select(col(domainCol), col("n_tok"), col("cap"),
+      col("saturated"), col("alloc"),
+      round(col("alloc").cast("double") / col("n_tok").cast("double"), 4)
+        .as("epochs_used"),
+      (col("_b") - col("_ssat") - col("_share") * (col("_k") - col("_m")))
+        .as("leftover"))
+  }
+
+  /** Data-constrained scaling value card (Muennighoff et al., NeurIPS
+    * 2023, "Scaling Data-Constrained Language Models"): the paper's
+    * fitted law for what repeated epochs are WORTH — effective data
+    *
+    *   D' = U + U·R*·(1 − e^(−R_D / R*)),  R_D = alloc/U − 1
+    *
+    * with R* the fitted repetition half-life (≈ 15.4 in the paper):
+    * the first epoch counts in full, repetitions decay exponentially,
+    * and no amount of repetition is worth more than R* extra epochs.
+    * An under-allocated domain (alloc ≤ U) is worth exactly its
+    * allocation — it never even sees all its unique tokens.
+    *
+    * Exactness discipline (the q225 precedent): R_D is 4-dp-rounded
+    * before the single exp — the only transcendental — and the
+    * outputs re-round, so the cross-engine hazard is confined to one
+    * libm ulp under a 4-dp window.
+    *
+    * @param alloc one row per domain: domainCol, tokCol (unique
+    *              tokens U), allocCol (allocated budget)
+    * @return (domain, n_tok, alloc, epochs 4-dp, eff_tokens 2-dp,
+    *         value_frac 6-dp = eff/alloc)
+    */
+  def dataConstrainedValue(alloc: DataFrame, domainCol: String,
+      tokCol: String, allocCol: String,
+      rstar: Double = 15.39): DataFrame = {
+    require(rstar > 0.0, "rstar must be positive")
+    val u = col(tokCol).cast("double")
+    val a = col(allocCol).cast("double")
+    val rd = round(a / u - lit(1.0), 4)
+    val eff = when(col(allocCol) <= col(tokCol), a)
+      .otherwise(u * (lit(1.0) +
+        lit(rstar) * (lit(1.0) - exp(-rd / lit(rstar)))))
+    alloc.select(col(domainCol), col(tokCol), col(allocCol),
+      round(a / u, 4).as("epochs"),
+      round(eff, 2).as("eff_tokens"),
+      when(col(allocCol) > 0,
+        round(round(eff, 2) / a, 6)).otherwise(lit(0.0)).as("value_frac"))
+  }
 }

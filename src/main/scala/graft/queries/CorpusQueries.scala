@@ -63,6 +63,19 @@ object CorpusQueries {
     * stages ride it (the round-12 stage-graph audit: release_gates and
     * nightly_gates were 60% of the bench stage phase, most of it this
     * duplicated projection). */
+  /** Persisted per-source unique-token totals — the k-row domain table
+    * the budget-planning cards (q232/q233) waterfill over. Rides
+    * doc_features for the per-doc token counts (the corpus text is
+    * never re-tokenized); the only live read is the documents
+    * (doc_id, source) projection. */
+  private def sourceTokensStage(s: SparkSession, dir: String): DataFrame =
+    PipelineQueries.stage(s, dir, "source_tokens") {
+      docFeaturesStage(s, dir).select(col("doc_id"), col("n_tok"))
+        .join(t(s, dir, "documents").select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+        .groupBy(col("source")).agg(sum(col("n_tok")).as("n_tok"))
+    }
+
   private def docFeaturesStage(s: SparkSession, dir: String): DataFrame =
     PipelineQueries.stage(s, dir, "doc_features") {
       // staged toks/grams projections — NEVER inline the split into the
@@ -376,6 +389,39 @@ object CorpusQueries {
         .filter(col("cum_tok") - col("n_tok") < 2000L)
         .orderBy(col("doc_id"))
     }),
+
+    // LLM mixture 5 — UniMax token-budget allocation (Chung et al.
+    // 2023): the budget splits as evenly as possible across sources,
+    // except no source is read past its epoch cap — the exact integer
+    // waterfill (saturation predicate cap·(k−r+1)+S ≤ B is monotone in
+    // the capacity rank, so the saturated set is a prefix every row
+    // can test independently; the ≤ k−m−1 remainder tokens are
+    // REPORTED, never spread by an arbitrary order). Budget is
+    // SF-relative (⌊9T/10⌋ at 1 epoch cap), so the card is
+    // non-degenerate at every scale: the small sources saturate (fully
+    // read), the large ones waterfill — UniMax's fairness, measured.
+    // Rides the persisted source_tokens stage; every window runs over
+    // the 20-row domain table.
+    "q232_unimax_allocation" -> ((s, dir) =>
+      Mixture.unimaxAllocation(sourceTokensStage(s, dir), "source",
+          "n_tok", maxEpochs = 1L, budgetNum = 9L, budgetDen = 10L)
+        .orderBy(col("source"))),
+
+    // LLM mixture 6 — the data-constrained scaling value card
+    // (Muennighoff et al. 2023): what the q232-style allocation is
+    // WORTH once repetition decay is priced in — effective tokens
+    // D' = U + U·R*(1−e^(−R_D/R*)), R* = 15.39, computed over a
+    // 2×-budget / 4-epoch-cap allocation so every source actually
+    // repeats (R_D ≈ 0.8–1.4 on this corpus) and the value fraction
+    // measurably dips below 1. The one transcendental takes a
+    // 4-dp-rounded argument (the q225 exp discipline).
+    "q233_repeat_value" -> ((s, dir) =>
+      Mixture.dataConstrainedValue(
+          Mixture.unimaxAllocation(sourceTokensStage(s, dir), "source",
+              "n_tok", maxEpochs = 4L, budgetNum = 2L, budgetDen = 1L)
+            .select(col("source"), col("n_tok"), col("alloc")),
+          "source", "n_tok", "alloc")
+        .orderBy(col("source"))),
 
     // Collocation mining: document-level term co-occurrence with rational
     // lift — see TextAnalysis.collocations (doc-keyed join, long-doc cap,
@@ -2163,6 +2209,89 @@ object CorpusQueries {
         |  FROM sc)
         |SELECT doc_id, source, score, n_tok, cum_tok
         |FROM c WHERE cum_tok - n_tok < 2000 ORDER BY doc_id""".stripMargin,
+
+    // Replays the per-source token totals and the exact integer
+    // waterfill (DuckDB // floors, Spark div truncates — equal on the
+    // nonnegative operands here).
+    "q232_unimax_allocation" ->
+      """WITH stok AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split_regex(trim(text), '\s+')))
+        |      AS BIGINT) AS n_tok
+        |  FROM documents GROUP BY 1),
+        |r AS (
+        |  SELECT source, n_tok, n_tok * 1 AS cap,
+        |    row_number() OVER (ORDER BY n_tok * 1, source) AS rr,
+        |    coalesce(sum(n_tok * 1) OVER (ORDER BY n_tok * 1, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s,
+        |    count(*) OVER () AS k,
+        |    (sum(n_tok) OVER () * 9) // 10 AS b
+        |  FROM stok),
+        |f AS (SELECT *, cap * (k - rr + 1) + s <= b AS saturated FROM r),
+        |g AS (
+        |  SELECT *,
+        |    sum(CASE WHEN saturated THEN 1 ELSE 0 END) OVER () AS m,
+        |    coalesce(sum(CASE WHEN saturated THEN cap END) OVER (), 0)
+        |      AS ssat
+        |  FROM f),
+        |h AS (
+        |  SELECT *, CASE WHEN k > m THEN (b - ssat) // (k - m)
+        |            ELSE 0 END AS share
+        |  FROM g)
+        |SELECT source, n_tok, CAST(cap AS BIGINT) AS cap, saturated,
+        |  CAST(CASE WHEN saturated THEN cap ELSE share END AS BIGINT)
+        |    AS alloc,
+        |  round((CASE WHEN saturated THEN cap ELSE share END)::DOUBLE
+        |    / n_tok::DOUBLE, 4) AS epochs_used,
+        |  CAST(b - ssat - share * (k - m) AS BIGINT) AS leftover
+        |FROM h ORDER BY source""".stripMargin,
+
+    // Same waterfill at 4-epoch cap / 2x budget, then the fitted
+    // repetition-decay value formula (one exp of a 4-dp argument).
+    "q233_repeat_value" ->
+      """WITH stok AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split_regex(trim(text), '\s+')))
+        |      AS BIGINT) AS n_tok
+        |  FROM documents GROUP BY 1),
+        |r AS (
+        |  SELECT source, n_tok, n_tok * 4 AS cap,
+        |    row_number() OVER (ORDER BY n_tok * 4, source) AS rr,
+        |    coalesce(sum(n_tok * 4) OVER (ORDER BY n_tok * 4, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s,
+        |    count(*) OVER () AS k,
+        |    (sum(n_tok) OVER () * 2) // 1 AS b
+        |  FROM stok),
+        |f AS (SELECT *, cap * (k - rr + 1) + s <= b AS saturated FROM r),
+        |g AS (
+        |  SELECT *,
+        |    sum(CASE WHEN saturated THEN 1 ELSE 0 END) OVER () AS m,
+        |    coalesce(sum(CASE WHEN saturated THEN cap END) OVER (), 0)
+        |      AS ssat
+        |  FROM f),
+        |h AS (
+        |  SELECT *, CASE WHEN k > m THEN (b - ssat) // (k - m)
+        |            ELSE 0 END AS share
+        |  FROM g),
+        |a AS (
+        |  SELECT source, n_tok,
+        |    CAST(CASE WHEN saturated THEN cap ELSE share END AS BIGINT)
+        |      AS alloc
+        |  FROM h),
+        |v AS (
+        |  SELECT source, n_tok, alloc,
+        |    round(CASE WHEN alloc <= n_tok THEN alloc::DOUBLE
+        |      ELSE n_tok::DOUBLE * (1.0 + 15.39 * (1.0 -
+        |        exp(-round(alloc::DOUBLE / n_tok::DOUBLE - 1.0, 4)
+        |            / 15.39))) END, 2) AS eff_tokens
+        |  FROM a)
+        |SELECT source, n_tok, alloc,
+        |  round(alloc::DOUBLE / n_tok::DOUBLE, 4) AS epochs,
+        |  eff_tokens,
+        |  CASE WHEN alloc > 0
+        |       THEN round(eff_tokens / alloc::DOUBLE, 6)
+        |       ELSE 0.0 END AS value_frac
+        |FROM v ORDER BY source""".stripMargin,
 
     "q100_collocations" ->
       """WITH toks AS (

@@ -239,5 +239,12 @@ class EmptyInputSpec extends SparkSpec {
       assert(r.isNullAt(r.fieldIndex("thr")) &&
         r.isNullAt(r.fieldIndex("keep_frac")))
     }
+    // budget planning over an empty domain table: empty in, empty out
+    val doms = Seq.empty[(String, Long, Long)].toDF("dom", "n_tok", "alloc")
+    assert(graft.operators.Mixture.unimaxAllocation(
+      doms.select(col("dom"), col("n_tok")), "dom", "n_tok",
+      maxEpochs = 1L, budgetNum = 1L, budgetDen = 1L).count() === 0L)
+    assert(graft.operators.Mixture.dataConstrainedValue(
+      doms, "dom", "n_tok", "alloc").count() === 0L)
   }
 }

@@ -145,4 +145,94 @@ class MixtureSpec extends SparkSpec {
     assert(viaDup.except(viaMap).count() === 0L)
     assert(viaMap.except(viaDup).count() === 0L)
   }
+
+  // --- unimaxAllocation ------------------------------------------------------
+
+  test("unimaxAllocation: hand-checked waterfill — small domains " +
+      "saturate at their cap, the rest share the remaining budget") {
+    import sqlImplicits._
+    // caps [10, 20, 100], B = 130*6 div 13 = 60: a and b saturate
+    // (10*3+0=30<=60, 20*2+10=50<=60), c gets (60-30)/1 = 30
+    val counts = Seq(("a", 10L), ("b", 20L), ("c", 100L))
+      .toDF("dom", "n_tok")
+    val out = Mixture.unimaxAllocation(counts, "dom", "n_tok",
+        maxEpochs = 1L, budgetNum = 6L, budgetDen = 13L)
+      .orderBy(col("dom")).collect()
+    assert(out.map(r => (r.getAs[String]("dom"), r.getAs[Boolean]("saturated"),
+      r.getAs[Long]("alloc"))).toSeq ===
+      Seq(("a", true, 10L), ("b", true, 20L), ("c", false, 30L)))
+    assert(out.forall(_.getAs[Long]("leftover") === 0L))
+    assert(out.head.getAs[Double]("epochs_used") === 1.0)
+  }
+
+  test("unimaxAllocation: a budget beyond total capacity saturates " +
+      "everyone and reports the surplus; a floor remainder is " +
+      "reported, never spread") {
+    import sqlImplicits._
+    val counts = Seq(("a", 10L), ("b", 20L), ("c", 50L), ("d", 50L))
+      .toDF("dom", "n_tok")
+    val surplus = Mixture.unimaxAllocation(counts, "dom", "n_tok",
+      maxEpochs = 1L, budgetNum = 2L, budgetDen = 1L).collect()
+    assert(surplus.forall(_.getAs[Boolean]("saturated")))
+    assert(surplus.forall(_.getAs[Long]("leftover") === 130L))
+    // B = 130*9 div 26 = 45: a saturates (10*4=40<=45), share
+    // (45-10)/3 = 11 each, 45-10-33 = 2 left over
+    val rem = Mixture.unimaxAllocation(counts, "dom", "n_tok",
+        maxEpochs = 1L, budgetNum = 9L, budgetDen = 26L)
+      .orderBy(col("dom")).collect()
+    assert(rem.map(_.getAs[Long]("alloc")).toSeq === Seq(10L, 11L, 11L, 11L))
+    assert(rem.forall(_.getAs[Long]("leftover") === 2L))
+    val b = 45L
+    assert(rem.map(_.getAs[Long]("alloc")).sum +
+      rem.head.getAs[Long]("leftover") === b,
+      "allocations plus leftover must reconstruct the budget exactly")
+  }
+
+  test("unimaxAllocation is invariant under input repartitioning") {
+    import sqlImplicits._
+    val counts = Seq(("a", 13L), ("b", 29L), ("c", 71L), ("d", 71L),
+      ("e", 5L)).toDF("dom", "n_tok")
+    val once = Mixture.unimaxAllocation(counts, "dom", "n_tok",
+      maxEpochs = 2L, budgetNum = 3L, budgetDen = 4L)
+    val again = Mixture.unimaxAllocation(counts.repartition(7), "dom",
+      "n_tok", maxEpochs = 2L, budgetNum = 3L, budgetDen = 4L)
+    assert(once.exceptAll(again).isEmpty && again.exceptAll(once).isEmpty)
+  }
+
+  test("dataConstrainedValue: one epoch is worth itself, under-allocation " +
+      "is worth its allocation, and repetition decays by the fitted law") {
+    import sqlImplicits._
+    val alloc = Seq(("one", 100L, 100L), ("under", 100L, 60L),
+      ("twice", 100L, 200L)).toDF("dom", "n_tok", "alloc")
+    val out = Mixture.dataConstrainedValue(alloc, "dom", "n_tok", "alloc")
+      .collect().map(r => r.getAs[String]("dom") -> r).toMap
+    assert(out("one").getAs[Double]("eff_tokens") === 100.0 &&
+      out("one").getAs[Double]("value_frac") === 1.0)
+    assert(out("under").getAs[Double]("eff_tokens") === 60.0 &&
+      out("under").getAs[Double]("value_frac") === 1.0)
+    // R_D = 1: D' = 100*(1 + 15.39*(1 - e^(-1/15.39)))
+    val expected = BigDecimal(100.0 * (1.0 + 15.39 *
+      (1.0 - math.exp(-1.0 / 15.39))))
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("twice").getAs[Double]("eff_tokens") === expected)
+    assert(out("twice").getAs[Double]("value_frac") < 1.0)
+  }
+
+  test("q232/q233 graded geometry: both waterfill regimes appear on the " +
+      "graded corpus, and every source's repeat value sits strictly " +
+      "below 1 with the most-repeated source worth the least") {
+    val card = SparkEntry.queries("q232_unimax_allocation")(spark, dir)
+      .collect()
+    val nSat = card.count(_.getAs[Boolean]("saturated"))
+    assert(nSat > 0 && nSat < card.length,
+      s"q232 must exercise BOTH regimes; got $nSat/${card.length} " +
+        "saturated — retune the budget fraction if the corpus changed")
+    val value = SparkEntry.queries("q233_repeat_value")(spark, dir)
+      .collect()
+    assert(value.forall(_.getAs[Double]("value_frac") < 1.0))
+    val byEpochs = value.sortBy(_.getAs[Double]("epochs"))
+    assert(byEpochs.last.getAs[Double]("value_frac") <=
+      byEpochs.head.getAs[Double]("value_frac"),
+      "more repetition must not be worth more per token")
+  }
 }

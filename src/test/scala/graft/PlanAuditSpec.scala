@@ -1195,6 +1195,17 @@ class PlanAuditSpec extends SparkSpec {
       .findAllIn(p).size === 1, p)
   }
 
+  test("q232: the UniMax waterfill rides the persisted source_tokens " +
+    "stage (which itself rides doc_features and folds the documents " +
+    "source join) — ZERO live scans once the stage is warm, and every " +
+    "waterfill window runs over the 20-row domain table (the " +
+    "mixture-family idiom) — no cartesian") {
+    val p = plan("q232_unimax_allocation")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(liveScans("q232_unimax_allocation").isEmpty, p)
+  }
+
   test("q231: the eval-severity card broadcasts the bench grams and " +
     "streams the corpus shingle scan once (windows partitioned by " +
     "doc), items with zero hits survive the LEFT join — no cartesian, " +
