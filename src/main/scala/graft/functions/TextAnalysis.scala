@@ -523,12 +523,30 @@ object TextAnalysis {
   def bm25TopKTerms(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, qterms: org.apache.spark.sql.DataFrame, k: Int,
       k1: Double = 1.2, b: Double = 0.75)
+      : org.apache.spark.sql.DataFrame =
+    bm25TopKFromTf(termFrequencies(docs, idCol, textCol), qterms, k, k1, b)
+
+  /** The (id, term, tf) postings table BM25 scores over — exposed so a
+    * session can build it ONCE as a persisted stage and feed every
+    * retrieval query a row-restriction of it (the inverted-index-build
+    * pass of a real deployment: at 100 TB this table is the thing you
+    * materialize bucketed by term, not something each query re-derives
+    * from text). */
+  def termFrequencies(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col("id"), col("term")).agg(sum(lit(1L)).as("tf"))
+
+  /** [[bm25TopKTerms]] over a PRECOMPUTED (id, term, tf) table — all
+    * corpus statistics (dl, N, avgdl, df) derive from `tf` alone, so a
+    * persisted postings stage fully replaces the text scan. */
+  def bm25TopKFromTf(tf: org.apache.spark.sql.DataFrame,
+      qterms: org.apache.spark.sql.DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75)
       : org.apache.spark.sql.DataFrame = {
     require(k > 0, "k must be positive")
     import org.apache.spark.sql.expressions.Window
-    val tf = docs.select(col(idCol).as("id"),
-        explode(tokens(lower(col(textCol)))).as("term"))
-      .groupBy(col("id"), col("term")).agg(sum(lit(1L)).as("tf"))
     val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
     val stats = broadcast(dl.groupBy().agg(
       sum(col("dl")).as("tot"), count(lit(1)).as("nd")))

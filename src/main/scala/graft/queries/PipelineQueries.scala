@@ -1281,6 +1281,45 @@ object PipelineQueries {
           deltas = Seq(-2.0, -1.0, -0.5, 0.0, 0.5, 1.0, 2.0))
         .orderBy(col("delta"))),
 
+    // LLM eval 9 — the Paloma-style aggregation card (Magnusson et al.
+    // 2023, "Paloma: A Benchmark for Evaluating Language Model Fit"):
+    // MACRO perplexity (unweighted mean over domains of the per-domain
+    // token-weighted xent — every domain counts equally, however small)
+    // vs MICRO (globally token-weighted — big domains dominate), for
+    // both frozen models. The two disagree exactly when domains are
+    // imbalanced OR fit is uneven; reporting only micro hides a model
+    // that ignores the tail. Rides both persisted score stages; every
+    // aggregate is integer (×10⁴ longs) down to the final divisions.
+    // Measured verdict: this corpus is source-balanced by construction,
+    // so macro ≈ micro for both models (gap ≤ 1e-3 nats) — the card
+    // exists for the corpora where it isn't.
+    "q234_macro_micro_xent" -> ((s, dir) => {
+      val src = t(s, dir, "documents").filter(col("doc_id") >= 250)
+        .select(col("doc_id"), col("source"))
+      def card(scores: DataFrame, model: String): DataFrame =
+        scores.join(src, Seq("doc_id"))
+          .select(col("source"), col("n_tok"),
+            round(col("xent") * 1e4, 0).cast("long").as("xr"))
+          .groupBy(col("source"))
+          .agg(sum(col("n_tok")).as("nt"),
+            sum(col("n_tok") * col("xr")).as("sx"))
+          .select(col("nt"), col("sx"),
+            round(col("sx").cast("double") /
+              (col("nt") * 10000L).cast("double"), 4).as("dx"))
+          .agg(count(lit(1)).as("n_domains"),
+            round(sum(round(col("dx") * 1e4, 0).cast("long")).cast("double")
+              / (count(lit(1)) * 10000L).cast("double"), 4)
+              .as("macro_xent"),
+            round(sum(col("sx")).cast("double") /
+              (sum(col("nt")) * 10000L).cast("double"), 4).as("micro_xent"))
+          .select(lit(model).as("model"), col("n_domains"),
+            col("macro_xent"), col("micro_xent"),
+            round(col("macro_xent") - col("micro_xent"), 4).as("gap"))
+      card(uniScoresStage(s, dir), "unigram")
+        .unionByName(card(knScoresStage(s, dir), "kn_bigram"))
+        .orderBy(col("model"))
+    }),
+
     // Seeded epoch shuffle over the SAME persisted q61 packing — the
     // deterministic training order a trainer replays: bins ranked by
     // md5(seed:shard:bin), positions from the distributed-exact
@@ -2478,7 +2517,102 @@ object PipelineQueries {
          |FROM grid g LEFT JOIN held h
          |  ON h.nb_logit >= round((SELECT sl FROM stt)::DOUBLE
          |       / ((SELECT n FROM stt) * 10000)::DOUBLE + g.delta, 4)
-         |GROUP BY g.delta ORDER BY g.delta""".stripMargin
+         |GROUP BY g.delta ORDER BY g.delta""".stripMargin,
+
+    // Replays both scorings (q213's and q224's CTE chains), then the
+    // per-domain integer sums and the two aggregation conventions.
+    "q234_macro_micro_xent" ->
+      """WITH ucnt AS (
+        |  SELECT term, count(*) AS c FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |      AS term
+        |    FROM documents WHERE doc_id < 250) GROUP BY 1),
+        |ust AS (SELECT coalesce(sum(c), 0) AS tot, count(*) AS v FROM ucnt),
+        |btok AS (
+        |  SELECT doc_id,
+        |         unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents WHERE doc_id >= 250),
+        |udoc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |    round(-avg(ln((coalesce(u.c, 0) + 1)::DOUBLE) -
+        |               ln((ust.tot + ust.v + 1)::DOUBLE)), 4) AS xent
+        |  FROM btok b LEFT JOIN ucnt u USING (term) CROSS JOIN ust
+        |  GROUP BY doc_id),
+        |hprev AS (
+        |  SELECT doc_id, term,
+        |         lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM (
+        |    SELECT doc_id, unnest(arr) AS term,
+        |           generate_subscripts(arr, 1) AS pos
+        |    FROM (SELECT doc_id,
+        |            string_split_regex(trim(lower(text)), '\s+') AS arr
+        |          FROM documents WHERE doc_id < 250))),
+        |hbig AS (
+        |  SELECT prev, term, count(*) AS c2 FROM hprev
+        |  WHERE prev IS NOT NULL GROUP BY prev, term),
+        |hctx AS (
+        |  SELECT prev, CAST(sum(c2) AS BIGINT) AS c1, count(*) AS n1u
+        |  FROM hbig GROUP BY prev),
+        |hcont AS (SELECT term, count(*) AS n1w FROM hbig GROUP BY term),
+        |st AS (SELECT (SELECT count(*) FROM hbig) AS n1all,
+        |              (SELECT count(DISTINCT term) FROM
+        |                 (SELECT unnest(string_split_regex(
+        |                    trim(lower(text)), '\s+')) AS term
+        |                  FROM documents WHERE doc_id < 250)) AS v),
+        |bprev AS (
+        |  SELECT doc_id, term,
+        |         lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM (
+        |    SELECT doc_id, unnest(arr) AS term,
+        |           generate_subscripts(arr, 1) AS pos
+        |    FROM (SELECT doc_id,
+        |            string_split_regex(trim(lower(text)), '\s+') AS arr
+        |          FROM documents WHERE doc_id >= 250))),
+        |ksc AS (
+        |  SELECT b.doc_id,
+        |    CASE WHEN hctx.c1 IS NOT NULL THEN
+        |      (greatest(coalesce(hbig.c2, 0)::DOUBLE - 0.75, 0.0)
+        |       + 0.75 * hctx.n1u::DOUBLE *
+        |         ((coalesce(hcont.n1w, 0) + 1)::DOUBLE /
+        |          ((SELECT n1all FROM st) + (SELECT v FROM st) + 1)::DOUBLE))
+        |      / hctx.c1::DOUBLE
+        |    ELSE (coalesce(hcont.n1w, 0) + 1)::DOUBLE /
+        |         ((SELECT n1all FROM st) + (SELECT v FROM st) + 1)::DOUBLE
+        |    END AS p
+        |  FROM bprev b
+        |  LEFT JOIN hbig ON hbig.prev = b.prev AND hbig.term = b.term
+        |  LEFT JOIN hctx ON hctx.prev = b.prev
+        |  LEFT JOIN hcont ON hcont.term = b.term),
+        |kdoc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |    round(-avg(ln(p)), 4) AS xent
+        |  FROM ksc GROUP BY doc_id),
+        |src AS (SELECT doc_id, source FROM documents WHERE doc_id >= 250),
+        |scored AS (
+        |  SELECT 'unigram' AS model, s.source, u.n_tok,
+        |    CAST(round(u.xent * 10000, 0) AS BIGINT) AS xr
+        |  FROM udoc u JOIN src s USING (doc_id)
+        |  UNION ALL
+        |  SELECT 'kn_bigram' AS model, s.source, k.n_tok,
+        |    CAST(round(k.xent * 10000, 0) AS BIGINT) AS xr
+        |  FROM kdoc k JOIN src s USING (doc_id)),
+        |dom AS (
+        |  SELECT model, source, sum(n_tok) AS nt, sum(n_tok * xr) AS sx
+        |  FROM scored GROUP BY 1, 2),
+        |dx AS (
+        |  SELECT model, nt, sx,
+        |    round(sx::DOUBLE / (nt * 10000)::DOUBLE, 4) AS dx
+        |  FROM dom),
+        |agg AS (
+        |  SELECT model, CAST(count(*) AS BIGINT) AS n_domains,
+        |    round(sum(CAST(round(dx * 10000, 0) AS BIGINT))::DOUBLE
+        |      / (count(*) * 10000)::DOUBLE, 4) AS macro_xent,
+        |    round(sum(sx)::DOUBLE / (sum(nt) * 10000)::DOUBLE, 4)
+        |      AS micro_xent
+        |  FROM dx GROUP BY model)
+        |SELECT model, n_domains, macro_xent, micro_xent,
+        |  round(macro_xent - micro_xent, 4) AS gap
+        |FROM agg ORDER BY model""".stripMargin
   )
 
   /** Shared CTE block: tokenize + hash (`tfx`, with train/target flags)

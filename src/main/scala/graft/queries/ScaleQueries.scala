@@ -20,6 +20,15 @@ object ScaleQueries {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
+  /** Persisted (id, term, tf) postings of the documents corpus — the
+    * inverted-index-build pass, tokenized ONCE per session and shared
+    * by every retrieval query (q219's scorer, q228's lexical side as a
+    * row-restriction). */
+  private def termTfStage(s: SparkSession, dir: String): DataFrame =
+    PipelineQueries.stage(s, dir, "term_tf")(
+      TextAnalysis.termFrequencies(t(s, dir, "documents"), "doc_id",
+        "text"))
+
   /** Persisted q82 contamination flags `(doc_id, shared_grams,
     * bench_docs)` — the 4-gram corpus-vs-benchmark pass runs once; q82
     * reports it and the q196 release funnel's decontamination gate
@@ -366,12 +375,19 @@ object ScaleQueries {
     // postings are pruned to the query vocabulary before df counting
     // and scoring; per-query top-k is a WindowGroupLimit, never a
     // global sort.
-    "q219_bm25_topk" -> ((s, dir) =>
-      TextAnalysis.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
-          bm25QueryFixture, k = 10)
+    // Rides the persisted term_tf postings stage (built once, shared
+    // with q228's lexical side) since round 13.
+    "q219_bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      val qterms = bm25QueryFixture.flatMap { case (qid, text) =>
+        text.toLowerCase.trim.split("\\s+").toSeq.distinct
+          .map(w => (qid, w))
+      }.toDF("qid", "term")
+      TextAnalysis.bm25TopKFromTf(termTfStage(s, dir), qterms, k = 10)
         .select(col("qid"), col("rnk"), col("id").as("doc_id"),
           col("score"))
-        .orderBy(col("qid"), col("rnk"))),
+        .orderBy(col("qid"), col("rnk"))
+    }),
 
     // Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
     // ranking (q219's scorer, data-derived query set) and the dense
@@ -395,8 +411,10 @@ object ScaleQueries {
           explode(slice(TextAnalysis.tokens(lower(col("text"))), 1, 8))
             .as("term"))
         .distinct()
-      val lex = TextAnalysis.bm25TopKTerms(
-          docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+      // the %97 restriction is a row filter on the shared postings
+      // stage — tf is per-doc, so the restricted statistics are exact
+      val lex = TextAnalysis.bm25TopKFromTf(
+          termTfStage(s, dir).filter(col("id") % 97 =!= 0),
           qterms, k = 20)
         .select(col("qid"), col("id"), col("rnk"))
       val dense = Similarity.bruteForceTopK(

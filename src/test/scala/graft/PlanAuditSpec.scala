@@ -1195,6 +1195,35 @@ class PlanAuditSpec extends SparkSpec {
       .findAllIn(p).size === 1, p)
   }
 
+  test("q219/q228 ride the shared term_tf postings stage: once it is " +
+    "warm, q219 has ZERO live scans (fixture queries) and q228's only " +
+    "live reads are the eval-query and dense-side projections — the " +
+    "corpus text is tokenized once per session, not once per retrieval " +
+    "query") {
+    SparkEntry.queries("q219_bm25_topk")(spark, dir).count()
+    assert(liveScans("q219_bm25_topk").isEmpty)
+    // every live text read in q228 carries the eval-set filter — the
+    // corpus-wide text (the expensive side) comes from the stage
+    val live = liveScans("q228_hybrid_rrf")
+    assert(live.forall(s =>
+      !s.contains("ReadSchema: struct<doc_id:bigint,text") ||
+        s.contains("% 97) = 0)")), live)
+  }
+
+  test("q234: the macro/micro card rides BOTH persisted score stages — " +
+    "the only live reads are the two (doc_id, source) projections " +
+    "(one per union branch), never the corpus text, no cartesian") {
+    SparkEntry.queries("q213_xent_frozen")(spark, dir).count()
+    SparkEntry.queries("q224_kneser_ney")(spark, dir).count()
+    val p = plan("q234_macro_micro_xent")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+    val live = liveScans("q234_macro_micro_xent")
+    assert(live.size === 2 && live.forall(_.contains("documents")), live)
+    assert(live.forall(!_.contains("text")),
+      "the corpus text must come from the stages")
+  }
+
   test("q232: the UniMax waterfill rides the persisted source_tokens " +
     "stage (which itself rides doc_features and folds the documents " +
     "source join) — ZERO live scans once the stage is warm, and every " +

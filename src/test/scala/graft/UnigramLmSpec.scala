@@ -240,4 +240,49 @@ class UnigramLmSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("q234: micro is the token-weighted mean of the per-doc scores " +
+      "and macro the unweighted mean of the per-domain means — both " +
+      "recomputed independently from the score stages; gap is their " +
+      "4-dp difference") {
+    val rows = SparkEntry.queries("q234_macro_micro_xent")(spark, dir)
+      .collect().map(r => r.getAs[String]("model") -> r).toMap
+    assert(rows.keySet === Set("unigram", "kn_bigram"))
+    val src = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") >= 250).select(col("doc_id"), col("source"))
+    def replay(scores: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val per = scores.join(src, Seq("doc_id"))
+        .select(col("source"), col("n_tok"),
+          round(col("xent") * 1e4, 0).cast("long").as("xr"))
+        .collect()
+        .groupBy(_.getAs[String]("source"))
+        .map { case (_, rs) =>
+          val nt = rs.map(_.getAs[Long]("n_tok")).sum
+          val sx = rs.map(r =>
+            r.getAs[Long]("n_tok") * r.getAs[Long]("xr")).sum
+          (nt, sx,
+            BigDecimal(sx.toDouble / (nt * 10000L).toDouble)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }.toSeq
+      val micro = BigDecimal(per.map(_._2).sum.toDouble /
+        (per.map(_._1).sum * 10000L).toDouble)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val macroN = per.map(p => math.round(p._3 * 1e4)).sum
+      val mac = BigDecimal(macroN.toDouble / (per.size * 10000L).toDouble)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (mac, micro)
+    }
+    val uni = SparkEntry.queries("q213_xent_frozen")(spark, dir)
+    val kn = SparkEntry.queries("q224_kneser_ney")(spark, dir)
+    for ((model, scores) <- Seq("unigram" -> uni, "kn_bigram" -> kn)) {
+      val (mac, micro) = replay(scores)
+      val r = rows(model)
+      assert(r.getAs[Long]("n_domains") === 20L)
+      assert(r.getAs[Double]("macro_xent") === mac, model)
+      assert(r.getAs[Double]("micro_xent") === micro, model)
+      assert(r.getAs[Double]("gap") ===
+        BigDecimal(mac - micro).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble, model)
+    }
+  }
 }
