@@ -424,6 +424,49 @@ object ScaleQueries {
       TextAnalysis.rrfFuse(Seq("bm25" -> lex, "cos" -> dense), k = 10)
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // The q228 dial's tuning curve (every dial ships its curve): how
+    // sensitive is the fused top-10 to the RRF constant K? Both rank
+    // lists are built ONCE (term_tf-staged lexical side, one broadcast
+    // dense scan) and locally checkpointed — each K point is a
+    // re-rank of those same list-sized tables, never a corpus re-scan.
+    // Per K: the fused top-10's overlap with the K=60 baseline. The
+    // measured verdict: on near-disjoint sides (q228's finding) the
+    // fusion is essentially K-INVARIANT — K reweights rank gaps WITHIN
+    // a side, and with one side absent per doc the between-side
+    // interleave barely moves; the dial matters when the sides overlap.
+    "q235_rrf_k_curve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val qterms = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("qid"),
+          explode(slice(TextAnalysis.tokens(lower(col("text"))), 1, 8))
+            .as("term"))
+        .distinct()
+      val lex = TextAnalysis.bm25TopKFromTf(
+          termTfStage(s, dir).filter(col("id") % 97 =!= 0),
+          qterms, k = 20)
+        .select(col("qid"), col("id"), col("rnk")).localCheckpoint(true)
+      val dense = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") % 97 === 0),
+          emb.filter(col("vec_id") % 97 =!= 0), k = 20)
+        .select(col("qid"), col("vec_id").as("id"), col("rnk"))
+        .localCheckpoint(true)
+      def top10(kc: Int) = TextAnalysis.rrfFuse(
+        Seq("bm25" -> lex, "cos" -> dense), k = 10, kconst = kc)
+        .select(col("qid"), col("id"))
+      val base = top10(60)
+      Seq(20, 60, 100).map { kc =>
+        top10(kc)
+          .join(base.withColumn("hit", lit(1L)), Seq("qid", "id"), "left")
+          .agg(count(lit(1)).as("n_fused"),
+            coalesce(sum(col("hit")), lit(0L)).as("n_shared"))
+          .select(lit(kc.toLong).as("kconst"), col("n_fused"),
+            col("n_shared"),
+            round(col("n_shared").cast("double") /
+              col("n_fused").cast("double"), 6).as("overlap_frac"))
+      }.reduce(_ unionByName _).orderBy(col("kconst"))
     })
   )
 
@@ -894,75 +937,117 @@ object ScaleQueries {
 
     // Replays the BM25 pass (same arithmetic as bm25Sql, query set
     // derived from the eval docs, corpus %97-restricted), the cosine
-    // pass (q29's form), then the integer RRF fusion.
+    // pass (q29's form), then the integer RRF fusion. The list CTEs
+    // are shared with the q235 K-curve oracle.
     "q228_hybrid_rrf" ->
-      """WITH qd AS (
-        |  SELECT doc_id AS qid,
-        |         string_split_regex(trim(lower(text)), '\s+') AS arr
-        |  FROM documents WHERE doc_id % 97 = 0),
-        |q AS (SELECT DISTINCT qid, unnest(arr[1:8]) AS term FROM qd),
-        |tok AS (
-        |  SELECT doc_id AS id,
-        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
-        |  FROM documents WHERE doc_id % 97 <> 0),
-        |tf AS (SELECT id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-        |dl AS (SELECT id, sum(tf) AS dl FROM tf GROUP BY 1),
-        |st AS (SELECT sum(dl) AS tot, count(*) AS nd FROM dl),
-        |post AS (
-        |  SELECT * FROM tf
-        |  WHERE term IN (SELECT DISTINCT term FROM q)),
-        |dfq AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
-        |c AS (
-        |  SELECT q.qid, post.id,
-        |    CAST(round(round(
-        |      ln((((SELECT nd FROM st) - df)::DOUBLE + 0.5)
-        |          / (df::DOUBLE + 0.5)) *
-        |      ((tf::DOUBLE * (1.2 + 1.0)) /
-        |        (tf::DOUBLE + 1.2 * ((1.0 - 0.75) +
-        |          (0.75 * dl::DOUBLE) /
-        |          ((SELECT tot FROM st)::DOUBLE
-        |            / (SELECT nd FROM st)::DOUBLE)))), 6)
-        |      * 1000000.0, 0) AS BIGINT) AS sc
-        |  FROM post
-        |  JOIN q USING (term) JOIN dfq USING (term) JOIN dl USING (id)),
-        |s AS (SELECT qid, id, sum(sc) AS ssc FROM c GROUP BY 1, 2),
-        |bl AS (
-        |  SELECT qid, id, rnk FROM (
-        |    SELECT qid, id, row_number() OVER (
-        |      PARTITION BY qid ORDER BY ssc DESC, id) AS rnk
-        |    FROM s) WHERE rnk <= 20),
-        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |qe AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 97 = 0),
-        |ce AS (SELECT vec_id, v FROM e WHERE vec_id % 97 <> 0),
-        |cs AS (
-        |  SELECT qid, vec_id AS id,
-        |    round(list_dot_product(qv, v) /
-        |      (sqrt(list_dot_product(qv, qv)) *
-        |       sqrt(list_dot_product(v, v))), 6) AS sim
-        |  FROM qe CROSS JOIN ce WHERE vec_id <> qid),
-        |cl AS (
-        |  SELECT qid, id, rnk FROM (
-        |    SELECT qid, id, row_number() OVER (
-        |      PARTITION BY qid ORDER BY sim DESC, id) AS rnk
-        |    FROM cs) WHERE rnk <= 20),
-        |u AS (
-        |  SELECT qid, id, 'bm25' AS side, rnk FROM bl
-        |  UNION ALL SELECT qid, id, 'cos' AS side, rnk FROM cl),
-        |f AS (
-        |  SELECT qid, id,
-        |    CAST(sum(CAST(round(1000000.0 / (60 + rnk), 0) AS BIGINT))
-        |      AS BIGINT) AS rrf,
-        |    CAST(coalesce(max(CASE WHEN side = 'bm25' THEN rnk END), 0)
-        |      AS BIGINT) AS bm25_rnk,
-        |    CAST(coalesce(max(CASE WHEN side = 'cos' THEN rnk END), 0)
-        |      AS BIGINT) AS cos_rnk
-        |  FROM u GROUP BY qid, id),
-        |r AS (SELECT *, row_number() OVER (
-        |        PARTITION BY qid ORDER BY rrf DESC, id) AS rnk FROM f)
-        |SELECT qid, CAST(rnk AS BIGINT) AS rnk, id AS doc_id, rrf,
-        |       bm25_rnk, cos_rnk
-        |FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+      s"""WITH $hybridListsCtes,
+         |f AS (
+         |  SELECT qid, id,
+         |    CAST(sum(CAST(round(1000000.0 / (60 + rnk), 0) AS BIGINT))
+         |      AS BIGINT) AS rrf,
+         |    CAST(coalesce(max(CASE WHEN side = 'bm25' THEN rnk END), 0)
+         |      AS BIGINT) AS bm25_rnk,
+         |    CAST(coalesce(max(CASE WHEN side = 'cos' THEN rnk END), 0)
+         |      AS BIGINT) AS cos_rnk
+         |  FROM u GROUP BY qid, id),
+         |r AS (SELECT *, row_number() OVER (
+         |        PARTITION BY qid ORDER BY rrf DESC, id) AS rnk FROM f)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, id AS doc_id, rrf,
+         |       bm25_rnk, cos_rnk
+         |FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
+
+    "q235_rrf_k_curve" -> rrfKCurveSql
   )
+
+  /** Shared CTE block for the hybrid-retrieval oracles: both top-20
+    * rank lists (`bl` lexical, `cl` dense) and their tagged union `u` —
+    * used by q228's fusion and q235's K-sensitivity curve. */
+  private def hybridListsCtes: String =
+    """qd AS (
+      |  SELECT doc_id AS qid,
+      |         string_split_regex(trim(lower(text)), '\s+') AS arr
+      |  FROM documents WHERE doc_id % 97 = 0),
+      |q AS (SELECT DISTINCT qid, unnest(arr[1:8]) AS term FROM qd),
+      |tok AS (
+      |  SELECT doc_id AS id,
+      |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      |  FROM documents WHERE doc_id % 97 <> 0),
+      |tf AS (SELECT id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |dl AS (SELECT id, sum(tf) AS dl FROM tf GROUP BY 1),
+      |st AS (SELECT sum(dl) AS tot, count(*) AS nd FROM dl),
+      |post AS (
+      |  SELECT * FROM tf
+      |  WHERE term IN (SELECT DISTINCT term FROM q)),
+      |dfq AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+      |c AS (
+      |  SELECT q.qid, post.id,
+      |    CAST(round(round(
+      |      ln((((SELECT nd FROM st) - df)::DOUBLE + 0.5)
+      |          / (df::DOUBLE + 0.5)) *
+      |      ((tf::DOUBLE * (1.2 + 1.0)) /
+      |        (tf::DOUBLE + 1.2 * ((1.0 - 0.75) +
+      |          (0.75 * dl::DOUBLE) /
+      |          ((SELECT tot FROM st)::DOUBLE
+      |            / (SELECT nd FROM st)::DOUBLE)))), 6)
+      |      * 1000000.0, 0) AS BIGINT) AS sc
+      |  FROM post
+      |  JOIN q USING (term) JOIN dfq USING (term) JOIN dl USING (id)),
+      |s AS (SELECT qid, id, sum(sc) AS ssc FROM c GROUP BY 1, 2),
+      |bl AS (
+      |  SELECT qid, id, rnk FROM (
+      |    SELECT qid, id, row_number() OVER (
+      |      PARTITION BY qid ORDER BY ssc DESC, id) AS rnk
+      |    FROM s) WHERE rnk <= 20),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |qe AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 97 = 0),
+      |ce AS (SELECT vec_id, v FROM e WHERE vec_id % 97 <> 0),
+      |cs AS (
+      |  SELECT qid, vec_id AS id,
+      |    round(list_dot_product(qv, v) /
+      |      (sqrt(list_dot_product(qv, qv)) *
+      |       sqrt(list_dot_product(v, v))), 6) AS sim
+      |  FROM qe CROSS JOIN ce WHERE vec_id <> qid),
+      |cl AS (
+      |  SELECT qid, id, rnk FROM (
+      |    SELECT qid, id, row_number() OVER (
+      |      PARTITION BY qid ORDER BY sim DESC, id) AS rnk
+      |    FROM cs) WHERE rnk <= 20),
+      |u AS (
+      |  SELECT qid, id, 'bm25' AS side, rnk FROM bl
+      |  UNION ALL SELECT qid, id, 'cos' AS side, rnk FROM cl)""".stripMargin
+
+  /** q235 oracle, generated over the same K grid as the query so the
+    * dial values live in exactly one place per engine. */
+  private def rrfKCurveSql: String = {
+    val grid = Seq(20, 60, 100)
+    val perK = grid.map { kc =>
+      s"""f$kc AS (
+         |  SELECT qid, id,
+         |    CAST(sum(CAST(round(1000000.0 / ($kc + rnk), 0) AS BIGINT))
+         |      AS BIGINT) AS rrf
+         |  FROM u GROUP BY qid, id),
+         |t$kc AS (
+         |  SELECT qid, id FROM (
+         |    SELECT qid, id, row_number() OVER (
+         |      PARTITION BY qid ORDER BY rrf DESC, id) AS rnk
+         |    FROM f$kc) WHERE rnk <= 10)""".stripMargin
+    }.mkString(",\n")
+    val rows = grid.map { kc =>
+      s"""SELECT CAST($kc AS BIGINT) AS kconst,
+         |  CAST(count(*) AS BIGINT) AS n_fused,
+         |  CAST(sum(CASE WHEN b.id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_shared,
+         |  round(sum(CASE WHEN b.id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*)::DOUBLE, 6) AS overlap_frac
+         |FROM t$kc a LEFT JOIN t60 b ON a.qid = b.qid AND a.id = b.id"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $hybridListsCtes,
+       |$perK
+       |SELECT * FROM (
+       |$rows
+       |) ORDER BY kconst""".stripMargin
+  }
 
   /** q219 oracle, generated from [[bm25QueryFixture]] so the query set
     * lives in exactly one place. Arithmetic mirrors

@@ -75,6 +75,30 @@ class RetrievalFusionSpec extends SparkSpec {
       "both sides must reach the fused top-k on the graded corpus")
   }
 
+  test("rrfFuse: the K constant can flip the fused order when sides " +
+      "OVERLAP — a sharp single-list leader beats two mediocre hits at " +
+      "small K, loses at large K (rank gaps compress) — which is why " +
+      "q235 ships the curve; on q228's near-disjoint sides it measures " +
+      "K-invariant (overlap 1.0 at every grid point, asserted below)") {
+    // X: a-rank 1, b-rank 20.  Y: a-rank 8, b-rank 8.
+    // K=20:   X = 1/21 + 1/40 = 72619 > Y = 2/28 = 71428  (X first)
+    // K=1000: X = 999 + 980  =  1979 < Y = 2*992 = 1984   (Y first)
+    val a = Seq((1L, 100L, 1L), (1L, 200L, 8L)).toDF("qid", "id", "rnk")
+    val b = Seq((1L, 100L, 20L), (1L, 200L, 8L)).toDF("qid", "id", "rnk")
+    def top(kc: Int) = TextAnalysis.rrfFuse(
+      Seq("a" -> a, "b" -> b), k = 1, kconst = kc).head().getAs[Long]("id")
+    assert(top(20) === 100L && top(1000) === 200L)
+    val curve = SparkEntry.queries("q235_rrf_k_curve")(spark, dir)
+      .orderBy(col("kconst")).collect()
+    assert(curve.map(_.getAs[Long]("kconst")).toSeq === Seq(20L, 60L, 100L))
+    val base = curve.find(_.getAs[Long]("kconst") == 60L).get
+    assert(base.getAs[Double]("overlap_frac") === 1.0,
+      "the K=60 row is the baseline self-overlap identity")
+    curve.foreach(r => assert(r.getAs[Long]("n_fused") ===
+      r.getAs[Long]("n_shared"),
+      "measured: the graded corpus's near-disjoint sides are K-invariant"))
+  }
+
   // --- evalContaminationSeverity ----------------------------------------------
 
   test("evalContaminationSeverity: planted shared 4-grams produce the " +
