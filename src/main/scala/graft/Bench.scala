@@ -2,9 +2,9 @@ package graft
 
 /** Benchmark entry point. Emits exactly THREE JSON lines on stdout as the
   * last thing the program prints — the full per-query maps (median AND
-  * min), then a compact rotating-third map (one third of the surface per
+  * min), then a compact rotating-quarter map (one quarter of the surface per
   * round, so the driver's 2000-char tail capture carries full per-query
-  * history every three rounds), then a compact summary (top-20 slowest +
+  * history every four rounds), then a compact summary (top-10 slowest +
   * totals) that fits entirely inside the tail capture and parses as the
   * "last stdout line". Failures are never silently folded into timings: a
   * failed query reports `-1` in `queries` and its message in `errors`
@@ -67,18 +67,22 @@ object Bench {
   private def qNum(name: String): Int =
     name.drop(1).takeWhile(_.isDigit).toIntOption.getOrElse(Int.MaxValue)
 
-  /** Which third of the surface this round's compact line carries:
+  /** Which quarter of the surface this round's compact line carries:
     * env override SPARK_GRAFT_BENCH_THIRD, else (#existing BENCH_r*.json
-    * in cwd + 1) mod 3 — self-rotating as the driver archives a bench
-    * per round, deterministic (no clock, no RNG). */
+    * in cwd + 1) mod 4 — self-rotating as the driver archives a bench
+    * per round, deterministic (no clock, no RNG). (Was thirds through
+    * round 13's 227-query surface; at 235 queries lines 2+3 measured
+    * 2051 chars and the driver's 2000-char tail clipped line 2's head,
+    * so the band width dropped to a quarter — full history every FOUR
+    * rounds, ~200 chars of headroom restored.) */
   private def thirdOfRound(): Int =
     sys.env.get("SPARK_GRAFT_BENCH_THIRD").flatMap(_.toIntOption)
       .getOrElse {
         val benches = Option(new java.io.File(".").listFiles())
           .getOrElse(Array.empty)
           .count(_.getName.matches("BENCH_r\\d+\\.json"))
-        (benches + 1) % 3
-      } % 3
+        (benches + 1) % 4
+      } % 4
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -204,15 +208,15 @@ object Bench {
     // capture still carries the totals.
     val line = s"""{"queries":$qs,"queries_min":$qsMin,"errors":$errJson,"stage_sec":${jmap(stageMap, v => f"$v%.3f")},"stage_min_sec":${jmap(byStage.map { case (k, _, mn) => k -> mn }, v => f"$v%.3f")},"stage_consumers":$stageConsJson,"warm_passes":$WarmPasses,"sf":"$sfDir","cold_total_sec":${f"$coldTotal%.3f"},"stage_build_sec":${f"$stageMed%.3f"},"stage_build_min_sec":${f"$stageMin%.3f"},"min_total_sec":${f"$minTotal%.3f"},"metric":"total","unit":"sec","value":$total}"""
     // The driver keeps only the LAST 2000 chars of stdout, so the full map
-    // can never fit the capture. Line 2 carries ONE ROUNDED THIRD of the
+    // can never fit the capture. Line 2 carries ONE QUARTER of the
     // surface (by numeric id order, rotating with the round via the
-    // BENCH_r*.json count), so full per-query history exists every three
+    // BENCH_r*.json count), so full per-query history exists every four
     // rounds inside the tail window. Values are per-query MINs (the
     // contention-immune statistic); keys are the qNN prefix unless that
     // collides, then the full name.
     val third = thirdOfRound()
     val byNum = names.sortBy(n => (qNum(n), n))
-    val chunk = (byNum.length + 2) / 3
+    val chunk = (byNum.length + 3) / 4
     val band = byNum.slice(third * chunk, (third + 1) * chunk)
     val prefixCounts = names.groupBy(_.takeWhile(_ != '_')).map {
       case (p, g) => p -> g.length
@@ -224,14 +228,14 @@ object Bench {
     val bandJson = band.map { n =>
       "\"" + shortKey(n) + "\":" + f"${mins(n)}%.2f"
     }.mkString("{", ",", "}")
-    // The per-stage map gets the SAME rotating-third treatment (the
+    // The per-stage map gets the SAME rotating-quarter treatment (the
     // round-12 lesson: line 1's full stage_sec map is truncated away by
     // the driver's tail capture, and line 3's top-5 hid doc_features —
-    // 16.5s locally — behind the cutoff). One third of the per-stage
+    // 16.5s locally — behind the cutoff). One quarter of the per-stage
     // MINs per round, alphabetical order, so full per-stage history
-    // survives the 2000-char window every three rounds.
+    // survives the 2000-char window every four rounds.
     val stageSorted = byStage.sortBy(_._1)
-    val sChunk = (stageSorted.length + 2) / 3
+    val sChunk = (stageSorted.length + 3) / 4
     val sBand = stageSorted.slice(third * sChunk, (third + 1) * sChunk)
     val stageBandJson = sBand.map { case (k, _, mn) =>
       "\"" + k + "\":" + f"$mn%.2f"
