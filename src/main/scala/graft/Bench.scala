@@ -76,7 +76,9 @@ object Bench {
     * so the band width dropped to a quarter — full history every FOUR
     * rounds, ~200 chars of headroom restored.) */
   private def thirdOfRound(): Int =
-    sys.env.get("SPARK_GRAFT_BENCH_THIRD").flatMap(_.toIntOption)
+    sys.env.get("SPARK_GRAFT_BENCH_BAND")
+      .orElse(sys.env.get("SPARK_GRAFT_BENCH_THIRD"))
+      .flatMap(_.toIntOption)
       .getOrElse {
         val benches = Option(new java.io.File(".").listFiles())
           .getOrElse(Array.empty)
@@ -240,8 +242,11 @@ object Bench {
     val stageBandJson = sBand.map { case (k, _, mn) =>
       "\"" + k + "\":" + f"$mn%.2f"
     }.mkString("{", ",", "}")
+    // band_den marks the rotation width so archived BENCH_r*.json bands
+    // from the thirds era (no marker) and the quarters era reassemble
+    // without guessing
     val line2 =
-      s"""{"third":$third,"min_q":$bandJson,"stage_min_third":$stageBandJson}"""
+      s"""{"third":$third,"band_den":4,"min_q":$bandJson,"stage_min_third":$stageBandJson}"""
     // Line 3 (the driver's parsed "last line"): top-10 slowest by median
     // (was top-20 — trimmed to keep lines 2+3 inside the driver's
     // 2000-char tail once line 2 carries the rotating stage band; at 222

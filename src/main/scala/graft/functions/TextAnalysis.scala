@@ -838,15 +838,36 @@ object TextAnalysis {
     *
     * @return (id, n_tok, log_ratio, selected), log_ratio in nats, 4 dp
     */
+  /** Shared scaffold of the hashed-feature selectors ([[dsirLogRatio]],
+    * [[nbQualityScore]]): tokenize, md5-60 bucket into the fixed
+    * `buckets`-slot feature space, carry per-call flag columns. ONE
+    * definition, so the bucket hash can never drift between the two
+    * models (both oracles replay the same md5-hex-prefix CTE). */
+  private def hashedTokenBuckets(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, buckets: Int,
+      flags: Seq[(String, Column)]): org.apache.spark.sql.DataFrame =
+    docs.select((col(idCol).as("id") +:
+        flags.map { case (n, c) => c.as(n) }) :+
+        explode(tokens(lower(col(textCol)))).as("term"): _*)
+      .select((col("id") +: flags.map(f => col(f._1))) :+
+        pmod(graft.operators.NearDup.md5Hash60(col("term")),
+          lit(buckets.toLong)).as("f"): _*)
+
+  /** The add-one-smoothed log-odds both hashed-feature models share:
+    * ln((num+1)/(numTot+B)) − ln((den+1)/(denTot+B)) — written as the
+    * four-term sum so both call sites (and their oracles) keep the
+    * identical IEEE operation chain. */
+  private def addOneLogOdds(num: Column, numTot: Column, den: Column,
+      denTot: Column, b: Column): Column =
+    log(num.cast("double") + lit(1.0)) - log(numTot.cast("double") + b) -
+      log(den.cast("double") + lit(1.0)) + log(denTot.cast("double") + b)
+
   def dsirLogRatio(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, isTarget: Column,
       buckets: Int = 4096): org.apache.spark.sql.DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    val toks = docs.select(col(idCol).as("id"), isTarget.as("tgt"),
-        explode(tokens(lower(col(textCol)))).as("term"))
-      .select(col("id"), col("tgt"),
-        pmod(graft.operators.NearDup.md5Hash60(col("term")),
-          lit(buckets.toLong)).as("f"))
+    val toks = hashedTokenBuckets(docs, idCol, textCol, buckets,
+      Seq("tgt" -> isTarget))
     val counts = toks.groupBy(col("f")).agg(
       sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
       count(lit(1)).as("cr"))
@@ -856,10 +877,8 @@ object TextAnalysis {
     val b = lit(buckets.toDouble)
     // per-bucket ln p_T − ln p_R, both add-one smoothed over B buckets
     val model = broadcast(counts.crossJoin(stats).select(col("f"),
-      (log(col("ct").cast("double") + lit(1.0)) -
-        log(col("tt").cast("double") + b) -
-        log(col("cr").cast("double") + lit(1.0)) +
-        log(col("tr").cast("double") + b)).as("lr")))
+      addOneLogOdds(col("ct"), col("tt"), col("cr"), col("tr"), b)
+        .as("lr")))
     // every observed token's bucket is in the model by construction
     val perDoc = toks.join(model, Seq("f"))
       .groupBy(col("id"))
@@ -923,12 +942,8 @@ object TextAnalysis {
       textCol: String, isTrain: Column, isTarget: Column,
       buckets: Int = 4096): org.apache.spark.sql.DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    val toks = docs.select(col(idCol).as("id"), isTrain.as("trn"),
-        isTarget.as("tgt"),
-        explode(tokens(lower(col(textCol)))).as("term"))
-      .select(col("id"), col("trn"), col("tgt"),
-        pmod(graft.operators.NearDup.md5Hash60(col("term")),
-          lit(buckets.toLong)).as("f"))
+    val toks = hashedTokenBuckets(docs, idCol, textCol, buckets,
+      Seq("trn" -> isTrain, "tgt" -> isTarget))
     // train = one grouped count per (bucket, class) over the labeled slice
     val counts = toks.filter(col("trn")).groupBy(col("f")).agg(
       sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
@@ -936,17 +951,19 @@ object TextAnalysis {
     val stats = broadcast(counts.groupBy().agg(
       coalesce(sum(col("ct")), lit(0L)).as("tt"),
       coalesce(sum(col("cr")), lit(0L)).as("tr")))
+    // coalesced like `stats` above: an EMPTY train slice must yield the
+    // smoothing-only prior (ln 1 − ln 1 = 0), not a NULL that voids
+    // every logit — the "scoring stays total" contract
     val prior = broadcast(docs.select(isTrain.as("trn"), isTarget.as("tgt"))
       .filter(col("trn")).groupBy().agg(
-        sum(when(col("tgt"), 1L).otherwise(0L)).as("ndt"),
-        sum(when(!col("tgt"), 1L).otherwise(0L)).as("ndr")))
+        coalesce(sum(when(col("tgt"), 1L).otherwise(0L)), lit(0L)).as("ndt"),
+        coalesce(sum(when(!col("tgt"), 1L).otherwise(0L)), lit(0L))
+          .as("ndr")))
     val b = lit(buckets.toDouble)
     // the fitted model: per-bucket class log-odds, ONE broadcastable table
     val model = broadcast(counts.crossJoin(stats).select(col("f"),
-      (log(col("ct").cast("double") + lit(1.0)) -
-        log(col("tt").cast("double") + b) -
-        log(col("cr").cast("double") + lit(1.0)) +
-        log(col("tr").cast("double") + b)).as("lo")))
+      addOneLogOdds(col("ct"), col("tt"), col("cr"), col("tr"), b)
+        .as("lo")))
     val perDoc = toks.join(model, Seq("f"), "left").crossJoin(stats)
       .select(col("id"),
         coalesce(col("lo"),

@@ -1272,8 +1272,11 @@ object PipelineQueries {
     // ×10⁴ summed as longs, one final division — the q215 boundary
     // discipline), every δ priced in ONE pass as parallel aggregate
     // columns over the persisted nb_scores stage. n_kept is
-    // non-increasing in δ by construction; the δ=0 row IS q218's
-    // nb_selected count on the held-out era.
+    // non-increasing in δ by construction. The δ=0 cut is the
+    // HELD-OUT-mean ≥ threshold — deliberately NOT q218's nb_selected
+    // (strict >, centered on the mean over ALL scored docs including
+    // the train era): the curve prices the cut a deployment would run
+    // on new data, where only held-out logits exist to center on.
     "q230_selection_threshold_curve" -> ((s, dir) =>
       TextAnalysis.selectionThresholdCurve(
           nbScoresStage(s, dir).filter(col("doc_id") >= 250),

@@ -29,6 +29,34 @@ object ScaleQueries {
       TextAnalysis.termFrequencies(t(s, dir, "documents"), "doc_id",
         "text"))
 
+  /** The hybrid retriever's LEXICAL top-20 list (shared by q228 and
+    * the q235 K-curve — one definition, so the dial curve can never
+    * desynchronize from the baseline it measures): each %97 eval doc's
+    * first 8 tokens query BM25 over the %97-excluded corpus. The
+    * corpus restriction is a row filter on the shared postings stage —
+    * tf is per-doc, so the restricted statistics are exact. */
+  private def hybridLexList(s: SparkSession, dir: String): DataFrame = {
+    val qterms = t(s, dir, "documents").filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("qid"),
+        explode(slice(TextAnalysis.tokens(lower(col("text"))), 1, 8))
+          .as("term"))
+      .distinct()
+    TextAnalysis.bm25TopKFromTf(
+        termTfStage(s, dir).filter(col("id") % 97 =!= 0), qterms, k = 20)
+      .select(col("qid"), col("id"), col("rnk"))
+  }
+
+  /** The hybrid retriever's DENSE top-20 list (q228 + q235): each %97
+    * eval embedding against the %97-excluded corpus, one broadcast
+    * scan. */
+  private def hybridDenseList(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") % 97 === 0),
+        emb.filter(col("vec_id") % 97 =!= 0), k = 20)
+      .select(col("qid"), col("vec_id").as("id"), col("rnk"))
+  }
+
   /** Persisted q82 contamination flags `(doc_id, shared_grams,
     * bench_docs)` — the 4-gram corpus-vs-benchmark pass runs once; q82
     * reports it and the q196 release funnel's decontamination gate
@@ -403,28 +431,11 @@ object ScaleQueries {
     // are top-20 lists, so the fusion shuffles at list size; the
     // lexical side prunes postings to the 8·|eval| query vocabulary
     // before df counting; the dense side is one broadcast corpus scan.
-    "q228_hybrid_rrf" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val emb = t(s, dir, "embeddings")
-      val qterms = docs.filter(col("doc_id") % 97 === 0)
-        .select(col("doc_id").as("qid"),
-          explode(slice(TextAnalysis.tokens(lower(col("text"))), 1, 8))
-            .as("term"))
-        .distinct()
-      // the %97 restriction is a row filter on the shared postings
-      // stage — tf is per-doc, so the restricted statistics are exact
-      val lex = TextAnalysis.bm25TopKFromTf(
-          termTfStage(s, dir).filter(col("id") % 97 =!= 0),
-          qterms, k = 20)
-        .select(col("qid"), col("id"), col("rnk"))
-      val dense = Similarity.bruteForceTopK(
-          emb.filter(col("vec_id") % 97 === 0),
-          emb.filter(col("vec_id") % 97 =!= 0), k = 20)
-        .select(col("qid"), col("vec_id").as("id"), col("rnk"))
-      TextAnalysis.rrfFuse(Seq("bm25" -> lex, "cos" -> dense), k = 10)
+    "q228_hybrid_rrf" -> ((s, dir) =>
+      TextAnalysis.rrfFuse(Seq("bm25" -> hybridLexList(s, dir),
+          "cos" -> hybridDenseList(s, dir)), k = 10)
         .withColumnRenamed("id", "doc_id")
-        .orderBy(col("qid"), col("rnk"))
-    }),
+        .orderBy(col("qid"), col("rnk"))),
 
     // The q228 dial's tuning curve (every dial ships its curve): how
     // sensitive is the fused top-10 to the RRF constant K? Both rank
@@ -437,22 +448,8 @@ object ScaleQueries {
     // a side, and with one side absent per doc the between-side
     // interleave barely moves; the dial matters when the sides overlap.
     "q235_rrf_k_curve" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val emb = t(s, dir, "embeddings")
-      val qterms = docs.filter(col("doc_id") % 97 === 0)
-        .select(col("doc_id").as("qid"),
-          explode(slice(TextAnalysis.tokens(lower(col("text"))), 1, 8))
-            .as("term"))
-        .distinct()
-      val lex = TextAnalysis.bm25TopKFromTf(
-          termTfStage(s, dir).filter(col("id") % 97 =!= 0),
-          qterms, k = 20)
-        .select(col("qid"), col("id"), col("rnk")).localCheckpoint(true)
-      val dense = Similarity.bruteForceTopK(
-          emb.filter(col("vec_id") % 97 === 0),
-          emb.filter(col("vec_id") % 97 =!= 0), k = 20)
-        .select(col("qid"), col("vec_id").as("id"), col("rnk"))
-        .localCheckpoint(true)
+      val lex = hybridLexList(s, dir).localCheckpoint(true)
+      val dense = hybridDenseList(s, dir).localCheckpoint(true)
       def top10(kc: Int) = TextAnalysis.rrfFuse(
         Seq("bm25" -> lex, "cos" -> dense), k = 10, kconst = kc)
         .select(col("qid"), col("id"))

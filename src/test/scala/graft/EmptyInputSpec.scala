@@ -239,6 +239,18 @@ class EmptyInputSpec extends SparkSpec {
       assert(r.isNullAt(r.fieldIndex("thr")) &&
         r.isNullAt(r.fieldIndex("keep_frac")))
     }
+    // an EMPTY TRAIN SLICE on a non-empty corpus: every doc scores the
+    // smoothing-only constants (logit exactly 0.0), never NULL — the
+    // coalesced prior keeps the "scoring stays total" contract
+    val untrained = graft.functions.TextAnalysis.nbQualityScore(
+      Seq((1L, "x y"), (2L, "z")).toDF("doc_id", "text"),
+      "doc_id", "text", isTrain = lit(false), isTarget = lit(true),
+      buckets = 8)
+    assertNoNulls(untrained)
+    untrained.collect().foreach { r =>
+      assert(r.getAs[Double]("nb_logit") === 0.0 &&
+        !r.getAs[Boolean]("nb_keep") && !r.getAs[Boolean]("nb_selected"))
+    }
     // budget planning over an empty domain table: empty in, empty out
     val doms = Seq.empty[(String, Long, Long)].toDF("dom", "n_tok", "alloc")
     assert(graft.operators.Mixture.unimaxAllocation(
