@@ -68,14 +68,15 @@ object Bench {
     name.drop(1).takeWhile(_.isDigit).toIntOption.getOrElse(Int.MaxValue)
 
   /** Which quarter of the surface this round's compact line carries:
-    * env override SPARK_GRAFT_BENCH_THIRD, else (#existing BENCH_r*.json
-    * in cwd + 1) mod 4 — self-rotating as the driver archives a bench
-    * per round, deterministic (no clock, no RNG). (Was thirds through
-    * round 13's 227-query surface; at 235 queries lines 2+3 measured
-    * 2051 chars and the driver's 2000-char tail clipped line 2's head,
-    * so the band width dropped to a quarter — full history every FOUR
-    * rounds, ~200 chars of headroom restored.) */
-  private def thirdOfRound(): Int =
+    * env override SPARK_GRAFT_BENCH_BAND (legacy _THIRD still honored),
+    * else (#existing BENCH_r*.json in cwd + 1) mod 4 — self-rotating as
+    * the driver archives a bench per round, deterministic (no clock, no
+    * RNG). (Was thirds through round 13's 227-query surface; at 235
+    * queries lines 2+3 measured 2051 chars and the driver's 2000-char
+    * tail clipped line 2's head, so the band width dropped to a
+    * quarter — full history every FOUR rounds, ~200 chars of headroom
+    * restored.) */
+  private def bandOfRound(): Int =
     sys.env.get("SPARK_GRAFT_BENCH_BAND")
       .orElse(sys.env.get("SPARK_GRAFT_BENCH_THIRD"))
       .flatMap(_.toIntOption)
@@ -216,10 +217,10 @@ object Bench {
     // rounds inside the tail window. Values are per-query MINs (the
     // contention-immune statistic); keys are the qNN prefix unless that
     // collides, then the full name.
-    val third = thirdOfRound()
+    val bandIdx = bandOfRound()
     val byNum = names.sortBy(n => (qNum(n), n))
     val chunk = (byNum.length + 3) / 4
-    val band = byNum.slice(third * chunk, (third + 1) * chunk)
+    val band = byNum.slice(bandIdx * chunk, (bandIdx + 1) * chunk)
     val prefixCounts = names.groupBy(_.takeWhile(_ != '_')).map {
       case (p, g) => p -> g.length
     }
@@ -238,19 +239,21 @@ object Bench {
     // survives the 2000-char window every four rounds.
     val stageSorted = byStage.sortBy(_._1)
     val sChunk = (stageSorted.length + 3) / 4
-    val sBand = stageSorted.slice(third * sChunk, (third + 1) * sChunk)
+    val sBand = stageSorted.slice(bandIdx * sChunk, (bandIdx + 1) * sChunk)
     val stageBandJson = sBand.map { case (k, _, mn) =>
       "\"" + k + "\":" + f"$mn%.2f"
     }.mkString("{", ",", "}")
     // band_den marks the rotation width so archived BENCH_r*.json bands
-    // from the thirds era (no marker) and the quarters era reassemble
-    // without guessing
+    // from the thirds era (keyed "third"/"stage_min_third", no band_den)
+    // and the quarters era (keyed "band"/"stage_min_band", band_den:4)
+    // reassemble without guessing
     val line2 =
-      s"""{"third":$third,"band_den":4,"min_q":$bandJson,"stage_min_third":$stageBandJson}"""
+      s"""{"band":$bandIdx,"band_den":4,"min_q":$bandJson,"stage_min_band":$stageBandJson}"""
     // Line 3 (the driver's parsed "last line"): top-10 slowest by median
     // (was top-20 — trimmed to keep lines 2+3 inside the driver's
-    // 2000-char tail once line 2 carries the rotating stage band; at 222
-    // queries the two lines measure ~1950 chars, leaving ~50 headroom),
+    // 2000-char tail once line 2 carries the rotating stage band; at the
+    // 235-query round-13 surface the two lines measured 1731 chars,
+    // leaving ~270 headroom — re-measure after any surface growth),
     // each as [min, median] so the contention-immune number rides along,
     // the top-5 most expensive STAGES (as [min, median, consumers] — the
     // stage-graph audit's headline), plus every summary scalar.

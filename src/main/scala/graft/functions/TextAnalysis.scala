@@ -602,6 +602,13 @@ object TextAnalysis {
     * one side simply contributes no row (no outer-join chain — the
     * union IS the sparse sum).
     *
+    * PRECONDITION: each side must carry at most ONE row per (qid, id) —
+    * the natural shape of a top-k ranking. Duplicate rank rows within a
+    * side are collapsed DEFENSIVELY to their best (minimum) rank before
+    * fusing; without that guard a duplicated row would double-count its
+    * contribution in the sum while the reported per-side rank took the
+    * max — an inconsistent fused score with no error raised.
+    *
     * @param sides (name, ranking) pairs; each ranking has columns
     *              (qid, id, rnk) with rnk 1-based
     * @return (qid, rnk, id, rrf, <name>_rnk per side; 0 = absent),
@@ -615,6 +622,10 @@ object TextAnalysis {
     val tagged = sides.map { case (name, df) =>
       df.select(col("qid"), col("id"), lit(name).as("side"),
         col("rnk").cast("long").as("in_rnk"))
+        // best-rank collapse of any duplicate (qid, id) within the side
+        // (a no-op shuffle at list size on well-formed top-k inputs)
+        .groupBy(col("qid"), col("id"), col("side"))
+        .agg(min(col("in_rnk")).as("in_rnk"))
     }.reduce(_ unionByName _)
     val aggCols =
       sum(col("c")).as("rrf") +: sides.map { case (name, _) =>

@@ -195,8 +195,18 @@ object Mixture {
     * every window here runs over those k rows — the mixture-family
     * idiom. The corpus itself is never re-read or shuffled.
     *
+    * CONTRACT: `counts` must be a DOMAIN-sized table (one row per
+    * domain — dozens to a few thousand rows, the output of a grouped
+    * aggregate), because the rank/prefix-sum windows below are global
+    * and unpartitioned: every row funnels through one task, which is
+    * exactly right for a k-row mixture table and exactly wrong for a
+    * corpus. Feeding a row-per-document table here is a misuse, not a
+    * supported slow path. Domains with n_tok ≤ 0 are rejected up front
+    * (a zero-capacity domain would yield a degenerate saturated row
+    * and a 0/0 epochs_used).
+    *
     * @param counts one row per domain: domainCol, tokCol (unique
-    *               tokens available)
+    *               tokens available, must be > 0)
     * @return (domain, n_tok, cap, saturated, alloc, epochs_used 4-dp,
     *         leftover — the global undistributed remainder, constant
     *         across rows)
@@ -207,6 +217,10 @@ object Mixture {
     require(maxEpochs > 0 && budgetNum > 0 && budgetDen > 0,
       "maxEpochs and the budget fraction must be positive")
     val base = counts.select(col(domainCol), col(tokCol).as("n_tok"))
+      .withColumn("n_tok", when(col("n_tok") > 0, col("n_tok"))
+        .otherwise(raise_error(concat(
+          lit("unimaxAllocation: non-positive n_tok for domain "),
+          col(domainCol).cast("string")))))
       .withColumn("cap", col("n_tok") * lit(maxEpochs))
     val wOrd = Window.orderBy(col("cap"), col(domainCol))
     val all = Window.partitionBy()

@@ -455,7 +455,9 @@ object ScaleQueries {
         .select(col("qid"), col("id"))
       val base = top10(60)
       Seq(20, 60, 100).map { kc =>
-        top10(kc)
+        // the K=60 grid point IS the baseline — reuse its plan instead
+        // of fusing the same lists twice
+        (if (kc == 60) base else top10(kc))
           .join(base.withColumn("hit", lit(1L)), Seq("qid", "id"), "left")
           .agg(count(lit(1)).as("n_fused"),
             coalesce(sum(col("hit")), lit(0L)).as("n_shared"))
