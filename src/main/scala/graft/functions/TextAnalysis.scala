@@ -538,16 +538,32 @@ object TextAnalysis {
         explode(tokens(lower(col(textCol)))).as("term"))
       .groupBy(col("id"), col("term")).agg(sum(lit(1L)).as("tf"))
 
+  /** The (id, dl) document-length table BM25's length normalization
+    * reads — the natural SIBLING of the [[termFrequencies]] stage: dl
+    * is a per-doc sum of tf, so a session that persists the postings
+    * should persist this one-column derivative next to it and hand it
+    * to [[bm25TopKFromTf]], making warm retrieval truly postings-only
+    * (without it every BM25 call re-pays one postings-sized shuffle to
+    * rebuild dl). */
+  def docLengths(tf: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+
   /** [[bm25TopKTerms]] over a PRECOMPUTED (id, term, tf) table — all
     * corpus statistics (dl, N, avgdl, df) derive from `tf` alone, so a
-    * persisted postings stage fully replaces the text scan. */
+    * persisted postings stage fully replaces the text scan. Pass
+    * `dlOpt` (a persisted [[docLengths]] table, or any per-doc
+    * row-restriction of one — dl is per-doc, so corpus restrictions
+    * are exact) to skip the per-call dl rebuild; when absent it is
+    * derived from `tf` in-plan. */
   def bm25TopKFromTf(tf: org.apache.spark.sql.DataFrame,
       qterms: org.apache.spark.sql.DataFrame, k: Int,
-      k1: Double = 1.2, b: Double = 0.75)
+      k1: Double = 1.2, b: Double = 0.75,
+      dlOpt: Option[org.apache.spark.sql.DataFrame] = None)
       : org.apache.spark.sql.DataFrame = {
     require(k > 0, "k must be positive")
     import org.apache.spark.sql.expressions.Window
-    val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+    val dl = dlOpt.getOrElse(docLengths(tf))
     val stats = broadcast(dl.groupBy().agg(
       sum(col("dl")).as("tot"), count(lit(1)).as("nd")))
     // postings restricted to the query vocabulary FIRST — df and the

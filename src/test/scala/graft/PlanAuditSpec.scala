@@ -1202,6 +1202,28 @@ class PlanAuditSpec extends SparkSpec {
     "query") {
     SparkEntry.queries("q219_bm25_topk")(spark, dir).count()
     assert(liveScans("q219_bm25_topk").isEmpty)
+    // the round-14 dl fold: warm BM25 reads document lengths from the
+    // persisted doc_len sibling stage instead of re-aggregating the
+    // postings per call — the LIVE plan (cached stage builds are leaves)
+    // must carry NO id-keyed aggregate (the scoring aggregate is
+    // (qid, id)-keyed; the stats row is key-free; a bare [id]
+    // HashAggregate would be the dl rebuild)
+    locally {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+      import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+      def walk(p: SparkPlan): Seq[HashAggregateExec] = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case _: InMemoryTableScanExec => Seq.empty
+        case h: HashAggregateExec => Seq(h) ++ h.children.flatMap(walk)
+        case other => other.children.flatMap(walk)
+      }
+      val aggs = walk(SparkEntry.queries("q219_bm25_topk")(spark, dir)
+        .queryExecution.executedPlan)
+      assert(aggs.forall(h => h.groupingExpressions.map(_.name) !=
+        Seq("id")), aggs.map(_.groupingExpressions.map(_.name)))
+    }
     // every live text read in q228 carries the eval-set filter — the
     // corpus-wide text (the expensive side) comes from the stage
     val live = liveScans("q228_hybrid_rrf")
