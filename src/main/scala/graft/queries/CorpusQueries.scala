@@ -63,17 +63,63 @@ object CorpusQueries {
     * stages ride it (the round-12 stage-graph audit: release_gates and
     * nightly_gates were 60% of the bench stage phase, most of it this
     * duplicated projection). */
-  /** Persisted per-source unique-token totals — the k-row domain table
-    * the budget-planning cards (q232/q233) waterfill over. Rides
-    * doc_features for the per-doc token counts (the corpus text is
+  /** Persisted per-doc (doc_id, source, n_tok) table — the row-level
+    * face of the budget family: the q236 manifest's sampling pass ranks
+    * these rows, and [[sourceTokensStage]] is one grouped sum over
+    * them. Rides doc_features for the token counts (the corpus text is
     * never re-tokenized); the only live read is the documents
     * (doc_id, source) projection. */
-  private def sourceTokensStage(s: SparkSession, dir: String): DataFrame =
-    PipelineQueries.stage(s, dir, "source_tokens") {
+  private[queries] def docSourceTokensStage(s: SparkSession,
+      dir: String): DataFrame =
+    PipelineQueries.stage(s, dir, "doc_source_tokens") {
       docFeaturesStage(s, dir).select(col("doc_id"), col("n_tok"))
         .join(t(s, dir, "documents").select(col("doc_id"), col("source")),
           Seq("doc_id"))
+    }
+
+  /** Persisted per-source unique-token totals — the k-row domain table
+    * the budget-planning cards (q232/q233) waterfill over. One grouped
+    * sum over the persisted per-doc table. */
+  private def sourceTokensStage(s: SparkSession, dir: String): DataFrame =
+    PipelineQueries.stage(s, dir, "source_tokens") {
+      docSourceTokensStage(s, dir)
         .groupBy(col("source")).agg(sum(col("n_tok")).as("n_tok"))
+    }
+
+  /** Persisted MIX-SAMPLE manifest — the row-level realization of the
+    * q232-style UniMax allocation at the q233 operating point (4-epoch
+    * cap, 2× budget, so sources genuinely repeat): per doc, its
+    * source's allocation decomposed as epochs_full = alloc div n_tok
+    * full passes plus a REMAINDER sample that hits the leftover
+    * alloc mod n_tok tokens — docs ranked inside each source by
+    * (md5(doc_id), doc_id) (the [[Sampling]] discipline: stable across
+    * runs, engines, partitionings and appends) with a running token
+    * sum, kept while cum − w < rem (the crossing doc included, so the
+    * realized remainder overshoots by less than one document — the
+    * minimal overshoot a whole-doc sample allows).
+    *
+    * Scale shape: the allocation is a broadcast k-row table; the only
+    * corpus-sized work is ONE source-partitioned cumulative-sum window
+    * over the persisted per-doc stage (each source sorts
+    * independently — no global sort, no single-partition window). At
+    * 100 TB this table IS the sampling artifact a mixture run writes
+    * next to its packing. */
+  private[graft] def mixSampleStage(s: SparkSession, dir: String)
+      : DataFrame =
+    PipelineQueries.stage(s, dir, "mix_sample") {
+      val alloc = Mixture.unimaxAllocation(sourceTokensStage(s, dir),
+          "source", "n_tok", maxEpochs = 4L, budgetNum = 2L, budgetDen = 1L)
+        .select(col("source"), col("n_tok").as("src_tok"), col("alloc"))
+        .withColumn("epochs_full", expr("alloc div src_tok"))
+        .withColumn("rem_target", col("alloc") % col("src_tok"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(NearDup.md5Hash60(col("doc_id").cast("string")),
+          col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docSourceTokensStage(s, dir)
+        .join(broadcast(alloc), Seq("source"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("in_rem", col("cum") - col("n_tok") < col("rem_target"))
     }
 
   private def docFeaturesStage(s: SparkSession, dir: String): DataFrame =
@@ -422,6 +468,99 @@ object CorpusQueries {
             .select(col("source"), col("n_tok"), col("alloc")),
           "source", "n_tok", "alloc")
         .orderBy(col("source"))),
+
+    // THE TRAINING-MIX MANIFEST — the budget family's composed capstone
+    // (what q196 is to the gate family and q208 to the registries): the
+    // one artifact a trainer consumes, produced by the full chain
+    // UniMax allocation (q232's waterfill at the q233 operating point)
+    // → per-source deterministic md5 sampling that HITS each
+    // allocation (full epochs + a minimal-overshoot remainder prefix —
+    // the mix_sample stage) → instance expansion (doc × epoch) →
+    // greedy packing (q61/q193's budget) → seeded epoch shuffle
+    // (q221's order), closed as one card: per source, allocated vs
+    // realized docs/tokens/epochs, the overshoot the whole-doc
+    // granularity forced, and the q233 repeat-value fraction of the
+    // REALIZED tokens; plus a '~total' row carrying the packed-batch
+    // face (bins, fill rate) and the md5 fingerprint of the epoch
+    // order (at real scale the order ships as clusteredWrite(pos)
+    // files — the checksum is the graded stand-in). Every count is
+    // exact-integer; the only floats are the three audited divisions
+    // and q233's one 4-dp-rounded exp.
+    // Scale: rides the persisted mix_sample stage (zero live scans);
+    // per-source rows are one grouped aggregate; the packing input is
+    // realized-instance-sized (≤ maxEpochs+1 rows per doc); the shuffle
+    // checksum aggregates the BIN-sized manifest.
+    "q236_mix_manifest" -> ((s, dir) => {
+      val sel = mixSampleStage(s, dir)
+      val perSrc = sel.groupBy(col("source"), col("src_tok"), col("alloc"),
+          col("epochs_full"), col("rem_target"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("in_rem"), 1L).otherwise(0L)).as("rem_docs"),
+          sum(when(col("in_rem"), col("n_tok")).otherwise(0L))
+            .as("rem_tokens"))
+        .withColumn("realized_docs",
+          col("epochs_full") * col("n_docs") + col("rem_docs"))
+        .withColumn("realized_tokens",
+          col("epochs_full") * col("src_tok") + col("rem_tokens"))
+        // k rows, three consumers (source rows, value join, total row)
+        .localCheckpoint(true)
+      val valued = Mixture.dataConstrainedValue(
+          perSrc.select(col("source"), col("src_tok"),
+            col("realized_tokens")),
+          "source", "src_tok", "realized_tokens")
+        .select(col("source"), col("value_frac"))
+      val srcRows = perSrc.join(valued, Seq("source"))
+        .select(col("source"), col("n_docs"), col("src_tok").as("n_tok"),
+          col("alloc"), col("epochs_full"), col("rem_target"),
+          col("rem_docs"), col("rem_tokens"), col("realized_docs"),
+          col("realized_tokens"),
+          round(col("realized_tokens").cast("double") /
+            col("src_tok").cast("double"), 4).as("epochs_used"),
+          (col("realized_tokens") - col("alloc")).as("overshoot"),
+          col("value_frac"),
+          lit(null).cast("long").as("n_bins"),
+          lit(null).cast("double").as("fill_rate"),
+          lit(null).cast("string").as("order_md5"))
+      // instance list: epoch e ∈ [0, epochs_full) for every doc, plus
+      // e = epochs_full for remainder members; inst id = doc_id·8 + e
+      // (collision-free: e ≤ maxEpochs = 4 < 8), so packing and the
+      // epoch shuffle see one row per TRAINING OCCURRENCE
+      val inst = sel
+        .withColumn("n_inst",
+          col("epochs_full") + when(col("in_rem"), 1L).otherwise(0L))
+        .filter(col("n_inst") > 0)
+        .select(col("doc_id"), col("n_tok"),
+          explode(sequence(lit(0L), col("n_inst") - 1)).as("e"))
+        .select((col("doc_id") * 8 + col("e")).as("id"), col("n_tok"))
+      val packed = Packing.packGreedy(inst, "id", "n_tok", budget = 512L,
+          shards = 8)
+        .localCheckpoint(true) // two consumers: the card and the shuffle
+      val card = Packing.packCard(packed, budget = 512L)
+        .select(col("n_bins"), col("fill_rate"))
+      val om = Packing.epochShuffle(packed, seed = 13L)
+        .agg(md5(concat_ws(":", expr(
+          "transform(array_sort(collect_list(struct(pos, order_key)))," +
+            " x -> x.order_key)")).cast("binary")).as("order_md5"))
+      val tot = perSrc.agg(
+          sum(col("n_docs")).as("n_docs"), sum(col("src_tok")).as("n_tok"),
+          sum(col("alloc")).as("alloc"),
+          sum(col("rem_docs")).as("rem_docs"),
+          sum(col("rem_tokens")).as("rem_tokens"),
+          sum(col("realized_docs")).as("realized_docs"),
+          sum(col("realized_tokens")).as("realized_tokens"))
+        .crossJoin(broadcast(card)).crossJoin(broadcast(om))
+        .select(lit("~total").as("source"), col("n_docs"), col("n_tok"),
+          col("alloc"), lit(null).cast("long").as("epochs_full"),
+          lit(null).cast("long").as("rem_target"),
+          col("rem_docs"), col("rem_tokens"), col("realized_docs"),
+          col("realized_tokens"),
+          round(col("realized_tokens").cast("double") /
+            col("n_tok").cast("double"), 4).as("epochs_used"),
+          (col("realized_tokens") - col("alloc")).as("overshoot"),
+          lit(null).cast("double").as("value_frac"),
+          col("n_bins"), col("fill_rate"), col("order_md5"))
+      srcRows.unionByName(tot).orderBy(col("source"))
+    }),
 
     // Collocation mining: document-level term co-occurrence with rational
     // lift — see TextAnalysis.collocations (doc-keyed join, long-doc cap,
@@ -1272,6 +1411,150 @@ object CorpusQueries {
         |          LEFT JOIN vb bb USING (vec_id)
         |ORDER BY a.vec_id""".stripMargin
   }
+
+  /** q236 oracle — the composed manifest chain: the q233 waterfill CTEs
+    * (4-epoch cap, 2× budget), the md5-ranked per-source remainder
+    * prefix, instance expansion (fixed range(0,5) laterally filtered —
+    * n_inst ≤ maxEpochs+1 = 5), the q61 recursive greedy-packing
+    * replay over instances, and the q221 epoch-shuffle order digested
+    * to one md5. */
+  private val mixManifestSql: String =
+    """WITH RECURSIVE
+      |doc AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS w
+      |  FROM documents),
+      |stok AS (
+      |  SELECT source, CAST(sum(w) AS BIGINT) AS n_tok
+      |  FROM doc GROUP BY 1),
+      |r AS (
+      |  SELECT source, n_tok, n_tok * 4 AS cap,
+      |    row_number() OVER (ORDER BY n_tok * 4, source) AS rr,
+      |    coalesce(sum(n_tok * 4) OVER (ORDER BY n_tok * 4, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s,
+      |    count(*) OVER () AS k,
+      |    (sum(n_tok) OVER () * 2) // 1 AS b
+      |  FROM stok),
+      |f AS (SELECT *, cap * (k - rr + 1) + s <= b AS saturated FROM r),
+      |g AS (
+      |  SELECT *,
+      |    sum(CASE WHEN saturated THEN 1 ELSE 0 END) OVER () AS m,
+      |    coalesce(sum(CASE WHEN saturated THEN cap END) OVER (), 0)
+      |      AS ssat
+      |  FROM f),
+      |h AS (
+      |  SELECT *, CASE WHEN k > m THEN (b - ssat) // (k - m)
+      |            ELSE 0 END AS share
+      |  FROM g),
+      |al AS (
+      |  SELECT source, n_tok AS src_tok,
+      |    CAST(CASE WHEN saturated THEN cap ELSE share END AS BIGINT)
+      |      AS alloc
+      |  FROM h),
+      |al2 AS (
+      |  SELECT source, src_tok, alloc,
+      |    CAST(alloc // src_tok AS BIGINT) AS epochs_full,
+      |    CAST(alloc % src_tok AS BIGINT) AS rem_target
+      |  FROM al),
+      |sel AS (
+      |  SELECT d.doc_id, d.source, d.w, a.src_tok, a.alloc,
+      |    a.epochs_full, a.rem_target,
+      |    sum(d.w) OVER (PARTITION BY d.source
+      |      ORDER BY ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT,
+      |        d.doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM doc d JOIN al2 a USING (source)),
+      |sel2 AS (SELECT *, cum - w < rem_target AS in_rem FROM sel),
+      |persrc AS (
+      |  SELECT source, src_tok, alloc, epochs_full, rem_target,
+      |    CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(CASE WHEN in_rem THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS rem_docs,
+      |    CAST(coalesce(sum(CASE WHEN in_rem THEN w END), 0) AS BIGINT)
+      |      AS rem_tokens
+      |  FROM sel2 GROUP BY 1, 2, 3, 4, 5),
+      |pr AS (
+      |  SELECT *,
+      |    CAST(epochs_full * n_docs + rem_docs AS BIGINT)
+      |      AS realized_docs,
+      |    CAST(epochs_full * src_tok + rem_tokens AS BIGINT)
+      |      AS realized_tokens
+      |  FROM persrc),
+      |val AS (
+      |  SELECT source, realized_tokens,
+      |    round(CASE WHEN realized_tokens <= src_tok
+      |      THEN realized_tokens::DOUBLE
+      |      ELSE src_tok::DOUBLE * (1.0 + 15.39 * (1.0 -
+      |        exp(-round(realized_tokens::DOUBLE / src_tok::DOUBLE - 1.0,
+      |              4) / 15.39))) END, 2) AS eff_tokens
+      |  FROM pr),
+      |val2 AS (
+      |  SELECT source,
+      |    CASE WHEN realized_tokens > 0
+      |         THEN round(eff_tokens / realized_tokens::DOUBLE, 6)
+      |         ELSE 0.0 END AS value_frac
+      |  FROM val),
+      |inst AS (
+      |  SELECT doc_id * 8 + e.range AS id, w
+      |  FROM sel2 JOIN range(0, 5) AS e(range)
+      |    ON e.range < epochs_full + CASE WHEN in_rem THEN 1 ELSE 0 END),
+      |ptoks AS (
+      |  SELECT id, w,
+      |    ('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT % 8 AS shard
+      |  FROM inst),
+      |pdocs AS (
+      |  SELECT id, w, shard,
+      |    row_number() OVER (PARTITION BY shard ORDER BY id) AS rn
+      |  FROM ptoks),
+      |pack AS (
+      |  SELECT id, w, shard, rn, CAST(0 AS BIGINT) AS bin, w AS fill
+      |  FROM pdocs WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.id, d.w, d.shard, d.rn,
+      |    CASE WHEN p.fill > 0 AND p.fill + d.w > 512
+      |         THEN p.bin + 1 ELSE p.bin END AS bin,
+      |    CASE WHEN p.fill > 0 AND p.fill + d.w > 512
+      |         THEN d.w ELSE p.fill + d.w END AS fill
+      |  FROM pack p JOIN pdocs d ON d.shard = p.shard AND d.rn = p.rn + 1),
+      |pb AS (SELECT shard, bin, sum(w) AS fill FROM pack GROUP BY 1, 2),
+      |pcard AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_bins,
+      |    round(sum(fill)::DOUBLE / (count(*) * 512), 6) AS fill_rate
+      |  FROM pb),
+      |shuf AS (
+      |  SELECT shard, bin,
+      |    md5('13' || ':' || shard::VARCHAR || ':' || bin::VARCHAR)
+      |      AS order_key
+      |  FROM pb),
+      |om AS (
+      |  SELECT md5(string_agg(order_key, ':'
+      |    ORDER BY order_key, shard, bin)) AS order_md5
+      |  FROM shuf)
+      |SELECT source, n_docs, src_tok AS n_tok, alloc, epochs_full,
+      |  rem_target, rem_docs, rem_tokens, realized_docs, realized_tokens,
+      |  round(realized_tokens::DOUBLE / src_tok::DOUBLE, 4)
+      |    AS epochs_used,
+      |  CAST(realized_tokens - alloc AS BIGINT) AS overshoot, value_frac,
+      |  CAST(NULL AS BIGINT) AS n_bins, CAST(NULL AS DOUBLE) AS fill_rate,
+      |  CAST(NULL AS VARCHAR) AS order_md5
+      |FROM pr JOIN val2 USING (source)
+      |UNION ALL
+      |SELECT '~total',
+      |  (SELECT CAST(sum(n_docs) AS BIGINT) FROM pr),
+      |  (SELECT CAST(sum(src_tok) AS BIGINT) FROM pr),
+      |  (SELECT CAST(sum(alloc) AS BIGINT) FROM pr),
+      |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+      |  (SELECT CAST(sum(rem_docs) AS BIGINT) FROM pr),
+      |  (SELECT CAST(sum(rem_tokens) AS BIGINT) FROM pr),
+      |  (SELECT CAST(sum(realized_docs) AS BIGINT) FROM pr),
+      |  (SELECT CAST(sum(realized_tokens) AS BIGINT) FROM pr),
+      |  (SELECT round(sum(realized_tokens)::DOUBLE / sum(src_tok)::DOUBLE,
+      |     4) FROM pr),
+      |  (SELECT CAST(sum(realized_tokens) - sum(alloc) AS BIGINT) FROM pr),
+      |  CAST(NULL AS DOUBLE),
+      |  (SELECT n_bins FROM pcard), (SELECT fill_rate FROM pcard),
+      |  (SELECT order_md5 FROM om)
+      |ORDER BY source""".stripMargin
 
   /** q196 oracle — the existing per-stage oracle chains composed as one
     * WITH block (names uniquified): q97's rule battery on the raw text,
@@ -2292,6 +2575,8 @@ object CorpusQueries {
         |       THEN round(eff_tokens / alloc::DOUBLE, 6)
         |       ELSE 0.0 END AS value_frac
         |FROM v ORDER BY source""".stripMargin,
+
+    "q236_mix_manifest" -> mixManifestSql,
 
     "q100_collocations" ->
       """WITH toks AS (

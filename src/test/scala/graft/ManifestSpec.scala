@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+import graft.operators.{Mixture, Packing}
+import graft.queries.CorpusQueries
+
+/** The q236 training-mix manifest reconciled row-for-row against the
+  * operators it composes: the q232-family UniMax waterfill (allocation
+  * columns), the q233 repeat-value law (independent plain-Scala replay),
+  * the sampling contract (every source HITS its allocation with
+  * sub-document, prefix-minimal overshoot), the q193 packing card and
+  * the q221 epoch-shuffle order digest (both rebuilt independently from
+  * the sample stage), and column-sum conservation into the total row. */
+class ManifestSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private lazy val card =
+    SparkEntry.queries("q236_mix_manifest")(spark, dir).collect()
+  private lazy val srcRows = card.filter(_.getAs[String]("source") != "~total")
+  private lazy val totRow = card.find(_.getAs[String]("source") == "~total").get
+
+  private def rnd(v: Double, s: Int): Double =
+    BigDecimal(v).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("per-source n_tok/alloc reconcile row-for-row with the standalone " +
+      "UniMax waterfill at the manifest operating point (4-epoch cap, " +
+      "2x budget)") {
+    val stok = Tables.load(spark, dir, "documents")
+      .select(col("source"), TextAnalysis.tokenCount(col("text")).as("w"))
+      .groupBy(col("source")).agg(sum(col("w")).as("n_tok"))
+    val alloc = Mixture.unimaxAllocation(stok, "source", "n_tok",
+        maxEpochs = 4L, budgetNum = 2L, budgetDen = 1L)
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_tok"), r.getAs[Long]("alloc"))))
+      .toMap
+    assert(srcRows.length === alloc.size)
+    srcRows.foreach { r =>
+      val (n, a) = alloc(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_tok") === n)
+      assert(r.getAs[Long]("alloc") === a)
+    }
+  }
+
+  test("every source HITS its allocation: realized >= alloc, the " +
+      "overshoot is smaller than the source's largest document, and a " +
+      "zero remainder target means zero overshoot") {
+    val maxW = Tables.load(spark, dir, "documents")
+      .select(col("source"), TextAnalysis.tokenCount(col("text")).as("w"))
+      .groupBy(col("source")).agg(max(col("w")).as("mx"))
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("mx"))
+      .toMap
+    srcRows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val over = r.getAs[Long]("overshoot")
+      assert(over >= 0L, src)
+      assert(over === r.getAs[Long]("realized_tokens") - r.getAs[Long]("alloc"))
+      assert(over < maxW(src), s"$src overshoot $over >= max doc ${maxW(src)}")
+      if (r.getAs[Long]("rem_target") == 0L)
+        assert(over === 0L && r.getAs[Long]("rem_docs") === 0L, src)
+    }
+    // the graded geometry must exercise both realization paths: every
+    // source takes at least one FULL pass (2x budget guarantees it) and
+    // at least one source needs a non-trivial remainder sample (at this
+    // operating point none saturates, so in fact all do)
+    assert(srcRows.forall(_.getAs[Long]("epochs_full") >= 1L))
+    assert(srcRows.exists(_.getAs[Long]("rem_docs") > 0L))
+  }
+
+  test("the remainder prefix is MINIMAL: dropping its last kept document " +
+      "falls below the remainder target (sample-stage row check)") {
+    val sel = CorpusQueries.mixSampleStage(spark, dir)
+      .filter(col("in_rem"))
+      .collect()
+    val last = sel.groupBy(_.getAs[String]("source")).map { case (src, rs) =>
+      val l = rs.maxBy(_.getAs[Long]("cum"))
+      (src, rs.map(_.getAs[Long]("n_tok")).sum, l.getAs[Long]("n_tok"),
+        l.getAs[Long]("rem_target"))
+    }
+    last.foreach { case (src, remTok, lastW, target) =>
+      assert(remTok >= target, src)
+      assert(remTok - lastW < target,
+        s"$src keeps a doc past the target: $remTok - $lastW >= $target")
+    }
+  }
+
+  test("value_frac replays the q233 data-constrained law on the REALIZED " +
+      "tokens (independent plain-Scala arithmetic)") {
+    srcRows.foreach { r =>
+      val u = r.getAs[Long]("n_tok").toDouble
+      val a = r.getAs[Long]("realized_tokens").toDouble
+      val eff =
+        if (a <= u) a
+        else u * (1.0 + 15.39 * (1.0 - math.exp(-rnd(a / u - 1.0, 4) / 15.39)))
+      val expected = rnd(rnd(eff, 2) / a, 6)
+      assert(r.getAs[Double]("value_frac") === expected,
+        r.getAs[String]("source"))
+    }
+  }
+
+  test("the total row reconciles with q193's packCard and q221's " +
+      "epochShuffle over the independently rebuilt instance list, and " +
+      "its counters are the source-row column sums") {
+    // conservation into the total row
+    def sumL(c: String) = srcRows.map(_.getAs[Long](c)).sum
+    Seq("n_docs", "n_tok", "alloc", "rem_docs", "rem_tokens",
+        "realized_docs", "realized_tokens").foreach { c =>
+      assert(totRow.getAs[Long](c) === sumL(c), c)
+    }
+    // independent rebuild: instances from the sample stage -> packGreedy
+    // -> packCard / epochShuffle digest
+    val inst = CorpusQueries.mixSampleStage(spark, dir)
+      .withColumn("n_inst",
+        col("epochs_full") + when(col("in_rem"), 1L).otherwise(0L))
+      .filter(col("n_inst") > 0)
+      .select(col("doc_id"), col("n_tok"),
+        explode(sequence(lit(0L), col("n_inst") - 1)).as("e"))
+      .select((col("doc_id") * 8 + col("e")).as("id"), col("n_tok"))
+    val packed = Packing.packGreedy(inst, "id", "n_tok", budget = 512L,
+      shards = 8).localCheckpoint(true)
+    val pc = Packing.packCard(packed, budget = 512L).collect().head
+    assert(totRow.getAs[Long]("n_bins") === pc.getAs[Long]("n_bins"))
+    assert(totRow.getAs[Double]("fill_rate") === pc.getAs[Double]("fill_rate"))
+    assert(totRow.getAs[Long]("realized_docs") ===
+      inst.count(), "one packed instance per realized doc-epoch")
+    val orderKeys = Packing.epochShuffle(packed, seed = 13L)
+      .orderBy(col("pos")).collect().map(_.getAs[String]("order_key"))
+    val mdBytes = java.security.MessageDigest.getInstance("MD5")
+      .digest(orderKeys.mkString(":").getBytes("UTF-8"))
+    val md = mdBytes.map(b => f"$b%02x").mkString
+    assert(totRow.getAs[String]("order_md5") === md)
+  }
+}

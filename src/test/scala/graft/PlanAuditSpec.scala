@@ -1232,6 +1232,16 @@ class PlanAuditSpec extends SparkSpec {
         s.contains("% 97) = 0)")), live)
   }
 
+  test("q236: the mix manifest is a pure stage/checkpoint-rider — ZERO " +
+    "live parquet scans (the corpus is read only by the persisted " +
+    "doc_source_tokens/mix_sample stages), no cartesian beyond the " +
+    "broadcast one-row card/digest attachments") {
+    SparkEntry.queries("q236_mix_manifest")(spark, dir).count()
+    assert(liveScans("q236_mix_manifest").isEmpty)
+    val p = plan("q236_mix_manifest")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q234: the macro/micro card rides BOTH persisted score stages — " +
     "the only live reads are the two (doc_id, source) projections " +
     "(one per union branch), never the corpus text, no cartesian") {
