@@ -449,6 +449,50 @@ object ScaleQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("qid"), col("rnk"))),
 
+    // THE POSTINGS LIFECYCLE — the retrieval family's registry night,
+    // completing the lifecycle quadrilateral's fifth member (digest
+    // q167 / fingerprint q159 / gram q175 / exemplar q195 / postings
+    // HERE): the term_tf postings stage under a doc-granular provenance
+    // log (batch = doc_id % 10, q167's append-sequence convention),
+    // compacted by the GENERIC Dedup.compactRegistry night — source
+    // 'src18' tombstoned, batches 0-1 TTL-expired — with the posting
+    // rows FOLLOWING their doc by one semi-join (tf rows are per-doc,
+    // so doc-level compaction IS postings compaction, row-identically).
+    // Graded as the q214 pattern at postings granularity: Spark serves
+    // BM25 from the COMPACTED REGISTRY while the oracle REBUILDS the
+    // index from the survivor corpus from scratch — the hash match IS
+    // the delete==rebuild identity, cross-engine. Merge nights are pure
+    // unions of per-doc rows (no operator needed); the streaming form
+    // is StreamingPostingsSpec's batchId-guarded night.
+    // Scale: registry + tombstones ride the persisted doc_source_tokens
+    // stage (zero live text reads); the compaction is one broadcast
+    // anti-join + one doc-keyed aggregate; postings/dl restrictions are
+    // broadcast semi-joins of the persisted retrieval stages; the BM25
+    // plan is q219's unchanged.
+    "q237_postings_lifecycle" -> ((s, dir) => {
+      import s.implicits._
+      val prov = CorpusQueries.docSourceTokensStage(s, dir)
+        .select(col("doc_id"), col("source"),
+          (col("doc_id") % 10).as("batch"))
+      val tomb = prov.select(col("source"))
+        .filter(col("source") === "src18").distinct()
+      val live = Dedup.compactRegistry(prov, "doc_id", "source", "batch",
+          tomb, minBatch = 2L)
+        .select(col("doc_id").as("id"))
+      val post = termTfStage(s, dir).join(broadcast(live), Seq("id"),
+        "left_semi")
+      val dl = docLenStage(s, dir).join(broadcast(live), Seq("id"),
+        "left_semi")
+      val qterms = bm25QueryFixture.flatMap { case (qid, text) =>
+        text.toLowerCase.trim.split("\\s+").toSeq.distinct
+          .map(w => (qid, w))
+      }.toDF("qid", "term")
+      TextAnalysis.bm25TopKFromTf(post, qterms, k = 10, dlOpt = Some(dl))
+        .select(col("qid"), col("rnk"), col("id").as("doc_id"),
+          col("score"))
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // The q228 dial's tuning curve (every dial ships its curve): how
     // sensitive is the fused top-10 to the RRF constant K? Both rank
     // lists are built ONCE (term_tf-staged lexical side, one broadcast
@@ -944,7 +988,13 @@ object ScaleQueries {
         |GROUP BY k.digest, f.first_batch, f.n_holders
         |ORDER BY k.digest""".stripMargin,
 
-    "q219_bm25_topk" -> bm25Sql,
+    "q219_bm25_topk" -> bm25Sql(),
+
+    // The from-scratch index rebuild over the lifecycle survivors —
+    // graded against Spark's compacted-registry serving path; the hash
+    // match IS the delete==rebuild identity at postings granularity.
+    "q237_postings_lifecycle" ->
+      bm25Sql(" WHERE doc_id % 10 >= 2 AND source <> 'src18'"),
 
     // Replays the BM25 pass (same arithmetic as bm25Sql, query set
     // derived from the eval docs, corpus %97-restricted), the cosine
@@ -1060,12 +1110,15 @@ object ScaleQueries {
        |) ORDER BY kconst""".stripMargin
   }
 
-  /** q219 oracle, generated from [[bm25QueryFixture]] so the query set
-    * lives in exactly one place. Arithmetic mirrors
+  /** q219/q237 oracle generator, built from [[bm25QueryFixture]] so the
+    * query set lives in exactly one place. Arithmetic mirrors
     * [[graft.functions.TextAnalysis.bm25TopK]] term for term (same
     * literals, same parenthesization, same round-then-scale), with
-    * k1 = 1.2, b = 0.75, k = 10. */
-  private def bm25Sql: String = {
+    * k1 = 1.2, b = 0.75, k = 10. `corpusWhere` restricts the indexed
+    * corpus — q237 passes the lifecycle survivor predicate, making the
+    * oracle a FROM-SCRATCH index rebuild graded against Spark's
+    * registry-compaction path (the delete==rebuild identity). */
+  private def bm25Sql(corpusWhere: String = ""): String = {
     val values = bm25QueryFixture.flatMap { case (qid, text) =>
       text.toLowerCase.trim.split("\\s+").toSeq.distinct
         .map(t => s"($qid, '$t')")
@@ -1074,7 +1127,7 @@ object ScaleQueries {
        |tok AS (
        |  SELECT doc_id AS id,
        |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
-       |  FROM documents),
+       |  FROM documents$corpusWhere),
        |tf AS (SELECT id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
        |dl AS (SELECT id, sum(tf) AS dl FROM tf GROUP BY 1),
        |st AS (SELECT sum(dl) AS tot, count(*) AS nd FROM dl),

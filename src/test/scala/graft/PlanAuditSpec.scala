@@ -1242,6 +1242,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q237: the postings lifecycle serves BM25 entirely from persisted " +
+    "stages — ZERO live scans once warm (registry provenance rides " +
+    "doc_source_tokens, postings/dl ride term_tf/doc_len), compaction's " +
+    "tombstone anti-join and the live-doc semi-joins are broadcast, and " +
+    "the top-k is a WindowGroupLimit") {
+    SparkEntry.queries("q237_postings_lifecycle")(spark, dir).count()
+    assert(liveScans("q237_postings_lifecycle").isEmpty)
+    val p = plan("q237_postings_lifecycle")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q234: the macro/micro card rides BOTH persisted score stages — " +
     "the only live reads are the two (doc_id, source) projections " +
     "(one per union branch), never the corpus text, no cartesian") {

@@ -199,4 +199,22 @@ class RegistryLifecycleSpec extends SparkSpec {
         s"compaction broke convergence: $survivors")
     } finally q.stop()
   }
+
+  test("q237 postings lifecycle: BM25 served from the COMPACTED postings " +
+      "registry is row-identical to a from-scratch index rebuild over " +
+      "the survivor corpus (delete == rebuild at postings granularity)") {
+    val dir = "/root/testdata/sf0.01"
+    val served = SparkEntry.queries("q237_postings_lifecycle")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val survivors = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 10 >= 2 && col("source") =!= "src18")
+    val rebuilt = graft.functions.TextAnalysis.bm25TopK(survivors,
+        "doc_id", "text",
+        queries = Seq(1L -> "hash join", 2L -> "stream batch window",
+          3L -> "slow scan filter", 4L -> "spark merge vector"), k = 10)
+      .select(col("qid"), col("rnk"), col("id").as("doc_id"), col("score"))
+      .collect().map(_.toSeq).toSet
+    assert(served === rebuilt)
+    assert(served.nonEmpty)
+  }
 }
