@@ -562,6 +562,35 @@ object CorpusQueries {
       srcRows.unionByName(tot).orderBy(col("source"))
     }),
 
+    // THE PER-DOC REJECTION LEDGER — the q196 funnel read from the
+    // document's side: the funnel answers "how many docs died at each
+    // gate"; this answers the question a data-engineering user actually
+    // files a ticket about — "why did MY doc die". One row per corpus
+    // doc: the full five-gate verdict bitmap (gopher; keep-first digest
+    // registry; near-dup pair registry; decontamination; sqrt-N
+    // balance — the registry verdicts included, so one row explains
+    // the death) and the FIRST failing gate under the funnel's own
+    // cumulative order (named with the funnel's stage labels, so the
+    // ledger groups back onto q196 rows exactly — ReleaseFunnelSpec
+    // pins the reconciliation). Pure row-projection of the persisted
+    // release-gate table: ZERO new scans, zero joins — the governance
+    // story costs nothing beyond the funnel the release already ran.
+    "q238_rejection_ledger" -> ((s, dir) => {
+      val g = releaseGatesStage(s, dir)
+      g.select(col("doc_id"), col("n_tok"),
+          col("g_gopher"), col("g_digest"), col("g_neardup"),
+          col("g_decon"), col("g_balance"),
+          when(!col("g_gopher"), "1_gopher")
+            .when(!col("g_digest"), "2_exact_dedup")
+            .when(!col("g_neardup"), "3_near_dup")
+            .when(!col("g_decon"), "4_decontaminate")
+            .when(!col("g_balance"), "5_balance")
+            .otherwise("admitted").as("first_fail"),
+          (col("g_gopher") && col("g_digest") && col("g_neardup") &&
+            col("g_decon") && col("g_balance")).as("admitted"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Collocation mining: document-level term co-occurrence with rational
     // lift — see TextAnalysis.collocations (doc-keyed join, long-doc cap,
     // integral SF-relative support floor).
@@ -1556,16 +1585,16 @@ object CorpusQueries {
       |  (SELECT order_md5 FROM om)
       |ORDER BY source""".stripMargin
 
-  /** q196 oracle — the existing per-stage oracle chains composed as one
-    * WITH block (names uniquified): q97's rule battery on the raw text,
-    * q21's keep-first digest dedup over survivors, q27's verified-pair
-    * chain gating by lower-id survivors, q82's 4-gram contamination
-    * chain, q188's Lloyd + temperature-target + md5-bucket keep chain,
-    * and q61's recursive greedy-packing replay over the final survivor
-    * set — then the funnel unioned stage by stage. */
-  private val releaseFunnelSql: String =
-    s"""WITH RECURSIVE
-      |gt AS (SELECT doc_id, text,
+  /** Shared WITH-body of the q196/q238 oracles — the release gate
+    * chains composed once (names uniquified): q97's rule battery on the
+    * raw text, q21's keep-first digest dedup over survivors, q27's
+    * verified-pair chain gating by lower-id survivors, q82's 4-gram
+    * contamination chain, q188's Lloyd + temperature-target +
+    * md5-bucket keep chain, and q61's recursive greedy-packing replay
+    * over the final survivor set (the packing CTEs go unreferenced by
+    * the q238 ledger and are simply not planned there). */
+  private val releaseGateCtes: String =
+    s"""gt AS (SELECT doc_id, text,
       |    string_split_regex(trim(lower(text)), '\\s+') AS ltoks,
       |    length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
       |      AS n_sym,
@@ -1661,7 +1690,40 @@ object CorpusQueries {
       |  FROM pack pk JOIN pdocs d ON d.shard = pk.shard
       |                           AND d.rn = pk.rn + 1),
       |pb AS (SELECT shard, bin, sum(pw) AS fill FROM pack
-      |  GROUP BY shard, bin)
+      |  GROUP BY shard, bin)""".stripMargin
+
+  /** q238 oracle — the shared gate chains projected PER DOC: each
+    * verdict is a membership test against the chain's own survivor
+    * sets, then the funnel-ordered first-failure CASE. The packing
+    * CTEs in the shared block go unreferenced and unplanned. */
+  private val rejectionLedgerSql: String =
+    s"""WITH RECURSIVE
+      |$releaseGateCtes,
+      |led AS (
+      |  SELECT a.doc_id, CAST(a.n_tok AS BIGINT) AS n_tok, a.g_gopher,
+      |    a.doc_id IN (SELECT doc_id FROM fs2) AS g_digest,
+      |    a.doc_id NOT IN (SELECT doc_id FROM ndrop) AS g_neardup,
+      |    (a.doc_id % 97 <> 0 AND
+      |     a.doc_id NOT IN (SELECT doc_id FROM dcontam)) AS g_decon,
+      |    a.doc_id IN (SELECT doc_id FROM bkeep) AS g_balance
+      |  FROM acc a)
+      |SELECT doc_id, n_tok, g_gopher, g_digest, g_neardup, g_decon,
+      |  g_balance,
+      |  CASE WHEN NOT g_gopher THEN '1_gopher'
+      |       WHEN NOT g_digest THEN '2_exact_dedup'
+      |       WHEN NOT g_neardup THEN '3_near_dup'
+      |       WHEN NOT g_decon THEN '4_decontaminate'
+      |       WHEN NOT g_balance THEN '5_balance'
+      |       ELSE 'admitted' END AS first_fail,
+      |  (g_gopher AND g_digest AND g_neardup AND g_decon AND g_balance)
+      |    AS admitted
+      |FROM led ORDER BY doc_id""".stripMargin
+
+  /** q196 oracle — the shared gate chains, then the funnel unioned
+    * stage by stage. */
+  private val releaseFunnelSql: String =
+    s"""WITH RECURSIVE
+      |$releaseGateCtes
       |SELECT '0_raw' AS stage, CAST(count(*) AS BIGINT) AS docs,
       |    CAST(sum(n_tok) AS BIGINT) AS tokens,
       |    CAST(NULL AS BIGINT) AS n_bins, CAST(NULL AS DOUBLE) AS fill_rate
@@ -2577,6 +2639,8 @@ object CorpusQueries {
         |FROM v ORDER BY source""".stripMargin,
 
     "q236_mix_manifest" -> mixManifestSql,
+
+    "q238_rejection_ledger" -> rejectionLedgerSql,
 
     "q100_collocations" ->
       """WITH toks AS (

@@ -1257,6 +1257,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q238: the rejection ledger is a pure projection of the persisted " +
+    "release-gate table — zero live scans, zero joins, zero aggregates; " +
+    "the per-doc governance answer costs nothing beyond the funnel") {
+    SparkEntry.queries("q196_release_funnel")(spark, dir).count()
+    assert(liveScans("q238_rejection_ledger").isEmpty)
+    // the LIVE plan (the cached gate table is a leaf) must be nothing
+    // but projection + the output sort — no join, no aggregate
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def nodes(p: SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case _: InMemoryTableScanExec => Seq("InMemoryTableScan")
+      case other => other.nodeName +: other.children.flatMap(nodes)
+    }
+    val ns = nodes(SparkEntry.queries("q238_rejection_ledger")(spark, dir)
+      .queryExecution.executedPlan)
+    assert(ns.contains("InMemoryTableScan"), ns)
+    assert(!ns.exists(n => n.contains("Join") || n.contains("Aggregate")),
+      ns)
+  }
+
   test("q234: the macro/micro card rides BOTH persisted score stages — " +
     "the only live reads are the two (doc_id, source) projections " +
     "(one per union branch), never the corpus text, no cartesian") {

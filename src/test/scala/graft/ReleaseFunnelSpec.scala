@@ -146,4 +146,40 @@ class ReleaseFunnelSpec extends SparkSpec {
     assert(fs.getLong(2) === nf && fs.getLong(3) === ns &&
       fs.getLong(4) === nfs)
   }
+
+  test("q238 rejection ledger reconciles with the q196 funnel row for " +
+      "row: survivors past each gate equal the funnel's stage counts " +
+      "(docs AND tokens), and admitted matches the balance stage") {
+    val ledger = SparkEntry.queries("q238_rejection_ledger")(spark, dir)
+      .collect()
+    val f = funnel
+    val stages = Seq("1_gopher", "2_exact_dedup", "3_near_dup",
+      "4_decontaminate", "5_balance")
+    assert(ledger.length.toLong === f("0_raw")._1)
+    assert(ledger.map(_.getAs[Long]("n_tok")).sum === f("0_raw")._2)
+    stages.zipWithIndex.foreach { case (stage, i) =>
+      // a doc survives THROUGH gate i iff its first failure is a later
+      // gate (or it is admitted)
+      val laterOrAdmitted = stages.drop(i + 1).toSet + "admitted"
+      val surv = ledger.filter(r =>
+        laterOrAdmitted(r.getAs[String]("first_fail")))
+      assert(surv.length.toLong === f(stage)._1, stage)
+      assert(surv.map(_.getAs[Long]("n_tok")).sum === f(stage)._2, stage)
+    }
+    val admitted = ledger.filter(_.getAs[Boolean]("admitted"))
+    assert(admitted.length.toLong === f("5_balance")._1)
+    assert(admitted.forall(_.getAs[String]("first_fail") == "admitted"))
+    // the bitmap and the first-failure label agree on every row
+    ledger.foreach { r =>
+      val bits = Seq(r.getAs[Boolean]("g_gopher"),
+        r.getAs[Boolean]("g_digest"), r.getAs[Boolean]("g_neardup"),
+        r.getAs[Boolean]("g_decon"), r.getAs[Boolean]("g_balance"))
+      val expected = bits.indexWhere(!_) match {
+        case -1 => "admitted"
+        case i => stages(i)
+      }
+      assert(r.getAs[String]("first_fail") === expected,
+        s"doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
 }
