@@ -26,6 +26,53 @@ object AnalyticsQueries {
   /** epoch-micros event time, shared by q41/q42. */
   private def evMicros(c: String = "ts") = expr(s"$c DIV 1000")
 
+  /** Persisted q220 VERIFIED perceptual near-dup pairs (d1, d2, hamming
+    * ≤ 3) over the deterministic planted-twin payload fixture: aHash
+    * through the typed codec path, Hamming-banded candidate blocking
+    * (simhashCandidateEdges reused — equi-join, never all-pairs),
+    * hamming-verified at τ=3; corrupt payloads (id%97==0) fail decode
+    * and exit as invalid. Shared by q220 (the pair list) and q239 (the
+    * cross-modal complementarity card's perceptual side). Only the
+    * 64-bit hash ever shuffles — the payload dies in the codec pass. */
+  private[queries] def phashPairsStage(s: SparkSession, dir: String)
+      : DataFrame =
+    PipelineQueries.stage(s, dir, "phash_pairs") {
+      import s.implicits._
+      val ids = t(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+      val assets = ids.map { id =>
+        if (id % 97 == 0)
+          Multimodal.Asset(id, "image", Array[Byte](1, 2, 3))
+        else {
+          // twins re-render the SEED doc's image: dims and pixels are
+          // functions of seed alone, so the pair is row-local (no join
+          // to build the fixture) and the oracle replays it closed-form
+          val seed = if (id % 10 == 1) id - 1 else id
+          val w = (seed % 29 + 4).toInt
+          val h = (seed / 29 % 17 + 4).toInt
+          Multimodal.Asset(id, "image",
+            Multimodal.encodeFakeWith(w, h, 1) { i =>
+              val base = ((seed * 31 + i) % 256).toInt
+              if (id % 10 == 1 && i % 50 == 0) (base + 128) % 256
+              else base
+            })
+        }
+      }
+      val hashes = Multimodal.averageHash(assets).toDF()
+        .filter(col("valid"))
+        .select(col("asset_id"), col("phash"))
+      val cand = NearDup.simhashCandidateEdges(hashes, "asset_id", "phash")
+      cand
+        .join(hashes.select(col("asset_id").as("d1"),
+          col("phash").as("p1")), Seq("d1"))
+        .join(hashes.select(col("asset_id").as("d2"),
+          col("phash").as("p2")), Seq("d2"))
+        .select(col("d1"), col("d2"),
+          NearDup.hamming64(col("p1"), col("p2")).cast("long")
+            .as("hamming"))
+        .filter(col("hamming") <= 3)
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // As-of join: each click gets the latest error of the same user at or
@@ -428,43 +475,10 @@ object AnalyticsQueries {
     // candidates are an equi-join, never all-pairs), hamming-verified
     // at τ=3. Corrupt payloads (id%97==0) fail decode and exit the
     // pipeline as invalid instead of as spurious zero-hashes.
-    "q220_phash_neardup" -> ((s, dir) => {
-      import s.implicits._
-      val ids = t(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-      val assets = ids.map { id =>
-        if (id % 97 == 0)
-          Multimodal.Asset(id, "image", Array[Byte](1, 2, 3))
-        else {
-          // twins re-render the SEED doc's image: dims and pixels are
-          // functions of seed alone, so the pair is row-local (no join
-          // to build the fixture) and the oracle replays it closed-form
-          val seed = if (id % 10 == 1) id - 1 else id
-          val w = (seed % 29 + 4).toInt
-          val h = (seed / 29 % 17 + 4).toInt
-          Multimodal.Asset(id, "image",
-            Multimodal.encodeFakeWith(w, h, 1) { i =>
-              val base = ((seed * 31 + i) % 256).toInt
-              if (id % 10 == 1 && i % 50 == 0) (base + 128) % 256
-              else base
-            })
-        }
-      }
-      val hashes = Multimodal.averageHash(assets).toDF()
-        .filter(col("valid"))
-        .select(col("asset_id"), col("phash"))
-      val cand = NearDup.simhashCandidateEdges(hashes, "asset_id", "phash")
-      cand
-        .join(hashes.select(col("asset_id").as("d1"),
-          col("phash").as("p1")), Seq("d1"))
-        .join(hashes.select(col("asset_id").as("d2"),
-          col("phash").as("p2")), Seq("d2"))
-        .select(col("d1"), col("d2"),
-          NearDup.hamming64(col("p1"), col("p2")).cast("long")
-            .as("hamming"))
-        .filter(col("hamming") <= 3)
-        .orderBy(col("d1"), col("d2"))
-    }),
+    // Persisted as the phash_pairs stage since round 14 (the q239
+    // cross-modal card reads the same verified pairs).
+    "q220_phash_neardup" -> ((s, dir) =>
+      phashPairsStage(s, dir).orderBy(col("d1"), col("d2"))),
 
     // Exact interpolated percentiles per group — Spark `percentile` and
     // DuckDB `quantile_cont` both sort and linearly interpolate; verified
@@ -796,7 +810,18 @@ object AnalyticsQueries {
     // two's-complement constant because DuckDB's BIGINT << 63 overflows
     // where Java's wraps; the HUGEINT sum then casts back exactly.
     "q220_phash_neardup" ->
-      """WITH cfg AS (
+      s"""WITH $phashCtes
+         |SELECT d1, d2, hamming FROM (
+         |  SELECT * FROM star
+         |  UNION ALL
+         |  SELECT * FROM crossh WHERE hamming <= 3)
+         |ORDER BY d1, d2""".stripMargin
+  )
+
+  /** Shared WITH-body of the q220/q239 oracles: the planted-twin pixel
+    * fixture replay, aHash, and the star + verified-cross pair chain. */
+  private[queries] def phashCtes: String =
+      """cfg AS (
         |  SELECT doc_id AS id,
         |    CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END
         |      AS seed,
@@ -840,11 +865,5 @@ object AnalyticsQueries {
         |  SELECT d1, d2,
         |    CAST(bit_count(xor(p1.phash, p2.phash)) AS BIGINT) AS hamming
         |  FROM crossp
-        |  JOIN ph p1 ON p1.id = d1 JOIN ph p2 ON p2.id = d2)
-        |SELECT d1, d2, hamming FROM (
-        |  SELECT * FROM star
-        |  UNION ALL
-        |  SELECT * FROM crossh WHERE hamming <= 3)
-        |ORDER BY d1, d2""".stripMargin
-  )
+        |  JOIN ph p1 ON p1.id = d1 JOIN ph p2 ON p2.id = d2)""".stripMargin
 }

@@ -230,6 +230,14 @@ object CorpusQueries {
           coalesce(col("__kb"), lit(false)).as("g_balance"))
     }
 
+  /** Persisted q94 label-centroid assignment — shared by q94's SemDeDup
+    * prune (which reads it three times) and the q239 cross-modal
+    * complementarity card's semantic side. */
+  private[queries] def semdedupAssignStage(s: SparkSession, dir: String)
+      : DataFrame =
+    PipelineQueries.stage(s, dir, "semdedup_assign")(
+      Similarity.assignToCentroids(t(s, dir, "embeddings")))
+
   /** Persisted CDC chunk table (id, chunk_idx, start, chunk_len,
     * chunk_md5) — shared by q113 (the chunk list) and q165 (dedup
     * accounting); the per-position boundary hash is the dominant cost. */
@@ -365,9 +373,7 @@ object CorpusQueries {
     // the graded result exercises the hot-cluster guard — the oracle
     // mirrors the same id-prefix reference-set rule.
     "q94_semdedup" -> ((s, dir) =>
-      Similarity.semDedupFromAssigned(
-        PipelineQueries.stage(s, dir, "semdedup_assign")(
-          Similarity.assignToCentroids(t(s, dir, "embeddings"))),
+      Similarity.semDedupFromAssigned(semdedupAssignStage(s, dir),
         tau = 0.3, maxPerCluster = 32L)
         .orderBy(col("vec_id"))),
 
@@ -589,6 +595,59 @@ object CorpusQueries {
           (col("g_gopher") && col("g_digest") && col("g_neardup") &&
             col("g_decon") && col("g_balance")).as("admitted"))
         .orderBy(col("doc_id"))
+    }),
+
+    // CROSS-MODAL complementarity — the FIFTH card of the series (q207
+    // dedup families, q217 quality, q222 selection, q227
+    // decontamination), on the modality axis: both q220's perceptual
+    // payload near-dup (aHash + Hamming banding over the BYTES) and the
+    // q94 embedding SemDeDup (cosine in representation space) dedup the
+    // SAME assets — does a multimodal funnel need both gates? Perceptual
+    // drop = losing side (d2) of a verified phash pair; semantic drop =
+    // q94's is_dup verdict; universe = assets valid in BOTH pipelines
+    // (decodable payload, id % 97 != 0 — the corrupt fixture slice —
+    // and an embedding row). Jaccard AND both containments measured,
+    // and the verdict at sf0.01 is the card's point: jaccard 0.312 but
+    // ASYMMETRIC containment — 0.815 of semantic dups are also
+    // perceptual vs 0.336 the other way (the 4–32-px fixture images
+    // make the 64-bit aHash coarse, so the perceptual gate over-flags;
+    // the semantic gate stays selective), so on THIS corpus the
+    // perceptual pass nearly subsumes the semantic one while the
+    // reverse funnel order would leak — exactly the ordering question
+    // the card exists to answer per corpus.
+    // Both sides ride persisted stages (phash_pairs, semdedup_assign);
+    // the card is one broadcast-joined aggregate.
+    "q239_modal_agreement" -> ((s, dir) => {
+      val perc = AnalyticsQueries.phashPairsStage(s, dir)
+        .select(col("d2").as("doc_id")).distinct()
+        .withColumn("fc", lit(true))
+      val sem = Similarity.semDedupFromAssigned(
+          semdedupAssignStage(s, dir), tau = 0.3, maxPerCluster = 32L)
+        .filter(col("is_dup"))
+        .select(col("vec_id").as("doc_id"), lit(true).as("fs"))
+      t(s, dir, "embeddings").select(col("vec_id").as("doc_id"))
+        .filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(perc), Seq("doc_id"), "left")
+        .join(sem, Seq("doc_id"), "left")
+        .agg(
+          sum(when(col("fc"), 1L).otherwise(0L)).as("n_perc"),
+          sum(when(col("fs"), 1L).otherwise(0L)).as("n_sem"),
+          sum(when(col("fc") && col("fs"), 1L).otherwise(0L)).as("n_both"),
+          count(lit(1)).as("n_assets"))
+        .select(col("n_perc"), col("n_sem"), col("n_both"),
+          col("n_assets"),
+          (col("n_perc") + col("n_sem") - col("n_both")).as("n_union"),
+          when(col("n_perc") + col("n_sem") - col("n_both") === 0,
+            lit(0.0))
+            .otherwise(round(col("n_both").cast("double") /
+              (col("n_perc") + col("n_sem") - col("n_both"))
+                .cast("double"), 6)).as("jaccard"),
+          when(col("n_perc") === 0, lit(0.0))
+            .otherwise(round(col("n_both").cast("double") /
+              col("n_perc").cast("double"), 6)).as("contain_perc"),
+          when(col("n_sem") === 0, lit(0.0))
+            .otherwise(round(col("n_both").cast("double") /
+              col("n_sem").cast("double"), 6)).as("contain_sem"))
     }),
 
     // Collocation mining: document-level term co-occurrence with rational
@@ -1692,6 +1751,36 @@ object CorpusQueries {
       |pb AS (SELECT shard, bin, sum(pw) AS fill FROM pack
       |  GROUP BY shard, bin)""".stripMargin
 
+  /** Shared WITH-body of the q94/q239 oracles: label-mean centroids,
+    * the cosine argmax assignment, the rank-capped reference set and
+    * the τ ≥ 0.3 duplicate set. */
+  private def semdedupCtes: String =
+    """e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+      |           FROM embeddings),
+      |comp AS (SELECT label, r.i AS ord, avg(v[(r.i + 1)::INTEGER]) AS m
+      |         FROM e, range(0, 64) AS r(i) GROUP BY label, r.i),
+      |cent AS (SELECT label AS clab, list(round(m, 6) ORDER BY ord) AS c
+      |         FROM comp GROUP BY label),
+      |assign AS (
+      |  SELECT vec_id, v, cluster FROM (
+      |    SELECT e.vec_id, e.v, cent.clab::BIGINT AS cluster,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        round(list_dot_product(e.v, cent.c) /
+      |          (sqrt(list_dot_product(e.v, e.v)) *
+      |           sqrt(list_dot_product(cent.c, cent.c))), 6) DESC,
+      |        cent.clab) AS rnk
+      |    FROM e CROSS JOIN cent) WHERE rnk = 1),
+      |refs AS (
+      |  SELECT vec_id, v, cluster,
+      |    row_number() OVER (PARTITION BY cluster ORDER BY vec_id) AS rr
+      |  FROM assign),
+      |dups AS (
+      |  SELECT DISTINCT a.vec_id FROM assign a JOIN refs b
+      |    ON a.cluster = b.cluster AND b.vec_id < a.vec_id AND b.rr <= 32
+      |  WHERE round(list_dot_product(a.v, b.v) /
+      |          (sqrt(list_dot_product(a.v, a.v)) *
+      |           sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3)""".stripMargin
+
   /** q238 oracle — the shared gate chains projected PER DOC: each
     * verdict is a membership test against the chain's own survivor
     * sets, then the funnel-ordered first-failure CASE. The packing
@@ -2416,34 +2505,46 @@ object CorpusQueries {
         |FROM r WHERE cap_rank <= 10 ORDER BY source, cap_rank""".stripMargin,
 
     "q94_semdedup" ->
-      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
-        |           FROM embeddings),
-        |comp AS (SELECT label, r.i AS ord, avg(v[(r.i + 1)::INTEGER]) AS m
-        |         FROM e, range(0, 64) AS r(i) GROUP BY label, r.i),
-        |cent AS (SELECT label AS clab, list(round(m, 6) ORDER BY ord) AS c
-        |         FROM comp GROUP BY label),
-        |assign AS (
-        |  SELECT vec_id, v, cluster FROM (
-        |    SELECT e.vec_id, e.v, cent.clab::BIGINT AS cluster,
-        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |        round(list_dot_product(e.v, cent.c) /
-        |          (sqrt(list_dot_product(e.v, e.v)) *
-        |           sqrt(list_dot_product(cent.c, cent.c))), 6) DESC,
-        |        cent.clab) AS rnk
-        |    FROM e CROSS JOIN cent) WHERE rnk = 1),
-        |refs AS (
-        |  SELECT vec_id, v, cluster,
-        |    row_number() OVER (PARTITION BY cluster ORDER BY vec_id) AS rr
-        |  FROM assign),
-        |dups AS (
-        |  SELECT DISTINCT a.vec_id FROM assign a JOIN refs b
-        |    ON a.cluster = b.cluster AND b.vec_id < a.vec_id AND b.rr <= 32
-        |  WHERE round(list_dot_product(a.v, b.v) /
-        |          (sqrt(list_dot_product(a.v, a.v)) *
-        |           sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3)
-        |SELECT a.vec_id, a.cluster, (d.vec_id IS NOT NULL) AS is_dup
-        |FROM assign a LEFT JOIN dups d USING (vec_id)
-        |ORDER BY vec_id""".stripMargin,
+      s"""WITH $semdedupCtes
+         |SELECT a.vec_id, a.cluster, (d.vec_id IS NOT NULL) AS is_dup
+         |FROM assign a LEFT JOIN dups d USING (vec_id)
+         |ORDER BY vec_id""".stripMargin,
+
+    // The fifth complementarity card: the q220 phash chain and the q94
+    // SemDeDup chain composed (CTE vocabularies are disjoint), each
+    // reduced to its drop set, then the q207-style set algebra over the
+    // common asset universe with both containments.
+    "q239_modal_agreement" ->
+      s"""WITH ${AnalyticsQueries.phashCtes},
+         |$semdedupCtes,
+         |u AS (SELECT vec_id AS doc_id FROM embeddings
+         |      WHERE vec_id % 97 <> 0),
+         |pd AS (SELECT DISTINCT d2 AS doc_id FROM (
+         |         SELECT d2 FROM star
+         |         UNION ALL SELECT d2 FROM crossh WHERE hamming <= 3)),
+         |sd AS (SELECT vec_id AS doc_id FROM dups),
+         |c AS (
+         |  SELECT
+         |    (SELECT count(*) FROM u JOIN pd USING (doc_id)) AS n_perc,
+         |    (SELECT count(*) FROM u JOIN sd USING (doc_id)) AS n_sem,
+         |    (SELECT count(*) FROM u JOIN pd USING (doc_id)
+         |       JOIN sd USING (doc_id)) AS n_both,
+         |    (SELECT count(*) FROM u) AS n_assets)
+         |SELECT CAST(n_perc AS BIGINT) AS n_perc,
+         |  CAST(n_sem AS BIGINT) AS n_sem,
+         |  CAST(n_both AS BIGINT) AS n_both,
+         |  CAST(n_assets AS BIGINT) AS n_assets,
+         |  CAST(n_perc + n_sem - n_both AS BIGINT) AS n_union,
+         |  CASE WHEN n_perc + n_sem - n_both = 0 THEN 0.0
+         |       ELSE round(n_both::DOUBLE /
+         |         (n_perc + n_sem - n_both)::DOUBLE, 6) END AS jaccard,
+         |  CASE WHEN n_perc = 0 THEN 0.0
+         |       ELSE round(n_both::DOUBLE / n_perc::DOUBLE, 6) END
+         |    AS contain_perc,
+         |  CASE WHEN n_sem = 0 THEN 0.0
+         |       ELSE round(n_both::DOUBLE / n_sem::DOUBLE, 6) END
+         |    AS contain_sem
+         |FROM c""".stripMargin,
 
     "q95_url_canon" ->
       """WITH u AS (

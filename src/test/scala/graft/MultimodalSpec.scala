@@ -102,4 +102,36 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(edges.contains((1L, 2L)))
   }
+
+  test("q239 cross-modal card: set algebra reconciles against the " +
+      "standalone gates — drop sets recomputed from q220's pairs and " +
+      "q94's verdicts over the common asset universe") {
+    val dir = "/root/testdata/sf0.01"
+    val card = SparkEntry.queries("q239_modal_agreement")(spark, dir)
+      .collect().head
+    val universe = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id")).collect().map(_.getLong(0))
+      .filter(_ % 97 != 0).toSet
+    val perc = SparkEntry.queries("q220_phash_neardup")(spark, dir)
+      .select(col("d2")).collect().map(_.getLong(0)).toSet
+      .intersect(universe)
+    val sem = SparkEntry.queries("q94_semdedup")(spark, dir)
+      .filter(col("is_dup")).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet.intersect(universe)
+    val both = perc.intersect(sem)
+    assert(card.getAs[Long]("n_assets") === universe.size.toLong)
+    assert(card.getAs[Long]("n_perc") === perc.size.toLong)
+    assert(card.getAs[Long]("n_sem") === sem.size.toLong)
+    assert(card.getAs[Long]("n_both") === both.size.toLong)
+    assert(card.getAs[Long]("n_union") ===
+      perc.union(sem).size.toLong)
+    def rnd6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(card.getAs[Double]("jaccard") ===
+      rnd6(both.size.toDouble / perc.union(sem).size))
+    assert(card.getAs[Double]("contain_perc") ===
+      rnd6(both.size.toDouble / perc.size))
+    assert(card.getAs[Double]("contain_sem") ===
+      rnd6(both.size.toDouble / sem.size))
+  }
 }

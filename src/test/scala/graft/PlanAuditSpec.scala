@@ -1279,6 +1279,20 @@ class PlanAuditSpec extends SparkSpec {
       ns)
   }
 
+  test("q239: the cross-modal card rides the persisted phash_pairs and " +
+    "semdedup_assign stages — the only live read is the embeddings " +
+    "universe projection (no payload, no text), the perceptual drop set " +
+    "is broadcast, no cartesian") {
+    SparkEntry.queries("q220_phash_neardup")(spark, dir).count()
+    SparkEntry.queries("q94_semdedup")(spark, dir).count()
+    val live = liveScans("q239_modal_agreement")
+    assert(live.forall(s => s.contains("embeddings") &&
+      !s.contains("embedding:")), live)
+    val p = plan("q239_modal_agreement")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q234: the macro/micro card rides BOTH persisted score stages — " +
     "the only live reads are the two (doc_id, source) projections " +
     "(one per union branch), never the corpus text, no cartesian") {
