@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{Quality, TextAnalysis, Validation}
-import graft.operators.{Dedup, NearDup, Sampling, Similarity}
+import graft.operators.{Dedup, NearDup, Sampling, Similarity, Takedown}
 
 /** Wave 2 — the validation family wired to graded queries (VERDICT.md round-1
   * items 3) and the LLM-data-pipeline surface (items 4–5): exact/near dedup,
@@ -1346,6 +1346,37 @@ object PipelineQueries {
     "q218_nb_classifier" -> ((s, dir) =>
       nbScoresStage(s, dir).orderBy(col("doc_id"))),
 
+    // TAKEDOWN NIGHT for the SCORE STORES — the q199 receipt extended
+    // to the LM/selection families: the four persisted per-doc score
+    // tables (uni_scores, kn_scores, nb_scores, dsir_scores) are stored
+    // artifacts a takedown must purge exactly like the index stores,
+    // and this is the receipt that night files (rows before / dropped /
+    // after per store, same tombstone predicate as q199's id%23==9
+    // nights). Score rows are per-doc, so the purge is one anti-join
+    // per store and delete == re-scoring the survivors under the SAME
+    // FROZEN model — TakedownSpec pins it where the operator exposes
+    // the artifact (uni/kn take the history model as an argument; NB
+    // via tombstones that leave the train slice intact); DSIR's models
+    // are derived from the whole input, so its takedown is store-purge
+    // only and re-deriving would RETRAIN — the exemplar-registry caveat
+    // at the model layer, which is exactly why the stores are purged
+    // rather than rebuilt.
+    // Tombstones ride the persisted doc_source_tokens stage; each
+    // receipt is one aggregate pair over a cached score stage.
+    "q240_score_takedown" -> ((s, dir) => {
+      val tombs = CorpusQueries.docSourceTokensStage(s, dir)
+        .filter(col("doc_id") % 23 === 9).select(col("doc_id"))
+      Takedown.purgeReceipt(dsirScoresStage(s, dir), tombs, "doc_id",
+          "dsir_scores")
+        .unionByName(Takedown.purgeReceipt(knScoresStage(s, dir), tombs,
+          "doc_id", "kn_scores"))
+        .unionByName(Takedown.purgeReceipt(nbScoresStage(s, dir), tombs,
+          "doc_id", "nb_scores"))
+        .unionByName(Takedown.purgeReceipt(uniScoresStage(s, dir), tombs,
+          "doc_id", "uni_scores"))
+        .orderBy(col("store"))
+    }),
+
     // LLM selection 4 — the classifier EVAL card (the fastText paper's
     // own measurement, completing the q218 story): precision / recall /
     // F1 of each q218 verdict flag against the true class label, on the
@@ -2212,6 +2243,33 @@ object PipelineQueries {
         |             ln((st.tot + st.v + 1)::DOUBLE)), 4) AS xent
         |FROM btok b LEFT JOIN hcnt h USING (term) CROSS JOIN st
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Closed-form counting: each score store holds exactly one row per
+    // doc of its population (uni/kn score the batch era, nb/dsir the
+    // whole corpus), so the receipt is pure membership arithmetic.
+    "q240_score_takedown" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |t AS (SELECT doc_id FROM d WHERE doc_id % 23 = 9),
+        |c AS (
+        |  SELECT 'dsir_scores' AS store,
+        |    (SELECT count(*) FROM d) AS rows_before,
+        |    (SELECT count(*) FROM t) AS rows_dropped
+        |  UNION ALL
+        |  SELECT 'kn_scores',
+        |    (SELECT count(*) FROM d WHERE doc_id >= 250),
+        |    (SELECT count(*) FROM t WHERE doc_id >= 250)
+        |  UNION ALL
+        |  SELECT 'nb_scores',
+        |    (SELECT count(*) FROM d),
+        |    (SELECT count(*) FROM t)
+        |  UNION ALL
+        |  SELECT 'uni_scores',
+        |    (SELECT count(*) FROM d WHERE doc_id >= 250),
+        |    (SELECT count(*) FROM t WHERE doc_id >= 250))
+        |SELECT store, CAST(rows_before AS BIGINT) AS rows_before,
+        |  CAST(rows_dropped AS BIGINT) AS rows_dropped,
+        |  CAST(rows_before - rows_dropped AS BIGINT) AS rows_after
+        |FROM c ORDER BY store""".stripMargin,
 
     "q214_unigram_compact" ->
       """WITH hcnt AS (

@@ -1293,6 +1293,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q240: the score-store takedown receipt rides the four persisted " +
+    "score stages and the doc_source_tokens tombstone source — zero " +
+    "live scans once warm, every purge a broadcast anti-join") {
+    SparkEntry.queries("q215_dsir_weights")(spark, dir).count()
+    SparkEntry.queries("q224_kneser_ney")(spark, dir).count()
+    SparkEntry.queries("q218_nb_classifier")(spark, dir).count()
+    SparkEntry.queries("q213_xent_frozen")(spark, dir).count()
+    SparkEntry.queries("q236_mix_manifest")(spark, dir).count()
+    assert(liveScans("q240_score_takedown").isEmpty)
+    val p = plan("q240_score_takedown")
+    assert(!p.contains("CartesianProduct") ||
+      p.contains("BroadcastNestedLoopJoin"), p) // 1-row receipt attach
+    assert(p.contains("LeftAnti"), p)
+  }
+
   test("q234: the macro/micro card rides BOTH persisted score stages — " +
     "the only live reads are the two (doc_id, source) projections " +
     "(one per union branch), never the corpus text, no cartesian") {

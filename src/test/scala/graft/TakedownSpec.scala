@@ -194,4 +194,79 @@ class TakedownSpec extends SparkSpec {
       assert(again.count() === r.getLong(3))
     } finally { store.unpersist(); () }
   }
+
+  test("delete == re-score under the FROZEN model for the LM score " +
+      "stores: purging uni/kn score rows is row-identical to scoring " +
+      "only the survivor batch against the unchanged history model") {
+    import graft.functions.TextAnalysis
+    val docs = Tables.load(spark, dir, "documents")
+    val hist = docs.filter(col("doc_id") < 250)
+    val batch = docs.filter(col("doc_id") >= 250)
+    val tombs = docs.filter(col("doc_id") % 23 === 9).select(col("doc_id"))
+    val tombSet = tombs.collect().map(_.getLong(0)).toSet
+    val survBatch = batch.filter(!col("doc_id").isin(tombSet.toSeq: _*))
+    // uni: frozen hist unigram counts
+    val histCounts = TextAnalysis.unigramCounts(hist, "doc_id", "text")
+      .localCheckpoint(true)
+    val uniStore = TextAnalysis.unigramXentFrozen(histCounts, batch,
+      "doc_id", "text").withColumnRenamed("id", "doc_id")
+    val uniPurged = Takedown.purge(uniStore, tombs, "doc_id")
+      .collect().map(_.toSeq).toSet
+    val uniRescored = TextAnalysis.unigramXentFrozen(histCounts, survBatch,
+        "doc_id", "text").withColumnRenamed("id", "doc_id")
+      .collect().map(_.toSeq).toSet
+    assert(uniPurged === uniRescored && uniPurged.nonEmpty)
+    // kn: frozen history-era KN tables (train side untouched by the
+    // takedown — rebuilding THEM would retrain, the model-layer caveat)
+    val knStore = TextAnalysis.knBigramXent(hist, batch, "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+    val knPurged = Takedown.purge(knStore, tombs, "doc_id")
+      .collect().map(_.toSeq).toSet
+    val knRescored = TextAnalysis.knBigramXent(hist, survBatch,
+        "doc_id", "text").withColumnRenamed("id", "doc_id")
+      .collect().map(_.toSeq).toSet
+    assert(knPurged === knRescored && knPurged.nonEmpty)
+  }
+
+  test("delete == re-score for the classifier score stores when the " +
+      "tombstones avoid the training slice (the model is then untouched " +
+      "by construction); the q240 receipt arithmetic holds per store") {
+    import graft.functions.TextAnalysis
+    val docs = Tables.load(spark, dir, "documents")
+    // held-out-only tombstones: the NB train slice (doc_id < 250) and
+    // the DSIR target/raw models see the identical corpus after the
+    // survivor re-run ONLY if no train row dies — restrict to >= 250
+    val tombs = docs.filter(col("doc_id") % 23 === 9 &&
+      col("doc_id") >= 250).select(col("doc_id"))
+    val tombSet = tombs.collect().map(_.getLong(0)).toSet
+    assert(tombSet.nonEmpty)
+    val nbStore = TextAnalysis.nbQualityScore(docs, "doc_id", "text",
+        isTrain = col("doc_id") < 250, isTarget = col("lang") === "en",
+        buckets = 4096)
+      .withColumnRenamed("id", "doc_id")
+    val nbPurged = Takedown.purge(nbStore, tombs, "doc_id")
+      .collect().map(_.toSeq).toSet
+    // NB scoring is row-local given the trained table; dropping
+    // held-out rows from the INPUT changes nothing about the model, so
+    // the survivor re-run reproduces the purge row-identically
+    val nbRescored = TextAnalysis.nbQualityScore(
+        docs.filter(!col("doc_id").isin(tombSet.toSeq: _*)), "doc_id",
+        "text", isTrain = col("doc_id") < 250,
+        isTarget = col("lang") === "en", buckets = 4096)
+      .withColumnRenamed("id", "doc_id")
+      .filter(col("doc_id") >= 250)
+      .collect().map(_.toSeq).toSet
+    val nbPurgedHeldOut = nbPurged.filter(r =>
+      r.head.asInstanceOf[Long] >= 250L)
+    assert(nbPurgedHeldOut === nbRescored && nbRescored.nonEmpty)
+    // receipt arithmetic on the graded q240 card
+    val card = SparkEntry.queries("q240_score_takedown")(
+      spark, "/root/testdata/sf0.01").collect()
+    assert(card.length === 4)
+    card.foreach { r =>
+      assert(r.getAs[Long]("rows_before") - r.getAs[Long]("rows_dropped")
+        === r.getAs[Long]("rows_after"), r.getAs[String]("store"))
+      assert(r.getAs[Long]("rows_dropped") > 0L, r.getAs[String]("store"))
+    }
+  }
 }
