@@ -252,8 +252,8 @@ object Bench {
     // Line 3 (the driver's parsed "last line"): top-10 slowest by median
     // (was top-20 — trimmed to keep lines 2+3 inside the driver's
     // 2000-char tail once line 2 carries the rotating stage band; at the
-    // 235-query round-13 surface the two lines measured 1731 chars,
-    // leaving ~270 headroom — re-measure after any surface growth),
+    // 240-query round-14 surface the two lines measured 1801 chars,
+    // leaving ~200 headroom — re-measure after any surface growth),
     // each as [min, median] so the contention-immune number rides along,
     // the top-5 most expensive STAGES (as [min, median, consumers] — the
     // stage-graph audit's headline), plus every summary scalar.

@@ -37,7 +37,14 @@ object ScaleProbe {
     // retrieval passes + list-sized fusion) and the eval-side severity
     // card (one corpus shingle scan vs a broadcast bench); q229/q230
     // are stage-riding aggregates over already-probed scores
-    "q228_hybrid_rrf", "q231_eval_contamination")
+    "q228_hybrid_rrf", "q231_eval_contamination",
+    // round-14 successors: the mix manifest (source-partitioned cumsum
+    // + instance packing + epoch-shuffle digest), the postings
+    // lifecycle (compaction + BM25 over the restricted postings), and
+    // the cross-modal card (phash pairs + SemDeDup prune joined);
+    // q238/q240 are pure stage-riding projections/receipts and need no
+    // exponent of their own
+    "q236_mix_manifest", "q237_postings_lifecycle", "q239_modal_agreement")
   private val Passes = 2
 
   def main(args: Array[String]): Unit = {
