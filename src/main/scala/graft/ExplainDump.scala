@@ -72,7 +72,8 @@ object ExplainDump {
       "q234_macro_micro_xent", "q235_rrf_k_curve",
       "q236_mix_manifest", "q237_postings_lifecycle",
       "q238_rejection_ledger", "q239_modal_agreement",
-      "q240_score_takedown")
+      "q240_score_takedown", "q241_incremental_repack",
+      "q242_postings_ops")
     val sb = new StringBuilder
     sb.append("# EXPLAIN — headline query plans (formatted, sf0.001, regenerate with `sbt \"runMain graft.ExplainDump\"`)\n")
     sb.append("\nWhat to look for: `PushedFilters`/`ReadSchema` on every scan, broadcast\njoins where one side is small, partial aggregation before each hash\nexchange, `WindowGroupLimit` ahead of top-k windows, and no\n`CartesianProduct` anywhere.\n")

@@ -167,6 +167,56 @@ object Packing {
             col("n_bins"), 6)).as("dirty_frac"))
   }
 
+  /** INCREMENTAL RE-PACK — the night that follows
+    * [[takedownBlastRadius]]'s verdict when the radius is small: bins
+    * containing a condemned doc are DIRTY (a fixed-length training
+    * sequence with a hole is not servable); every clean bin ships
+    * UNTOUCHED (byte-identical (shard, bin) assignment — the artifact a
+    * trainer already downloaded stays valid), the condemned docs are
+    * dropped, and the dirty bins' INNOCENT docs are re-packed by the
+    * same per-shard greedy into FRESH bin ids (continuing after each
+    * shard's current max bin, so repaired ids never collide with kept
+    * ones). Deterministic: the re-pack orders by the same (shard, id)
+    * key as [[packGreedy]], so any engine, any partitioning and any
+    * re-run produce the identical repaired manifest.
+    *
+    * Delete == rebuild deliberately does NOT hold for packing (a
+    * from-scratch re-pack would reshuffle EVERY bin and invalidate the
+    * whole shipped artifact) — that asymmetry is exactly why this night
+    * exists and why [[takedownBlastRadius]] prices the choice.
+    *
+    * Scale shape: the dirty-bin set and the per-shard bin offsets are
+    * broadcast (bin-count- and shard-count-sized); the greedy runs ONLY
+    * over the innocent docs of dirty bins — the blast radius, not the
+    * corpus; the clean side is one anti-join pass-through. `budget` and
+    * `shards` must be the original packing's (the shard of an id is a
+    * pure hash, so re-packed docs land back in their own shards).
+    *
+    * @return (id, w, shard, bin, repacked) — the full repaired
+    *         manifest; `repacked` marks rows whose bin changed */
+  def incrementalRepack(packed: DataFrame, tombstones: DataFrame,
+      idCol: String, budget: Long, shards: Int): DataFrame = {
+    val tomb = tombstones.select(col(idCol).as("id")).distinct()
+    val dirty = packed.join(broadcast(tomb), Seq("id"), "left_semi")
+      .select(col("shard"), col("bin")).distinct()
+    val clean = packed.join(broadcast(dirty), Seq("shard", "bin"),
+        "left_anti")
+      .select(col("id"), col("w"), col("shard"), col("bin"),
+        lit(false).as("repacked"))
+    val innocent = packed.join(broadcast(dirty), Seq("shard", "bin"),
+        "left_semi")
+      .join(broadcast(tomb), Seq("id"), "left_anti")
+      .select(col("id"), col("w"))
+    val offsets = packed.groupBy(col("shard"))
+      .agg(max(col("bin")).as("__maxbin"))
+    val repacked = packGreedy(innocent, "id", "w", budget, shards)
+      .join(broadcast(offsets), Seq("shard"))
+      .select(col("id"), col("w"), col("shard"),
+        (col("__maxbin") + 1L + col("bin")).as("bin"),
+        lit(true).as("repacked"))
+    clean.unionByName(repacked)
+  }
+
   /** Packing efficiency report: bins, mean fill ratio, over-budget bins
     * (only legal for single over-budget docs). */
   def packStats(packed: DataFrame, budget: Long): DataFrame =

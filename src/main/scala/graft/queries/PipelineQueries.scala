@@ -780,6 +780,27 @@ object PipelineQueries {
         .orderBy(col("n_bins"))
     }),
 
+    // The INCREMENTAL RE-PACK night — what actually runs when q200's
+    // blast radius comes back small: clean bins ship UNTOUCHED
+    // (byte-identical assignment — the artifact a trainer already
+    // holds stays valid), condemned docs drop, and the dirty bins'
+    // innocent docs re-pack by the same per-shard greedy into fresh
+    // bin ids (continuing after each shard's max — no collision with
+    // kept bins). Delete == rebuild deliberately does NOT hold for
+    // packing (a from-scratch re-pack reshuffles every bin and
+    // invalidates the whole shipped artifact) — that asymmetry is why
+    // the incremental night exists and why q200 prices the choice.
+    // Same persisted q61 packing and the q200 tombstone set; the
+    // greedy runs only over the blast radius (innocent docs of dirty
+    // bins), the dirty-bin set and per-shard offsets broadcast.
+    "q241_incremental_repack" -> ((s, dir) => {
+      val packed = packedStage(s, dir)
+      val tombs = packed.filter(col("id") % 23 === 9).select(col("id"))
+      graft.operators.Packing.incrementalRepack(packed, tombs, "id",
+          budget = 512L, shards = 8)
+        .orderBy(col("id"))
+    }),
+
     // LLM dedup 7 (local overlap): winnowed fingerprints — pairs sharing
     // ≥5 window-min 16-gram hashes. Catches a copied PARAGRAPH inside
     // otherwise-different docs, where whole-document Jaccard/cosine ~ 0.
@@ -1746,6 +1767,50 @@ object PipelineQueries {
         |       shard, bin, CAST(n_docs AS BIGINT) AS n_docs,
         |       CAST(n_tokens AS BIGINT) AS n_tokens, order_key
         |FROM k ORDER BY pos""".stripMargin,
+
+    // The q61 packing replay, the dirty/clean split, then a SECOND
+    // recursive greedy over only the innocent docs of dirty bins with
+    // each shard's bin ids offset past its current max.
+    "q241_incremental_repack" ->
+      s"""WITH RECURSIVE $packingCtes,
+        |dirty AS (
+        |  SELECT DISTINCT shard, bin FROM pack WHERE id % 23 = 9),
+        |clean AS (
+        |  SELECT p.id, p.w, p.shard, p.bin FROM pack p
+        |  WHERE NOT EXISTS (SELECT 1 FROM dirty d
+        |    WHERE d.shard = p.shard AND d.bin = p.bin)),
+        |inn AS (
+        |  SELECT p.id, p.w, p.shard FROM pack p
+        |  WHERE EXISTS (SELECT 1 FROM dirty d
+        |    WHERE d.shard = p.shard AND d.bin = p.bin)
+        |    AND p.id % 23 <> 9),
+        |offs AS (SELECT shard, max(bin) AS maxbin FROM pack GROUP BY 1),
+        |idocs AS (
+        |  SELECT id, w, shard,
+        |    row_number() OVER (PARTITION BY shard ORDER BY id) AS rn
+        |  FROM inn),
+        |rpack AS (
+        |  SELECT id, w, shard, rn, CAST(0 AS BIGINT) AS bin, w AS fill
+        |  FROM idocs WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.id, d.w, d.shard, d.rn,
+        |    CASE WHEN p.fill > 0 AND p.fill + d.w > 512
+        |         THEN p.bin + 1 ELSE p.bin END AS bin,
+        |    CASE WHEN p.fill > 0 AND p.fill + d.w > 512
+        |         THEN d.w ELSE p.fill + d.w END AS fill
+        |  FROM rpack p JOIN idocs d ON d.shard = p.shard
+        |                           AND d.rn = p.rn + 1),
+        |rep AS (
+        |  SELECT r.id, r.w, r.shard, o.maxbin + 1 + r.bin AS bin
+        |  FROM rpack r JOIN offs o USING (shard))
+        |SELECT CAST(id AS BIGINT) AS id, CAST(w AS BIGINT) AS w,
+        |  CAST(shard AS BIGINT) AS shard, CAST(bin AS BIGINT) AS bin,
+        |  repacked
+        |FROM (
+        |  SELECT *, FALSE AS repacked FROM clean
+        |  UNION ALL
+        |  SELECT *, TRUE AS repacked FROM rep)
+        |ORDER BY id""".stripMargin,
 
     "q193_packing_card" ->
       s"""WITH RECURSIVE $packingCtes,

@@ -493,6 +493,28 @@ object ScaleQueries {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // The POSTINGS OPS CARD — q197's dashboard extended to the fifth
+    // registry family: before scheduling the q237 compaction night, the
+    // operator reads one row over the postings-granularity provenance
+    // log (each (id, term, tf) row carries its doc's source + batch):
+    // total posting rows, distinct sources, rows a pending tombstone
+    // condemns, rows the TTL expires, the live remainder, and the LIVE
+    // VOCABULARY (distinct terms among survivors — the post-compaction
+    // index's term count, the number that sizes its bucketing). Same
+    // generic operator, same column contract, so the five family cards
+    // union into one table. One broadcast flag join + one aggregate
+    // over the persisted postings/provenance stages.
+    "q242_postings_ops" -> ((s, dir) => {
+      val prov = CorpusQueries.docSourceTokensStage(s, dir)
+        .select(col("doc_id").as("id"), col("source"),
+          (col("doc_id") % 10).as("batch"))
+      val plog = termTfStage(s, dir).join(broadcast(prov), Seq("id"))
+      val tomb = prov.select(col("source"))
+        .filter(col("source") === "src18").distinct()
+      Dedup.registryOpsCard(plog, "term", "source", "batch", tomb,
+        minBatch = 2L, family = "postings")
+    }),
+
     // The q228 dial's tuning curve (every dial ships its curve): how
     // sensitive is the fused top-10 to the RRF constant K? Both rank
     // lists are built ONCE (term_tf-staged lexical side, one broadcast
@@ -995,6 +1017,31 @@ object ScaleQueries {
     // match IS the delete==rebuild identity at postings granularity.
     "q237_postings_lifecycle" ->
       bm25Sql(" WHERE doc_id % 10 >= 2 AND source <> 'src18'"),
+
+    // The postings provenance log replayed (tf groups × doc provenance)
+    // and the same conditional counting as the generic ops card.
+    "q242_postings_ops" ->
+      """WITH tok AS (
+        |  SELECT doc_id AS id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |plog AS (
+        |  SELECT t.id, t.term, d.source, d.doc_id % 10 AS batch
+        |  FROM tf t JOIN documents d ON d.doc_id = t.id)
+        |SELECT 'postings' AS family,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(sum(CASE WHEN source = 'src18' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_tombstoned,
+        |  CAST(sum(CASE WHEN batch < 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_expired,
+        |  CAST(sum(CASE WHEN source <> 'src18' AND batch >= 2
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+        |  CAST(count(DISTINCT CASE WHEN source <> 'src18' AND batch >= 2
+        |    THEN term END) AS BIGINT) AS n_keys_live,
+        |  CAST(max(batch) AS BIGINT) AS last_batch
+        |FROM plog""".stripMargin,
 
     // Replays the BM25 pass (same arithmetic as bm25Sql, query set
     // derived from the eval docs, corpus %97-restricted), the cosine

@@ -151,4 +151,51 @@ class PackingSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("incrementalRepack: clean bins byte-identical, condemned gone, " +
+      "repaired bins fresh and within budget, and the row counts " +
+      "reconcile with takedownBlastRadius") {
+    val packed = Packing.packGreedy(fixture, "doc_id", "n_tok",
+      budget = 256L, shards = 8).localCheckpoint(true)
+    val tombs = packed.filter(col("id") % 23 === 9).select(col("id"))
+    val repaired = Packing.incrementalRepack(packed, tombs, "id",
+      budget = 256L, shards = 8).localCheckpoint(true)
+    // no condemned doc anywhere
+    assert(repaired.join(tombs, Seq("id"), "left_semi").count() === 0L)
+    // clean rows keep their exact (shard, bin); repacked rows all come
+    // from dirty bins
+    val orig = packed.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val dirtyBins = packed.filter(col("id") % 23 === 9)
+      .select(col("shard"), col("bin")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    repaired.collect().foreach { r =>
+      val (id, shard, bin, rep) = (r.getLong(0), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))
+      if (!rep) {
+        assert((shard, bin) === orig(id), s"clean row moved: $id")
+        assert(!dirtyBins((shard, bin)), s"dirty bin kept: $id")
+      } else {
+        assert(dirtyBins(orig(id)), s"repacked a clean-bin doc: $id")
+      }
+    }
+    // fresh bins: every repacked bin id exceeds the shard's original max
+    val maxBin = packed.groupBy(col("shard")).agg(max(col("bin")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    repaired.filter(col("repacked")).collect().foreach { r =>
+      assert(r.getLong(3) > maxBin(r.getLong(2)),
+        s"repaired bin collides in shard ${r.getLong(2)}")
+    }
+    // budget respected in the repaired manifest (fixture has no
+    // over-budget single docs)
+    val over = repaired.groupBy("shard", "bin").agg(sum("w").as("fill"))
+      .filter(col("fill") > 256).count()
+    assert(over === 0L)
+    // reconciliation with the blast radius card
+    val radius = Packing.takedownBlastRadius(packed, tombs, "id").head()
+    assert(repaired.filter(col("repacked")).count() ===
+      radius.getAs[Long]("n_docs_repack"))
+    assert(packed.count() - repaired.count() ===
+      radius.getAs[Long]("n_docs_dropped"))
+  }
 }

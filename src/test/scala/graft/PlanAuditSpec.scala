@@ -1308,6 +1308,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("q241: the incremental re-pack touches only the blast radius — " +
+    "zero live scans (rides the persisted q61 packing), dirty-bin set " +
+    "and offsets broadcast, the greedy's shuffle keyed by shard") {
+    SparkEntry.queries("q61_token_packing")(spark, dir).count()
+    assert(liveScans("q241_incremental_repack").isEmpty)
+    val p = plan("q241_incremental_repack")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("MapPartitions"), p) // the per-shard greedy
+  }
+
+  test("q242: the postings ops card is one broadcast flag join + one " +
+    "aggregate over the persisted postings/provenance stages — zero " +
+    "live scans warm, partial aggregation map-side") {
+    SparkEntry.queries("q219_bm25_topk")(spark, dir).count()
+    SparkEntry.queries("q236_mix_manifest")(spark, dir).count()
+    assert(liveScans("q242_postings_ops").isEmpty)
+    val p = plan("q242_postings_ops")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
   test("q234: the macro/micro card rides BOTH persisted score stages — " +
     "the only live reads are the two (doc_id, source) projections " +
     "(one per union branch), never the corpus text, no cartesian") {

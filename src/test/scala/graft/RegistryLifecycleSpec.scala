@@ -200,6 +200,23 @@ class RegistryLifecycleSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("q242 postings ops card reconciles with the q237 compaction it " +
+      "forecasts: n_keys_live == the distinct terms of the compacted " +
+      "postings, n_live == its row count") {
+    val dir = "/root/testdata/sf0.01"
+    val card = SparkEntry.queries("q242_postings_ops")(spark, dir)
+      .collect().head
+    val docs = Tables.load(spark, dir, "documents")
+    val surv = docs.filter(col("doc_id") % 10 >= 2 &&
+      col("source") =!= "src18")
+    val compacted = graft.functions.TextAnalysis.termFrequencies(surv,
+      "doc_id", "text").localCheckpoint(true)
+    assert(card.getAs[Long]("n_live") === compacted.count())
+    assert(card.getAs[Long]("n_keys_live") ===
+      compacted.select(col("term")).distinct().count())
+    assert(card.getAs[String]("family") === "postings")
+  }
+
   test("q237 postings lifecycle: BM25 served from the COMPACTED postings " +
       "registry is row-identical to a from-scratch index rebuild over " +
       "the survivor corpus (delete == rebuild at postings granularity)") {
