@@ -243,10 +243,12 @@ object Bench {
     val stageBandJson = sBand.map { case (k, _, mn) =>
       "\"" + k + "\":" + f"$mn%.2f"
     }.mkString("{", ",", "}")
-    // band_den marks the rotation width so archived BENCH_r*.json bands
-    // from the thirds era (keyed "third"/"stage_min_third", no band_den)
-    // and the quarters era (keyed "band"/"stage_min_band", band_den:4)
-    // reassemble without guessing
+    // band_den marks the rotation WIDTH (absent = thirds era, 4 =
+    // quarters) independently of the key NAMES: archived BENCH_r*.json
+    // through r12 have no band_den and "third"/"stage_min_third" keys,
+    // r13 has band_den:4 but still the old key names, r14+ has
+    // band_den:4 with "band"/"stage_min_band" — a reassembling consumer
+    // should width by band_den and accept either key spelling
     val line2 =
       s"""{"band":$bandIdx,"band_den":4,"min_q":$bandJson,"stage_min_band":$stageBandJson}"""
     // Line 3 (the driver's parsed "last line"): top-10 slowest by median

@@ -416,18 +416,12 @@ object ScaleQueries {
     // global sort.
     // Rides the persisted term_tf postings stage (built once, shared
     // with q228's lexical side) since round 13.
-    "q219_bm25_topk" -> ((s, dir) => {
-      import s.implicits._
-      val qterms = bm25QueryFixture.flatMap { case (qid, text) =>
-        text.toLowerCase.trim.split("\\s+").toSeq.distinct
-          .map(w => (qid, w))
-      }.toDF("qid", "term")
-      TextAnalysis.bm25TopKFromTf(termTfStage(s, dir), qterms, k = 10,
-          dlOpt = Some(docLenStage(s, dir)))
+    "q219_bm25_topk" -> ((s, dir) =>
+      TextAnalysis.bm25TopKFromTf(termTfStage(s, dir), bm25QtermsDF(s),
+          k = 10, dlOpt = Some(docLenStage(s, dir)))
         .select(col("qid"), col("rnk"), col("id").as("doc_id"),
           col("score"))
-        .orderBy(col("qid"), col("rnk"))
-    }),
+        .orderBy(col("qid"), col("rnk"))),
 
     // Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
     // ranking (q219's scorer, data-derived query set) and the dense
@@ -466,28 +460,21 @@ object ScaleQueries {
     // is StreamingPostingsSpec's batchId-guarded night.
     // Scale: registry + tombstones ride the persisted doc_source_tokens
     // stage (zero live text reads); the compaction is one broadcast
-    // anti-join + one doc-keyed aggregate; postings/dl restrictions are
-    // broadcast semi-joins of the persisted retrieval stages; the BM25
+    // anti-join (tombstone side — genuinely small) + one doc-keyed
+    // aggregate; the live-survivor semi-joins onto postings/dl are
+    // deliberately UNHINTED — the survivor set is doc-count-sized, so
+    // AQE broadcasts it at test scale and falls back to a shuffle join
+    // at corpus scale instead of blowing the broadcast limit; the BM25
     // plan is q219's unchanged.
     "q237_postings_lifecycle" -> ((s, dir) => {
-      import s.implicits._
-      val prov = CorpusQueries.docSourceTokensStage(s, dir)
-        .select(col("doc_id"), col("source"),
-          (col("doc_id") % 10).as("batch"))
-      val tomb = prov.select(col("source"))
-        .filter(col("source") === "src18").distinct()
+      val (prov, tomb) = postingsProvenance(s, dir)
       val live = Dedup.compactRegistry(prov, "doc_id", "source", "batch",
           tomb, minBatch = 2L)
         .select(col("doc_id").as("id"))
-      val post = termTfStage(s, dir).join(broadcast(live), Seq("id"),
-        "left_semi")
-      val dl = docLenStage(s, dir).join(broadcast(live), Seq("id"),
-        "left_semi")
-      val qterms = bm25QueryFixture.flatMap { case (qid, text) =>
-        text.toLowerCase.trim.split("\\s+").toSeq.distinct
-          .map(w => (qid, w))
-      }.toDF("qid", "term")
-      TextAnalysis.bm25TopKFromTf(post, qterms, k = 10, dlOpt = Some(dl))
+      val post = termTfStage(s, dir).join(live, Seq("id"), "left_semi")
+      val dl = docLenStage(s, dir).join(live, Seq("id"), "left_semi")
+      TextAnalysis.bm25TopKFromTf(post, bm25QtermsDF(s), k = 10,
+          dlOpt = Some(dl))
         .select(col("qid"), col("rnk"), col("id").as("doc_id"),
           col("score"))
         .orderBy(col("qid"), col("rnk"))
@@ -502,15 +489,15 @@ object ScaleQueries {
     // VOCABULARY (distinct terms among survivors — the post-compaction
     // index's term count, the number that sizes its bucketing). Same
     // generic operator, same column contract, so the five family cards
-    // union into one table. One broadcast flag join + one aggregate
-    // over the persisted postings/provenance stages.
+    // union into one table. The provenance attach is an UNHINTED
+    // doc-keyed equi-join (doc-count-sized side — AQE broadcasts at
+    // test scale, shuffles at corpus scale); the card itself is one
+    // broadcast tombstone-flag join + one aggregate, all over persisted
+    // stages.
     "q242_postings_ops" -> ((s, dir) => {
-      val prov = CorpusQueries.docSourceTokensStage(s, dir)
-        .select(col("doc_id").as("id"), col("source"),
-          (col("doc_id") % 10).as("batch"))
-      val plog = termTfStage(s, dir).join(broadcast(prov), Seq("id"))
-      val tomb = prov.select(col("source"))
-        .filter(col("source") === "src18").distinct()
+      val (prov, tomb) = postingsProvenance(s, dir)
+      val plog = termTfStage(s, dir)
+        .join(prov.withColumnRenamed("doc_id", "id"), Seq("id"))
       Dedup.registryOpsCard(plog, "term", "source", "batch", tomb,
         minBatch = 2L, family = "postings")
     }),
@@ -552,6 +539,33 @@ object ScaleQueries {
   private val bm25QueryFixture: Seq[(Long, String)] = Seq(
     1L -> "hash join", 2L -> "stream batch window",
     3L -> "slow scan filter", 4L -> "spark merge vector")
+
+  /** The fixture expanded to the (qid, term) table both BM25 consumers
+    * score with (q219 and the q237 lifecycle) — ONE definition so the
+    * tokenization convention can never drift between them and the
+    * generated oracles. */
+  private def bm25QtermsDF(s: SparkSession): DataFrame = {
+    import s.implicits._
+    bm25QueryFixture.flatMap { case (qid, text) =>
+      text.toLowerCase.trim.split("\\s+").toSeq.distinct
+        .map(w => (qid, w))
+    }.toDF("qid", "term")
+  }
+
+  /** The postings family's provenance log and tombstone set, shared by
+    * the q237 compaction night and the q242 ops card (one definition of
+    * the batch convention and the tombstoned source): (doc_id, source,
+    * batch = doc_id % 10) riding the persisted doc_source_tokens stage,
+    * and the src18 source tombstone. */
+  private def postingsProvenance(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val prov = CorpusQueries.docSourceTokensStage(s, dir)
+      .select(col("doc_id"), col("source"),
+        (col("doc_id") % 10).as("batch"))
+    val tomb = prov.select(col("source"))
+      .filter(col("source") === "src18").distinct()
+    (prov, tomb)
+  }
 
   /** q79 oracle: the same 8-bit interleave as explicit shift/mask terms. */
   private val zorderSql: String = {

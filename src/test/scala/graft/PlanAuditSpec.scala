@@ -1303,8 +1303,10 @@ class PlanAuditSpec extends SparkSpec {
     SparkEntry.queries("q236_mix_manifest")(spark, dir).count()
     assert(liveScans("q240_score_takedown").isEmpty)
     val p = plan("q240_score_takedown")
-    assert(!p.contains("CartesianProduct") ||
-      p.contains("BroadcastNestedLoopJoin"), p) // 1-row receipt attach
+    // the only nested-loop joins are purgeReceipt's broadcast 1-row
+    // receipt attaches; a real cartesian is forbidden outright
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("LeftAnti"), p)
   }
 
