@@ -526,7 +526,7 @@ object CorpusQueries {
           col("value_frac"),
           lit(null).cast("long").as("n_bins"),
           lit(null).cast("double").as("fill_rate"),
-          lit(null).cast("string").as("order_md5"))
+          lit(null).cast("long").as("order_fp"))
       // instance list: epoch e ∈ [0, epochs_full) for every doc, plus
       // e = epochs_full for remainder members; inst id = doc_id·8 + e
       // (collision-free: e ≤ maxEpochs = 4 < 8), so packing and the
@@ -543,10 +543,15 @@ object CorpusQueries {
         .localCheckpoint(true) // two consumers: the card and the shuffle
       val card = Packing.packCard(packed, budget = 512L)
         .select(col("n_bins"), col("fill_rate"))
+      // the epoch-order fingerprint: XOR of md5(pos:order_key) row
+      // hashes — COMMUTATIVE, so the aggregate is map-side combinable
+      // and distributed-exact at any bin count (a collect-and-sort
+      // digest would funnel every bin through one task; order is still
+      // pinned because pos rides inside each hashed row)
       val om = Packing.epochShuffle(packed, seed = 13L)
-        .agg(md5(concat_ws(":", expr(
-          "transform(array_sort(collect_list(struct(pos, order_key)))," +
-            " x -> x.order_key)")).cast("binary")).as("order_md5"))
+        .select(NearDup.md5Hash60(
+          concat_ws(":", col("pos"), col("order_key"))).as("__h"))
+        .agg(expr("bit_xor(__h)").as("order_fp"))
       val tot = perSrc.agg(
           sum(col("n_docs")).as("n_docs"), sum(col("src_tok")).as("n_tok"),
           sum(col("alloc")).as("alloc"),
@@ -564,7 +569,7 @@ object CorpusQueries {
             col("n_tok").cast("double"), 4).as("epochs_used"),
           (col("realized_tokens") - col("alloc")).as("overshoot"),
           lit(null).cast("double").as("value_frac"),
-          col("n_bins"), col("fill_rate"), col("order_md5"))
+          col("n_bins"), col("fill_rate"), col("order_fp"))
       srcRows.unionByName(tot).orderBy(col("source"))
     }),
 
@@ -1504,8 +1509,8 @@ object CorpusQueries {
     * (4-epoch cap, 2× budget), the md5-ranked per-source remainder
     * prefix, instance expansion (fixed range(0,5) laterally filtered —
     * n_inst ≤ maxEpochs+1 = 5), the q61 recursive greedy-packing
-    * replay over instances, and the q221 epoch-shuffle order digested
-    * to one md5. */
+    * replay over instances, and the q221 epoch-shuffle order reduced
+    * to the commutative XOR-of-row-hashes fingerprint. */
   private val mixManifestSql: String =
     """WITH RECURSIVE
       |doc AS (
@@ -1612,11 +1617,14 @@ object CorpusQueries {
       |shuf AS (
       |  SELECT shard, bin,
       |    md5('13' || ':' || shard::VARCHAR || ':' || bin::VARCHAR)
-      |      AS order_key
+      |      AS order_key,
+      |    row_number() OVER (ORDER BY
+      |      md5('13' || ':' || shard::VARCHAR || ':' || bin::VARCHAR),
+      |      shard, bin) AS pos
       |  FROM pb),
       |om AS (
-      |  SELECT md5(string_agg(order_key, ':'
-      |    ORDER BY order_key, shard, bin)) AS order_md5
+      |  SELECT bit_xor(('0x' || substr(md5(pos::VARCHAR || ':' ||
+      |    order_key), 1, 15))::BIGINT) AS order_fp
       |  FROM shuf)
       |SELECT source, n_docs, src_tok AS n_tok, alloc, epochs_full,
       |  rem_target, rem_docs, rem_tokens, realized_docs, realized_tokens,
@@ -1624,7 +1632,7 @@ object CorpusQueries {
       |    AS epochs_used,
       |  CAST(realized_tokens - alloc AS BIGINT) AS overshoot, value_frac,
       |  CAST(NULL AS BIGINT) AS n_bins, CAST(NULL AS DOUBLE) AS fill_rate,
-      |  CAST(NULL AS VARCHAR) AS order_md5
+      |  CAST(NULL AS BIGINT) AS order_fp
       |FROM pr JOIN val2 USING (source)
       |UNION ALL
       |SELECT '~total',
@@ -1641,7 +1649,7 @@ object CorpusQueries {
       |  (SELECT CAST(sum(realized_tokens) - sum(alloc) AS BIGINT) FROM pr),
       |  CAST(NULL AS DOUBLE),
       |  (SELECT n_bins FROM pcard), (SELECT fill_rate FROM pcard),
-      |  (SELECT order_md5 FROM om)
+      |  (SELECT order_fp FROM om)
       |ORDER BY source""".stripMargin
 
   /** Shared WITH-body of the q196/q238 oracles — the release gate

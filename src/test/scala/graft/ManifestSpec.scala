@@ -126,11 +126,16 @@ class ManifestSpec extends SparkSpec {
     assert(totRow.getAs[Double]("fill_rate") === pc.getAs[Double]("fill_rate"))
     assert(totRow.getAs[Long]("realized_docs") ===
       inst.count(), "one packed instance per realized doc-epoch")
-    val orderKeys = Packing.epochShuffle(packed, seed = 13L)
-      .orderBy(col("pos")).collect().map(_.getAs[String]("order_key"))
-    val mdBytes = java.security.MessageDigest.getInstance("MD5")
-      .digest(orderKeys.mkString(":").getBytes("UTF-8"))
-    val md = mdBytes.map(b => f"$b%02x").mkString
-    assert(totRow.getAs[String]("order_md5") === md)
+    // the order fingerprint replayed with an independent md5: XOR of
+    // the 60-bit row hashes of (pos, order_key)
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val fp = Packing.epochShuffle(packed, seed = 13L).collect()
+      .map(r => h60(s"${r.getAs[Long]("pos")}:${r.getAs[String]("order_key")}"))
+      .reduce(_ ^ _)
+    assert(totRow.getAs[Long]("order_fp") === fp)
   }
 }
