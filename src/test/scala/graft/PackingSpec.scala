@@ -198,4 +198,36 @@ class PackingSpec extends SparkSpec {
     assert(packed.count() - repaired.count() ===
       radius.getAs[Long]("n_docs_dropped"))
   }
+
+  test("incrementalRepack degenerate inputs: an empty tombstone set is " +
+      "a byte-identical no-op; tombstoning everything empties the " +
+      "manifest; a fully-dirty packing re-packs every survivor") {
+    val packed = Packing.packGreedy(fixture, "doc_id", "n_tok",
+      budget = 256L, shards = 8).localCheckpoint(true)
+    // no tombstones -> identity, nothing marked repacked
+    val noop = Packing.incrementalRepack(packed,
+      fixture.filter(lit(false)).select(col("doc_id").as("id")), "id",
+      budget = 256L, shards = 8)
+    assert(noop.filter(col("repacked")).count() === 0L)
+    assert(noop.select("id", "w", "shard", "bin").collect().toSet ===
+      packed.collect().toSet.map((r: org.apache.spark.sql.Row) => r))
+    // everything tombstoned -> empty manifest
+    val all = Packing.incrementalRepack(packed,
+      packed.select(col("id")), "id", budget = 256L, shards = 8)
+    assert(all.count() === 0L)
+    // one tombstone per bin -> every surviving doc re-packs, budget and
+    // freshness still hold
+    val perBin = packed.withColumn("rn",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("shard"), col("bin")).orderBy(col("id"))))
+      .filter(col("rn") === 1).select(col("id"))
+    val full = Packing.incrementalRepack(packed, perBin, "id",
+      budget = 256L, shards = 8)
+    assert(full.filter(!col("repacked")).count() === 0L)
+    assert(full.count() === packed.count() - perBin.count())
+    val over = full.groupBy("shard", "bin").agg(sum("w").as("fill"))
+      .filter(col("fill") > 256).count()
+    assert(over === 0L)
+  }
 }
