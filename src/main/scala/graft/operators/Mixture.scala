@@ -201,12 +201,16 @@ object Mixture {
     * and unpartitioned: every row funnels through one task, which is
     * exactly right for a k-row mixture table and exactly wrong for a
     * corpus. Feeding a row-per-document table here is a misuse, not a
-    * supported slow path. Domains with n_tok ≤ 0 are rejected up front
-    * (a zero-capacity domain would yield a degenerate saturated row
-    * and a 0/0 epochs_used).
+    * supported slow path. A ZERO-capacity domain (n_tok = 0 — e.g. a
+    * source whose documents are all empty) is carried through with
+    * alloc = 0 / epochs_used = 0 rather than aborting the whole
+    * allocation: cap = 0 ranks first and satisfies the saturation
+    * predicate trivially, so the waterfill is untouched — only the
+    * epochs_used division needs the guard. Negative n_tok is a
+    * corrupted input and still fails fast.
     *
     * @param counts one row per domain: domainCol, tokCol (unique
-    *               tokens available, must be > 0)
+    *               tokens available, must be ≥ 0)
     * @return (domain, n_tok, cap, saturated, alloc, epochs_used 4-dp,
     *         leftover — the global undistributed remainder, constant
     *         across rows)
@@ -217,9 +221,9 @@ object Mixture {
     require(maxEpochs > 0 && budgetNum > 0 && budgetDen > 0,
       "maxEpochs and the budget fraction must be positive")
     val base = counts.select(col(domainCol), col(tokCol).as("n_tok"))
-      .withColumn("n_tok", when(col("n_tok") > 0, col("n_tok"))
+      .withColumn("n_tok", when(col("n_tok") >= 0, col("n_tok"))
         .otherwise(raise_error(concat(
-          lit("unimaxAllocation: non-positive n_tok for domain "),
+          lit("unimaxAllocation: negative n_tok for domain "),
           col(domainCol).cast("string")))))
       .withColumn("cap", col("n_tok") * lit(maxEpochs))
     val wOrd = Window.orderBy(col("cap"), col(domainCol))
@@ -244,8 +248,9 @@ object Mixture {
         when(col("saturated"), col("cap")).otherwise(col("_share")))
     solved.select(col(domainCol), col("n_tok"), col("cap"),
       col("saturated"), col("alloc"),
-      round(col("alloc").cast("double") / col("n_tok").cast("double"), 4)
-        .as("epochs_used"),
+      when(col("n_tok") > 0,
+        round(col("alloc").cast("double") / col("n_tok").cast("double"), 4))
+        .otherwise(lit(0.0)).as("epochs_used"),
       (col("_b") - col("_ssat") - col("_share") * (col("_k") - col("_m")))
         .as("leftover"))
   }

@@ -185,27 +185,30 @@ object Packing {
     * whole shipped artifact) — that asymmetry is exactly why this night
     * exists and why [[takedownBlastRadius]] prices the choice.
     *
-    * Scale shape: the dirty-bin set and the per-shard bin offsets are
-    * broadcast (bin-count- and shard-count-sized); the greedy runs ONLY
-    * over the innocent docs of dirty bins — the blast radius, not the
-    * corpus; the clean side is one anti-join pass-through. `budget` and
-    * `shards` must be the original packing's (the shard of an id is a
-    * pure hash, so re-packed docs land back in their own shards).
+    * Scale shape: the greedy runs ONLY over the innocent docs of dirty
+    * bins — the blast radius, not the corpus; the clean side is one
+    * anti-join pass-through. The tombstone and dirty-bin join sides are
+    * deliberately UNHINTED: when [[takedownBlastRadius]] reports a
+    * small radius AQE broadcasts them, and when the radius approaches 1
+    * (dirty is bin-count-sized — manifest scale) the joins fall back to
+    * a shuffle instead of OOMing the driver on a forced broadcast. Only
+    * the per-shard bin offsets (shard-count-sized by construction) keep
+    * the explicit hint. `budget` and `shards` must be the original
+    * packing's (the shard of an id is a pure hash, so re-packed docs
+    * land back in their own shards).
     *
     * @return (id, w, shard, bin, repacked) — the full repaired
     *         manifest; `repacked` marks rows whose bin changed */
   def incrementalRepack(packed: DataFrame, tombstones: DataFrame,
       idCol: String, budget: Long, shards: Int): DataFrame = {
     val tomb = tombstones.select(col(idCol).as("id")).distinct()
-    val dirty = packed.join(broadcast(tomb), Seq("id"), "left_semi")
+    val dirty = packed.join(tomb, Seq("id"), "left_semi")
       .select(col("shard"), col("bin")).distinct()
-    val clean = packed.join(broadcast(dirty), Seq("shard", "bin"),
-        "left_anti")
+    val clean = packed.join(dirty, Seq("shard", "bin"), "left_anti")
       .select(col("id"), col("w"), col("shard"), col("bin"),
         lit(false).as("repacked"))
-    val innocent = packed.join(broadcast(dirty), Seq("shard", "bin"),
-        "left_semi")
-      .join(broadcast(tomb), Seq("id"), "left_anti")
+    val innocent = packed.join(dirty, Seq("shard", "bin"), "left_semi")
+      .join(tomb, Seq("id"), "left_anti")
       .select(col("id"), col("w"))
     val offsets = packed.groupBy(col("shard"))
       .agg(max(col("bin")).as("__maxbin"))

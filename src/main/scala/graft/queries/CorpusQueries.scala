@@ -122,6 +122,18 @@ object CorpusQueries {
         .withColumn("in_rem", col("cum") - col("n_tok") < col("rem_target"))
     }
 
+  /** Training-occurrence instance id: doc_id·8 + epoch. Collision-free
+    * for epoch ≤ 7 AND doc_id within Long range of the ×8 — the second
+    * condition is a real hazard at synthetic/hashed 63-bit ids, where
+    * the multiplication would silently wrap into colliding or negative
+    * ids and corrupt the packing and the shard hash, so it fails fast
+    * instead of packing garbage. */
+  private def instanceId(docId: Column, e: Column): Column =
+    when(docId.between(0L, (Long.MaxValue - 7L) / 8L), docId * 8 + e)
+      .otherwise(raise_error(concat(
+        lit("instance id would overflow Long for doc_id "),
+        docId.cast("string"))))
+
   private def docFeaturesStage(s: SparkSession, dir: String): DataFrame =
     PipelineQueries.stage(s, dir, "doc_features") {
       // staged toks/grams projections — NEVER inline the split into the
@@ -537,7 +549,7 @@ object CorpusQueries {
         .filter(col("n_inst") > 0)
         .select(col("doc_id"), col("n_tok"),
           explode(sequence(lit(0L), col("n_inst") - 1)).as("e"))
-        .select((col("doc_id") * 8 + col("e")).as("id"), col("n_tok"))
+        .select(instanceId(col("doc_id"), col("e")).as("id"), col("n_tok"))
       val packed = Packing.packGreedy(inst, "id", "n_tok", budget = 512L,
           shards = 8)
         .localCheckpoint(true) // two consumers: the card and the shuffle

@@ -58,6 +58,60 @@ class RetrievalFusionSpec extends SparkSpec {
       fromDf.exceptAll(fromSeq).isEmpty)
   }
 
+  test("bm25TopKFromTf dlOpt contract: a docLengths stage (and any per-doc " +
+      "row-restriction of it) is bit-identical to the in-plan dl rebuild") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < 100)
+    val tf = TextAnalysis.termFrequencies(docs, "doc_id", "text")
+      .localCheckpoint(true)
+    val qterms = Seq((1L, "hash"), (1L, "join"), (2L, "stream"))
+      .toDF("qid", "term")
+    val derived = TextAnalysis.bm25TopKFromTf(tf, qterms, k = 5)
+    val staged = TextAnalysis.bm25TopKFromTf(tf, qterms, k = 5,
+      dlOpt = Some(TextAnalysis.docLengths(tf)))
+    assert(staged.exceptAll(derived).isEmpty &&
+      derived.exceptAll(staged).isEmpty,
+      "a consistent dlOpt must not change a single scored row")
+    // the restriction case q228/q237 rely on: dl is per-doc, so a corpus
+    // row-restriction filters tf and dl IDENTICALLY — the stats (N, avgdl)
+    // derived from the restricted dlOpt must equal a from-scratch build
+    val sub = docs.filter(col("doc_id") % 2 === 0)
+    val subTf = TextAnalysis.termFrequencies(sub, "doc_id", "text")
+    val restricted = TextAnalysis.bm25TopKFromTf(subTf, qterms, k = 5,
+      dlOpt = Some(TextAnalysis.docLengths(tf)
+        .join(sub.select(col("doc_id").as("id")), Seq("id"), "left_semi")))
+    val rebuilt = TextAnalysis.bm25TopKFromTf(subTf, qterms, k = 5)
+    assert(restricted.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(restricted).isEmpty,
+      "restricting a persisted dl stage must equal rebuilding dl from " +
+        "the restricted postings")
+  }
+
+  test("unimaxAllocation: a zero-capacity domain allocates zero without " +
+      "aborting, and the waterfill over the rest is unchanged") {
+    import graft.operators.Mixture
+    val withZero = Seq(("a", 100L), ("b", 50L), ("empty", 0L))
+      .toDF("dom", "n_tok")
+    val out = Mixture.unimaxAllocation(withZero, "dom", "n_tok",
+      maxEpochs = 2L, budgetNum = 1L, budgetDen = 1L)
+      .orderBy(col("dom")).collect()
+    val z = out.find(_.getAs[String]("dom") == "empty").get
+    assert(z.getAs[Long]("alloc") === 0L &&
+      z.getAs[Double]("epochs_used") === 0.0 &&
+      z.getAs[Boolean]("saturated"),
+      "zero-capacity domain must carry through as a saturated alloc=0 row")
+    val without = Mixture.unimaxAllocation(
+      Seq(("a", 100L), ("b", 50L)).toDF("dom", "n_tok"),
+      "dom", "n_tok", maxEpochs = 2L, budgetNum = 1L, budgetDen = 1L)
+      .orderBy(col("dom")).collect()
+    // same total budget (sum n_tok unchanged by the zero row), so the
+    // nonzero domains' allocations must be identical
+    assert(out.filter(_.getAs[String]("dom") != "empty")
+      .map(r => (r.getAs[String]("dom"), r.getAs[Long]("alloc"))).toSeq ===
+      without.map(r => (r.getAs[String]("dom"), r.getAs[Long]("alloc")))
+        .toSeq)
+  }
+
   test("q228: every fused score is exactly the sum its side ranks imply, " +
       "and both retrievers contribute rows") {
     val out = SparkEntry.queries("q228_hybrid_rrf")(spark, dir).collect()
