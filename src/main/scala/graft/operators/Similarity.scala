@@ -1409,6 +1409,71 @@ object Similarity {
         (col("hits").cast("double") / lit(k)).as("recall"))
   }
 
+  /** ATTRIBUTE-FILTERED ANN recall card — the vector-database operator
+    * behind "top-k nearest WHERE lang = 'en'". The exact PRE-FILTER
+    * ground truth scans only the satisfying vectors; the deployed
+    * approximate path probes the UNFILTERED IVF index with an
+    * over-fetched k' = k·overfetch candidate list and applies the
+    * predicate AFTER (the index partitions by geometry, not by the
+    * attribute, so a pre-filtered probe would need one index per
+    * predicate). This card prices that trade: post-filter recall decays
+    * as the filter gets more selective — over-fetch can only recover
+    * candidates the probe actually visited — and the per-filter row
+    * says whether k·overfetch is enough at each selectivity before
+    * anyone serves filtered queries from the shared index.
+    *
+    * Scale shapes: the probed candidate list is built ONCE over the
+    * full corpus (one broadcast-query IVF pass, k·overfetch rows per
+    * query) and every filter point re-ranks that LIST-sized table; the
+    * exact side pays one filtered corpus scan per filter — the
+    * evaluation cost, not the serving cost (production serves only the
+    * probe path). Counts are exact integers; selectivity and recall
+    * are single IEEE divisions.
+    *
+    * @param corpus  vectors with attribute columns already attached
+    *                (vec_id, embedding, label, + whatever the
+    *                predicates read)
+    * @param filters (name, predicate) points, evaluated against
+    *                `corpus` rows
+    * @return one row per filter: (filt, n_corpus, n_pass, selectivity,
+    *         n_exact, hits, recall), ordered by filt */
+  def filteredAnnRecall(queries: DataFrame, corpus: DataFrame,
+      filters: Seq[(String, Column)], nprobe: Int, k: Int,
+      overfetch: Int): DataFrame = {
+    require(filters.nonEmpty && overfetch >= 1 && k >= 1)
+    // one unfiltered over-fetched probe pass, shared by every filter
+    val cand = ivfTopK(queries, corpus, nprobe, k * overfetch)
+      .select(col("qid"), col("vec_id"), col("sim"))
+      .localCheckpoint(true)
+    val nAll = corpus.agg(count(lit(1)).as("n_corpus"))
+    filters.sortBy(_._1).map { case (name, pred) =>
+      val sub = corpus.filter(pred)
+      val ids = sub.select(col("vec_id"))
+      val exact = bruteForceTopK(queries, sub, k)
+        .select(col("qid"), col("vec_id"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(desc("sim"), col("vec_id"))
+      val approx = cand.join(ids, Seq("vec_id"), "left_semi")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(col("qid"), col("vec_id"), lit(1L).as("__hit"))
+      exact.join(approx.select(col("qid"), col("vec_id"), col("__hit")),
+          Seq("qid", "vec_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          coalesce(sum(col("__hit")), lit(0L)).as("hits"))
+        .crossJoin(broadcast(nAll))
+        .crossJoin(broadcast(ids.agg(count(lit(1)).as("n_pass"))))
+        .select(lit(name).as("filt"), col("n_corpus"), col("n_pass"),
+          round(col("n_pass").cast("double") /
+            col("n_corpus").cast("double"), 6).as("selectivity"),
+          col("n_exact"), col("hits"),
+          // empty ground truth reads as recall 0, not null
+          when(col("n_exact") === 0, lit(0.0))
+            .otherwise(round(col("hits").cast("double") /
+              col("n_exact").cast("double"), 6)).as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Embedding-space eval-set decontamination: for every corpus vector,
     * the maximum (rounded) cosine against the benchmark/eval embeddings
     * and a `contaminated` verdict at `tau` — the semantic companion of

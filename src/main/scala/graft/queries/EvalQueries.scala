@@ -730,6 +730,31 @@ object EvalQueries {
           docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
           docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", k = 4)
         .orderBy(col("bench_id"))
+    }),
+
+    // Index QA for FILTERED search — "top-k nearest WHERE <attr>", the
+    // query a shared vector index actually serves once a product
+    // attaches metadata filters: exact pre-filter ground truth per
+    // predicate vs the deployed path (UNFILTERED IVF probe over-fetched
+    // to k·4, predicate applied after). An unfiltered baseline plus
+    // three selectivity points — ~1/2 (id parity), ~1/8 (lang='fr'),
+    // 1/20 (source='src3') — over ONE shared over-fetched probe pass;
+    // the card is the dial reading for "is k·overfetch enough at this
+    // selectivity, or does this predicate need its own index", read as
+    // decay against the baseline row. Attributes ride a vec_id = doc_id
+    // equi-join of the two tables.
+    "q245_filtered_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.join(
+        t(s, dir, "documents").select(col("doc_id").as("vec_id"),
+          col("lang"), col("source")), Seq("vec_id"))
+      Similarity.filteredAnnRecall(emb.filter(col("vec_id") < 8), corpus,
+          Seq("0_all" -> lit(true),
+            "a_mod2" -> (col("vec_id") % 2 === 0),
+            "b_lang_fr" -> (col("lang") === "fr"),
+            "c_src3" -> (col("source") === "src3")),
+          nprobe = 2, k = 10, overfetch = 4)
+        .orderBy(col("filt"))
     })
   )
 
@@ -1684,6 +1709,85 @@ object EvalQueries {
         |  round(coalesce(h.shared_grams, 0)::DOUBLE / t.n_grams::DOUBLE, 6)
         |    AS containment
         |FROM btot t LEFT JOIN hit h USING (bench_id)
-        |ORDER BY t.bench_id""".stripMargin
+        |ORDER BY t.bench_id""".stripMargin,
+
+    // Replays the q152 IVF chain once with an over-fetched (k·4)
+    // candidate list, then each filter point: exact top-10 over the
+    // pre-filtered corpus vs the post-filtered re-rank of the shared
+    // candidates.
+    "q245_filtered_ann" -> {
+      def point(name: String, pred: String): String =
+        s"""SELECT '$name' AS filt, nall.n_corpus,
+           |  sub.n_pass,
+           |  round(sub.n_pass::DOUBLE / nall.n_corpus::DOUBLE, 6)
+           |    AS selectivity,
+           |  hx.n_exact, hx.hits,
+           |  CASE WHEN hx.n_exact = 0 THEN 0.0
+           |       ELSE round(hx.hits::DOUBLE / hx.n_exact::DOUBLE, 6)
+           |  END AS recall
+           |FROM nall,
+           |  (SELECT CAST(count(*) AS BIGINT) AS n_pass
+           |   FROM e WHERE $pred) sub,
+           |  (SELECT CAST(count(*) AS BIGINT) AS n_exact,
+           |     CAST(count(a.vec_id) AS BIGINT) AS hits
+           |   FROM (
+           |     SELECT qid, vec_id FROM (
+           |       SELECT s.qid, s.vec_id, row_number() OVER
+           |           (PARTITION BY s.qid ORDER BY s.sim DESC, s.vec_id)
+           |           AS rnk
+           |       FROM (SELECT q.qid, e.vec_id,
+           |               round(list_dot_product(q.qe, e.v) /
+           |                 (sqrt(list_dot_product(q.qe, q.qe)) *
+           |                  sqrt(list_dot_product(e.v, e.v))), 6) AS sim
+           |             FROM q CROSS JOIN e
+           |             WHERE e.vec_id <> q.qid AND ($pred)) s)
+           |     WHERE rnk <= 10) x
+           |   LEFT JOIN (
+           |     SELECT qid, vec_id FROM (
+           |       SELECT c.qid, c.vec_id, row_number() OVER
+           |           (PARTITION BY c.qid ORDER BY c.sim DESC, c.vec_id)
+           |           AS rnk
+           |       FROM cand c JOIN e ON e.vec_id = c.vec_id AND ($pred))
+           |     WHERE rnk <= 10) a
+           |   ON a.qid = x.qid AND a.vec_id = x.vec_id) hx""".stripMargin
+      s"""WITH e AS (SELECT e0.vec_id, e0.label,
+         |    e0.embedding::DOUBLE[] AS v, d.lang, d.source
+         |  FROM embeddings e0 JOIN documents d ON e0.vec_id = d.doc_id),
+         |q AS (SELECT vec_id AS qid, v AS qe FROM e WHERE vec_id < 8),
+         |comp AS (SELECT label, r.i AS ord, avg(v[(r.i + 1)::INTEGER]) AS m
+         |         FROM e, range(0, 64) AS r(i) GROUP BY label, r.i),
+         |cent AS (SELECT label, list(round(m, 6) ORDER BY ord) AS c
+         |         FROM comp GROUP BY label),
+         |probes AS (SELECT qid, qe, label FROM (
+         |    SELECT q.qid, q.qe, cent.label,
+         |           row_number() OVER (PARTITION BY q.qid ORDER BY
+         |             round(list_dot_product(q.qe, cent.c) /
+         |               (sqrt(list_dot_product(q.qe, q.qe)) *
+         |                sqrt(list_dot_product(cent.c, cent.c))), 6) DESC,
+         |             cent.label) AS prnk
+         |    FROM q CROSS JOIN cent)
+         |  WHERE prnk <= 2),
+         |scored AS (SELECT p.qid, e.vec_id,
+         |        round(list_dot_product(p.qe, e.v) /
+         |          (sqrt(list_dot_product(p.qe, p.qe)) *
+         |           sqrt(list_dot_product(e.v, e.v))), 6) AS sim
+         |      FROM probes p JOIN e ON e.label = p.label
+         |      WHERE e.vec_id <> p.qid),
+         |cand AS (SELECT qid, vec_id, sim FROM (
+         |    SELECT qid, vec_id, sim,
+         |           row_number() OVER (PARTITION BY qid
+         |             ORDER BY sim DESC, vec_id) AS rnk
+         |    FROM scored)
+         |  WHERE rnk <= 40),
+         |nall AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM e)
+         |${point("0_all", "TRUE")}
+         |UNION ALL
+         |${point("a_mod2", "e.vec_id % 2 = 0")}
+         |UNION ALL
+         |${point("b_lang_fr", "e.lang = 'fr'")}
+         |UNION ALL
+         |${point("c_src3", "e.source = 'src3'")}
+         |ORDER BY filt""".stripMargin
+    }
   )
 }

@@ -1368,4 +1368,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("LeftOuter") || p.contains("BuildRight"), p)
     assert(p.contains("PushedFilters"), p)
   }
+
+  test("q245: the over-fetched IVF candidate list is materialized ONCE " +
+    "(a checkpointed leaf — the centroid build never re-plans per " +
+    "filter point), every per-filter re-rank is a WindowGroupLimit " +
+    "top-k over that list, and the exact sides are broadcast one-pass " +
+    "scans — no cartesian") {
+    val p = plan("q245_filtered_ann")
+    assert(!p.contains("CartesianProduct"), p)
+    // the shared candidate list: localCheckpoint leaves, not a
+    // re-planned IVF chain (labelCentroids' posexplode would show up)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("posexplode"),
+      "the IVF probe pass must not be re-planned per filter")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
 }

@@ -200,4 +200,48 @@ class SimilaritySpec extends SparkSpec {
       assert(means.toSeq === means.sorted.toSeq, means.toSeq.toString)
     } finally { curve.unpersist(); () }
   }
+
+  test("filteredAnnRecall: with every vector in one IVF list the probe " +
+      "sees everything, so sufficient over-fetch gives recall 1.0 at " +
+      "every selectivity") {
+    // one label → nprobe=1 still scans the whole corpus; overfetch
+    // k·10 ≥ |corpus| → the post-filter re-rank IS the exact pre-filter
+    val one = corpus.withColumn("label", lit(0))
+    val card = Similarity.filteredAnnRecall(one.filter(col("vec_id") < 3),
+      one, Seq("all" -> lit(true), "even" -> (col("vec_id") % 2 === 0),
+        "few" -> (col("vec_id") % 10 === 0)),
+      nprobe = 1, k = 5, overfetch = 20)
+    val rows = card.collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("recall") === 1.0,
+        s"${r.getAs[String]("filt")}: expected full recall, got $r")
+    }
+    val few = rows.find(_.getAs[String]("filt") == "few").get
+    assert(few.getAs[Long]("n_pass") === 10L &&
+      few.getAs[Double]("selectivity") === 0.1)
+  }
+
+  test("filteredAnnRecall: an unfiltered point at overfetch=1 reproduces " +
+      "recallAtK's aggregate hits exactly") {
+    val q = corpus.filter(col("vec_id") < 4)
+    val card = Similarity.filteredAnnRecall(q, corpus,
+      Seq("all" -> lit(true)), nprobe = 2, k = 5, overfetch = 1)
+      .collect().head
+    val per = Similarity.recallAtK(q, corpus, nprobe = 2, k = 5)
+      .agg(sum(col("n_exact")), sum(col("hits"))).collect().head
+    assert(card.getAs[Long]("n_exact") === per.getLong(0) &&
+      card.getAs[Long]("hits") === per.getLong(1))
+  }
+
+  test("filteredAnnRecall: post-filter recall can only improve with " +
+      "over-fetch (the card's dial is monotone here)") {
+    val q = corpus.filter(col("vec_id") < 4)
+    val filt = Seq("third" -> (col("vec_id") % 3 === 0))
+    def rec(of: Int): Double =
+      Similarity.filteredAnnRecall(q, corpus, filt, nprobe = 2, k = 5,
+        overfetch = of).collect().head.getAs[Double]("recall")
+    val r1 = rec(1); val r4 = rec(4); val r20 = rec(20)
+    assert(r1 <= r4 && r4 <= r20, s"$r1 / $r4 / $r20")
+  }
 }
