@@ -218,9 +218,38 @@ object Mixture {
   def unimaxAllocation(counts: DataFrame, domainCol: String,
       tokCol: String, maxEpochs: Long, budgetNum: Long,
       budgetDen: Long): DataFrame = {
-    require(maxEpochs > 0 && budgetNum > 0 && budgetDen > 0,
-      "maxEpochs and the budget fraction must be positive")
-    val base = counts.select(col(domainCol), col(tokCol).as("n_tok"))
+    require(budgetNum > 0 && budgetDen > 0,
+      "the budget fraction must be positive")
+    waterfill(counts.select(col(domainCol), col(tokCol).as("n_tok")),
+      domainCol, maxEpochs,
+      expr(s"(sum(n_tok) over () * $budgetNum) div $budgetDen"))
+  }
+
+  /** [[unimaxAllocation]] with the budget supplied as an EXPLICIT exact
+    * integer — a one-row, one-BIGINT-column DataFrame — instead of a
+    * fraction of the domain table's own total. This is the form a
+    * multi-phase schedule needs: an anneal phase's budget is a fraction
+    * of the WHOLE run's tokens, not of the high-quality pool it
+    * allocates over, so the caller derives the budget from one table
+    * and waterfills another. The budget row is broadcast onto the
+    * k-row domain table (domain-sized work, the mixture-family idiom). */
+  def unimaxAllocationBudget(counts: DataFrame, domainCol: String,
+      tokCol: String, maxEpochs: Long, budget: DataFrame): DataFrame = {
+    val b = broadcast(
+      budget.select(budget.columns.head).toDF("__b")
+        .select(col("__b").cast("long").as("__b")))
+    waterfill(counts.select(col(domainCol), col(tokCol).as("n_tok"))
+        .crossJoin(b),
+      domainCol, maxEpochs, col("__b"))
+  }
+
+  /** The shared closed-form waterfill (see [[unimaxAllocation]] for the
+    * math and the domain-sized-table window contract); `bCol` evaluates
+    * the exact-integer budget per row. */
+  private def waterfill(counts0: DataFrame, domainCol: String,
+      maxEpochs: Long, bCol: Column): DataFrame = {
+    require(maxEpochs > 0, "maxEpochs must be positive")
+    val base = counts0
       .withColumn("n_tok", when(col("n_tok") >= 0, col("n_tok"))
         .otherwise(raise_error(concat(
           lit("unimaxAllocation: negative n_tok for domain "),
@@ -233,8 +262,7 @@ object Mixture {
       .withColumn("_s", coalesce(sum(col("cap")).over(
         wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("_k", count(lit(1)).over(all))
-      .withColumn("_b", expr(
-        s"(sum(n_tok) over () * $budgetNum) div $budgetDen"))
+      .withColumn("_b", bCol)
       .withColumn("saturated",
         col("cap") * (col("_k") - col("_r") + 1L) + col("_s") <= col("_b"))
     val solved = ranked
@@ -292,5 +320,55 @@ object Mixture {
       round(eff, 2).as("eff_tokens"),
       when(col(allocCol) > 0,
         round(round(eff, 2) / a, 6)).otherwise(lit(0.0)).as("value_frac"))
+  }
+
+  /** The EPOCH-CAP decision curve — the question [[unimaxAllocation]]
+    * and [[dataConstrainedValue]] exist to answer, asked across a grid:
+    * for ONE fixed token budget, what does each candidate epoch cap
+    * buy? A tight cap strands budget (small domains saturate and the
+    * leftover can't go anywhere); a loose cap spends it all but on
+    * repetitions whose value decays (Muennighoff et al. 2023). One row
+    * per cap: saturation count, allocated total, stranded leftover, and
+    * the effective-token total under the repetition-decay law — the
+    * number a run picks its cap to maximize.
+    *
+    * Cross-engine exactness: per-domain eff_tokens is 2-dp by
+    * [[dataConstrainedValue]]'s discipline, so its CENT count
+    * round(eff·100) is an exact integer — summed as a LONG (order-free)
+    * and divided back once, the curve total is bit-identical in any
+    * engine and any partitioning; summing the raw doubles would leak
+    * reduction order.
+    *
+    * Scale shape: |caps| waterfills over the SAME k-row domain table —
+    * domain-sized work per point, the corpus never re-read.
+    *
+    * @return one row per cap: (max_epochs, n_domains, n_saturated,
+    *         total_alloc, leftover, eff_tokens, value_frac) */
+  def epochCapCurve(counts: DataFrame, domainCol: String, tokCol: String,
+      caps: Seq[Long], budgetNum: Long, budgetDen: Long,
+      rstar: Double = 15.39): DataFrame = {
+    require(caps.nonEmpty, "need at least one cap point")
+    caps.distinct.sorted.map { cap =>
+      val al = unimaxAllocation(counts, domainCol, tokCol, cap,
+        budgetNum, budgetDen)
+      val valued = dataConstrainedValue(
+        al.select(col(domainCol), col("n_tok"), col("alloc")),
+        domainCol, "n_tok", "alloc", rstar)
+        .select(col(domainCol),
+          round(col("eff_tokens") * 100).cast("long").as("__cents"))
+      al.join(valued, Seq(domainCol))
+        .agg(count(lit(1)).as("n_domains"),
+          sum(when(col("saturated"), 1L).otherwise(0L)).as("n_saturated"),
+          sum(col("alloc")).as("total_alloc"),
+          min(col("leftover")).as("leftover"),
+          sum(col("__cents")).as("__c"))
+        .select(lit(cap).as("max_epochs"), col("n_domains"),
+          col("n_saturated"), col("total_alloc"), col("leftover"),
+          (col("__c").cast("double") / lit(100.0)).as("eff_tokens"),
+          when(col("total_alloc") > 0,
+            round(col("__c").cast("double") /
+              (col("total_alloc").cast("double") * lit(100.0)), 6))
+            .otherwise(lit(0.0)).as("value_frac"))
+    }.reduce(_ unionByName _)
   }
 }

@@ -585,6 +585,62 @@ object CorpusQueries {
       srcRows.unionByName(tot).orderBy(col("source"))
     }),
 
+    // LLM mixture 8 — the EPOCH-CAP decision curve: the dial behind the
+    // q232/q233 operating points, asked across a grid. ONE fixed 2×
+    // budget, caps {1,2,4,8}: a tight cap strands budget as leftover
+    // (small sources saturate and the surplus has nowhere legal to go);
+    // a loose cap spends everything but on repetitions whose value
+    // decays under the q233 law. The row a run reads: eff_tokens —
+    // pick the cap that maximizes it. Per-source effective tokens are
+    // 2-dp by construction, so the curve sums their exact CENT counts
+    // as longs (order-free, engine-exact) and divides back once. Four
+    // waterfills over the persisted 20-row source_tokens stage —
+    // domain-sized work per point, the corpus never re-read.
+    "q249_epoch_cap_curve" -> ((s, dir) =>
+      Mixture.epochCapCurve(sourceTokensStage(s, dir), "source", "n_tok",
+          caps = Seq(1L, 2L, 4L, 8L), budgetNum = 2L, budgetDen = 1L)
+        .orderBy(col("max_epochs"))),
+
+    // LLM mixture 9 — the TWO-PHASE ANNEAL SCHEDULE: the mid-training
+    // practice of finishing a run on a quality-restricted mix. One
+    // total budget T (the corpus token count) split exactly: phase 1
+    // waterfills ⌊9T/10⌋ over ALL source tokens at a 4-epoch cap;
+    // phase 2 waterfills the exact remainder T − ⌊9T/10⌋ over the
+    // GOPHER-ACCEPTED tokens only at a 1-epoch cap (anneal data is too
+    // hot to repeat). The anneal budget is a fraction of the WHOLE
+    // run's tokens, not of the quality pool — the explicit-budget
+    // waterfill form — and sources whose quality pool is empty appear
+    // as alloc=0 rows (the zero-capacity contract), so both phases
+    // cover every source and the schedule is one artifact. Rides the
+    // persisted source_tokens / doc_source_tokens / doc_features
+    // stages; the only corpus-sized work is one semi-join + grouped
+    // sum for the quality pool.
+    "q248_anneal_schedule" -> ((s, dir) => {
+      val pool = sourceTokensStage(s, dir)
+      val tot = pool.agg(sum(col("n_tok")).as("t"))
+      val b1 = tot.select(expr("(t * 9) div 10").as("b"))
+      val b2 = tot.select(expr("t - ((t * 9) div 10)").as("b"))
+      val hq = docSourceTokensStage(s, dir)
+        .join(docFeaturesStage(s, dir).filter(col("g_gopher"))
+          .select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .groupBy(col("source")).agg(sum(col("n_tok")).as("hq_tok"))
+      val hqAll = pool.select(col("source"))
+        .join(hq, Seq("source"), "left")
+        .select(col("source"),
+          coalesce(col("hq_tok"), lit(0L)).as("n_tok"))
+      val p1 = Mixture.unimaxAllocationBudget(pool, "source", "n_tok",
+          maxEpochs = 4L, budget = b1)
+        .withColumn("phase", lit("1_pretrain"))
+      val p2 = Mixture.unimaxAllocationBudget(hqAll, "source", "n_tok",
+          maxEpochs = 1L, budget = b2)
+        .withColumn("phase", lit("2_anneal"))
+      p1.unionByName(p2)
+        .select(col("phase"), col("source"), col("n_tok"), col("cap"),
+          col("saturated"), col("alloc"), col("epochs_used"),
+          col("leftover"))
+        .orderBy(col("phase"), col("source"))
+    }),
+
     // THE PER-DOC REJECTION LEDGER — the q196 funnel read from the
     // document's side: the funnel answers "how many docs died at each
     // gate"; this answers the question a data-engineering user actually
@@ -1517,6 +1573,110 @@ object CorpusQueries {
         |ORDER BY a.vec_id""".stripMargin
   }
 
+  /** The UniMax waterfill CTE chain, parametrized: epoch cap, the exact
+    * integer budget EXPRESSION (the standard fraction-of-own-total form
+    * is a window over `stok`; a multi-phase schedule passes a scalar
+    * subquery over another table), and the domain-table CTE to read.
+    * Emits `${p}out(source, n_tok, cap, saturated, alloc, epochs_used,
+    * leftover)`; `p` prefixes every CTE name so several allocations can
+    * coexist in one oracle. Mirrors [[Mixture.unimaxAllocation]]'s
+    * closed form exactly (DuckDB // floors, Spark div truncates — equal
+    * on the nonnegative operands here). */
+  private def waterfillCtes(p: String, cap: Long, bExpr: String,
+      stok: String = "stok"): String =
+    s"""${p}r AS (
+       |  SELECT source, n_tok, n_tok * $cap AS cap,
+       |    row_number() OVER (ORDER BY n_tok * $cap, source) AS rr,
+       |    coalesce(sum(n_tok * $cap) OVER (ORDER BY n_tok * $cap, source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s,
+       |    count(*) OVER () AS k,
+       |    ($bExpr) AS b
+       |  FROM $stok),
+       |${p}f AS (SELECT *, cap * (k - rr + 1) + s <= b AS saturated
+       |  FROM ${p}r),
+       |${p}g AS (
+       |  SELECT *,
+       |    sum(CASE WHEN saturated THEN 1 ELSE 0 END) OVER () AS m,
+       |    coalesce(sum(CASE WHEN saturated THEN cap END) OVER (), 0)
+       |      AS ssat
+       |  FROM ${p}f),
+       |${p}h AS (
+       |  SELECT *, CASE WHEN k > m THEN (b - ssat) // (k - m)
+       |            ELSE 0 END AS share
+       |  FROM ${p}g),
+       |${p}out AS (
+       |  SELECT source, n_tok, CAST(cap AS BIGINT) AS cap, saturated,
+       |    CAST(CASE WHEN saturated THEN cap ELSE share END AS BIGINT)
+       |      AS alloc,
+       |    CASE WHEN n_tok > 0
+       |      THEN round((CASE WHEN saturated THEN cap ELSE share
+       |        END)::DOUBLE / n_tok::DOUBLE, 4)
+       |      ELSE 0.0 END AS epochs_used,
+       |    CAST(b - ssat - share * (k - m) AS BIGINT) AS leftover
+       |  FROM ${p}h)""".stripMargin
+
+  /** q249 oracle — four waterfills at one 2× budget, each reduced to
+    * its curve row via the q233 value law (exact cent-count sums). */
+  private val epochCapCurveSql: String = {
+    def pointCtes(p: String, cap: Long): String =
+      s"""${waterfillCtes(p, cap, "(sum(n_tok) OVER () * 2) // 1")},
+         |${p}val AS (
+         |  SELECT *, CAST(round(100 * round(CASE
+         |      WHEN alloc <= n_tok THEN alloc::DOUBLE
+         |      ELSE n_tok::DOUBLE * (1.0 + 15.39 * (1.0 -
+         |        exp(-round(alloc::DOUBLE / n_tok::DOUBLE - 1.0, 4)
+         |            / 15.39))) END, 2)) AS BIGINT) AS cents
+         |  FROM ${p}out),
+         |${p}row AS (
+         |  SELECT CAST($cap AS BIGINT) AS max_epochs,
+         |    CAST(count(*) AS BIGINT) AS n_domains,
+         |    CAST(sum(CASE WHEN saturated THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_saturated,
+         |    CAST(sum(alloc) AS BIGINT) AS total_alloc,
+         |    CAST(min(leftover) AS BIGINT) AS leftover,
+         |    sum(cents)::DOUBLE / 100.0 AS eff_tokens,
+         |    CASE WHEN sum(alloc) > 0
+         |      THEN round(sum(cents)::DOUBLE /
+         |        (sum(alloc)::DOUBLE * 100.0), 6)
+         |      ELSE 0.0 END AS value_frac
+         |  FROM ${p}val)""".stripMargin
+    val caps = Seq(1L, 2L, 4L, 8L)
+    s"""WITH stok AS (
+       |  SELECT source,
+       |    CAST(sum(len(string_split_regex(trim(text), '\\s+')))
+       |      AS BIGINT) AS n_tok
+       |  FROM documents GROUP BY 1),
+       |${caps.map(c => pointCtes(s"c$c", c)).mkString(",\n")}
+       |${caps.map(c => s"SELECT * FROM c${c}row")
+          .mkString("\nUNION ALL\n")}
+       |ORDER BY max_epochs""".stripMargin
+  }
+
+  /** q248 oracle — the exact budget split T = ⌊9T/10⌋ + remainder, the
+    * full-pool waterfill at cap 4 and the gopher-pool waterfill at
+    * cap 1 (sources with an empty quality pool kept as 0-capacity
+    * rows). */
+  private val annealScheduleSql: String =
+    s"""WITH stok AS (
+       |  SELECT source,
+       |    CAST(sum(len(string_split_regex(trim(text), '\\s+')))
+       |      AS BIGINT) AS n_tok
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS t FROM stok),
+       |$gopherCtes,
+       |hq AS (
+       |  SELECT s.source,
+       |    CAST(coalesce(sum(CASE WHEN a.g_gopher THEN a.n_tok END), 0)
+       |      AS BIGINT) AS n_tok
+       |  FROM stok s LEFT JOIN acc a USING (source) GROUP BY s.source),
+       |${waterfillCtes("p1", 4L, "(SELECT (t * 9) // 10 FROM tot)")},
+       |${waterfillCtes("p2", 1L,
+            "(SELECT t - ((t * 9) // 10) FROM tot)", "hq")}
+       |SELECT '1_pretrain' AS phase, * FROM p1out
+       |UNION ALL
+       |SELECT '2_anneal' AS phase, * FROM p2out
+       |ORDER BY phase, source""".stripMargin
+
   /** q236 oracle — the composed manifest chain: the q233 waterfill CTEs
     * (4-epoch cap, 2× budget), the md5-ranked per-source remainder
     * prefix, instance expansion (fixed range(0,5) laterally filtered —
@@ -1672,14 +1832,19 @@ object CorpusQueries {
     * md5-bucket keep chain, and q61's recursive greedy-packing replay
     * over the final survivor set (the packing CTEs go unreferenced by
     * the q238 ledger and are simply not planned there). */
-  private val releaseGateCtes: String =
-    s"""gt AS (SELECT doc_id, text,
+  /** The gopher rule battery as CTEs (`gt`/`gf` → `acc(doc_id, source,
+    * text, n_tok, g_gopher)`) — the shared head of the release-gate
+    * chain, also consumed standalone by the q248 anneal schedule's
+    * quality pool. Lazy: consumers textually above it in this file
+    * would otherwise interpolate a null at object init. */
+  private[queries] lazy val gopherCtes: String =
+    s"""gt AS (SELECT doc_id, source, text,
       |    string_split_regex(trim(lower(text)), '\\s+') AS ltoks,
       |    length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
       |      AS n_sym,
       |    len(string_split_regex(trim(text), '\\s+')) AS n_tok
       |  FROM documents),
-      |gf AS (SELECT doc_id, text, n_tok, n_sym, len(ltoks) AS n,
+      |gf AS (SELECT doc_id, source, text, n_tok, n_sym, len(ltoks) AS n,
       |    list_sum(list_transform(ltoks, w -> length(w))) AS sum_len,
       |    len(list_filter(ltoks, w -> list_contains(
       |      ['the','a','of','and','to','in','is','on','for','with'], w)))
@@ -1689,12 +1854,15 @@ object CorpusQueries {
       |             i -> ltoks[i+1] || ' ' || ltoks[i+2] || ' ' || ltoks[i+3])
       |      ELSE []::VARCHAR[] END AS grams
       |  FROM gt),
-      |acc AS (SELECT doc_id, text, n_tok,
+      |acc AS (SELECT doc_id, source, text, n_tok,
       |    (n BETWEEN 3 AND 10000 AND sum_len >= n * 3 AND sum_len <= n * 10
       |     AND stop_hits >= 2 AND n_sym * 10 <= n
       |     AND (len(grams) - len(list_distinct(grams))) * 8 <= len(grams))
       |      AS g_gopher
-      |  FROM gf),
+      |  FROM gf)""".stripMargin
+
+  private val releaseGateCtes: String =
+    s"""$gopherCtes,
       |dd AS (SELECT doc_id, row_number() OVER
       |    (PARTITION BY md5(text) ORDER BY doc_id) AS rn
       |  FROM acc WHERE g_gopher),
@@ -2762,6 +2930,10 @@ object CorpusQueries {
     "q236_mix_manifest" -> mixManifestSql,
 
     "q238_rejection_ledger" -> rejectionLedgerSql,
+
+    "q248_anneal_schedule" -> annealScheduleSql,
+
+    "q249_epoch_cap_curve" -> epochCapCurveSql,
 
     "q100_collocations" ->
       """WITH toks AS (

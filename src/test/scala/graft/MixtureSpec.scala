@@ -235,4 +235,78 @@ class MixtureSpec extends SparkSpec {
       byEpochs.head.getAs[Double]("value_frac"),
       "more repetition must not be worth more per token")
   }
+
+  test("unimaxAllocationBudget: an explicit budget equal to the standard " +
+      "fraction reproduces unimaxAllocation row-for-row") {
+    import sqlImplicits._
+    val counts = Seq(("a", 100L), ("b", 40L), ("c", 7L), ("d", 900L))
+      .toDF("dom", "n_tok")
+    val std = Mixture.unimaxAllocation(counts, "dom", "n_tok",
+      maxEpochs = 3L, budgetNum = 5L, budgetDen = 4L)
+    val b = counts.agg(expr("(sum(n_tok) * 5) div 4").as("b"))
+    val exp = Mixture.unimaxAllocationBudget(counts, "dom", "n_tok",
+      maxEpochs = 3L, budget = b)
+    assert(std.exceptAll(exp).isEmpty && exp.exceptAll(std).isEmpty)
+  }
+
+  test("epochCapCurve: allocation + leftover conserve the budget at every " +
+      "cap, allocation is non-decreasing in the cap, and effective value " +
+      "never exceeds the allocation") {
+    import sqlImplicits._
+    val counts = Seq(("a", 10L), ("b", 50L), ("c", 200L), ("d", 1000L))
+      .toDF("dom", "n_tok")
+    val budget = (10L + 50L + 200L + 1000L) * 2
+    val rows = Mixture.epochCapCurve(counts, "dom", "n_tok",
+      caps = Seq(1L, 2L, 4L, 16L), budgetNum = 2L, budgetDen = 1L)
+      .orderBy(col("max_epochs")).collect()
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("total_alloc") + r.getAs[Long]("leftover")
+        === budget, s"budget must be conserved: $r")
+      assert(r.getAs[Double]("eff_tokens") <=
+        r.getAs[Long]("total_alloc").toDouble, r.toString)
+      assert(r.getAs[Long]("n_domains") === 4L)
+      // the leftover is either CAPACITY-bound (everything saturated:
+      // exactly the budget the caps cannot absorb) or the waterfill's
+      // integer remainder, strictly under the unsaturated domain count
+      // (NOT monotone in the cap — a looser cap can strand a couple of
+      // remainder tokens a tight all-saturating cap didn't)
+      val unsat = 4L - r.getAs[Long]("n_saturated")
+      if (unsat == 0L)
+        assert(r.getAs[Long]("total_alloc") ===
+          (10L + 50L + 200L + 1000L) * r.getAs[Long]("max_epochs")
+            .min(budget), r.toString)
+      else assert(r.getAs[Long]("leftover") < unsat, r.toString)
+    }
+    // cap 1 cannot exceed one epoch of everything
+    assert(rows.head.getAs[Long]("total_alloc") === budget / 2)
+  }
+
+  test("q248 graded geometry: the two phases split the corpus budget " +
+      "EXACTLY (sum of allocations and leftovers = T), the anneal pool " +
+      "is a strict subset of the full pool, and anneal never repeats") {
+    val card = SparkEntry.queries("q248_anneal_schedule")(spark, dir)
+      .collect()
+    val (p1, p2) = card.partition(_.getAs[String]("phase") == "1_pretrain")
+    assert(p1.length === 20 && p2.length === 20)
+    val t = SparkEntry.queries("q232_unimax_allocation")(spark, dir)
+      .agg(sum(col("n_tok"))).collect().head.getLong(0)
+    val spent = (p1 ++ p2).map(_.getAs[Long]("alloc")).sum
+    val stranded = p1.map(_.getAs[Long]("leftover")).head +
+      p2.map(_.getAs[Long]("leftover")).head
+    assert(spent + stranded === t,
+      s"exact split violated: $spent + $stranded != $t")
+    p2.foreach { r =>
+      assert(r.getAs[Long]("n_tok") <= t &&
+        r.getAs[Double]("epochs_used") <= 1.0001,
+        s"anneal must not repeat: $r")
+    }
+    val full = p1.map(r => r.getAs[String]("source") ->
+      r.getAs[Long]("n_tok")).toMap
+    p2.foreach { r =>
+      assert(r.getAs[Long]("n_tok") <=
+        full(r.getAs[String]("source")),
+        "quality pool cannot exceed the source's tokens")
+    }
+  }
 }

@@ -1369,6 +1369,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("PushedFilters"), p)
   }
 
+  test("q249: four waterfills ride the one persisted source_tokens " +
+    "stage — zero live scans warm, every window over the 20-row domain " +
+    "table, no cartesian") {
+    val p = plan("q249_epoch_cap_curve")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(liveScans("q249_epoch_cap_curve").isEmpty, p)
+  }
+
+  test("q248: both phase waterfills and the quality pool ride persisted " +
+    "stages (source_tokens / doc_source_tokens / doc_features) — zero " +
+    "live scans warm; the explicit budgets are broadcast scalar rows, " +
+    "no cartesian") {
+    val p = plan("q248_anneal_schedule")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(liveScans("q248_anneal_schedule").isEmpty, p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+  }
+
   test("q245: the over-fetched IVF candidate list is materialized ONCE " +
     "(a checkpointed leaf — the centroid build never re-plans per " +
     "filter point), every per-filter re-rank is a WindowGroupLimit " +
