@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -218,6 +218,83 @@ object Packing {
         (col("__maxbin") + 1L + col("bin")).as("bin"),
         lit(true).as("repacked"))
     clean.unionByName(repacked)
+  }
+
+  /** The SEQUENCE-LENGTH decision curve — what each candidate training
+    * sequence length costs, measured: for every budget L in the grid,
+    * one greedy packing of the SAME weight manifest and its efficiency
+    * face (bins, padding waste, fill rate), plus the truncation
+    * pressure a length-L trainer faces (tokens beyond L in documents
+    * longer than L — the mass that either truncates or forces an
+    * over-budget single-doc bin, counted both ways: `n_overbudget`
+    * bins and `trunc_tokens`). Short L wastes nothing per bin but
+    * truncates long documents; long L keeps documents whole but pads.
+    * The row a run reads before fixing max_seq_len.
+    *
+    * Scale shape: |budgets| independent [[packGreedy]] passes over the
+    * (id, weight) MANIFEST — never the text; each pass is the
+    * shard-parallel streaming greedy, each card one bin-sized
+    * aggregate. Pass a persisted per-doc stage so the grid shares one
+    * materialization.
+    *
+    * @return one row per budget: (budget, n_bins, n_docs, total_tokens,
+    *         sum_waste, fill_rate, n_overbudget, trunc_tokens,
+    *         trunc_frac) */
+  def packLengthCurve(df: DataFrame, idCol: String, weightCol: String,
+      budgets: Seq[Long], shards: Int): DataFrame = {
+    require(budgets.nonEmpty, "need at least one budget point")
+    budgets.distinct.sorted.map { b =>
+      val card = packCard(packGreedy(df, idCol, weightCol, b, shards), b)
+      val tr = df.agg(coalesce(sum(greatest(
+        col(weightCol).cast("long") - lit(b), lit(0L))), lit(0L))
+        .as("trunc_tokens"))
+      card.crossJoin(broadcast(tr))
+        .select(lit(b).as("budget"), col("n_bins"), col("n_docs"),
+          col("total_tokens"), col("sum_waste"), col("fill_rate"),
+          col("n_overbudget"), col("trunc_tokens"),
+          when(col("total_tokens") > 0,
+            round(col("trunc_tokens").cast("double") /
+              col("total_tokens").cast("double"), 6))
+            .otherwise(lit(0.0)).as("trunc_frac"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Per-bin SOURCE-DIVERSITY QA of a stored packing — the shard-audit
+    * a trainer runs before trusting gradient batches: a bin dominated
+    * by one source makes a correlated batch however good the global
+    * mix is. Joins the packed manifest to a per-doc attribute and
+    * reduces to a bounded histogram: one row per distinct
+    * sources-per-bin count, with the bins/docs/tokens it covers and
+    * how many of those bins are DOMINATED (one source holding at least
+    * half the bin's tokens — an exact integer predicate, no float).
+    *
+    * Scale shape: one equi-join of the bin manifest to the per-doc
+    * attribute table (both id-keyed; at scale both bucketable), two
+    * bin-keyed aggregates, one histogram-sized reduction. The corpus
+    * text is never touched.
+    *
+    * @param docKey  expression over the packed rows yielding the doc
+    *                key (an instance-expanded packing divides the
+    *                epoch factor back out, e.g. `expr("id div 8")`)
+    * @param docAttr the per-doc attribute table, keyed by attrKeyCol
+    * @return (n_sources, n_bins, n_docs, n_tokens, n_dominated) */
+  def binDiversityCard(packed: DataFrame, docKey: Column,
+      docAttr: DataFrame, attrKeyCol: String, attrCol: String)
+      : DataFrame = {
+    val joined = packed.withColumn("__k", docKey)
+      .join(docAttr.select(col(attrKeyCol).as("__k"),
+        col(attrCol).as("__a")), Seq("__k"))
+      .select(col("shard"), col("bin"), col("w"), col("__a"))
+    val perSrc = joined.groupBy(col("shard"), col("bin"), col("__a"))
+      .agg(count(lit(1)).as("docs"), sum(col("w")).as("tok"))
+    val perBin = perSrc.groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_sources"), sum(col("docs")).as("docs"),
+        sum(col("tok")).as("tok"), max(col("tok")).as("dom_tok"))
+    perBin.groupBy(col("n_sources"))
+      .agg(count(lit(1)).as("n_bins"), sum(col("docs")).as("n_docs"),
+        sum(col("tok")).as("n_tokens"),
+        sum(when(col("dom_tok") * 2 >= col("tok"), 1L).otherwise(0L))
+          .as("n_dominated"))
   }
 
   /** Packing efficiency report: bins, mean fill ratio, over-budget bins

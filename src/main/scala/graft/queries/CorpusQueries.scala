@@ -134,6 +134,24 @@ object CorpusQueries {
         lit("instance id would overflow Long for doc_id "),
         docId.cast("string"))))
 
+  /** Persisted PACKED mix manifest — the q236 instance expansion
+    * (doc × epoch, id = doc_id·8 + e) greedily packed at the q61
+    * budget; shared by the manifest card (q236, which also feeds its
+    * epoch shuffle from it) and the bin-diversity QA (q247). */
+  private[queries] def mixPackedStage(s: SparkSession, dir: String)
+      : DataFrame =
+    PipelineQueries.stage(s, dir, "mix_packed") {
+      val inst = mixSampleStage(s, dir)
+        .withColumn("n_inst",
+          col("epochs_full") + when(col("in_rem"), 1L).otherwise(0L))
+        .filter(col("n_inst") > 0)
+        .select(col("doc_id"), col("n_tok"),
+          explode(sequence(lit(0L), col("n_inst") - 1)).as("e"))
+        .select(instanceId(col("doc_id"), col("e")).as("id"),
+          col("n_tok"))
+      Packing.packGreedy(inst, "id", "n_tok", budget = 512L, shards = 8)
+    }
+
   private def docFeaturesStage(s: SparkSession, dir: String): DataFrame =
     PipelineQueries.stage(s, dir, "doc_features") {
       // staged toks/grams projections — NEVER inline the split into the
@@ -539,20 +557,11 @@ object CorpusQueries {
           lit(null).cast("long").as("n_bins"),
           lit(null).cast("double").as("fill_rate"),
           lit(null).cast("long").as("order_fp"))
-      // instance list: epoch e ∈ [0, epochs_full) for every doc, plus
-      // e = epochs_full for remainder members; inst id = doc_id·8 + e
-      // (collision-free: e ≤ maxEpochs = 4 < 8), so packing and the
-      // epoch shuffle see one row per TRAINING OCCURRENCE
-      val inst = sel
-        .withColumn("n_inst",
-          col("epochs_full") + when(col("in_rem"), 1L).otherwise(0L))
-        .filter(col("n_inst") > 0)
-        .select(col("doc_id"), col("n_tok"),
-          explode(sequence(lit(0L), col("n_inst") - 1)).as("e"))
-        .select(instanceId(col("doc_id"), col("e")).as("id"), col("n_tok"))
-      val packed = Packing.packGreedy(inst, "id", "n_tok", budget = 512L,
-          shards = 8)
-        .localCheckpoint(true) // two consumers: the card and the shuffle
+      // the packed instance list (one row per TRAINING OCCURRENCE,
+      // epoch e ∈ [0, epochs_full) per doc plus e = epochs_full for
+      // remainder members) is the persisted mix_packed stage — two
+      // consumers here (the card and the shuffle) plus q247's QA
+      val packed = mixPackedStage(s, dir)
       val card = Packing.packCard(packed, budget = 512L)
         .select(col("n_bins"), col("fill_rate"))
       // the epoch-order fingerprint: XOR of md5(pos:order_key) row
@@ -640,6 +649,38 @@ object CorpusQueries {
           col("leftover"))
         .orderBy(col("phase"), col("source"))
     }),
+
+    // THE SEQUENCE-LENGTH DECISION CURVE — the dial behind the q61/
+    // q193/q236 packing budget, asked across a grid {64,128,256,512}:
+    // per candidate max_seq_len, one greedy packing of the SAME
+    // per-doc token manifest and its efficiency face (bins, padding
+    // waste, fill rate) against the truncation pressure (tokens beyond
+    // L in docs longer than L, and the over-budget single-doc bins
+    // they force). Short L pads less but truncates long documents;
+    // long L keeps docs whole but pads. Four manifest-sized greedy
+    // passes over the persisted doc_source_tokens stage — the corpus
+    // text is never read; every count exact-integer, the two rates the
+    // only divisions.
+    "q246_packing_length_curve" -> ((s, dir) =>
+      Packing.packLengthCurve(docSourceTokensStage(s, dir), "doc_id",
+          "n_tok", budgets = Seq(64L, 128L, 256L, 512L), shards = 8)
+        .orderBy(col("budget"))),
+
+    // PER-BIN SOURCE-DIVERSITY QA of the packed training batches — the
+    // shard audit a trainer runs before trusting gradient batches: the
+    // q236 mix can be globally balanced while individual bins are
+    // single-source (correlated gradients). One row per
+    // sources-per-bin count with the bins/docs/tokens it covers and
+    // how many of those bins one source DOMINATES (≥ half the tokens,
+    // an exact integer predicate). Rides the persisted mix_packed
+    // stage joined to the (doc_id, source) stage by dividing the
+    // epoch factor back out of the instance id — zero live scans,
+    // two bin-keyed aggregates, a histogram-sized result.
+    "q247_shard_qa" -> ((s, dir) =>
+      Packing.binDiversityCard(mixPackedStage(s, dir),
+          expr("id div 8"), docSourceTokensStage(s, dir), "doc_id",
+          "source")
+        .orderBy(col("n_sources"))),
 
     // THE PER-DOC REJECTION LEDGER — the q196 funnel read from the
     // document's side: the funnel answers "how many docs died at each
@@ -1677,15 +1718,13 @@ object CorpusQueries {
        |SELECT '2_anneal' AS phase, * FROM p2out
        |ORDER BY phase, source""".stripMargin
 
-  /** q236 oracle — the composed manifest chain: the q233 waterfill CTEs
-    * (4-epoch cap, 2× budget), the md5-ranked per-source remainder
-    * prefix, instance expansion (fixed range(0,5) laterally filtered —
-    * n_inst ≤ maxEpochs+1 = 5), the q61 recursive greedy-packing
-    * replay over instances, and the q221 epoch-shuffle order reduced
-    * to the commutative XOR-of-row-hashes fingerprint. */
-  private val mixManifestSql: String =
-    """WITH RECURSIVE
-      |doc AS (
+  /** Shared mix-chain CTEs (q236 / q247): per-doc tokens, the q233
+    * operating-point waterfill (4-epoch cap, 2× budget), and the
+    * md5-ranked per-source remainder realization. Emits
+    * `sel2(doc_id, source, w, src_tok, alloc, epochs_full, rem_target,
+    * cum, in_rem)`. */
+  private val mixSelCtes: String =
+    """doc AS (
       |  SELECT doc_id, source,
       |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS w
       |  FROM documents),
@@ -1729,7 +1768,53 @@ object CorpusQueries {
       |        d.doc_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       |  FROM doc d JOIN al2 a USING (source)),
-      |sel2 AS (SELECT *, cum - w < rem_target AS in_rem FROM sel),
+      |sel2 AS (SELECT *, cum - w < rem_target AS in_rem FROM sel)"""
+      .stripMargin
+
+  /** Instance expansion of the realized sample: epoch e ∈
+    * [0, epochs_full) for every doc plus e = epochs_full for remainder
+    * members; inst id = doc_id·8 + e (fixed range(0,5) laterally
+    * filtered — n_inst ≤ maxEpochs+1 = 5). */
+  private val instCte: String =
+    """inst AS (
+      |  SELECT doc_id * 8 + e.range AS id, w
+      |  FROM sel2 JOIN range(0, 5) AS e(range)
+      |    ON e.range < epochs_full + CASE WHEN in_rem THEN 1 ELSE 0 END)"""
+      .stripMargin
+
+  /** The q61 recursive greedy-packing replay over an (id, w) CTE —
+    * md5 shard hash, per-shard id order, running-fill recursion —
+    * prefixed so several packings can coexist in one oracle. Emits
+    * `${p}pack(id, w, shard, rn, bin, fill)`. */
+  private def packReplayCtes(p: String, budget: Long,
+      src: String): String =
+    s"""${p}ptoks AS (
+       |  SELECT id, w,
+       |    ('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT % 8 AS shard
+       |  FROM $src),
+       |${p}pdocs AS (
+       |  SELECT id, w, shard,
+       |    row_number() OVER (PARTITION BY shard ORDER BY id) AS rn
+       |  FROM ${p}ptoks),
+       |${p}pack AS (
+       |  SELECT id, w, shard, rn, CAST(0 AS BIGINT) AS bin, w AS fill
+       |  FROM ${p}pdocs WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.id, d.w, d.shard, d.rn,
+       |    CASE WHEN p.fill > 0 AND p.fill + d.w > $budget
+       |         THEN p.bin + 1 ELSE p.bin END AS bin,
+       |    CASE WHEN p.fill > 0 AND p.fill + d.w > $budget
+       |         THEN d.w ELSE p.fill + d.w END AS fill
+       |  FROM ${p}pack p JOIN ${p}pdocs d
+       |    ON d.shard = p.shard AND d.rn = p.rn + 1)""".stripMargin
+
+  /** q236 oracle — the composed manifest chain: the shared mix-chain
+    * CTEs, instance expansion, the q61 recursive greedy-packing replay
+    * over instances, and the q221 epoch-shuffle order reduced to the
+    * commutative XOR-of-row-hashes fingerprint. */
+  private val mixManifestSql: String =
+    s"""WITH RECURSIVE
+      |$mixSelCtes,
       |persrc AS (
       |  SELECT source, src_tok, alloc, epochs_full, rem_target,
       |    CAST(count(*) AS BIGINT) AS n_docs,
@@ -1759,28 +1844,8 @@ object CorpusQueries {
       |         THEN round(eff_tokens / realized_tokens::DOUBLE, 6)
       |         ELSE 0.0 END AS value_frac
       |  FROM val),
-      |inst AS (
-      |  SELECT doc_id * 8 + e.range AS id, w
-      |  FROM sel2 JOIN range(0, 5) AS e(range)
-      |    ON e.range < epochs_full + CASE WHEN in_rem THEN 1 ELSE 0 END),
-      |ptoks AS (
-      |  SELECT id, w,
-      |    ('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT % 8 AS shard
-      |  FROM inst),
-      |pdocs AS (
-      |  SELECT id, w, shard,
-      |    row_number() OVER (PARTITION BY shard ORDER BY id) AS rn
-      |  FROM ptoks),
-      |pack AS (
-      |  SELECT id, w, shard, rn, CAST(0 AS BIGINT) AS bin, w AS fill
-      |  FROM pdocs WHERE rn = 1
-      |  UNION ALL
-      |  SELECT d.id, d.w, d.shard, d.rn,
-      |    CASE WHEN p.fill > 0 AND p.fill + d.w > 512
-      |         THEN p.bin + 1 ELSE p.bin END AS bin,
-      |    CASE WHEN p.fill > 0 AND p.fill + d.w > 512
-      |         THEN d.w ELSE p.fill + d.w END AS fill
-      |  FROM pack p JOIN pdocs d ON d.shard = p.shard AND d.rn = p.rn + 1),
+      |$instCte,
+      |${packReplayCtes("", 512L, "inst")},
       |pb AS (SELECT shard, bin, sum(w) AS fill FROM pack GROUP BY 1, 2),
       |pcard AS (
       |  SELECT CAST(count(*) AS BIGINT) AS n_bins,
@@ -1823,6 +1888,73 @@ object CorpusQueries {
       |  (SELECT n_bins FROM pcard), (SELECT fill_rate FROM pcard),
       |  (SELECT order_fp FROM om)
       |ORDER BY source""".stripMargin
+
+  /** q246 oracle — four greedy-packing replays of the per-doc token
+    * manifest, one per budget, each reduced to its curve row. */
+  private val packingLengthCurveSql: String = {
+    def pointCtes(p: String, b: Long): String =
+      s"""${packReplayCtes(p, b, "doc")},
+         |${p}pb AS (SELECT shard, bin, sum(w) AS fill,
+         |    count(*) AS docs
+         |  FROM ${p}pack GROUP BY 1, 2),
+         |${p}row AS (
+         |  SELECT CAST($b AS BIGINT) AS budget,
+         |    CAST(count(*) AS BIGINT) AS n_bins,
+         |    CAST(sum(docs) AS BIGINT) AS n_docs,
+         |    CAST(sum(fill) AS BIGINT) AS total_tokens,
+         |    CAST(sum(CASE WHEN fill < $b THEN $b - fill ELSE 0 END)
+         |      AS BIGINT) AS sum_waste,
+         |    CASE WHEN count(*) = 0 THEN 0.0
+         |      ELSE round(sum(fill)::DOUBLE /
+         |        (count(*) * $b)::DOUBLE, 6) END AS fill_rate,
+         |    CAST(sum(CASE WHEN fill > $b THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_overbudget,
+         |    (SELECT CAST(sum(CASE WHEN w > $b THEN w - $b ELSE 0 END)
+         |       AS BIGINT) FROM doc) AS trunc_tokens
+         |  FROM ${p}pb)""".stripMargin
+    val budgets = Seq(64L, 128L, 256L, 512L)
+    s"""WITH RECURSIVE
+       |doc AS (
+       |  SELECT doc_id AS id,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |      AS w
+       |  FROM documents),
+       |${budgets.map(b => pointCtes(s"b$b", b)).mkString(",\n")}
+       |SELECT budget, n_bins, n_docs, total_tokens, sum_waste,
+       |  fill_rate, n_overbudget, trunc_tokens,
+       |  CASE WHEN total_tokens > 0
+       |    THEN round(trunc_tokens::DOUBLE / total_tokens::DOUBLE, 6)
+       |    ELSE 0.0 END AS trunc_frac
+       |FROM (${budgets.map(b => s"SELECT * FROM b${b}row")
+          .mkString(" UNION ALL ")})
+       |ORDER BY budget""".stripMargin
+  }
+
+  /** q247 oracle — the shared mix chain + packing replay, each packed
+    * instance joined back to its doc's source (epoch factor divided
+    * out), reduced to the sources-per-bin histogram. */
+  private val shardQaSql: String =
+    s"""WITH RECURSIVE
+       |$mixSelCtes,
+       |$instCte,
+       |${packReplayCtes("", 512L, "inst")},
+       |src AS (
+       |  SELECT p.shard, p.bin, p.w, d.source
+       |  FROM pack p JOIN documents d ON p.id // 8 = d.doc_id),
+       |persrc AS (
+       |  SELECT shard, bin, source, count(*) AS docs, sum(w) AS tok
+       |  FROM src GROUP BY 1, 2, 3),
+       |perbin AS (
+       |  SELECT shard, bin, count(*) AS n_sources, sum(docs) AS docs,
+       |    sum(tok) AS tok, max(tok) AS dom_tok
+       |  FROM persrc GROUP BY 1, 2)
+       |SELECT CAST(n_sources AS BIGINT) AS n_sources,
+       |  CAST(count(*) AS BIGINT) AS n_bins,
+       |  CAST(sum(docs) AS BIGINT) AS n_docs,
+       |  CAST(sum(tok) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN dom_tok * 2 >= tok THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_dominated
+       |FROM perbin GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Shared WITH-body of the q196/q238 oracles — the release gate
     * chains composed once (names uniquified): q97's rule battery on the
@@ -2930,6 +3062,10 @@ object CorpusQueries {
     "q236_mix_manifest" -> mixManifestSql,
 
     "q238_rejection_ledger" -> rejectionLedgerSql,
+
+    "q246_packing_length_curve" -> packingLengthCurveSql,
+
+    "q247_shard_qa" -> shardQaSql,
 
     "q248_anneal_schedule" -> annealScheduleSql,
 

@@ -230,4 +230,69 @@ class PackingSpec extends SparkSpec {
       .filter(col("fill") > 256).count()
     assert(over === 0L)
   }
+
+  test("packLengthCurve: token mass is budget-invariant, bins shrink as " +
+      "the budget grows, waste tiles capacity when nothing is " +
+      "over-budget, and truncation pressure counts exactly the tokens " +
+      "beyond L") {
+    val rows = Packing.packLengthCurve(fixture, "doc_id", "n_tok",
+      budgets = Seq(32L, 128L, 65536L), shards = 8)
+      .orderBy(col("budget")).collect()
+    assert(rows.length === 3)
+    assert(rows.forall(_.getAs[Long]("total_tokens") ===
+      fixture.agg(sum("n_tok")).head().getLong(0)))
+    val bins = rows.map(_.getAs[Long]("n_bins")).toSeq
+    assert(bins === bins.sorted.reverse,
+      "a bigger budget can only need fewer-or-equal bins")
+    // weights are 10..99: at L=32 docs longer than 32 are over-budget
+    val r32 = rows.head
+    val expectTrunc = fixture.agg(sum(greatest(col("n_tok") - 32L,
+      lit(0L)))).head().getLong(0)
+    assert(r32.getAs[Long]("trunc_tokens") === expectTrunc)
+    assert(r32.getAs[Long]("n_overbudget") ===
+      fixture.filter(col("n_tok") > 32).count())
+    // at L=65536 (beyond the whole corpus) one bin per non-empty
+    // shard, zero truncation
+    val rBig = rows.last
+    assert(rBig.getAs[Long]("trunc_tokens") === 0L &&
+      rBig.getAs[Long]("n_overbudget") === 0L &&
+      rBig.getAs[Long]("n_bins") === 8L)
+    // truncation-free points: waste is exactly the unfilled capacity
+    rows.filter(_.getAs[Long]("n_overbudget") == 0L).foreach { r =>
+      assert(r.getAs[Long]("sum_waste") ===
+        r.getAs[Long]("n_bins") * r.getAs[Long]("budget") -
+          r.getAs[Long]("total_tokens"), r.toString)
+    }
+  }
+
+  test("binDiversityCard: hand-checked histogram — per-bin source " +
+      "counts, domination at the exact half-token boundary, and " +
+      "doc/token conservation") {
+    // source of id i = s((i-1) % 3 + 1):
+    // bin (0,0): ids 1,2,3 -> s1 30, s2 20, s3 10 — s1 holds exactly
+    //   half (30 of 60) -> dominated (the >= boundary)
+    // bin (0,1): ids 4,5 -> s1 25, s2 25 — a perfect split still has a
+    //   source at half -> dominated
+    // bin (1,0): ids 6,7,8 -> s3 20, s1 15, s2 15 — max 20 of 50 ->
+    //   NOT dominated
+    val packed = Seq(
+      (1L, 30L, 0L, 0L), (2L, 20L, 0L, 0L), (3L, 10L, 0L, 0L),
+      (4L, 25L, 0L, 1L), (5L, 25L, 0L, 1L),
+      (6L, 20L, 1L, 0L), (7L, 15L, 1L, 0L), (8L, 15L, 1L, 0L))
+      .toDF("id", "w", "shard", "bin")
+    val attrs = packed.select(col("id").as("doc_id"),
+      expr("element_at(array('s1','s2','s3'), " +
+        "cast(((id - 1) % 3) + 1 as int))").as("source"))
+    val card = Packing.binDiversityCard(packed,
+      col("id"), attrs, "doc_id", "source")
+      .orderBy(col("n_sources")).collect()
+    val by = card.map(r => r.getAs[Long]("n_sources") -> r).toMap
+    assert(by(2L).getAs[Long]("n_bins") === 1L &&
+      by(2L).getAs[Long]("n_dominated") === 1L,
+      "the 25/25 split sits ON the boundary and counts as dominated")
+    assert(by(3L).getAs[Long]("n_bins") === 2L &&
+      by(3L).getAs[Long]("n_dominated") === 1L)
+    assert(card.map(_.getAs[Long]("n_docs")).sum === 8L)
+    assert(card.map(_.getAs[Long]("n_tokens")).sum === 160L)
+  }
 }

@@ -1369,6 +1369,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("PushedFilters"), p)
   }
 
+  test("q246: the length-curve's four greedy passes all read the one " +
+    "persisted per-doc manifest — zero live scans warm, no cartesian " +
+    "(the truncation scalars are broadcast single rows)") {
+    val p = plan("q246_packing_length_curve")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(liveScans("q246_packing_length_curve").isEmpty, p)
+  }
+
+  test("q247: the bin QA rides the persisted mix_packed and " +
+    "doc_source_tokens stages — zero live scans warm, partial " +
+    "aggregation before each exchange, no cartesian") {
+    val p = plan("q247_shard_qa")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(liveScans("q247_shard_qa").isEmpty, p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
   test("q249: four waterfills ride the one persisted source_tokens " +
     "stage — zero live scans warm, every window over the 20-row domain " +
     "table, no cartesian") {
