@@ -106,21 +106,116 @@ object CorpusQueries {
     * next to its packing. */
   private[graft] def mixSampleStage(s: SparkSession, dir: String)
       : DataFrame =
-    PipelineQueries.stage(s, dir, "mix_sample") {
-      val alloc = Mixture.unimaxAllocation(sourceTokensStage(s, dir),
-          "source", "n_tok", maxEpochs = 4L, budgetNum = 2L, budgetDen = 1L)
-        .select(col("source"), col("n_tok").as("src_tok"), col("alloc"))
-        .withColumn("epochs_full", expr("alloc div src_tok"))
-        .withColumn("rem_target", col("alloc") % col("src_tok"))
-      val w = Window.partitionBy(col("source"))
-        .orderBy(NearDup.md5Hash60(col("doc_id").cast("string")),
-          col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      docSourceTokensStage(s, dir)
-        .join(broadcast(alloc), Seq("source"))
-        .withColumn("cum", sum(col("n_tok")).over(w))
-        .withColumn("in_rem", col("cum") - col("n_tok") < col("rem_target"))
-    }
+    PipelineQueries.stage(s, dir, "mix_sample")(
+      mixRealize(docSourceTokensStage(s, dir), sourceTokensStage(s, dir)))
+
+  /** The allocation + realization chain shared by the mix_sample stage
+    * (whole corpus), the rebalance night (q243, survivors only) and
+    * the release-mix capstone (q244, admitted docs only): UniMax at
+    * the q233 operating point over `counts`, decomposed per source
+    * into full epochs + the md5-ranked minimal-overshoot remainder
+    * prefix over `perDoc`. `counts` must be the per-source token sums
+    * OF `perDoc` (a persisted stage when one exists). */
+  private[queries] def mixRealize(perDoc: DataFrame, counts: DataFrame,
+      maxEpochs: Long = 4L, budgetNum: Long = 2L, budgetDen: Long = 1L)
+      : DataFrame = {
+    val alloc = Mixture.unimaxAllocation(counts,
+        "source", "n_tok", maxEpochs, budgetNum, budgetDen)
+      .select(col("source"), col("n_tok").as("src_tok"), col("alloc"))
+      .withColumn("epochs_full", expr("alloc div src_tok"))
+      .withColumn("rem_target", col("alloc") % col("src_tok"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(NearDup.md5Hash60(col("doc_id").cast("string")),
+        col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDoc
+      .join(broadcast(alloc), Seq("source"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("in_rem", col("cum") - col("n_tok") < col("rem_target"))
+  }
+
+  /** Doc × epoch instance expansion of a realized sample (one row per
+    * TRAINING OCCURRENCE, id = doc_id·8 + e). */
+  private def instExpand(sel: DataFrame): DataFrame =
+    sel
+      .withColumn("n_inst",
+        col("epochs_full") + when(col("in_rem"), 1L).otherwise(0L))
+      .filter(col("n_inst") > 0)
+      .select(col("doc_id"), col("n_tok"),
+        explode(sequence(lit(0L), col("n_inst") - 1)).as("e"))
+      .select(instanceId(col("doc_id"), col("e")).as("id"), col("n_tok"))
+
+  /** The training-mix manifest card shared by q236 (raw corpus, over
+    * the persisted stages) and q244 (release-admitted corpus): per
+    * source, allocated vs realized docs/tokens/epochs, the overshoot
+    * the whole-doc granularity forced, the q233 repeat-value fraction
+    * of the REALIZED tokens; '~total' carries the packed-batch face
+    * (bins, fill rate) and the commutative XOR fingerprint of the
+    * seeded epoch order. `sel` is a [[mixRealize]] output, `packed`
+    * its instance packing — both persisted (stage or checkpoint): each
+    * has two consumers here. */
+  private def manifestCard(sel: DataFrame, packed: DataFrame)
+      : DataFrame = {
+    val perSrc = sel.groupBy(col("source"), col("src_tok"), col("alloc"),
+        col("epochs_full"), col("rem_target"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("in_rem"), 1L).otherwise(0L)).as("rem_docs"),
+        sum(when(col("in_rem"), col("n_tok")).otherwise(0L))
+          .as("rem_tokens"))
+      .withColumn("realized_docs",
+        col("epochs_full") * col("n_docs") + col("rem_docs"))
+      .withColumn("realized_tokens",
+        col("epochs_full") * col("src_tok") + col("rem_tokens"))
+      // k rows, three consumers (source rows, value join, total row)
+      .localCheckpoint(true)
+    val valued = Mixture.dataConstrainedValue(
+        perSrc.select(col("source"), col("src_tok"),
+          col("realized_tokens")),
+        "source", "src_tok", "realized_tokens")
+      .select(col("source"), col("value_frac"))
+    val srcRows = perSrc.join(valued, Seq("source"))
+      .select(col("source"), col("n_docs"), col("src_tok").as("n_tok"),
+        col("alloc"), col("epochs_full"), col("rem_target"),
+        col("rem_docs"), col("rem_tokens"), col("realized_docs"),
+        col("realized_tokens"),
+        round(col("realized_tokens").cast("double") /
+          col("src_tok").cast("double"), 4).as("epochs_used"),
+        (col("realized_tokens") - col("alloc")).as("overshoot"),
+        col("value_frac"),
+        lit(null).cast("long").as("n_bins"),
+        lit(null).cast("double").as("fill_rate"),
+        lit(null).cast("long").as("order_fp"))
+    val card = Packing.packCard(packed, budget = 512L)
+      .select(col("n_bins"), col("fill_rate"))
+    // the epoch-order fingerprint: XOR of md5(pos:order_key) row
+    // hashes — COMMUTATIVE, so the aggregate is map-side combinable
+    // and distributed-exact at any bin count (a collect-and-sort
+    // digest would funnel every bin through one task; order is still
+    // pinned because pos rides inside each hashed row)
+    val om = Packing.epochShuffle(packed, seed = 13L)
+      .select(NearDup.md5Hash60(
+        concat_ws(":", col("pos"), col("order_key"))).as("__h"))
+      .agg(expr("bit_xor(__h)").as("order_fp"))
+    val tot = perSrc.agg(
+        sum(col("n_docs")).as("n_docs"), sum(col("src_tok")).as("n_tok"),
+        sum(col("alloc")).as("alloc"),
+        sum(col("rem_docs")).as("rem_docs"),
+        sum(col("rem_tokens")).as("rem_tokens"),
+        sum(col("realized_docs")).as("realized_docs"),
+        sum(col("realized_tokens")).as("realized_tokens"))
+      .crossJoin(broadcast(card)).crossJoin(broadcast(om))
+      .select(lit("~total").as("source"), col("n_docs"), col("n_tok"),
+        col("alloc"), lit(null).cast("long").as("epochs_full"),
+        lit(null).cast("long").as("rem_target"),
+        col("rem_docs"), col("rem_tokens"), col("realized_docs"),
+        col("realized_tokens"),
+        round(col("realized_tokens").cast("double") /
+          col("n_tok").cast("double"), 4).as("epochs_used"),
+        (col("realized_tokens") - col("alloc")).as("overshoot"),
+        lit(null).cast("double").as("value_frac"),
+        col("n_bins"), col("fill_rate"), col("order_fp"))
+    srcRows.unionByName(tot).orderBy(col("source"))
+  }
 
   /** Training-occurrence instance id: doc_id·8 + epoch. Collision-free
     * for epoch ≤ 7 AND doc_id within Long range of the ×8 — the second
@@ -140,17 +235,9 @@ object CorpusQueries {
     * epoch shuffle from it) and the bin-diversity QA (q247). */
   private[queries] def mixPackedStage(s: SparkSession, dir: String)
       : DataFrame =
-    PipelineQueries.stage(s, dir, "mix_packed") {
-      val inst = mixSampleStage(s, dir)
-        .withColumn("n_inst",
-          col("epochs_full") + when(col("in_rem"), 1L).otherwise(0L))
-        .filter(col("n_inst") > 0)
-        .select(col("doc_id"), col("n_tok"),
-          explode(sequence(lit(0L), col("n_inst") - 1)).as("e"))
-        .select(instanceId(col("doc_id"), col("e")).as("id"),
-          col("n_tok"))
-      Packing.packGreedy(inst, "id", "n_tok", budget = 512L, shards = 8)
-    }
+    PipelineQueries.stage(s, dir, "mix_packed")(
+      Packing.packGreedy(instExpand(mixSampleStage(s, dir)), "id",
+        "n_tok", budget = 512L, shards = 8))
 
   private def docFeaturesStage(s: SparkSession, dir: String): DataFrame =
     PipelineQueries.stage(s, dir, "doc_features") {
@@ -526,72 +613,108 @@ object CorpusQueries {
     // per-source rows are one grouped aggregate; the packing input is
     // realized-instance-sized (≤ maxEpochs+1 rows per doc); the shuffle
     // checksum aggregates the BIN-sized manifest.
-    "q236_mix_manifest" -> ((s, dir) => {
-      val sel = mixSampleStage(s, dir)
-      val perSrc = sel.groupBy(col("source"), col("src_tok"), col("alloc"),
-          col("epochs_full"), col("rem_target"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("in_rem"), 1L).otherwise(0L)).as("rem_docs"),
-          sum(when(col("in_rem"), col("n_tok")).otherwise(0L))
+    "q236_mix_manifest" -> ((s, dir) =>
+      manifestCard(mixSampleStage(s, dir), mixPackedStage(s, dir))),
+
+    // THE RELEASE→MIX CAPSTONE — the whole engine composed into the one
+    // run a data-engineering team ships: the q196 release gates decide
+    // WHAT may train (all five verdicts), the q236 budget chain decides
+    // HOW MUCH and in WHAT ORDER — UniMax allocation over the ADMITTED
+    // source tokens, md5-ranked realization, instance expansion, greedy
+    // packing, seeded epoch shuffle — closed as the same manifest card,
+    // now describing the governed corpus. This is q236 with the
+    // governance boundary composed in: the allocation shifts because
+    // the gates removed mass unevenly across sources (the balance gate
+    // by design), and the card shows exactly how the shipped mix
+    // differs from the raw-corpus one. Rides release_gates +
+    // doc_source_tokens; the realization window runs over admitted
+    // rows only; zero live scans warm.
+    "q244_release_mix" -> ((s, dir) => {
+      val admitted = releaseGatesStage(s, dir)
+        .filter(col("g_gopher") && col("g_digest") && col("g_neardup") &&
+          col("g_decon") && col("g_balance"))
+        .select(col("doc_id"), col("n_tok"))
+        .join(docSourceTokensStage(s, dir)
+          .select(col("doc_id"), col("source")), Seq("doc_id"))
+      val sel = mixRealize(admitted,
+          admitted.groupBy(col("source"))
+            .agg(sum(col("n_tok")).as("n_tok")))
+        .localCheckpoint(true) // consumers: card rows + instance packing
+      val packed = Packing.packGreedy(instExpand(sel), "id", "n_tok",
+          budget = 512L, shards = 8)
+        .localCheckpoint(true) // consumers: pack card + epoch shuffle
+      manifestCard(sel, packed)
+    }),
+
+    // THE MIX REBALANCE NIGHT — the manifest family's takedown story
+    // (every persisted family has one; q236's artifact must too): when
+    // the id%23 tombstones fire, the allocation re-waterfills over the
+    // surviving source tokens and the realization re-ranks the
+    // surviving per-doc manifest — NO re-tokenization (rides the
+    // persisted doc_source_tokens stage), no corpus scan, and the md5
+    // rank order is append/delete-stable so only docs at each source's
+    // remainder BOUNDARY flip membership (n_flipped measures exactly
+    // that stability). Card per source: before/after tokens and
+    // allocation, the allocation delta the tombstones forced, remainder
+    // membership before/after, flips among survivors, and the realized
+    // after-tokens; '~total' carries the sums.
+    "q243_mix_rebalance" -> ((s, dir) => {
+      val before = mixSampleStage(s, dir)
+      val surv = docSourceTokensStage(s, dir)
+        .filter(col("doc_id") % 23 =!= 0)
+      val after = mixRealize(surv,
+          surv.groupBy(col("source")).agg(sum(col("n_tok")).as("n_tok")))
+        .localCheckpoint(true) // consumers: per-source card + flip join
+      val b = before
+        .groupBy(col("source"), col("src_tok"), col("alloc"))
+        .agg(sum(when(col("in_rem"), 1L).otherwise(0L))
+          .as("rem_docs_before"))
+        .select(col("source"), col("src_tok").as("n_tok_before"),
+          col("alloc").as("alloc_before"), col("rem_docs_before"))
+      val a = after
+        .groupBy(col("source"), col("src_tok"), col("alloc"),
+          col("epochs_full"))
+        .agg(sum(when(col("in_rem"), 1L).otherwise(0L))
+            .as("rem_docs_after"),
+          coalesce(sum(when(col("in_rem"), col("n_tok"))), lit(0L))
             .as("rem_tokens"))
-        .withColumn("realized_docs",
-          col("epochs_full") * col("n_docs") + col("rem_docs"))
-        .withColumn("realized_tokens",
-          col("epochs_full") * col("src_tok") + col("rem_tokens"))
-        // k rows, three consumers (source rows, value join, total row)
-        .localCheckpoint(true)
-      val valued = Mixture.dataConstrainedValue(
-          perSrc.select(col("source"), col("src_tok"),
-            col("realized_tokens")),
-          "source", "src_tok", "realized_tokens")
-        .select(col("source"), col("value_frac"))
-      val srcRows = perSrc.join(valued, Seq("source"))
-        .select(col("source"), col("n_docs"), col("src_tok").as("n_tok"),
-          col("alloc"), col("epochs_full"), col("rem_target"),
-          col("rem_docs"), col("rem_tokens"), col("realized_docs"),
-          col("realized_tokens"),
-          round(col("realized_tokens").cast("double") /
-            col("src_tok").cast("double"), 4).as("epochs_used"),
-          (col("realized_tokens") - col("alloc")).as("overshoot"),
-          col("value_frac"),
-          lit(null).cast("long").as("n_bins"),
-          lit(null).cast("double").as("fill_rate"),
-          lit(null).cast("long").as("order_fp"))
-      // the packed instance list (one row per TRAINING OCCURRENCE,
-      // epoch e ∈ [0, epochs_full) per doc plus e = epochs_full for
-      // remainder members) is the persisted mix_packed stage — two
-      // consumers here (the card and the shuffle) plus q247's QA
-      val packed = mixPackedStage(s, dir)
-      val card = Packing.packCard(packed, budget = 512L)
-        .select(col("n_bins"), col("fill_rate"))
-      // the epoch-order fingerprint: XOR of md5(pos:order_key) row
-      // hashes — COMMUTATIVE, so the aggregate is map-side combinable
-      // and distributed-exact at any bin count (a collect-and-sort
-      // digest would funnel every bin through one task; order is still
-      // pinned because pos rides inside each hashed row)
-      val om = Packing.epochShuffle(packed, seed = 13L)
-        .select(NearDup.md5Hash60(
-          concat_ws(":", col("pos"), col("order_key"))).as("__h"))
-        .agg(expr("bit_xor(__h)").as("order_fp"))
-      val tot = perSrc.agg(
-          sum(col("n_docs")).as("n_docs"), sum(col("src_tok")).as("n_tok"),
-          sum(col("alloc")).as("alloc"),
-          sum(col("rem_docs")).as("rem_docs"),
-          sum(col("rem_tokens")).as("rem_tokens"),
-          sum(col("realized_docs")).as("realized_docs"),
-          sum(col("realized_tokens")).as("realized_tokens"))
-        .crossJoin(broadcast(card)).crossJoin(broadcast(om))
-        .select(lit("~total").as("source"), col("n_docs"), col("n_tok"),
-          col("alloc"), lit(null).cast("long").as("epochs_full"),
-          lit(null).cast("long").as("rem_target"),
-          col("rem_docs"), col("rem_tokens"), col("realized_docs"),
-          col("realized_tokens"),
-          round(col("realized_tokens").cast("double") /
-            col("n_tok").cast("double"), 4).as("epochs_used"),
-          (col("realized_tokens") - col("alloc")).as("overshoot"),
-          lit(null).cast("double").as("value_frac"),
-          col("n_bins"), col("fill_rate"), col("order_fp"))
-      srcRows.unionByName(tot).orderBy(col("source"))
+        .select(col("source"), col("src_tok").as("n_tok_after"),
+          col("alloc").as("alloc_after"), col("rem_docs_after"),
+          (col("epochs_full") * col("src_tok") + col("rem_tokens"))
+            .as("realized_tokens_after"))
+      val flips = before.select(col("doc_id"), col("source"),
+          col("in_rem").as("__b"))
+        .join(after.select(col("doc_id"), col("in_rem").as("__a")),
+          Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(sum(when(col("__b") =!= col("__a"), 1L).otherwise(0L))
+          .as("n_flipped"))
+      val rows = b.join(a, Seq("source")).join(flips, Seq("source"))
+        .select(col("source"), col("n_tok_before"), col("n_tok_after"),
+          col("alloc_before"), col("alloc_after"),
+          (col("alloc_after") - col("alloc_before")).as("alloc_delta"),
+          col("rem_docs_before"), col("rem_docs_after"),
+          col("n_flipped"), col("realized_tokens_after"),
+          round(col("realized_tokens_after").cast("double") /
+            col("n_tok_after").cast("double"), 4).as("epochs_used_after"))
+        .localCheckpoint(true) // k rows, two consumers (rows + total)
+      val tot = rows.agg(sum(col("n_tok_before")).as("n_tok_before"),
+          sum(col("n_tok_after")).as("n_tok_after"),
+          sum(col("alloc_before")).as("alloc_before"),
+          sum(col("alloc_after")).as("alloc_after"),
+          sum(col("alloc_delta")).as("alloc_delta"),
+          sum(col("rem_docs_before")).as("rem_docs_before"),
+          sum(col("rem_docs_after")).as("rem_docs_after"),
+          sum(col("n_flipped")).as("n_flipped"),
+          sum(col("realized_tokens_after")).as("realized_tokens_after"))
+        .select(lit("~total").as("source"), col("n_tok_before"),
+          col("n_tok_after"), col("alloc_before"), col("alloc_after"),
+          col("alloc_delta"), col("rem_docs_before"),
+          col("rem_docs_after"), col("n_flipped"),
+          col("realized_tokens_after"),
+          round(col("realized_tokens_after").cast("double") /
+            col("n_tok_after").cast("double"), 4).as("epochs_used_after"))
+      rows.unionByName(tot).orderBy(col("source"))
     }),
 
     // LLM mixture 8 — the EPOCH-CAP decision curve: the dial behind the
@@ -1723,53 +1846,67 @@ object CorpusQueries {
     * md5-ranked per-source remainder realization. Emits
     * `sel2(doc_id, source, w, src_tok, alloc, epochs_full, rem_target,
     * cum, in_rem)`. */
-  private val mixSelCtes: String =
-    """doc AS (
-      |  SELECT doc_id, source,
-      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS w
-      |  FROM documents),
-      |stok AS (
+  /** The allocation + realization chain over a (doc_id, source, w)
+    * CTE, prefixed — the SQL mirror of [[mixRealize]] at the q233
+    * operating point (4-epoch cap, 2× budget): per-source totals, the
+    * waterfill, and the md5-ranked remainder realization. Emits
+    * `${p}sel2(doc_id, source, w, src_tok, alloc, epochs_full,
+    * rem_target, cum, in_rem)`. */
+  private def mixChainFrom(p: String, perDoc: String): String =
+    s"""${p}stok AS (
       |  SELECT source, CAST(sum(w) AS BIGINT) AS n_tok
-      |  FROM doc GROUP BY 1),
-      |r AS (
+      |  FROM $perDoc GROUP BY 1),
+      |${p}r AS (
       |  SELECT source, n_tok, n_tok * 4 AS cap,
       |    row_number() OVER (ORDER BY n_tok * 4, source) AS rr,
       |    coalesce(sum(n_tok * 4) OVER (ORDER BY n_tok * 4, source
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s,
       |    count(*) OVER () AS k,
       |    (sum(n_tok) OVER () * 2) // 1 AS b
-      |  FROM stok),
-      |f AS (SELECT *, cap * (k - rr + 1) + s <= b AS saturated FROM r),
-      |g AS (
+      |  FROM ${p}stok),
+      |${p}f AS (SELECT *, cap * (k - rr + 1) + s <= b AS saturated
+      |  FROM ${p}r),
+      |${p}g AS (
       |  SELECT *,
       |    sum(CASE WHEN saturated THEN 1 ELSE 0 END) OVER () AS m,
       |    coalesce(sum(CASE WHEN saturated THEN cap END) OVER (), 0)
       |      AS ssat
-      |  FROM f),
-      |h AS (
+      |  FROM ${p}f),
+      |${p}h AS (
       |  SELECT *, CASE WHEN k > m THEN (b - ssat) // (k - m)
       |            ELSE 0 END AS share
-      |  FROM g),
-      |al AS (
+      |  FROM ${p}g),
+      |${p}al AS (
       |  SELECT source, n_tok AS src_tok,
       |    CAST(CASE WHEN saturated THEN cap ELSE share END AS BIGINT)
       |      AS alloc
-      |  FROM h),
-      |al2 AS (
+      |  FROM ${p}h),
+      |${p}al2 AS (
       |  SELECT source, src_tok, alloc,
       |    CAST(alloc // src_tok AS BIGINT) AS epochs_full,
       |    CAST(alloc % src_tok AS BIGINT) AS rem_target
-      |  FROM al),
-      |sel AS (
+      |  FROM ${p}al),
+      |${p}sel AS (
       |  SELECT d.doc_id, d.source, d.w, a.src_tok, a.alloc,
       |    a.epochs_full, a.rem_target,
       |    sum(d.w) OVER (PARTITION BY d.source
       |      ORDER BY ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT,
       |        d.doc_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-      |  FROM doc d JOIN al2 a USING (source)),
-      |sel2 AS (SELECT *, cum - w < rem_target AS in_rem FROM sel)"""
-      .stripMargin
+      |  FROM $perDoc d JOIN ${p}al2 a USING (source)),
+      |${p}sel2 AS (SELECT *, cum - w < rem_target AS in_rem
+      |  FROM ${p}sel)""".stripMargin
+
+  /** Per-doc token CTE over the full corpus. */
+  private val docTokCte: String =
+    """doc AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS w
+      |  FROM documents)""".stripMargin
+
+  private val mixSelCtes: String =
+    s"""$docTokCte,
+       |${mixChainFrom("", "doc")}""".stripMargin
 
   /** Instance expansion of the realized sample: epoch e ∈
     * [0, epochs_full) for every doc plus e = epochs_full for remainder
@@ -1812,57 +1949,63 @@ object CorpusQueries {
     * CTEs, instance expansion, the q61 recursive greedy-packing replay
     * over instances, and the q221 epoch-shuffle order reduced to the
     * commutative XOR-of-row-hashes fingerprint. */
-  private val mixManifestSql: String =
-    s"""WITH RECURSIVE
-      |$mixSelCtes,
-      |persrc AS (
+  /** The manifest-card tail over a `${p}sel2` realization: per-source
+    * rollup, the q233 value law, instance expansion + packing replay +
+    * shuffle fingerprint, and the final card SELECT — the SQL mirror
+    * of [[manifestCard]], prefixed like [[mixChainFrom]]. */
+  private def manifestTail(p: String): String =
+    s"""${p}persrc AS (
       |  SELECT source, src_tok, alloc, epochs_full, rem_target,
       |    CAST(count(*) AS BIGINT) AS n_docs,
       |    CAST(sum(CASE WHEN in_rem THEN 1 ELSE 0 END) AS BIGINT)
       |      AS rem_docs,
       |    CAST(coalesce(sum(CASE WHEN in_rem THEN w END), 0) AS BIGINT)
       |      AS rem_tokens
-      |  FROM sel2 GROUP BY 1, 2, 3, 4, 5),
-      |pr AS (
+      |  FROM ${p}sel2 GROUP BY 1, 2, 3, 4, 5),
+      |${p}pr AS (
       |  SELECT *,
       |    CAST(epochs_full * n_docs + rem_docs AS BIGINT)
       |      AS realized_docs,
       |    CAST(epochs_full * src_tok + rem_tokens AS BIGINT)
       |      AS realized_tokens
-      |  FROM persrc),
-      |val AS (
+      |  FROM ${p}persrc),
+      |${p}val AS (
       |  SELECT source, realized_tokens,
       |    round(CASE WHEN realized_tokens <= src_tok
       |      THEN realized_tokens::DOUBLE
       |      ELSE src_tok::DOUBLE * (1.0 + 15.39 * (1.0 -
       |        exp(-round(realized_tokens::DOUBLE / src_tok::DOUBLE - 1.0,
       |              4) / 15.39))) END, 2) AS eff_tokens
-      |  FROM pr),
-      |val2 AS (
+      |  FROM ${p}pr),
+      |${p}val2 AS (
       |  SELECT source,
       |    CASE WHEN realized_tokens > 0
       |         THEN round(eff_tokens / realized_tokens::DOUBLE, 6)
       |         ELSE 0.0 END AS value_frac
-      |  FROM val),
-      |$instCte,
-      |${packReplayCtes("", 512L, "inst")},
-      |pb AS (SELECT shard, bin, sum(w) AS fill FROM pack GROUP BY 1, 2),
-      |pcard AS (
+      |  FROM ${p}val),
+      |${p}inst AS (
+      |  SELECT doc_id * 8 + e.range AS id, w
+      |  FROM ${p}sel2 JOIN range(0, 5) AS e(range)
+      |    ON e.range < epochs_full + CASE WHEN in_rem THEN 1 ELSE 0 END),
+      |${packReplayCtes(p, 512L, s"${p}inst")},
+      |${p}pb AS (SELECT shard, bin, sum(w) AS fill FROM ${p}pack
+      |  GROUP BY 1, 2),
+      |${p}pcard AS (
       |  SELECT CAST(count(*) AS BIGINT) AS n_bins,
       |    round(sum(fill)::DOUBLE / (count(*) * 512), 6) AS fill_rate
-      |  FROM pb),
-      |shuf AS (
+      |  FROM ${p}pb),
+      |${p}shuf AS (
       |  SELECT shard, bin,
       |    md5('13' || ':' || shard::VARCHAR || ':' || bin::VARCHAR)
       |      AS order_key,
       |    row_number() OVER (ORDER BY
       |      md5('13' || ':' || shard::VARCHAR || ':' || bin::VARCHAR),
       |      shard, bin) AS pos
-      |  FROM pb),
-      |om AS (
+      |  FROM ${p}pb),
+      |${p}om AS (
       |  SELECT bit_xor(('0x' || substr(md5(pos::VARCHAR || ':' ||
       |    order_key), 1, 15))::BIGINT) AS order_fp
-      |  FROM shuf)
+      |  FROM ${p}shuf)
       |SELECT source, n_docs, src_tok AS n_tok, alloc, epochs_full,
       |  rem_target, rem_docs, rem_tokens, realized_docs, realized_tokens,
       |  round(realized_tokens::DOUBLE / src_tok::DOUBLE, 4)
@@ -1870,23 +2013,99 @@ object CorpusQueries {
       |  CAST(realized_tokens - alloc AS BIGINT) AS overshoot, value_frac,
       |  CAST(NULL AS BIGINT) AS n_bins, CAST(NULL AS DOUBLE) AS fill_rate,
       |  CAST(NULL AS BIGINT) AS order_fp
-      |FROM pr JOIN val2 USING (source)
+      |FROM ${p}pr JOIN ${p}val2 USING (source)
       |UNION ALL
       |SELECT '~total',
-      |  (SELECT CAST(sum(n_docs) AS BIGINT) FROM pr),
-      |  (SELECT CAST(sum(src_tok) AS BIGINT) FROM pr),
-      |  (SELECT CAST(sum(alloc) AS BIGINT) FROM pr),
+      |  (SELECT CAST(sum(n_docs) AS BIGINT) FROM ${p}pr),
+      |  (SELECT CAST(sum(src_tok) AS BIGINT) FROM ${p}pr),
+      |  (SELECT CAST(sum(alloc) AS BIGINT) FROM ${p}pr),
       |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-      |  (SELECT CAST(sum(rem_docs) AS BIGINT) FROM pr),
-      |  (SELECT CAST(sum(rem_tokens) AS BIGINT) FROM pr),
-      |  (SELECT CAST(sum(realized_docs) AS BIGINT) FROM pr),
-      |  (SELECT CAST(sum(realized_tokens) AS BIGINT) FROM pr),
+      |  (SELECT CAST(sum(rem_docs) AS BIGINT) FROM ${p}pr),
+      |  (SELECT CAST(sum(rem_tokens) AS BIGINT) FROM ${p}pr),
+      |  (SELECT CAST(sum(realized_docs) AS BIGINT) FROM ${p}pr),
+      |  (SELECT CAST(sum(realized_tokens) AS BIGINT) FROM ${p}pr),
       |  (SELECT round(sum(realized_tokens)::DOUBLE / sum(src_tok)::DOUBLE,
-      |     4) FROM pr),
-      |  (SELECT CAST(sum(realized_tokens) - sum(alloc) AS BIGINT) FROM pr),
+      |     4) FROM ${p}pr),
+      |  (SELECT CAST(sum(realized_tokens) - sum(alloc) AS BIGINT)
+      |     FROM ${p}pr),
       |  CAST(NULL AS DOUBLE),
-      |  (SELECT n_bins FROM pcard), (SELECT fill_rate FROM pcard),
-      |  (SELECT order_fp FROM om)
+      |  (SELECT n_bins FROM ${p}pcard), (SELECT fill_rate FROM ${p}pcard),
+      |  (SELECT order_fp FROM ${p}om)
+      |ORDER BY source""".stripMargin
+
+  private val mixManifestSql: String =
+    s"""WITH RECURSIVE
+      |$mixSelCtes,
+      |${manifestTail("")}""".stripMargin
+
+  /** q244 oracle — the release-gate chain down to the fs5 admitted set
+    * (the q196/q238 CTEs), then the full mix-manifest chain over ONLY
+    * the admitted docs ("m"-prefixed to avoid the gate chain's own
+    * packing CTE names). */
+  private val releaseMixSql: String =
+    s"""WITH RECURSIVE
+      |$releaseGateCtes,
+      |madoc AS (
+      |  SELECT a.doc_id, a.source, CAST(a.n_tok AS BIGINT) AS w
+      |  FROM acc a JOIN fs5 USING (doc_id)),
+      |${mixChainFrom("m", "madoc")},
+      |${manifestTail("m")}""".stripMargin
+
+  /** q243 oracle — the shipped manifest's chain (before), the
+    * surviving-doc chain after the id%23 tombstones ("a"-prefixed),
+    * and the per-source delta card with the boundary-flip count. */
+  private val mixRebalanceSql: String =
+    s"""WITH
+      |$mixSelCtes,
+      |bper AS (
+      |  SELECT source, src_tok AS n_tok_before, alloc AS alloc_before,
+      |    CAST(sum(CASE WHEN in_rem THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS rem_docs_before
+      |  FROM sel2 GROUP BY 1, 2, 3),
+      |sdoc AS (SELECT doc_id, source, w FROM doc WHERE doc_id % 23 <> 0),
+      |${mixChainFrom("a", "sdoc")},
+      |aper AS (
+      |  SELECT source, src_tok AS n_tok_after, alloc AS alloc_after,
+      |    epochs_full,
+      |    CAST(sum(CASE WHEN in_rem THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS rem_docs_after,
+      |    CAST(coalesce(sum(CASE WHEN in_rem THEN w END), 0) AS BIGINT)
+      |      AS rem_tokens
+      |  FROM asel2 GROUP BY 1, 2, 3, 4),
+      |ap2 AS (
+      |  SELECT source, n_tok_after, alloc_after, rem_docs_after,
+      |    CAST(epochs_full * n_tok_after + rem_tokens AS BIGINT)
+      |      AS realized_tokens_after
+      |  FROM aper),
+      |fl AS (
+      |  SELECT b.source,
+      |    CAST(sum(CASE WHEN b.in_rem <> a2.in_rem THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_flipped
+      |  FROM sel2 b JOIN asel2 a2 USING (doc_id) GROUP BY 1),
+      |rows_ AS (
+      |  SELECT b.source, b.n_tok_before, a.n_tok_after, b.alloc_before,
+      |    a.alloc_after,
+      |    CAST(a.alloc_after - b.alloc_before AS BIGINT) AS alloc_delta,
+      |    b.rem_docs_before, a.rem_docs_after, f.n_flipped,
+      |    a.realized_tokens_after,
+      |    round(a.realized_tokens_after::DOUBLE / a.n_tok_after::DOUBLE,
+      |      4) AS epochs_used_after
+      |  FROM bper b JOIN ap2 a USING (source) JOIN fl f USING (source))
+      |SELECT * FROM rows_
+      |UNION ALL
+      |SELECT '~total',
+      |  CAST(sum(n_tok_before) AS BIGINT),
+      |  CAST(sum(n_tok_after) AS BIGINT),
+      |  CAST(sum(alloc_before) AS BIGINT),
+      |  CAST(sum(alloc_after) AS BIGINT),
+      |  CAST(sum(alloc_delta) AS BIGINT),
+      |  CAST(sum(rem_docs_before) AS BIGINT),
+      |  CAST(sum(rem_docs_after) AS BIGINT),
+      |  CAST(sum(n_flipped) AS BIGINT),
+      |  CAST(sum(realized_tokens_after) AS BIGINT),
+      |  round(sum(realized_tokens_after)::DOUBLE /
+      |    sum(n_tok_after)::DOUBLE, 4)
+      |FROM rows_
       |ORDER BY source""".stripMargin
 
   /** q246 oracle — four greedy-packing replays of the per-doc token
@@ -1993,7 +2212,8 @@ object CorpusQueries {
       |      AS g_gopher
       |  FROM gf)""".stripMargin
 
-  private val releaseGateCtes: String =
+  // lazy: releaseMixSql consumes it from above its definition point
+  private lazy val releaseGateCtes: String =
     s"""$gopherCtes,
       |dd AS (SELECT doc_id, row_number() OVER
       |    (PARTITION BY md5(text) ORDER BY doc_id) AS rn
@@ -3062,6 +3282,10 @@ object CorpusQueries {
     "q236_mix_manifest" -> mixManifestSql,
 
     "q238_rejection_ledger" -> rejectionLedgerSql,
+
+    "q243_mix_rebalance" -> mixRebalanceSql,
+
+    "q244_release_mix" -> releaseMixSql,
 
     "q246_packing_length_curve" -> packingLengthCurveSql,
 

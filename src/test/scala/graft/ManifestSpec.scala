@@ -138,4 +138,80 @@ class ManifestSpec extends SparkSpec {
       .reduce(_ ^ _)
     assert(totRow.getAs[Long]("order_fp") === fp)
   }
+
+  test("q243 rebalance: the after side reconciles with the standalone " +
+      "waterfill over survivors, the before side with the shipped " +
+      "manifest, deltas are consistent, and the total row is the " +
+      "column sums") {
+    val reb = SparkEntry.queries("q243_mix_rebalance")(spark, dir)
+      .collect()
+    val rows = reb.filter(_.getAs[String]("source") != "~total")
+    val tot = reb.find(_.getAs[String]("source") == "~total").get
+    val stok = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 23 =!= 0)
+      .select(col("source"), TextAnalysis.tokenCount(col("text")).as("w"))
+      .groupBy(col("source")).agg(sum(col("w")).as("n_tok"))
+    val after = Mixture.unimaxAllocation(stok, "source", "n_tok",
+        maxEpochs = 4L, budgetNum = 2L, budgetDen = 1L)
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_tok"), r.getAs[Long]("alloc"))))
+      .toMap
+    val shippedBySrc = srcRows
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_tok"), r.getAs[Long]("alloc")))).toMap
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      assert((r.getAs[Long]("n_tok_after"), r.getAs[Long]("alloc_after"))
+        === after(src), src)
+      assert((r.getAs[Long]("n_tok_before"),
+        r.getAs[Long]("alloc_before")) === shippedBySrc(src), src)
+      assert(r.getAs[Long]("alloc_delta") ===
+        r.getAs[Long]("alloc_after") - r.getAs[Long]("alloc_before"))
+      // flips happen only among remainder-boundary docs: bounded by the
+      // remainder membership on both sides
+      assert(r.getAs[Long]("n_flipped") <=
+        r.getAs[Long]("rem_docs_before") + r.getAs[Long]("rem_docs_after"))
+    }
+    Seq("n_tok_before", "n_tok_after", "alloc_before", "alloc_after",
+      "alloc_delta", "rem_docs_before", "rem_docs_after", "n_flipped",
+      "realized_tokens_after").foreach { c =>
+      assert(tot.getAs[Long](c) === rows.map(_.getAs[Long](c)).sum, c)
+    }
+    // the 2x budget is re-derived from the SURVIVING mass: the whole
+    // fleet's allocation shrinks with it (up to the integer remainder)
+    val b = 2L * tot.getAs[Long]("n_tok_after")
+    assert(tot.getAs[Long]("alloc_after") <= b &&
+      tot.getAs[Long]("alloc_after") > b - rows.length)
+  }
+
+  test("q244 release mix: the capstone's universe IS the q238 admitted " +
+      "set (docs and tokens), per-source tokens reconcile, and every " +
+      "admitted source still hits its allocation") {
+    val mix = SparkEntry.queries("q244_release_mix")(spark, dir)
+      .collect()
+    val rows = mix.filter(_.getAs[String]("source") != "~total")
+    val tot = mix.find(_.getAs[String]("source") == "~total").get
+    val ledger = SparkEntry.queries("q238_rejection_ledger")(spark, dir)
+      .filter(col("admitted"))
+      .select(col("doc_id"), col("n_tok"))
+    val admittedDocs = ledger.count()
+    val admittedToks = ledger.agg(sum(col("n_tok"))).collect().head
+      .getLong(0)
+    assert(tot.getAs[Long]("n_docs") === admittedDocs)
+    assert(tot.getAs[Long]("n_tok") === admittedToks)
+    val bySrc = Tables.load(spark, dir, "documents")
+      .join(ledger.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("source"), TextAnalysis.tokenCount(col("text")).as("w"))
+      .groupBy(col("source")).agg(sum(col("w")).as("n_tok"))
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Long]("n_tok")).toMap
+    assert(rows.length === bySrc.size)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_tok") ===
+        bySrc(r.getAs[String]("source")), r.getAs[String]("source"))
+      assert(r.getAs[Long]("realized_tokens") >= r.getAs[Long]("alloc"),
+        "the realization must HIT the allocation")
+    }
+  }
 }

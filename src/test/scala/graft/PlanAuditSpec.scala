@@ -1369,6 +1369,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("PushedFilters"), p)
   }
 
+  test("q243: the rebalance night re-ranks the persisted per-doc " +
+    "manifest — zero live scans (NO re-tokenization), the k-row " +
+    "allocations broadcast, no cartesian") {
+    val p = plan("q243_mix_rebalance")
+    assert(!p.contains("CartesianProduct"), p)
+    // the k-row card is checkpointed once (rows + total both read it),
+    // so the served plan's leaves are ExistingRDD — and critically no
+    // live parquet scan anywhere (the night never re-tokenizes)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(liveScans("q243_mix_rebalance").isEmpty, p)
+  }
+
+  test("q244: the release-mix capstone rides release_gates + " +
+    "doc_source_tokens — zero live scans warm; the packing input and " +
+    "realization are checkpointed once each (Scan ExistingRDD leaves)") {
+    val p = plan("q244_release_mix")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(liveScans("q244_release_mix").isEmpty, p)
+  }
+
   test("q246: the length-curve's four greedy passes all read the one " +
     "persisted per-doc manifest — zero live scans warm, no cartesian " +
     "(the truncation scalars are broadcast single rows)") {
