@@ -134,6 +134,23 @@ object CorpusQueries {
       .withColumn("in_rem", col("cum") - col("n_tok") < col("rem_target"))
   }
 
+  /** Persisted realization of the RELEASE-ADMITTED corpus under the
+    * same operating point as [[mixSampleStage]] — the governed mix's
+    * sampling artifact. Shared by the q244 capstone card and the q250
+    * governance-shift card. */
+  private[queries] def releaseMixSampleStage(s: SparkSession,
+      dir: String): DataFrame =
+    PipelineQueries.stage(s, dir, "release_mix_sample") {
+      val admitted = releaseGatesStage(s, dir)
+        .filter(col("g_gopher") && col("g_digest") && col("g_neardup") &&
+          col("g_decon") && col("g_balance"))
+        .select(col("doc_id"), col("n_tok"))
+        .join(docSourceTokensStage(s, dir)
+          .select(col("doc_id"), col("source")), Seq("doc_id"))
+      mixRealize(admitted,
+        admitted.groupBy(col("source")).agg(sum(col("n_tok")).as("n_tok")))
+    }
+
   /** Doc × epoch instance expansion of a realized sample (one row per
     * TRAINING OCCURRENCE, id = doc_id·8 + e). */
   private def instExpand(sel: DataFrame): DataFrame =
@@ -630,20 +647,59 @@ object CorpusQueries {
     // doc_source_tokens; the realization window runs over admitted
     // rows only; zero live scans warm.
     "q244_release_mix" -> ((s, dir) => {
-      val admitted = releaseGatesStage(s, dir)
-        .filter(col("g_gopher") && col("g_digest") && col("g_neardup") &&
-          col("g_decon") && col("g_balance"))
-        .select(col("doc_id"), col("n_tok"))
-        .join(docSourceTokensStage(s, dir)
-          .select(col("doc_id"), col("source")), Seq("doc_id"))
-      val sel = mixRealize(admitted,
-          admitted.groupBy(col("source"))
-            .agg(sum(col("n_tok")).as("n_tok")))
-        .localCheckpoint(true) // consumers: card rows + instance packing
+      val sel = releaseMixSampleStage(s, dir)
       val packed = Packing.packGreedy(instExpand(sel), "id", "n_tok",
           budget = 512L, shards = 8)
         .localCheckpoint(true) // consumers: pack card + epoch shuffle
       manifestCard(sel, packed)
+    }),
+
+    // THE GOVERNANCE-SHIFT CARD — what the release gates DID to the
+    // training mix, measured per source: admitted token fraction, mix
+    // SHARE before/after (exact integer ppm of exact-integer
+    // allocations — no float sums), and the repetition pressure
+    // (epochs_used before/after). The measured finding is
+    // two-sided: the gates remove 30–50% of every source's tokens
+    // UNEVENLY, yet share_shift_ppm is 0 across the board — UniMax
+    // holds shares flat as long as no source saturates its epoch cap —
+    // so the governance cost lands entirely on REPETITION (epochs_adm
+    // > epochs_raw exactly where admission bit hardest), which the
+    // q233 value law then discounts. Shares would only move once a
+    // gutted source hit the cap; this card is the gauge that tells a
+    // release that happened. Rides the mix_sample and
+    // release_mix_sample stages — two k-row projections, zero live
+    // scans.
+    "q250_governance_shift" -> ((s, dir) => {
+      def shares(sel: DataFrame, tag: String): DataFrame = {
+        val k = sel.groupBy(col("source"))
+          .agg(first(col("src_tok")).as("n_tok"),
+            first(col("alloc")).as("alloc"))
+        val tot = k.agg(sum(col("alloc")).as("__t"))
+        k.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_tok").as(s"n_tok_$tag"),
+            col("alloc").as(s"alloc_$tag"),
+            expr(s"(alloc * 1000000) div __t").as(s"share_ppm_$tag"))
+      }
+      val raw = shares(mixSampleStage(s, dir), "raw")
+      val adm = shares(releaseMixSampleStage(s, dir), "adm")
+      raw.join(adm, Seq("source"), "left")
+        .select(col("source"), col("n_tok_raw"),
+          coalesce(col("n_tok_adm"), lit(0L)).as("n_tok_adm"),
+          expr("(coalesce(n_tok_adm, 0) * 1000000) div n_tok_raw")
+            .as("admitted_ppm"),
+          col("alloc_raw"),
+          coalesce(col("alloc_adm"), lit(0L)).as("alloc_adm"),
+          col("share_ppm_raw"),
+          coalesce(col("share_ppm_adm"), lit(0L)).as("share_ppm_adm"),
+          (coalesce(col("share_ppm_adm"), lit(0L)) -
+            col("share_ppm_raw")).as("share_shift_ppm"),
+          round(col("alloc_raw").cast("double") /
+            col("n_tok_raw").cast("double"), 4).as("epochs_raw"),
+          when(coalesce(col("n_tok_adm"), lit(0L)) > 0,
+            round(col("alloc_adm").cast("double") /
+              col("n_tok_adm").cast("double"), 4))
+            .otherwise(lit(0.0)).as("epochs_adm"))
+        .orderBy(col("source"))
     }),
 
     // THE MIX REBALANCE NIGHT — the manifest family's takedown story
@@ -2051,6 +2107,39 @@ object CorpusQueries {
       |${mixChainFrom("m", "madoc")},
       |${manifestTail("m")}""".stripMargin
 
+  /** q250 oracle — the raw-corpus allocation (the q236 chain's `al`)
+    * against the admitted allocation (the q244 chain's `mal`), reduced
+    * to integer-ppm shares and the per-source shift. */
+  private val governanceShiftSql: String =
+    s"""WITH RECURSIVE
+      |$releaseGateCtes,
+      |$mixSelCtes,
+      |madoc AS (
+      |  SELECT a.doc_id, a.source, CAST(a.n_tok AS BIGINT) AS w
+      |  FROM acc a JOIN fs5 USING (doc_id)),
+      |${mixChainFrom("m", "madoc")},
+      |rtot AS (SELECT CAST(sum(alloc) AS BIGINT) AS t FROM al),
+      |atot AS (SELECT CAST(sum(alloc) AS BIGINT) AS t FROM mal)
+      |SELECT r.source, r.src_tok AS n_tok_raw,
+      |  CAST(coalesce(a.src_tok, 0) AS BIGINT) AS n_tok_adm,
+      |  CAST((coalesce(a.src_tok, 0) * 1000000) // r.src_tok AS BIGINT)
+      |    AS admitted_ppm,
+      |  r.alloc AS alloc_raw,
+      |  CAST(coalesce(a.alloc, 0) AS BIGINT) AS alloc_adm,
+      |  CAST((r.alloc * 1000000) // (SELECT t FROM rtot) AS BIGINT)
+      |    AS share_ppm_raw,
+      |  CAST(coalesce((a.alloc * 1000000) // (SELECT t FROM atot), 0)
+      |    AS BIGINT) AS share_ppm_adm,
+      |  CAST(coalesce((a.alloc * 1000000) // (SELECT t FROM atot), 0) -
+      |    (r.alloc * 1000000) // (SELECT t FROM rtot) AS BIGINT)
+      |    AS share_shift_ppm,
+      |  round(r.alloc::DOUBLE / r.src_tok::DOUBLE, 4) AS epochs_raw,
+      |  CASE WHEN coalesce(a.src_tok, 0) > 0
+      |    THEN round(a.alloc::DOUBLE / a.src_tok::DOUBLE, 4)
+      |    ELSE 0.0 END AS epochs_adm
+      |FROM al r LEFT JOIN mal a USING (source)
+      |ORDER BY r.source""".stripMargin
+
   /** q243 oracle — the shipped manifest's chain (before), the
     * surviving-doc chain after the id%23 tombstones ("a"-prefixed),
     * and the per-source delta card with the boundary-flip count. */
@@ -3286,6 +3375,8 @@ object CorpusQueries {
     "q243_mix_rebalance" -> mixRebalanceSql,
 
     "q244_release_mix" -> releaseMixSql,
+
+    "q250_governance_shift" -> governanceShiftSql,
 
     "q246_packing_length_curve" -> packingLengthCurveSql,
 

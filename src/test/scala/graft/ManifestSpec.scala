@@ -214,4 +214,39 @@ class ManifestSpec extends SparkSpec {
         "the realization must HIT the allocation")
     }
   }
+
+  test("q250 governance shift: allocations reconcile column-for-column " +
+      "with the q236 and q244 cards, ppm shares tile the million up to " +
+      "the integer remainder, and the zero share-shift is exactly the " +
+      "no-saturation regime") {
+    val shift = SparkEntry.queries("q250_governance_shift")(spark, dir)
+      .collect()
+    val rawBySrc = srcRows.map(r => r.getAs[String]("source") ->
+      ((r.getAs[Long]("n_tok"), r.getAs[Long]("alloc")))).toMap
+    val admBySrc = SparkEntry.queries("q244_release_mix")(spark, dir)
+      .collect().filter(_.getAs[String]("source") != "~total")
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_tok"), r.getAs[Long]("alloc")))).toMap
+    shift.foreach { r =>
+      val src = r.getAs[String]("source")
+      assert((r.getAs[Long]("n_tok_raw"), r.getAs[Long]("alloc_raw"))
+        === rawBySrc(src), src)
+      assert((r.getAs[Long]("n_tok_adm"), r.getAs[Long]("alloc_adm"))
+        === admBySrc(src), src)
+      assert(r.getAs[Long]("share_shift_ppm") ===
+        r.getAs[Long]("share_ppm_adm") - r.getAs[Long]("share_ppm_raw"))
+    }
+    Seq("share_ppm_raw", "share_ppm_adm").foreach { c =>
+      val s = shift.map(_.getAs[Long](c)).sum
+      assert(s <= 1000000L && s > 1000000L - shift.length, s"$c: $s")
+    }
+    // the graded geometry keeps every source below its 4-epoch cap on
+    // BOTH sides (epochs < 4), which is exactly why shares stay flat —
+    // the card's headline finding; if this ever fails the corpus now
+    // saturates and the shift column must carry signal instead
+    assert(shift.forall(r => r.getAs[Double]("epochs_raw") < 4.0 &&
+      r.getAs[Double]("epochs_adm") < 4.0))
+    assert(shift.forall(_.getAs[Long]("share_shift_ppm") === 0L),
+      "flat shares are implied by the unsaturated regime above")
+  }
 }

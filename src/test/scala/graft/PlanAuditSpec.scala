@@ -1390,6 +1390,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(liveScans("q244_release_mix").isEmpty, p)
   }
 
+  test("q250: the governance-shift card is two k-row projections of " +
+    "the persisted realizations — zero live scans warm, broadcast " +
+    "share totals, no cartesian") {
+    val p = plan("q250_governance_shift")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(liveScans("q250_governance_shift").isEmpty, p)
+  }
+
   test("q246: the length-curve's four greedy passes all read the one " +
     "persisted per-doc manifest — zero live scans warm, no cartesian " +
     "(the truncation scalars are broadcast single rows)") {
