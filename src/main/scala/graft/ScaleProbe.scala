@@ -44,7 +44,17 @@ object ScaleProbe {
     // the cross-modal card (phash pairs + SemDeDup prune joined);
     // q238/q240 are pure stage-riding projections/receipts and need no
     // exponent of their own
-    "q236_mix_manifest", "q237_postings_lifecycle", "q239_modal_agreement")
+    "q236_mix_manifest", "q237_postings_lifecycle", "q239_modal_agreement",
+    // round-15 successors with shapes of their own: the rebalance
+    // night (a second full realization over survivors), the release→
+    // mix capstone (admitted realization + packing off the gate
+    // stages), the filtered-ANN card (a shared over-fetched probe pass
+    // + per-filter exact scans), the length curve (four greedy
+    // manifest passes) and the bin QA (packed-manifest joins);
+    // q248/q249/q250 are k-row waterfill/projection cards over
+    // already-probed stages and need no exponent of their own
+    "q243_mix_rebalance", "q244_release_mix", "q245_filtered_ann",
+    "q246_packing_length_curve", "q247_shard_qa")
   private val Passes = 2
 
   def main(args: Array[String]): Unit = {
