@@ -54,7 +54,11 @@ object ScaleProbe {
     // q248/q249/q250 are k-row waterfill/projection cards over
     // already-probed stages and need no exponent of their own
     "q243_mix_rebalance", "q244_release_mix", "q245_filtered_ann",
-    "q246_packing_length_curve", "q247_shard_qa")
+    "q246_packing_length_curve", "q247_shard_qa",
+    // q251 adds the per-partition quantizer training to q245's shape;
+    // q252 re-packs the manifest in a second unit (the BPE encode cost
+    // lives in the bpe_tokens stage, measured on its own clock)
+    "q251_partitioned_ann", "q252_bpe_packing")
   private val Passes = 2
 
   def main(args: Array[String]): Unit = {

@@ -1474,6 +1474,70 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
+  /** The other half of the filtered-search trade
+    * ([[filteredAnnRecall]] prices POST-filtering a shared index): when
+    * a predicate is known up front, the index can be PARTITIONED by it
+    * — one IVF per predicate value, coarse quantizer trained on that
+    * partition — and filtered search becomes plain search inside the
+    * partition (no over-fetch, no recall decay from the filter). This
+    * card measures both paths against the same exact pre-filter ground
+    * truth at the same probe count: `recall_part` (the per-partition
+    * index) vs `recall_post` (the shared index, over-fetched k·overfetch
+    * then filtered). The gap is the price of NOT partitioning — read
+    * per selectivity, it answers "which predicates deserve their own
+    * index partitions" before anyone ships a filtered endpoint.
+    *
+    * Scale shapes: the shared probe pass is built once (checkpointed,
+    * list-sized rows); each filter point pays one filtered corpus scan
+    * for the ground truth (evaluation cost), one for the partitioned
+    * probe — at deployment the partitioned path scans only its
+    * partition, which is exactly its advantage.
+    *
+    * @return one row per filter: (filt, n_corpus, n_pass, selectivity,
+    *         n_exact, hits_post, recall_post, hits_part, recall_part) */
+  def filteredIndexComparison(queries: DataFrame, corpus: DataFrame,
+      filters: Seq[(String, Column)], nprobe: Int, k: Int,
+      overfetch: Int): DataFrame = {
+    require(filters.nonEmpty && overfetch >= 1 && k >= 1)
+    val cand = ivfTopK(queries, corpus, nprobe, k * overfetch)
+      .select(col("qid"), col("vec_id"), col("sim"))
+      .localCheckpoint(true)
+    val nAll = corpus.agg(count(lit(1)).as("n_corpus"))
+    filters.sortBy(_._1).map { case (name, pred) =>
+      val sub = corpus.filter(pred)
+      val ids = sub.select(col("vec_id"))
+      val exact = bruteForceTopK(queries, sub, k)
+        .select(col("qid"), col("vec_id"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(desc("sim"), col("vec_id"))
+      val post = cand.join(ids, Seq("vec_id"), "left_semi")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(col("qid"), col("vec_id"), lit(1L).as("__post"))
+      val part = ivfTopK(queries, sub, nprobe, k)
+        .select(col("qid"), col("vec_id"), lit(1L).as("__part"))
+      exact
+        .join(post, Seq("qid", "vec_id"), "left")
+        .join(part, Seq("qid", "vec_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          coalesce(sum(col("__post")), lit(0L)).as("hits_post"),
+          coalesce(sum(col("__part")), lit(0L)).as("hits_part"))
+        .crossJoin(broadcast(nAll))
+        .crossJoin(broadcast(ids.agg(count(lit(1)).as("n_pass"))))
+        .select(lit(name).as("filt"), col("n_corpus"), col("n_pass"),
+          round(col("n_pass").cast("double") /
+            col("n_corpus").cast("double"), 6).as("selectivity"),
+          col("n_exact"), col("hits_post"),
+          when(col("n_exact") === 0, lit(0.0))
+            .otherwise(round(col("hits_post").cast("double") /
+              col("n_exact").cast("double"), 6)).as("recall_post"),
+          col("hits_part"),
+          when(col("n_exact") === 0, lit(0.0))
+            .otherwise(round(col("hits_part").cast("double") /
+              col("n_exact").cast("double"), 6)).as("recall_part"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Embedding-space eval-set decontamination: for every corpus vector,
     * the maximum (rounded) cosine against the benchmark/eval embeddings
     * and a `contaminated` verdict at `tau` — the semantic companion of

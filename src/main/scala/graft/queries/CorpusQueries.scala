@@ -151,6 +151,15 @@ object CorpusQueries {
         admitted.groupBy(col("source")).agg(sum(col("n_tok")).as("n_tok")))
     }
 
+  /** Persisted per-doc BPE token counts under the fixed merge table —
+    * the REAL metering unit of a token budget. Shared by q160 (the
+    * encode card), q164 (fertility) and q252 (the budget-metering
+    * packing comparison). */
+  private def bpeTokensStage(s: SparkSession, dir: String): DataFrame =
+    PipelineQueries.stage(s, dir, "bpe_tokens")(
+      TextAnalysis.bpeTokenCounts(t(s, dir, "documents"), "doc_id",
+        "text", bpeMerges))
+
   /** Doc × epoch instance expansion of a realized sample (one row per
     * TRAINING OCCURRENCE, id = doc_id·8 + e). */
   private def instExpand(sel: DataFrame): DataFrame =
@@ -771,6 +780,58 @@ object CorpusQueries {
           round(col("realized_tokens_after").cast("double") /
             col("n_tok_after").cast("double"), 4).as("epochs_used_after"))
       rows.unionByName(tot).orderBy(col("source"))
+    }),
+
+    // THE BUDGET-METERING CARD — what unit is your packing budget IN?
+    // A sequence budget is denominated in TOKENIZER tokens, but the
+    // cheap metering (and this engine's packing stages) counts
+    // whitespace words; BPE fertility (q164) sits between them. This
+    // card packs the SAME corpus both ways at the same budget and
+    // cross-evaluates each packing in the other unit: the whitespace-
+    // metered packing's bins overflow the true BPE budget at the
+    // fertility rate (measured: the overflow fraction IS the gauge),
+    // while the BPE-metered packing under-fills in whitespace terms —
+    // the honest answer to "can I keep metering cheap". Rides the
+    // persisted doc_source_tokens and bpe_tokens stages; two
+    // manifest-sized greedy passes, the text is never re-encoded.
+    "q252_bpe_packing" -> ((s, dir) => {
+      val joined = docSourceTokensStage(s, dir)
+        .select(col("doc_id"), col("n_tok").as("w_ws"))
+        .join(bpeTokensStage(s, dir)
+          .select(col("id").as("doc_id"), col("n_tokens").as("w_bpe")),
+          Seq("doc_id"))
+        .localCheckpoint(true) // two packings + two cross evaluations
+      def side(meter: String, wCol: String, crossCol: String)
+          : DataFrame = {
+        val packed = Packing.packGreedy(joined, "doc_id", wCol,
+          budget = 512L, shards = 8)
+        val bins = packed
+          .join(joined.select(col("doc_id").as("id"), col(crossCol)),
+            Seq("id"))
+          .groupBy(col("shard"), col("bin"))
+          .agg(count(lit(1)).as("docs"), sum(col("w")).as("fill"),
+            sum(col(crossCol)).as("cross_fill"))
+        bins.agg(count(lit(1)).as("n_bins"),
+            sum(col("docs")).as("n_docs"),
+            sum(col("fill")).as("total_units"),
+            sum(col("cross_fill")).as("cross_units"),
+            sum(when(col("cross_fill") > 512L, 1L).otherwise(0L))
+              .as("n_cross_over"))
+          .select(lit(meter).as("meter"), col("n_docs"), col("n_bins"),
+            col("total_units"),
+            when(col("n_bins") > 0,
+              round(col("total_units").cast("double") /
+                (col("n_bins") * 512L).cast("double"), 6))
+              .otherwise(lit(0.0)).as("fill_rate"),
+            col("cross_units"), col("n_cross_over"),
+            when(col("n_bins") > 0,
+              round(col("n_cross_over").cast("double") /
+                col("n_bins").cast("double"), 6))
+              .otherwise(lit(0.0)).as("cross_over_frac"))
+      }
+      side("a_whitespace", "w_ws", "w_bpe")
+        .unionByName(side("b_bpe", "w_bpe", "w_ws"))
+        .orderBy(col("meter"))
     }),
 
     // LLM mixture 8 — the EPOCH-CAP decision curve: the dial behind the
@@ -1500,8 +1561,7 @@ object CorpusQueries {
     // token budgets with. The merge chain runs over the DISTINCT global
     // vocabulary only; the corpus pays one explode + one word equi-join.
     "q160_bpe_encode" -> ((s, dir) =>
-      TextAnalysis.bpeTokenCounts(t(s, dir, "documents"), "doc_id", "text",
-        bpeMerges)
+      bpeTokensStage(s, dir)
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))),
 
@@ -1531,7 +1591,7 @@ object CorpusQueries {
     // languages). Rides q160's vocabulary-encoded counts.
     "q164_bpe_fertility" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      TextAnalysis.bpeTokenCounts(docs, "doc_id", "text", bpeMerges)
+      bpeTokensStage(s, dir)
         .join(docs.select(col("doc_id").as("id"), col("lang")), Seq("id"))
         .groupBy(col("lang"))
         .agg(sum(col("n_words")).cast("long").as("n_words"),
@@ -2139,6 +2199,53 @@ object CorpusQueries {
       |    ELSE 0.0 END AS epochs_adm
       |FROM al r LEFT JOIN mal a USING (source)
       |ORDER BY r.source""".stripMargin
+
+  /** q252 oracle — the BPE encode chain + two greedy-packing replays
+    * (one per metering unit), each bin cross-evaluated in the other
+    * unit. Lazy: consumes `bpeEncodeCtes`, defined below. */
+  private lazy val bpePackingSql: String = {
+    def side(p: String, meter: String, wCol: String,
+        crossCol: String): String =
+      s"""${p}src AS (SELECT id, $wCol AS w FROM j),
+         |${packReplayCtes(p, 512L, s"${p}src")},
+         |${p}bins AS (
+         |  SELECT pk.shard, pk.bin, count(*) AS docs,
+         |    sum(pk.w) AS fill, sum(j2.$crossCol) AS cross_fill
+         |  FROM ${p}pack pk JOIN j j2 ON j2.id = pk.id
+         |  GROUP BY 1, 2),
+         |${p}row AS (
+         |  SELECT '$meter' AS meter,
+         |    CAST(sum(docs) AS BIGINT) AS n_docs,
+         |    CAST(count(*) AS BIGINT) AS n_bins,
+         |    CAST(sum(fill) AS BIGINT) AS total_units,
+         |    CASE WHEN count(*) > 0
+         |      THEN round(sum(fill)::DOUBLE / (count(*) * 512)::DOUBLE, 6)
+         |      ELSE 0.0 END AS fill_rate,
+         |    CAST(sum(cross_fill) AS BIGINT) AS cross_units,
+         |    CAST(sum(CASE WHEN cross_fill > 512 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_cross_over,
+         |    CASE WHEN count(*) > 0
+         |      THEN round(sum(CASE WHEN cross_fill > 512 THEN 1 ELSE 0
+         |        END)::DOUBLE / count(*)::DOUBLE, 6)
+         |      ELSE 0.0 END AS cross_over_frac
+         |  FROM ${p}bins)""".stripMargin
+    s"""WITH RECURSIVE
+       |$bpeEncodeCtes,
+       |bt AS (SELECT doc_id, CAST(sum(n_w * n_sym) AS BIGINT) AS w_bpe
+       |  FROM enc GROUP BY 1),
+       |wt AS (SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |      AS w_ws
+       |  FROM documents),
+       |j AS (SELECT wt.doc_id AS id, w_ws, w_bpe
+       |  FROM wt JOIN bt USING (doc_id)),
+       |${side("xw", "a_whitespace", "w_ws", "w_bpe")},
+       |${side("xb", "b_bpe", "w_bpe", "w_ws")}
+       |SELECT * FROM xwrow
+       |UNION ALL
+       |SELECT * FROM xbrow
+       |ORDER BY meter""".stripMargin
+  }
 
   /** q243 oracle — the shipped manifest's chain (before), the
     * surviving-doc chain after the id%23 tombstones ("a"-prefixed),
@@ -3377,6 +3484,8 @@ object CorpusQueries {
     "q244_release_mix" -> releaseMixSql,
 
     "q250_governance_shift" -> governanceShiftSql,
+
+    "q252_bpe_packing" -> bpePackingSql,
 
     "q246_packing_length_curve" -> packingLengthCurveSql,
 

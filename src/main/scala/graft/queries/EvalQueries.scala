@@ -755,6 +755,27 @@ object EvalQueries {
             "c_src3" -> (col("source") === "src3")),
           nprobe = 2, k = 10, overfetch = 4)
         .orderBy(col("filt"))
+    }),
+
+    // The other half of the q245 trade: PARTITION the index by the
+    // predicate (one IVF per predicate value, quantizer trained on the
+    // partition) and filtered search becomes plain search — no
+    // over-fetch, no filter-induced recall decay. Same ground truth,
+    // same probe count, both paths side by side: the recall gap is the
+    // price of NOT partitioning, per selectivity — the number that
+    // decides which predicates deserve their own index partitions.
+    "q251_partitioned_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.join(
+        t(s, dir, "documents").select(col("doc_id").as("vec_id"),
+          col("lang"), col("source")), Seq("vec_id"))
+      Similarity.filteredIndexComparison(emb.filter(col("vec_id") < 8),
+          corpus,
+          Seq("a_mod2" -> (col("vec_id") % 2 === 0),
+            "b_lang_fr" -> (col("lang") === "fr"),
+            "c_src3" -> (col("source") === "src3")),
+          nprobe = 2, k = 10, overfetch = 4)
+        .orderBy(col("filt"))
     })
   )
 
@@ -1787,6 +1808,100 @@ object EvalQueries {
          |${point("b_lang_fr", "e.lang = 'fr'")}
          |UNION ALL
          |${point("c_src3", "e.source = 'src3'")}
+         |ORDER BY filt""".stripMargin
+    },
+
+    // Replays both filtered-search paths per predicate: the shared
+    // over-fetched candidate list post-filtered (q245's path) and a
+    // per-partition IVF whose centroids are trained on the filtered
+    // subset, both scored against the exact pre-filter top-10.
+    "q251_partitioned_ann" -> {
+      def cos(a: String, b: String): String =
+        s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, " +
+          s"$a)) * sqrt(list_dot_product($b, $b))), 6)"
+      def point(p: String, name: String, pred: String): String =
+        s"""${p}sub AS (SELECT * FROM e WHERE $pred),
+           |${p}comp AS (SELECT label, r.i AS ord,
+           |    avg(v[(r.i + 1)::INTEGER]) AS m
+           |  FROM ${p}sub, range(0, 64) AS r(i) GROUP BY label, r.i),
+           |${p}cent AS (SELECT label, list(round(m, 6) ORDER BY ord) AS c
+           |  FROM ${p}comp GROUP BY label),
+           |${p}probes AS (SELECT qid, qe, label FROM (
+           |    SELECT q.qid, q.qe, cc.label,
+           |      row_number() OVER (PARTITION BY q.qid ORDER BY
+           |        ${cos("q.qe", "cc.c")} DESC, cc.label) AS prnk
+           |    FROM q CROSS JOIN ${p}cent cc)
+           |  WHERE prnk <= 2),
+           |${p}part AS (SELECT qid, vec_id FROM (
+           |    SELECT pr.qid, ee.vec_id,
+           |      row_number() OVER (PARTITION BY pr.qid ORDER BY
+           |        ${cos("pr.qe", "ee.v")} DESC, ee.vec_id) AS rnk
+           |    FROM ${p}probes pr JOIN ${p}sub ee ON ee.label = pr.label
+           |    WHERE ee.vec_id <> pr.qid)
+           |  WHERE rnk <= 10),
+           |${p}post AS (SELECT qid, vec_id FROM (
+           |    SELECT c2.qid, c2.vec_id,
+           |      row_number() OVER (PARTITION BY c2.qid ORDER BY
+           |        c2.sim DESC, c2.vec_id) AS rnk
+           |    FROM cand c2 JOIN ${p}sub ee ON ee.vec_id = c2.vec_id)
+           |  WHERE rnk <= 10),
+           |${p}exact AS (SELECT qid, vec_id FROM (
+           |    SELECT q.qid, ee.vec_id,
+           |      row_number() OVER (PARTITION BY q.qid ORDER BY
+           |        ${cos("q.qe", "ee.v")} DESC, ee.vec_id) AS rnk
+           |    FROM q CROSS JOIN ${p}sub ee WHERE ee.vec_id <> q.qid)
+           |  WHERE rnk <= 10),
+           |${p}row AS (
+           |  SELECT '$name' AS filt,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_corpus,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM ${p}sub) AS n_pass,
+           |    round((SELECT count(*) FROM ${p}sub)::DOUBLE /
+           |      (SELECT count(*) FROM e)::DOUBLE, 6) AS selectivity,
+           |    CAST(count(*) AS BIGINT) AS n_exact,
+           |    CAST(count(po.vec_id) AS BIGINT) AS hits_post,
+           |    CASE WHEN count(*) = 0 THEN 0.0
+           |      ELSE round(count(po.vec_id)::DOUBLE / count(*)::DOUBLE,
+           |        6) END AS recall_post,
+           |    CAST(count(pa.vec_id) AS BIGINT) AS hits_part,
+           |    CASE WHEN count(*) = 0 THEN 0.0
+           |      ELSE round(count(pa.vec_id)::DOUBLE / count(*)::DOUBLE,
+           |        6) END AS recall_part
+           |  FROM ${p}exact x
+           |  LEFT JOIN ${p}post po
+           |    ON po.qid = x.qid AND po.vec_id = x.vec_id
+           |  LEFT JOIN ${p}part pa
+           |    ON pa.qid = x.qid AND pa.vec_id = x.vec_id)""".stripMargin
+      s"""WITH e AS (SELECT e0.vec_id, e0.label,
+         |    e0.embedding::DOUBLE[] AS v, d.lang, d.source
+         |  FROM embeddings e0 JOIN documents d ON e0.vec_id = d.doc_id),
+         |q AS (SELECT vec_id AS qid, v AS qe FROM e WHERE vec_id < 8),
+         |comp AS (SELECT label, r.i AS ord, avg(v[(r.i + 1)::INTEGER]) AS m
+         |         FROM e, range(0, 64) AS r(i) GROUP BY label, r.i),
+         |cent AS (SELECT label, list(round(m, 6) ORDER BY ord) AS c
+         |         FROM comp GROUP BY label),
+         |probes AS (SELECT qid, qe, label FROM (
+         |    SELECT q.qid, q.qe, cent.label,
+         |           row_number() OVER (PARTITION BY q.qid ORDER BY
+         |             ${cos("q.qe", "cent.c")} DESC, cent.label) AS prnk
+         |    FROM q CROSS JOIN cent)
+         |  WHERE prnk <= 2),
+         |scored AS (SELECT p.qid, e.vec_id, ${cos("p.qe", "e.v")} AS sim
+         |      FROM probes p JOIN e ON e.label = p.label
+         |      WHERE e.vec_id <> p.qid),
+         |cand AS (SELECT qid, vec_id, sim FROM (
+         |    SELECT qid, vec_id, sim,
+         |           row_number() OVER (PARTITION BY qid
+         |             ORDER BY sim DESC, vec_id) AS rnk
+         |    FROM scored)
+         |  WHERE rnk <= 40),
+         |${point("fa", "a_mod2", "e.vec_id % 2 = 0")},
+         |${point("fb", "b_lang_fr", "e.lang = 'fr'")},
+         |${point("fc", "c_src3", "e.source = 'src3'")}
+         |SELECT * FROM farow
+         |UNION ALL
+         |SELECT * FROM fbrow
+         |UNION ALL
+         |SELECT * FROM fcrow
          |ORDER BY filt""".stripMargin
     }
   )

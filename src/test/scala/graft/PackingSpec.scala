@@ -295,4 +295,23 @@ class PackingSpec extends SparkSpec {
     assert(card.map(_.getAs[Long]("n_docs")).sum === 8L)
     assert(card.map(_.getAs[Long]("n_tokens")).sum === 160L)
   }
+
+  test("q252 budget metering: the two packings cover the same docs, " +
+      "each row's cross-units are the other row's own units, and the " +
+      "conservative BPE metering never overflows in whitespace terms") {
+    val card = SparkEntry.queries("q252_bpe_packing")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(card.length === 2)
+    val ws = card.find(_.getAs[String]("meter") == "a_whitespace").get
+    val bpe = card.find(_.getAs[String]("meter") == "b_bpe").get
+    assert(ws.getAs[Long]("n_docs") === bpe.getAs[Long]("n_docs"))
+    assert(ws.getAs[Long]("cross_units") === bpe.getAs[Long]("total_units"),
+      "the ws packing's BPE mass must equal the BPE packing's own total")
+    assert(bpe.getAs[Long]("cross_units") === ws.getAs[Long]("total_units"))
+    // per doc BPE tokens >= whitespace words (every word is >= 1 token),
+    // so a bin under the BPE budget is automatically under it in words
+    assert(bpe.getAs[Long]("n_cross_over") === 0L)
+    assert(bpe.getAs[Long]("n_bins") >= ws.getAs[Long]("n_bins"),
+      "metering in the finer unit can only need more bins")
+  }
 }

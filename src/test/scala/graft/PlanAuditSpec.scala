@@ -1390,6 +1390,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(liveScans("q244_release_mix").isEmpty, p)
   }
 
+  test("q251: the shared over-fetched candidate list is a checkpointed " +
+    "leaf reused by every filter point, while each PARTITIONED index " +
+    "deliberately re-trains its quantizer on its partition (the " +
+    "posexplode centroid build appears — that is the design) — no " +
+    "cartesian, WindowGroupLimit top-k") {
+    val p = plan("q251_partitioned_ann")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("posexplode"),
+      "per-partition quantizer training must be in the plan")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q252: both metering packings and their cross evaluations read " +
+    "the one checkpointed (doc, w_ws, w_bpe) manifest — zero live " +
+    "scans warm (the text is never re-encoded), no cartesian") {
+    val p = plan("q252_bpe_packing")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(liveScans("q252_bpe_packing").isEmpty, p)
+  }
+
   test("q250: the governance-shift card is two k-row projections of " +
     "the persisted realizations — zero live scans warm, broadcast " +
     "share totals, no cartesian") {

@@ -234,6 +234,36 @@ class SimilaritySpec extends SparkSpec {
       card.getAs[Long]("hits") === per.getLong(1))
   }
 
+  test("filteredIndexComparison: probing every list makes BOTH paths " +
+      "exact — the partitioned index because its quantizer covers the " +
+      "partition, the post-filter because the over-fetch covers the " +
+      "corpus") {
+    val q = corpus.filter(col("vec_id") < 3)
+    val rows = Similarity.filteredIndexComparison(q, corpus,
+      Seq("third" -> (col("vec_id") % 3 === 0),
+        "even" -> (col("vec_id") % 2 === 0)),
+      nprobe = 4, k = 5, overfetch = 20).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("recall_part") === 1.0 &&
+        r.getAs[Double]("recall_post") === 1.0, r.toString)
+    }
+  }
+
+  test("filteredIndexComparison: the partitioned path's ground truth " +
+      "and shared-candidate path agree with filteredAnnRecall's on the " +
+      "same geometry (one implementation, two cards)") {
+    val q = corpus.filter(col("vec_id") < 4)
+    val filt = Seq("third" -> (col("vec_id") % 3 === 0))
+    val cmp = Similarity.filteredIndexComparison(q, corpus, filt,
+      nprobe = 2, k = 5, overfetch = 4).collect().head
+    val card = Similarity.filteredAnnRecall(q, corpus, filt,
+      nprobe = 2, k = 5, overfetch = 4).collect().head
+    assert(cmp.getAs[Long]("n_exact") === card.getAs[Long]("n_exact"))
+    assert(cmp.getAs[Long]("hits_post") === card.getAs[Long]("hits"))
+    assert(cmp.getAs[Double]("recall_post") ===
+      card.getAs[Double]("recall"))
+  }
+
   test("filteredAnnRecall: post-filter recall can only improve with " +
       "over-fetch (the card's dial is monotone here)") {
     val q = corpus.filter(col("vec_id") < 4)
