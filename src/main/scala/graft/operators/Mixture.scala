@@ -356,12 +356,15 @@ object Mixture {
         domainCol, "n_tok", "alloc", rstar)
         .select(col(domainCol),
           round(col("eff_tokens") * 100).cast("long").as("__cents"))
+      // every sum coalesced: an empty domain table must yield a zeroed
+      // curve row, not nulls (EmptyInputSpec pins it)
       al.join(valued, Seq(domainCol))
         .agg(count(lit(1)).as("n_domains"),
-          sum(when(col("saturated"), 1L).otherwise(0L)).as("n_saturated"),
-          sum(col("alloc")).as("total_alloc"),
-          min(col("leftover")).as("leftover"),
-          sum(col("__cents")).as("__c"))
+          coalesce(sum(when(col("saturated"), 1L).otherwise(0L)), lit(0L))
+            .as("n_saturated"),
+          coalesce(sum(col("alloc")), lit(0L)).as("total_alloc"),
+          coalesce(min(col("leftover")), lit(0L)).as("leftover"),
+          coalesce(sum(col("__cents")), lit(0L)).as("__c"))
         .select(lit(cap).as("max_epochs"), col("n_domains"),
           col("n_saturated"), col("total_alloc"), col("leftover"),
           (col("__c").cast("double") / lit(100.0)).as("eff_tokens"),

@@ -259,4 +259,51 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.operators.Mixture.dataConstrainedValue(
       doms, "dom", "n_tok", "alloc").count() === 0L)
   }
+
+  test("round-15 cards stay well-defined on empty inputs: the length " +
+      "curve and epoch-cap curve keep one zeroed row per grid point, " +
+      "the bin QA is empty-in/empty-out, and the filtered-ANN card " +
+      "reports recall 0.0 on an empty predicate, never null") {
+    import spark.implicits._
+    val noDocs = Seq.empty[(Long, Long)].toDF("doc_id", "n_tok")
+    val lc = Packing.packLengthCurve(noDocs, "doc_id", "n_tok",
+      budgets = Seq(64L, 512L), shards = 4)
+      .orderBy(col("budget")).collect()
+    assert(lc.length === 2)
+    lc.foreach { r =>
+      assert(r.getAs[Long]("n_bins") === 0L &&
+        r.getAs[Long]("trunc_tokens") === 0L &&
+        r.getAs[Double]("fill_rate") === 0.0 &&
+        r.getAs[Double]("trunc_frac") === 0.0)
+    }
+    val emptyPacked = Seq.empty[(Long, Long, Long, Long)]
+      .toDF("id", "w", "shard", "bin")
+    val attrs = Seq.empty[(Long, String)].toDF("doc_id", "source")
+    assert(Packing.binDiversityCard(emptyPacked, col("id"), attrs,
+      "doc_id", "source").count() === 0L)
+    val caps = Mixture.epochCapCurve(
+      Seq.empty[(String, Long)].toDF("dom", "n_tok"), "dom", "n_tok",
+      caps = Seq(1L, 4L), budgetNum = 2L, budgetDen = 1L)
+      .orderBy(col("max_epochs")).collect()
+    assert(caps.length === 2)
+    caps.foreach { r =>
+      assert(r.getAs[Long]("n_domains") === 0L &&
+        r.getAs[Double]("eff_tokens") === 0.0 &&
+        r.getAs[Double]("value_frac") === 0.0)
+    }
+    // a predicate NO vector satisfies: n_pass 0, zero ground truth,
+    // recall 0.0 (the guarded division), never a null or a throw
+    val corpus = (0L until 30L)
+      .map(i => (i, Array.fill(4)((i % 5).toFloat + 1f), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val card = Similarity.filteredAnnRecall(
+      corpus.filter(col("vec_id") < 2), corpus,
+      Seq("none" -> (col("vec_id") < 0)), nprobe = 1, k = 3,
+      overfetch = 2).collect()
+    assert(card.length === 1)
+    assert(card.head.getAs[Long]("n_pass") === 0L &&
+      card.head.getAs[Long]("n_exact") === 0L &&
+      card.head.getAs[Double]("recall") === 0.0 &&
+      card.head.getAs[Double]("selectivity") === 0.0)
+  }
 }
