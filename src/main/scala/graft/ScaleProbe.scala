@@ -58,7 +58,11 @@ object ScaleProbe {
     // q251 adds the per-partition quantizer training to q245's shape;
     // q252 re-packs the manifest in a second unit (the BPE encode cost
     // lives in the bpe_tokens stage, measured on its own clock)
-    "q251_partitioned_ann", "q252_bpe_packing")
+    "q251_partitioned_ann", "q252_bpe_packing",
+    // q253 is a bin-count-sized rank over two persisted stages but its
+    // globalRank + decile cut is the exact-ordering shape worth a
+    // measured exponent alongside q221's
+    "q253_curriculum_order")
   private val Passes = 2
 
   def main(args: Array[String]): Unit = {

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{TextAnalysis, Urls}
-import graft.operators.{Dedup, Mixture, NearDup, Packing, Sampling, Similarity, Takedown}
+import graft.operators.{Dedup, Mixture, NearDup, Packing, Ranking, Sampling, Similarity, Takedown}
 import graft.plans.Drift
 
 /** Wave 5b — corpus-assembly operators graded round 6: the per-domain cap,
@@ -832,6 +832,42 @@ object CorpusQueries {
       side("a_whitespace", "w_ws", "w_bpe")
         .unionByName(side("b_bpe", "w_bpe", "w_ws"))
         .orderBy(col("meter"))
+    }),
+
+    // THE QUALITY-CURRICULUM ORDER — the data-ordering practice behind
+    // quality annealing: rank the packed training bins by their mean
+    // classifier quality (the persisted nb_scores logits, integer-
+    // scaled) so a loader can feed noisy bins early and the cleanest
+    // last. The order key is exact: per-bin mean = floor(100·Σq4/docs)
+    // (one floor of a double division whose operands are exact longs —
+    // safe because docs per bin is tiny relative to the quotient gap),
+    // ranked by the range-partition globalRank (never a single-
+    // partition window), cut into EXACT deciles by q119's
+    // equalFreqBins cross-multiplication. Card: per decile, its
+    // bins/docs/tokens and the [mq_min, mq_max] quality band —
+    // contiguous, non-overlapping across deciles by construction. Zero
+    // live scans: rides mix_packed + nb_scores.
+    "q253_curriculum_order" -> ((s, dir) => {
+      val q4 = PipelineQueries.nbScoresStage(s, dir)
+        .select(col("doc_id"),
+          round(col("nb_logit") * 10000, 0).cast("long").as("q4"))
+      val bins = mixPackedStage(s, dir)
+        .withColumn("doc_id", expr("id div 8"))
+        .join(q4, Seq("doc_id"))
+        .groupBy(col("shard"), col("bin").as("pbin"))
+        .agg(count(lit(1)).as("docs"), sum(col("w")).as("tok"),
+          sum(col("q4")).as("sq4"))
+        .withColumn("mq", floor((col("sq4") * 100).cast("double") /
+          col("docs").cast("double")).cast("long"))
+      Ranking.equalFreqBins(bins,
+          Seq(col("mq"), col("shard"), col("pbin")), k = 10, parts = 32)
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_bins"), sum(col("docs")).as("n_docs"),
+          sum(col("tok")).as("n_tokens"), min(col("mq")).as("mq_min"),
+          max(col("mq")).as("mq_max"))
+        .select(col("bin").as("decile"), col("n_bins"), col("n_docs"),
+          col("n_tokens"), col("mq_min"), col("mq_max"))
+        .orderBy(col("decile"))
     }),
 
     // LLM mixture 8 — the EPOCH-CAP decision curve: the dial behind the
@@ -2247,6 +2283,38 @@ object CorpusQueries {
        |ORDER BY meter""".stripMargin
   }
 
+  /** q253 oracle — the mix chain + packing replay + the NB score
+    * chain, bins keyed back to docs (epoch factor divided out), the
+    * floor-mean order key, a global row_number and the exact decile
+    * cross-multiplication. Lazy: consumes PipelineQueries.nbScoreCtes. */
+  private lazy val curriculumOrderSql: String =
+    s"""WITH RECURSIVE
+      |$mixSelCtes,
+      |$instCte,
+      |${packReplayCtes("", 512L, "inst")},
+      |${PipelineQueries.nbScoreCtes},
+      |bq AS (
+      |  SELECT p.shard, p.bin AS pbin, count(*) AS docs,
+      |    sum(p.w) AS tok,
+      |    sum(CAST(round(n.nb_logit * 10000, 0) AS BIGINT)) AS sq4
+      |  FROM pack p JOIN nbdoc n ON n.doc_id = p.id // 8
+      |  GROUP BY 1, 2),
+      |mqt AS (SELECT *,
+      |    CAST(floor((sq4 * 100)::DOUBLE / docs::DOUBLE) AS BIGINT) AS mq
+      |  FROM bq),
+      |rk AS (SELECT *,
+      |    row_number() OVER (ORDER BY mq, shard, pbin) AS rnk,
+      |    count(*) OVER () AS nn
+      |  FROM mqt),
+      |dec AS (SELECT *, ((rnk - 1) * 10) // nn AS decile FROM rk)
+      |SELECT CAST(decile AS BIGINT) AS decile,
+      |  CAST(count(*) AS BIGINT) AS n_bins,
+      |  CAST(sum(docs) AS BIGINT) AS n_docs,
+      |  CAST(sum(tok) AS BIGINT) AS n_tokens,
+      |  CAST(min(mq) AS BIGINT) AS mq_min,
+      |  CAST(max(mq) AS BIGINT) AS mq_max
+      |FROM dec GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q243 oracle — the shipped manifest's chain (before), the
     * surviving-doc chain after the id%23 tombstones ("a"-prefixed),
     * and the per-source delta card with the boundary-flip count. */
@@ -3486,6 +3554,8 @@ object CorpusQueries {
     "q250_governance_shift" -> governanceShiftSql,
 
     "q252_bpe_packing" -> bpePackingSql,
+
+    "q253_curriculum_order" -> curriculumOrderSql,
 
     "q246_packing_length_curve" -> packingLengthCurveSql,
 

@@ -1496,7 +1496,7 @@ object PipelineQueries {
   /** Persisted q218 Naive-Bayes score table — shared by q218 and the
     * q222 selection-agreement card. Train slice = the labeled history
     * era (doc_id < 250), target class = lang = 'en'. */
-  private def nbScoresStage(s: SparkSession, dir: String): DataFrame =
+  private[queries] def nbScoresStage(s: SparkSession, dir: String): DataFrame =
     stage(s, dir, "nb_scores")(
       TextAnalysis.nbQualityScore(t(s, dir, "documents"), "doc_id", "text",
           isTrain = col("doc_id") < 250, isTarget = col("lang") === "en",
@@ -2747,7 +2747,7 @@ object PipelineQueries {
     * over the same `tfx`). Mirrors [[TextAnalysis.nbQualityScore]] at
     * the graded parameters (buckets=4096, train = doc_id < 250, target
     * = lang = 'en'). */
-  private def nbScoreCtes: String =
+  private[queries] def nbScoreCtes: String =
     """tfx AS (
       |  SELECT doc_id, doc_id < 250 AS trn, lang = 'en' AS tgt,
       |    ('0x' || substr(md5(term), 1, 15))::BIGINT % 4096 AS f

@@ -249,4 +249,29 @@ class ManifestSpec extends SparkSpec {
     assert(shift.forall(_.getAs[Long]("share_shift_ppm") === 0L),
       "flat shares are implied by the unsaturated regime above")
   }
+
+  test("q253 curriculum order: ten balanced deciles covering exactly " +
+      "the packed-bin universe, with contiguous non-overlapping " +
+      "quality bands") {
+    val decs = SparkEntry.queries("q253_curriculum_order")(spark, dir)
+      .collect()
+    assert(decs.length === 10)
+    assert(decs.map(_.getAs[Long]("decile")).toSeq === (0L until 10L))
+    // the deciles tile the q236 packing exactly (every instance's doc
+    // has an NB score, so no bin is dropped by the score join)
+    assert(decs.map(_.getAs[Long]("n_bins")).sum ===
+      totRow.getAs[Long]("n_bins"))
+    val sizes = decs.map(_.getAs[Long]("n_bins"))
+    assert(sizes.max - sizes.min <= 1L,
+      s"equal-frequency deciles must balance to within one bin: " +
+        sizes.mkString(","))
+    decs.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getAs[Long]("mq_max") <= hi.getAs[Long]("mq_min"),
+        "decile quality bands must be non-overlapping and ordered")
+      ()
+    case _ => ()
+    }
+    decs.foreach(r => assert(r.getAs[Long]("mq_min") <=
+      r.getAs[Long]("mq_max")))
+  }
 }

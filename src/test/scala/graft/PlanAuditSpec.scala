@@ -1412,6 +1412,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(liveScans("q252_bpe_packing").isEmpty, p)
   }
 
+  test("q253: the curriculum order rides mix_packed + nb_scores — " +
+    "zero live scans warm, globalRank's range partition (no " +
+    "single-partition window over the bins), no cartesian") {
+    val p = plan("q253_curriculum_order")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(liveScans("q253_curriculum_order").isEmpty, p)
+    assert(p.contains("rangepartitioning"), p)
+  }
+
   test("q250: the governance-shift card is two k-row projections of " +
     "the persisted realizations — zero live scans warm, broadcast " +
     "share totals, no cartesian") {
