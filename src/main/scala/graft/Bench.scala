@@ -254,8 +254,10 @@ object Bench {
     // Line 3 (the driver's parsed "last line"): top-10 slowest by median
     // (was top-20 — trimmed to keep lines 2+3 inside the driver's
     // 2000-char tail once line 2 carries the rotating stage band; at the
-    // 240-query round-14 surface the two lines measured 1801 chars,
-    // leaving ~200 headroom — re-measure after any surface growth),
+    // 240-query round-14 surface the two lines measured 1801 chars, and
+    // at the 250/253-query round-15 surface 1755 / 1038-1062 chars
+    // depending on the band's stage slice — re-measure after any
+    // surface growth),
     // each as [min, median] so the contention-immune number rides along,
     // the top-5 most expensive STAGES (as [min, median, consumers] — the
     // stage-graph audit's headline), plus every summary scalar.

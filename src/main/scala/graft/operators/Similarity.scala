@@ -1437,6 +1437,19 @@ object Similarity {
     *                `corpus` rows
     * @return one row per filter: (filt, n_corpus, n_pass, selectivity,
     *         n_exact, hits, recall), ordered by filt */
+  /** Post-filter re-rank of a shared over-fetched candidate list: the
+    * candidates surviving the predicate, cut back to the top k per
+    * query — the serving path both filtered-search cards measure. */
+  private def postFilterTopK(cand: DataFrame, ids: DataFrame,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(desc("sim"), col("vec_id"))
+    cand.join(ids, Seq("vec_id"), "left_semi")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id"))
+  }
+
   def filteredAnnRecall(queries: DataFrame, corpus: DataFrame,
       filters: Seq[(String, Column)], nprobe: Int, k: Int,
       overfetch: Int): DataFrame = {
@@ -1451,14 +1464,9 @@ object Similarity {
       val ids = sub.select(col("vec_id"))
       val exact = bruteForceTopK(queries, sub, k)
         .select(col("qid"), col("vec_id"))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(desc("sim"), col("vec_id"))
-      val approx = cand.join(ids, Seq("vec_id"), "left_semi")
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= k)
-        .select(col("qid"), col("vec_id"), lit(1L).as("__hit"))
-      exact.join(approx.select(col("qid"), col("vec_id"), col("__hit")),
-          Seq("qid", "vec_id"), "left")
+      val approx = postFilterTopK(cand, ids, k)
+        .withColumn("__hit", lit(1L))
+      exact.join(approx, Seq("qid", "vec_id"), "left")
         .agg(count(lit(1)).as("n_exact"),
           coalesce(sum(col("__hit")), lit(0L)).as("hits"))
         .crossJoin(broadcast(nAll))
@@ -1508,12 +1516,8 @@ object Similarity {
       val ids = sub.select(col("vec_id"))
       val exact = bruteForceTopK(queries, sub, k)
         .select(col("qid"), col("vec_id"))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(desc("sim"), col("vec_id"))
-      val post = cand.join(ids, Seq("vec_id"), "left_semi")
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= k)
-        .select(col("qid"), col("vec_id"), lit(1L).as("__post"))
+      val post = postFilterTopK(cand, ids, k)
+        .withColumn("__post", lit(1L))
       val part = ivfTopK(queries, sub, nprobe, k)
         .select(col("qid"), col("vec_id"), lit(1L).as("__part"))
       exact
