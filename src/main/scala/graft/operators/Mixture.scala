@@ -235,9 +235,16 @@ object Mixture {
     * k-row domain table (domain-sized work, the mixture-family idiom). */
   def unimaxAllocationBudget(counts: DataFrame, domainCol: String,
       tokCol: String, maxEpochs: Long, budget: DataFrame): DataFrame = {
+    // enforce the one-row contract: an empty budget would silently
+    // return an empty allocation and a multi-row budget would duplicate
+    // every domain row through the crossJoin — both fail fast instead
     val b = broadcast(
       budget.select(budget.columns.head).toDF("__b")
-        .select(col("__b").cast("long").as("__b")))
+        .agg(count(lit(1)).as("__c"), min(col("__b").cast("long")).as("__b"))
+        .select(when(col("__c") === 1L, col("__b")).otherwise(
+          raise_error(concat(
+            lit("unimaxAllocationBudget: budget must be exactly one row, got "),
+            col("__c").cast("string")))).as("__b")))
     waterfill(counts.select(col(domainCol), col(tokCol).as("n_tok"))
         .crossJoin(b),
       domainCol, maxEpochs, col("__b"))
@@ -316,7 +323,10 @@ object Mixture {
       .otherwise(u * (lit(1.0) +
         lit(rstar) * (lit(1.0) - exp(-rd / lit(rstar)))))
     alloc.select(col(domainCol), col(tokCol), col(allocCol),
-      round(a / u, 4).as("epochs"),
+      // zero-capacity domains are legal upstream (unimaxAllocation
+      // carries them as alloc = 0); 0/0 must read as 0 epochs, not NaN
+      when(col(tokCol) > 0, round(a / u, 4)).otherwise(lit(0.0))
+        .as("epochs"),
       round(eff, 2).as("eff_tokens"),
       when(col(allocCol) > 0,
         round(round(eff, 2) / a, 6)).otherwise(lit(0.0)).as("value_frac"))

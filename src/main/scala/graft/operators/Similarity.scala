@@ -1409,6 +1409,19 @@ object Similarity {
         (col("hits").cast("double") / lit(k)).as("recall"))
   }
 
+  /** Post-filter re-rank of a shared over-fetched candidate list: the
+    * candidates surviving the predicate, cut back to the top k per
+    * query — the serving path both filtered-search cards measure. */
+  private def postFilterTopK(cand: DataFrame, ids: DataFrame,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(desc("sim"), col("vec_id"))
+    cand.join(ids, Seq("vec_id"), "left_semi")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id"))
+  }
+
   /** ATTRIBUTE-FILTERED ANN recall card — the vector-database operator
     * behind "top-k nearest WHERE lang = 'en'". The exact PRE-FILTER
     * ground truth scans only the satisfying vectors; the deployed
@@ -1437,19 +1450,6 @@ object Similarity {
     *                `corpus` rows
     * @return one row per filter: (filt, n_corpus, n_pass, selectivity,
     *         n_exact, hits, recall), ordered by filt */
-  /** Post-filter re-rank of a shared over-fetched candidate list: the
-    * candidates surviving the predicate, cut back to the top k per
-    * query — the serving path both filtered-search cards measure. */
-  private def postFilterTopK(cand: DataFrame, ids: DataFrame,
-      k: Int): DataFrame = {
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(desc("sim"), col("vec_id"))
-    cand.join(ids, Seq("vec_id"), "left_semi")
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("qid"), col("vec_id"))
-  }
-
   def filteredAnnRecall(queries: DataFrame, corpus: DataFrame,
       filters: Seq[(String, Column)], nprobe: Int, k: Int,
       overfetch: Int): DataFrame = {
@@ -1542,19 +1542,6 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
-  /** Embedding-space eval-set decontamination: for every corpus vector,
-    * the maximum (rounded) cosine against the benchmark/eval embeddings
-    * and a `contaminated` verdict at `tau` — the semantic companion of
-    * the k-gram overlap check (NearDup.contaminationReport): a test item
-    * REPHRASED into the training corpus shares no grams but sits right
-    * next to it in embedding space.
-    *
-    * Scale shape: the eval set is small by nature and broadcast; the
-    * corpus streams through in ONE pass and the shuffle carries one row
-    * per corpus vector (map-side-partial max over rounded sims — MAX is
-    * order-free, so the result is partitioning- and engine-independent).
-    * Self-pairs (the eval rows are usually drawn from the same table)
-    * are excluded by id. */
   /** The DIMENSION-TRUNCATION recall curve — the Matryoshka/MRL storage
     * dial (Kusupati et al., NeurIPS 2022): recall@k of the exact dot
     * scan over the FIRST `d` dimensions only, per candidate width d —
@@ -1612,6 +1599,19 @@ object Similarity {
       .agg(max(round(cosine(col("ce"), col("qe")), 6)).as("max_eval_sim"))
   }
 
+  /** Embedding-space eval-set decontamination: for every corpus vector,
+    * the maximum (rounded) cosine against the benchmark/eval embeddings
+    * and a `contaminated` verdict at `tau` — the semantic companion of
+    * the k-gram overlap check (NearDup.contaminationReport): a test item
+    * REPHRASED into the training corpus shares no grams but sits right
+    * next to it in embedding space.
+    *
+    * Scale shape: the eval set is small by nature and broadcast; the
+    * corpus streams through in ONE pass and the shuffle carries one row
+    * per corpus vector (map-side-partial max over rounded sims — MAX is
+    * order-free, so the result is partitioning- and engine-independent).
+    * Self-pairs (the eval rows are usually drawn from the same table)
+    * are excluded by id. */
   def embeddingContamination(corpus: DataFrame, evalSet: DataFrame,
       tau: Double): DataFrame =
     maxEvalSim(corpus, evalSet)

@@ -1993,11 +1993,6 @@ object CorpusQueries {
        |SELECT '2_anneal' AS phase, * FROM p2out
        |ORDER BY phase, source""".stripMargin
 
-  /** Shared mix-chain CTEs (q236 / q247): per-doc tokens, the q233
-    * operating-point waterfill (4-epoch cap, 2× budget), and the
-    * md5-ranked per-source remainder realization. Emits
-    * `sel2(doc_id, source, w, src_tok, alloc, epochs_full, rem_target,
-    * cum, in_rem)`. */
   /** The allocation + realization chain over a (doc_id, source, w)
     * CTE, prefixed — the SQL mirror of [[mixRealize]] at the q233
     * operating point (4-epoch cap, 2× budget): per-source totals, the

@@ -309,4 +309,42 @@ class MixtureSpec extends SparkSpec {
         "quality pool cannot exceed the source's tokens")
     }
   }
+
+  test("unimaxAllocationBudget: an empty or multi-row budget fails fast " +
+      "instead of silently returning garbage") {
+    import sqlImplicits._
+    val counts = Seq(("a", 100L), ("b", 40L)).toDF("dom", "n_tok")
+    val empty = Seq.empty[Long].toDF("b")
+    val multi = Seq(100L, 200L).toDF("b")
+    val e1 = intercept[Exception] {
+      Mixture.unimaxAllocationBudget(counts, "dom", "n_tok", 2L, empty)
+        .collect()
+    }
+    assert(e1.getMessage.contains("exactly one row") ||
+      Option(e1.getCause).exists(_.getMessage.contains("exactly one row")))
+    val e2 = intercept[Exception] {
+      Mixture.unimaxAllocationBudget(counts, "dom", "n_tok", 2L, multi)
+        .collect()
+    }
+    assert(e2.getMessage.contains("exactly one row") ||
+      Option(e2.getCause).exists(_.getMessage.contains("exactly one row")))
+  }
+
+  test("zero-capacity domain composed into dataConstrainedValue reads as " +
+      "0 epochs / 0 value, never NaN") {
+    import sqlImplicits._
+    val counts = Seq(("a", 100L), ("empty", 0L)).toDF("dom", "n_tok")
+    val al = Mixture.unimaxAllocation(counts, "dom", "n_tok",
+      maxEpochs = 2L, budgetNum = 1L, budgetDen = 1L)
+    val out = Mixture.dataConstrainedValue(
+      al.select(col("dom"), col("n_tok"), col("alloc")),
+      "dom", "n_tok", "alloc")
+      .collect().map(r => r.getAs[String]("dom") -> r).toMap
+    val z = out("empty")
+    assert(z.getAs[Long]("alloc") === 0L)
+    assert(z.getAs[Double]("epochs") === 0.0 &&
+      !z.getAs[Double]("epochs").isNaN)
+    assert(z.getAs[Double]("eff_tokens") === 0.0 &&
+      z.getAs[Double]("value_frac") === 0.0)
+  }
 }
