@@ -171,6 +171,23 @@ object CorpusQueries {
         explode(sequence(lit(0L), col("n_inst") - 1)).as("e"))
       .select(instanceId(col("doc_id"), col("e")).as("id"), col("n_tok"))
 
+  /** [[instExpand]] carrying BOTH metering units per training
+    * occurrence — the whitespace weight the realization was planned in
+    * (`w_ws`) and the true BPE count (`w_bpe`, an inner join against
+    * the persisted bpe_tokens stage) — so the q254 capstone can pack
+    * the same instance multiset under either meter. */
+  private def instExpandBpe(sel: DataFrame, bpe: DataFrame): DataFrame =
+    sel
+      .join(bpe.select(col("id").as("doc_id"),
+        col("n_tokens").as("w_bpe")), Seq("doc_id"))
+      .withColumn("n_inst",
+        col("epochs_full") + when(col("in_rem"), 1L).otherwise(0L))
+      .filter(col("n_inst") > 0)
+      .select(col("doc_id"), col("n_tok"), col("w_bpe"),
+        explode(sequence(lit(0L), col("n_inst") - 1)).as("e"))
+      .select(instanceId(col("doc_id"), col("e")).as("id"),
+        col("n_tok").as("w_ws"), col("w_bpe"))
+
   /** The training-mix manifest card shared by q236 (raw corpus, over
     * the persisted stages) and q244 (release-admitted corpus): per
     * source, allocated vs realized docs/tokens/epochs, the overshoot
@@ -831,6 +848,56 @@ object CorpusQueries {
       }
       side("a_whitespace", "w_ws", "w_bpe")
         .unionByName(side("b_bpe", "w_bpe", "w_ws"))
+        .orderBy(col("meter"))
+    }),
+
+    // THE GOVERNED CAPSTONE RE-METERED IN BPE — closing the loop q252
+    // opened: the q244 release→mix packing meters its 512 budget in
+    // whitespace words, and q252 measured that such bins overflow the
+    // TRUE tokenizer budget in ~all bins (fertility ~5×). This card
+    // packs the SAME governed instance multiset (release gates → UniMax
+    // → md5 realization → doc×epoch expansion) under BOTH meters at the
+    // same 512 budget and reports each packing's overflow IN THE TRUE
+    // BPE UNIT: the whitespace row keeps the honest-overflow gauge, the
+    // BPE row is the artifact a trainer can actually consume —
+    // n_bpe_over = 0 (no bin exceeds the real sequence budget; greedy
+    // guarantees it whenever no single doc does). bpe_units is
+    // identical across rows (same instances, different cuts). Rides the
+    // persisted release_mix_sample + bpe_tokens stages — the corpus
+    // text is never re-encoded; two manifest-sized greedy passes.
+    "q254_release_bpe_pack" -> ((s, dir) => {
+      val inst = instExpandBpe(releaseMixSampleStage(s, dir),
+          bpeTokensStage(s, dir))
+        .localCheckpoint(true) // two packings + two bin evaluations
+      def side(meter: String, wCol: String): DataFrame = {
+        val packed = Packing.packGreedy(inst, "id", wCol,
+          budget = 512L, shards = 8)
+        val bins = packed
+          .join(inst.select(col("id"), col("w_bpe").as("__bpe")),
+            Seq("id"))
+          .groupBy(col("shard"), col("bin"))
+          .agg(count(lit(1)).as("insts"), sum(col("w")).as("fill"),
+            sum(col("__bpe")).as("bpe_fill"))
+        bins.agg(count(lit(1)).as("n_bins"),
+            coalesce(sum(col("insts")), lit(0L)).as("n_inst"),
+            coalesce(sum(col("fill")), lit(0L)).as("total_units"),
+            coalesce(sum(col("bpe_fill")), lit(0L)).as("bpe_units"),
+            coalesce(sum(when(col("bpe_fill") > 512L, 1L).otherwise(0L)),
+              lit(0L)).as("n_bpe_over"))
+          .select(lit(meter).as("meter"), col("n_inst"), col("n_bins"),
+            col("total_units"),
+            when(col("n_bins") > 0,
+              round(col("total_units").cast("double") /
+                (col("n_bins") * 512L).cast("double"), 6))
+              .otherwise(lit(0.0)).as("fill_rate"),
+            col("bpe_units"), col("n_bpe_over"),
+            when(col("n_bins") > 0,
+              round(col("n_bpe_over").cast("double") /
+                col("n_bins").cast("double"), 6))
+              .otherwise(lit(0.0)).as("bpe_over_frac"))
+      }
+      side("a_whitespace", "w_ws")
+        .unionByName(side("b_bpe", "w_bpe"))
         .orderBy(col("meter"))
     }),
 
@@ -2278,6 +2345,59 @@ object CorpusQueries {
        |ORDER BY meter""".stripMargin
   }
 
+  /** q254 oracle — the release-gate chain to the fs5 admitted set, the
+    * governed mix chain ("m"-prefixed, as q244), the BPE encode chain,
+    * the two-unit instance expansion, and two greedy-packing replays
+    * (one per meter) each reduced to its card row with the overflow
+    * counted in the true BPE unit. */
+  private lazy val releaseBpePackSql: String = {
+    def side(p: String, meter: String, wCol: String): String =
+      s"""${p}src AS (SELECT id, $wCol AS w FROM minst),
+         |${packReplayCtes(p, 512L, s"${p}src")},
+         |${p}bins AS (
+         |  SELECT pk.shard, pk.bin, count(*) AS insts,
+         |    sum(pk.w) AS fill, sum(j2.w_bpe) AS bpe_fill
+         |  FROM ${p}pack pk JOIN minst j2 ON j2.id = pk.id
+         |  GROUP BY 1, 2),
+         |${p}row AS (
+         |  SELECT '$meter' AS meter,
+         |    CAST(sum(insts) AS BIGINT) AS n_inst,
+         |    CAST(count(*) AS BIGINT) AS n_bins,
+         |    CAST(sum(fill) AS BIGINT) AS total_units,
+         |    CASE WHEN count(*) > 0
+         |      THEN round(sum(fill)::DOUBLE / (count(*) * 512)::DOUBLE, 6)
+         |      ELSE 0.0 END AS fill_rate,
+         |    CAST(sum(bpe_fill) AS BIGINT) AS bpe_units,
+         |    CAST(sum(CASE WHEN bpe_fill > 512 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_bpe_over,
+         |    CASE WHEN count(*) > 0
+         |      THEN round(sum(CASE WHEN bpe_fill > 512 THEN 1 ELSE 0
+         |        END)::DOUBLE / count(*)::DOUBLE, 6)
+         |      ELSE 0.0 END AS bpe_over_frac
+         |  FROM ${p}bins)""".stripMargin
+    s"""WITH RECURSIVE
+       |$releaseGateCtes,
+       |madoc AS (
+       |  SELECT a.doc_id, a.source, CAST(a.n_tok AS BIGINT) AS w
+       |  FROM acc a JOIN fs5 USING (doc_id)),
+       |${mixChainFrom("m", "madoc")},
+       |$bpeEncodeCtes,
+       |bt AS (SELECT doc_id, CAST(sum(n_w * n_sym) AS BIGINT) AS w_bpe
+       |  FROM enc GROUP BY 1),
+       |minst AS (
+       |  SELECT s.doc_id * 8 + e.range AS id, s.w AS w_ws, bt.w_bpe
+       |  FROM msel2 s JOIN bt USING (doc_id)
+       |  JOIN range(0, 5) AS e(range)
+       |    ON e.range < s.epochs_full +
+       |       CASE WHEN s.in_rem THEN 1 ELSE 0 END),
+       |${side("xw", "a_whitespace", "w_ws")},
+       |${side("xb", "b_bpe", "w_bpe")}
+       |SELECT * FROM xwrow
+       |UNION ALL
+       |SELECT * FROM xbrow
+       |ORDER BY meter""".stripMargin
+  }
+
   /** q253 oracle — the mix chain + packing replay + the NB score
     * chain, bins keyed back to docs (epoch factor divided out), the
     * floor-mean order key, a global row_number and the exact decile
@@ -3549,6 +3669,8 @@ object CorpusQueries {
     "q250_governance_shift" -> governanceShiftSql,
 
     "q252_bpe_packing" -> bpePackingSql,
+
+    "q254_release_bpe_pack" -> releaseBpePackSql,
 
     "q253_curriculum_order" -> curriculumOrderSql,
 

@@ -274,4 +274,39 @@ class ManifestSpec extends SparkSpec {
     decs.foreach(r => assert(r.getAs[Long]("mq_min") <=
       r.getAs[Long]("mq_max")))
   }
+
+  test("q254 BPE re-metering: the governed instance multiset is q244's " +
+      "(instances and whitespace mass), the BPE mass is meter-invariant, " +
+      "the BPE-metered packing has ZERO bins over the true budget, and " +
+      "the whitespace packing reproduces q252's overflow finding") {
+    val card = SparkEntry.queries("q254_release_bpe_pack")(spark, dir)
+      .collect().map(r => r.getAs[String]("meter") -> r).toMap
+    val ws = card("a_whitespace")
+    val bpe = card("b_bpe")
+    // same instance multiset under both meters
+    assert(ws.getAs[Long]("n_inst") === bpe.getAs[Long]("n_inst"))
+    assert(ws.getAs[Long]("bpe_units") === bpe.getAs[Long]("bpe_units"),
+      "BPE mass is a property of the instances, not of the cut")
+    assert(bpe.getAs[Long]("total_units") === bpe.getAs[Long]("bpe_units"),
+      "the BPE-metered row's own unit IS the BPE unit")
+    // the instance multiset is exactly the q244 capstone's realization
+    val q244tot = SparkEntry.queries("q244_release_mix")(spark, dir)
+      .collect().find(_.getAs[String]("source") == "~total").get
+    assert(ws.getAs[Long]("n_inst") === q244tot.getAs[Long]("realized_docs"))
+    assert(ws.getAs[Long]("total_units") ===
+      q244tot.getAs[Long]("realized_tokens"))
+    // the judge's criterion: under honest BPE metering no bin exceeds
+    // the true sequence budget (greedy guarantees it whenever no single
+    // doc does — true of this corpus at sf0.01, max 419 BPE tokens)
+    assert(bpe.getAs[Long]("n_bpe_over") === 0L &&
+      bpe.getAs[Double]("bpe_over_frac") === 0.0)
+    // and the q252 finding survives governance: the whitespace-metered
+    // packing overflows the true budget in MOST bins (fertility ~5x)
+    assert(ws.getAs[Long]("n_bpe_over") * 2 > ws.getAs[Long]("n_bins"),
+      s"expected majority overflow, got ${ws.getAs[Long]("n_bpe_over")}" +
+        s"/${ws.getAs[Long]("n_bins")}")
+    // finer-unit conservativeness (q252's cross-unit law, re-checked on
+    // the governed corpus): honest metering can only need MORE bins
+    assert(bpe.getAs[Long]("n_bins") > ws.getAs[Long]("n_bins"))
+  }
 }

@@ -1412,6 +1412,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(liveScans("q252_bpe_packing").isEmpty, p)
   }
 
+  test("q254: the BPE re-metered capstone rides release_mix_sample + " +
+    "bpe_tokens — zero live scans warm (the text is never re-encoded); " +
+    "both packings and both bin evaluations read the one checkpointed " +
+    "two-unit instance table, no cartesian") {
+    val p = plan("q254_release_bpe_pack")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(liveScans("q254_release_bpe_pack").isEmpty, p)
+  }
+
   test("q253: the curriculum order rides mix_packed + nb_scores — " +
     "zero live scans warm, globalRank's range partition (no " +
     "single-partition window over the bins), no cartesian") {
