@@ -112,9 +112,25 @@ object Similarity {
   /** IVF-style search: route each query to its `nprobe` nearest centroids
     * (cosine, rounded, label tiebreak), then exact top-k only over vectors
     * whose `label` is probed. Output contract matches [[bruteForceTopK]]
-    * (ranks among scanned candidates). */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, nprobe: Int, k: Int): DataFrame = {
-    val cents = broadcast(labelCentroids(corpus))
+    * (ranks among scanned candidates). Trains the quantizer live from the
+    * corpus — the one-shot evaluation form; a serving path loads the
+    * frozen artifact via [[ivfTopKFrozen]] instead. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, nprobe: Int, k: Int): DataFrame =
+    ivfTopKFrozen(queries, corpus, labelCentroids(corpus), nprobe, k)
+
+  /** [[ivfTopK]] probing an EXPLICIT (frozen) per-list centroid table
+    * `(label, centroid)` instead of training one live — the registry
+    * composition point for filtered/partitioned search (the
+    * [[assignEmbeddings]] analogue at search time): the quantizer is a
+    * persisted era artifact, every probe routes against those exact
+    * bits, and appends/takedowns edit only the LIST rows (a union / an
+    * anti-join on the corpus side) while the centroids stay frozen.
+    * Bit-identical to [[ivfTopK]] whenever `cents` equals
+    * [[labelCentroids]] of the same corpus snapshot (the frozen==live
+    * identity RegistryLifecycleSpec pins). */
+  def ivfTopKFrozen(queries: DataFrame, corpus: DataFrame,
+      cents0: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val cents = broadcast(cents0.select(col("label"), col("centroid")))
     val q = broadcast(queries.select(col("vec_id").as("qid"),
       asDouble(col("embedding")).as("qe")))
     val probeW = Window.partitionBy(col("qid"))
@@ -1501,13 +1517,27 @@ object Similarity {
     * probe — at deployment the partitioned path scans only its
     * partition, which is exactly its advantage.
     *
+    * @param frozen optional persisted quantizer artifact
+    *               `(filt, label, centroid)` — one centroid set per
+    *               filter name plus a `0_all` set for the shared
+    *               over-fetched probe; when present, NO quantizer is
+    *               trained inside the query (the lifecycle discipline
+    *               every other index family already has), and the rows
+    *               are bit-identical to the live-training form as long
+    *               as the artifact was trained on this corpus snapshot
     * @return one row per filter: (filt, n_corpus, n_pass, selectivity,
     *         n_exact, hits_post, recall_post, hits_part, recall_part) */
   def filteredIndexComparison(queries: DataFrame, corpus: DataFrame,
       filters: Seq[(String, Column)], nprobe: Int, k: Int,
-      overfetch: Int): DataFrame = {
+      overfetch: Int, frozen: Option[DataFrame] = None): DataFrame = {
     require(filters.nonEmpty && overfetch >= 1 && k >= 1)
-    val cand = ivfTopK(queries, corpus, nprobe, k * overfetch)
+    def probe(sub: DataFrame, filt: String, kk: Int): DataFrame =
+      frozen match {
+        case Some(f) => ivfTopKFrozen(queries, sub,
+          f.filter(col("filt") === filt), nprobe, kk)
+        case None => ivfTopK(queries, sub, nprobe, kk)
+      }
+    val cand = probe(corpus, "0_all", k * overfetch)
       .select(col("qid"), col("vec_id"), col("sim"))
       .localCheckpoint(true)
     val nAll = corpus.agg(count(lit(1)).as("n_corpus"))
@@ -1518,7 +1548,7 @@ object Similarity {
         .select(col("qid"), col("vec_id"))
       val post = postFilterTopK(cand, ids, k)
         .withColumn("__post", lit(1L))
-      val part = ivfTopK(queries, sub, nprobe, k)
+      val part = probe(sub, name, k)
         .select(col("qid"), col("vec_id"), lit(1L).as("__part"))
       exact
         .join(post, Seq("qid", "vec_id"), "left")

@@ -745,14 +745,8 @@ object EvalQueries {
     // equi-join of the two tables.
     "q245_filtered_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val corpus = emb.join(
-        t(s, dir, "documents").select(col("doc_id").as("vec_id"),
-          col("lang"), col("source")), Seq("vec_id"))
-      Similarity.filteredAnnRecall(emb.filter(col("vec_id") < 8), corpus,
-          Seq("0_all" -> lit(true),
-            "a_mod2" -> (col("vec_id") % 2 === 0),
-            "b_lang_fr" -> (col("lang") === "fr"),
-            "c_src3" -> (col("source") === "src3")),
+      Similarity.filteredAnnRecall(emb.filter(col("vec_id") < 8),
+          annCorpus(s, dir), ("0_all" -> lit(true)) +: annFilters,
           nprobe = 2, k = 10, overfetch = 4)
         .orderBy(col("filt"))
     }),
@@ -764,20 +758,106 @@ object EvalQueries {
     // same probe count, both paths side by side: the recall gap is the
     // price of NOT partitioning, per selectivity — the number that
     // decides which predicates deserve their own index partitions.
+    // Served from the PERSISTED ivf_part_centroids stage (one quantizer
+    // per predicate value plus the shared 0_all set, trained once per
+    // session) — zero quantizer training in the warm plan, rows
+    // bit-identical to the live-training form (frozen==live identity,
+    // SearchShardSpec).
     "q251_partitioned_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val corpus = emb.join(
-        t(s, dir, "documents").select(col("doc_id").as("vec_id"),
-          col("lang"), col("source")), Seq("vec_id"))
       Similarity.filteredIndexComparison(emb.filter(col("vec_id") < 8),
-          corpus,
-          Seq("a_mod2" -> (col("vec_id") % 2 === 0),
-            "b_lang_fr" -> (col("lang") === "fr"),
-            "c_src3" -> (col("source") === "src3")),
-          nprobe = 2, k = 10, overfetch = 4)
+          annCorpus(s, dir), annFilters,
+          nprobe = 2, k = 10, overfetch = 4,
+          frozen = Some(ivfPartCentroidsStage(s, dir)))
         .orderBy(col("filt"))
+    }),
+
+    // THE PARTITIONED-INDEX LIFECYCLE NIGHTS — the q181 treatment for
+    // the per-predicate index family q251 introduced: the per-partition
+    // quantizers are trained ONCE on the era's history snapshot
+    // (vec_id % 4 <> 3) and FROZEN as a persisted stage; the APPEND
+    // night adds the nightly batch to each partition's lists as a pure
+    // union (no retraining, the batch rows simply carry their label);
+    // the TAKEDOWN night removes the id%23 tombstones as an anti-join
+    // on the list rows (centroids untouched). Each night graded as
+    // filtered recall@10 of the frozen-artifact search over the edited
+    // lists vs the exact scan over the same survivor set — the gauge
+    // that tells an era when drift (q185's card) has eaten enough
+    // recall to justify retraining. Rides the persisted hist-trained
+    // centroid stage; per (filt, night), one filtered scan for the
+    // truth and one probed scan — never the whole corpus.
+    "q255_part_index_nights" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      val corpus = annCorpus(s, dir)
+      val cents = ivfPartHistCentroidsStage(s, dir)
+      annFilters.sortBy(_._1).map { case (name, pred) =>
+        val sub = corpus.filter(pred)
+        val cb = cents.filter(col("filt") === name)
+        def night(tag: String, index: DataFrame): DataFrame = {
+          val exact = Similarity.bruteForceTopK(queries, index, 10)
+            .select(col("qid"), col("vec_id"))
+          val approx = Similarity.ivfTopKFrozen(queries, index, cb,
+              nprobe = 2, k = 10)
+            .select(col("qid"), col("vec_id"), lit(1L).as("__hit"))
+          exact.join(approx, Seq("qid", "vec_id"), "left")
+            .agg(count(lit(1)).as("n_exact"),
+              coalesce(sum(col("__hit")), lit(0L)).as("hits"))
+            .crossJoin(broadcast(index.agg(count(lit(1)).as("n_index"))))
+            .select(lit(name).as("filt"), lit(tag).as("night"),
+              col("n_index"), col("n_exact"), col("hits"),
+              when(col("n_exact") === 0, lit(0.0))
+                .otherwise(round(col("hits").cast("double") /
+                  col("n_exact").cast("double"), 6)).as("recall"))
+        }
+        night("1_append", sub)
+          .unionByName(night("2_takedown",
+            sub.filter(col("vec_id") % 23 =!= 0)))
+      }.reduce(_ unionByName _)
+        .orderBy(col("filt"), col("night"))
     })
   )
+
+  /** The filtered-search corpus — embeddings with the predicate
+    * attributes attached (vec_id = doc_id equi-join); shared by
+    * q245/q251/q255 and the frozen-quantizer stages. */
+  private def annCorpus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").join(
+      t(s, dir, "documents").select(col("doc_id").as("vec_id"),
+        col("lang"), col("source")), Seq("vec_id"))
+
+  /** The q245/q251 predicate points: ~1/2 (id parity), ~1/8
+    * (lang='fr'), 1/20 (source='src3'). */
+  private val annFilters: Seq[(String, Column)] = Seq(
+    "a_mod2" -> (col("vec_id") % 2 === 0),
+    "b_lang_fr" -> (col("lang") === "fr"),
+    "c_src3" -> (col("source") === "src3"))
+
+  /** Per-filter frozen centroid tables `(filt, label, centroid)` over a
+    * given base corpus — one [[Similarity.labelCentroids]] per
+    * partition plus the shared `0_all` set. */
+  private def partCentroids(corpus: DataFrame): DataFrame =
+    (("0_all" -> lit(true)) +: annFilters).map { case (name, pred) =>
+      Similarity.labelCentroids(corpus.filter(pred))
+        .withColumn("filt", lit(name))
+    }.reduce(_ unionByName _)
+
+  /** PERSISTED per-predicate quantizer artifact for q251 — trained once
+    * per session on the current corpus snapshot, served frozen. */
+  private def ivfPartCentroidsStage(s: SparkSession, dir: String)
+      : DataFrame =
+    PipelineQueries.stage(s, dir, "ivf_part_centroids")(
+      partCentroids(annCorpus(s, dir)))
+
+  /** PERSISTED per-predicate quantizer artifact for the q255 lifecycle
+    * nights — trained once on the era's HISTORY snapshot
+    * (vec_id % 3 <> 2; coprime with the source assignment so every
+    * partition retains history) so append/takedown nights probe
+    * genuinely frozen bits. */
+  private def ivfPartHistCentroidsStage(s: SparkSession, dir: String)
+      : DataFrame =
+    PipelineQueries.stage(s, dir, "ivf_part_hist_centroids")(
+      partCentroids(annCorpus(s, dir).filter(col("vec_id") % 3 =!= 2)))
 
   /** q168 geometry, shared by the Spark plan and the generated oracle:
     * pqM slices of pqSub dims (pqM·pqSub = the 64-dim embedding), each
@@ -1903,6 +1983,74 @@ object EvalQueries {
          |UNION ALL
          |SELECT * FROM fcrow
          |ORDER BY filt""".stripMargin
+    },
+
+    // Replays the partitioned-index lifecycle nights: per predicate,
+    // centroids trained on the HISTORY slice only (vec_id % 3 <> 2,
+    // frozen), then each night's recall@10 of the frozen-centroid probe
+    // over the edited lists (append = the full partition; takedown =
+    // minus the id%23 tombstones) against the exact scan over the same
+    // survivor set.
+    "q255_part_index_nights" -> {
+      def cos(a: String, b: String): String =
+        s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, " +
+          s"$a)) * sqrt(list_dot_product($b, $b))), 6)"
+      def night(p: String, filt: String, tag: String,
+          idx: String): String =
+        s"""${p}probes AS (SELECT qid, qe, label FROM (
+           |    SELECT q.qid, q.qe, cc.label,
+           |      row_number() OVER (PARTITION BY q.qid ORDER BY
+           |        ${cos("q.qe", "cc.c")} DESC, cc.label) AS prnk
+           |    FROM q CROSS JOIN ${p.take(2)}cent cc)
+           |  WHERE prnk <= 2),
+           |${p}appr AS (SELECT qid, vec_id FROM (
+           |    SELECT pr.qid, ee.vec_id,
+           |      row_number() OVER (PARTITION BY pr.qid ORDER BY
+           |        ${cos("pr.qe", "ee.v")} DESC, ee.vec_id) AS rnk
+           |    FROM ${p}probes pr JOIN $idx ee ON ee.label = pr.label
+           |    WHERE ee.vec_id <> pr.qid)
+           |  WHERE rnk <= 10),
+           |${p}exact AS (SELECT qid, vec_id FROM (
+           |    SELECT q.qid, ee.vec_id,
+           |      row_number() OVER (PARTITION BY q.qid ORDER BY
+           |        ${cos("q.qe", "ee.v")} DESC, ee.vec_id) AS rnk
+           |    FROM q CROSS JOIN $idx ee WHERE ee.vec_id <> q.qid)
+           |  WHERE rnk <= 10),
+           |${p}row AS (
+           |  SELECT '$filt' AS filt, '$tag' AS night,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM $idx) AS n_index,
+           |    CAST(count(*) AS BIGINT) AS n_exact,
+           |    CAST(count(a.vec_id) AS BIGINT) AS hits,
+           |    CASE WHEN count(*) = 0 THEN 0.0
+           |      ELSE round(count(a.vec_id)::DOUBLE / count(*)::DOUBLE, 6)
+           |    END AS recall
+           |  FROM ${p}exact x
+           |  LEFT JOIN ${p}appr a
+           |    ON a.qid = x.qid AND a.vec_id = x.vec_id)""".stripMargin
+      def point(p: String, filt: String, pred: String): String =
+        s"""${p}sub AS (SELECT * FROM e WHERE $pred),
+           |${p}hist AS (SELECT * FROM ${p}sub WHERE vec_id % 3 <> 2),
+           |${p}comp AS (SELECT label, r.i AS ord,
+           |    avg(v[(r.i + 1)::INTEGER]) AS m
+           |  FROM ${p}hist, range(0, 64) AS r(i) GROUP BY label, r.i),
+           |${p}cent AS (SELECT label, list(round(m, 6) ORDER BY ord) AS c
+           |  FROM ${p}comp GROUP BY label),
+           |${p}take AS (SELECT * FROM ${p}sub WHERE vec_id % 23 <> 0),
+           |${night(p + "a", filt, "1_append", p + "sub")},
+           |${night(p + "t", filt, "2_takedown", p + "take")}""".stripMargin
+      s"""WITH e AS (SELECT e0.vec_id, e0.label,
+         |    e0.embedding::DOUBLE[] AS v, d.lang, d.source
+         |  FROM embeddings e0 JOIN documents d ON e0.vec_id = d.doc_id),
+         |q AS (SELECT vec_id AS qid, v AS qe FROM e WHERE vec_id < 8),
+         |${point("fa", "a_mod2", "e.vec_id % 2 = 0")},
+         |${point("fb", "b_lang_fr", "e.lang = 'fr'")},
+         |${point("fc", "c_src3", "e.source = 'src3'")}
+         |SELECT * FROM faarow UNION ALL SELECT * FROM fatrow
+         |UNION ALL
+         |SELECT * FROM fbarow UNION ALL SELECT * FROM fbtrow
+         |UNION ALL
+         |SELECT * FROM fcarow UNION ALL SELECT * FROM fctrow
+         |ORDER BY filt, night""".stripMargin
     }
   )
 }

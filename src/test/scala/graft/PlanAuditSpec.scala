@@ -31,6 +31,24 @@ class PlanAuditSpec extends SparkSpec {
       .queryExecution.executedPlan)
   }
 
+  /** The LIVE part of a query's physical plan as text: descends through
+    * the AQE wrapper but stops at InMemoryTableScan leaves, so a cached
+    * stage's (already-paid) build plan — which the plain string
+    * rendering of [[plan]] DOES include — can't leak its operators into
+    * a "the warm query must not do X" assertion. */
+  private def livePlan(name: String): String = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def walk(p: SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case _: InMemoryTableScanExec => Seq("InMemoryTableScan")
+      case other => other.simpleString(24) +: other.children.flatMap(walk)
+    }
+    walk(SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan).mkString("\n")
+  }
+
   test("q01: filter and projection are pushed into the parquet scan") {
     val p = plan("q01_scan_filter_project")
     assert(p.contains("isnotnull(l_shipdate") && p.contains("FileScan parquet"))
@@ -1391,15 +1409,32 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q251: the shared over-fetched candidate list is a checkpointed " +
-    "leaf reused by every filter point, while each PARTITIONED index " +
-    "deliberately re-trains its quantizer on its partition (the " +
-    "posexplode centroid build appears — that is the design) — no " +
-    "cartesian, WindowGroupLimit top-k") {
+    "leaf reused by every filter point, and every quantizer — shared " +
+    "and per-partition — is served FROZEN from the persisted " +
+    "ivf_part_centroids stage: ZERO quantizer training in the warm " +
+    "plan (no posexplode centroid build) — no cartesian, " +
+    "WindowGroupLimit top-k") {
     val p = plan("q251_partitioned_ann")
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("Scan ExistingRDD"), p)
-    assert(p.contains("posexplode"),
-      "per-partition quantizer training must be in the plan")
+    val lp = livePlan("q251_partitioned_ann")
+    assert(!lp.contains("posexplode"),
+      "quantizer training must NOT appear in the warm plan — the " +
+        "frozen stage serves it:\n" + lp)
+    assert(lp.contains("InMemoryTableScan"), lp)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q255: the lifecycle nights probe the persisted hist-trained " +
+    "quantizer stage — zero quantizer training warm (no posexplode), " +
+    "append is a union of list rows and takedown a filter, no " +
+    "cartesian beyond the broadcast query/centroid products") {
+    val p = plan("q255_part_index_nights")
+    assert(!p.contains("CartesianProduct"), p)
+    val lp = livePlan("q255_part_index_nights")
+    assert(!lp.contains("posexplode"),
+      "the nights must serve the frozen artifact, never retrain:\n" + lp)
+    assert(lp.contains("InMemoryTableScan"), lp)
     assert(p.contains("WindowGroupLimit"), p)
   }
 

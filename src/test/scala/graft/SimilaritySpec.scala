@@ -274,4 +274,43 @@ class SimilaritySpec extends SparkSpec {
     val r1 = rec(1); val r4 = rec(4); val r20 = rec(20)
     assert(r1 <= r4 && r4 <= r20, s"$r1 / $r4 / $r20")
   }
+
+  test("frozen == live: ivfTopKFrozen over the snapshot's own " +
+      "labelCentroids reproduces ivfTopK row-for-row, and " +
+      "filteredIndexComparison served from a persisted (filt, label, " +
+      "centroid) artifact is bit-identical to the live-training form") {
+    val q = corpus.filter(col("vec_id") < 4)
+    val live = Similarity.ivfTopK(q, corpus, nprobe = 2, k = 5)
+    val frozen = Similarity.ivfTopKFrozen(q, corpus,
+      Similarity.labelCentroids(corpus), nprobe = 2, k = 5)
+    assert(live.exceptAll(frozen).isEmpty &&
+      frozen.exceptAll(live).isEmpty)
+    val filt = Seq("third" -> (col("vec_id") % 3 === 0),
+      "even" -> (col("vec_id") % 2 === 0))
+    val art = (("0_all" -> lit(true)) +: filt).map { case (n, p) =>
+      Similarity.labelCentroids(corpus.filter(p))
+        .withColumn("filt", lit(n))
+    }.reduce(_ unionByName _).localCheckpoint(true)
+    val liveCmp = Similarity.filteredIndexComparison(q, corpus, filt,
+      nprobe = 2, k = 5, overfetch = 4)
+    val frozenCmp = Similarity.filteredIndexComparison(q, corpus, filt,
+      nprobe = 2, k = 5, overfetch = 4, frozen = Some(art))
+    assert(liveCmp.exceptAll(frozenCmp).isEmpty &&
+      frozenCmp.exceptAll(liveCmp).isEmpty)
+  }
+
+  test("append night is a pure union: a frozen quantizer probing " +
+      "hist UNION batch equals probing the whole corpus — no re-encode, " +
+      "no retrain (the q181 identity at partition granularity)") {
+    val q = corpus.filter(col("vec_id") < 4)
+    val hist = corpus.filter(col("vec_id") % 3 =!= 2)
+    val batch = corpus.filter(col("vec_id") % 3 === 2)
+    val cents = Similarity.labelCentroids(hist).localCheckpoint(true)
+    val piecewise = Similarity.ivfTopKFrozen(q,
+      hist.unionByName(batch), cents, nprobe = 2, k = 5)
+    val onePass = Similarity.ivfTopKFrozen(q, corpus, cents,
+      nprobe = 2, k = 5)
+    assert(piecewise.exceptAll(onePass).isEmpty &&
+      onePass.exceptAll(piecewise).isEmpty)
+  }
 }
