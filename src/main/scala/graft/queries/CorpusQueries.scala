@@ -118,9 +118,25 @@ object CorpusQueries {
     * OF `perDoc` (a persisted stage when one exists). */
   private[queries] def mixRealize(perDoc: DataFrame, counts: DataFrame,
       maxEpochs: Long = 4L, budgetNum: Long = 2L, budgetDen: Long = 1L)
+      : DataFrame =
+    realizeFromAlloc(perDoc, Mixture.unimaxAllocation(counts,
+      "source", "n_tok", maxEpochs, budgetNum, budgetDen))
+
+  /** [[mixRealize]] with an EXPLICIT one-row budget (the
+    * [[Mixture.unimaxAllocationBudget]] form) — what a multi-phase
+    * schedule realizes each phase with: the phase budget is a fraction
+    * of the WHOLE run's tokens, not of the pool it allocates over. */
+  private[queries] def mixRealizeBudget(perDoc: DataFrame,
+      counts: DataFrame, maxEpochs: Long, budget: DataFrame): DataFrame =
+    realizeFromAlloc(perDoc, Mixture.unimaxAllocationBudget(counts,
+      "source", "n_tok", maxEpochs, budget))
+
+  /** The shared realization tail: decompose each source's allocation
+    * into full epochs + the md5-ranked minimal-overshoot remainder
+    * prefix over `perDoc`. */
+  private def realizeFromAlloc(perDoc: DataFrame, alloc0: DataFrame)
       : DataFrame = {
-    val alloc = Mixture.unimaxAllocation(counts,
-        "source", "n_tok", maxEpochs, budgetNum, budgetDen)
+    val alloc = alloc0
       .select(col("source"), col("n_tok").as("src_tok"), col("alloc"))
       .withColumn("epochs_full", expr("alloc div src_tok"))
       .withColumn("rem_target", col("alloc") % col("src_tok"))
@@ -155,7 +171,7 @@ object CorpusQueries {
     * the REAL metering unit of a token budget. Shared by q160 (the
     * encode card), q164 (fertility) and q252 (the budget-metering
     * packing comparison). */
-  private def bpeTokensStage(s: SparkSession, dir: String): DataFrame =
+  private[queries] def bpeTokensStage(s: SparkSession, dir: String): DataFrame =
     PipelineQueries.stage(s, dir, "bpe_tokens")(
       TextAnalysis.bpeTokenCounts(t(s, dir, "documents"), "doc_id",
         "text", bpeMerges))
@@ -991,6 +1007,83 @@ object CorpusQueries {
           col("saturated"), col("alloc"), col("epochs_used"),
           col("leftover"))
         .orderBy(col("phase"), col("source"))
+    }),
+
+    // THE COMPOSED TRAINING SCHEDULE — q248 (WHAT each phase trains on)
+    // × q253 (in what QUALITY ORDER) realized as the ONE ordered
+    // manifest a loader consumes: each phase REALIZES its q248
+    // allocation (pretrain: ⌊9T/10⌋ over all source tokens at cap 4;
+    // anneal: the exact remainder over the gopher-accepted pool at
+    // cap 1 — anneal data never repeats), expands to instances, packs
+    // at the q61 budget, and takes its position range — phase 1 a
+    // seeded epoch shuffle (seed 17), phase 2 in DECILE ORDER by the
+    // q253 method over its own bins (noisy bins early, the cleanest
+    // last — quality annealing's whole point), seed-19 shuffled within
+    // each decile. Positions are globally contiguous; the phase
+    // boundary is the pretrain bin count. The anneal phase re-packs its
+    // own realization rather than reusing mix_packed because its budget
+    // (and hence its instance multiset) is the q248 remainder, not the
+    // q236 2× operating point. Rides the persisted doc_source_tokens /
+    // source_tokens / doc_features / nb_scores stages — no corpus
+    // re-read; two realization windows, two manifest-sized greedy
+    // passes, bin-sized ordering work.
+    "q256_training_schedule" -> ((s, dir) => {
+      val perDoc = docSourceTokensStage(s, dir)
+      val pool = sourceTokensStage(s, dir)
+      val tot = pool.agg(sum(col("n_tok")).as("t"))
+      val b1 = tot.select(expr("(t * 9) div 10").as("b"))
+      val b2 = tot.select(expr("t - ((t * 9) div 10)").as("b"))
+      val hqDoc = perDoc
+        .join(docFeaturesStage(s, dir).filter(col("g_gopher"))
+          .select(col("doc_id")), Seq("doc_id"), "left_semi")
+      val hqAll = pool.select(col("source"))
+        .join(hqDoc.groupBy(col("source"))
+          .agg(sum(col("n_tok")).as("n_tok")), Seq("source"), "left")
+        .select(col("source"),
+          coalesce(col("n_tok"), lit(0L)).as("n_tok"))
+      val p1packed = Packing.packGreedy(
+        instExpand(mixRealizeBudget(perDoc, pool, 4L, b1)),
+        "id", "n_tok", budget = 512L, shards = 8)
+      val p2packed = Packing.packGreedy(
+        instExpand(mixRealizeBudget(hqDoc, hqAll, 1L, b2)),
+        "id", "n_tok", budget = 512L, shards = 8)
+      val p1 = Packing.epochShuffle(p1packed, seed = 17L)
+        .select(lit("1_pretrain").as("phase"), col("pos").as("ppos"),
+          lit(null).cast("long").as("decile"), col("shard"), col("bin"),
+          col("n_docs"), col("n_tokens"), col("order_key"))
+      // anneal bins ranked by the q253 quality method over THIS packing
+      val q4 = PipelineQueries.nbScoresStage(s, dir)
+        .select(col("doc_id"),
+          round(col("nb_logit") * 10000, 0).cast("long").as("q4"))
+      val bins2 = p2packed
+        .withColumn("doc_id", expr("id div 8"))
+        .join(q4, Seq("doc_id"))
+        .groupBy(col("shard"), col("bin").as("pbin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_tokens"),
+          sum(col("q4")).as("sq4"))
+        .withColumn("mq", floor((col("sq4") * 100).cast("double") /
+          col("n_docs").cast("double")).cast("long"))
+      val dec = Ranking.equalFreqBins(bins2,
+          Seq(col("mq"), col("shard"), col("pbin")), k = 10, parts = 32)
+        .withColumnRenamed("bin", "decile")
+        .withColumn("order_key", md5(concat_ws(":", lit(19L),
+          col("shard"), col("pbin")).cast("binary")))
+      val p2 = Ranking.globalRank(
+          dec.drop("rank"),
+          Seq(col("decile"), col("order_key"), col("shard"),
+            col("pbin")), parts = 32)
+        .select(lit("2_anneal").as("phase"), col("rank").as("ppos"),
+          col("decile"), col("shard"), col("pbin").as("bin"),
+          col("n_docs"), col("n_tokens"), col("order_key"))
+      val n1 = p1.agg(count(lit(1)).as("__n1"))
+      p1.crossJoin(broadcast(n1))
+        .unionByName(p2.crossJoin(broadcast(n1)))
+        .select(
+          when(col("phase") === "1_pretrain", col("ppos"))
+            .otherwise(col("ppos") + col("__n1")).as("pos"),
+          col("phase"), col("decile"), col("shard"), col("bin"),
+          col("n_docs"), col("n_tokens"), col("order_key"))
+        .orderBy(col("pos"))
     }),
 
     // THE SEQUENCE-LENGTH DECISION CURVE — the dial behind the q61/
@@ -2060,23 +2153,96 @@ object CorpusQueries {
        |SELECT '2_anneal' AS phase, * FROM p2out
        |ORDER BY phase, source""".stripMargin
 
+  /** q256 oracle — the composed schedule: both q248 phase budgets as
+    * explicit-budget mix chains (pretrain over the full per-doc table
+    * at cap 4, anneal over the gopher pool at cap 1), each expanded to
+    * instances and greedily packed; phase 1 ordered by the seed-17
+    * epoch shuffle, phase 2 by the q253 decile method over its own
+    * bins with the seed-19 shuffle within deciles; positions globally
+    * contiguous with the pretrain bin count as the phase boundary. */
+  private lazy val trainingScheduleSql: String =
+    s"""WITH RECURSIVE
+       |$gopherCtes,
+       |$docTokCte,
+       |tot AS (SELECT CAST(sum(w) AS BIGINT) AS t FROM doc),
+       |hqdoc AS (SELECT doc_id, source, CAST(n_tok AS BIGINT) AS w
+       |  FROM acc WHERE g_gopher),
+       |${mixChainFrom("s1", "doc", 4L, "(SELECT (t * 9) // 10 FROM tot)")},
+       |${mixChainFrom("s2", "hqdoc", 1L,
+           "(SELECT t - ((t * 9) // 10) FROM tot)")},
+       |y1inst AS (
+       |  SELECT doc_id * 8 + e.range AS id, w
+       |  FROM s1sel2 JOIN range(0, 5) AS e(range)
+       |    ON e.range < epochs_full + CASE WHEN in_rem THEN 1 ELSE 0 END),
+       |y2inst AS (
+       |  SELECT doc_id * 8 + e.range AS id, w
+       |  FROM s2sel2 JOIN range(0, 5) AS e(range)
+       |    ON e.range < epochs_full + CASE WHEN in_rem THEN 1 ELSE 0 END),
+       |${packReplayCtes("y1", 512L, "y1inst")},
+       |${packReplayCtes("y2", 512L, "y2inst")},
+       |y1pb AS (SELECT shard, bin, count(*) AS n_docs, sum(w) AS n_tokens
+       |  FROM y1pack GROUP BY 1, 2),
+       |p1r AS (
+       |  SELECT *, row_number() OVER (ORDER BY order_key, shard, bin)
+       |    AS ppos
+       |  FROM (SELECT *,
+       |      md5('17' || ':' || shard::VARCHAR || ':' || bin::VARCHAR)
+       |        AS order_key
+       |    FROM y1pb)),
+       |n1 AS (SELECT count(*) AS n FROM p1r),
+       |${PipelineQueries.nbScoreCtes},
+       |y2pb AS (
+       |  SELECT p.shard, p.bin AS pbin, count(*) AS n_docs,
+       |    sum(p.w) AS n_tokens,
+       |    sum(CAST(round(n.nb_logit * 10000, 0) AS BIGINT)) AS sq4
+       |  FROM y2pack p JOIN nbdoc n ON n.doc_id = p.id // 8
+       |  GROUP BY 1, 2),
+       |y2rk AS (
+       |  SELECT *, row_number() OVER (ORDER BY mq, shard, pbin) AS rnk,
+       |    count(*) OVER () AS nn
+       |  FROM (SELECT *,
+       |      CAST(floor((sq4 * 100)::DOUBLE / n_docs::DOUBLE) AS BIGINT)
+       |        AS mq
+       |    FROM y2pb)),
+       |p2r AS (
+       |  SELECT *, row_number() OVER (ORDER BY decile, order_key, shard,
+       |    pbin) AS ppos
+       |  FROM (SELECT *, ((rnk - 1) * 10) // nn AS decile,
+       |      md5('19' || ':' || shard::VARCHAR || ':' || pbin::VARCHAR)
+       |        AS order_key
+       |    FROM y2rk))
+       |SELECT CAST(ppos AS BIGINT) AS pos, '1_pretrain' AS phase,
+       |  CAST(NULL AS BIGINT) AS decile, shard, bin,
+       |  CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens, order_key
+       |FROM p1r
+       |UNION ALL
+       |SELECT CAST(ppos + (SELECT n FROM n1) AS BIGINT), '2_anneal',
+       |  CAST(decile AS BIGINT), shard, pbin,
+       |  CAST(n_docs AS BIGINT), CAST(n_tokens AS BIGINT), order_key
+       |FROM p2r
+       |ORDER BY pos""".stripMargin
+
   /** The allocation + realization chain over a (doc_id, source, w)
-    * CTE, prefixed — the SQL mirror of [[mixRealize]] at the q233
-    * operating point (4-epoch cap, 2× budget): per-source totals, the
-    * waterfill, and the md5-ranked remainder realization. Emits
+    * CTE, prefixed — the SQL mirror of [[mixRealize]]: per-source
+    * totals, the waterfill, and the md5-ranked remainder realization.
+    * Defaults to the q233 operating point (4-epoch cap, 2× budget);
+    * a multi-phase schedule passes its own cap and explicit budget
+    * expression (the [[mixRealizeBudget]] mirror). Emits
     * `${p}sel2(doc_id, source, w, src_tok, alloc, epochs_full,
     * rem_target, cum, in_rem)`. */
-  private def mixChainFrom(p: String, perDoc: String): String =
+  private def mixChainFrom(p: String, perDoc: String, cap: Long = 4L,
+      bExpr: String = "(sum(n_tok) OVER () * 2) // 1"): String =
     s"""${p}stok AS (
       |  SELECT source, CAST(sum(w) AS BIGINT) AS n_tok
       |  FROM $perDoc GROUP BY 1),
       |${p}r AS (
-      |  SELECT source, n_tok, n_tok * 4 AS cap,
-      |    row_number() OVER (ORDER BY n_tok * 4, source) AS rr,
-      |    coalesce(sum(n_tok * 4) OVER (ORDER BY n_tok * 4, source
+      |  SELECT source, n_tok, n_tok * $cap AS cap,
+      |    row_number() OVER (ORDER BY n_tok * $cap, source) AS rr,
+      |    coalesce(sum(n_tok * $cap) OVER (ORDER BY n_tok * $cap, source
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s,
       |    count(*) OVER () AS k,
-      |    (sum(n_tok) OVER () * 2) // 1 AS b
+      |    ($bExpr) AS b
       |  FROM ${p}stok),
       |${p}f AS (SELECT *, cap * (k - rr + 1) + s <= b AS saturated
       |  FROM ${p}r),
@@ -2118,7 +2284,7 @@ object CorpusQueries {
       |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS w
       |  FROM documents)""".stripMargin
 
-  private val mixSelCtes: String =
+  private[queries] val mixSelCtes: String =
     s"""$docTokCte,
        |${mixChainFrom("", "doc")}""".stripMargin
 
@@ -3679,6 +3845,8 @@ object CorpusQueries {
     "q247_shard_qa" -> shardQaSql,
 
     "q248_anneal_schedule" -> annealScheduleSql,
+
+    "q256_training_schedule" -> trainingScheduleSql,
 
     "q249_epoch_cap_curve" -> epochCapCurveSql,
 

@@ -1367,23 +1367,27 @@ object PipelineQueries {
     "q218_nb_classifier" -> ((s, dir) =>
       nbScoresStage(s, dir).orderBy(col("doc_id"))),
 
-    // TAKEDOWN NIGHT for the SCORE STORES — the q199 receipt extended
-    // to the LM/selection families: the four persisted per-doc score
-    // tables (uni_scores, kn_scores, nb_scores, dsir_scores) are stored
-    // artifacts a takedown must purge exactly like the index stores,
-    // and this is the receipt that night files (rows before / dropped /
-    // after per store, same tombstone predicate as q199's id%23==9
-    // nights). Score rows are per-doc, so the purge is one anti-join
-    // per store and delete == re-scoring the survivors under the SAME
+    // TAKEDOWN NIGHT for the PER-DOC STORES — the q199 receipt extended
+    // to every persisted per-doc/per-instance artifact outside the
+    // index registries: the four score tables (uni_scores, kn_scores,
+    // nb_scores, dsir_scores), the BPE token-count store (bpe_tokens)
+    // and the packed mix manifest (mix_packed, purged at the doc key
+    // divided back out of the instance id). Receipt rows as q199's
+    // (before / dropped / after per store, same id%23==9 tombstones).
+    // Score and bpe rows are per-doc, so the purge is one anti-join per
+    // store and delete == re-deriving the survivors under the SAME
     // FROZEN model — TakedownSpec pins it where the operator exposes
     // the artifact (uni/kn take the history model as an argument; NB
-    // via tombstones that leave the train slice intact); DSIR's models
-    // are derived from the whole input, so its takedown is store-purge
-    // only and re-deriving would RETRAIN — the exemplar-registry caveat
-    // at the model layer, which is exactly why the stores are purged
-    // rather than rebuilt.
+    // via tombstones that leave the train slice intact; bpe under the
+    // fixed merge table); DSIR's models are derived from the whole
+    // input, so its takedown is store-purge only and re-deriving would
+    // RETRAIN. mix_packed's purge drops exactly the tombstoned docs'
+    // instances — its REBUILD deliberately differs (the waterfill is
+    // global, so the post-delete manifest is q243's rebalance night,
+    // not this purge), which is exactly why the store is purged rather
+    // than rebuilt here.
     // Tombstones ride the persisted doc_source_tokens stage; each
-    // receipt is one aggregate pair over a cached score stage.
+    // receipt is one aggregate pair over a cached stage.
     "q240_score_takedown" -> ((s, dir) => {
       val tombs = CorpusQueries.docSourceTokensStage(s, dir)
         .filter(col("doc_id") % 23 === 9).select(col("doc_id"))
@@ -1395,6 +1399,14 @@ object PipelineQueries {
           "doc_id", "nb_scores"))
         .unionByName(Takedown.purgeReceipt(uniScoresStage(s, dir), tombs,
           "doc_id", "uni_scores"))
+        .unionByName(Takedown.purgeReceipt(
+          CorpusQueries.bpeTokensStage(s, dir)
+            .withColumnRenamed("id", "doc_id"),
+          tombs, "doc_id", "bpe_tokens"))
+        .unionByName(Takedown.purgeReceipt(
+          CorpusQueries.mixPackedStage(s, dir)
+            .withColumn("doc_id", expr("id div 8")),
+          tombs, "doc_id", "mix_packed"))
         .orderBy(col("store"))
     }),
 
@@ -2313,8 +2325,16 @@ object PipelineQueries {
     // doc of its population (uni/kn score the batch era, nb/dsir the
     // whole corpus), so the receipt is pure membership arithmetic.
     "q240_score_takedown" ->
-      """WITH d AS (SELECT doc_id FROM documents),
+      s"""WITH d AS (SELECT doc_id FROM documents),
         |t AS (SELECT doc_id FROM d WHERE doc_id % 23 = 9),
+        |${CorpusQueries.mixSelCtes},
+        |mp AS (SELECT doc_id,
+        |    epochs_full + CASE WHEN in_rem THEN 1 ELSE 0 END AS n_inst
+        |  FROM sel2),
+        |bd AS (SELECT doc_id FROM documents
+        |  WHERE len(list_filter(
+        |    string_split_regex(trim(lower(text)), '\\s+'),
+        |    w -> length(w) > 0)) > 0),
         |c AS (
         |  SELECT 'dsir_scores' AS store,
         |    (SELECT count(*) FROM d) AS rows_before,
@@ -2330,7 +2350,16 @@ object PipelineQueries {
         |  UNION ALL
         |  SELECT 'uni_scores',
         |    (SELECT count(*) FROM d WHERE doc_id >= 250),
-        |    (SELECT count(*) FROM t WHERE doc_id >= 250))
+        |    (SELECT count(*) FROM t WHERE doc_id >= 250)
+        |  UNION ALL
+        |  SELECT 'bpe_tokens',
+        |    (SELECT count(*) FROM bd),
+        |    (SELECT count(*) FROM bd WHERE doc_id % 23 = 9)
+        |  UNION ALL
+        |  SELECT 'mix_packed',
+        |    (SELECT coalesce(sum(n_inst), 0) FROM mp),
+        |    (SELECT coalesce(sum(n_inst), 0) FROM mp
+        |     WHERE doc_id % 23 = 9))
         |SELECT store, CAST(rows_before AS BIGINT) AS rows_before,
         |  CAST(rows_dropped AS BIGINT) AS rows_dropped,
         |  CAST(rows_before - rows_dropped AS BIGINT) AS rows_after

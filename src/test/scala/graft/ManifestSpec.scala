@@ -309,4 +309,54 @@ class ManifestSpec extends SparkSpec {
     // the governed corpus): honest metering can only need MORE bins
     assert(bpe.getAs[Long]("n_bins") > ws.getAs[Long]("n_bins"))
   }
+
+  test("q256 composed schedule: contiguous positions with phase 1 a " +
+      "prefix, each phase realizing EXACTLY its q248 allocation " +
+      "(realized >= alloc per source, the two budgets tiling T), the " +
+      "anneal segment gopher-only and never repeating, in decile order") {
+    val sched = SparkEntry.queries("q256_training_schedule")(spark, dir)
+      .collect()
+    // one contiguous global order; phase 1 is exactly the prefix
+    assert(sched.map(_.getAs[Long]("pos")).toSeq ===
+      (1L to sched.length.toLong))
+    val (p1, p2) = sched.partition(_.getAs[String]("phase") ==
+      "1_pretrain")
+    assert(p1.nonEmpty && p2.nonEmpty)
+    assert(p1.map(_.getAs[Long]("pos")).max <
+      p2.map(_.getAs[Long]("pos")).min)
+    // the anneal segment is in decile order (noisy early, cleanest
+    // last), deciles only on phase 2
+    assert(p1.forall(r => r.isNullAt(r.fieldIndex("decile"))))
+    val decs = p2.sortBy(_.getAs[Long]("pos")).map(_.getAs[Long]("decile"))
+    assert(decs.zip(decs.tail).forall { case (a, b) => a <= b },
+      s"decile order violated: ${decs.mkString(",")}")
+    assert(decs.last === 9L && decs.head === 0L)
+    // budget tiling: each phase's packed tokens are its q248
+    // realization — at least its allocation (whole-doc overshoot only),
+    // and the two allocations plus leftovers tile T exactly (q248's own
+    // Σ identity, re-read here so the schedule can't drift from it)
+    val q248 = SparkEntry.queries("q248_anneal_schedule")(spark, dir)
+      .collect()
+    val t = SparkEntry.queries("q232_unimax_allocation")(spark, dir)
+      .agg(sum(col("n_tok"))).collect().head.getLong(0)
+    val alloc1 = q248.filter(_.getAs[String]("phase") == "1_pretrain")
+      .map(_.getAs[Long]("alloc")).sum
+    val alloc2 = q248.filter(_.getAs[String]("phase") == "2_anneal")
+      .map(_.getAs[Long]("alloc")).sum
+    val left = q248.groupBy(_.getAs[String]("phase"))
+      .map(_._2.head.getAs[Long]("leftover")).sum
+    assert(alloc1 + alloc2 + left === t)
+    val tok1 = p1.map(_.getAs[Long]("n_tokens")).sum
+    val tok2 = p2.map(_.getAs[Long]("n_tokens")).sum
+    assert(tok1 >= alloc1 && tok2 >= alloc2,
+      s"realization must HIT each phase's allocation: $tok1/$alloc1 " +
+        s"$tok2/$alloc2")
+    // anneal never repeats (cap 1): its packed tokens stay within one
+    // epoch of the gopher pool plus at most one whole-doc overshoot
+    // per source — bounded by the pool itself
+    val pool = SparkEntry.queries("q248_anneal_schedule")(spark, dir)
+      .filter(col("phase") === "2_anneal")
+      .agg(sum(col("n_tok"))).collect().head.getLong(0)
+    assert(tok2 <= pool, "anneal cannot exceed one epoch of its pool")
+  }
 }

@@ -1466,6 +1466,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("rangepartitioning"), p)
   }
 
+  test("q256: the composed schedule rides the persisted per-doc / " +
+    "source-token / feature / score stages — zero live scans warm; " +
+    "the decile cut uses globalRank's range partition, no cartesian " +
+    "beyond the broadcast one-row budgets and bin count") {
+    val p = plan("q256_training_schedule")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(liveScans("q256_training_schedule").isEmpty, p)
+    assert(p.contains("rangepartitioning"), p)
+  }
+
   test("q250: the governance-shift card is two k-row projections of " +
     "the persisted realizations — zero live scans warm, broadcast " +
     "share totals, no cartesian") {

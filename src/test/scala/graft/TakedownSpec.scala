@@ -259,14 +259,58 @@ class TakedownSpec extends SparkSpec {
     val nbPurgedHeldOut = nbPurged.filter(r =>
       r.head.asInstanceOf[Long] >= 250L)
     assert(nbPurgedHeldOut === nbRescored && nbRescored.nonEmpty)
-    // receipt arithmetic on the graded q240 card
+    // receipt arithmetic on the graded q240 card — six stores: the four
+    // score tables plus bpe_tokens and mix_packed
     val card = SparkEntry.queries("q240_score_takedown")(
       spark, "/root/testdata/sf0.01").collect()
-    assert(card.length === 4)
+    assert(card.length === 6)
+    assert(card.map(_.getAs[String]("store")).sorted.toSeq === Seq(
+      "bpe_tokens", "dsir_scores", "kn_scores", "mix_packed",
+      "nb_scores", "uni_scores"))
     card.foreach { r =>
       assert(r.getAs[Long]("rows_before") - r.getAs[Long]("rows_dropped")
         === r.getAs[Long]("rows_after"), r.getAs[String]("store"))
       assert(r.getAs[Long]("rows_dropped") > 0L, r.getAs[String]("store"))
     }
+  }
+
+  test("delete == re-encode under the FROZEN merge table for the BPE " +
+      "token store, and the mix_packed purge at the derived doc key " +
+      "drops exactly the tombstoned docs' instances") {
+    import graft.functions.TextAnalysis
+    import graft.operators.Packing
+    import sqlImplicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val tombs = docs.filter(col("doc_id") % 23 === 9).select(col("doc_id"))
+    val tombSet = tombs.collect().map(_.getLong(0)).toSet
+    val merges = Seq("t" -> "h", "th" -> "e", "a" -> "n")
+    // bpe: encoding is per-doc under a fixed merge table, so purging
+    // the store is row-identical to re-encoding only the survivors
+    val store = TextAnalysis.bpeTokenCounts(docs, "doc_id", "text", merges)
+      .withColumnRenamed("id", "doc_id")
+    val purged = Takedown.purge(store, tombs, "doc_id")
+      .collect().map(_.toSeq).toSet
+    val reEncoded = TextAnalysis.bpeTokenCounts(
+        docs.filter(!col("doc_id").isin(tombSet.toSeq: _*)),
+        "doc_id", "text", merges)
+      .withColumnRenamed("id", "doc_id")
+      .collect().map(_.toSeq).toSet
+    assert(purged === reEncoded && purged.nonEmpty)
+    // mix_packed: a packed instance store (id = doc_id*8 + e) purged at
+    // the doc key divided back out drops exactly that doc's instances
+    // and nothing else — the REBUILD deliberately differs (the
+    // waterfill is global; q243's rebalance night owns it)
+    val inst = Seq((10L, 0L, 100L), (10L, 1L, 100L), (11L, 0L, 60L),
+        (12L, 0L, 200L), (12L, 1L, 200L), (12L, 2L, 200L))
+      .map { case (d, e, w) => (d * 8 + e, w) }.toDF("id", "w")
+    val packed = Packing.packGreedy(inst, "id", "w",
+        budget = 512L, shards = 2)
+      .withColumn("doc_id", expr("id div 8"))
+    val toyTombs = Seq(12L).toDF("doc_id")
+    val after = Takedown.purge(packed, toyTombs, "doc_id")
+    assert(after.count() === 3L)
+    assert(after.filter(expr("id div 8") === 12L).count() === 0L)
+    assert(after.filter(expr("id div 8") =!= 12L).count() ===
+      packed.filter(expr("id div 8") =!= 12L).count())
   }
 }
