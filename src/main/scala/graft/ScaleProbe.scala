@@ -62,7 +62,15 @@ object ScaleProbe {
     // q253 is a bin-count-sized rank over two persisted stages but its
     // globalRank + decile cut is the exact-ordering shape worth a
     // measured exponent alongside q221's
-    "q253_curriculum_order")
+    "q253_curriculum_order",
+    // round-15.5 successors: the dual-meter governed packing (two
+    // greedy passes over the same admitted multiset in different
+    // units), the frozen partitioned-ANN lifecycle (per-predicate
+    // centroid tables + append/takedown recall points), and the
+    // two-phase schedule (two realizations + two packings + the
+    // decile-ordered anneal rank)
+    "q254_release_bpe_pack", "q255_part_index_nights",
+    "q256_training_schedule")
   private val Passes = 2
 
   def main(args: Array[String]): Unit = {

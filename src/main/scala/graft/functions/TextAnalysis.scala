@@ -232,35 +232,49 @@ object TextAnalysis {
     * so a projection can carry the diversity signal alongside other
     * per-doc flags in ONE pass (the q217 fixture stage). */
   def charDiversityCol(text: Column): Column = {
-    val cs = split(text, "")
-    val sumsq = aggregate(array_distinct(cs), lit(0L),
-      (acc, d) => {
-        val n = size(filter(cs, c => c === d)).cast("long")
-        acc + n * n
-      })
     val n2 = length(text).cast("long") * length(text).cast("long")
     // explicit empty guard: ANSI mode makes 0/0 an error, not a null
-    when(length(text) > 0, round((n2 - sumsq).cast("double") / n2, 4))
+    when(length(text) > 0, round((n2 - charSumSq(text)).cast("double") / n2, 4))
+  }
+
+  /** Σ n_c² over per-character counts of `text` — the shared integer
+    * numerator of both [[charDiversityCol]] and [[charDiversity]].
+    *
+    * Computed as ONE run-length pass over the SORTED character array
+    * (equal chars are adjacent after array_sort, so a (prev, run, acc)
+    * struct accumulator closes each run with run² in O(len) element
+    * steps). The first shared form evaluated `filter(cs, _ === d)` per
+    * DISTINCT character — O(distinct·len) per row, measured at 4.3s of
+    * the 4.6s fixture_features build at sf0.1 (~93%); this form
+    * re-measured at ~0.35s with bit-identical integer output (exact
+    * long arithmetic either way, order-free). */
+  private def charSumSq(text: Column): Column = {
+    val sorted = array_sort(split(text, ""))
+    aggregate(sorted,
+      struct(lit(null).cast("string").as("p"),
+        lit(0L).as("r"), lit(0L).as("a")),
+      (st, c) => {
+        val same = c <=> st.getField("p")
+        struct(c.as("p"),
+          when(same, st.getField("r") + 1L).otherwise(lit(1L)).as("r"),
+          when(same, st.getField("a"))
+            .otherwise(st.getField("a") +
+              st.getField("r") * st.getField("r")).as("a"))
+      },
+      st => st.getField("a") + st.getField("r") * st.getField("r"))
   }
 
   def charDiversity(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
-    // Row-local: per-char counts via array HOFs over the split text —
-    // O(distinct·len) work per row but ZERO shuffle. The first version
-    // exploded one row per character and aggregated twice; at corpus
-    // scale that shuffles |corpus|·|doc| rows to compute a per-row
-    // statistic. Integer arithmetic identical to the exploded form, so
-    // the oracle is unchanged.
-    val cs = split(col(textCol), "")
-    val sumsq = aggregate(array_distinct(cs), lit(0L),
-      (acc, d) => {
-        val n = size(filter(cs, c => c === d)).cast("long")
-        acc + n * n
-      })
+    // Row-local: one sorted run-length pass per row (see [[charSumSq]])
+    // and ZERO shuffle. The first version exploded one row per character
+    // and aggregated twice; at corpus scale that shuffles |corpus|·|doc|
+    // rows to compute a per-row statistic. Integer arithmetic identical
+    // to the exploded form, so the oracle is unchanged.
     df.filter(length(col(textCol)) > 0)
       .select(col(idCol),
         length(col(textCol)).cast("long").as("n_chars_counted"),
-        sumsq.as("sumsq"))
+        charSumSq(col(textCol)).as("sumsq"))
       .select(col(idCol), col("n_chars_counted"), col("sumsq"),
         round((col("n_chars_counted") * col("n_chars_counted") -
           col("sumsq")).cast("double") /
