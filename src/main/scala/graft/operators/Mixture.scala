@@ -250,6 +250,67 @@ object Mixture {
       domainCol, maxEpochs, col("__b"))
   }
 
+  /** LEAVE-ONE-OUT mixture sensitivity — the "what if we lose a
+    * source" decision card: for EVERY domain d, re-run the
+    * [[unimaxAllocation]] waterfill over the surviving k−1 domains at
+    * the SAME fixed budget (the point of the question — a licensing
+    * takedown or a crawler ban removes the source, not the training
+    * budget) and report each survivor's allocation shift. Saturated
+    * survivors are data-constrained and absorb nothing; the freed
+    * budget flows entirely to the unsaturated share — the card shows
+    * exactly where, per hypothetical loss, before any source is
+    * actually lost.
+    *
+    * Scale shape: the k² (dropped, source) pairs come from one
+    * self-cross of the k-row DOMAIN table (the mixture-family
+    * contract — never a corpus), every window below is PARTITIONED by
+    * `dropped` (k groups of k−1 rows), and the closed-form saturation
+    * algebra is [[unimaxAllocation]]'s, row for row. The budget is the
+    * full table's ⌊T·num/den⌋, broadcast onto the pairs.
+    *
+    * @return one row per ordered (dropped, source) pair, source ≠
+    *         dropped: (dropped, source, n_tok, alloc_base, alloc_drop,
+    *         delta = alloc_drop − alloc_base) */
+  def leaveOneOutSensitivity(counts: DataFrame, domainCol: String,
+      tokCol: String, maxEpochs: Long, budgetNum: Long,
+      budgetDen: Long): DataFrame = {
+    require(maxEpochs > 0 && budgetNum > 0 && budgetDen > 0,
+      "maxEpochs and the budget fraction must be positive")
+    val dom = counts.select(col(domainCol).as("source"),
+      col(tokCol).cast("long").as("n_tok"))
+    val budget = broadcast(dom.agg(
+      expr(s"(sum(n_tok) * $budgetNum) div $budgetDen").as("__b")))
+    val base = unimaxAllocationBudget(dom, "source", "n_tok",
+        maxEpochs, budget)
+      .select(col("source"), col("alloc").as("alloc_base"))
+    val pairs = dom.select(col("source").as("dropped"))
+      .crossJoin(dom)
+      .filter(col("dropped") =!= col("source"))
+      .withColumn("cap", col("n_tok") * lit(maxEpochs))
+    val wOrd = Window.partitionBy(col("dropped"))
+      .orderBy(col("cap"), col("source"))
+    val wAll = Window.partitionBy(col("dropped"))
+    val solved = pairs.crossJoin(budget)
+      .withColumn("_r", row_number().over(wOrd).cast("long"))
+      .withColumn("_s", coalesce(sum(col("cap")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_k", count(lit(1)).over(wAll))
+      .withColumn("saturated",
+        col("cap") * (col("_k") - col("_r") + 1L) + col("_s") <= col("__b"))
+      .withColumn("_m", sum(when(col("saturated"), 1L).otherwise(0L))
+        .over(wAll))
+      .withColumn("_ssat", coalesce(sum(when(col("saturated"), col("cap")))
+        .over(wAll), lit(0L)))
+      .withColumn("_share", when(col("_k") > col("_m"),
+        expr("(__b - _ssat) div (_k - _m)")).otherwise(lit(0L)))
+      .withColumn("alloc_drop",
+        when(col("saturated"), col("cap")).otherwise(col("_share")))
+    solved.join(broadcast(base), Seq("source"))
+      .select(col("dropped"), col("source"), col("n_tok"),
+        col("alloc_base"), col("alloc_drop"),
+        (col("alloc_drop") - col("alloc_base")).as("delta"))
+  }
+
   /** The shared closed-form waterfill (see [[unimaxAllocation]] for the
     * math and the domain-sized-table window contract); `bCol` evaluates
     * the exact-integer budget per row. */

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -295,6 +296,227 @@ object Packing {
         sum(col("tok")).as("n_tokens"),
         sum(when(col("dom_tok") * 2 >= col("tok"), 1L).otherwise(0L))
           .as("n_dominated"))
+  }
+
+  /** CONTIGUOUS-STREAM packing layout — the GPT-style alternative to
+    * [[packGreedy]]: per shard, documents are laid out back-to-back in
+    * id order as ONE token stream and the stream is cut every `budget`
+    * tokens. Every bin is exactly full (zero padding — only each
+    * shard's LAST bin is short), at the price of SPLITTING documents
+    * across bin boundaries; the greedy keeps every document whole at
+    * the price of per-bin padding. [[streamPackCard]] reduces this
+    * layout to the efficiency card that prices the trade.
+    *
+    * Pure relational plan (no mapPartitions): the layout is ONE
+    * per-shard cumulative-sum window (shards sort independently — no
+    * global sort, no single-partition window; the same parallel shape
+    * as the greedy's per-shard external sort) plus integer arithmetic
+    * on each doc's [start_off, end_off) stream interval. Deterministic
+    * for the same reasons as the greedy: md5 shard hash, id order.
+    *
+    * `first_bin`/`last_bin` guard the w = 0 edge with greatest(): a
+    * zero-weight doc occupies no tokens, and (end_off − 1) for the
+    * shard's FIRST such doc is −1, where Spark's `div` truncates
+    * toward zero and DuckDB's `//` floors — the guard pins both
+    * engines to the doc's offset bin.
+    *
+    * @return (id, w, shard, start_off, first_bin, last_bin,
+    *         n_segments) — offsets 0-based within the shard's stream,
+    *         bins 0-based per shard; n_segments is the number of bins
+    *         the doc spans (1 = never split) */
+  def packStream(df: DataFrame, idCol: String, weightCol: String,
+      budget: Long, shards: Int): DataFrame = {
+    require(budget > 0 && shards > 0)
+    val keyed = df.select(col(idCol).as("id"),
+      // NULL/non-numeric weight fails fast like packGreedy (a silent
+      // cast would corrupt the layout)
+      coalesce(col(weightCol).cast("long"), raise_error(concat(
+        lit(s"packStream: weight '$weightCol' is NULL or non-numeric" +
+          " for id "), col(idCol).cast("string")))).as("w"),
+      Sampling.hashBucket(col(idCol).cast("string"), shards).as("shard"))
+    val win = Window.partitionBy(col("shard")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keyed.withColumn("end_off", sum(col("w")).over(win))
+      .withColumn("start_off", col("end_off") - col("w"))
+      .withColumn("first_bin", expr(s"start_off div $budget"))
+      .withColumn("last_bin",
+        greatest(expr(s"(end_off - 1) div $budget"), col("first_bin")))
+      .select(col("id"), col("w"), col("shard"), col("start_off"),
+        col("first_bin"), col("last_bin"),
+        (col("last_bin") - col("first_bin") + 1L).as("n_segments"))
+  }
+
+  /** The [[packStream]] efficiency card — same accounting face as
+    * [[packCard]] plus the splitting cost the stream layout pays
+    * instead of padding: documents split across a bin boundary and the
+    * worst per-doc segment count. Waste is each shard's short LAST bin
+    * only (⌈tok/budget⌉·budget − tok); every other bin is exactly
+    * full by construction. One shard-keyed aggregate (shard-count
+    * rows) then one reduction — the corpus is never re-touched.
+    *
+    * @return one row: (n_bins, n_docs, total_tokens, sum_waste,
+    *         fill_rate, n_docs_split, split_frac, max_segments) */
+  def streamPackCard(streamed: DataFrame, budget: Long): DataFrame = {
+    val bins = s"(tok + ${budget - 1}) div $budget"
+    val per = streamed.groupBy(col("shard")).agg(
+      max(col("start_off") + col("w")).as("tok"), count(lit(1)).as("docs"),
+      sum(when(col("last_bin") > col("first_bin"), 1L).otherwise(0L))
+        .as("nsplit"),
+      max(col("n_segments")).as("maxseg"))
+    per.agg(
+        coalesce(sum(expr(bins)), lit(0L)).as("n_bins"),
+        coalesce(sum(col("docs")), lit(0L)).as("n_docs"),
+        coalesce(sum(col("tok")), lit(0L)).as("total_tokens"),
+        coalesce(sum(expr(s"($bins) * $budget - tok")), lit(0L))
+          .as("sum_waste"),
+        coalesce(sum(col("nsplit")), lit(0L)).as("n_docs_split"),
+        coalesce(max(col("maxseg")), lit(1L)).as("max_segments"))
+      .select(col("n_bins"), col("n_docs"), col("total_tokens"),
+        col("sum_waste"),
+        when(col("n_bins") === 0, lit(0.0))
+          .otherwise(round(col("total_tokens").cast("double") /
+            (col("n_bins") * budget).cast("double"), 6)).as("fill_rate"),
+        col("n_docs_split"),
+        when(col("n_docs") === 0, lit(0.0))
+          .otherwise(round(col("n_docs_split").cast("double") /
+            col("n_docs").cast("double"), 6)).as("split_frac"),
+        col("max_segments"))
+  }
+
+  /** SHUFFLE-QA card — the data-order audit a trainer runs on an
+    * [[epochShuffle]] order before trusting its gradient batches:
+    * (a) WITHIN an epoch, how often adjacent positions carry the same
+    * dominant source (a run of same-source batches = correlated
+    * gradients), against the exact expectation under a uniform random
+    * permutation (Σ c_s·(c_s−1) / (N·(N−1)) — a pure rational, so both
+    * engines agree to the rounding digit); and (b) ACROSS two epoch
+    * orders, how soon a bin recurs — the gap (N − pos₁) + pos₂ from a
+    * bin's slot in epoch A to its slot in epoch B, whose minimum and
+    * near-recurrence count (< N/10) catch a shuffle that replays the
+    * tail of one epoch at the head of the next.
+    *
+    * Scale shape: dominant source per bin is one bin-keyed aggregate
+    * over the packed manifest joined to the per-doc attribute (both
+    * id-keyed); adjacency is a self-JOIN on pos+1 (shuffles at
+    * manifest size — NO single-partition window over the epoch);
+    * cross-epoch gaps are a bin-keyed equi-join of the two orders.
+    * All counts exact integers; the two rates are the only divisions.
+    *
+    * @param epochA/epochB two [[epochShuffle]] orders of the SAME
+    *                      packing (different seeds)
+    * @param domSrc        (shard, bin, dom) dominant-attribute table —
+    *                      see [[binDominantAttr]]
+    * @return one row: (n_pos, n_adj_same, adj_same_rate,
+    *         exp_same_rate, min_cross_gap, n_close_cross) */
+  def shuffleQaCard(epochA: DataFrame, epochB: DataFrame,
+      domSrc: DataFrame): DataFrame = {
+    val a = epochA.select(col("pos"), col("shard"), col("bin"))
+      .join(domSrc, Seq("shard", "bin"))
+    val adj = a.select(col("pos"), col("dom"))
+      .join(a.select((col("pos") - 1L).as("pos"), col("dom").as("dom2")),
+        Seq("pos"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("dom") === col("dom2"), 1L).otherwise(0L))
+          .as("n_adj_same"))
+    val counts = a.groupBy(col("dom")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n_pos"),
+        coalesce(sum(col("c") * (col("c") - 1L)), lit(0L)).as("same_mass"))
+    val gaps = epochA.select(col("shard"), col("bin"),
+        col("pos").as("pos_a"))
+      .join(epochB.select(col("shard"), col("bin"), col("pos").as("pos_b")),
+        Seq("shard", "bin"))
+    val cross = gaps.crossJoin(broadcast(counts.select(col("n_pos"))))
+      .select(((col("n_pos") - col("pos_a")) + col("pos_b")).as("gap"),
+        col("n_pos"))
+      .agg(min(col("gap")).as("min_cross_gap"),
+        sum(when(col("gap") * 10L < col("n_pos"), 1L)
+          .otherwise(0L)).as("n_close_cross"))
+    counts.crossJoin(broadcast(adj)).crossJoin(broadcast(cross))
+      .select(col("n_pos"), col("n_adj_same"),
+        when(col("n_pairs") === 0, lit(0.0))
+          .otherwise(round(col("n_adj_same").cast("double") /
+            col("n_pairs").cast("double"), 6)).as("adj_same_rate"),
+        when(col("n_pos") < 2, lit(0.0))
+          .otherwise(round(col("same_mass").cast("double") /
+            (col("n_pos") * (col("n_pos") - 1L)).cast("double"), 6))
+          .as("exp_same_rate"),
+        col("min_cross_gap"), col("n_close_cross"))
+  }
+
+  /** Dominant attribute per bin of a stored packing: the attribute
+    * value holding the largest token mass in each bin (ties broken by
+    * the attribute's order — max(struct(tok, attr)) is a total order,
+    * so the winner is engine-independent). Same join shape as
+    * [[binDiversityCard]]. */
+  def binDominantAttr(packed: DataFrame, docKey: Column,
+      docAttr: DataFrame, attrKeyCol: String, attrCol: String)
+      : DataFrame =
+    packed.withColumn("__k", docKey)
+      .join(docAttr.select(col(attrKeyCol).as("__k"),
+        col(attrCol).as("__a")), Seq("__k"))
+      .groupBy(col("shard"), col("bin"), col("__a"))
+      .agg(sum(col("w")).as("tok"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(max(struct(col("tok"), col("__a"))).as("__m"))
+      .select(col("shard"), col("bin"), col("__m.__a").as("dom"))
+
+  /** LENGTH-BUCKETED dynamic-batching card — the other way trainers
+    * fight padding waste (next to packing): group sequences by length
+    * into ascending buckets, pad each sequence only to ITS bucket's
+    * boundary, and compare against the naive pad-everything-to-max
+    * baseline. Sequences longer than the LAST boundary truncate to it
+    * (the max_seq_len rule) and the truncated mass is reported, never
+    * silently dropped. One row per bucket plus the `~total` row whose
+    * `saved_frac` is the headline: the fraction of the naive padding
+    * bill the bucketing avoids.
+    *
+    * All columns are exact integers except the one saved_frac
+    * division. One projection + one bucket-keyed aggregate over the
+    * per-sequence length table (a persisted stage at scale) — the
+    * corpus text is never touched.
+    *
+    * @param buckets ascending positive boundaries; the last is the
+    *                training max_seq_len
+    * @return (bucket "L%04d" / "~total", n_seqs, n_tokens, capacity,
+    *         pad_waste, trunc_tokens, maxpad_waste, saved_frac — null
+    *         on bucket rows, one division on ~total) */
+  def lengthBucketCard(df: DataFrame, lenCol: String,
+      buckets: Seq[Long]): DataFrame = {
+    require(buckets.nonEmpty && buckets.head > 0 &&
+      buckets == buckets.distinct.sorted, "buckets must be ascending > 0")
+    val lmax = buckets.last
+    val len = col(lenCol).cast("long")
+    val clamped = least(len, lit(lmax))
+    val bucket = buckets.init.reverse.foldLeft(lit(lmax)) { (acc, b) =>
+      when(clamped <= b, lit(b)).otherwise(acc)
+    }
+    val per = df.select(clamped.as("__len"), bucket.as("__b"),
+        greatest(len - lit(lmax), lit(0L)).as("__tr"))
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).as("n_seqs"), sum(col("__len")).as("n_tokens"),
+        (count(lit(1)) * col("__b")).as("capacity"),
+        (count(lit(1)) * col("__b") - sum(col("__len"))).as("pad_waste"),
+        sum(col("__tr")).as("trunc_tokens"),
+        (count(lit(1)) * lmax - sum(col("__len"))).as("maxpad_waste"))
+    val rows = per.select(
+      format_string("L%04d", col("__b")).as("bucket"),
+      col("n_seqs"), col("n_tokens"), col("capacity"), col("pad_waste"),
+      col("trunc_tokens"), col("maxpad_waste"),
+      lit(null).cast("double").as("saved_frac"))
+    val tot = per.agg(
+        coalesce(sum(col("n_seqs")), lit(0L)).as("n_seqs"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"),
+        coalesce(sum(col("capacity")), lit(0L)).as("capacity"),
+        coalesce(sum(col("pad_waste")), lit(0L)).as("pad_waste"),
+        coalesce(sum(col("trunc_tokens")), lit(0L)).as("trunc_tokens"),
+        coalesce(sum(col("maxpad_waste")), lit(0L)).as("maxpad_waste"))
+      .select(lit("~total").as("bucket"), col("n_seqs"), col("n_tokens"),
+        col("capacity"), col("pad_waste"), col("trunc_tokens"),
+        col("maxpad_waste"),
+        when(col("maxpad_waste") === 0, lit(0.0))
+          .otherwise(round(lit(1.0) - col("pad_waste").cast("double") /
+            col("maxpad_waste").cast("double"), 6)).as("saved_frac"))
+    rows.unionByName(tot)
   }
 
   /** Packing efficiency report: bins, mean fill ratio, over-budget bins

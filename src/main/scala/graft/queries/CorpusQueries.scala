@@ -1086,6 +1086,37 @@ object CorpusQueries {
         .orderBy(col("pos"))
     }),
 
+    // LENGTH-BUCKETED dynamic-batching card over the TRUE BPE lengths —
+    // the other anti-padding discipline next to packing (q257 prices
+    // packing's two variants; this prices bucketing): sequences grouped
+    // into {64,128,256,384,512} length tiers, each padded only to its
+    // tier boundary, vs the naive pad-everything-to-512 bill. Docs
+    // longer than 512 truncate to it (the max_seq_len rule) and the
+    // truncated mass is reported. Rides the persisted bpe_tokens stage
+    // (one projection + one 5-group aggregate — the corpus text is
+    // never re-encoded); every count exact-integer, saved_frac the one
+    // division on the ~total row.
+    "q260_batch_buckets" -> ((s, dir) =>
+      Packing.lengthBucketCard(bpeTokensStage(s, dir), "n_tokens",
+          Seq(64L, 128L, 256L, 384L, 512L))
+        .orderBy(col("bucket"))),
+
+    // LEAVE-ONE-OUT mixture sensitivity at the q232 operating point
+    // (1-epoch cap, ⌊9T/10⌋ budget): for every source, the UniMax
+    // waterfill re-run over the 19 survivors at the SAME budget — the
+    // "what if this source is taken down" card, showing per
+    // hypothetical loss exactly which survivors absorb the freed
+    // tokens (saturated survivors are data-constrained and take
+    // nothing; the unsaturated share rises). All k² pair rows come
+    // from one self-cross of the 20-row domain table; every window is
+    // partitioned by the dropped source — domain-sized work start to
+    // finish, riding the persisted source_tokens stage.
+    "q261_mix_sensitivity" -> ((s, dir) =>
+      Mixture.leaveOneOutSensitivity(sourceTokensStage(s, dir),
+          "source", "n_tok", maxEpochs = 1L, budgetNum = 9L,
+          budgetDen = 10L)
+        .orderBy(col("dropped"), col("source"))),
+
     // THE SEQUENCE-LENGTH DECISION CURVE — the dial behind the q61/
     // q193/q236 packing budget, asked across a grid {64,128,256,512}:
     // per candidate max_seq_len, one greedy packing of the SAME
@@ -3504,6 +3535,102 @@ object CorpusQueries {
         |SELECT doc_id, CAST(sum(n_w) AS BIGINT) AS n_words,
         |       CAST(sum(n_w * n_sym) AS BIGINT) AS n_tokens
         |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // The q160 BPE encode reduced to per-doc lengths, bucketed into
+    // the {64,128,256,384,512} tiers with the >512 truncation rule,
+    // then the per-tier padding accounting + the ~total saved_frac.
+    "q260_batch_buckets" ->
+      s"""WITH $bpeEncodeCtes,
+        |lens AS (SELECT doc_id, CAST(sum(n_w * n_sym) AS BIGINT) AS len
+        |  FROM enc GROUP BY doc_id),
+        |lab AS (SELECT least(len, 512) AS clen,
+        |    CASE WHEN least(len, 512) <= 64 THEN 64
+        |         WHEN least(len, 512) <= 128 THEN 128
+        |         WHEN least(len, 512) <= 256 THEN 256
+        |         WHEN least(len, 512) <= 384 THEN 384
+        |         ELSE 512 END AS b,
+        |    greatest(len - 512, 0) AS tr
+        |  FROM lens),
+        |per AS (SELECT b, CAST(count(*) AS BIGINT) AS n_seqs,
+        |    CAST(sum(clen) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) * b AS BIGINT) AS capacity,
+        |    CAST(count(*) * b - sum(clen) AS BIGINT) AS pad_waste,
+        |    CAST(sum(tr) AS BIGINT) AS trunc_tokens,
+        |    CAST(count(*) * 512 - sum(clen) AS BIGINT) AS maxpad_waste
+        |  FROM lab GROUP BY 1)
+        |SELECT printf('L%04d', b) AS bucket, n_seqs, n_tokens, capacity,
+        |  pad_waste, trunc_tokens, maxpad_waste,
+        |  CAST(NULL AS DOUBLE) AS saved_frac
+        |FROM per
+        |UNION ALL
+        |SELECT '~total', CAST(sum(n_seqs) AS BIGINT),
+        |  CAST(sum(n_tokens) AS BIGINT), CAST(sum(capacity) AS BIGINT),
+        |  CAST(sum(pad_waste) AS BIGINT), CAST(sum(trunc_tokens) AS BIGINT),
+        |  CAST(sum(maxpad_waste) AS BIGINT),
+        |  CASE WHEN sum(maxpad_waste) = 0 THEN 0.0
+        |    ELSE round(1.0 - sum(pad_waste)::DOUBLE /
+        |      sum(maxpad_waste)::DOUBLE, 6) END
+        |FROM per
+        |ORDER BY bucket""".stripMargin,
+
+    // The q232 waterfill replayed once unpartitioned (the base) and
+    // once per dropped source over the k² self-cross, every window
+    // PARTITION BY dropped — the leave-one-out reallocation at the
+    // same fixed ⌊9T/10⌋ budget.
+    "q261_mix_sensitivity" ->
+      """WITH stok AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split_regex(trim(text), '\s+')))
+        |      AS BIGINT) AS n_tok
+        |  FROM documents GROUP BY 1),
+        |bt AS (SELECT (sum(n_tok) * 9) // 10 AS b FROM stok),
+        |br AS (
+        |  SELECT source, n_tok, n_tok * 1 AS cap,
+        |    row_number() OVER (ORDER BY n_tok * 1, source) AS rr,
+        |    coalesce(sum(n_tok * 1) OVER (ORDER BY n_tok * 1, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s,
+        |    count(*) OVER () AS k, (SELECT b FROM bt) AS b
+        |  FROM stok),
+        |bf AS (SELECT *, cap * (k - rr + 1) + s <= b AS saturated
+        |  FROM br),
+        |bg AS (SELECT *,
+        |    sum(CASE WHEN saturated THEN 1 ELSE 0 END) OVER () AS m,
+        |    coalesce(sum(CASE WHEN saturated THEN cap END) OVER (), 0)
+        |      AS ssat
+        |  FROM bf),
+        |bout AS (SELECT source, CAST(CASE WHEN saturated THEN cap
+        |    ELSE CASE WHEN k > m THEN (b - ssat) // (k - m) ELSE 0 END
+        |    END AS BIGINT) AS alloc_base
+        |  FROM bg),
+        |pr AS (
+        |  SELECT d.source AS dropped, s.source, s.n_tok,
+        |    s.n_tok * 1 AS cap,
+        |    row_number() OVER (PARTITION BY d.source
+        |      ORDER BY s.n_tok * 1, s.source) AS rr,
+        |    coalesce(sum(s.n_tok * 1) OVER (PARTITION BY d.source
+        |      ORDER BY s.n_tok * 1, s.source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS sm,
+        |    count(*) OVER (PARTITION BY d.source) AS k,
+        |    (SELECT b FROM bt) AS b
+        |  FROM stok d JOIN stok s ON s.source <> d.source),
+        |pf AS (SELECT *, cap * (k - rr + 1) + sm <= b AS saturated
+        |  FROM pr),
+        |pg AS (SELECT *,
+        |    sum(CASE WHEN saturated THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY dropped) AS m,
+        |    coalesce(sum(CASE WHEN saturated THEN cap END)
+        |      OVER (PARTITION BY dropped), 0) AS ssat
+        |  FROM pf),
+        |po AS (SELECT dropped, source, n_tok,
+        |    CAST(CASE WHEN saturated THEN cap
+        |      ELSE CASE WHEN k > m THEN (b - ssat) // (k - m) ELSE 0 END
+        |      END AS BIGINT) AS alloc_drop
+        |  FROM pg)
+        |SELECT p.dropped, p.source, p.n_tok, b.alloc_base, p.alloc_drop,
+        |  CAST(p.alloc_drop - b.alloc_base AS BIGINT) AS delta
+        |FROM po p JOIN bout b USING (source)
+        |ORDER BY dropped, source""".stripMargin,
 
     "q164_bpe_fertility" ->
       s"""WITH $bpeEncodeCtes

@@ -1356,6 +1356,71 @@ object PipelineQueries {
       graft.operators.Packing.epochShuffle(packedStage(s, dir), seed = 13L)
         .orderBy(col("pos"))),
 
+    // The PACKING-DISCIPLINE decision card — greedy whole-document
+    // binning (q61's manifest, padded bins, no splits) vs the
+    // GPT-style contiguous token stream (zero padding, documents split
+    // at bin boundaries), both at the same 512 budget over the same
+    // per-doc weights. The stream layout is a pure relational plan
+    // (one per-shard cumsum window — no mapPartitions, no global
+    // sort); the greedy side rides the persisted q61 packing. The two
+    // rows quantify the actual trade a trainer picks between: the
+    // greedy pays sum_waste padding tokens, the stream pays
+    // n_docs_split documents whose attention span crosses a sequence
+    // boundary.
+    "q257_stream_packing" -> ((s, dir) => {
+      val packed = packedStage(s, dir)
+      val greedy = graft.operators.Packing.packCard(packed, budget = 512L)
+        .select(lit("greedy").as("mode"), col("n_bins"), col("n_docs"),
+          col("total_tokens"), col("sum_waste"), col("fill_rate"),
+          lit(0L).as("n_docs_split"), lit(0.0).as("split_frac"),
+          lit(1L).as("max_segments"))
+      val stream = graft.operators.Packing.streamPackCard(
+        graft.operators.Packing.packStream(packed.select(col("id"),
+          col("w")), "id", "w", budget = 512L, shards = 8), budget = 512L)
+        .select(lit("stream").as("mode"), col("n_bins"), col("n_docs"),
+          col("total_tokens"), col("sum_waste"), col("fill_rate"),
+          col("n_docs_split"), col("split_frac"), col("max_segments"))
+      greedy.unionByName(stream).orderBy(col("mode"))
+    }),
+
+    // LOADER-SHARD integrity manifest over the q221 epoch order — the
+    // checksummed release face a trainer verifies before a multi-day
+    // run: six contiguous position ranges (exactly the slices
+    // clusteredWrite would emit as data-loader files), each with
+    // row/token counts, its [first_pos, last_pos] range (proving the
+    // ranges tile the epoch) and the order-encoding XOR-of-md5(pos:key)
+    // fingerprint — commutative, so map-side combinable at any manifest
+    // size, yet order-pinning because pos rides inside each hashed
+    // term. The ~release row's fp is the XOR of the shard fps — one
+    // number that changes if ANY shard changes.
+    "q258_shard_checksums" -> ((s, dir) =>
+      graft.operators.Layout.shardFingerprints(
+          graft.operators.Packing.epochShuffle(packedStage(s, dir),
+            seed = 13L),
+          "pos", concat_ws(":", col("shard"), col("bin")), "n_tokens",
+          nParts = 6)
+        .orderBy(col("part"))),
+
+    // SHUFFLE-QA card — the data-order audit over two q221 epoch
+    // orders (seeds 13/14) of the same packing: adjacent-position
+    // same-dominant-source rate vs the exact uniform-permutation
+    // expectation (correlated-gradient-batch risk), and the
+    // cross-epoch recurrence gap (how soon a bin seen late in epoch A
+    // recurs in epoch B). Dominant source per bin is one bin-keyed
+    // aggregate riding the persisted packing + doc_source_tokens
+    // stages; adjacency is a self-join on pos+1 — no single-partition
+    // window over the epoch.
+    "q259_shuffle_qa" -> ((s, dir) => {
+      val packed = packedStage(s, dir)
+      val dom = graft.operators.Packing.binDominantAttr(packed, col("id"),
+        CorpusQueries.docSourceTokensStage(s, dir)
+          .select(col("doc_id"), col("source")), "doc_id", "source")
+      graft.operators.Packing.shuffleQaCard(
+        graft.operators.Packing.epochShuffle(packed, seed = 13L),
+        graft.operators.Packing.epochShuffle(packed, seed = 14L),
+        dom).orderBy(col("n_pos"))
+    }),
+
     // LLM selection 2 — the trained quality classifier (fastText-style
     // curated-vs-raw, the CCNet/RedPajama companion to perplexity and
     // DSIR) in its closed-form Naive-Bayes shape: training is ONE
@@ -1779,6 +1844,138 @@ object PipelineQueries {
         |       shard, bin, CAST(n_docs AS BIGINT) AS n_docs,
         |       CAST(n_tokens AS BIGINT) AS n_tokens, order_key
         |FROM k ORDER BY pos""".stripMargin,
+
+    // The q61 greedy replay reduced to its card next to the stream
+    // layout replayed as one per-shard cumsum window. The greatest()
+    // guard on last_bin matters cross-engine: Spark's div truncates
+    // toward zero and DuckDB's // floors, and (end_off − 1) is −1 for
+    // a zero-weight doc at a shard's head.
+    "q257_stream_packing" ->
+      s"""WITH RECURSIVE $packingCtes,
+        |gb AS (SELECT shard, bin, sum(w) AS fill, count(*) AS docs
+        |       FROM pack GROUP BY 1, 2),
+        |gcard AS (
+        |  SELECT 'greedy' AS mode, CAST(count(*) AS BIGINT) AS n_bins,
+        |    CAST(sum(docs) AS BIGINT) AS n_docs,
+        |    CAST(sum(fill) AS BIGINT) AS total_tokens,
+        |    CAST(sum(CASE WHEN fill < 512 THEN 512 - fill ELSE 0 END)
+        |      AS BIGINT) AS sum_waste,
+        |    round(sum(fill)::DOUBLE / (count(*) * 512), 6) AS fill_rate,
+        |    CAST(0 AS BIGINT) AS n_docs_split, 0.0 AS split_frac,
+        |    CAST(1 AS BIGINT) AS max_segments
+        |  FROM gb),
+        |soff AS (SELECT id, w, shard,
+        |    sum(w) OVER (PARTITION BY shard ORDER BY id
+        |      ROWS UNBOUNDED PRECEDING) AS end_off
+        |  FROM toks),
+        |slay AS (SELECT shard, w, end_off,
+        |    (end_off - w) // 512 AS first_bin,
+        |    greatest((end_off - 1) // 512, (end_off - w) // 512)
+        |      AS last_bin
+        |  FROM soff),
+        |sshard AS (SELECT shard, max(end_off) AS tok, count(*) AS docs,
+        |    sum(CASE WHEN last_bin > first_bin THEN 1 ELSE 0 END)
+        |      AS nsplit,
+        |    max(last_bin - first_bin + 1) AS maxseg
+        |  FROM slay GROUP BY 1),
+        |scard AS (
+        |  SELECT 'stream' AS mode,
+        |    CAST(sum((tok + 511) // 512) AS BIGINT) AS n_bins,
+        |    CAST(sum(docs) AS BIGINT) AS n_docs,
+        |    CAST(sum(tok) AS BIGINT) AS total_tokens,
+        |    CAST(sum(((tok + 511) // 512) * 512 - tok) AS BIGINT)
+        |      AS sum_waste,
+        |    round(sum(tok)::DOUBLE /
+        |      (sum((tok + 511) // 512) * 512)::DOUBLE, 6) AS fill_rate,
+        |    CAST(sum(nsplit) AS BIGINT) AS n_docs_split,
+        |    round(sum(nsplit)::DOUBLE / sum(docs)::DOUBLE, 6)
+        |      AS split_frac,
+        |    CAST(max(maxseg) AS BIGINT) AS max_segments
+        |  FROM sshard)
+        |SELECT * FROM gcard UNION ALL SELECT * FROM scard
+        |ORDER BY mode""".stripMargin,
+
+    // The q221 shuffle replay split into six contiguous position
+    // ranges, each reduced to counts + the XOR-of-md5-60(pos:shard:bin)
+    // order fingerprint; the ~release row XORs every row hash (==
+    // XOR of the shard fps by associativity).
+    "q258_shard_checksums" ->
+      s"""WITH RECURSIVE $packingCtes,
+        |b AS (SELECT shard, bin, sum(w) AS n_tokens FROM pack
+        |      GROUP BY shard, bin),
+        |k AS (SELECT shard, bin, n_tokens,
+        |        CAST(row_number() OVER (ORDER BY
+        |          md5('13' || ':' || shard::VARCHAR || ':'
+        |              || bin::VARCHAR), shard, bin) AS BIGINT) AS pos
+        |      FROM b),
+        |rws AS (SELECT pos, n_tokens,
+        |    ((pos - 1) * 6) // (SELECT count(*) FROM k) AS part,
+        |    ('0x' || substr(md5(pos::VARCHAR || ':' || shard::VARCHAR
+        |      || ':' || bin::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM k),
+        |per AS (SELECT part, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |    CAST(min(pos) AS BIGINT) AS first_pos,
+        |    CAST(max(pos) AS BIGINT) AS last_pos,
+        |    bit_xor(h) AS fp
+        |  FROM rws GROUP BY 1)
+        |SELECT 'p' || part::VARCHAR AS part, n_rows, n_tokens,
+        |  first_pos, last_pos, fp
+        |FROM per
+        |UNION ALL
+        |SELECT '~release', CAST(count(*) AS BIGINT),
+        |  CAST(sum(n_tokens) AS BIGINT), CAST(min(pos) AS BIGINT),
+        |  CAST(max(pos) AS BIGINT), bit_xor(h)
+        |FROM rws
+        |ORDER BY part""".stripMargin,
+
+    // Two q221 shuffle replays (seeds 13/14), the dominant source per
+    // bin (max token mass, ties to the LARGER source string — the
+    // max(struct(tok, src)) total order), adjacency via a pos+1
+    // self-join, the exact permutation expectation Σc(c−1)/(N(N−1)),
+    // and the cross-epoch recurrence gaps.
+    "q259_shuffle_qa" ->
+      s"""WITH RECURSIVE $packingCtes,
+        |ps AS (SELECT p.shard, p.bin, d.source, sum(p.w) AS tok
+        |  FROM pack p JOIN documents d ON d.doc_id = p.id
+        |  GROUP BY 1, 2, 3),
+        |dom AS (SELECT shard, bin, source AS dom FROM (
+        |    SELECT shard, bin, source, row_number() OVER (
+        |      PARTITION BY shard, bin ORDER BY tok DESC, source DESC)
+        |      AS rn
+        |    FROM ps) WHERE rn = 1),
+        |b AS (SELECT shard, bin FROM pack GROUP BY shard, bin),
+        |ea AS (SELECT shard, bin, CAST(row_number() OVER (ORDER BY
+        |    md5('13' || ':' || shard::VARCHAR || ':' || bin::VARCHAR),
+        |    shard, bin) AS BIGINT) AS pos FROM b),
+        |eb AS (SELECT shard, bin, CAST(row_number() OVER (ORDER BY
+        |    md5('14' || ':' || shard::VARCHAR || ':' || bin::VARCHAR),
+        |    shard, bin) AS BIGINT) AS pos FROM b),
+        |adj AS (
+        |  SELECT count(*) AS n_pairs,
+        |    CAST(sum(CASE WHEN d1.dom = d2.dom THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_adj_same
+        |  FROM ea a1 JOIN ea a2 ON a2.pos = a1.pos + 1
+        |  JOIN dom d1 ON d1.shard = a1.shard AND d1.bin = a1.bin
+        |  JOIN dom d2 ON d2.shard = a2.shard AND d2.bin = a2.bin),
+        |cnt AS (SELECT dom, count(*) AS c FROM dom GROUP BY 1),
+        |cs AS (SELECT CAST(sum(c) AS BIGINT) AS n_pos,
+        |    CAST(sum(c * (c - 1)) AS BIGINT) AS same_mass FROM cnt),
+        |gp AS (SELECT (SELECT n_pos FROM cs) - ea.pos + eb.pos AS gap
+        |  FROM ea JOIN eb USING (shard, bin)),
+        |cx AS (SELECT CAST(min(gap) AS BIGINT) AS min_cross_gap,
+        |    CAST(sum(CASE WHEN gap * 10 < (SELECT n_pos FROM cs)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_close_cross
+        |  FROM gp)
+        |SELECT n_pos, n_adj_same,
+        |  CASE WHEN n_pairs = 0 THEN 0.0
+        |    ELSE round(n_adj_same::DOUBLE / n_pairs::DOUBLE, 6) END
+        |    AS adj_same_rate,
+        |  CASE WHEN n_pos < 2 THEN 0.0
+        |    ELSE round(same_mass::DOUBLE /
+        |      (n_pos * (n_pos - 1))::DOUBLE, 6) END AS exp_same_rate,
+        |  min_cross_gap, n_close_cross
+        |FROM cs, adj, cx""".stripMargin,
 
     // The q61 packing replay, the dirty/clean split, then a SECOND
     // recursive greedy over only the innocent docs of dirty bins with

@@ -165,4 +165,51 @@ class LayoutSpec extends SparkSpec {
       Layout.hilbertValue(Seq(col("a"), col("b")), bits = 32)
     }
   }
+
+  test("shardFingerprints: the parts tile the position range with no " +
+      "gap/overlap, the release fp is the XOR of the part fps, and " +
+      "any single-row change (content OR order) changes the release fp") {
+    import sqlImplicits._
+    val manifest = (1 to 97).map(i =>
+      (i.toLong, i.toLong % 8, i.toLong % 11, (i * 13 % 50 + 5).toLong))
+      .toDF("pos", "shard", "bin", "n_tokens")
+    def card(df: org.apache.spark.sql.DataFrame) =
+      Layout.shardFingerprints(df, "pos",
+        concat_ws(":", col("shard"), col("bin")), "n_tokens", nParts = 6)
+        .collect()
+    val rows = card(manifest)
+    val parts = rows.filter(_.getAs[String]("part") != "~release")
+      .sortBy(_.getAs[String]("part"))
+    val rel = rows.find(_.getAs[String]("part") == "~release").get
+    assert(parts.length === 6)
+    // contiguous tiling: each part's range is dense and they abut
+    parts.foreach { p =>
+      assert(p.getAs[Long]("last_pos") - p.getAs[Long]("first_pos") + 1 ===
+        p.getAs[Long]("n_rows"))
+    }
+    assert(parts.map(_.getAs[Long]("n_rows")).sum === 97L)
+    assert(parts.sliding(2).forall {
+      case Array(a, b) => a.getAs[Long]("last_pos") + 1 ===
+        b.getAs[Long]("first_pos")
+      case _ => true
+    })
+    assert(rel.getAs[Long]("n_rows") === 97L &&
+      rel.getAs[Long]("first_pos") === 1L &&
+      rel.getAs[Long]("last_pos") === 97L)
+    assert(parts.map(_.getAs[Long]("fp")).reduce(_ ^ _) ===
+      rel.getAs[Long]("fp"),
+      "release fp must be the XOR of the part fps")
+    // a content change flips the release fp ...
+    val mutated = manifest.withColumn("bin",
+      when(col("pos") === 42L, lit(99L)).otherwise(col("bin")))
+    assert(card(mutated).find(_.getAs[String]("part") == "~release").get
+      .getAs[Long]("fp") !== rel.getAs[Long]("fp"))
+    // ... and so does a pure ORDER swap (same row multiset, two rows
+    // exchange positions — only the pos:key pairing differs)
+    val swapped = manifest.withColumn("pos",
+      when(col("pos") === 10L, lit(20L))
+        .when(col("pos") === 20L, lit(10L)).otherwise(col("pos")))
+    assert(card(swapped).find(_.getAs[String]("part") == "~release").get
+      .getAs[Long]("fp") !== rel.getAs[Long]("fp"))
+  }
 }

@@ -347,4 +347,48 @@ class MixtureSpec extends SparkSpec {
     assert(z.getAs[Double]("eff_tokens") === 0.0 &&
       z.getAs[Double]("value_frac") === 0.0)
   }
+
+  test("leaveOneOutSensitivity: base matches unimaxAllocation, deltas " +
+      "are never negative at a fixed budget, each drop conserves the " +
+      "budget up to the integer leftover, and every drop's own LOO " +
+      "group matches a hand-filtered re-waterfill") {
+    import sqlImplicits._
+    val counts = Seq(("a", 100L), ("b", 200L), ("c", 700L), ("d", 2000L))
+      .toDF("dom", "n_tok")
+    // q232 operating point shape: cap 1, budget 9/10 of T = 2700
+    val loo = Mixture.leaveOneOutSensitivity(counts, "dom", "n_tok",
+      maxEpochs = 1L, budgetNum = 9L, budgetDen = 10L).collect()
+    assert(loo.length === 12) // 4 × 3 ordered pairs
+    val base = Mixture.unimaxAllocation(counts, "dom", "n_tok", 1L, 9L, 10L)
+      .collect().map(r => r.getAs[String]("dom") -> r.getAs[Long]("alloc"))
+      .toMap
+    loo.foreach { r =>
+      assert(r.getAs[Long]("alloc_base") === base(r.getAs[String]("source")))
+      assert(r.getAs[Long]("delta") >= 0L,
+        "losing a source never shrinks a survivor at fixed budget: " + r)
+    }
+    // per dropped domain: Σalloc ≤ B and the leftover is < the number
+    // of unsaturated survivors (the waterfill remainder bound)
+    val b = 3000L * 9L / 10L // ⌊9T/10⌋ over the FULL table = 2700
+    loo.groupBy(_.getAs[String]("dropped")).foreach { case (d, rows) =>
+      val tot = rows.map(_.getAs[Long]("alloc_drop")).sum
+      val caps = rows.map(r => math.min(r.getAs[Long]("n_tok"), b)).sum
+      assert(tot <= b, s"drop $d over-allocates")
+      assert(tot === math.min(b, rows.map(_.getAs[Long]("n_tok")).sum)
+        || b - tot < 3, s"drop $d leaves more than the integer remainder")
+      assert(caps >= tot)
+    }
+    // hand-check one group: drop d → survivors a,b,c all saturate
+    // (total cap 1000 < 2700) and the rest of the budget is leftover
+    val dropD = loo.filter(_.getAs[String]("dropped") == "d")
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("alloc_drop"))
+      .toMap
+    assert(dropD === Map("a" -> 100L, "b" -> 200L, "c" -> 700L))
+    // drop a: b,c saturate (ssat = 900), d takes (2700 − 900) ÷ 1 —
+    // exactly 100 more than its base share (a's freed saturation)
+    val dropA = loo.filter(_.getAs[String]("dropped") == "a")
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("alloc_drop"))
+      .toMap
+    assert(dropA === Map("b" -> 200L, "c" -> 700L, "d" -> 1800L))
+  }
 }

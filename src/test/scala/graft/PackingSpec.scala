@@ -314,4 +314,106 @@ class PackingSpec extends SparkSpec {
     assert(bpe.getAs[Long]("n_bins") >= ws.getAs[Long]("n_bins"),
       "metering in the finer unit can only need more bins")
   }
+
+  test("packStream: per shard the docs tile the token stream exactly, " +
+      "segments match the bin arithmetic, and the layout is " +
+      "repartition-invariant") {
+    val streamed = Packing.packStream(fixture, "doc_id", "n_tok",
+      budget = 256L, shards = 8)
+    assert(streamed.count() === 500)
+    // the stream tiles: every doc starts where the previous one ended
+    val gaps = streamed.selectExpr("shard", "start_off",
+        "start_off + w AS end_off")
+      .withColumn("prev_end", coalesce(
+        lag(col("end_off"), 1).over(org.apache.spark.sql.expressions
+          .Window.partitionBy(col("shard")).orderBy(col("start_off"))),
+        lit(0L)))
+      .filter(col("start_off") =!= col("prev_end")).count()
+    assert(gaps === 0L, "stream offsets must tile with no gap/overlap")
+    // segment arithmetic: a doc spans exactly the bins its interval hits
+    val bad = streamed.filter(
+      col("first_bin") =!= expr("start_off div 256") ||
+        col("n_segments") =!= col("last_bin") - col("first_bin") + 1L ||
+        col("last_bin") < col("first_bin")).count()
+    assert(bad === 0L)
+    def runSet(df: org.apache.spark.sql.DataFrame) =
+      Packing.packStream(df, "doc_id", "n_tok", 256L, 8)
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(runSet(fixture) === runSet(fixture.repartition(13)))
+  }
+
+  test("streamPackCard vs packCard: same docs and tokens, stream bins " +
+      "<= greedy bins (zero padding except shard tails), and the card " +
+      "reconciles fill against capacity exactly") {
+    val greedy = Packing.packCard(
+      Packing.packGreedy(fixture, "doc_id", "n_tok", 256L, 8), 256L)
+      .head()
+    val sc = Packing.streamPackCard(
+      Packing.packStream(fixture, "doc_id", "n_tok", 256L, 8), 256L)
+      .head()
+    assert(sc.getAs[Long]("n_docs") === greedy.getAs[Long]("n_docs"))
+    assert(sc.getAs[Long]("total_tokens") ===
+      greedy.getAs[Long]("total_tokens"))
+    assert(sc.getAs[Long]("n_bins") <= greedy.getAs[Long]("n_bins"),
+      "the stream layout is the padding-optimal packing")
+    assert(sc.getAs[Long]("sum_waste") <= greedy.getAs[Long]("sum_waste"))
+    // waste = capacity − tokens, and at most (budget−1) per shard
+    assert(sc.getAs[Long]("n_bins") * 256L -
+      sc.getAs[Long]("total_tokens") === sc.getAs[Long]("sum_waste"))
+    assert(sc.getAs[Long]("sum_waste") < 8L * 256L)
+    assert(sc.getAs[Long]("n_docs_split") > 0L,
+      "100-token docs at budget 256 must split somewhere")
+  }
+
+  test("lengthBucketCard: bucket rows tile the sequences, capacity " +
+      "reconciles, truncation only above the max boundary, and the " +
+      "~total saved_frac is the exact padding saving") {
+    val df = Seq(10L, 64L, 65L, 200L, 300L, 400L, 600L).toDF("len")
+    val card = Packing.lengthBucketCard(df, "len",
+      Seq(64L, 128L, 256L, 384L, 512L)).collect()
+    val tot = card.find(_.getAs[String]("bucket") == "~total").get
+    val rows = card.filter(_.getAs[String]("bucket") != "~total")
+    assert(rows.map(_.getAs[Long]("n_seqs")).sum === 7L)
+    assert(tot.getAs[Long]("n_seqs") === 7L)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("capacity") - r.getAs[Long]("n_tokens") ===
+        r.getAs[Long]("pad_waste"))
+    }
+    // 600 truncates to 512; nothing else does
+    assert(tot.getAs[Long]("trunc_tokens") === 88L)
+    // by-hand: buckets L0064:{10,64}, L0128:{65}, L0256:{200},
+    // L0384:{300}, L0512:{400, 600→512}
+    val by = rows.map(r => r.getAs[String]("bucket") ->
+      r.getAs[Long]("n_seqs")).toMap
+    assert(by === Map("L0064" -> 2L, "L0128" -> 1L, "L0256" -> 1L,
+      "L0384" -> 1L, "L0512" -> 2L))
+    val saved = 1.0 - tot.getAs[Long]("pad_waste").toDouble /
+      tot.getAs[Long]("maxpad_waste").toDouble
+    assert(math.abs(tot.getAs[Double]("saved_frac") -
+      math.rint(saved * 1e6) / 1e6) < 1e-12)
+  }
+
+  test("shuffleQaCard: identical epoch orders put every recurrence gap " +
+      "at exactly N, and the adjacency rate is a true rate over N-1 " +
+      "pairs") {
+    val packed = Packing.packGreedy(fixture, "doc_id", "n_tok", 256L, 8)
+    val dom = Packing.binDominantAttr(packed, col("id"),
+      fixture.select(col("doc_id"),
+        concat(lit("s"), (col("doc_id") % 3).cast("string")).as("src")),
+      "doc_id", "src")
+    val e = Packing.epochShuffle(packed, seed = 13L)
+    val n = e.count()
+    val same = Packing.shuffleQaCard(e, e, dom).head()
+    assert(same.getAs[Long]("n_pos") === n)
+    // epochB == epochA: every bin's gap is (N − pos) + pos = N
+    assert(same.getAs[Long]("min_cross_gap") === n)
+    assert(same.getAs[Long]("n_close_cross") === 0L)
+    val diff = Packing.shuffleQaCard(e,
+      Packing.epochShuffle(packed, seed = 14L), dom).head()
+    assert(diff.getAs[Long]("min_cross_gap") < n,
+      "different seeds must produce some early recurrence")
+    assert(diff.getAs[Double]("adj_same_rate") >= 0.0 &&
+      diff.getAs[Double]("adj_same_rate") <= 1.0)
+    assert(diff.getAs[Double]("exp_same_rate") > 0.0)
+  }
 }

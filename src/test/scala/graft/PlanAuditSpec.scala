@@ -1541,4 +1541,62 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") ||
       p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q257: both packing-discipline cards ride the one persisted q61 " +
+    "packing — zero live scans warm, the stream layout's cumsum window " +
+    "is PARTITIONED by shard (no single-partition window over the " +
+    "corpus manifest), no cartesian") {
+    val p = plan("q257_stream_packing")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(liveScans("q257_stream_packing").isEmpty, p)
+    assert(p.contains("hashpartitioning(shard"),
+      "the stream cumsum must shuffle by shard, not globally:\n" + p)
+  }
+
+  test("q258: the loader-shard checksums ride the persisted packing " +
+    "through the epoch order's range-partitioned rank — zero live " +
+    "scans warm, the XOR fingerprints partially aggregate map-side, " +
+    "the row count is a broadcast single row (no cartesian)") {
+    val p = plan("q258_shard_checksums")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(liveScans("q258_shard_checksums").isEmpty, p)
+    assert(p.contains("rangepartitioning"), p)
+    assert(p.contains("partial_bit_xor"),
+      "the order fingerprint must combine map-side:\n" + p)
+  }
+
+  test("q259: the shuffle-QA card rides the persisted packing + " +
+    "doc_source_tokens stages — zero live scans warm; adjacency is a " +
+    "pos-keyed equi-join (no single-partition window over the epoch), " +
+    "no cartesian beyond the broadcast one-row aggregates") {
+    val p = plan("q259_shuffle_qa")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(liveScans("q259_shuffle_qa").isEmpty, p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q260: the batching card is one projection + one 5-group " +
+    "aggregate over the persisted bpe_tokens stage — zero live scans " +
+    "warm (the corpus is never re-encoded), partial aggregation " +
+    "map-side, no cartesian") {
+    val p = plan("q260_batch_buckets")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(liveScans("q260_batch_buckets").isEmpty, p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("q261: the leave-one-out card is domain-sized end to end — the " +
+    "k-squared pairs come from broadcasting the k-row domain stage " +
+    "against itself, every window partitions by the dropped source, " +
+    "zero live scans warm") {
+    val p = plan("q261_mix_sensitivity")
+    assert(liveScans("q261_mix_sensitivity").isEmpty, p)
+    assert(p.contains("hashpartitioning(dropped"),
+      "the waterfill windows must partition by dropped:\n" + p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
 }
