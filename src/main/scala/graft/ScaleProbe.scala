@@ -70,7 +70,15 @@ object ScaleProbe {
     // two-phase schedule (two realizations + two packings + the
     // decile-ordered anneal rank)
     "q254_release_bpe_pack", "q255_part_index_nights",
-    "q256_training_schedule")
+    "q256_training_schedule",
+    // round-16 members with manifest-scale shapes: the stream layout's
+    // per-shard cumsum window over the full doc manifest (q257), the
+    // shuffle-QA card's bin-keyed joins + pos+1 self-join (q259), and
+    // the vocab-growth card's one tokenize pass + (term, bucket)
+    // shuffle (q263); q258/q260/q261/q262 are bin-sized, 5-group or
+    // domain-sized cards over already-probed stages/manifests and need
+    // no exponent of their own
+    "q257_stream_packing", "q259_shuffle_qa", "q263_vocab_growth")
   private val Passes = 2
 
   def main(args: Array[String]): Unit = {

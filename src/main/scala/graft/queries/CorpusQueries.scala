@@ -1117,6 +1117,47 @@ object CorpusQueries {
           budgetDen = 10L)
         .orderBy(col("dropped"), col("source"))),
 
+    // HEAPS-LAW vocabulary growth — the curve behind "will more data
+    // keep buying new vocabulary": distinct terms and token totals over
+    // md5-ordered corpus prefixes at {5,10,20,50,100}% (hash-ordered,
+    // so every prefix is a stable random-looking subset — the Sampling
+    // discipline — and each is a SUBSET of the next). ONE tokenize
+    // pass: the corpus reduces to a checkpointed (term, bucket, count)
+    // table; a term's first bucket then gives vocab(p) as a 100-row
+    // cumulative count and token totals come from the same table — the
+    // five curve points never re-touch the corpus. TTR at each point
+    // is the one division.
+    "q263_vocab_growth" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val hb = Sampling.hashBucket(col("doc_id").cast("string"), 100)
+      // one corpus tokenize pass → (term, bucket, occurrences)
+      val tf = docs.select(hb.as("hb"),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+        .groupBy(col("term"), col("hb")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val tFirst = tf.groupBy(col("term")).agg(min(col("hb")).as("fb"))
+        .groupBy(col("fb")).agg(count(lit(1)).as("nv"))
+        .localCheckpoint()
+      val tokHist = tf.groupBy(col("hb")).agg(sum(col("c")).as("nt"))
+        .localCheckpoint()
+      val docHist = docs.select(hb.as("hb"))
+        .groupBy(col("hb")).agg(count(lit(1)).as("nd"))
+        .localCheckpoint()
+      Seq(5, 10, 20, 50, 100).map { p =>
+        docHist.filter(col("hb") < p)
+          .agg(coalesce(sum(col("nd")), lit(0L)).as("n_docs"))
+          .crossJoin(broadcast(tokHist.filter(col("hb") < p)
+            .agg(coalesce(sum(col("nt")), lit(0L)).as("n_tokens"))))
+          .crossJoin(broadcast(tFirst.filter(col("fb") < p)
+            .agg(coalesce(sum(col("nv")), lit(0L)).as("vocab"))))
+          .select(lit(p.toLong).as("pct"), col("n_docs"), col("n_tokens"),
+            col("vocab"),
+            when(col("n_tokens") > 0, round(col("vocab").cast("double") /
+              col("n_tokens").cast("double"), 6)).otherwise(lit(0.0))
+              .as("ttr"))
+      }.reduce(_ unionByName _).orderBy(col("pct"))
+    }),
+
     // THE SEQUENCE-LENGTH DECISION CURVE — the dial behind the q61/
     // q193/q236 packing budget, asked across a grid {64,128,256,512}:
     // per candidate max_seq_len, one greedy packing of the SAME
@@ -3631,6 +3672,36 @@ object CorpusQueries {
         |  CAST(p.alloc_drop - b.alloc_base AS BIGINT) AS delta
         |FROM po p JOIN bout b USING (source)
         |ORDER BY dropped, source""".stripMargin,
+
+    // One tokenize pass to (term, md5-bucket, count); vocab(p) counts
+    // terms whose FIRST bucket precedes p, token/doc totals come from
+    // the same bucket histograms.
+    "q263_vocab_growth" ->
+      """WITH occ AS (
+        |  SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+        |      % 100 AS hb,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT term, hb, count(*) AS c FROM occ GROUP BY 1, 2),
+        |tfirst AS (SELECT term, min(hb) AS fb FROM tf GROUP BY 1),
+        |dh AS (SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+        |    % 100 AS hb
+        |  FROM documents),
+        |pcts AS (SELECT unnest([5, 10, 20, 50, 100]) AS pct)
+        |SELECT CAST(p.pct AS BIGINT) AS pct,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM dh WHERE hb < p.pct)
+        |    AS n_docs,
+        |  (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM tf
+        |    WHERE hb < p.pct) AS n_tokens,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM tfirst WHERE fb < p.pct)
+        |    AS vocab,
+        |  CASE WHEN (SELECT coalesce(sum(c), 0) FROM tf WHERE hb < p.pct)
+        |      > 0
+        |    THEN round((SELECT count(*) FROM tfirst
+        |        WHERE fb < p.pct)::DOUBLE /
+        |      (SELECT sum(c) FROM tf WHERE hb < p.pct)::DOUBLE, 6)
+        |    ELSE 0.0 END AS ttr
+        |FROM pcts p ORDER BY pct""".stripMargin,
 
     "q164_bpe_fertility" ->
       s"""WITH $bpeEncodeCtes

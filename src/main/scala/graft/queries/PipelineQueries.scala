@@ -1421,6 +1421,68 @@ object PipelineQueries {
         dom).orderBy(col("n_pos"))
     }),
 
+    // SHARD-INVALIDATION card — what the q241 takedown-repair night
+    // costs the trainer's DOWNLOADED artifact: the v1 epoch order's six
+    // loader shards (q258's split) against the repaired manifest under
+    // the TRAINER'S repair discipline — clean bins keep their v1
+    // positions (holes where dirty bins sat; a mid-run loader must not
+    // re-rank the epoch it is consuming), repaired bins append at the
+    // tail (parts p6+ under v1's part boundaries). Per part: rows and
+    // tokens before/after and whether its fingerprint changed — the
+    // card that says which shard files to re-download after a takedown
+    // (and that the appended tail is NEW, not a rewrite). Rides the
+    // persisted packing; both orders and both fingerprint passes are
+    // bin-manifest-sized.
+    "q262_shard_invalidation" -> ((s, dir) => {
+      import graft.operators.{NearDup, Packing, Ranking}
+      val packed = packedStage(s, dir)
+      val tombs = packed.filter(col("id") % 23 === 9).select(col("id"))
+      val v1 = Packing.epochShuffle(packed, seed = 13L)
+      val dirty = packed.join(tombs, Seq("id"), "left_semi")
+        .select(col("shard"), col("bin")).distinct()
+      val kept = v1.join(dirty, Seq("shard", "bin"), "left_anti")
+        .select(col("pos"), col("shard"), col("bin"), col("n_docs"),
+          col("n_tokens"))
+      val n1 = v1.agg(count(lit(1)).as("__n"))
+      val repairedBins = Packing.incrementalRepack(packed, tombs, "id",
+          budget = 512L, shards = 8)
+        .filter(col("repacked"))
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_tokens"))
+        .withColumn("order_key", md5(concat_ws(":", lit(13L),
+          col("shard"), col("bin")).cast("binary")))
+      val appended = Ranking.globalRank(repairedBins,
+          Seq(col("order_key"), col("shard"), col("bin")), parts = 32)
+        .crossJoin(broadcast(n1))
+        .select((col("rank") + col("__n")).as("pos"), col("shard"),
+          col("bin"), col("n_docs"), col("n_tokens"))
+      val v2 = kept.unionByName(appended)
+      // per-part fingerprints under v1's part boundaries for BOTH sides
+      def parts(m: org.apache.spark.sql.DataFrame) =
+        m.crossJoin(broadcast(n1))
+          .withColumn("part", expr("((pos - 1) * 6) div __n"))
+          .withColumn("__h", NearDup.md5Hash60(concat_ws(":", col("pos"),
+            col("shard"), col("bin"), col("n_docs"), col("n_tokens"))))
+          .groupBy(col("part"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("n_tokens")).as("tok"),
+            expr("bit_xor(__h)").as("fp"))
+      val before = parts(v1.select(col("pos"), col("shard"), col("bin"),
+          col("n_docs"), col("n_tokens")))
+        .select(col("part"), col("n_rows").as("n_before"),
+          col("tok").as("tok_before"), col("fp").as("fp_before"))
+      val after = parts(v2)
+        .select(col("part"), col("n_rows").as("n_after"),
+          col("tok").as("tok_after"), col("fp").as("fp_after"))
+      before.join(after, Seq("part"), "full_outer")
+        .select(concat(lit("p"), col("part").cast("string")).as("part"),
+          coalesce(col("n_before"), lit(0L)).as("n_before"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"),
+          coalesce(col("tok_before"), lit(0L)).as("tok_before"),
+          coalesce(col("tok_after"), lit(0L)).as("tok_after"),
+          (!(col("fp_before") <=> col("fp_after"))).as("changed"))
+        .orderBy(col("part"))
+    }),
+
     // LLM selection 2 — the trained quality classifier (fastText-style
     // curated-vs-raw, the CCNet/RedPajama companion to perplexity and
     // DSIR) in its closed-form Naive-Bayes shape: training is ONE
@@ -2020,6 +2082,86 @@ object PipelineQueries {
         |  UNION ALL
         |  SELECT *, TRUE AS repacked FROM rep)
         |ORDER BY id""".stripMargin,
+
+    // The q241 repack chain, the v1 epoch order with holes where the
+    // dirty bins sat, repaired bins appended past v1's count, and both
+    // sides fingerprinted per part UNDER V1'S PART BOUNDARIES (the
+    // trainer's stable shard files).
+    "q262_shard_invalidation" ->
+      s"""WITH RECURSIVE $packingCtes,
+        |dirty AS (
+        |  SELECT DISTINCT shard, bin FROM pack WHERE id % 23 = 9),
+        |inn AS (
+        |  SELECT p.id, p.w, p.shard FROM pack p
+        |  WHERE EXISTS (SELECT 1 FROM dirty d
+        |    WHERE d.shard = p.shard AND d.bin = p.bin)
+        |    AND p.id % 23 <> 9),
+        |offs AS (SELECT shard, max(bin) AS maxbin FROM pack GROUP BY 1),
+        |idocs AS (
+        |  SELECT id, w, shard,
+        |    row_number() OVER (PARTITION BY shard ORDER BY id) AS rn
+        |  FROM inn),
+        |rpack AS (
+        |  SELECT id, w, shard, rn, CAST(0 AS BIGINT) AS bin, w AS fill
+        |  FROM idocs WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.id, d.w, d.shard, d.rn,
+        |    CASE WHEN p.fill > 0 AND p.fill + d.w > 512
+        |         THEN p.bin + 1 ELSE p.bin END AS bin,
+        |    CASE WHEN p.fill > 0 AND p.fill + d.w > 512
+        |         THEN d.w ELSE p.fill + d.w END AS fill
+        |  FROM rpack p JOIN idocs d ON d.shard = p.shard
+        |                           AND d.rn = p.rn + 1),
+        |rep AS (
+        |  SELECT r.id, r.w, r.shard, o.maxbin + 1 + r.bin AS bin
+        |  FROM rpack r JOIN offs o USING (shard)),
+        |b1 AS (SELECT shard, bin, count(*) AS n_docs, sum(w) AS n_tokens
+        |  FROM pack GROUP BY 1, 2),
+        |v1 AS (SELECT shard, bin, n_docs, n_tokens,
+        |    CAST(row_number() OVER (ORDER BY
+        |      md5('13' || ':' || shard::VARCHAR || ':' || bin::VARCHAR),
+        |      shard, bin) AS BIGINT) AS pos
+        |  FROM b1),
+        |nn AS (SELECT count(*) AS n FROM v1),
+        |kept AS (SELECT v.* FROM v1 v
+        |  WHERE NOT EXISTS (SELECT 1 FROM dirty d
+        |    WHERE d.shard = v.shard AND d.bin = v.bin)),
+        |rb AS (SELECT shard, bin, count(*) AS n_docs, sum(w) AS n_tokens
+        |  FROM rep GROUP BY 1, 2),
+        |app AS (SELECT shard, bin, n_docs, n_tokens,
+        |    (SELECT n FROM nn) + CAST(row_number() OVER (ORDER BY
+        |      md5('13' || ':' || shard::VARCHAR || ':' || bin::VARCHAR),
+        |      shard, bin) AS BIGINT) AS pos
+        |  FROM rb),
+        |v2 AS (SELECT * FROM kept UNION ALL SELECT * FROM app),
+        |pb AS (SELECT ((pos - 1) * 6) // (SELECT n FROM nn) AS part,
+        |    n_tokens,
+        |    ('0x' || substr(md5(pos::VARCHAR || ':' || shard::VARCHAR
+        |      || ':' || bin::VARCHAR || ':' || n_docs::VARCHAR || ':'
+        |      || n_tokens::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM v1),
+        |pa AS (SELECT ((pos - 1) * 6) // (SELECT n FROM nn) AS part,
+        |    n_tokens,
+        |    ('0x' || substr(md5(pos::VARCHAR || ':' || shard::VARCHAR
+        |      || ':' || bin::VARCHAR || ':' || n_docs::VARCHAR || ':'
+        |      || n_tokens::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM v2),
+        |gb AS (SELECT part, CAST(count(*) AS BIGINT) AS n_before,
+        |    CAST(sum(n_tokens) AS BIGINT) AS tok_before,
+        |    bit_xor(h) AS fpb
+        |  FROM pb GROUP BY 1),
+        |ga AS (SELECT part, CAST(count(*) AS BIGINT) AS n_after,
+        |    CAST(sum(n_tokens) AS BIGINT) AS tok_after,
+        |    bit_xor(h) AS fpa
+        |  FROM pa GROUP BY 1)
+        |SELECT 'p' || part::VARCHAR AS part,
+        |  coalesce(n_before, 0) AS n_before,
+        |  coalesce(n_after, 0) AS n_after,
+        |  coalesce(tok_before, 0) AS tok_before,
+        |  coalesce(tok_after, 0) AS tok_after,
+        |  (fpb IS DISTINCT FROM fpa) AS changed
+        |FROM gb FULL OUTER JOIN ga USING (part)
+        |ORDER BY part""".stripMargin,
 
     "q193_packing_card" ->
       s"""WITH RECURSIVE $packingCtes,

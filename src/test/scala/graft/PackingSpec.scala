@@ -393,6 +393,35 @@ class PackingSpec extends SparkSpec {
       math.rint(saved * 1e6) / 1e6) < 1e-12)
   }
 
+  test("q262 invalidation card: token totals reconcile with the " +
+      "tombstoned mass, original parts only ever shrink, appended " +
+      "parts are new and changed") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q262_shard_invalidation")(spark, dir)
+      .collect()
+    val orig = rows.filter(r => Set("p0", "p1", "p2", "p3", "p4", "p5")
+      .contains(r.getAs[String]("part")))
+    val appended = rows.filterNot(r => Set("p0", "p1", "p2", "p3", "p4",
+      "p5").contains(r.getAs[String]("part")))
+    assert(appended.nonEmpty, "the repair must append repaired bins")
+    appended.foreach { r =>
+      assert(r.getAs[Long]("n_before") === 0L &&
+        r.getAs[Boolean]("changed"))
+    }
+    orig.foreach { r =>
+      assert(r.getAs[Long]("n_after") <= r.getAs[Long]("n_before"),
+        "holes only — clean bins keep their positions: " + r)
+    }
+    // v2 tokens = v1 tokens − tombstoned docs' tokens (innocent docs
+    // re-pack but keep their mass); rebuild the q61 manifest directly
+    val tombTok = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 23 === 9)
+      .agg(coalesce(sum(graft.functions.TextAnalysis.tokenCount(
+        col("text"))), lit(0L))).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("tok_before")).sum - tombTok ===
+      rows.map(_.getAs[Long]("tok_after")).sum)
+  }
+
   test("shuffleQaCard: identical epoch orders put every recurrence gap " +
       "at exactly N, and the adjacency rate is a true rate over N-1 " +
       "pairs") {

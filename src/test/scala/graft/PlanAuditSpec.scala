@@ -153,6 +153,11 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q61: packing is ONE shard exchange, sorted in-partition, streaming mapPartitions") {
+    // this audit reads the COLD build plan; another suite in the same
+    // JVM may have materialized the shared "packed" stage (e.g.
+    // PackingSpec's q262 reconciliation), whose cache rendering would
+    // add its own exchanges to the string
+    graft.queries.PipelineQueries.clearStages()
     val p = plan("q61_token_packing")
     assert(p.contains("MapPartitions"))
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
@@ -1586,6 +1591,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"), p)
     assert(liveScans("q260_batch_buckets").isEmpty, p)
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("q262: the invalidation card rides the persisted packing — zero " +
+    "live scans warm; the repair greedy runs only over the blast " +
+    "radius (the q241 shape), both fingerprint passes aggregate " +
+    "map-side, part boundaries come from a broadcast one-row count") {
+    val p = plan("q262_shard_invalidation")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(liveScans("q262_shard_invalidation").isEmpty, p)
+    assert(p.contains("partial_bit_xor"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q263: one corpus tokenize pass — the curve points read the " +
+    "checkpointed (term, bucket, count) table and the tiny histograms, " +
+    "never the corpus (five filters over checkpointed leaves)") {
+    val p = plan("q263_vocab_growth")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(liveScans("q263_vocab_growth").isEmpty,
+      "the corpus must be tokenized once, at checkpoint time:\n" + p)
   }
 
   test("q261: the leave-one-out card is domain-sized end to end — the " +

@@ -348,4 +348,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1L) === ((6L, 14L)))
     assert(got(2L) === ((3L, 3L)))
   }
+
+  test("q263 vocab growth: prefixes are nested (monotone counts) and " +
+      "the 100% point equals the directly-computed corpus totals") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q263_vocab_growth")(spark, dir)
+      .collect()
+    assert(rows.map(_.getAs[Long]("pct")).toSeq ===
+      Seq(5L, 10L, 20L, 50L, 100L))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("vocab") <= b.getAs[Long]("vocab"))
+        assert(a.getAs[Long]("n_tokens") <= b.getAs[Long]("n_tokens"))
+        assert(a.getAs[Long]("n_docs") <= b.getAs[Long]("n_docs"))
+      case _ =>
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val full = rows.last
+    assert(full.getAs[Long]("n_docs") === docs.count())
+    assert(full.getAs[Long]("n_tokens") ===
+      docs.agg(sum(TextAnalysis.tokenCount(col("text")))).head().getLong(0))
+    assert(full.getAs[Long]("vocab") ===
+      docs.select(explode(TextAnalysis.tokens(lower(col("text"))))
+        .as("t")).distinct().count())
+  }
 }
