@@ -137,6 +137,46 @@ object Layout {
     * @return one row per loader shard, `part` "p0".."p{n-1}", plus
     *         "~release": (part, n_rows, n_tokens, first_pos, last_pos,
     *         fp) ordered by part */
+  /** [[shardFingerprints]] with FIXED-WIDTH parts (part = (pos−1) div
+    * partSize) instead of a fixed part COUNT. This is the streaming-
+    * maintainable form: growing the manifest (a nightly append of new
+    * bins past the current tail) only ever touches the LAST part —
+    * earlier parts' membership is a pure function of pos — and every
+    * per-part column is a commutative fold (count/sum/min/max/XOR), so
+    * a foreachBatch night can maintain the whole card incrementally
+    * with one grouped merge per batch (batchId-guarded: XOR state is
+    * worse than double-counting under replay — a replayed batch
+    * TOGGLES its rows back out and silently cancels the fingerprint;
+    * `StreamingChecksumSpec` pins the night). The fixed-count form
+    * (q258) re-derives boundaries from N and is the release-time card;
+    * this form is the live one. */
+  def shardFingerprintsFixed(manifest: DataFrame, posCol: String,
+      key: Column, weightCol: String, partSize: Long): DataFrame = {
+    require(partSize > 0, "partSize must be positive")
+    val rows = manifest
+      .select(col(posCol).as("pos"), key.as("__k"),
+        col(weightCol).as("__w"))
+      .withColumn("part", expr(s"(pos - 1) div $partSize"))
+      .withColumn("__h",
+        NearDup.md5Hash60(concat_ws(":", col("pos"), col("__k"))))
+    val per = rows.groupBy(col("part")).agg(
+      count(lit(1)).as("n_rows"), sum(col("__w")).as("n_tokens"),
+      min(col("pos")).as("first_pos"), max(col("pos")).as("last_pos"),
+      expr("bit_xor(__h)").as("fp"))
+    val rel = per.agg(
+        coalesce(sum(col("n_rows")), lit(0L)).as("n_rows"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("first_pos")).as("first_pos"),
+        max(col("last_pos")).as("last_pos"),
+        expr("bit_xor(fp)").as("fp"))
+      .select(lit("~release").as("part"), col("n_rows"), col("n_tokens"),
+        col("first_pos"), col("last_pos"), col("fp"))
+    per.select(concat(lit("p"), col("part").cast("string")).as("part"),
+        col("n_rows"), col("n_tokens"), col("first_pos"), col("last_pos"),
+        col("fp"))
+      .unionByName(rel)
+  }
+
   def shardFingerprints(manifest: DataFrame, posCol: String, key: Column,
       weightCol: String, nParts: Int): DataFrame = {
     require(nParts > 0, "need at least one loader shard")

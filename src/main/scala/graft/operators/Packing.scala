@@ -260,6 +260,33 @@ object Packing {
     }.reduce(_ unionByName _)
   }
 
+  /** The SHARD-COUNT decision curve — the packing's parallelism dial
+    * measured: more shards = more parallel greedy streams (and, at a
+    * takedown, a smaller ordered re-sort domain) at the price of one
+    * potentially-short tail bin PER SHARD. For each candidate count,
+    * one [[packGreedy]] pass over the same manifest reduced to its
+    * [[packCard]] face — the measured answer to "how much packing
+    * quality does scaling out cost" (bounded a priori by
+    * shards·(budget−1) waste; this card shows the real number).
+    *
+    * Scale shape: |grid| independent shard-parallel greedy passes over
+    * the (id, weight) MANIFEST (pass a persisted stage), each card one
+    * bin-sized aggregate.
+    *
+    * @return one row per shard count: (shards, n_bins, n_docs,
+    *         total_tokens, sum_waste, fill_rate, max_fill,
+    *         n_overbudget) */
+  def packShardCurve(df: DataFrame, idCol: String, weightCol: String,
+      budget: Long, shardGrid: Seq[Int]): DataFrame = {
+    require(shardGrid.nonEmpty, "need at least one shard count")
+    shardGrid.distinct.sorted.map { n =>
+      packCard(packGreedy(df, idCol, weightCol, budget, n), budget)
+        .select(lit(n.toLong).as("shards"), col("n_bins"), col("n_docs"),
+          col("total_tokens"), col("sum_waste"), col("fill_rate"),
+          col("max_fill"), col("n_overbudget"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Per-bin SOURCE-DIVERSITY QA of a stored packing — the shard-audit
     * a trainer runs before trusting gradient batches: a bin dominated
     * by one source makes a correlated batch however good the global

@@ -1158,6 +1158,100 @@ object CorpusQueries {
       }.reduce(_ unionByName _).orderBy(col("pct"))
     }),
 
+    // ANNEAL-EXPOSURE histogram — the repetition question the q256
+    // schedule leaves open: the anneal phase draws from the gopher pool,
+    // which the pretrain phase ALREADY sampled — so by anneal time a
+    // doc has been seen 0..5 times. Per pretrain-exposure count: anneal
+    // docs, their unique tokens and the anneal token mass they
+    // contribute — the card that says how much of the anneal is
+    // genuinely fresh (exposure 0) vs a re-read the q233 value law
+    // would discount. Both realizations ride the persisted per-doc /
+    // feature stages; the join is doc-keyed.
+    "q264_anneal_exposure" -> ((s, dir) => {
+      val perDoc = docSourceTokensStage(s, dir)
+      val pool = sourceTokensStage(s, dir)
+      val tot = pool.agg(sum(col("n_tok")).as("t"))
+      val b1 = tot.select(expr("(t * 9) div 10").as("b"))
+      val b2 = tot.select(expr("t - ((t * 9) div 10)").as("b"))
+      val hqDoc = perDoc
+        .join(docFeaturesStage(s, dir).filter(col("g_gopher"))
+          .select(col("doc_id")), Seq("doc_id"), "left_semi")
+      val hqAll = pool.select(col("source"))
+        .join(hqDoc.groupBy(col("source"))
+          .agg(sum(col("n_tok")).as("n_tok")), Seq("source"), "left")
+        .select(col("source"),
+          coalesce(col("n_tok"), lit(0L)).as("n_tok"))
+      val pre = mixRealizeBudget(perDoc, pool, 4L, b1)
+        .select(col("doc_id"),
+          (col("epochs_full") + when(col("in_rem"), 1L).otherwise(0L))
+            .as("pre_inst"))
+      val ann = mixRealizeBudget(hqDoc, hqAll, 1L, b2)
+        .withColumn("n_inst",
+          col("epochs_full") + when(col("in_rem"), 1L).otherwise(0L))
+        .filter(col("n_inst") > 0)
+        .select(col("doc_id"), col("n_tok"), col("n_inst"))
+      ann.join(pre, Seq("doc_id"), "left")
+        .select(col("n_tok"), col("n_inst"),
+          coalesce(col("pre_inst"), lit(0L)).as("exposure"))
+        .groupBy(col("exposure"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("uniq_tokens"),
+          sum(col("n_tok") * col("n_inst")).as("anneal_tokens"))
+        .orderBy(col("exposure"))
+    }),
+
+    // TOKENIZER-FERTILITY drift night — the monitoring card behind
+    // "does the tokenizer still fit the data": per source, words and
+    // true BPE tokens in the history era (doc_id < 250) vs the new
+    // batch, fertility (tokens/word) on each side, the drift, and an
+    // EXACT-INTEGER retrain flag (21·t_b·w_h > 22·t_h·w_b or the
+    // mirror — fertility moved by more than 1/21 ≈ 4.8% in either
+    // direction — no float threshold, engine-exact). Rides the
+    // persisted bpe_tokens + doc_source_tokens stages; the corpus is
+    // never re-encoded.
+    "q265_fertility_drift" -> ((s, dir) => {
+      val j = bpeTokensStage(s, dir)
+        .select(col("id").as("doc_id"), col("n_words"), col("n_tokens"))
+        .join(docSourceTokensStage(s, dir)
+          .select(col("doc_id"), col("source")), Seq("doc_id"))
+        .withColumn("era",
+          when(col("doc_id") < 250, lit("hist")).otherwise(lit("batch")))
+      val per = j.groupBy(col("source")).agg(
+        sum(when(col("era") === "hist", col("n_words")).otherwise(0L))
+          .as("w_hist"),
+        sum(when(col("era") === "hist", col("n_tokens")).otherwise(0L))
+          .as("t_hist"),
+        sum(when(col("era") === "batch", col("n_words")).otherwise(0L))
+          .as("w_batch"),
+        sum(when(col("era") === "batch", col("n_tokens")).otherwise(0L))
+          .as("t_batch"))
+      per.select(col("source"), col("w_hist"), col("t_hist"),
+          col("w_batch"), col("t_batch"),
+          when(col("w_hist") > 0, round(col("t_hist").cast("double") /
+            col("w_hist").cast("double"), 6)).otherwise(lit(0.0))
+            .as("fert_hist"),
+          when(col("w_batch") > 0, round(col("t_batch").cast("double") /
+            col("w_batch").cast("double"), 6)).otherwise(lit(0.0))
+            .as("fert_batch"),
+          (col("t_batch") * col("w_hist") * 21L >
+            col("t_hist") * col("w_batch") * 22L ||
+            col("t_hist") * col("w_batch") * 21L >
+              col("t_batch") * col("w_hist") * 22L).as("retrain_flag"))
+        .orderBy(col("source"))
+    }),
+
+    // The SHARD-COUNT decision curve — the packing's parallelism dial
+    // measured over the grid {4,8,16,32}: more shards = more parallel
+    // greedy streams at the price of one potentially-short tail bin
+    // per shard (bounded a priori by shards·(budget−1) waste; this
+    // card shows the real number, which is far smaller). Four
+    // manifest-sized greedy passes over the persisted per-doc stage —
+    // the q246 shape with the other dial.
+    "q266_shard_curve" -> ((s, dir) =>
+      Packing.packShardCurve(docSourceTokensStage(s, dir), "doc_id",
+          "n_tok", budget = 512L, shardGrid = Seq(4, 8, 16, 32))
+        .orderBy(col("shards"))),
+
     // THE SEQUENCE-LENGTH DECISION CURVE — the dial behind the q61/
     // q193/q236 packing budget, asked across a grid {64,128,256,512}:
     // per candidate max_seq_len, one greedy packing of the SAME
@@ -2349,6 +2443,34 @@ object CorpusQueries {
       |${p}sel2 AS (SELECT *, cum - w < rem_target AS in_rem
       |  FROM ${p}sel)""".stripMargin
 
+  /** q266 oracle — four greedy replays over the same per-doc manifest
+    * at shard counts {4,8,16,32}, each reduced to its packCard face. */
+  private lazy val shardCurveSql: String = {
+    val grid = Seq(4L, 8L, 16L, 32L)
+    val chains = grid.map(n => packReplayCtes(s"g$n", 512L, "dsrc", n))
+      .mkString(",\n")
+    val cards = grid.map { n =>
+      s"""SELECT CAST($n AS BIGINT) AS shards,
+         |  CAST(count(*) AS BIGINT) AS n_bins,
+         |  CAST(sum(docs) AS BIGINT) AS n_docs,
+         |  CAST(sum(fill) AS BIGINT) AS total_tokens,
+         |  CAST(sum(CASE WHEN fill < 512 THEN 512 - fill ELSE 0 END)
+         |    AS BIGINT) AS sum_waste,
+         |  round(sum(fill)::DOUBLE / (count(*) * 512), 6) AS fill_rate,
+         |  CAST(max(fill) AS BIGINT) AS max_fill,
+         |  CAST(sum(CASE WHEN fill > 512 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_overbudget
+         |FROM (SELECT shard, bin, sum(w) AS fill, count(*) AS docs
+         |      FROM g${n}pack GROUP BY 1, 2)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE $docTokCte,
+       |dsrc AS (SELECT doc_id AS id, w FROM doc),
+       |$chains
+       |SELECT * FROM (
+       |$cards
+       |) ORDER BY shards""".stripMargin
+  }
+
   /** Per-doc token CTE over the full corpus. */
   private val docTokCte: String =
     """doc AS (
@@ -2376,10 +2498,11 @@ object CorpusQueries {
     * prefixed so several packings can coexist in one oracle. Emits
     * `${p}pack(id, w, shard, rn, bin, fill)`. */
   private def packReplayCtes(p: String, budget: Long,
-      src: String): String =
+      src: String, shards: Long = 8L): String =
     s"""${p}ptoks AS (
        |  SELECT id, w,
-       |    ('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT % 8 AS shard
+       |    ('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT % $shards
+       |      AS shard
        |  FROM $src),
        |${p}pdocs AS (
        |  SELECT id, w, shard,
@@ -3702,6 +3825,65 @@ object CorpusQueries {
         |      (SELECT sum(c) FROM tf WHERE hb < p.pct)::DOUBLE, 6)
         |    ELSE 0.0 END AS ttr
         |FROM pcts p ORDER BY pct""".stripMargin,
+
+    // Both q256 phase realizations (no packing — the exposure is a
+    // doc-level join of the two sel2 tables).
+    "q264_anneal_exposure" ->
+      s"""WITH $gopherCtes,
+        |$docTokCte,
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS t FROM doc),
+        |hqdoc AS (SELECT doc_id, source, CAST(n_tok AS BIGINT) AS w
+        |  FROM acc WHERE g_gopher),
+        |${mixChainFrom("s1", "doc", 4L, "(SELECT (t * 9) // 10 FROM tot)")},
+        |${mixChainFrom("s2", "hqdoc", 1L,
+            "(SELECT t - ((t * 9) // 10) FROM tot)")},
+        |pre AS (SELECT doc_id,
+        |    epochs_full + CASE WHEN in_rem THEN 1 ELSE 0 END AS pre_inst
+        |  FROM s1sel2),
+        |ann AS (SELECT doc_id, w,
+        |    epochs_full + CASE WHEN in_rem THEN 1 ELSE 0 END AS n_inst
+        |  FROM s2sel2
+        |  WHERE epochs_full + CASE WHEN in_rem THEN 1 ELSE 0 END > 0)
+        |SELECT CAST(coalesce(p.pre_inst, 0) AS BIGINT) AS exposure,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(a.w) AS BIGINT) AS uniq_tokens,
+        |  CAST(sum(a.w * a.n_inst) AS BIGINT) AS anneal_tokens
+        |FROM ann a LEFT JOIN pre p USING (doc_id)
+        |GROUP BY 1 ORDER BY exposure""".stripMargin,
+
+    // The q160 BPE encode joined to sources, split at the era
+    // boundary, with the exact-integer 1/21-band retrain flag.
+    "q265_fertility_drift" ->
+      s"""WITH $bpeEncodeCtes,
+        |lens AS (SELECT doc_id, CAST(sum(n_w) AS BIGINT) AS n_words,
+        |    CAST(sum(n_w * n_sym) AS BIGINT) AS n_tokens
+        |  FROM enc GROUP BY doc_id),
+        |j AS (SELECT l.n_words, l.n_tokens, d.source,
+        |    CASE WHEN l.doc_id < 250 THEN 'hist' ELSE 'batch' END AS era
+        |  FROM lens l JOIN documents d USING (doc_id)),
+        |per AS (SELECT source,
+        |    CAST(sum(CASE WHEN era = 'hist' THEN n_words ELSE 0 END)
+        |      AS BIGINT) AS w_hist,
+        |    CAST(sum(CASE WHEN era = 'hist' THEN n_tokens ELSE 0 END)
+        |      AS BIGINT) AS t_hist,
+        |    CAST(sum(CASE WHEN era = 'batch' THEN n_words ELSE 0 END)
+        |      AS BIGINT) AS w_batch,
+        |    CAST(sum(CASE WHEN era = 'batch' THEN n_tokens ELSE 0 END)
+        |      AS BIGINT) AS t_batch
+        |  FROM j GROUP BY 1)
+        |SELECT source, w_hist, t_hist, w_batch, t_batch,
+        |  CASE WHEN w_hist > 0
+        |    THEN round(t_hist::DOUBLE / w_hist::DOUBLE, 6)
+        |    ELSE 0.0 END AS fert_hist,
+        |  CASE WHEN w_batch > 0
+        |    THEN round(t_batch::DOUBLE / w_batch::DOUBLE, 6)
+        |    ELSE 0.0 END AS fert_batch,
+        |  (t_batch * w_hist * 21 > t_hist * w_batch * 22 OR
+        |   t_hist * w_batch * 21 > t_batch * w_hist * 22)
+        |    AS retrain_flag
+        |FROM per ORDER BY source""".stripMargin,
+
+    "q266_shard_curve" -> shardCurveSql,
 
     "q164_bpe_fertility" ->
       s"""WITH $bpeEncodeCtes

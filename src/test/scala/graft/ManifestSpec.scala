@@ -359,4 +359,27 @@ class ManifestSpec extends SparkSpec {
       .agg(sum(col("n_tok"))).collect().head.getLong(0)
     assert(tok2 <= pool, "anneal cannot exceed one epoch of its pool")
   }
+
+  test("q264 anneal exposure: exposures stay in the 0..5 instance " +
+      "band, unique mass never exceeds anneal mass (cap 1 ⇒ equality), " +
+      "and the histogram covers one anneal-pool epoch") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q264_anneal_exposure")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val e = r.getAs[Long]("exposure")
+      assert(e >= 0L && e <= 5L, s"exposure out of the instance band: $r")
+      // anneal cap is 1 epoch: every selected doc contributes exactly
+      // one instance, so unique mass == anneal mass per exposure row
+      assert(r.getAs[Long]("uniq_tokens") ===
+        r.getAs[Long]("anneal_tokens"), r.toString)
+    }
+    // the histogram's total anneal mass is the q256 anneal phase's
+    // realized token mass (same chain, pre-packing)
+    val tok2 = SparkEntry.queries("q256_training_schedule")(spark, dir)
+      .filter(col("phase") === "2_anneal")
+      .agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("anneal_tokens")).sum === tok2)
+  }
 }

@@ -393,6 +393,26 @@ class PackingSpec extends SparkSpec {
       math.rint(saved * 1e6) / 1e6) < 1e-12)
   }
 
+  test("packShardCurve: totals are shard-count-invariant, tail waste " +
+      "stays under the a-priori shards·budget bound, and no bin is " +
+      "over budget on weights under it") {
+    val curve = Packing.packShardCurve(fixture, "doc_id", "n_tok",
+      budget = 256L, shardGrid = Seq(2, 4, 8, 16)).collect()
+    assert(curve.map(_.getAs[Long]("shards")).toSeq ===
+      Seq(2L, 4L, 8L, 16L))
+    val docs = curve.map(_.getAs[Long]("n_docs")).distinct
+    val toks = curve.map(_.getAs[Long]("total_tokens")).distinct
+    assert(docs === Array(500L) && toks.length === 1,
+      "the manifest is the same whatever the shard count")
+    curve.foreach { r =>
+      assert(r.getAs[Long]("n_overbudget") === 0L)
+      assert(r.getAs[Long]("sum_waste") <
+        r.getAs[Long]("shards") * 256L +
+          (r.getAs[Long]("n_bins") - r.getAs[Long]("shards")) * 99L,
+        "waste beyond the short-tail + per-bin-slack bound: " + r)
+    }
+  }
+
   test("q262 invalidation card: token totals reconcile with the " +
       "tombstoned mass, original parts only ever shrink, appended " +
       "parts are new and changed") {

@@ -1615,6 +1615,34 @@ class PlanAuditSpec extends SparkSpec {
       "the corpus must be tokenized once, at checkpoint time:\n" + p)
   }
 
+  test("q264: both phase realizations ride the persisted per-doc / " +
+    "source / feature stages — zero live scans warm, the exposure is " +
+    "one doc-keyed join + one histogram aggregate, no cartesian " +
+    "beyond the broadcast one-row budgets") {
+    val p = plan("q264_anneal_exposure")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(liveScans("q264_anneal_exposure").isEmpty, p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("q265: the fertility night is one join of two persisted stages " +
+    "+ one source-keyed aggregate — zero live scans warm (the corpus " +
+    "is never re-encoded), no cartesian") {
+    val p = plan("q265_fertility_drift")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(liveScans("q265_fertility_drift").isEmpty, p)
+  }
+
+  test("q266: the shard-count curve's four greedy passes all read the " +
+    "one persisted per-doc manifest — zero live scans warm, no " +
+    "cartesian (the q246 audit with the other dial)") {
+    val p = plan("q266_shard_curve")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(liveScans("q266_shard_curve").isEmpty, p)
+  }
+
   test("q261: the leave-one-out card is domain-sized end to end — the " +
     "k-squared pairs come from broadcasting the k-row domain stage " +
     "against itself, every window partitions by the dropped source, " +

@@ -372,4 +372,21 @@ class TextAnalysisSpec extends SparkSpec {
       docs.select(explode(TextAnalysis.tokens(lower(col("text"))))
         .as("t")).distinct().count())
   }
+
+  test("q265 fertility drift: fertility >= 1 on both eras (a word is " +
+      "at least one BPE token) and the integer flag reproduces the " +
+      "1/21 band exactly") {
+    val rows = SparkEntry.queries("q265_fertility_drift")(spark,
+      "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (wh, th) = (r.getAs[Long]("w_hist"), r.getAs[Long]("t_hist"))
+      val (wb, tb) = (r.getAs[Long]("w_batch"), r.getAs[Long]("t_batch"))
+      if (wh > 0) assert(th >= wh, r.toString)
+      if (wb > 0) assert(tb >= wb, r.toString)
+      val want = tb * wh * 21L > th * wb * 22L ||
+        th * wb * 21L > tb * wh * 22L
+      assert(r.getAs[Boolean]("retrain_flag") === want, r.toString)
+    }
+  }
 }
