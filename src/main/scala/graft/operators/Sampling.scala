@@ -202,4 +202,60 @@ object Sampling {
           .otherwise(lit("test")))
       .drop("_tcut")
   }
+
+  /** EXACT proportional allocation by the largest-remainder (Hamilton)
+    * method — the "draw an eval set of exactly N docs, proportional to
+    * source sizes" step of a release. Float quotas mis-round (Σ⌊q_s⌉
+    * misses N by up to k/2); this is the exact-integer form: target
+    * N = ⌊total·num/den⌋, base_s = ⌊N·n_s/total⌋, and the
+    * N − Σbase leftover seats go to the largest remainders
+    * N·n_s mod total (ties by the domain's order) — Σalloc == N by
+    * construction, alloc_s ≤ n_s whenever N ≤ total, and every column
+    * is integer arithmetic (engine-exact, no float quota anywhere).
+    *
+    * Domain-sized windows (the mixture-family contract — feed the
+    * k-row per-source count table, never a corpus).
+    *
+    * @return one row per domain: (domainCol, n, base, rem, extra,
+    *         alloc) */
+  def allocateLargestRemainder(counts: DataFrame, domainCol: String,
+      nCol: String, num: Long, den: Long): DataFrame = {
+    require(num > 0 && den > 0 && num <= den,
+      "the target fraction must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
+    val base = counts.select(col(domainCol), col(nCol).as("n"))
+      .withColumn("_tot", sum(col("n")).over(all))
+      .withColumn("_target", expr(s"(_tot * $num) div $den"))
+      .withColumn("base", expr("(_target * n) div _tot"))
+      .withColumn("rem", expr("(_target * n) % _tot"))
+    val ranked = base
+      .withColumn("_seats", col("_target") - sum(col("base")).over(all))
+      .withColumn("_rr", row_number().over(
+        Window.orderBy(col("rem").desc, col(domainCol))).cast("long"))
+      .withColumn("extra", (col("_rr") <= col("_seats")).cast("long"))
+    ranked.select(col(domainCol), col("n"), col("base"), col("rem"),
+      col("extra"), (col("base") + col("extra")).as("alloc"))
+  }
+
+  /** The DRAW over an [[allocateLargestRemainder]] allocation: per
+    * domain, the alloc_s lowest rows by (md5(key), key) — the
+    * [[Sampling]] discipline, so the drawn set is stable across runs,
+    * engines, partitionings and appends-at-the-tail of OTHER domains.
+    * One domain-partitioned window over the per-row table (each domain
+    * sorts independently — the mixRealize shape).
+    *
+    * @return `rows` filtered to the drawn members, plus their
+    *         `draw_rank` within the domain */
+  def drawAllocated(rows: DataFrame, domainCol: String, key: Column,
+      alloc: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(NearDup.md5Hash60(key.cast("string")), key)
+    rows.join(broadcast(alloc.select(col(domainCol), col("alloc"))),
+        Seq(domainCol))
+      .withColumn("draw_rank", row_number().over(w).cast("long"))
+      .filter(col("draw_rank") <= col("alloc"))
+      .drop("alloc")
+  }
 }

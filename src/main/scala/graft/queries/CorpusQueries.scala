@@ -1252,6 +1252,42 @@ object CorpusQueries {
           "n_tok", budget = 512L, shardGrid = Seq(4, 8, 16, 32))
         .orderBy(col("shards"))),
 
+    // EXACT proportional eval-set draw — "hold out exactly 10% of the
+    // corpus, proportional to source sizes": the largest-remainder
+    // (Hamilton) allocation in pure integer arithmetic (float quotas
+    // mis-round by up to k/2 seats; here Σalloc == ⌊total/10⌋ by
+    // construction), then the md5-ranked draw per source (stable
+    // across runs, engines, partitionings and other sources'
+    // appends). Card per source: docs, seats, drawn members and the
+    // XOR fingerprint of the drawn ids; the ~total row proves the
+    // exact seat count. Rides the persisted per-doc stage; the draw
+    // is one source-partitioned window.
+    "q267_eval_draw" -> ((s, dir) => {
+      val perDoc = docSourceTokensStage(s, dir)
+      val counts = perDoc.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"))
+      val alloc = Sampling.allocateLargestRemainder(counts, "source",
+        "n", num = 1L, den = 10L)
+      val drawn = Sampling.drawAllocated(
+          perDoc.select(col("doc_id"), col("source")), "source",
+          col("doc_id"), alloc)
+        .withColumn("__h",
+          graft.operators.NearDup.md5Hash60(col("doc_id").cast("string")))
+      val per = drawn.groupBy(col("source"))
+        .agg(count(lit(1)).as("drawn"), expr("bit_xor(__h)").as("sel_fp"))
+      val srcRows = alloc.select(col("source"), col("n").as("n_docs"),
+          col("alloc"))
+        .join(per, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("alloc"),
+          coalesce(col("drawn"), lit(0L)).as("drawn"), col("sel_fp"))
+      val tot = srcRows.agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("alloc")).as("alloc"), sum(col("drawn")).as("drawn"),
+          expr("bit_xor(sel_fp)").as("sel_fp"))
+        .select(lit("~total").as("source"), col("n_docs"), col("alloc"),
+          col("drawn"), col("sel_fp"))
+      srcRows.unionByName(tot).orderBy(col("source"))
+    }),
+
     // THE SEQUENCE-LENGTH DECISION CURVE — the dial behind the q61/
     // q193/q236 packing budget, asked across a grid {64,128,256,512}:
     // per candidate max_seq_len, one greedy packing of the SAME
@@ -3884,6 +3920,47 @@ object CorpusQueries {
         |FROM per ORDER BY source""".stripMargin,
 
     "q266_shard_curve" -> shardCurveSql,
+
+    // The largest-remainder seats in exact integers, the per-source
+    // md5-ranked draw, and the drawn-id XOR fingerprints.
+    "q267_eval_draw" ->
+      """WITH cnt AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |st AS (SELECT source, n, sum(n) OVER () AS tot,
+        |    (sum(n) OVER () * 1) // 10 AS target
+        |  FROM cnt),
+        |b AS (SELECT *, (target * n) // tot AS base,
+        |    (target * n) % tot AS rem
+        |  FROM st),
+        |r AS (SELECT *, target - sum(base) OVER () AS seats,
+        |    row_number() OVER (ORDER BY rem DESC, source) AS rr
+        |  FROM b),
+        |al AS (SELECT source, n,
+        |    CAST(base + CASE WHEN rr <= seats THEN 1 ELSE 0 END
+        |      AS BIGINT) AS alloc
+        |  FROM r),
+        |dr AS (SELECT d.source, d.doc_id,
+        |    row_number() OVER (PARTITION BY d.source ORDER BY
+        |      ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT,
+        |      d.doc_id) AS rn
+        |  FROM documents d),
+        |sel AS (SELECT dr.source, dr.doc_id
+        |  FROM dr JOIN al USING (source) WHERE rn <= alloc),
+        |per AS (SELECT source, CAST(count(*) AS BIGINT) AS drawn,
+        |    bit_xor(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT)
+        |      AS sel_fp
+        |  FROM sel GROUP BY 1),
+        |rows_ AS (SELECT a.source, a.n AS n_docs, a.alloc,
+        |    coalesce(p.drawn, 0) AS drawn, p.sel_fp
+        |  FROM al a LEFT JOIN per p USING (source))
+        |SELECT source, n_docs, alloc, drawn, sel_fp FROM rows_
+        |UNION ALL
+        |SELECT '~total', CAST(sum(n_docs) AS BIGINT),
+        |  CAST(sum(alloc) AS BIGINT), CAST(sum(drawn) AS BIGINT),
+        |  bit_xor(sel_fp)
+        |FROM rows_
+        |ORDER BY source""".stripMargin,
 
     "q164_bpe_fertility" ->
       s"""WITH $bpeEncodeCtes

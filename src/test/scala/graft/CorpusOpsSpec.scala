@@ -247,4 +247,68 @@ class CorpusOpsSpec extends SparkSpec {
       Sampling.shardAndOrder(df, col("id").cast("string"), 4, col("id"))
     }
   }
+
+  test("allocateLargestRemainder: seats sum EXACTLY to the target, " +
+      "every allocation is within one of its exact quota, and a " +
+      "hand-solved case lands the leftover seats on the largest " +
+      "remainders") {
+    import sqlImplicits._
+    // total 100, target 10: quotas 1.7/3.3/5.0 → bases 1/3/5, one
+    // leftover seat → largest remainder (a: .7) takes it
+    val counts = Seq(("a", 17L), ("b", 33L), ("c", 50L)).toDF("src", "n")
+    val got = Sampling.allocateLargestRemainder(counts, "src", "n",
+        num = 1L, den = 10L)
+      .collect().map(r => r.getAs[String]("src") ->
+        r.getAs[Long]("alloc")).toMap
+    assert(got === Map("a" -> 2L, "b" -> 3L, "c" -> 5L))
+    // property sweep: exact seat totals and ±1-of-quota at several
+    // fractions over an uneven domain
+    val dom = Seq(("a", 7L), ("b", 13L), ("c", 101L), ("d", 1L),
+      ("e", 78L)).toDF("src", "n")
+    val tot = 7L + 13L + 101L + 1L + 78L
+    Seq((1L, 10L), (1L, 3L), (9L, 10L), (1L, 1L)).foreach {
+      case (nu, de) =>
+        val rows = Sampling.allocateLargestRemainder(dom, "src", "n",
+          nu, de).collect()
+        val target = tot * nu / de
+        assert(rows.map(_.getAs[Long]("alloc")).sum === target,
+          s"fraction $nu/$de must seat exactly $target")
+        rows.foreach { r =>
+          val q = target * r.getAs[Long]("n") // exact quota numerator
+          val base = q / tot
+          val a = r.getAs[Long]("alloc")
+          assert(a === base || a === base + 1L, r.toString)
+          assert(a <= r.getAs[Long]("n"),
+            "never allocate beyond the domain's own rows: " + r)
+        }
+    }
+  }
+
+  test("drawAllocated: draws exactly alloc members per domain, is " +
+      "repartition-invariant, and another domain's growth never " +
+      "changes a domain's drawn set") {
+    import sqlImplicits._
+    val rows = (1 to 60).map(i => (i.toLong, if (i % 3 == 0) "x" else "y"))
+      .toDF("id", "src")
+    val counts = rows.groupBy(col("src")).agg(count(lit(1)).as("n"))
+    val alloc = Sampling.allocateLargestRemainder(counts, "src", "n",
+      1L, 4L)
+    def drawSet(df: org.apache.spark.sql.DataFrame) =
+      Sampling.drawAllocated(df, "src", col("id"), alloc)
+        .collect().map(r => (r.getAs[String]("src"), r.getAs[Long]("id")))
+        .toSet
+    val got = drawSet(rows)
+    val byAlloc = alloc.collect().map(r => r.getAs[String]("src") ->
+      r.getAs[Long]("alloc")).toMap
+    assert(got.count(_._1 == "x").toLong === byAlloc("x"))
+    assert(got.count(_._1 == "y").toLong === byAlloc("y"))
+    assert(drawSet(rows.repartition(7)) === got)
+    // growing y (appends) leaves x's drawn members untouched
+    val grown = rows.unionByName(
+      (100 to 120).map(i => (i.toLong, "y")).toDF("id", "src"))
+    val gotX = Sampling.drawAllocated(grown, "src", col("id"), alloc)
+      .filter(col("src") === "x")
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(gotX === got.filter(_._1 == "x").map(_._2))
+  }
 }

@@ -1643,6 +1643,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(liveScans("q266_shard_curve").isEmpty, p)
   }
 
+  test("q267: the eval draw rides the persisted per-doc stage — zero " +
+    "live scans warm; the seat allocation is domain-sized, the " +
+    "broadcast allocation joins onto ONE source-partitioned window " +
+    "(no global sort), no cartesian") {
+    val p = plan("q267_eval_draw")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(liveScans("q267_eval_draw").isEmpty, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("hashpartitioning(source"),
+      "the draw window must partition by source:\n" + p)
+  }
+
   test("q261: the leave-one-out card is domain-sized end to end — the " +
     "k-squared pairs come from broadcasting the k-row domain stage " +
     "against itself, every window partitions by the dropped source, " +
