@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -625,6 +626,55 @@ object PipelineQueries {
           lh.as("lang_head"), lt.as("lang_tail"),
           (lh =!= lt && lh =!= "und" && lt =!= "und").as("mixed"))
         .orderBy(col("doc_id"))
+    }),
+
+    // The q23 heuristic EVALUATED — the confusion matrix against the
+    // corpus's stored language labels, with per-cell recall (each
+    // true-language row's share landing in each predicted cell): the
+    // card an operator reads before trusting the router's language
+    // splits. A matrix-sized window (≤ |langs|² rows) computes the
+    // per-label totals; the corpus pass is the one q23 projection.
+    "q268_langid_confusion" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("lang"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+      val m = d.groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("lang"))
+      m.withColumn("lang_total", sum(col("n_docs")).over(w))
+        .select(col("lang"), col("lang_pred"), col("n_docs"),
+          col("lang_total"),
+          round(col("n_docs").cast("double") /
+            col("lang_total").cast("double"), 6).as("recall"))
+        .orderBy(col("lang"), col("lang_pred"))
+    }),
+
+    // CROSS-SOURCE duplication matrix — who copies from whom: the
+    // verified near-dup pairs (the persisted q27 stage) labeled with
+    // both ends' sources and reduced to an unordered (src_a, src_b)
+    // matrix with each cell's share of all duplicate pairs. The
+    // licensing/provenance card: heavy cross-source cells mean a
+    // source is a mirror (dedup before mixing); heavy diagonal cells
+    // mean within-source boilerplate (line/substring dedup territory).
+    // Two broadcast-joinable id→source lookups onto the pair list —
+    // pair-list-sized work, the corpus text is never re-read.
+    "q269_dup_source_matrix" -> ((s, dir) => {
+      val src = CorpusQueries.docSourceTokensStage(s, dir)
+        .select(col("doc_id"), col("source"))
+      val lab = docPairs(s, dir).select(col("d1"), col("d2"))
+        .join(src.select(col("doc_id").as("d1"), col("source").as("s1")),
+          Seq("d1"))
+        .join(src.select(col("doc_id").as("d2"), col("source").as("s2")),
+          Seq("d2"))
+      val m = lab.select(least(col("s1"), col("s2")).as("src_a"),
+          greatest(col("s1"), col("s2")).as("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+      m.withColumn("share",
+          round(col("n_pairs").cast("double") /
+            sum(col("n_pairs")).over(Window.partitionBy())
+              .cast("double"), 6))
+        .withColumn("cross_source", col("src_a") =!= col("src_b"))
+        .orderBy(col("src_a"), col("src_b"))
     }),
 
     // LLM text 3: per-document quality signals + composite score.
@@ -2319,6 +2369,60 @@ object PipelineQueries {
         |FROM h ORDER BY doc_id""".stripMargin,
 
     "q187_lang_mix" -> langMixSql,
+
+    // The q23 prediction CTE reduced to the confusion matrix with
+    // per-true-language recall shares.
+    "q268_langid_confusion" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, text,
+        |         string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, lang, text,
+        |    len(list_filter(toks, w -> w IN ('the','a','of','and','to','in','is','on','for','with'))) AS en,
+        |    len(list_filter(toks, w -> w IN ('el','la','de','los','las','en','y','que','por','un'))) AS es,
+        |    len(list_filter(toks, w -> w IN ('le','les','des','et','une','dans','pour','est','du','au'))) AS fr,
+        |    len(list_filter(toks, w -> w IN ('der','die','das','und','ist','mit','von','ein','zu','auf'))) AS de
+        |  FROM t),
+        |p AS (
+        |  SELECT lang,
+        |    CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |         WHEN en = 0 AND es = 0 AND fr = 0 AND de = 0 THEN 'und'
+        |         WHEN en >= es AND en >= fr AND en >= de THEN 'en'
+        |         WHEN es >= fr AND es >= de THEN 'es'
+        |         WHEN fr >= de THEN 'fr'
+        |         ELSE 'de' END AS lang_pred
+        |  FROM h),
+        |m AS (SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM p GROUP BY 1, 2)
+        |SELECT lang, lang_pred, n_docs,
+        |  CAST(sum(n_docs) OVER (PARTITION BY lang) AS BIGINT)
+        |    AS lang_total,
+        |  round(n_docs::DOUBLE /
+        |    sum(n_docs) OVER (PARTITION BY lang)::DOUBLE, 6) AS recall
+        |FROM m ORDER BY lang, lang_pred""".stripMargin,
+
+    // The verified-pair CTEs labeled with both ends' sources, reduced
+    // to the unordered source matrix.
+    "q269_dup_source_matrix" ->
+      s"""WITH $jaccardPairsCtes,
+        |vp AS (
+        |  SELECT pr.d1, pr.d2
+        |  FROM pr JOIN sz sa ON sa.doc_id = pr.d1
+        |           JOIN sz sb ON sb.doc_id = pr.d2
+        |  WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.5),
+        |lab AS (
+        |  SELECT least(a.source, b.source) AS src_a,
+        |         greatest(a.source, b.source) AS src_b
+        |  FROM vp v JOIN documents a ON a.doc_id = v.d1
+        |            JOIN documents b ON b.doc_id = v.d2),
+        |m AS (SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM lab GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_pairs,
+        |  round(n_pairs::DOUBLE / sum(n_pairs) OVER ()::DOUBLE, 6)
+        |    AS share,
+        |  (src_a <> src_b) AS cross_source
+        |FROM m ORDER BY src_a, src_b""".stripMargin,
 
     "q24_quality_score" ->
       """WITH t AS (

@@ -1655,6 +1655,25 @@ class PlanAuditSpec extends SparkSpec {
       "the draw window must partition by source:\n" + p)
   }
 
+  test("q268: the confusion card is ONE corpus projection (the q23 " +
+    "langid expressions, pushed column set) + a matrix-sized window — " +
+    "partial aggregation map-side, no join, no cartesian") {
+    val p = plan("q268_langid_confusion")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q269: the source matrix rides the persisted pairs + " +
+    "doc_source_tokens stages — zero live scans warm; two id-keyed " +
+    "lookups onto the pair list, the share window runs on the " +
+    "matrix-sized aggregate, no cartesian") {
+    val p = plan("q269_dup_source_matrix")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(liveScans("q269_dup_source_matrix").isEmpty, p)
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
   test("q261: the leave-one-out card is domain-sized end to end — the " +
     "k-squared pairs come from broadcasting the k-row domain stage " +
     "against itself, every window partitions by the dropped source, " +
