@@ -125,24 +125,31 @@ object CorpusQueries {
   /** [[mixRealize]] with an EXPLICIT one-row budget (the
     * [[Mixture.unimaxAllocationBudget]] form) — what a multi-phase
     * schedule realizes each phase with: the phase budget is a fraction
-    * of the WHOLE run's tokens, not of the pool it allocates over. */
+    * of the WHOLE run's tokens, not of the pool it allocates over.
+    * `rankPrefix` (default none — bit-identical to the historic form)
+    * prepends columns to the per-source remainder rank: a
+    * freshness-preferring anneal passes the doc's pretrain exposure so
+    * low-exposure docs enter the remainder first (q270). */
   private[queries] def mixRealizeBudget(perDoc: DataFrame,
-      counts: DataFrame, maxEpochs: Long, budget: DataFrame): DataFrame =
+      counts: DataFrame, maxEpochs: Long, budget: DataFrame,
+      rankPrefix: Seq[org.apache.spark.sql.Column] = Nil): DataFrame =
     realizeFromAlloc(perDoc, Mixture.unimaxAllocationBudget(counts,
-      "source", "n_tok", maxEpochs, budget))
+      "source", "n_tok", maxEpochs, budget), rankPrefix)
 
   /** The shared realization tail: decompose each source's allocation
     * into full epochs + the md5-ranked minimal-overshoot remainder
-    * prefix over `perDoc`. */
-  private def realizeFromAlloc(perDoc: DataFrame, alloc0: DataFrame)
-      : DataFrame = {
+    * prefix over `perDoc` (`rankPrefix` columns, if any, outrank the
+    * md5). */
+  private def realizeFromAlloc(perDoc: DataFrame, alloc0: DataFrame,
+      rankPrefix: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
     val alloc = alloc0
       .select(col("source"), col("n_tok").as("src_tok"), col("alloc"))
       .withColumn("epochs_full", expr("alloc div src_tok"))
       .withColumn("rem_target", col("alloc") % col("src_tok"))
     val w = Window.partitionBy(col("source"))
-      .orderBy(NearDup.md5Hash60(col("doc_id").cast("string")),
-        col("doc_id"))
+      .orderBy(rankPrefix ++ Seq(
+        NearDup.md5Hash60(col("doc_id").cast("string")),
+        col("doc_id")): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     perDoc
       .join(broadcast(alloc), Seq("source"))
@@ -1251,6 +1258,49 @@ object CorpusQueries {
       Packing.packShardCurve(docSourceTokensStage(s, dir), "doc_id",
           "n_tok", budget = 512L, shardGrid = Seq(4, 8, 16, 32))
         .orderBy(col("shards"))),
+
+    // FRESHNESS-PREFERRING anneal — closing the loop q264 opened (the
+    // measured anneal was 100% re-reads): the same anneal realization
+    // with the per-source remainder rank PREFIXED by each doc's
+    // pretrain exposure, so low-exposure docs enter the anneal first
+    // and the md5 rank only tiebreaks within an exposure class. Two
+    // exposure histograms side by side (a_md5 = q256's order, b_fresh
+    // = the exposure-first order) — the token mass provably shifts
+    // toward lower exposure at the same budget, pool and allocation.
+    "q270_fresh_anneal" -> ((s, dir) => {
+      val perDoc = docSourceTokensStage(s, dir)
+      val pool = sourceTokensStage(s, dir)
+      val tot = pool.agg(sum(col("n_tok")).as("t"))
+      val b1 = tot.select(expr("(t * 9) div 10").as("b"))
+      val b2 = tot.select(expr("t - ((t * 9) div 10)").as("b"))
+      val hqDoc = perDoc
+        .join(docFeaturesStage(s, dir).filter(col("g_gopher"))
+          .select(col("doc_id")), Seq("doc_id"), "left_semi")
+      val hqAll = pool.select(col("source"))
+        .join(hqDoc.groupBy(col("source"))
+          .agg(sum(col("n_tok")).as("n_tok")), Seq("source"), "left")
+        .select(col("source"),
+          coalesce(col("n_tok"), lit(0L)).as("n_tok"))
+      val pre = mixRealizeBudget(perDoc, pool, 4L, b1)
+        .select(col("doc_id"),
+          (col("epochs_full") + when(col("in_rem"), 1L).otherwise(0L))
+            .as("exposure"))
+      val hqExp = hqDoc.join(pre, Seq("doc_id"), "left")
+        .withColumn("exposure", coalesce(col("exposure"), lit(0L)))
+      def hist(sel: DataFrame, label: String) = sel
+        .withColumn("n_inst",
+          col("epochs_full") + when(col("in_rem"), 1L).otherwise(0L))
+        .filter(col("n_inst") > 0)
+        .groupBy(col("exposure"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok") * col("n_inst")).as("anneal_tokens"))
+        .select(lit(label).as("variant"), col("exposure"), col("n_docs"),
+          col("anneal_tokens"))
+      hist(mixRealizeBudget(hqExp, hqAll, 1L, b2), "a_md5")
+        .unionByName(hist(mixRealizeBudget(hqExp, hqAll, 1L, b2,
+          rankPrefix = Seq(col("exposure"))), "b_fresh"))
+        .orderBy(col("variant"), col("exposure"))
+    }),
 
     // EXACT proportional eval-set draw — "hold out exactly 10% of the
     // corpus, proportional to source sizes": the largest-remainder
@@ -2434,7 +2484,8 @@ object CorpusQueries {
     * `${p}sel2(doc_id, source, w, src_tok, alloc, epochs_full,
     * rem_target, cum, in_rem)`. */
   private def mixChainFrom(p: String, perDoc: String, cap: Long = 4L,
-      bExpr: String = "(sum(n_tok) OVER () * 2) // 1"): String =
+      bExpr: String = "(sum(n_tok) OVER () * 2) // 1",
+      rankPrefix: String = ""): String =
     s"""${p}stok AS (
       |  SELECT source, CAST(sum(w) AS BIGINT) AS n_tok
       |  FROM $perDoc GROUP BY 1),
@@ -2472,7 +2523,8 @@ object CorpusQueries {
       |  SELECT d.doc_id, d.source, d.w, a.src_tok, a.alloc,
       |    a.epochs_full, a.rem_target,
       |    sum(d.w) OVER (PARTITION BY d.source
-      |      ORDER BY ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT,
+      |      ORDER BY $rankPrefix
+      |        ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT,
       |        d.doc_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       |  FROM $perDoc d JOIN ${p}al2 a USING (source)),
@@ -3920,6 +3972,46 @@ object CorpusQueries {
         |FROM per ORDER BY source""".stripMargin,
 
     "q266_shard_curve" -> shardCurveSql,
+
+    // The q264 chains twice — the second anneal realization ranks by
+    // (exposure, md5) via mixChainFrom's rankPrefix — each reduced to
+    // its exposure histogram.
+    "q270_fresh_anneal" ->
+      s"""WITH $gopherCtes,
+        |$docTokCte,
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS t FROM doc),
+        |hqdoc AS (SELECT doc_id, source, CAST(n_tok AS BIGINT) AS w
+        |  FROM acc WHERE g_gopher),
+        |${mixChainFrom("s1", "doc", 4L, "(SELECT (t * 9) // 10 FROM tot)")},
+        |pre AS (SELECT doc_id,
+        |    epochs_full + CASE WHEN in_rem THEN 1 ELSE 0 END AS exposure
+        |  FROM s1sel2),
+        |hqexp AS (SELECT h.doc_id, h.source, h.w,
+        |    CAST(coalesce(p.exposure, 0) AS BIGINT) AS exposure
+        |  FROM hqdoc h LEFT JOIN pre p USING (doc_id)),
+        |${mixChainFrom("s2", "hqexp", 1L,
+            "(SELECT t - ((t * 9) // 10) FROM tot)")},
+        |${mixChainFrom("s3", "hqexp", 1L,
+            "(SELECT t - ((t * 9) // 10) FROM tot)", "d.exposure,")},
+        |h2 AS (SELECT x.exposure, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(s.w * (s.epochs_full +
+        |      CASE WHEN s.in_rem THEN 1 ELSE 0 END)) AS BIGINT)
+        |      AS anneal_tokens
+        |  FROM s2sel2 s JOIN hqexp x USING (doc_id)
+        |  WHERE s.epochs_full + CASE WHEN s.in_rem THEN 1 ELSE 0 END > 0
+        |  GROUP BY 1),
+        |h3 AS (SELECT x.exposure, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(s.w * (s.epochs_full +
+        |      CASE WHEN s.in_rem THEN 1 ELSE 0 END)) AS BIGINT)
+        |      AS anneal_tokens
+        |  FROM s3sel2 s JOIN hqexp x USING (doc_id)
+        |  WHERE s.epochs_full + CASE WHEN s.in_rem THEN 1 ELSE 0 END > 0
+        |  GROUP BY 1)
+        |SELECT 'a_md5' AS variant, exposure, n_docs, anneal_tokens
+        |FROM h2
+        |UNION ALL
+        |SELECT 'b_fresh', exposure, n_docs, anneal_tokens FROM h3
+        |ORDER BY variant, exposure""".stripMargin,
 
     // The largest-remainder seats in exact integers, the per-source
     // md5-ranked draw, and the drawn-id XOR fingerprints.

@@ -382,4 +382,35 @@ class ManifestSpec extends SparkSpec {
       .agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0)
     assert(rows.map(_.getAs[Long]("anneal_tokens")).sum === tok2)
   }
+
+  test("q270 fresh anneal: the a_md5 variant IS q264's histogram, both " +
+      "variants move the same token mass, and the exposure-first rank " +
+      "never raises the token-weighted mean exposure") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q270_fresh_anneal")(spark, dir)
+      .collect()
+    val a = rows.filter(_.getAs[String]("variant") == "a_md5")
+    val b = rows.filter(_.getAs[String]("variant") == "b_fresh")
+    val q264 = SparkEntry.queries("q264_anneal_exposure")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("exposure") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("anneal_tokens"))).toMap
+    assert(a.map(r => r.getAs[Long]("exposure") ->
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("anneal_tokens"))).toMap
+      === q264, "default rank must reproduce q264 exactly")
+    def mass(xs: Array[org.apache.spark.sql.Row]) =
+      xs.map(_.getAs[Long]("anneal_tokens")).sum
+    def weighted(xs: Array[org.apache.spark.sql.Row]) =
+      xs.map(r => r.getAs[Long]("exposure") *
+        r.getAs[Long]("anneal_tokens")).sum
+    // same budget + pool + allocation ⇒ the realized mass only moves
+    // BETWEEN exposure classes (within a source the remainder target
+    // is fixed; the crossing doc can differ, so allow the one-doc
+    // overshoot slack per source both chains already have)
+    assert(math.abs(mass(a) - mass(b)) <= 512L * 20L,
+      s"masses diverged beyond per-source overshoot slack: " +
+        s"${mass(a)} vs ${mass(b)}")
+    assert(weighted(b) * mass(a) <= weighted(a) * mass(b),
+      "exposure-first rank must not raise the weighted mean exposure")
+  }
 }

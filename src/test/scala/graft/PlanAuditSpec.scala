@@ -1674,6 +1674,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"), p)
   }
 
+  test("q270: both anneal variants ride the persisted per-doc / " +
+    "feature stages — zero live scans warm; the rank-prefixed window " +
+    "still partitions by source (no global sort), no cartesian beyond " +
+    "the broadcast one-row budgets") {
+    val p = plan("q270_fresh_anneal")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(liveScans("q270_fresh_anneal").isEmpty, p)
+    assert(p.contains("hashpartitioning(source"),
+      "the realization windows must partition by source:\n" + p)
+  }
+
   test("q261: the leave-one-out card is domain-sized end to end — the " +
     "k-squared pairs come from broadcasting the k-row domain stage " +
     "against itself, every window partitions by the dropped source, " +
