@@ -112,31 +112,6 @@ object Layout {
       .sortBy(keyCol)
       .saveAsTable(table)
 
-  /** LOADER-SHARD integrity manifest — the checksummed face of a
-    * release a trainer verifies before (and after) a multi-day run:
-    * the epoch order is split into `nParts` contiguous position
-    * ranges (shard p = positions with ((pos−1)·nParts) div N = p —
-    * exactly the slices [[clusteredWrite]] would emit as data-loader
-    * files), and each shard row carries its row/token counts, its
-    * [first_pos, last_pos] range (last−first+1 = n_rows proves the
-    * ranges tile the epoch with no gap or overlap) and an
-    * ORDER-ENCODING fingerprint: XOR of md5-60(pos:key) row hashes.
-    * XOR is commutative so the aggregate is map-side combinable and
-    * distributed-exact at any manifest size (the q236 order_fp
-    * discipline — no ordered concat ever materializes a shard in one
-    * task), yet the order is still pinned because pos rides inside
-    * every hashed term. The `~release` row closes the card: totals
-    * plus the XOR of all row hashes, which by XOR's associativity
-    * equals the XOR of the shard fingerprints — one released number
-    * that changes if ANY shard changes.
-    *
-    * @param manifest an epoch-order table ([[Packing.epochShuffle]]'s
-    *                 shape) with a dense 1-based `posCol`
-    * @param key      string column pinning each row's identity (e.g.
-    *                 shard:bin)
-    * @return one row per loader shard, `part` "p0".."p{n-1}", plus
-    *         "~release": (part, n_rows, n_tokens, first_pos, last_pos,
-    *         fp) ordered by part */
   /** [[shardFingerprints]] with FIXED-WIDTH parts (part = (pos−1) div
     * partSize) instead of a fixed part COUNT. This is the streaming-
     * maintainable form: growing the manifest (a nightly append of new
@@ -171,12 +146,38 @@ object Layout {
         expr("bit_xor(fp)").as("fp"))
       .select(lit("~release").as("part"), col("n_rows"), col("n_tokens"),
         col("first_pos"), col("last_pos"), col("fp"))
-    per.select(concat(lit("p"), col("part").cast("string")).as("part"),
+    per.select(format_string("p%03d", col("part")).as("part"),
         col("n_rows"), col("n_tokens"), col("first_pos"), col("last_pos"),
         col("fp"))
       .unionByName(rel)
   }
 
+  /** LOADER-SHARD integrity manifest — the checksummed face of a
+    * release a trainer verifies before (and after) a multi-day run:
+    * the epoch order is split into `nParts` contiguous position
+    * ranges (shard p = positions with ((pos−1)·nParts) div N = p —
+    * exactly the slices [[clusteredWrite]] would emit as data-loader
+    * files), and each shard row carries its row/token counts, its
+    * [first_pos, last_pos] range (last−first+1 = n_rows proves the
+    * ranges tile the epoch with no gap or overlap) and an
+    * ORDER-ENCODING fingerprint: XOR of md5-60(pos:key) row hashes.
+    * XOR is commutative so the aggregate is map-side combinable and
+    * distributed-exact at any manifest size (the q236 order_fp
+    * discipline — no ordered concat ever materializes a shard in one
+    * task), yet the order is still pinned because pos rides inside
+    * every hashed term. The `~release` row closes the card: totals
+    * plus the XOR of all row hashes, which by XOR's associativity
+    * equals the XOR of the shard fingerprints — one released number
+    * that changes if ANY shard changes.
+    *
+    * @param manifest an epoch-order table ([[Packing.epochShuffle]]'s
+    *                 shape) with a dense 1-based `posCol`
+    * @param key      string column pinning each row's identity (e.g.
+    *                 shard:bin)
+    * @return one row per loader shard, `part` "p000".."p{n-1}"
+    *         (zero-padded so the label sorts in numeric part order at
+    *         any shard count), plus "~release": (part, n_rows,
+    *         n_tokens, first_pos, last_pos, fp) ordered by part */
   def shardFingerprints(manifest: DataFrame, posCol: String, key: Column,
       weightCol: String, nParts: Int): DataFrame = {
     require(nParts > 0, "need at least one loader shard")
@@ -199,7 +200,7 @@ object Layout {
         expr("bit_xor(fp)").as("fp"))
       .select(lit("~release").as("part"), col("n_rows"), col("n_tokens"),
         col("first_pos"), col("last_pos"), col("fp"))
-    per.select(concat(lit("p"), col("part").cast("string")).as("part"),
+    per.select(format_string("p%03d", col("part")).as("part"),
         col("n_rows"), col("n_tokens"), col("first_pos"), col("last_pos"),
         col("fp"))
       .unionByName(rel)

@@ -1213,7 +1213,12 @@ object CorpusQueries {
     // batch, fertility (tokens/word) on each side, the drift, and an
     // EXACT-INTEGER retrain flag (21·t_b·w_h > 22·t_h·w_b or the
     // mirror — fertility moved by more than 1/21 ≈ 4.8% in either
-    // direction — no float threshold, engine-exact). Rides the
+    // direction — no float threshold, engine-exact: the triple
+    // products run in 128-bit-exact arithmetic on BOTH engines
+    // (decimal(38,0) here, HUGEINT in the oracle), so the comparison
+    // stays exact to ~1e38 — far past any corpus's token×word
+    // product — instead of silently wrapping at the Long boundary
+    // near 4e17). Rides the
     // persisted bpe_tokens + doc_source_tokens stages; the corpus is
     // never re-encoded.
     "q265_fertility_drift" -> ((s, dir) => {
@@ -1240,10 +1245,11 @@ object CorpusQueries {
           when(col("w_batch") > 0, round(col("t_batch").cast("double") /
             col("w_batch").cast("double"), 6)).otherwise(lit(0.0))
             .as("fert_batch"),
-          (col("t_batch") * col("w_hist") * 21L >
-            col("t_hist") * col("w_batch") * 22L ||
-            col("t_hist") * col("w_batch") * 21L >
-              col("t_batch") * col("w_hist") * 22L).as("retrain_flag"))
+          (col("t_batch").cast("decimal(38,0)") * col("w_hist") * 21L >
+            col("t_hist").cast("decimal(38,0)") * col("w_batch") * 22L ||
+            col("t_hist").cast("decimal(38,0)") * col("w_batch") * 21L >
+              col("t_batch").cast("decimal(38,0)") * col("w_hist") * 22L)
+            .as("retrain_flag"))
         .orderBy(col("source"))
     }),
 
@@ -3966,8 +3972,9 @@ object CorpusQueries {
         |  CASE WHEN w_batch > 0
         |    THEN round(t_batch::DOUBLE / w_batch::DOUBLE, 6)
         |    ELSE 0.0 END AS fert_batch,
-        |  (t_batch * w_hist * 21 > t_hist * w_batch * 22 OR
-        |   t_hist * w_batch * 21 > t_batch * w_hist * 22)
+        |  (t_batch::HUGEINT * w_hist * 21 > t_hist::HUGEINT * w_batch * 22
+        |   OR
+        |   t_hist::HUGEINT * w_batch * 21 > t_batch::HUGEINT * w_hist * 22)
         |    AS retrain_flag
         |FROM per ORDER BY source""".stripMargin,
 

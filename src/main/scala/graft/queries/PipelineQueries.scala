@@ -1524,7 +1524,7 @@ object PipelineQueries {
         .select(col("part"), col("n_rows").as("n_after"),
           col("tok").as("tok_after"), col("fp").as("fp_after"))
       before.join(after, Seq("part"), "full_outer")
-        .select(concat(lit("p"), col("part").cast("string")).as("part"),
+        .select(format_string("p%03d", col("part")).as("part"),
           coalesce(col("n_before"), lit(0L)).as("n_before"),
           coalesce(col("n_after"), lit(0L)).as("n_after"),
           coalesce(col("tok_before"), lit(0L)).as("tok_before"),
@@ -2031,7 +2031,7 @@ object PipelineQueries {
         |    CAST(max(pos) AS BIGINT) AS last_pos,
         |    bit_xor(h) AS fp
         |  FROM rws GROUP BY 1)
-        |SELECT 'p' || part::VARCHAR AS part, n_rows, n_tokens,
+        |SELECT printf('p%03d', part) AS part, n_rows, n_tokens,
         |  first_pos, last_pos, fp
         |FROM per
         |UNION ALL
@@ -2204,7 +2204,7 @@ object PipelineQueries {
         |    CAST(sum(n_tokens) AS BIGINT) AS tok_after,
         |    bit_xor(h) AS fpa
         |  FROM pa GROUP BY 1)
-        |SELECT 'p' || part::VARCHAR AS part,
+        |SELECT printf('p%03d', part) AS part,
         |  coalesce(n_before, 0) AS n_before,
         |  coalesce(n_after, 0) AS n_after,
         |  coalesce(tok_before, 0) AS tok_before,
