@@ -78,7 +78,11 @@ object ScaleProbe {
     // shuffle (q263); q258/q260/q261/q262 are bin-sized, 5-group or
     // domain-sized cards over already-probed stages/manifests and need
     // no exponent of their own
-    "q257_stream_packing", "q259_shuffle_qa", "q263_vocab_growth")
+    "q257_stream_packing", "q259_shuffle_qa", "q263_vocab_growth",
+    // round-17: the BPE-metered composed schedule adds the doc_bpe
+    // join + two BPE realizations/packings to q256's shape — the
+    // trainer-facing manifest whose exponent matters most
+    "q271_bpe_schedule")
   private val Passes = 2
 
   def main(args: Array[String]): Unit = {

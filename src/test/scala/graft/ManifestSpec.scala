@@ -413,4 +413,81 @@ class ManifestSpec extends SparkSpec {
     assert(weighted(b) * mass(a) <= weighted(a) * mass(b),
       "exposure-first rank must not raise the weighted mean exposure")
   }
+
+  test("q271 BPE-metered schedule: q256's structure with ZERO bins over " +
+      "the true 512 sequence budget, both phases hitting their exact " +
+      "BPE budget-split allocations, the anneal within one epoch of the " +
+      "gopher pool, and the whitespace packing's measured BPE overflow " +
+      "(q252) eliminated") {
+    val sched = SparkEntry.queries("q271_bpe_schedule")(spark, dir)
+      .collect()
+    // q256's structural contract carries over unchanged
+    assert(sched.map(_.getAs[Long]("pos")).toSeq ===
+      (1L to sched.length.toLong))
+    val (p1, p2) = sched.partition(_.getAs[String]("phase") ==
+      "1_pretrain")
+    assert(p1.nonEmpty && p2.nonEmpty)
+    assert(p1.map(_.getAs[Long]("pos")).max <
+      p2.map(_.getAs[Long]("pos")).min)
+    assert(p1.forall(r => r.isNullAt(r.fieldIndex("decile"))))
+    val decs = p2.sortBy(_.getAs[Long]("pos")).map(_.getAs[Long]("decile"))
+    assert(decs.zip(decs.tail).forall { case (a, b) => a <= b })
+    // THE point of the re-metering: no bin exceeds the true sequence
+    // budget (q252 measured 59/60 whitespace-packed bins overflowing
+    // it; q254 fixed the release pack; this pins the trainer-facing
+    // schedule itself)
+    assert(sched.forall(_.getAs[Long]("n_tokens_bpe") <= 512L),
+      "a BPE-metered bin over 512 defeats the entire re-metering")
+    assert(sched.forall(_.getAs[Long]("n_tokens_ws") > 0L),
+      "both meters must ride every manifest row")
+    // budget split honored in the BPE unit: rebuild the per-doc BPE
+    // table + both waterfills independently and check each phase's
+    // packed mass HITS its allocation (whole-doc overshoot only)
+    val docs = Tables.load(spark, dir, "documents")
+    val perDoc = TextAnalysis.bpeTokenCounts(docs, "doc_id", "text",
+        CorpusQueries.bpeMerges)
+      .select(col("id").as("doc_id"), col("n_tokens").as("n_tok"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .localCheckpoint(true)
+    val pool = perDoc.groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("n_tok")).localCheckpoint(true)
+    val t = pool.agg(sum(col("n_tok"))).collect().head.getLong(0)
+    val b1 = t * 9 / 10
+    val staged = TextAnalysis.withTokens(
+      docs.select(col("doc_id"), col("text")), "text", "__toks",
+      Some(("__grams", 3)))
+    val gop = staged.select(col("doc_id"),
+      TextAnalysis.gopherAccept(col("text"), col("__toks"),
+        col("__grams")).as("g"))
+    val hqDoc = perDoc.join(gop.filter(col("g")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val hqAll = pool.select(col("source"))
+      .join(hqDoc.groupBy(col("source"))
+        .agg(sum(col("n_tok")).as("n_tok")), Seq("source"), "left")
+      .select(col("source"), coalesce(col("n_tok"), lit(0L)).as("n_tok"))
+    import spark.implicits._
+    def allocSum(counts: org.apache.spark.sql.DataFrame, cap: Long,
+        b: Long): Long =
+      Mixture.unimaxAllocationBudget(counts, "source", "n_tok", cap,
+          Seq(b).toDF("b"))
+        .agg(sum(col("alloc"))).collect().head.getLong(0)
+    val alloc1 = allocSum(pool, 4L, b1)
+    val alloc2 = allocSum(hqAll, 1L, t - b1)
+    val tok1 = p1.map(_.getAs[Long]("n_tokens_bpe")).sum
+    val tok2 = p2.map(_.getAs[Long]("n_tokens_bpe")).sum
+    assert(tok1 >= alloc1 && tok2 >= alloc2,
+      s"each phase must HIT its BPE allocation: $tok1/$alloc1 " +
+        s"$tok2/$alloc2")
+    // anneal never repeats (cap 1): bounded by one epoch of its pool
+    val hqTot = hqDoc.agg(sum(col("n_tok"))).collect().head.getLong(0)
+    assert(tok2 <= hqTot, "anneal cannot exceed one epoch of its pool")
+    // and the overflow this schedule eliminates is REAL: the q252
+    // measurement says whitespace-512 bins overflow the BPE budget
+    val q252 = SparkEntry.queries("q252_bpe_packing")(spark, dir)
+      .collect()
+    val wsRow = q252.find(_.getAs[String]("meter") == "a_whitespace").get
+    assert(wsRow.getAs[Long]("n_cross_over") > 0L,
+      "q252's whitespace packing should overflow the BPE budget — " +
+        "otherwise the re-metering guards nothing")
+  }
 }

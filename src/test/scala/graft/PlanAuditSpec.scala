@@ -1481,6 +1481,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("rangepartitioning"), p)
   }
 
+  test("q271: the BPE-metered schedule rides the persisted " +
+    "doc_bpe_tokens / doc_source_tokens / feature / score stages and " +
+    "its checkpointed instance tables — zero live scans warm, decile " +
+    "cut range-partitioned, no cartesian beyond the broadcast one-row " +
+    "budgets and bin count") {
+    val p = plan("q271_bpe_schedule")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(liveScans("q271_bpe_schedule").isEmpty, p)
+    assert(p.contains("rangepartitioning"), p)
+  }
+
   test("q250: the governance-shift card is two k-row projections of " +
     "the persisted realizations — zero live scans warm, broadcast " +
     "share totals, no cartesian") {
