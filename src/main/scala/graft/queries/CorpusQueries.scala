@@ -208,8 +208,15 @@ object CorpusQueries {
       rankPrefix: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
     val alloc = alloc0
       .select(col("source"), col("n_tok").as("src_tok"), col("alloc"))
-      .withColumn("epochs_full", expr("alloc div src_tok"))
-      .withColumn("rem_target", col("alloc") % col("src_tok"))
+      // zero-capacity sources (alloc = 0 by the waterfill contract)
+      // carry no perDoc rows, so their decomposition never surfaces —
+      // but ANSI mode still evaluates 0 div 0 on the k-row table, so
+      // guard it (q272's high admission thresholds empty whole sources)
+      .withColumn("epochs_full",
+        when(col("src_tok") > 0, expr("alloc div src_tok")).otherwise(0L))
+      .withColumn("rem_target",
+        when(col("src_tok") > 0, col("alloc") % col("src_tok"))
+          .otherwise(0L))
     val w = Window.partitionBy(col("source"))
       .orderBy(rankPrefix ++ Seq(
         NearDup.md5Hash60(col("doc_id").cast("string")),
@@ -1228,6 +1235,84 @@ object CorpusQueries {
           col("n_docs"), col("n_tokens_bpe"), col("n_tokens_ws"),
           col("order_key"))
         .orderBy(col("pos"))
+    }),
+
+    // THE ANNEAL POOL'S QUALITY-BAR decision curve — operationalizing
+    // q264's measured finding (ZERO fresh docs in the anneal: the cap-4
+    // pretrain already covers the whole gopher pool, so reordering
+    // alone — q270 — can only shuffle re-reads): the dial an operator
+    // actually turns is the pool's ADMISSION bar. Gopher-accepted docs
+    // are cut into exact quality deciles by the persisted NB logit
+    // (q253's integer-scaled unit, the q119 cross-multiplication — no
+    // float quantiles), and for each admission threshold t ∈ 0..9
+    // (admit deciles ≥ t) the SAME anneal waterfill runs at the SAME
+    // fixed remainder budget over the restricted pool. Per threshold:
+    // pool size, realized anneal docs/tokens, budget fill, the
+    // admitted-quality FLOOR (min_q — provably non-decreasing in t),
+    // the realized token-weighted mean quality and mean pretrain
+    // exposure — the three-way price card (pool quality × freshness ×
+    // budget fill) the q264 card was missing. Threshold 0 IS q264's
+    // histogram (the spec pins the aggregate equality). All ten
+    // waterfills are domain-sized; the realizations are windows over
+    // the checkpointed ~pool-sized decile table; weighted sums run in
+    // decimal(38,0) (HUGEINT in the oracle) so the quality·token
+    // products stay exact at any corpus size. Rides doc_source_tokens /
+    // source_tokens / doc_features / nb_scores — no corpus re-read.
+    "q272_anneal_quality_bar" -> ((s, dir) => {
+      val ch = wsScheduleChain(s, dir)
+      val q4 = PipelineQueries.nbScoresStage(s, dir)
+        .select(col("doc_id"),
+          round(col("nb_logit") * 10000, 0).cast("long").as("q4"))
+      val pool = Ranking.equalFreqBins(ch.hqDoc.join(q4, Seq("doc_id")),
+          Seq(col("q4"), col("doc_id")), k = 10, parts = 32)
+        .withColumnRenamed("bin", "qdec").drop("rank")
+        .localCheckpoint(true) // ten thresholds ride it
+      val pre = mixRealizeBudget(ch.perDoc, ch.pool, 4L, ch.b1)
+        .select(col("doc_id"),
+          (col("epochs_full") + when(col("in_rem"), 1L).otherwise(0L))
+            .as("exposure"))
+        .localCheckpoint(true) // ten exposure joins ride it
+      val budget = ch.b2.localCheckpoint(true)
+      (0L to 9L).map { t =>
+        val pt = pool.filter(col("qdec") >= t)
+        val allT = ch.pool.select(col("source"))
+          .join(pt.groupBy(col("source"))
+            .agg(sum(col("n_tok")).as("n_tok")), Seq("source"), "left")
+          .select(col("source"),
+            coalesce(col("n_tok"), lit(0L)).as("n_tok"))
+        val realized = mixRealizeBudget(pt, allT, 1L, budget)
+          .withColumn("n_inst",
+            col("epochs_full") + when(col("in_rem"), 1L).otherwise(0L))
+          .filter(col("n_inst") > 0)
+          .join(pre, Seq("doc_id"), "left")
+          .withColumn("exposure", coalesce(col("exposure"), lit(0L)))
+        val poolAgg = pt.agg(count(lit(1)).as("pool_docs"),
+          coalesce(sum(col("n_tok")), lit(0L)).as("pool_tokens"))
+        val annAgg = realized.agg(
+          count(lit(1)).as("ann_docs"),
+          coalesce(sum(col("n_tok") * col("n_inst")), lit(0L))
+            .as("ann_tokens"),
+          min(col("q4")).as("min_q"),
+          sum(col("q4").cast("decimal(38,0)") * col("n_tok") *
+            col("n_inst")).as("sq"),
+          sum(col("exposure").cast("decimal(38,0)") * col("n_tok") *
+            col("n_inst")).as("se"))
+        poolAgg.crossJoin(broadcast(annAgg))
+          .crossJoin(broadcast(budget))
+          .select(lit(t).as("threshold"), col("pool_docs"),
+            col("pool_tokens"), col("ann_docs"), col("ann_tokens"),
+            col("b").as("budget"),
+            when(col("b") > 0, round(col("ann_tokens").cast("double") /
+              col("b").cast("double"), 6)).otherwise(lit(0.0))
+              .as("fill_frac"),
+            col("min_q"),
+            when(col("ann_tokens") > 0, round(col("sq").cast("double") /
+              col("ann_tokens").cast("double"), 6)).otherwise(lit(0.0))
+              .as("mean_q"),
+            when(col("ann_tokens") > 0, round(col("se").cast("double") /
+              col("ann_tokens").cast("double"), 6)).otherwise(lit(0.0))
+              .as("mean_exposure"))
+      }.reduce(_ unionByName _).orderBy(col("threshold"))
     }),
 
     // LENGTH-BUCKETED dynamic-batching card over the TRUE BPE lengths —
@@ -2674,6 +2759,77 @@ object CorpusQueries {
        |  CAST(n_tokens_ws AS BIGINT), order_key
        |FROM p2r
        |ORDER BY pos""".stripMargin
+
+  /** q272 oracle — the gopher pool cut into exact NB-logit deciles
+    * (row_number × 10 // n, q253's cross-multiplication), the pretrain
+    * chain for exposure, then TEN anneal mix chains (one per admission
+    * threshold) each reduced to its price row; weighted sums in
+    * HUGEINT, one division per mean. */
+  private lazy val annealQualityBarSql: String = {
+    val bud = "(SELECT t - ((t * 9) // 10) FROM tot)"
+    val perT = (0 to 9).map { t =>
+      s"""h$t AS (SELECT doc_id, source, w FROM dd WHERE qdec >= $t),
+         |${mixChainFrom(s"a$t", s"h$t", 1L, bud)},
+         |r$t AS (
+         |  SELECT s.doc_id, s.w,
+         |    s.epochs_full + CASE WHEN s.in_rem THEN 1 ELSE 0 END
+         |      AS n_inst,
+         |    h.q4, coalesce(p.exposure, 0) AS exposure
+         |  FROM a${t}sel2 s JOIN dd h USING (doc_id)
+         |  LEFT JOIN pre p USING (doc_id)
+         |  WHERE s.epochs_full + CASE WHEN s.in_rem THEN 1 ELSE 0 END
+         |    > 0),
+         |g$t AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS ann_docs,
+         |    CAST(coalesce(sum(w * n_inst), 0) AS BIGINT) AS ann_tokens,
+         |    min(q4) AS min_q,
+         |    sum(q4::HUGEINT * w * n_inst) AS sq,
+         |    sum(exposure::HUGEINT * w * n_inst) AS se
+         |  FROM r$t),
+         |p$t AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS pool_docs,
+         |    CAST(coalesce(sum(w), 0) AS BIGINT) AS pool_tokens
+         |  FROM h$t)""".stripMargin
+    }.mkString(",\n")
+    val rows = (0 to 9).map { t =>
+      s"""SELECT CAST($t AS BIGINT) AS threshold, pool_docs, pool_tokens,
+         |  ann_docs, ann_tokens, (SELECT b FROM bud) AS budget,
+         |  CASE WHEN (SELECT b FROM bud) > 0
+         |    THEN round(ann_tokens::DOUBLE /
+         |      (SELECT b FROM bud)::DOUBLE, 6)
+         |    ELSE 0.0 END AS fill_frac,
+         |  min_q,
+         |  CASE WHEN ann_tokens > 0
+         |    THEN round(sq::DOUBLE / ann_tokens::DOUBLE, 6)
+         |    ELSE 0.0 END AS mean_q,
+         |  CASE WHEN ann_tokens > 0
+         |    THEN round(se::DOUBLE / ann_tokens::DOUBLE, 6)
+         |    ELSE 0.0 END AS mean_exposure
+         |FROM p$t, g$t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $gopherCtes,
+       |$docTokCte,
+       |tot AS (SELECT CAST(sum(w) AS BIGINT) AS t FROM doc),
+       |bud AS (SELECT CAST($bud AS BIGINT) AS b),
+       |${PipelineQueries.nbScoreCtes},
+       |hq AS (SELECT doc_id, source, CAST(n_tok AS BIGINT) AS w
+       |  FROM acc WHERE g_gopher),
+       |hq4 AS (SELECT h.doc_id, h.source, h.w,
+       |    CAST(round(n.nb_logit * 10000, 0) AS BIGINT) AS q4
+       |  FROM hq h JOIN nbdoc n USING (doc_id)),
+       |dd AS (SELECT *, ((rnk - 1) * 10) // nn AS qdec
+       |  FROM (SELECT *, row_number() OVER (ORDER BY q4, doc_id) AS rnk,
+       |      count(*) OVER () AS nn
+       |    FROM hq4)),
+       |${mixChainFrom("s1", "doc", 4L, "(SELECT (t * 9) // 10 FROM tot)")},
+       |pre AS (SELECT doc_id,
+       |    epochs_full + CASE WHEN in_rem THEN 1 ELSE 0 END AS exposure
+       |  FROM s1sel2),
+       |$perT
+       |SELECT * FROM (
+       |$rows
+       |) ORDER BY threshold""".stripMargin
+  }
 
   /** The allocation + realization chain over a (doc_id, source, w)
     * CTE, prefixed — the SQL mirror of [[mixRealize]]: per-source
@@ -4599,6 +4755,8 @@ object CorpusQueries {
     "q256_training_schedule" -> trainingScheduleSql,
 
     "q271_bpe_schedule" -> bpeScheduleSql,
+
+    "q272_anneal_quality_bar" -> annealQualityBarSql,
 
     "q249_epoch_cap_curve" -> epochCapCurveSql,
 

@@ -490,4 +490,42 @@ class ManifestSpec extends SparkSpec {
       "q252's whitespace packing should overflow the BPE budget — " +
         "otherwise the re-metering guards nothing")
   }
+
+  test("q272 quality-bar curve: threshold 0 IS q264's histogram " +
+      "(docs/tokens/weighted mean exposure), the pool shrinks " +
+      "monotonically, the admitted-quality floor never falls, and the " +
+      "cap-1 anneal never exceeds one epoch of its pool") {
+    val curve = SparkEntry.queries("q272_anneal_quality_bar")(spark, dir)
+      .collect().sortBy(_.getAs[Long]("threshold"))
+    assert(curve.map(_.getAs[Long]("threshold")).toSeq === (0L to 9L))
+    // threshold 0 admits the whole gopher pool — exactly q264's anneal
+    val h = SparkEntry.queries("q264_anneal_exposure")(spark, dir)
+      .collect()
+    val t0 = curve.head
+    assert(t0.getAs[Long]("ann_docs") ===
+      h.map(_.getAs[Long]("n_docs")).sum)
+    assert(t0.getAs[Long]("ann_tokens") ===
+      h.map(_.getAs[Long]("anneal_tokens")).sum)
+    val wexp = h.map(r => r.getAs[Long]("exposure") *
+      r.getAs[Long]("anneal_tokens")).sum.toDouble /
+      h.map(_.getAs[Long]("anneal_tokens")).sum.toDouble
+    assert(t0.getAs[Double]("mean_exposure") === rnd(wexp, 6))
+    // monotone dials: raising the bar can only shrink the pool and
+    // raise the admitted-quality floor
+    curve.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("pool_docs") <= a.getAs[Long]("pool_docs"))
+      assert(b.getAs[Long]("pool_tokens") <= a.getAs[Long]("pool_tokens"))
+      assert(b.getAs[Long]("min_q") >= a.getAs[Long]("min_q"))
+      case _ => ()
+    }
+    // the dial is real on this corpus: the top bar strictly shrinks it
+    assert(curve.last.getAs[Long]("pool_docs") <
+      t0.getAs[Long]("pool_docs"))
+    // cap-1 anneal: realized mass within one epoch of its pool, and
+    // the budget column is the same fixed remainder on every row
+    curve.foreach { r =>
+      assert(r.getAs[Long]("ann_tokens") <= r.getAs[Long]("pool_tokens"))
+      assert(r.getAs[Long]("budget") === t0.getAs[Long]("budget"))
+    }
+  }
 }

@@ -1492,6 +1492,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("rangepartitioning"), p)
   }
 
+  test("q272: the quality-bar curve's ten threshold rows ride the " +
+    "checkpointed decile pool and exposure tables — zero live scans " +
+    "warm, every curve-row aggregate a broadcast one-row join, no " +
+    "cartesian beyond those broadcasts") {
+    val p = plan("q272_anneal_quality_bar")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(liveScans("q272_anneal_quality_bar").isEmpty, p)
+  }
+
   test("q250: the governance-shift card is two k-row projections of " +
     "the persisted realizations — zero live scans warm, broadcast " +
     "share totals, no cartesian") {
