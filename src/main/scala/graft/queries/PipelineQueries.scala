@@ -677,6 +677,43 @@ object PipelineQueries {
         .orderBy(col("src_a"), col("src_b"))
     }),
 
+    // LANGID-MISROUTING impact card — propagating q268's confusion
+    // matrix into the allocation unit the mixture family plans in
+    // (q80/q232 waterfill per-language/source TOKEN shares, so
+    // classifier error distorts allocations by token mass, not doc
+    // count): the q23 prediction joined doc-keyed to the persisted
+    // doc_source_tokens stage, reduced to the (true, pred) matrix with
+    // each cell's token mass, its share of the predicted language's
+    // routed mass, and — the headline per pred_lang — the
+    // CONTAMINATION fraction: how much of what the router files under
+    // that language is actually other-language mass. One corpus
+    // projection (the same single pass q268 costs), a doc-keyed join
+    // to the persisted token counts, then matrix-sized windows; the
+    // spec pins each cell's doc count against q268's matrix exactly.
+    "q273_langid_misrouting" -> ((s, dir) => {
+      val pred = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.langId(col("text")).as("lang_pred"))
+      val j = pred.join(CorpusQueries.docSourceTokensStage(s, dir)
+        .select(col("doc_id"), col("n_tok")), Seq("doc_id"))
+      val m = j.groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      val w = Window.partitionBy(col("lang_pred"))
+      m.withColumn("pred_tokens", sum(col("n_tokens")).over(w))
+        .withColumn("__contam",
+          sum(when(col("lang") =!= col("lang_pred"), col("n_tokens"))
+            .otherwise(0L)).over(w))
+        .select(col("lang"), col("lang_pred"), col("n_docs"),
+          col("n_tokens"),
+          (col("lang") =!= col("lang_pred")).as("misrouted"),
+          col("pred_tokens"),
+          round(col("n_tokens").cast("double") /
+            col("pred_tokens").cast("double"), 6).as("share_of_pred"),
+          round(col("__contam").cast("double") /
+            col("pred_tokens").cast("double"), 6).as("pred_contam_frac"))
+        .orderBy(col("lang"), col("lang_pred"))
+    }),
+
     // LLM text 3: per-document quality signals + composite score.
     "q24_quality_score" -> ((s, dir) => {
       val toks = TextAnalysis.tokens(lower(col("text")))
@@ -2400,6 +2437,48 @@ object PipelineQueries {
         |    AS lang_total,
         |  round(n_docs::DOUBLE /
         |    sum(n_docs) OVER (PARTITION BY lang)::DOUBLE, 6) AS recall
+        |FROM m ORDER BY lang, lang_pred""".stripMargin,
+
+    // The q23 prediction CTE joined to the whitespace token counts,
+    // reduced to the (true, pred) token-mass matrix with the per-pred
+    // contamination windows.
+    "q273_langid_misrouting" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, text,
+        |         string_split_regex(trim(lower(text)), '\s+') AS toks,
+        |         CAST(len(string_split_regex(trim(text), '\s+'))
+        |           AS BIGINT) AS n_tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, lang, text, n_tok,
+        |    len(list_filter(toks, w -> w IN ('the','a','of','and','to','in','is','on','for','with'))) AS en,
+        |    len(list_filter(toks, w -> w IN ('el','la','de','los','las','en','y','que','por','un'))) AS es,
+        |    len(list_filter(toks, w -> w IN ('le','les','des','et','une','dans','pour','est','du','au'))) AS fr,
+        |    len(list_filter(toks, w -> w IN ('der','die','das','und','ist','mit','von','ein','zu','auf'))) AS de
+        |  FROM t),
+        |p AS (
+        |  SELECT lang, n_tok,
+        |    CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |         WHEN en = 0 AND es = 0 AND fr = 0 AND de = 0 THEN 'und'
+        |         WHEN en >= es AND en >= fr AND en >= de THEN 'en'
+        |         WHEN es >= fr AND es >= de THEN 'es'
+        |         WHEN fr >= de THEN 'fr'
+        |         ELSE 'de' END AS lang_pred
+        |  FROM h),
+        |m AS (SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |  FROM p GROUP BY 1, 2)
+        |SELECT lang, lang_pred, n_docs, n_tokens,
+        |  (lang <> lang_pred) AS misrouted,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY lang_pred) AS BIGINT)
+        |    AS pred_tokens,
+        |  round(n_tokens::DOUBLE /
+        |    sum(n_tokens) OVER (PARTITION BY lang_pred)::DOUBLE, 6)
+        |    AS share_of_pred,
+        |  round(sum(CASE WHEN lang <> lang_pred THEN n_tokens ELSE 0 END)
+        |      OVER (PARTITION BY lang_pred)::DOUBLE /
+        |    sum(n_tokens) OVER (PARTITION BY lang_pred)::DOUBLE, 6)
+        |    AS pred_contam_frac
         |FROM m ORDER BY lang, lang_pred""".stripMargin,
 
     // The verified-pair CTEs labeled with both ends' sources, reduced

@@ -311,4 +311,42 @@ class CorpusOpsSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("id")).toSet
     assert(gotX === got.filter(_._1 == "x").map(_._2))
   }
+
+  // ---- q273 langid-misrouting impact card ----
+
+  test("q273 misrouting card reconciles row-for-row with q268's " +
+      "confusion matrix, conserves the corpus token mass, and its " +
+      "per-pred contamination equals the sum of that pred's misrouted " +
+      "shares") {
+    val dir = "/root/testdata/sf0.01"
+    val card = SparkEntry.queries("q273_langid_misrouting")(spark, dir)
+      .collect()
+    val conf = SparkEntry.queries("q268_langid_confusion")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("lang_pred")) ->
+        r.getAs[Long]("n_docs")).toMap
+    assert(card.length === conf.size)
+    card.foreach { r =>
+      val k = (r.getAs[String]("lang"), r.getAs[String]("lang_pred"))
+      assert(conf(k) === r.getAs[Long]("n_docs"),
+        s"doc count drifted from q268 at $k")
+    }
+    // token-mass conservation: the matrix partitions the corpus
+    val total = Tables.load(spark, dir, "documents")
+      .agg(sum(graft.functions.TextAnalysis.tokenCount(col("text"))))
+      .collect().head.getLong(0)
+    assert(card.map(_.getAs[Long]("n_tokens")).sum === total)
+    // per-pred identities: cell shares sum to 1, contamination is the
+    // misrouted share sum, and pred_tokens is the partition total
+    card.groupBy(_.getAs[String]("lang_pred")).foreach { case (_, cells) =>
+      val pt = cells.head.getAs[Long]("pred_tokens")
+      assert(cells.forall(_.getAs[Long]("pred_tokens") === pt))
+      assert(cells.map(_.getAs[Long]("n_tokens")).sum === pt)
+      val contam = cells.filter(_.getAs[Boolean]("misrouted"))
+        .map(_.getAs[Long]("n_tokens")).sum
+      val want = BigDecimal(contam.toDouble / pt.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(cells.forall(_.getAs[Double]("pred_contam_frac") === want))
+    }
+  }
 }

@@ -1684,6 +1684,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("q273: the misrouting card is the q268 projection + ONE " +
+    "doc-keyed join to the persisted token counts — zero live scans " +
+    "beyond the single documents projection, matrix-sized windows, " +
+    "no cartesian") {
+    val p = plan("q273_langid_misrouting")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(liveScans("q273_langid_misrouting").length <= 1, p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("q269: the source matrix rides the persisted pairs + " +
     "doc_source_tokens stages — zero live scans warm; two id-keyed " +
     "lookups onto the pair list, the share window runs on the " +
