@@ -134,6 +134,40 @@ object Dedup {
         col("__f")(sourceCol).as("first_source"), col("n_holders"))
   }
 
+  /** [[compactRegistry]] with the LICENSING-AWARE survivor rule (the
+    * registry-side twin of
+    * [[NearDup.priorityRepresentatives]]): the surviving holder per
+    * digest is chosen by (source priority asc, batch asc, source asc)
+    * instead of pure first-holder — "keep the copy from the permissive
+    * source" even when a restricted source saw the content first.
+    * `priority` is a per-source rank table (smaller = keep-preferred);
+    * sources absent from it rank last (Long.MaxValue), so an EMPTY or
+    * uniform priority table reproduces [[compactRegistry]]
+    * bit-identically (spec-pinned). Same output contract — (digest,
+    * first_batch, first_source, n_holders) — so the result composes
+    * with [[incrementalNew]] and re-compacts with itself exactly like
+    * the first-holder form; the priority join is one broadcast of the
+    * domain-sized rank table. */
+  def compactRegistryPrioritized(registry: DataFrame, digestCol: String,
+      sourceCol: String, batchCol: String, tombstoned: DataFrame,
+      priority: DataFrame, minBatch: Long = Long.MinValue): DataFrame = {
+    val ts = tombstoned
+      .select(col(tombstoned.columns.head).as(sourceCol)).distinct()
+    val pr = priority.select(col(priority.columns.head).as(sourceCol),
+      col(priority.columns(1)).as("__p"))
+    registry
+      .filter(col(batchCol) >= minBatch)
+      .join(broadcast(ts), Seq(sourceCol), "left_anti")
+      .join(broadcast(pr), Seq(sourceCol), "left")
+      .withColumn("__p", coalesce(col("__p"), lit(Long.MaxValue)))
+      .groupBy(col(digestCol))
+      .agg(min(struct(col("__p"), col(batchCol), col(sourceCol)))
+          .as("__f"),
+        count(lit(1)).as("n_holders"))
+      .select(col(digestCol), col("__f")(batchCol).as("first_batch"),
+        col("__f")(sourceCol).as("first_source"), col("n_holders"))
+  }
+
   /** The registry OPS CARD — the one-row dashboard an operator reads
     * before scheduling a [[compactRegistry]] night: total provenance
     * rows, distinct sources, how many rows a pending tombstone set

@@ -1283,4 +1283,39 @@ object NearDup {
       .withColumn("rep_id", first(col("doc_id")).over(w))
       .withColumn("is_rep", col("doc_id") === col("rep_id"))
   }
+
+  /** The LICENSING-AWARE survivor rule — the keep policy the q269
+    * cross-source duplication matrix motivates: when the same content
+    * sits in several sources, a governed corpus wants the copy from the
+    * most PERMISSIVE source kept, not the lowest id or the best quality
+    * score. Attaches, per labeled doc, the representative chosen by
+    * (source priority asc, doc_id asc) — `priority` is a per-source
+    * rank table (smaller = keep-preferred); sources ABSENT from it rank
+    * last (Long.MaxValue), so an EMPTY priority table degenerates to
+    * the min-id first-holder rule exactly (spec-pinned, as is a hand
+    * fixture where priority flips the survivor).
+    *
+    * Inputs: `labels` = (doc_id, canonical) from
+    * [[connectedComponents]]; `docSource` = (doc_id, source);
+    * `priority` = (source, prio). The label table is pair-bounded
+    * (tiny next to the corpus), the priority table domain-sized
+    * (broadcast); one doc-keyed join + one window per group.
+    * @return labels + (source, prio, rep_id, rep_source, rep_priority,
+    *         is_rep) */
+  def priorityRepresentatives(labels: DataFrame, docSource: DataFrame,
+      priority: DataFrame): DataFrame = {
+    val pr = priority.select(col(priority.columns.head).as("source"),
+      col(priority.columns(1)).as("__p"))
+    val w = Window.partitionBy(col("canonical"))
+      .orderBy(col("prio"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    labels.join(docSource, Seq("doc_id"))
+      .join(broadcast(pr), Seq("source"), "left")
+      .withColumn("prio", coalesce(col("__p"), lit(Long.MaxValue)))
+      .drop("__p")
+      .withColumn("rep_id", first(col("doc_id")).over(w))
+      .withColumn("rep_source", first(col("source")).over(w))
+      .withColumn("rep_priority", first(col("prio")).over(w))
+      .withColumn("is_rep", col("doc_id") === col("rep_id"))
+  }
 }

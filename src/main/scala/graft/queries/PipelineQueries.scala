@@ -677,6 +677,39 @@ object PipelineQueries {
         .orderBy(col("src_a"), col("src_b"))
     }),
 
+    // SOURCE-PRIORITY keep policy — the q269 matrix's consumer: per
+    // near-dup group, the survivor under the licensing-aware rule
+    // (keep the copy from the most permissive source, doc_id tiebreak)
+    // side by side with the historic first-holder (min-id) survivor,
+    // and whether priority FLIPS the choice. The priority fixture is a
+    // deterministic license tier per source (suffix mod 3 — the
+    // testdata carries no license column; the
+    // NearDup.priorityRepresentatives operator takes any per-source
+    // rank table). Rides the persisted cc_labels + doc_source_tokens
+    // stages — label-table-sized work, the corpus text is never
+    // re-read.
+    "q274_priority_keep" -> ((s, dir) => {
+      val src = CorpusQueries.docSourceTokensStage(s, dir)
+        .select(col("doc_id"), col("source"))
+      val prio = src.select(col("source")).distinct()
+        .select(col("source"),
+          (expr("CAST(substring(source, 4) AS BIGINT)") % 3).as("prio"))
+      val m = graft.operators.NearDup.priorityRepresentatives(
+        docLabels(s, dir), src, prio)
+      m.groupBy(col("canonical"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(struct(col("doc_id"), col("source"))).as("__f"),
+          min(col("rep_id")).as("keep_prio"),
+          min(col("rep_source")).as("src_prio"),
+          min(col("rep_priority")).as("prio"))
+        .select(col("canonical"), col("n_docs"),
+          col("__f")("doc_id").as("keep_first"),
+          col("__f")("source").as("src_first"),
+          col("keep_prio"), col("src_prio"), col("prio"),
+          (col("__f")("doc_id") =!= col("keep_prio")).as("flipped"))
+        .orderBy(col("canonical"))
+    }),
+
     // LANGID-MISROUTING impact card — propagating q268's confusion
     // matrix into the allocation unit the mixture family plans in
     // (q80/q232 waterfill per-language/source TOKEN shares, so
@@ -2502,6 +2535,50 @@ object PipelineQueries {
         |    AS share,
         |  (src_a <> src_b) AS cross_source
         |FROM m ORDER BY src_a, src_b""".stripMargin,
+
+    // The q40 closure joined to sources with the license-tier fixture,
+    // both survivor rules as group windows.
+    "q274_priority_keep" ->
+      s"""WITH RECURSIVE $jaccardPairsCtes,
+        |pairs AS (
+        |  SELECT pr.d1, pr.d2
+        |  FROM pr JOIN sz sa ON sa.doc_id = pr.d1
+        |           JOIN sz sb ON sb.doc_id = pr.d2
+        |  WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.5),
+        |edges AS (
+        |  SELECT d1 AS src, d2 AS dst FROM pairs
+        |  UNION ALL SELECT d2, d1 FROM pairs),
+        |reach AS (
+        |  SELECT src AS a, dst AS b FROM edges
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |lab AS (
+        |  SELECT a AS doc_id, least(a, min(b)) AS canonical
+        |  FROM reach GROUP BY a),
+        |mem AS (
+        |  SELECT l.doc_id, l.canonical, d.source,
+        |    CAST(substr(d.source, 4) AS BIGINT) % 3 AS prio
+        |  FROM lab l JOIN documents d USING (doc_id)),
+        |sel AS (
+        |  SELECT *,
+        |    first_value(doc_id) OVER (PARTITION BY canonical
+        |      ORDER BY doc_id) AS keep_first,
+        |    first_value(source) OVER (PARTITION BY canonical
+        |      ORDER BY doc_id) AS src_first,
+        |    first_value(doc_id) OVER (PARTITION BY canonical
+        |      ORDER BY prio, doc_id) AS keep_prio,
+        |    first_value(source) OVER (PARTITION BY canonical
+        |      ORDER BY prio, doc_id) AS src_prio,
+        |    first_value(prio) OVER (PARTITION BY canonical
+        |      ORDER BY prio, doc_id) AS prio_win
+        |  FROM mem)
+        |SELECT canonical, CAST(count(*) AS BIGINT) AS n_docs,
+        |  keep_first, src_first, keep_prio, src_prio,
+        |  prio_win AS prio, (keep_first <> keep_prio) AS flipped
+        |FROM sel
+        |GROUP BY canonical, keep_first, src_first, keep_prio, src_prio,
+        |  prio_win
+        |ORDER BY canonical""".stripMargin,
 
     "q24_quality_score" ->
       """WITH t AS (

@@ -1694,6 +1694,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("q274: the priority-keep card rides the persisted cc_labels + " +
+    "doc_source_tokens stages — zero live scans warm; the priority " +
+    "table broadcasts, both survivor rules are label-table windows, " +
+    "no cartesian") {
+    val p = plan("q274_priority_keep")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(liveScans("q274_priority_keep").isEmpty, p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
   test("q269: the source matrix rides the persisted pairs + " +
     "doc_source_tokens stages — zero live scans warm; two id-keyed " +
     "lookups onto the pair list, the share window runs on the " +

@@ -234,4 +234,60 @@ class RegistryLifecycleSpec extends SparkSpec {
     assert(served === rebuilt)
     assert(served.nonEmpty)
   }
+
+  // ---- licensing-aware survivor rules (q274 family) ----
+
+  test("compactRegistryPrioritized: an EMPTY priority table (and a " +
+      "uniform one) reproduces compactRegistry bit-identically; a " +
+      "priority flips the shared digest's survivor to the permissive " +
+      "holder even though the restricted one came first") {
+    val base = Dedup.compactRegistry(registryLog, "digest", "source",
+      "batch", noTomb).collect().map(_.toSeq).toSet
+    val noPrio = Seq.empty[(String, Long)].toDF("source", "prio")
+    assert(Dedup.compactRegistryPrioritized(registryLog, "digest",
+      "source", "batch", noTomb, noPrio).collect().map(_.toSeq).toSet
+      === base)
+    val uniform = Seq(("srcA", 5L), ("srcB", 5L), ("srcC", 5L))
+      .toDF("source", "prio")
+    assert(Dedup.compactRegistryPrioritized(registryLog, "digest",
+      "source", "batch", noTomb, uniform).collect().map(_.toSeq).toSet
+      === base)
+    // srcB is the permissive source: "shared" flips to (batch 3, srcB)
+    // although srcA held it first at batch 1
+    val prio = Seq(("srcA", 2L), ("srcB", 0L), ("srcC", 1L))
+      .toDF("source", "prio")
+    val got = Dedup.compactRegistryPrioritized(registryLog, "digest",
+        "source", "batch", noTomb, prio).collect()
+      .map(r => r.getAs[String]("digest") ->
+        ((r.getAs[Long]("first_batch"), r.getAs[String]("first_source"),
+          r.getAs[Long]("n_holders")))).toMap
+    assert(got(mdHex("shared")) === ((3L, "srcB", 2L)))
+    assert(got(mdHex("solo-a")) === ((1L, "srcA", 1L)))
+    // the output contract composes: same columns, one row per digest
+    assert(got.size === 4)
+  }
+
+  test("priorityRepresentatives: empty priority = the min-id " +
+      "first-holder rule exactly; a priority flips the survivor; " +
+      "missing sources rank last") {
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
+      .toDF("doc_id", "canonical")
+    val docSrc = Seq((1L, "srcR"), (2L, "srcP"), (3L, "srcR"),
+      (7L, "srcR"), (9L, "srcX")).toDF("doc_id", "source")
+    val noPrio = Seq.empty[(String, Long)].toDF("source", "prio")
+    val first = NearDup.priorityRepresentatives(labels, docSrc, noPrio)
+      .collect()
+    assert(first.forall(r =>
+      r.getAs[Long]("rep_id") === r.getAs[Long]("canonical")))
+    // srcP (permissive, prio 0) beats srcR (prio 2): group 1's
+    // survivor flips to doc 2; srcX is MISSING from the table so it
+    // ranks last and group 7 keeps srcR's doc 7
+    val prio = Seq(("srcR", 2L), ("srcP", 0L)).toDF("source", "prio")
+    val got = NearDup.priorityRepresentatives(labels, docSrc, prio)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("rep_id"), r.getAs[String]("rep_source"))))
+      .toMap
+    assert(got(1L) === ((2L, "srcP")) && got(3L) === ((2L, "srcP")))
+    assert(got(7L) === ((7L, "srcR")) && got(9L) === ((7L, "srcR")))
+  }
 }
