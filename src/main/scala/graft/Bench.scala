@@ -148,24 +148,45 @@ object Bench {
       scala.collection.mutable.Buffer.empty[Seq[(String, Double)]]
     val registrants = scala.collection.mutable.LinkedHashSet.empty[String]
     var consumers = Map.empty[String, Long]
-    val passes: Seq[Map[String, Double]] = (0 until WarmPasses).map { pass =>
+    // LOAD GATE (round-17, acting on the round-16 telemetry): a pass
+    // whose end-of-pass 1-min load average exceeds the gate was run in
+    // a contended window — discard it and run a replacement, up to
+    // `maxRetries` total (bounded so a permanently-loaded host still
+    // terminates). Discarded passes are recorded in the tail line
+    // (retried_sec/retried_load) so the artifact shows what was shed.
+    // The default gate sits above the bench's own steady-state load
+    // (clean windows measured 1.6–3.3 at the 270-query surface) and
+    // below the contended captures (4.4+) it exists to shed.
+    val loadGate = sys.env.get("SPARK_GRAFT_LOAD_GATE")
+      .map(_.toDouble).getOrElse(4.0)
+    val maxRetries = sys.env.get("SPARK_GRAFT_LOAD_RETRIES")
+      .map(_.toInt).getOrElse(2)
+    val retriedSecs = scala.collection.mutable.Buffer.empty[Double]
+    val retriedLoads = scala.collection.mutable.Buffer.empty[Double]
+    var retriesUsed = 0
+    var firstExec = true
+    val passesBuf =
+      scala.collection.mutable.Buffer.empty[Map[String, Double]]
+    while (passesBuf.length < WarmPasses) {
+      val pass = passesBuf.length
       graft.queries.PipelineQueries.clearStages()
       System.gc()
       val tS = System.nanoTime()
-      val toRegister = if (pass == 0) names else registrants.toSeq
+      // registration bookkeeping runs on the first EXECUTED pass
+      // (timing-independent, so a discarded first pass still counts)
+      val toRegister = if (firstExec) names else registrants.toSeq
       toRegister.foreach { n =>
         val before = graft.queries.PipelineQueries.stages.size
         try { SparkEntry.queries(n)(spark, sfDir); () }
         catch { case _: Throwable => () }
-        if (pass == 0 && graft.queries.PipelineQueries.stages.size > before)
+        if (firstExec && graft.queries.PipelineQueries.stages.size > before)
           registrants += n
       }
       val perStage = graft.queries.PipelineQueries.materializeStagesTimed()
-      stagePass += perStage
-      stageSecs += (System.nanoTime() - tS) / 1e9
+      val stageSec = (System.nanoTime() - tS) / 1e9
       val callsAfterReg =
         graft.queries.PipelineQueries.stageCallCounts()
-      // interleave: rotate the visit order by a third per pass so a
+      // interleave: rotate the visit order by a quarter per pass so a
       // noisy wall-clock window maps to DIFFERENT queries in different
       // passes — min/median then shed it instead of absorbing it
       val off = (pass * names.length) / WarmPasses
@@ -186,13 +207,28 @@ object Bench {
       // consumer counts: stage() calls during the TIMED loop only (the
       // registration pass's own calls subtracted) — one call per
       // consuming query construction
-      if (pass == 0)
+      if (firstExec) {
         consumers = graft.queries.PipelineQueries.stageCallCounts()
           .map { case (k, n) => k -> (n - callsAfterReg.getOrElse(k, 0L)) }
-      passLoads += java.lang.management.ManagementFactory
+        firstExec = false
+      }
+      val load = java.lang.management.ManagementFactory
         .getOperatingSystemMXBean.getSystemLoadAverage
-      timed
+      if (load > loadGate && retriesUsed < maxRetries) {
+        retriesUsed += 1
+        retriedSecs += stageSec + timed.values.filter(_ >= 0).sum
+        retriedLoads += load
+        System.err.println(
+          f"[bench] pass $pass discarded: load $load%.1f > gate " +
+            f"$loadGate%.1f (retry $retriesUsed/$maxRetries)")
+      } else {
+        stagePass += perStage
+        stageSecs += stageSec
+        passLoads += load
+        passesBuf += timed
+      }
     }
+    val passes: Seq[Map[String, Double]] = passesBuf.toSeq
     val benchEndEpoch = System.currentTimeMillis() / 1000L
     // per-pass totals (stage phase + that pass's query marginals) — the
     // reconciling per-pass view of the same numbers min/median compress
@@ -308,7 +344,11 @@ object Bench {
       passTotals.map(v => f"$v%.1f").mkString("[", ",", "]")
     val passLoadJson =
       passLoads.map(v => f"$v%.1f").mkString("[", ",", "]")
-    val line3 = s"""{"slowest":$slowest,"slowest_stages":$slowStages,"errors":$errJson,"pass_sec":$passSecJson,"pass_load":$passLoadJson,"win":[$benchStartEpoch,$benchEndEpoch],"warm_passes":$WarmPasses,"sf":"$sfDir","n_queries":${names.size},"cold_total_sec":${f"$coldTotal%.3f"},"stage_build_sec":${f"$stageMed%.3f"},"stage_build_min_sec":${f"$stageMin%.3f"},"min_total_sec":${f"$minTotal%.3f"},"metric":"total","unit":"sec","value":$total}"""
+    val retrySecJson =
+      retriedSecs.map(v => f"$v%.1f").mkString("[", ",", "]")
+    val retryLoadJson =
+      retriedLoads.map(v => f"$v%.1f").mkString("[", ",", "]")
+    val line3 = s"""{"slowest":$slowest,"slowest_stages":$slowStages,"errors":$errJson,"pass_sec":$passSecJson,"pass_load":$passLoadJson,"retried_sec":$retrySecJson,"retried_load":$retryLoadJson,"load_gate":$loadGate,"win":[$benchStartEpoch,$benchEndEpoch],"warm_passes":$WarmPasses,"sf":"$sfDir","n_queries":${names.size},"cold_total_sec":${f"$coldTotal%.3f"},"stage_build_sec":${f"$stageMed%.3f"},"stage_build_min_sec":${f"$stageMin%.3f"},"min_total_sec":${f"$minTotal%.3f"},"metric":"total","unit":"sec","value":$total}"""
     spark.stop()
     // printed after spark.stop() so no executor/log line can follow them
     println(line)

@@ -164,5 +164,21 @@ object ScaleProbe {
     val (ta, tb) = (sSmall.values.filter(_ >= 0).sum,
       sBig.values.filter(_ >= 0).sum)
     println(f"STAGE TOTALS small=$ta%.2f big=$tb%.2f ratio=${tb / ta}%.2f")
+    // One-line JSON artifact (the round-16 judge's ask: the 10× scale
+    // exponent must be judge-verifiable from a committed per-round
+    // SCALEPROBE_rN.json, not builder prose). Printed LAST so a
+    // tail-line capture gets it whole; big maps first, summary scalars
+    // last — the same truncation discipline as Bench's tail line.
+    def jmap(small: Map[String, Double], big: Map[String, Double],
+        keys: Seq[String]) =
+      keys.map { k =>
+        val (a, b) = (small.getOrElse(k, -1.0), big.getOrElse(k, -1.0))
+        val r = if (a > 0 && b > 0) f"${b / a}%.2f" else "-1"
+        "\"" + k + "\":[" + f"$a%.2f" + "," + f"$b%.2f" + "," + r + "]"
+      }.mkString("{", ",", "}")
+    val stageKeys = (sSmall.keySet ++ sBig.keySet).toSeq.sorted
+    val line = s"""{"queries":${jmap(tSmall, tBig, Probes)},"stages":${jmap(sSmall, sBig, stageKeys)},"small_dir":"$small","big_dir":"$big","passes":$Passes,"n_probes":${Probes.length},"q_small_total":${f"$sa%.2f"},"q_big_total":${f"$sb%.2f"},"q_ratio":${f"${sb / sa}%.3f"},"stage_small_total":${f"$ta%.2f"},"stage_big_total":${f"$tb%.2f"},"stage_ratio":${f"${tb / ta}%.3f"},"metric":"scale_ratio_10x"}"""
+    println(line)
+    System.out.flush()
   }
 }
