@@ -1315,6 +1315,52 @@ object CorpusQueries {
       }.reduce(_ unionByName _).orderBy(col("threshold"))
     }),
 
+    // UNIT-DISTORTION card — quantifying exactly what q271's
+    // re-metering fixed: q265 measured per-source fertility varying, so
+    // a whitespace-planned waterfill hands each source a different
+    // SHARE of the real token budget than a BPE-planned one. Both
+    // waterfills run at the q232 operating point (1-epoch cap,
+    // ⌊9T/10⌋ of the respective unit's total — the point where
+    // capacity BINDS: under the loose cap-4 pretrain point nothing
+    // saturates at this budget and every share is flat, so the
+    // distortion only shows where sources saturate) side by side per
+    // source: its mass in each unit, its fertility, its allocation
+    // share under each meter and the share delta — the per-source size
+    // of the planning error a whitespace-metered plan bakes in, in
+    // both the share AND the saturation set. Two domain-sized
+    // waterfills over the persisted source_tokens / doc_bpe_tokens
+    // stages; the corpus is never re-read.
+    "q276_share_distortion" -> ((s, dir) => {
+      val ch = wsScheduleChain(s, dir)
+      val chB = bpeScheduleChain(s, dir)
+      val aW = Mixture.unimaxAllocationBudget(ch.pool, "source", "n_tok",
+          maxEpochs = 1L, budget = ch.b1)
+        .select(col("source"), col("n_tok").as("ws_tokens"),
+          col("alloc").as("alloc_ws"))
+      val aB = Mixture.unimaxAllocationBudget(chB.pool, "source",
+          "n_tok", maxEpochs = 1L, budget = chB.b1)
+        .select(col("source"), col("n_tok").as("bpe_tokens"),
+          col("alloc").as("alloc_bpe"))
+      aW.join(aB, Seq("source"))
+        .crossJoin(broadcast(ch.b1.select(col("b").as("__bw"))))
+        .crossJoin(broadcast(chB.b1.select(col("b").as("__bb"))))
+        .select(col("source"), col("ws_tokens"), col("bpe_tokens"),
+          when(col("ws_tokens") > 0,
+            round(col("bpe_tokens").cast("double") /
+              col("ws_tokens").cast("double"), 6)).otherwise(lit(0.0))
+            .as("fertility"),
+          col("alloc_ws"), col("alloc_bpe"),
+          round(col("alloc_ws").cast("double") /
+            col("__bw").cast("double"), 6).as("share_ws"),
+          round(col("alloc_bpe").cast("double") /
+            col("__bb").cast("double"), 6).as("share_bpe"),
+          round(col("alloc_bpe").cast("double") /
+            col("__bb").cast("double") -
+            col("alloc_ws").cast("double") /
+              col("__bw").cast("double"), 6).as("delta_share"))
+        .orderBy(col("source"))
+    }),
+
     // LENGTH-BUCKETED dynamic-batching card over the TRUE BPE lengths —
     // the other anti-padding discipline next to packing (q257 prices
     // packing's two variants; this prices bucketing): sequences grouped
@@ -2514,7 +2560,7 @@ object CorpusQueries {
     * coexist in one oracle. Mirrors [[Mixture.unimaxAllocation]]'s
     * closed form exactly (DuckDB // floors, Spark div truncates — equal
     * on the nonnegative operands here). */
-  private def waterfillCtes(p: String, cap: Long, bExpr: String,
+  private[queries] def waterfillCtes(p: String, cap: Long, bExpr: String,
       stok: String = "stok"): String =
     s"""${p}r AS (
        |  SELECT source, n_tok, n_tok * $cap AS cap,
@@ -2830,6 +2876,39 @@ object CorpusQueries {
        |$rows
        |) ORDER BY threshold""".stripMargin
   }
+
+  /** q276 oracle — the whitespace and BPE per-source totals, two
+    * waterfills at cap 4 / ⌊9T/10⌋ of each unit's own total, joined
+    * per source with the fertility and share columns. */
+  private lazy val shareDistortionSql: String =
+    s"""WITH RECURSIVE stok AS (
+       |  SELECT source,
+       |    CAST(sum(len(string_split_regex(trim(text), '\\s+')))
+       |      AS BIGINT) AS n_tok
+       |  FROM documents GROUP BY 1),
+       |$bpeEncodeCtes,
+       |bt AS (SELECT doc_id, CAST(sum(n_w * n_sym) AS BIGINT) AS w
+       |  FROM enc GROUP BY 1),
+       |btok AS (SELECT d.source, CAST(sum(b.w) AS BIGINT) AS n_tok
+       |  FROM documents d JOIN bt b USING (doc_id) GROUP BY 1),
+       |wtot AS (SELECT ((sum(n_tok) * 9) // 10) AS b FROM stok),
+       |btot AS (SELECT ((sum(n_tok) * 9) // 10) AS b FROM btok),
+       |${waterfillCtes("w", 1L, "(SELECT b FROM wtot)")},
+       |${waterfillCtes("x", 1L, "(SELECT b FROM btot)", "btok")}
+       |SELECT w.source, w.n_tok AS ws_tokens, x.n_tok AS bpe_tokens,
+       |  CASE WHEN w.n_tok > 0
+       |    THEN round(x.n_tok::DOUBLE / w.n_tok::DOUBLE, 6)
+       |    ELSE 0.0 END AS fertility,
+       |  w.alloc AS alloc_ws, x.alloc AS alloc_bpe,
+       |  round(w.alloc::DOUBLE / (SELECT b FROM wtot)::DOUBLE, 6)
+       |    AS share_ws,
+       |  round(x.alloc::DOUBLE / (SELECT b FROM btot)::DOUBLE, 6)
+       |    AS share_bpe,
+       |  round(x.alloc::DOUBLE / (SELECT b FROM btot)::DOUBLE -
+       |    w.alloc::DOUBLE / (SELECT b FROM wtot)::DOUBLE, 6)
+       |    AS delta_share
+       |FROM wout w JOIN xout x USING (source)
+       |ORDER BY source""".stripMargin
 
   /** The allocation + realization chain over a (doc_id, source, w)
     * CTE, prefixed — the SQL mirror of [[mixRealize]]: per-source
@@ -4757,6 +4836,8 @@ object CorpusQueries {
     "q271_bpe_schedule" -> bpeScheduleSql,
 
     "q272_anneal_quality_bar" -> annealQualityBarSql,
+
+    "q276_share_distortion" -> shareDistortionSql,
 
     "q249_epoch_cap_curve" -> epochCapCurveSql,
 

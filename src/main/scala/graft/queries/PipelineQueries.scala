@@ -710,6 +710,67 @@ object PipelineQueries {
         .orderBy(col("canonical"))
     }),
 
+    // PRIORITY-KEEP impact in TOKEN MASS — q274's source-level ledger:
+    // per source, how many dup-group members it holds, how many
+    // survivors (and how much token mass) it keeps under the
+    // first-holder rule vs the licensing-aware rule, and the delta —
+    // the number a licensing review actually reads (how much training
+    // mass MOVES between sources when the survivor rule changes). The
+    // ~total row pins conservation: both rules keep exactly one doc
+    // per group, so the DOC deltas sum to zero by construction (the
+    // token totals may differ slightly — near-dup survivors have
+    // similar but not identical lengths, and that residual is itself
+    // the rule's corpus-size cost, visible on the total row). Rides the
+    // persisted cc_labels + doc_source_tokens stages; label-table-sized
+    // work.
+    "q275_priority_impact" -> ((s, dir) => {
+      val src = CorpusQueries.docSourceTokensStage(s, dir)
+      val prio = src.select(col("source")).distinct()
+        .select(col("source"),
+          (expr("CAST(substring(source, 4) AS BIGINT)") % 3).as("prio"))
+      val m = graft.operators.NearDup.priorityRepresentatives(
+          docLabels(s, dir), src.select(col("doc_id"), col("source")),
+          prio)
+        .localCheckpoint(true) // held + both survivor sides
+      val tok = src.select(col("doc_id"), col("n_tok"))
+      val groups = m.groupBy(col("canonical")).agg(
+          min(struct(col("doc_id"), col("source"))).as("__f"),
+          min(col("rep_id")).as("pid"), min(col("rep_source")).as("psrc"))
+        .localCheckpoint(true) // two survivor-side aggregates
+      def side(d: org.apache.spark.sql.DataFrame, idc: org.apache.spark.sql.Column,
+          sc: org.apache.spark.sql.Column, n: String, tn: String) =
+        d.select(idc.as("doc_id"), sc.as("source"))
+          .join(tok, Seq("doc_id"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as(n), sum(col("n_tok")).as(tn))
+      val f = side(groups, col("__f")("doc_id"), col("__f")("source"),
+        "kept_first", "tokens_first")
+      val p = side(groups, col("pid"), col("psrc"),
+        "kept_prio", "tokens_prio")
+      val rows = m.groupBy(col("source"))
+        .agg(count(lit(1)).as("docs_held"))
+        .join(f, Seq("source"), "left").join(p, Seq("source"), "left")
+        .select(col("source"), col("docs_held"),
+          coalesce(col("kept_first"), lit(0L)).as("kept_first"),
+          coalesce(col("tokens_first"), lit(0L)).as("tokens_first"),
+          coalesce(col("kept_prio"), lit(0L)).as("kept_prio"),
+          coalesce(col("tokens_prio"), lit(0L)).as("tokens_prio"))
+        .localCheckpoint(true) // source rows + the conservation total
+      val tot = rows.agg(sum(col("docs_held")).as("docs_held"),
+          sum(col("kept_first")).as("kept_first"),
+          sum(col("tokens_first")).as("tokens_first"),
+          sum(col("kept_prio")).as("kept_prio"),
+          sum(col("tokens_prio")).as("tokens_prio"))
+        .select(lit("~total").as("source"), col("docs_held"),
+          col("kept_first"), col("tokens_first"), col("kept_prio"),
+          col("tokens_prio"))
+      rows.unionByName(tot)
+        .withColumn("delta_docs", col("kept_prio") - col("kept_first"))
+        .withColumn("delta_tokens",
+          col("tokens_prio") - col("tokens_first"))
+        .orderBy(col("source"))
+    }),
+
     // LANGID-MISROUTING impact card — propagating q268's confusion
     // matrix into the allocation unit the mixture family plans in
     // (q80/q232 waterfill per-language/source TOKEN shares, so
@@ -745,6 +806,49 @@ object PipelineQueries {
           round(col("__contam").cast("double") /
             col("pred_tokens").cast("double"), 6).as("pred_contam_frac"))
         .orderBy(col("lang"), col("lang_pred"))
+    }),
+
+    // MISROUTING-DISTORTED allocation — q273's consumer: the per-
+    // language UniMax waterfill (1-epoch cap, ⌊9T/10⌋ — the q232
+    // operating point) run twice at the SAME budget, once over the
+    // TRUE language token masses and once over what the q23 router
+    // actually files (including its 'und' bucket) — per language the
+    // mass shift and the ALLOCATION shift classifier error causes.
+    // This is the distortion the q80/q232 family inherits when it
+    // plans on routed labels; total mass is conserved between the two
+    // tables (spec-pinned) so every delta is pure misrouting. One
+    // corpus projection + two domain-sized waterfills.
+    "q277_misrouting_allocation" -> ((s, dir) => {
+      val j = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.langId(col("text")).as("lang_pred"))
+        .join(CorpusQueries.docSourceTokensStage(s, dir)
+          .select(col("doc_id"), col("n_tok")), Seq("doc_id"))
+        .localCheckpoint(true) // both mass tables + the budget
+      val mTrue = j.groupBy(col("lang"))
+        .agg(sum(col("n_tok")).as("n_tok"))
+      val mPred = j.groupBy(col("lang_pred").as("lang"))
+        .agg(sum(col("n_tok")).as("n_tok"))
+      val b = j.agg(sum(col("n_tok")).as("t"))
+        .select(expr("(t * 9) div 10").as("b"))
+      val aT = graft.operators.Mixture.unimaxAllocationBudget(mTrue,
+          "lang", "n_tok", maxEpochs = 1L, budget = b)
+        .select(col("lang"), col("n_tok").as("true_tokens"),
+          col("alloc").as("alloc_true"))
+      val aP = graft.operators.Mixture.unimaxAllocationBudget(mPred,
+          "lang", "n_tok", maxEpochs = 1L, budget = b)
+        .select(col("lang"), col("n_tok").as("pred_tokens"),
+          col("alloc").as("alloc_pred"))
+      aT.join(aP, Seq("lang"), "full_outer")
+        .select(col("lang"),
+          coalesce(col("true_tokens"), lit(0L)).as("true_tokens"),
+          coalesce(col("pred_tokens"), lit(0L)).as("pred_tokens"),
+          coalesce(col("alloc_true"), lit(0L)).as("alloc_true"),
+          coalesce(col("alloc_pred"), lit(0L)).as("alloc_pred"))
+        .withColumn("delta_tokens",
+          col("pred_tokens") - col("true_tokens"))
+        .withColumn("delta_alloc", col("alloc_pred") - col("alloc_true"))
+        .orderBy(col("lang"))
     }),
 
     // LLM text 3: per-document quality signals + composite score.
@@ -2514,6 +2618,58 @@ object PipelineQueries {
         |    AS pred_contam_frac
         |FROM m ORDER BY lang, lang_pred""".stripMargin,
 
+    // The q273 prediction chain reduced to both per-language mass
+    // tables, two waterfills at the same ⌊9T/10⌋ budget, full-outer
+    // joined over the language spine.
+    "q277_misrouting_allocation" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, lang, text,
+        |         string_split_regex(trim(lower(text)), '\\s+') AS toks,
+        |         CAST(len(string_split_regex(trim(text), '\\s+'))
+        |           AS BIGINT) AS n_tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, lang, text, n_tok,
+        |    len(list_filter(toks, w -> w IN ('the','a','of','and','to','in','is','on','for','with'))) AS en,
+        |    len(list_filter(toks, w -> w IN ('el','la','de','los','las','en','y','que','por','un'))) AS es,
+        |    len(list_filter(toks, w -> w IN ('le','les','des','et','une','dans','pour','est','du','au'))) AS fr,
+        |    len(list_filter(toks, w -> w IN ('der','die','das','und','ist','mit','von','ein','zu','auf'))) AS de
+        |  FROM t),
+        |p AS (
+        |  SELECT lang, n_tok,
+        |    CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+        |         WHEN en = 0 AND es = 0 AND fr = 0 AND de = 0 THEN 'und'
+        |         WHEN en >= es AND en >= fr AND en >= de THEN 'en'
+        |         WHEN es >= fr AND es >= de THEN 'es'
+        |         WHEN fr >= de THEN 'fr'
+        |         ELSE 'de' END AS lang_pred
+        |  FROM h),
+        |tmass AS (SELECT lang AS source, CAST(sum(n_tok) AS BIGINT)
+        |    AS n_tok
+        |  FROM p GROUP BY 1),
+        |pmass AS (SELECT lang_pred AS source, CAST(sum(n_tok) AS BIGINT)
+        |    AS n_tok
+        |  FROM p GROUP BY 1),
+        |tot AS (SELECT ((sum(n_tok) * 9) // 10) AS b FROM p),
+        |${CorpusQueries.waterfillCtes("tr", 1L, "(SELECT b FROM tot)",
+            "tmass")},
+        |${CorpusQueries.waterfillCtes("pd", 1L, "(SELECT b FROM tot)",
+            "pmass")},
+        |langs AS (SELECT source FROM tmass
+        |  UNION SELECT source FROM pmass)
+        |SELECT l.source AS lang,
+        |  coalesce(t.n_tok, 0) AS true_tokens,
+        |  coalesce(p2.n_tok, 0) AS pred_tokens,
+        |  coalesce(t.alloc, 0) AS alloc_true,
+        |  coalesce(p2.alloc, 0) AS alloc_pred,
+        |  CAST(coalesce(p2.n_tok, 0) - coalesce(t.n_tok, 0) AS BIGINT)
+        |    AS delta_tokens,
+        |  CAST(coalesce(p2.alloc, 0) - coalesce(t.alloc, 0) AS BIGINT)
+        |    AS delta_alloc
+        |FROM langs l LEFT JOIN trout t USING (source)
+        |             LEFT JOIN pdout p2 USING (source)
+        |ORDER BY lang""".stripMargin,
+
     // The verified-pair CTEs labeled with both ends' sources, reduced
     // to the unordered source matrix.
     "q269_dup_source_matrix" ->
@@ -2579,6 +2735,80 @@ object PipelineQueries {
         |GROUP BY canonical, keep_first, src_first, keep_prio, src_prio,
         |  prio_win
         |ORDER BY canonical""".stripMargin,
+
+    // The q274 survivor windows reduced to the per-source token
+    // ledger, with the zero-sum ~total row.
+    "q275_priority_impact" ->
+      s"""WITH RECURSIVE $jaccardPairsCtes,
+        |pairs AS (
+        |  SELECT pr.d1, pr.d2
+        |  FROM pr JOIN sz sa ON sa.doc_id = pr.d1
+        |           JOIN sz sb ON sb.doc_id = pr.d2
+        |  WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.5),
+        |edges AS (
+        |  SELECT d1 AS src, d2 AS dst FROM pairs
+        |  UNION ALL SELECT d2, d1 FROM pairs),
+        |reach AS (
+        |  SELECT src AS a, dst AS b FROM edges
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |lab AS (
+        |  SELECT a AS doc_id, least(a, min(b)) AS canonical
+        |  FROM reach GROUP BY a),
+        |mem AS (
+        |  SELECT l.doc_id, l.canonical, d.source,
+        |    CAST(substr(d.source, 4) AS BIGINT) % 3 AS prio
+        |  FROM lab l JOIN documents d USING (doc_id)),
+        |tok AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+        |      AS n_tok
+        |  FROM documents),
+        |sel AS (
+        |  SELECT *,
+        |    first_value(doc_id) OVER (PARTITION BY canonical
+        |      ORDER BY doc_id) AS fid,
+        |    first_value(source) OVER (PARTITION BY canonical
+        |      ORDER BY doc_id) AS fsrc,
+        |    first_value(doc_id) OVER (PARTITION BY canonical
+        |      ORDER BY prio, doc_id) AS pid,
+        |    first_value(source) OVER (PARTITION BY canonical
+        |      ORDER BY prio, doc_id) AS psrc
+        |  FROM mem),
+        |g AS (SELECT canonical, min(fid) AS fid, min(fsrc) AS fsrc,
+        |    min(pid) AS pid, min(psrc) AS psrc
+        |  FROM sel GROUP BY canonical),
+        |fside AS (SELECT fsrc AS source,
+        |    CAST(count(*) AS BIGINT) AS kept_first,
+        |    CAST(sum(t.n_tok) AS BIGINT) AS tokens_first
+        |  FROM g JOIN tok t ON t.doc_id = g.fid GROUP BY 1),
+        |pside AS (SELECT psrc AS source,
+        |    CAST(count(*) AS BIGINT) AS kept_prio,
+        |    CAST(sum(t.n_tok) AS BIGINT) AS tokens_prio
+        |  FROM g JOIN tok t ON t.doc_id = g.pid GROUP BY 1),
+        |held AS (SELECT source, CAST(count(*) AS BIGINT) AS docs_held
+        |  FROM mem GROUP BY 1),
+        |rows_ AS (
+        |  SELECT h.source, h.docs_held,
+        |    coalesce(f.kept_first, 0) AS kept_first,
+        |    coalesce(f.tokens_first, 0) AS tokens_first,
+        |    coalesce(p.kept_prio, 0) AS kept_prio,
+        |    coalesce(p.tokens_prio, 0) AS tokens_prio
+        |  FROM held h LEFT JOIN fside f USING (source)
+        |              LEFT JOIN pside p USING (source)),
+        |allr AS (
+        |  SELECT * FROM rows_
+        |  UNION ALL
+        |  SELECT '~total', CAST(sum(docs_held) AS BIGINT),
+        |    CAST(sum(kept_first) AS BIGINT),
+        |    CAST(sum(tokens_first) AS BIGINT),
+        |    CAST(sum(kept_prio) AS BIGINT),
+        |    CAST(sum(tokens_prio) AS BIGINT)
+        |  FROM rows_)
+        |SELECT source, docs_held, kept_first, tokens_first, kept_prio,
+        |  tokens_prio,
+        |  CAST(kept_prio - kept_first AS BIGINT) AS delta_docs,
+        |  CAST(tokens_prio - tokens_first AS BIGINT) AS delta_tokens
+        |FROM allr ORDER BY source""".stripMargin,
 
     "q24_quality_score" ->
       """WITH t AS (

@@ -349,4 +349,64 @@ class CorpusOpsSpec extends SparkSpec {
       assert(cells.forall(_.getAs[Double]("pred_contam_frac") === want))
     }
   }
+
+  test("q275 priority-impact ledger: doc-count conservation on the " +
+      "~total row, per-source survivor counts reconcile with q274's " +
+      "group card, and held docs partition the label table") {
+    val dir = "/root/testdata/sf0.01"
+    val card = SparkEntry.queries("q275_priority_impact")(spark, dir)
+      .collect()
+    val tot = card.find(_.getAs[String]("source") == "~total").get
+    val srcs = card.filter(_.getAs[String]("source") != "~total")
+    // both rules keep exactly one doc per group
+    assert(tot.getAs[Long]("delta_docs") === 0L)
+    assert(tot.getAs[Long]("kept_first") === tot.getAs[Long]("kept_prio"))
+    // column sums reconcile into the total row
+    Seq("docs_held", "kept_first", "tokens_first", "kept_prio",
+      "tokens_prio").foreach { c =>
+      assert(srcs.map(_.getAs[Long](c)).sum === tot.getAs[Long](c), c)
+    }
+    // reconcile against q274: survivors per source under each rule
+    val groups = SparkEntry.queries("q274_priority_keep")(spark, dir)
+      .collect()
+    assert(tot.getAs[Long]("kept_first") === groups.length)
+    val firstBySrc = groups.groupBy(_.getAs[String]("src_first"))
+      .map { case (k, g) => k -> g.length.toLong }
+    val prioBySrc = groups.groupBy(_.getAs[String]("src_prio"))
+      .map { case (k, g) => k -> g.length.toLong }
+    srcs.foreach { r =>
+      val s0 = r.getAs[String]("source")
+      assert(r.getAs[Long]("kept_first") === firstBySrc.getOrElse(s0, 0L))
+      assert(r.getAs[Long]("kept_prio") === prioBySrc.getOrElse(s0, 0L))
+    }
+    assert(tot.getAs[Long]("docs_held") ===
+      groups.map(_.getAs[Long]("n_docs")).sum)
+  }
+
+  test("q277 misrouting-distorted allocation: token mass is conserved " +
+      "between the true and routed tables, both waterfills spend the " +
+      "same budget to within integer-division remainders, and the " +
+      "router's error visibly moves allocation") {
+    val dir = "/root/testdata/sf0.01"
+    val card = SparkEntry.queries("q277_misrouting_allocation")(
+      spark, dir).collect()
+    val tTrue = card.map(_.getAs[Long]("true_tokens")).sum
+    val tPred = card.map(_.getAs[Long]("pred_tokens")).sum
+    assert(tTrue === tPred, "misrouting must conserve total mass")
+    val k = card.length.toLong
+    val b = tTrue * 9 / 10
+    val aT = card.map(_.getAs[Long]("alloc_true")).sum
+    val aP = card.map(_.getAs[Long]("alloc_pred")).sum
+    assert(aT <= b && b - aT < k, s"true waterfill must spend b: $aT/$b")
+    assert(aP <= b && b - aP < k, s"pred waterfill must spend b: $aP/$b")
+    // deltas are internally consistent and the distortion is real
+    card.foreach { r =>
+      assert(r.getAs[Long]("delta_tokens") ===
+        r.getAs[Long]("pred_tokens") - r.getAs[Long]("true_tokens"))
+      assert(r.getAs[Long]("delta_alloc") ===
+        r.getAs[Long]("alloc_pred") - r.getAs[Long]("alloc_true"))
+    }
+    assert(card.exists(_.getAs[Long]("delta_alloc") !== 0L),
+      "the q268-measured router error should move allocation")
+  }
 }

@@ -528,4 +528,34 @@ class ManifestSpec extends SparkSpec {
       assert(r.getAs[Long]("budget") === t0.getAs[Long]("budget"))
     }
   }
+
+  test("q276 unit-distortion card: saturated sources keep exactly " +
+      "their own mass in BOTH units, unsaturated shares are flat " +
+      "within each unit, every share is alloc/budget, and fertility " +
+      "variation makes at least one share delta nonzero") {
+    val card = SparkEntry.queries("q276_share_distortion")(spark, dir)
+      .collect()
+    val bW = card.map(_.getAs[Long]("ws_tokens")).sum * 9 / 10
+    val bB = card.map(_.getAs[Long]("bpe_tokens")).sum * 9 / 10
+    card.foreach { r =>
+      assert(r.getAs[Double]("share_ws") ===
+        rnd(r.getAs[Long]("alloc_ws").toDouble / bW.toDouble, 6))
+      assert(r.getAs[Double]("share_bpe") ===
+        rnd(r.getAs[Long]("alloc_bpe").toDouble / bB.toDouble, 6))
+      // cap-1: an allocation never exceeds the source's own mass
+      assert(r.getAs[Long]("alloc_ws") <= r.getAs[Long]("ws_tokens"))
+      assert(r.getAs[Long]("alloc_bpe") <= r.getAs[Long]("bpe_tokens"))
+    }
+    // saturated = alloc equals own mass; the same waterfill shape in
+    // each unit gives every unsaturated source one flat share
+    val unsatW = card.filter(r =>
+      r.getAs[Long]("alloc_ws") < r.getAs[Long]("ws_tokens"))
+      .map(_.getAs[Long]("alloc_ws")).distinct
+    val unsatB = card.filter(r =>
+      r.getAs[Long]("alloc_bpe") < r.getAs[Long]("bpe_tokens"))
+      .map(_.getAs[Long]("alloc_bpe")).distinct
+    assert(unsatW.length <= 1 && unsatB.length <= 1)
+    assert(card.exists(_.getAs[Double]("delta_share") !== 0.0),
+      "per-source fertility variation should distort at least one share")
+  }
 }

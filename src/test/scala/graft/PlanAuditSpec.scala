@@ -1704,6 +1704,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p)
   }
 
+  test("q275: the priority-impact ledger rides the persisted " +
+    "cc_labels + doc_source_tokens stages and its checkpointed " +
+    "member/group tables — zero live scans warm, no cartesian") {
+    val p = plan("q275_priority_impact")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(liveScans("q275_priority_impact").isEmpty, p)
+  }
+
+  test("q276: the unit-distortion card is two domain-sized waterfills " +
+    "over the persisted source_tokens / doc_bpe_tokens stages — zero " +
+    "live scans warm, broadcast one-row budgets, no cartesian") {
+    val p = plan("q276_share_distortion")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(liveScans("q276_share_distortion").isEmpty, p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("q277: the misrouting-allocation card is one checkpointed " +
+    "corpus projection + two domain-sized waterfills — zero live " +
+    "scans warm, no cartesian beyond the broadcast budget") {
+    val p = plan("q277_misrouting_allocation")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(liveScans("q277_misrouting_allocation").isEmpty, p)
+  }
+
   test("q269: the source matrix rides the persisted pairs + " +
     "doc_source_tokens stages — zero live scans warm; two id-keyed " +
     "lookups onto the pair list, the share window runs on the " +
