@@ -1315,6 +1315,79 @@ object CorpusQueries {
       }.reduce(_ unionByName _).orderBy(col("threshold"))
     }),
 
+    // THE TUNED ANNEAL — closing the loop the q264→q270→q272 chain
+    // opened: q264 measured the anneal as 100% re-reads, q270 reordered
+    // (exposure-first), q272 priced the admission bar. This card TURNS
+    // the dial in one plan: the chosen threshold is the HIGHEST
+    // admission bar whose restricted pool still FILLS the fixed anneal
+    // budget (computed in-plan from the same ten realizations as q272 —
+    // no driver-side collect), and the anneal is realized at that bar
+    // with the q270 exposure-first rank. Output: the exposure histogram
+    // of the tuned anneal next to the untuned baseline (threshold 0,
+    // md5 rank — exactly q264's histogram, spec-pinned), each row
+    // carrying its threshold. Rides the same persisted stages as q272;
+    // eleven domain-sized waterfills + pool-sized windows.
+    "q278_tuned_anneal" -> ((s, dir) => {
+      val ch = wsScheduleChain(s, dir)
+      val q4 = PipelineQueries.nbScoresStage(s, dir)
+        .select(col("doc_id"),
+          round(col("nb_logit") * 10000, 0).cast("long").as("q4"))
+      val pre = mixRealizeBudget(ch.perDoc, ch.pool, 4L, ch.b1)
+        .select(col("doc_id"),
+          (col("epochs_full") + when(col("in_rem"), 1L).otherwise(0L))
+            .as("exposure"))
+      val poolExp = Ranking.equalFreqBins(
+          ch.hqDoc.join(q4, Seq("doc_id")),
+          Seq(col("q4"), col("doc_id")), k = 10, parts = 32)
+        .withColumnRenamed("bin", "qdec").drop("rank")
+        .join(pre, Seq("doc_id"), "left")
+        .withColumn("exposure", coalesce(col("exposure"), lit(0L)))
+        .localCheckpoint(true) // curve + base + tuned all ride it
+      val budget = ch.b2.localCheckpoint(true)
+      def allOf(pt: DataFrame): DataFrame =
+        ch.pool.select(col("source"))
+          .join(pt.groupBy(col("source"))
+            .agg(sum(col("n_tok")).as("n_tok")), Seq("source"), "left")
+          .select(col("source"),
+            coalesce(col("n_tok"), lit(0L)).as("n_tok"))
+      val fills = (0L to 9L).map { t =>
+        val pt = poolExp.filter(col("qdec") >= t)
+        mixRealizeBudget(pt, allOf(pt), 1L, budget)
+          .withColumn("n_inst",
+            col("epochs_full") + when(col("in_rem"), 1L).otherwise(0L))
+          .filter(col("n_inst") > 0)
+          .agg(coalesce(sum(col("n_tok") * col("n_inst")), lit(0L))
+            .as("fill"))
+          .select(lit(t).as("t"), col("fill"))
+      }.reduce(_ unionByName _)
+      val tStar = fills.crossJoin(broadcast(budget))
+        .filter(col("fill") >= col("b"))
+        .agg(coalesce(max(col("t")), lit(0L)).as("ts"))
+      // the threshold rides each realized row (`__thr`) so the
+      // histogram can report it without a second pass
+      def hist(sel: DataFrame, label: String): DataFrame =
+        sel
+          .withColumn("n_inst",
+            col("epochs_full") + when(col("in_rem"), 1L).otherwise(0L))
+          .filter(col("n_inst") > 0)
+          .groupBy(col("exposure"))
+          .agg(min(col("__thr")).as("threshold"),
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tok") * col("n_inst")).as("anneal_tokens"))
+          .select(lit(label).as("variant"), col("threshold"),
+            col("exposure"), col("n_docs"), col("anneal_tokens"))
+      val tuned = poolExp.crossJoin(broadcast(tStar))
+        .filter(col("qdec") >= col("ts"))
+        .withColumnRenamed("ts", "__thr")
+        .localCheckpoint(true) // its own pool sums + realization
+      hist(mixRealizeBudget(poolExp.withColumn("__thr", lit(0L)),
+          ch.hqAll, 1L, budget), "a_base")
+        .unionByName(
+          hist(mixRealizeBudget(tuned, allOf(tuned), 1L, budget,
+            rankPrefix = Seq(col("exposure"))), "b_tuned"))
+        .orderBy(col("variant"), col("exposure"))
+    }),
+
     // UNIT-DISTORTION card — quantifying exactly what q271's
     // re-metering fixed: q265 measured per-source fertility varying, so
     // a whitespace-planned waterfill hands each source a different
@@ -2811,7 +2884,11 @@ object CorpusQueries {
     * chain for exposure, then TEN anneal mix chains (one per admission
     * threshold) each reduced to its price row; weighted sums in
     * HUGEINT, one division per mean. */
-  private lazy val annealQualityBarSql: String = {
+  /** The shared q272/q278 oracle prelude: the gopher pool cut into NB
+    * deciles, the pretrain exposure chain, and per admission threshold
+    * t ∈ 0..9 its restricted pool (h), anneal mix chain (a), realized
+    * rows (r) and aggregates (g, p). */
+  private lazy val annealBarPreludeCtes: String = {
     val bud = "(SELECT t - ((t * 9) // 10) FROM tot)"
     val perT = (0 to 9).map { t =>
       s"""h$t AS (SELECT doc_id, source, w FROM dd WHERE qdec >= $t),
@@ -2837,23 +2914,7 @@ object CorpusQueries {
          |    CAST(coalesce(sum(w), 0) AS BIGINT) AS pool_tokens
          |  FROM h$t)""".stripMargin
     }.mkString(",\n")
-    val rows = (0 to 9).map { t =>
-      s"""SELECT CAST($t AS BIGINT) AS threshold, pool_docs, pool_tokens,
-         |  ann_docs, ann_tokens, (SELECT b FROM bud) AS budget,
-         |  CASE WHEN (SELECT b FROM bud) > 0
-         |    THEN round(ann_tokens::DOUBLE /
-         |      (SELECT b FROM bud)::DOUBLE, 6)
-         |    ELSE 0.0 END AS fill_frac,
-         |  min_q,
-         |  CASE WHEN ann_tokens > 0
-         |    THEN round(sq::DOUBLE / ann_tokens::DOUBLE, 6)
-         |    ELSE 0.0 END AS mean_q,
-         |  CASE WHEN ann_tokens > 0
-         |    THEN round(se::DOUBLE / ann_tokens::DOUBLE, 6)
-         |    ELSE 0.0 END AS mean_exposure
-         |FROM p$t, g$t""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    s"""WITH $gopherCtes,
+    s"""$gopherCtes,
        |$docTokCte,
        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS t FROM doc),
        |bud AS (SELECT CAST($bud AS BIGINT) AS b),
@@ -2871,10 +2932,77 @@ object CorpusQueries {
        |pre AS (SELECT doc_id,
        |    epochs_full + CASE WHEN in_rem THEN 1 ELSE 0 END AS exposure
        |  FROM s1sel2),
-       |$perT
+       |$perT""".stripMargin
+  }
+
+  private lazy val annealQualityBarSql: String = {
+    val rows = (0 to 9).map { t =>
+      s"""SELECT CAST($t AS BIGINT) AS threshold, pool_docs, pool_tokens,
+         |  ann_docs, ann_tokens, (SELECT b FROM bud) AS budget,
+         |  CASE WHEN (SELECT b FROM bud) > 0
+         |    THEN round(ann_tokens::DOUBLE /
+         |      (SELECT b FROM bud)::DOUBLE, 6)
+         |    ELSE 0.0 END AS fill_frac,
+         |  min_q,
+         |  CASE WHEN ann_tokens > 0
+         |    THEN round(sq::DOUBLE / ann_tokens::DOUBLE, 6)
+         |    ELSE 0.0 END AS mean_q,
+         |  CASE WHEN ann_tokens > 0
+         |    THEN round(se::DOUBLE / ann_tokens::DOUBLE, 6)
+         |    ELSE 0.0 END AS mean_exposure
+         |FROM p$t, g$t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $annealBarPreludeCtes
        |SELECT * FROM (
        |$rows
        |) ORDER BY threshold""".stripMargin
+  }
+
+  /** q278 oracle — the q272 prelude, the in-plan threshold choice
+    * (highest bar whose pool still fills the budget), and the two
+    * anneal chains: the untuned baseline (whole pool, md5 rank) and
+    * the tuned one (restricted pool, exposure-first rank), each
+    * reduced to its exposure histogram. */
+  private lazy val tunedAnnealSql: String = {
+    val cur = (0 to 9).map(t =>
+      s"SELECT CAST($t AS BIGINT) AS t, ann_tokens FROM g$t")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $annealBarPreludeCtes,
+       |cur AS (
+       |$cur),
+       |tstar AS (SELECT coalesce(max(t), 0) AS ts FROM cur
+       |  WHERE ann_tokens >= (SELECT b FROM bud)),
+       |hqe AS (SELECT d.doc_id, d.source, d.w, d.qdec,
+       |    coalesce(p.exposure, 0) AS exposure
+       |  FROM dd d LEFT JOIN pre p USING (doc_id)),
+       |tun AS (SELECT * FROM hqe
+       |  WHERE qdec >= (SELECT ts FROM tstar)),
+       |${mixChainFrom("bb", "hqe", 1L,
+           "(SELECT t - ((t * 9) // 10) FROM tot)")},
+       |${mixChainFrom("tt", "tun", 1L,
+           "(SELECT t - ((t * 9) // 10) FROM tot)", "d.exposure,")},
+       |hb AS (SELECT x.exposure, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(s.w * (s.epochs_full +
+       |      CASE WHEN s.in_rem THEN 1 ELSE 0 END)) AS BIGINT)
+       |      AS anneal_tokens
+       |  FROM bbsel2 s JOIN hqe x USING (doc_id)
+       |  WHERE s.epochs_full + CASE WHEN s.in_rem THEN 1 ELSE 0 END > 0
+       |  GROUP BY 1),
+       |ht AS (SELECT x.exposure, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(s.w * (s.epochs_full +
+       |      CASE WHEN s.in_rem THEN 1 ELSE 0 END)) AS BIGINT)
+       |      AS anneal_tokens
+       |  FROM ttsel2 s JOIN hqe x USING (doc_id)
+       |  WHERE s.epochs_full + CASE WHEN s.in_rem THEN 1 ELSE 0 END > 0
+       |  GROUP BY 1)
+       |SELECT 'a_base' AS variant, CAST(0 AS BIGINT) AS threshold,
+       |  exposure, n_docs, anneal_tokens
+       |FROM hb
+       |UNION ALL
+       |SELECT 'b_tuned', (SELECT CAST(ts AS BIGINT) FROM tstar),
+       |  exposure, n_docs, anneal_tokens
+       |FROM ht
+       |ORDER BY variant, exposure""".stripMargin
   }
 
   /** q276 oracle — the whitespace and BPE per-source totals, two
@@ -4838,6 +4966,8 @@ object CorpusQueries {
     "q272_anneal_quality_bar" -> annealQualityBarSql,
 
     "q276_share_distortion" -> shareDistortionSql,
+
+    "q278_tuned_anneal" -> tunedAnnealSql,
 
     "q249_epoch_cap_curve" -> epochCapCurveSql,
 

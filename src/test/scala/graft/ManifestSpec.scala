@@ -558,4 +558,52 @@ class ManifestSpec extends SparkSpec {
     assert(card.exists(_.getAs[Double]("delta_share") !== 0.0),
       "per-source fertility variation should distort at least one share")
   }
+
+  test("q278 tuned anneal: the baseline variant IS q264's histogram, " +
+      "the chosen threshold is q272's highest still-filling bar, the " +
+      "tuned anneal still fills the budget, and it shifts mass toward " +
+      "fresh/low-exposure docs") {
+    val card = SparkEntry.queries("q278_tuned_anneal")(spark, dir)
+      .collect()
+    val (base, tuned) = card.partition(_.getAs[String]("variant") ==
+      "a_base")
+    // baseline == q264 row-for-row
+    val h = SparkEntry.queries("q264_anneal_exposure")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("exposure") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("anneal_tokens"))))
+      .toMap
+    assert(base.length === h.size)
+    base.foreach { r =>
+      assert(h(r.getAs[Long]("exposure")) ===
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("anneal_tokens"))))
+      assert(r.getAs[Long]("threshold") === 0L)
+    }
+    // the threshold is the highest q272 bar whose pool still fills
+    val curve = SparkEntry.queries("q272_anneal_quality_bar")(spark, dir)
+      .collect()
+    val budget = curve.head.getAs[Long]("budget")
+    val want = curve.filter(r =>
+        r.getAs[Long]("ann_tokens") >= budget)
+      .map(_.getAs[Long]("threshold")).max
+    assert(tuned.forall(_.getAs[Long]("threshold") === want))
+    // ...and at that bar the anneal still fills
+    assert(tuned.map(_.getAs[Long]("anneal_tokens")).sum >= budget)
+    // the dial's point: tuned fresh mass >= baseline fresh mass, and
+    // the token-weighted mean exposure does not rise (measured
+    // property of the exposure-first draw over the admitted pool on
+    // the driver-generated testdata)
+    def fresh(rs: Array[org.apache.spark.sql.Row]) = rs
+      .filter(_.getAs[Long]("exposure") === 0L)
+      .map(_.getAs[Long]("anneal_tokens")).sum
+    assert(fresh(tuned) >= fresh(base))
+    def wexp(rs: Array[org.apache.spark.sql.Row]) =
+      (rs.map(r => r.getAs[Long]("exposure") *
+        r.getAs[Long]("anneal_tokens")).sum.toDouble,
+       rs.map(_.getAs[Long]("anneal_tokens")).sum.toDouble)
+    val (eb, mb) = wexp(base)
+    val (et, mt) = wexp(tuned)
+    assert(et * mb <= eb * mt,
+      "tuning must not raise the weighted mean exposure")
+  }
 }

@@ -1704,6 +1704,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p)
   }
 
+  test("q278: the tuned anneal's threshold choice, curve, baseline " +
+    "and tuned realization all ride the checkpointed decile pool — " +
+    "zero live scans warm, the one-row threshold broadcast, no " +
+    "cartesian beyond those broadcasts") {
+    val p = plan("q278_tuned_anneal")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(liveScans("q278_tuned_anneal").isEmpty, p)
+  }
+
   test("q275: the priority-impact ledger rides the persisted " +
     "cc_labels + doc_source_tokens stages and its checkpointed " +
     "member/group tables — zero live scans warm, no cartesian") {
