@@ -419,10 +419,10 @@ class PackingSpec extends SparkSpec {
     val dir = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("q262_shard_invalidation")(spark, dir)
       .collect()
-    val orig = rows.filter(r => Set("p0", "p1", "p2", "p3", "p4", "p5")
-      .contains(r.getAs[String]("part")))
-    val appended = rows.filterNot(r => Set("p0", "p1", "p2", "p3", "p4",
-      "p5").contains(r.getAs[String]("part")))
+    val v1Parts = (0 to 5).map(i => f"p$i%03d").toSet
+    val orig = rows.filter(r => v1Parts.contains(r.getAs[String]("part")))
+    val appended =
+      rows.filterNot(r => v1Parts.contains(r.getAs[String]("part")))
     assert(appended.nonEmpty, "the repair must append repaired bins")
     appended.foreach { r =>
       assert(r.getAs[Long]("n_before") === 0L &&
