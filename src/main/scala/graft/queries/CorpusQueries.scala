@@ -150,6 +150,65 @@ object CorpusQueries {
       perDoc.groupBy(col("source")).agg(sum(col("n_tok")).as("n_tok")))
   }
 
+  /** Persisted PRETRAIN-EXPOSURE table (doc_id, exposure) — the q256
+    * pretrain realization reduced to each doc's instance count, shared
+    * by every anneal-side card (q264/q270/q272/q278): the
+    * realization's corpus-sized window runs once per session however
+    * many anneal cards read it. */
+  private def pretrainExposureStage(s: SparkSession, dir: String)
+      : DataFrame =
+    PipelineQueries.stage(s, dir, "pretrain_exposure") {
+      val ch = wsScheduleChain(s, dir)
+      mixRealizeBudget(ch.perDoc, ch.pool, 4L, ch.b1)
+        .select(col("doc_id"),
+          (col("epochs_full") + when(col("in_rem"), 1L).otherwise(0L))
+            .as("exposure"))
+    }
+
+  /** Persisted ANNEAL POOL (doc_id, source, n_tok, q4, qdec,
+    * exposure) — the gopher pool with its integer-scaled NB logit, its
+    * exact quality decile and its pretrain exposure; shared by the
+    * quality-bar curve (q272) and the tuned anneal (q278). */
+  private def annealPoolStage(s: SparkSession, dir: String): DataFrame =
+    PipelineQueries.stage(s, dir, "anneal_pool") {
+      val ch = wsScheduleChain(s, dir)
+      val q4 = PipelineQueries.nbScoresStage(s, dir)
+        .select(col("doc_id"),
+          round(col("nb_logit") * 10000, 0).cast("long").as("q4"))
+      Ranking.equalFreqBins(ch.hqDoc.join(q4, Seq("doc_id")),
+          Seq(col("q4"), col("doc_id")), k = 10, parts = 32)
+        .withColumnRenamed("bin", "qdec").drop("rank")
+        .join(pretrainExposureStage(s, dir), Seq("doc_id"), "left")
+        .withColumn("exposure", coalesce(col("exposure"), lit(0L)))
+    }
+
+  /** Persisted TEN-THRESHOLD anneal realization (threshold, doc_id,
+    * n_tok, n_inst, q4, exposure) — the realized rows of the SAME
+    * fixed-budget cap-1 anneal waterfill at every admission threshold
+    * 0..9; q272 aggregates it into the price curve and q278 reads the
+    * per-threshold fills for its in-plan threshold choice, so the ten
+    * realizations run once per session instead of once per card. */
+  private def annealBarRealizedStage(s: SparkSession, dir: String)
+      : DataFrame =
+    PipelineQueries.stage(s, dir, "anneal_bar_realized") {
+      val ch = wsScheduleChain(s, dir)
+      val pool = annealPoolStage(s, dir)
+      (0L to 9L).map { t =>
+        val pt = pool.filter(col("qdec") >= t)
+        val allT = ch.pool.select(col("source"))
+          .join(pt.groupBy(col("source"))
+            .agg(sum(col("n_tok")).as("n_tok")), Seq("source"), "left")
+          .select(col("source"),
+            coalesce(col("n_tok"), lit(0L)).as("n_tok"))
+        mixRealizeBudget(pt, allT, 1L, ch.b2)
+          .withColumn("n_inst",
+            col("epochs_full") + when(col("in_rem"), 1L).otherwise(0L))
+          .filter(col("n_inst") > 0)
+          .select(lit(t).as("threshold"), col("doc_id"), col("n_tok"),
+            col("n_inst"), col("q4"), col("exposure"))
+      }.reduce(_ unionByName _)
+    }
+
   /** Persisted MIX-SAMPLE manifest — the row-level realization of the
     * q232-style UniMax allocation at the q233 operating point (4-epoch
     * cap, 2× budget, so sources genuinely repeat): per doc, its
@@ -1253,39 +1312,20 @@ object CorpusQueries {
     // exposure — the three-way price card (pool quality × freshness ×
     // budget fill) the q264 card was missing. Threshold 0 IS q264's
     // histogram (the spec pins the aggregate equality). All ten
-    // waterfills are domain-sized; the realizations are windows over
-    // the checkpointed ~pool-sized decile table; weighted sums run in
-    // decimal(38,0) (HUGEINT in the oracle) so the quality·token
-    // products stay exact at any corpus size. Rides doc_source_tokens /
-    // source_tokens / doc_features / nb_scores — no corpus re-read.
+    // waterfills are domain-sized; the realizations live in the
+    // persisted anneal_bar_realized stage (shared with q278's in-plan
+    // threshold choice, so the ten pool-sized windows run once per
+    // session); weighted sums run in decimal(38,0) (HUGEINT in the
+    // oracle) so the quality·token products stay exact at any corpus
+    // size. Rides the anneal_pool / pretrain_exposure stages — no
+    // corpus re-read.
     "q272_anneal_quality_bar" -> ((s, dir) => {
-      val ch = wsScheduleChain(s, dir)
-      val q4 = PipelineQueries.nbScoresStage(s, dir)
-        .select(col("doc_id"),
-          round(col("nb_logit") * 10000, 0).cast("long").as("q4"))
-      val pool = Ranking.equalFreqBins(ch.hqDoc.join(q4, Seq("doc_id")),
-          Seq(col("q4"), col("doc_id")), k = 10, parts = 32)
-        .withColumnRenamed("bin", "qdec").drop("rank")
-        .localCheckpoint(true) // ten thresholds ride it
-      val pre = mixRealizeBudget(ch.perDoc, ch.pool, 4L, ch.b1)
-        .select(col("doc_id"),
-          (col("epochs_full") + when(col("in_rem"), 1L).otherwise(0L))
-            .as("exposure"))
-        .localCheckpoint(true) // ten exposure joins ride it
-      val budget = ch.b2.localCheckpoint(true)
+      val pool = annealPoolStage(s, dir)
+      val realizedAll = annealBarRealizedStage(s, dir)
+      val budget = wsScheduleChain(s, dir).b2.localCheckpoint(true)
       (0L to 9L).map { t =>
         val pt = pool.filter(col("qdec") >= t)
-        val allT = ch.pool.select(col("source"))
-          .join(pt.groupBy(col("source"))
-            .agg(sum(col("n_tok")).as("n_tok")), Seq("source"), "left")
-          .select(col("source"),
-            coalesce(col("n_tok"), lit(0L)).as("n_tok"))
-        val realized = mixRealizeBudget(pt, allT, 1L, budget)
-          .withColumn("n_inst",
-            col("epochs_full") + when(col("in_rem"), 1L).otherwise(0L))
-          .filter(col("n_inst") > 0)
-          .join(pre, Seq("doc_id"), "left")
-          .withColumn("exposure", coalesce(col("exposure"), lit(0L)))
+        val realized = realizedAll.filter(col("threshold") === t)
         val poolAgg = pt.agg(count(lit(1)).as("pool_docs"),
           coalesce(sum(col("n_tok")), lit(0L)).as("pool_tokens"))
         val annAgg = realized.agg(
@@ -1320,29 +1360,18 @@ object CorpusQueries {
     // (exposure-first), q272 priced the admission bar. This card TURNS
     // the dial in one plan: the chosen threshold is the HIGHEST
     // admission bar whose restricted pool still FILLS the fixed anneal
-    // budget (computed in-plan from the same ten realizations as q272 —
-    // no driver-side collect), and the anneal is realized at that bar
+    // budget (read in-plan from the persisted anneal_bar_realized
+    // stage — the literal same ten realizations q272 aggregates; no
+    // driver-side collect), and the anneal is realized at that bar
     // with the q270 exposure-first rank. Output: the exposure histogram
     // of the tuned anneal next to the untuned baseline (threshold 0,
     // md5 rank — exactly q264's histogram, spec-pinned), each row
-    // carrying its threshold. Rides the same persisted stages as q272;
-    // eleven domain-sized waterfills + pool-sized windows.
+    // carrying its threshold. Rides the anneal_pool /
+    // anneal_bar_realized stages; two live realizations + one grouped
+    // fill aggregate.
     "q278_tuned_anneal" -> ((s, dir) => {
       val ch = wsScheduleChain(s, dir)
-      val q4 = PipelineQueries.nbScoresStage(s, dir)
-        .select(col("doc_id"),
-          round(col("nb_logit") * 10000, 0).cast("long").as("q4"))
-      val pre = mixRealizeBudget(ch.perDoc, ch.pool, 4L, ch.b1)
-        .select(col("doc_id"),
-          (col("epochs_full") + when(col("in_rem"), 1L).otherwise(0L))
-            .as("exposure"))
-      val poolExp = Ranking.equalFreqBins(
-          ch.hqDoc.join(q4, Seq("doc_id")),
-          Seq(col("q4"), col("doc_id")), k = 10, parts = 32)
-        .withColumnRenamed("bin", "qdec").drop("rank")
-        .join(pre, Seq("doc_id"), "left")
-        .withColumn("exposure", coalesce(col("exposure"), lit(0L)))
-        .localCheckpoint(true) // curve + base + tuned all ride it
+      val poolExp = annealPoolStage(s, dir)
       val budget = ch.b2.localCheckpoint(true)
       def allOf(pt: DataFrame): DataFrame =
         ch.pool.select(col("source"))
@@ -1350,16 +1379,12 @@ object CorpusQueries {
             .agg(sum(col("n_tok")).as("n_tok")), Seq("source"), "left")
           .select(col("source"),
             coalesce(col("n_tok"), lit(0L)).as("n_tok"))
-      val fills = (0L to 9L).map { t =>
-        val pt = poolExp.filter(col("qdec") >= t)
-        mixRealizeBudget(pt, allOf(pt), 1L, budget)
-          .withColumn("n_inst",
-            col("epochs_full") + when(col("in_rem"), 1L).otherwise(0L))
-          .filter(col("n_inst") > 0)
-          .agg(coalesce(sum(col("n_tok") * col("n_inst")), lit(0L))
-            .as("fill"))
-          .select(lit(t).as("t"), col("fill"))
-      }.reduce(_ unionByName _)
+      // the curve fills come from the persisted ten-threshold
+      // realization (shared with q272) — one grouped aggregate
+      val fills = annealBarRealizedStage(s, dir)
+        .groupBy(col("threshold").as("t"))
+        .agg(coalesce(sum(col("n_tok") * col("n_inst")), lit(0L))
+          .as("fill"))
       val tStar = fills.crossJoin(broadcast(budget))
         .filter(col("fill") >= col("b"))
         .agg(coalesce(max(col("t")), lit(0L)).as("ts"))
@@ -1517,10 +1542,8 @@ object CorpusQueries {
     // feature stages; the join is doc-keyed.
     "q264_anneal_exposure" -> ((s, dir) => {
       val ch = wsScheduleChain(s, dir)
-      val pre = mixRealizeBudget(ch.perDoc, ch.pool, 4L, ch.b1)
-        .select(col("doc_id"),
-          (col("epochs_full") + when(col("in_rem"), 1L).otherwise(0L))
-            .as("pre_inst"))
+      val pre = pretrainExposureStage(s, dir)
+        .select(col("doc_id"), col("exposure").as("pre_inst"))
       val ann = mixRealizeBudget(ch.hqDoc, ch.hqAll, 1L, ch.b2)
         .withColumn("n_inst",
           col("epochs_full") + when(col("in_rem"), 1L).otherwise(0L))
@@ -1604,11 +1627,8 @@ object CorpusQueries {
     // toward lower exposure at the same budget, pool and allocation.
     "q270_fresh_anneal" -> ((s, dir) => {
       val ch = wsScheduleChain(s, dir)
-      val pre = mixRealizeBudget(ch.perDoc, ch.pool, 4L, ch.b1)
-        .select(col("doc_id"),
-          (col("epochs_full") + when(col("in_rem"), 1L).otherwise(0L))
-            .as("exposure"))
-      val hqExp = ch.hqDoc.join(pre, Seq("doc_id"), "left")
+      val hqExp = ch.hqDoc
+        .join(pretrainExposureStage(s, dir), Seq("doc_id"), "left")
         .withColumn("exposure", coalesce(col("exposure"), lit(0L)))
       def hist(sel: DataFrame, label: String) = sel
         .withColumn("n_inst",
