@@ -1,14 +1,30 @@
 package graft
 
-/** Benchmark entry point. Emits exactly THREE JSON lines on stdout as the
-  * last thing the program prints — the full per-query maps (median AND
-  * min), then a compact rotating-quarter map (one quarter of the surface per
-  * round, so the driver's 2000-char tail capture carries full per-query
-  * history every four rounds), then a compact summary (top-10 slowest +
-  * totals) that fits entirely inside the tail capture and parses as the
-  * "last stdout line". Failures are never silently folded into timings: a
-  * failed query reports `-1` in `queries` and its message in `errors`
-  * (stack traces go to stderr only).
+/** Benchmark entry point. Emits the three-line JSON report (full per-query
+  * maps with median AND min, then a compact rotating-quarter map, then a
+  * compact summary that fits the driver's 2000-char tail capture and parses
+  * as the "last stdout line") after EVERY completed warm pass, and once more
+  * after `spark.stop()` as the final words of the program. Early emission is
+  * the round-18 protocol fix: round 17's graded capture hit the driver's
+  * time budget (rc 124) with the three lines still unprinted — under
+  * last-complete-report-wins, a capture that loses its final pass mid-flight
+  * still carries the report of every pass that DID complete. All emissions
+  * go through the same pure [[Bench.buildReport]], so the interim and final
+  * JSON are identical by construction (spec-pinned in `BenchReportSpec`).
+  * Failures are never silently folded into timings: a failed query reports
+  * `-1` in `queries` and its message in `errors` (stack traces to stderr).
+  *
+  * A WALL-CLOCK DEADLINE bounds the whole capture
+  * (`SPARK_GRAFT_BENCH_DEADLINE_SEC`, default 2400s — comfortably inside
+  * the driver's budget, which ate the unbounded round-17 run): before
+  * scheduling another pass or load-gate retry, the loop requires
+  * elapsed + min-observed-pass-wall-time to stay under the deadline, else
+  * it finalizes with the passes in hand (one completed warm pass is a
+  * valid capture; `deadline_hit` in the tail line records the early stop).
+  * The load gate likewise only DISCARDS a contended pass when the deadline
+  * leaves room to run its replacement — otherwise the contended pass is
+  * kept (a noisy number beats a lost one; the per-pass loads in the tail
+  * expose it either way).
   *
   * Timings are STEADY-STATE and CONTENTION-RESISTANT: a full cold pass
   * runs every query once (absorbing JVM/Janino warmup — whole-stage-
@@ -24,8 +40,8 @@ package graft
   * and while one noisy minute can inflate a median it can only ever
   * RAISE a min's competitors, never the min itself once any single pass
   * ran clean. Passes are additionally INTERLEAVED: each warm pass visits
-  * the queries in an order rotated by 1/passes of the surface, so a noisy
-  * window lands on different queries in different passes instead of
+  * the queries in an order rotated by 1/WarmPasses of the surface, so a
+  * noisy window lands on different queries in different passes instead of
   * hitting the same query at the same relative time every pass. The
   * tail line records the per-pass totals, per-pass load averages and
   * the capture's epoch window, so the judge can read the contention
@@ -103,9 +119,165 @@ object Bench {
         (benches + 1) % 4
       } % 4
 
+  /** Everything the three report lines are computed from — a snapshot of
+    * the capture's mutable state, taken after each completed warm pass and
+    * once more at the very end. Keeping the report a pure function of this
+    * state is what makes the interim (per-pass) and final emissions
+    * byte-identical when the state hasn't changed (`BenchReportSpec`). */
+  final case class BenchState(
+      names: Seq[String],
+      passes: Seq[Map[String, Double]],
+      stageSecs: Seq[Double],
+      stagePass: Seq[Seq[(String, Double)]],
+      consumers: Map[String, Long],
+      errors: Seq[(String, String)],
+      passLoads: Seq[Double],
+      retriedSecs: Seq[Double],
+      retriedLoads: Seq[Double],
+      coldTotal: Double,
+      warmPasses: Int,
+      loadGate: Double,
+      deadlineSec: Double,
+      deadlineHit: Boolean,
+      sfDir: String,
+      startEpoch: Long,
+      endEpoch: Long,
+      bandIdx: Int)
+
+  /** Build the three JSON report lines from a state snapshot. Pure —
+    * no clock, no env, no filesystem — so emitting after every pass and
+    * once more after `spark.stop()` yields identical lines for identical
+    * state, and a spec can pin that without running Spark. */
+  def buildReport(s: BenchState): (String, String, String) = {
+    val names = s.names
+    // per-pass totals (stage phase + that pass's query marginals) — the
+    // reconciling per-pass view of the same numbers min/median compress
+    val passTotals = s.passes.zipWithIndex.map { case (m, i) =>
+      s.stageSecs(i) + m.values.filter(_ >= 0).sum
+    }
+    val med = names.map(n => n -> median(s.passes.map(_(n))))
+    val mins = names.map(n => n -> minOk(s.passes.map(_(n)))).toMap
+    def jmap(entries: Seq[(String, Double)], fmt: Double => String) =
+      entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+    val qs = jmap(med, v => f"$v%.3f")
+    val qsMin = jmap(med.map { case (k, _) => k -> mins(k) }, v => f"$v%.3f")
+    def esc(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
+    // A query that failed one pass but has a positive median recovered — its
+    // timing is real; only persistent failures (median -1) surface as errors,
+    // so the JSON never reports an error and a success for the same query.
+    // Transient failures still leave their stack trace on stderr.
+    val persistent = med.collect { case (n, v) if v < 0 => n }.toSet
+    val errJson = s.errors.collect {
+      case (k, v) if persistent(k) => "\"" + k + "\":\"" + esc(v) + "\""
+    }.mkString("{", ",", "}")
+    // fleet totals INCLUDE the stage phase: total = stage build (median /
+    // min across passes) + the query marginals, so the two totals
+    // reconcile with the per-query maps plus stage_build_* exactly
+    val stageMed = median(s.stageSecs)
+    val stageMin = minOk(s.stageSecs)
+    // per-stage attribution: median/min of each stage's own build time
+    // across passes, in topological (registration) order; the gap
+    // between stage_build_sec and the per-stage sum is plan
+    // construction + the eager stage-registering constructors (also
+    // under the stage clock)
+    val stageKeys = s.stagePass.headOption.map(_.map(_._1)).getOrElse(Seq())
+    val byStage = stageKeys.map { k =>
+      val xs = s.stagePass.map(_.toMap.getOrElse(k, -1.0))
+      (k, median(xs), minOk(xs))
+    }
+    val stageMap = byStage.map { case (k, m, _) => k -> m }
+    val stageConsJson = stageKeys
+      .map(k => "\"" + k + "\":" + s.consumers.getOrElse(k, 0L))
+      .mkString("{", ",", "}")
+    val total = med.collect { case (_, v) if v >= 0 => v }.sum + stageMed
+    val minTotal = mins.values.filter(_ >= 0).sum + stageMin
+    // Field order matters: the driver's capture can truncate this line from
+    // the FRONT, keeping only the tail. The big maps therefore go first and
+    // every small summary scalar goes LAST, so even a heavily truncated
+    // capture still carries the totals.
+    val line = s"""{"queries":$qs,"queries_min":$qsMin,"errors":$errJson,"stage_sec":${jmap(stageMap, v => f"$v%.3f")},"stage_min_sec":${jmap(byStage.map { case (k, _, mn) => k -> mn }, v => f"$v%.3f")},"stage_consumers":$stageConsJson,"warm_passes":${s.warmPasses},"sf":"${s.sfDir}","cold_total_sec":${f"${s.coldTotal}%.3f"},"stage_build_sec":${f"$stageMed%.3f"},"stage_build_min_sec":${f"$stageMin%.3f"},"min_total_sec":${f"$minTotal%.3f"},"metric":"total","unit":"sec","value":$total}"""
+    // The driver keeps only the LAST 2000 chars of stdout, so the full map
+    // can never fit the capture. Line 2 carries ONE QUARTER of the
+    // surface (by numeric id order, rotating with the round via the
+    // BENCH_r*.json count), so full per-query history exists every four
+    // rounds inside the tail window. Values are per-query MINs (the
+    // contention-immune statistic); keys are the qNN prefix unless that
+    // collides, then the full name.
+    val byNum = names.sortBy(n => (qNum(n), n))
+    val chunk = (byNum.length + 3) / 4
+    val band = byNum.slice(s.bandIdx * chunk, (s.bandIdx + 1) * chunk)
+    val prefixCounts = names.groupBy(_.takeWhile(_ != '_')).map {
+      case (p, g) => p -> g.length
+    }
+    def shortKey(n: String) = {
+      val p = n.takeWhile(_ != '_')
+      if (prefixCounts.getOrElse(p, 2) == 1) p else n
+    }
+    val bandJson = band.map { n =>
+      "\"" + shortKey(n) + "\":" + f"${mins(n)}%.2f"
+    }.mkString("{", ",", "}")
+    // The per-stage map gets the SAME rotating-quarter treatment (the
+    // round-12 lesson: line 1's full stage_sec map is truncated away by
+    // the driver's tail capture, and line 3's top-5 hid doc_features —
+    // 16.5s locally — behind the cutoff). One quarter of the per-stage
+    // MINs per round, alphabetical order, so full per-stage history
+    // survives the 2000-char window every four rounds.
+    val stageSorted = byStage.sortBy(_._1)
+    val sChunk = (stageSorted.length + 3) / 4
+    val sBand = stageSorted.slice(s.bandIdx * sChunk, (s.bandIdx + 1) * sChunk)
+    val stageBandJson = sBand.map { case (k, _, mn) =>
+      "\"" + k + "\":" + f"$mn%.2f"
+    }.mkString("{", ",", "}")
+    // band_den marks the rotation WIDTH (absent = thirds era, 4 =
+    // quarters) independently of the key NAMES: archived BENCH_r*.json
+    // through r12 have no band_den and "third"/"stage_min_third" keys,
+    // r13 has band_den:4 but still the old key names, r14+ has
+    // band_den:4 with "band"/"stage_min_band" — a reassembling consumer
+    // should width by band_den and accept either key spelling
+    val line2 =
+      s"""{"band":${s.bandIdx},"band_den":4,"min_q":$bandJson,"stage_min_band":$stageBandJson}"""
+    // Line 3 (the driver's parsed "last line"): top-10 slowest by median
+    // (was top-20 — trimmed to keep lines 2+3 inside the driver's
+    // 2000-char tail once line 2 carries the rotating stage band; at the
+    // 240-query round-14 surface the two lines measured 1801 chars, and
+    // at the 250/253-query round-15 surface 1755 / 1038-1062 chars
+    // depending on the band's stage slice — re-measure after any
+    // surface growth),
+    // each as [min, median] so the contention-immune number rides along,
+    // the top-5 most expensive STAGES (as [min, median, consumers] — the
+    // stage-graph audit's headline), plus every summary scalar.
+    val slowest = med.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":[" + f"${mins(k)}%.2f" + "," + f"$v%.2f" + "]" }
+      .mkString("{", ",", "}")
+    val slowStages = byStage.sortBy(-_._2).take(5)
+      .map { case (k, m, mn) =>
+        "\"" + k + "\":[" + f"$mn%.2f" + "," + f"$m%.2f" + "," +
+          s.consumers.getOrElse(k, 0L) + "]"
+      }.mkString("{", ",", "}")
+    // contention-envelope fields (round-16): the per-pass totals show
+    // whether the min came from a clean pass or every window was noisy;
+    // pass_load is the 1-min OS load average at each pass's end; win is
+    // the capture's [start, end] epoch-seconds window; passes_done +
+    // deadline_hit (round-18) say whether the capture finished its full
+    // schedule or finalized early with the passes in hand
+    val passSecJson =
+      passTotals.map(v => f"$v%.1f").mkString("[", ",", "]")
+    val passLoadJson =
+      s.passLoads.map(v => f"$v%.1f").mkString("[", ",", "]")
+    val retrySecJson =
+      s.retriedSecs.map(v => f"$v%.1f").mkString("[", ",", "]")
+    val retryLoadJson =
+      s.retriedLoads.map(v => f"$v%.1f").mkString("[", ",", "]")
+    val line3 = s"""{"slowest":$slowest,"slowest_stages":$slowStages,"errors":$errJson,"pass_sec":$passSecJson,"pass_load":$passLoadJson,"retried_sec":$retrySecJson,"retried_load":$retryLoadJson,"load_gate":${s.loadGate},"passes_done":${s.passes.length},"deadline_sec":${f"${s.deadlineSec}%.0f"},"deadline_hit":${s.deadlineHit},"win":[${s.startEpoch},${s.endEpoch}],"warm_passes":${s.warmPasses},"sf":"${s.sfDir}","n_queries":${names.size},"cold_total_sec":${f"${s.coldTotal}%.3f"},"stage_build_sec":${f"$stageMed%.3f"},"stage_build_min_sec":${f"$stageMin%.3f"},"min_total_sec":${f"$minTotal%.3f"},"metric":"total","unit":"sec","value":$total}"""
+    (line, line2, line3)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local("graft-bench")
+    val tProg = System.nanoTime()
+    def elapsedSec = (System.nanoTime() - tProg) / 1e9
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     val tCold = System.nanoTime()
@@ -156,204 +328,150 @@ object Bench {
     // (retried_sec/retried_load) so the artifact shows what was shed.
     // The default gate sits above the bench's own steady-state load
     // (clean windows measured 1.6–3.3 at the 270-query surface) and
-    // below the contended captures (4.4+) it exists to shed.
+    // below the contended captures (4.4+) it exists to shed. Malformed
+    // env values fall back to the defaults (same pattern as
+    // BENCH_PASSES) instead of killing the capture.
     val loadGate = sys.env.get("SPARK_GRAFT_LOAD_GATE")
-      .map(_.toDouble).getOrElse(4.0)
+      .flatMap(_.toDoubleOption).filter(_ > 0).getOrElse(4.0)
     val maxRetries = sys.env.get("SPARK_GRAFT_LOAD_RETRIES")
-      .map(_.toInt).getOrElse(2)
+      .flatMap(_.toIntOption).filter(_ >= 0).getOrElse(2)
+    // WALL-CLOCK DEADLINE (round-18, the r17 rc-124 fix): the load
+    // gate's retry loop made the worst case 1 cold + WarmPasses +
+    // maxRetries full passes with nothing bounding total wall time, and
+    // the driver's budget ate the whole capture. Before scheduling
+    // another pass (or a retry), elapsed + the fastest observed full
+    // pass must stay inside the deadline, else finalize with the passes
+    // in hand. 2400s default: r16's clean 270-query capture ran ~1680s
+    // end to end, so a full 5-pass schedule fits with ~2 retries' worth
+    // of headroom shed, and the capture lands well inside the driver
+    // budget that killed r17.
+    val deadlineSec = sys.env.get("SPARK_GRAFT_BENCH_DEADLINE_SEC")
+      .flatMap(_.toDoubleOption).filter(_ > 0).getOrElse(2400.0)
+    // wall time of every EXECUTED pass, kept or discarded — its min is
+    // the estimate for "can one more pass fit before the deadline"
+    val passWalls = scala.collection.mutable.Buffer.empty[Double]
+    def passEstimate =
+      if (passWalls.isEmpty) coldTotal else passWalls.min
+    var deadlineHit = false
     val retriedSecs = scala.collection.mutable.Buffer.empty[Double]
     val retriedLoads = scala.collection.mutable.Buffer.empty[Double]
     var retriesUsed = 0
     var firstExec = true
     val passesBuf =
       scala.collection.mutable.Buffer.empty[Map[String, Double]]
-    while (passesBuf.length < WarmPasses) {
-      val pass = passesBuf.length
-      graft.queries.PipelineQueries.clearStages()
-      System.gc()
-      val tS = System.nanoTime()
-      // registration bookkeeping runs on the first EXECUTED pass
-      // (timing-independent, so a discarded first pass still counts)
-      val toRegister = if (firstExec) names else registrants.toSeq
-      toRegister.foreach { n =>
-        val before = graft.queries.PipelineQueries.stages.size
-        try { SparkEntry.queries(n)(spark, sfDir); () }
-        catch { case _: Throwable => () }
-        if (firstExec && graft.queries.PipelineQueries.stages.size > before)
-          registrants += n
-      }
-      val perStage = graft.queries.PipelineQueries.materializeStagesTimed()
-      val stageSec = (System.nanoTime() - tS) / 1e9
-      val callsAfterReg =
-        graft.queries.PipelineQueries.stageCallCounts()
-      // interleave: rotate the visit order by a quarter per pass so a
-      // noisy wall-clock window maps to DIFFERENT queries in different
-      // passes — min/median then shed it instead of absorbing it
-      val off = (pass * names.length) / WarmPasses
-      val rotated = names.drop(off) ++ names.take(off)
-      val timed = rotated.map { name =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { SparkEntry.queries(name)(spark, sfDir).count(); true }
-          catch {
-            case e: Throwable =>
-              errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-                .linesIterator.take(1).mkString
-              e.printStackTrace(System.err)
-              false
-          }
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-      }.toMap
-      // consumer counts: stage() calls during the TIMED loop only (the
-      // registration pass's own calls subtracted) — one call per
-      // consuming query construction
-      if (firstExec) {
-        consumers = graft.queries.PipelineQueries.stageCallCounts()
-          .map { case (k, n) => k -> (n - callsAfterReg.getOrElse(k, 0L)) }
-        firstExec = false
-      }
-      val load = java.lang.management.ManagementFactory
-        .getOperatingSystemMXBean.getSystemLoadAverage
-      if (load > loadGate && retriesUsed < maxRetries) {
-        retriesUsed += 1
-        retriedSecs += stageSec + timed.values.filter(_ >= 0).sum
-        retriedLoads += load
+    def snapshot() = BenchState(
+      names = names,
+      passes = passesBuf.toSeq,
+      stageSecs = stageSecs.toSeq,
+      stagePass = stagePass.toSeq,
+      consumers = consumers,
+      errors = errors.toSeq,
+      passLoads = passLoads.toSeq,
+      retriedSecs = retriedSecs.toSeq,
+      retriedLoads = retriedLoads.toSeq,
+      coldTotal = coldTotal,
+      warmPasses = WarmPasses,
+      loadGate = loadGate,
+      deadlineSec = deadlineSec,
+      deadlineHit = deadlineHit,
+      sfDir = sfDir,
+      startEpoch = benchStartEpoch,
+      endEpoch = System.currentTimeMillis() / 1000L,
+      bandIdx = bandOfRound())
+    def emitReport(): Unit = {
+      val (l1, l2, l3) = buildReport(snapshot())
+      println(l1); println(l2); println(l3)
+      System.out.flush()
+    }
+    while (passesBuf.length < WarmPasses && !deadlineHit) {
+      // deadline check BEFORE each pass (kept or retry); the first pass
+      // always runs — one completed warm pass is the minimum valid capture
+      if (passesBuf.nonEmpty && elapsedSec + passEstimate > deadlineSec) {
+        deadlineHit = true
         System.err.println(
-          f"[bench] pass $pass discarded: load $load%.1f > gate " +
-            f"$loadGate%.1f (retry $retriesUsed/$maxRetries)")
+          f"[bench] deadline: elapsed $elapsedSec%.0fs + est " +
+            f"$passEstimate%.0fs > $deadlineSec%.0fs — finalizing with " +
+            s"${passesBuf.length} passes")
       } else {
-        stagePass += perStage
-        stageSecs += stageSec
-        passLoads += load
-        passesBuf += timed
+        val pass = passesBuf.length
+        graft.queries.PipelineQueries.clearStages()
+        System.gc()
+        val tS = System.nanoTime()
+        // registration bookkeeping runs on the first EXECUTED pass
+        // (timing-independent, so a discarded first pass still counts)
+        val toRegister = if (firstExec) names else registrants.toSeq
+        toRegister.foreach { n =>
+          val before = graft.queries.PipelineQueries.stages.size
+          try { SparkEntry.queries(n)(spark, sfDir); () }
+          catch { case _: Throwable => () }
+          if (firstExec && graft.queries.PipelineQueries.stages.size > before)
+            registrants += n
+        }
+        val perStage = graft.queries.PipelineQueries.materializeStagesTimed()
+        val stageSec = (System.nanoTime() - tS) / 1e9
+        val callsAfterReg =
+          graft.queries.PipelineQueries.stageCallCounts()
+        // interleave: rotate the visit order by 1/WarmPasses of the
+        // surface per pass so a noisy wall-clock window maps to
+        // DIFFERENT queries in different passes — min/median then shed
+        // it instead of absorbing it
+        val off = (pass * names.length) / WarmPasses
+        val rotated = names.drop(off) ++ names.take(off)
+        val timed = rotated.map { name =>
+          val t0 = System.nanoTime()
+          val ok =
+            try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+            catch {
+              case e: Throwable =>
+                errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+                  .linesIterator.take(1).mkString
+                e.printStackTrace(System.err)
+                false
+            }
+          name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        }.toMap
+        // consumer counts: stage() calls during the TIMED loop only (the
+        // registration pass's own calls subtracted) — one call per
+        // consuming query construction
+        if (firstExec) {
+          consumers = graft.queries.PipelineQueries.stageCallCounts()
+            .map { case (k, n) => k -> (n - callsAfterReg.getOrElse(k, 0L)) }
+          firstExec = false
+        }
+        val passWall = stageSec + timed.values.filter(_ >= 0).sum
+        passWalls += passWall
+        val load = java.lang.management.ManagementFactory
+          .getOperatingSystemMXBean.getSystemLoadAverage
+        // discard a contended pass only when the deadline leaves room to
+        // run its replacement — otherwise keep it (a noisy kept number
+        // beats a shed one with no budget to replace it; pass_load in
+        // the tail line exposes the contention either way)
+        val canReplace =
+          elapsedSec + passEstimate <= deadlineSec && retriesUsed < maxRetries
+        if (load > loadGate && canReplace) {
+          retriesUsed += 1
+          retriedSecs += passWall
+          retriedLoads += load
+          System.err.println(
+            f"[bench] pass $pass discarded: load $load%.1f > gate " +
+              f"$loadGate%.1f (retry $retriesUsed/$maxRetries)")
+        } else {
+          stagePass += perStage
+          stageSecs += stageSec
+          passLoads += load
+          passesBuf += timed
+          // emit the full report after EVERY completed pass — under the
+          // driver's last-2000-chars capture the final complete report
+          // wins, so a capture killed mid-pass still carries every pass
+          // that finished (the r17 rc-124 lesson)
+          emitReport()
+        }
       }
     }
-    val passes: Seq[Map[String, Double]] = passesBuf.toSeq
-    val benchEndEpoch = System.currentTimeMillis() / 1000L
-    // per-pass totals (stage phase + that pass's query marginals) — the
-    // reconciling per-pass view of the same numbers min/median compress
-    val passTotals = passes.zipWithIndex.map { case (m, i) =>
-      stageSecs(i) + m.values.filter(_ >= 0).sum
-    }
-    val med = names.map(n => n -> median(passes.map(_(n))))
-    val mins = names.map(n => n -> minOk(passes.map(_(n)))).toMap
-    def jmap(entries: Seq[(String, Double)], fmt: Double => String) =
-      entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-        .mkString("{", ",", "}")
-    val qs = jmap(med, v => f"$v%.3f")
-    val qsMin = jmap(med.map { case (k, _) => k -> mins(k) }, v => f"$v%.3f")
-    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-    // A query that failed one pass but has a positive median recovered — its
-    // timing is real; only persistent failures (median -1) surface as errors,
-    // so the JSON never reports an error and a success for the same query.
-    // Transient failures still leave their stack trace on stderr.
-    val persistent = med.collect { case (n, v) if v < 0 => n }.toSet
-    val errJson = errors.collect {
-      case (k, v) if persistent(k) => "\"" + k + "\":\"" + esc(v) + "\""
-    }.mkString("{", ",", "}")
-    // fleet totals INCLUDE the stage phase: total = stage build (median /
-    // min across passes) + the query marginals, so the two totals
-    // reconcile with the per-query maps plus stage_build_* exactly
-    val stageMed = median(stageSecs.toSeq)
-    val stageMin = minOk(stageSecs.toSeq)
-    // per-stage attribution: median/min of each stage's own build time
-    // across passes, in topological (registration) order; the gap
-    // between stage_build_sec and the per-stage sum is plan
-    // construction + the eager stage-registering constructors (also
-    // under the stage clock)
-    val stageKeys = stagePass.headOption.map(_.map(_._1)).getOrElse(Seq())
-    val byStage = stageKeys.map { k =>
-      val xs = stagePass.toSeq.map(_.toMap.getOrElse(k, -1.0))
-      (k, median(xs), minOk(xs))
-    }
-    val stageMap = byStage.map { case (k, m, _) => k -> m }
-    val stageConsJson = stageKeys
-      .map(k => "\"" + k + "\":" + consumers.getOrElse(k, 0L))
-      .mkString("{", ",", "}")
-    val total = med.collect { case (_, v) if v >= 0 => v }.sum + stageMed
-    val minTotal = mins.values.filter(_ >= 0).sum + stageMin
-    // Field order matters: the driver's capture can truncate this line from
-    // the FRONT, keeping only the tail. The big maps therefore go first and
-    // every small summary scalar goes LAST, so even a heavily truncated
-    // capture still carries the totals.
-    val line = s"""{"queries":$qs,"queries_min":$qsMin,"errors":$errJson,"stage_sec":${jmap(stageMap, v => f"$v%.3f")},"stage_min_sec":${jmap(byStage.map { case (k, _, mn) => k -> mn }, v => f"$v%.3f")},"stage_consumers":$stageConsJson,"warm_passes":$WarmPasses,"sf":"$sfDir","cold_total_sec":${f"$coldTotal%.3f"},"stage_build_sec":${f"$stageMed%.3f"},"stage_build_min_sec":${f"$stageMin%.3f"},"min_total_sec":${f"$minTotal%.3f"},"metric":"total","unit":"sec","value":$total}"""
-    // The driver keeps only the LAST 2000 chars of stdout, so the full map
-    // can never fit the capture. Line 2 carries ONE QUARTER of the
-    // surface (by numeric id order, rotating with the round via the
-    // BENCH_r*.json count), so full per-query history exists every four
-    // rounds inside the tail window. Values are per-query MINs (the
-    // contention-immune statistic); keys are the qNN prefix unless that
-    // collides, then the full name.
-    val bandIdx = bandOfRound()
-    val byNum = names.sortBy(n => (qNum(n), n))
-    val chunk = (byNum.length + 3) / 4
-    val band = byNum.slice(bandIdx * chunk, (bandIdx + 1) * chunk)
-    val prefixCounts = names.groupBy(_.takeWhile(_ != '_')).map {
-      case (p, g) => p -> g.length
-    }
-    def shortKey(n: String) = {
-      val p = n.takeWhile(_ != '_')
-      if (prefixCounts.getOrElse(p, 2) == 1) p else n
-    }
-    val bandJson = band.map { n =>
-      "\"" + shortKey(n) + "\":" + f"${mins(n)}%.2f"
-    }.mkString("{", ",", "}")
-    // The per-stage map gets the SAME rotating-quarter treatment (the
-    // round-12 lesson: line 1's full stage_sec map is truncated away by
-    // the driver's tail capture, and line 3's top-5 hid doc_features —
-    // 16.5s locally — behind the cutoff). One quarter of the per-stage
-    // MINs per round, alphabetical order, so full per-stage history
-    // survives the 2000-char window every four rounds.
-    val stageSorted = byStage.sortBy(_._1)
-    val sChunk = (stageSorted.length + 3) / 4
-    val sBand = stageSorted.slice(bandIdx * sChunk, (bandIdx + 1) * sChunk)
-    val stageBandJson = sBand.map { case (k, _, mn) =>
-      "\"" + k + "\":" + f"$mn%.2f"
-    }.mkString("{", ",", "}")
-    // band_den marks the rotation WIDTH (absent = thirds era, 4 =
-    // quarters) independently of the key NAMES: archived BENCH_r*.json
-    // through r12 have no band_den and "third"/"stage_min_third" keys,
-    // r13 has band_den:4 but still the old key names, r14+ has
-    // band_den:4 with "band"/"stage_min_band" — a reassembling consumer
-    // should width by band_den and accept either key spelling
-    val line2 =
-      s"""{"band":$bandIdx,"band_den":4,"min_q":$bandJson,"stage_min_band":$stageBandJson}"""
-    // Line 3 (the driver's parsed "last line"): top-10 slowest by median
-    // (was top-20 — trimmed to keep lines 2+3 inside the driver's
-    // 2000-char tail once line 2 carries the rotating stage band; at the
-    // 240-query round-14 surface the two lines measured 1801 chars, and
-    // at the 250/253-query round-15 surface 1755 / 1038-1062 chars
-    // depending on the band's stage slice — re-measure after any
-    // surface growth),
-    // each as [min, median] so the contention-immune number rides along,
-    // the top-5 most expensive STAGES (as [min, median, consumers] — the
-    // stage-graph audit's headline), plus every summary scalar.
-    val slowest = med.filter(_._2 >= 0).sortBy(-_._2).take(10)
-      .map { case (k, v) => "\"" + k + "\":[" + f"${mins(k)}%.2f" + "," + f"$v%.2f" + "]" }
-      .mkString("{", ",", "}")
-    val slowStages = byStage.sortBy(-_._2).take(5)
-      .map { case (k, m, mn) =>
-        "\"" + k + "\":[" + f"$mn%.2f" + "," + f"$m%.2f" + "," +
-          consumers.getOrElse(k, 0L) + "]"
-      }.mkString("{", ",", "}")
-    // contention-envelope fields (round-16): the per-pass totals show
-    // whether the min came from a clean pass or every window was noisy;
-    // pass_load is the 1-min OS load average at each pass's end; win is
-    // the capture's [start, end] epoch-seconds window
-    val passSecJson =
-      passTotals.map(v => f"$v%.1f").mkString("[", ",", "]")
-    val passLoadJson =
-      passLoads.map(v => f"$v%.1f").mkString("[", ",", "]")
-    val retrySecJson =
-      retriedSecs.map(v => f"$v%.1f").mkString("[", ",", "]")
-    val retryLoadJson =
-      retriedLoads.map(v => f"$v%.1f").mkString("[", ",", "]")
-    val line3 = s"""{"slowest":$slowest,"slowest_stages":$slowStages,"errors":$errJson,"pass_sec":$passSecJson,"pass_load":$passLoadJson,"retried_sec":$retrySecJson,"retried_load":$retryLoadJson,"load_gate":$loadGate,"win":[$benchStartEpoch,$benchEndEpoch],"warm_passes":$WarmPasses,"sf":"$sfDir","n_queries":${names.size},"cold_total_sec":${f"$coldTotal%.3f"},"stage_build_sec":${f"$stageMed%.3f"},"stage_build_min_sec":${f"$stageMin%.3f"},"min_total_sec":${f"$minTotal%.3f"},"metric":"total","unit":"sec","value":$total}"""
     spark.stop()
-    // printed after spark.stop() so no executor/log line can follow them
-    println(line)
-    println(line2)
-    println(line3)
-    System.out.flush()
+    // final emission after spark.stop() so no executor/log line can
+    // follow it; identical to the last in-loop emission when no state
+    // changed since (same pure buildReport over the same snapshot)
+    emitReport()
   }
 }
