@@ -1713,6 +1713,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(liveScans("q278_tuned_anneal").isEmpty, p)
   }
 
+  test("q279: the BPE quality-bar curve rides the persisted BPE decile " +
+    "pool and ten-threshold realization — zero live scans warm, every " +
+    "curve-row aggregate a broadcast one-row join, no cartesian beyond " +
+    "those broadcasts") {
+    val p = plan("q279_anneal_quality_bar_bpe")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(liveScans("q279_anneal_quality_bar_bpe").isEmpty, p)
+  }
+
+  test("q280: the BPE tuned anneal's threshold choice, curve, baseline " +
+    "and tuned realization all ride the persisted BPE anneal stages — " +
+    "zero live scans warm, the one-row threshold broadcast, no " +
+    "cartesian beyond those broadcasts") {
+    val p = plan("q280_tuned_anneal_bpe")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(liveScans("q280_tuned_anneal_bpe").isEmpty, p)
+  }
+
   test("q275: the priority-impact ledger rides the persisted " +
     "cc_labels + doc_source_tokens stages and its checkpointed " +
     "member/group tables — zero live scans warm, no cartesian") {
