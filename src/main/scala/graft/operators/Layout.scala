@@ -124,7 +124,11 @@ object Layout {
     * TOGGLES its rows back out and silently cancels the fingerprint;
     * `StreamingChecksumSpec` pins the night). The fixed-count form
     * (q258) re-derives boundaries from N and is the release-time card;
-    * this form is the live one. */
+    * this form is the live one. Because part = (pos−1) div partSize is
+    * UNBOUNDED as the manifest grows, the label is padded to six digits
+    * (`p%06d` — numeric sort order holds to a million parts, vs the
+    * fixed-count card's `p%03d` whose nParts is caller-chosen and
+    * release-sized). */
   def shardFingerprintsFixed(manifest: DataFrame, posCol: String,
       key: Column, weightCol: String, partSize: Long): DataFrame = {
     require(partSize > 0, "partSize must be positive")
@@ -146,7 +150,7 @@ object Layout {
         expr("bit_xor(fp)").as("fp"))
       .select(lit("~release").as("part"), col("n_rows"), col("n_tokens"),
         col("first_pos"), col("last_pos"), col("fp"))
-    per.select(format_string("p%03d", col("part")).as("part"),
+    per.select(format_string("p%06d", col("part")).as("part"),
         col("n_rows"), col("n_tokens"), col("first_pos"), col("last_pos"),
         col("fp"))
       .unionByName(rel)
@@ -175,8 +179,10 @@ object Layout {
     * @param key      string column pinning each row's identity (e.g.
     *                 shard:bin)
     * @return one row per loader shard, `part` "p000".."p{n-1}"
-    *         (zero-padded so the label sorts in numeric part order at
-    *         any shard count), plus "~release": (part, n_rows,
+    *         (zero-padded so the label sorts in numeric part order up
+    *         to 1000 shards — nParts is caller-chosen and release-sized
+    *         here; the unbounded streaming variant above pads to six
+    *         digits), plus "~release": (part, n_rows,
     *         n_tokens, first_pos, last_pos, fp) ordered by part */
   def shardFingerprints(manifest: DataFrame, posCol: String, key: Column,
       weightCol: String, nParts: Int): DataFrame = {

@@ -89,7 +89,7 @@ class StreamingChecksumSpec extends SparkSpec {
       s"appends must only touch the tail part(s): $touched")
     // the maintained parts equal the one-shot card's part rows
     val got = store
-      .select(format_string("p%03d", col("part")).as("part"),
+      .select(format_string("p%06d", col("part")).as("part"),
         col("n_rows"), col("n_tokens"), col("first_pos"), col("last_pos"),
         col("fp"))
       .collect().map(_.toSeq).toSet
