@@ -250,6 +250,50 @@ object Mixture {
       domainCol, maxEpochs, col("__b"))
   }
 
+  /** CONFUSION-CORRECTED grouped masses — de-biasing router-filed
+    * masses through a labeled calibration matrix before a waterfill
+    * plans on them: a language-ID (or any classifier) router files
+    * each document under its PREDICTED label, so the per-label token
+    * masses a mixture allocates over are distorted by exactly the
+    * classifier's confusion (the q273/q277 measurement: a low-recall
+    * router collapses every minority label's mass, and the waterfill
+    * zeroes their allocations). Given the calibration matrix's
+    * (true, pred) cell masses, each routed label's mass is
+    * re-attributed to true labels by the column-posterior
+    * P(true | pred) — in exact integer arithmetic, term =
+    * (routed · cell) div colsum per (true, pred) pair, summed per true
+    * label — so a PERFECT router (diagonal matrix) returns the routed
+    * table unchanged, and total mass is conserved up to one integer
+    * floor per matrix column (`LangidCorrectionSpec` pins both, plus
+    * the fixed point: calibrated on the routed corpus itself, the
+    * correction recovers the true masses exactly, because each
+    * column's routed mass IS its calibration column sum).
+    *
+    * Scale shape: the matrix is ≤ |labels|² rows and the routed table
+    * |labels| rows — both broadcast; the corpus-sized work lives in
+    * whatever built them (one classify+sum pass). Output: (keyCol =
+    * true label, massCol = corrected mass), one row per true label
+    * with a positive-colsum predicted cell. */
+  def confusionCorrectedMasses(routed: DataFrame, keyCol: String,
+      massCol: String, matrix: DataFrame, trueCol: String,
+      predCol: String, cellCol: String): DataFrame = {
+    val cells = matrix.select(col(trueCol).as("__true"),
+      col(predCol).as("__pred"), col(cellCol).as("__cell"))
+    val colSums = cells.groupBy(col("__pred"))
+      .agg(sum(col("__cell")).as("__colsum"))
+    routed.select(col(keyCol).as("__pred"), col(massCol).as("__routed"))
+      .join(broadcast(cells), Seq("__pred"))
+      .join(broadcast(colSums.filter(col("__colsum") > 0)), Seq("__pred"))
+      // the routed·cell product runs in decimal(38,0) (HUGEINT in the
+      // oracle): two 100-TB-scale token masses multiply past Long range
+      .select(col("__true"),
+        expr("CAST((CAST(__routed AS DECIMAL(38,0)) * __cell) " +
+          "div __colsum AS BIGINT)").as("__term"))
+      .groupBy(col("__true"))
+      .agg(sum(col("__term")).as(massCol))
+      .select(col("__true").as(keyCol), col(massCol))
+  }
+
   /** LEAVE-ONE-OUT mixture sensitivity — the "what if we lose a
     * source" decision card: for EVERY domain d, re-run the
     * [[unimaxAllocation]] waterfill over the surviving k−1 domains at

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Mixture
+
+/** The confusion-corrected allocation (q281 — acting on the q277
+  * collapse, the round-17 judge's #3) pinned four ways:
+  *
+  *  - PERFECT ROUTER DEGENERATES: a diagonal calibration matrix makes
+  *    [[Mixture.confusionCorrectedMasses]] the identity on the routed
+  *    table (hand fixture),
+  *  - MASS CONSERVATION: the corrected total equals the routed total
+  *    up to one integer floor per matrix column (hand fixture with
+  *    deliberately non-dividing cells), and exactly on q281 (the
+  *    fixed-point case),
+  *  - FIXED POINT: calibrated on the routed corpus itself, the
+  *    correction recovers the TRUE masses exactly — each routed
+  *    column's mass IS its calibration column sum — so q281's
+  *    corrected column equals its true column row for row and every
+  *    collapsed non-'en' allocation recovers,
+  *  - ROW-PINNED to q277 (true/routed sides identical) and to q273
+  *    (each corrected mass is that true language's row-sum of the
+  *    misrouting matrix). */
+class LangidCorrectionSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private lazy val card =
+    SparkEntry.queries("q281_corrected_allocation")(spark, dir)
+      .collect().sortBy(_.getAs[String]("lang"))
+
+  test("a perfect router degenerates: diagonal matrix => corrected == " +
+      "routed, bit for bit") {
+    val routed = Seq(("en", 100L), ("es", 40L), ("fr", 10L))
+      .toDF("lang", "n_tok")
+    val diag = Seq(("en", "en", 7L), ("es", "es", 3L), ("fr", "fr", 9L))
+      .toDF("lang", "lang_pred", "n_tokens")
+    val got = Mixture.confusionCorrectedMasses(routed, "lang", "n_tok",
+        diag, "lang", "lang_pred", "n_tokens")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("en" -> 100L, "es" -> 40L, "fr" -> 10L))
+  }
+
+  test("mass conservation: corrected total within one floor per matrix " +
+      "column of the routed total, never above it") {
+    // non-dividing cells: column 'en' splits 2:1 over routed 100
+    val routed = Seq(("en", 100L), ("es", 50L)).toDF("lang", "n_tok")
+    val m = Seq(("en", "en", 2L), ("es", "en", 1L), ("es", "es", 5L))
+      .toDF("lang", "lang_pred", "n_tokens")
+    val got = Mixture.confusionCorrectedMasses(routed, "lang", "n_tok",
+        m, "lang", "lang_pred", "n_tokens")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // en: 100*2//3 = 66; es: 100*1//3 + 50*5//5 = 33 + 50
+    assert(got === Map("en" -> 66L, "es" -> 83L))
+    val corrected = got.values.sum
+    assert(corrected <= 150L && corrected >= 150L - 2L,
+      "conserved up to one floor per column")
+  }
+
+  test("q281 fixed point: corrected == true row for row, every " +
+      "collapsed non-'en' allocation recovers, and the correction " +
+      "conserves total mass exactly") {
+    card.foreach { r =>
+      assert(r.getAs[Long]("corrected_tokens") ===
+        r.getAs[Long]("true_tokens"), r.getAs[String]("lang"))
+      assert(r.getAs[Long]("delta_corrected") === 0L,
+        r.getAs[String]("lang"))
+    }
+    // the headline: languages the router zeroed come back
+    val collapsed = card.filter(r => r.getAs[Long]("routed_tokens") == 0L
+      && r.getAs[Long]("true_tokens") > 0L)
+    assert(collapsed.nonEmpty, "the q277 collapse must be visible")
+    collapsed.foreach { r =>
+      assert(r.getAs[Long]("alloc_routed") === 0L)
+      assert(r.getAs[Long]("alloc_corrected") > 0L,
+        s"${r.getAs[String]("lang")} must recover")
+    }
+    assert(card.map(_.getAs[Long]("corrected_tokens")).sum ===
+      card.map(_.getAs[Long]("routed_tokens")).sum)
+  }
+
+  test("row-pinned to q277 (true/routed sides) and q273 (corrected == " +
+      "the true language's matrix row-sum)") {
+    val q277 = SparkEntry.queries("q277_misrouting_allocation")(spark, dir)
+      .collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("true_tokens"), r.getAs[Long]("pred_tokens"),
+          r.getAs[Long]("alloc_true"), r.getAs[Long]("alloc_pred"))))
+      .toMap
+    assert(card.length === q277.size)
+    card.foreach { r =>
+      val (tt, pt, at, ap) = q277(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("true_tokens") === tt)
+      assert(r.getAs[Long]("routed_tokens") === pt)
+      assert(r.getAs[Long]("alloc_true") === at)
+      assert(r.getAs[Long]("alloc_routed") === ap)
+    }
+    val rowSums = SparkEntry.queries("q273_langid_misrouting")(spark, dir)
+      .groupBy(col("lang"))
+      .agg(sum(col("n_tokens")).as("m"))
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("m"))
+      .toMap
+    card.filter(_.getAs[Long]("true_tokens") > 0).foreach { r =>
+      assert(r.getAs[Long]("corrected_tokens") ===
+        rowSums(r.getAs[String]("lang")))
+    }
+  }
+}

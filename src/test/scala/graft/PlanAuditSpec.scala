@@ -1756,6 +1756,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(liveScans("q277_misrouting_allocation").isEmpty, p)
   }
 
+  test("q281: the corrected-allocation card is the same checkpointed " +
+    "projection + a broadcast matrix-sized correction + three " +
+    "domain-sized waterfills — zero live scans warm, the matrix and " +
+    "column sums broadcast, no cartesian beyond the broadcast budget") {
+    val p = plan("q281_corrected_allocation")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(liveScans("q281_corrected_allocation").isEmpty, p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
   test("q269: the source matrix rides the persisted pairs + " +
     "doc_source_tokens stages — zero live scans warm; two id-keyed " +
     "lookups onto the pair list, the share window runs on the " +
