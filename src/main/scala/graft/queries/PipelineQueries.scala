@@ -141,7 +141,7 @@ object PipelineQueries {
     * mapping and the q108 representative selection) read the persisted
     * labels; re-running the pointer-jumping loop per consumer would repeat
     * every per-round join. */
-  private def docLabels(s: SparkSession, dir: String): DataFrame =
+  private[queries] def docLabels(s: SparkSession, dir: String): DataFrame =
     stage(s, dir, "cc_labels")(
       NearDup.connectedComponents(docPairs(s, dir)))
 

@@ -1756,6 +1756,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(liveScans("q277_misrouting_allocation").isEmpty, p)
   }
 
+  test("q282: the priority funnel rides the persisted release_gates / " +
+    "cc_labels / doc_source_tokens stages and its checkpointed ledger " +
+    "rows — zero live scans warm, no cartesian (the broadcast priority " +
+    "join sits behind the ledger checkpoint, as q275's member tables " +
+    "do)") {
+    val p = plan("q282_priority_funnel")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(liveScans("q282_priority_funnel").isEmpty, p)
+  }
+
   test("q281: the corrected-allocation card is the same checkpointed " +
     "projection + a broadcast matrix-sized correction + three " +
     "domain-sized waterfills — zero live scans warm, the matrix and " +
