@@ -92,7 +92,8 @@ object ExplainDump {
       "q276_share_distortion", "q277_misrouting_allocation",
       "q278_tuned_anneal", "q279_anneal_quality_bar_bpe",
       "q280_tuned_anneal_bpe", "q281_corrected_allocation",
-      "q282_priority_funnel")
+      "q282_priority_funnel", "q283_split_corrected_allocation",
+      "q284_priority_mix_shift")
     val sb = new StringBuilder
     sb.append("# EXPLAIN — headline query plans (formatted, sf0.001, regenerate with `sbt \"runMain graft.ExplainDump\"`)\n")
     sb.append("\nWhat to look for: `PushedFilters`/`ReadSchema` on every scan, broadcast\njoins where one side is small, partial aggregation before each hash\nexchange, `WindowGroupLimit` ahead of top-k windows, and no\n`CartesianProduct` anywhere.\n")

@@ -707,25 +707,45 @@ object CorpusQueries {
     * admitted doc/token ledger under both rules. The legacy columns
     * read the persisted gate table untouched; the priority gate is one
     * label-table-sized window; all joins broadcast-bounded. */
-  private[graft] def priorityFunnelCard(s: SparkSession, dir: String,
+  /** The release gate table extended with the PRIORITY near-dup gate
+    * (`g_neardup_prio`): the survivor per cc group — restricted to
+    * exact-dedup survivors, the same earlier-gate coupling the
+    * first-holder g_neardup has — under the given per-source priority
+    * rank; unlabeled docs pass. Shared by the q282 ledger and the q284
+    * mix-shift card. */
+  private def priorityGates(s: SparkSession, dir: String,
       prio: DataFrame): DataFrame = {
     val gates = releaseGatesStage(s, dir)
     val src = docSourceTokensStage(s, dir)
       .select(col("doc_id"), col("source"))
-    // the rep is chosen among docs still standing after exact dedup —
-    // the same earlier-gate coupling the first-holder g_neardup has
     val labs2 = PipelineQueries.docLabels(s, dir)
       .join(gates.filter(col("g_gopher") && col("g_digest"))
         .select(col("doc_id")), Seq("doc_id"), "left_semi")
     val rep = graft.operators.NearDup
       .priorityRepresentatives(labs2, src, prio)
       .select(col("doc_id"), col("is_rep"))
-    val g = gates.join(rep, Seq("doc_id"), "left")
+    gates.join(rep, Seq("doc_id"), "left")
       .withColumn("g_neardup_prio", coalesce(col("is_rep"), lit(true)))
-    val admFirst = col("g_gopher") && col("g_digest") &&
-      col("g_neardup") && col("g_decon") && col("g_balance")
-    val admPrio = col("g_gopher") && col("g_digest") &&
-      col("g_neardup_prio") && col("g_decon") && col("g_balance")
+  }
+
+  /** The q282/q284 admitted-set predicates over [[priorityGates]]. */
+  private val admFirst: Column = col("g_gopher") && col("g_digest") &&
+    col("g_neardup") && col("g_decon") && col("g_balance")
+  private val admPrio: Column = col("g_gopher") && col("g_digest") &&
+    col("g_neardup_prio") && col("g_decon") && col("g_balance")
+
+  /** The q282 per-source priority-license fixture (suffix mod 3 — the
+    * q274/q275 rule; the testdata carries no license column). */
+  private def prioFixture(s: SparkSession, dir: String): DataFrame =
+    docSourceTokensStage(s, dir).select(col("source")).distinct()
+      .select(col("source"),
+        (expr("CAST(substring(source, 4) AS BIGINT)") % 3).as("prio"))
+
+  private[graft] def priorityFunnelCard(s: SparkSession, dir: String,
+      prio: DataFrame): DataFrame = {
+    val src = docSourceTokensStage(s, dir)
+      .select(col("doc_id"), col("source"))
+    val g = priorityGates(s, dir, prio)
     val rows = g.join(src, Seq("doc_id"))
       .groupBy(col("source")).agg(
         count(lit(1)).as("docs_total"),
@@ -1064,15 +1084,18 @@ object CorpusQueries {
         k.crossJoin(broadcast(tot))
           .select(col("source"), col("n_tok").as(s"n_tok_$tag"),
             col("alloc").as(s"alloc_$tag"),
-            expr(s"(alloc * 1000000) div __t").as(s"share_ppm_$tag"))
+            // ppm products in decimal(38,0): a 100-TB-scale alloc times
+            // 10^6 passes the Long boundary (the q281 discipline)
+            expr("CAST((CAST(alloc AS DECIMAL(38,0)) * 1000000) " +
+              "div __t AS BIGINT)").as(s"share_ppm_$tag"))
       }
       val raw = shares(mixSampleStage(s, dir), "raw")
       val adm = shares(releaseMixSampleStage(s, dir), "adm")
       raw.join(adm, Seq("source"), "left")
         .select(col("source"), col("n_tok_raw"),
           coalesce(col("n_tok_adm"), lit(0L)).as("n_tok_adm"),
-          expr("(coalesce(n_tok_adm, 0) * 1000000) div n_tok_raw")
-            .as("admitted_ppm"),
+          expr("CAST((CAST(coalesce(n_tok_adm, 0) AS DECIMAL(38,0)) " +
+            "* 1000000) div n_tok_raw AS BIGINT)").as("admitted_ppm"),
           col("alloc_raw"),
           coalesce(col("alloc_adm"), lit(0L)).as("alloc_adm"),
           col("share_ppm_raw"),
@@ -2206,11 +2229,57 @@ object CorpusQueries {
     // persisted release_gates / cc_labels / doc_source_tokens stages —
     // label-table-sized work, the corpus text is never re-read.
     "q282_priority_funnel" -> ((s, dir) =>
-      priorityFunnelCard(s, dir,
-        docSourceTokensStage(s, dir).select(col("source")).distinct()
-          .select(col("source"),
-            (expr("CAST(substring(source, 4) AS BIGINT)") % 3)
-              .as("prio")))),
+      priorityFunnelCard(s, dir, prioFixture(s, dir))),
+
+    // PRIORITY-SWAP MIX SHIFT — q282's consumer, closing the loop into
+    // the number a release actually publishes: the mix allocation at
+    // the BINDING operating point (1-epoch cap, ⌊9T/10⌋ of each set's
+    // own total — the q276 lesson: under the loose cap-4 2x point
+    // nothing saturates and every share is flat 1/k, so a survivor
+    // swap is invisible; where capacity binds, saturated sources keep
+    // exactly their own admitted mass and the swap's per-source mass
+    // moves become share moves) run over BOTH admitted sets —
+    // first-holder survivors vs licensing-aware survivors — per
+    // source: admitted mass, allocation and parts-per-million share
+    // under each rule, and the share SHIFT the survivor swap causes
+    // (q250's governance-shift shape, one level further down the
+    // governance stack). Like q250, shares are exact integer ppm
+    // (alloc·10^6 div Σalloc, decimal(38,0) product). Rides the
+    // persisted release_gates / cc_labels / doc_source_tokens stages +
+    // two domain-sized waterfills; the corpus text is never re-read.
+    "q284_priority_mix_shift" -> ((s, dir) => {
+      val g = priorityGates(s, dir, prioFixture(s, dir))
+        .localCheckpoint(true) // both admitted counts
+      val src = docSourceTokensStage(s, dir)
+        .select(col("doc_id"), col("source"))
+      def side(adm: Column, tag: String): DataFrame = {
+        val counts = g.filter(adm).join(src, Seq("doc_id"))
+          .groupBy(col("source")).agg(sum(col("n_tok")).as("n_tok"))
+        val k = Mixture.unimaxAllocation(counts, "source", "n_tok",
+          maxEpochs = 1L, budgetNum = 9L, budgetDen = 10L)
+        val tot = k.agg(sum(col("alloc")).as("__t"))
+        k.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_tok").as(s"n_tok_$tag"),
+            col("alloc").as(s"alloc_$tag"),
+            // ppm products in decimal(38,0): a 100-TB-scale alloc times
+            // 10^6 passes the Long boundary (the q281 discipline)
+            expr("CAST((CAST(alloc AS DECIMAL(38,0)) * 1000000) " +
+              "div __t AS BIGINT)").as(s"share_ppm_$tag"))
+      }
+      side(admFirst, "first")
+        .join(side(admPrio, "prio"), Seq("source"), "full_outer")
+        .select(col("source"),
+          coalesce(col("n_tok_first"), lit(0L)).as("n_tok_first"),
+          coalesce(col("n_tok_prio"), lit(0L)).as("n_tok_prio"),
+          coalesce(col("alloc_first"), lit(0L)).as("alloc_first"),
+          coalesce(col("alloc_prio"), lit(0L)).as("alloc_prio"),
+          coalesce(col("share_ppm_first"), lit(0L))
+            .as("share_ppm_first"),
+          coalesce(col("share_ppm_prio"), lit(0L)).as("share_ppm_prio"))
+        .withColumn("share_shift_ppm",
+          col("share_ppm_prio") - col("share_ppm_first"))
+        .orderBy(col("source"))
+    }),
 
     // THE NIGHTLY INCREMENTAL FUNNEL — q196's counterpart for the shape
     // a deployed pipeline actually runs every night: the NEW BATCH
@@ -3542,17 +3611,20 @@ object CorpusQueries {
       |atot AS (SELECT CAST(sum(alloc) AS BIGINT) AS t FROM mal)
       |SELECT r.source, r.src_tok AS n_tok_raw,
       |  CAST(coalesce(a.src_tok, 0) AS BIGINT) AS n_tok_adm,
-      |  CAST((coalesce(a.src_tok, 0) * 1000000) // r.src_tok AS BIGINT)
+      |  CAST((coalesce(a.src_tok, 0)::HUGEINT * 1000000) // r.src_tok
+      |    AS BIGINT)
       |    AS admitted_ppm,
       |  r.alloc AS alloc_raw,
       |  CAST(coalesce(a.alloc, 0) AS BIGINT) AS alloc_adm,
-      |  CAST((r.alloc * 1000000) // (SELECT t FROM rtot) AS BIGINT)
+      |  CAST((r.alloc::HUGEINT * 1000000) // (SELECT t FROM rtot)
+      |    AS BIGINT)
       |    AS share_ppm_raw,
-      |  CAST(coalesce((a.alloc * 1000000) // (SELECT t FROM atot), 0)
-      |    AS BIGINT) AS share_ppm_adm,
-      |  CAST(coalesce((a.alloc * 1000000) // (SELECT t FROM atot), 0) -
-      |    (r.alloc * 1000000) // (SELECT t FROM rtot) AS BIGINT)
-      |    AS share_shift_ppm,
+      |  CAST(coalesce((a.alloc::HUGEINT * 1000000)
+      |    // (SELECT t FROM atot), 0) AS BIGINT) AS share_ppm_adm,
+      |  CAST(coalesce((a.alloc::HUGEINT * 1000000)
+      |      // (SELECT t FROM atot), 0) -
+      |    (r.alloc::HUGEINT * 1000000) // (SELECT t FROM rtot)
+      |    AS BIGINT) AS share_shift_ppm,
       |  round(r.alloc::DOUBLE / r.src_tok::DOUBLE, 4) AS epochs_raw,
       |  CASE WHEN coalesce(a.src_tok, 0) > 0
       |    THEN round(a.alloc::DOUBLE / a.src_tok::DOUBLE, 4)
@@ -4089,6 +4161,62 @@ object CorpusQueries {
       |FROM prows
       |ORDER BY source""".stripMargin
 
+  /** q284 oracle — the q282 gate chains (both admitted sets), each fed
+    * into the q233-operating-point waterfill, reduced to the per-source
+    * ppm-share shift. */
+  private lazy val priorityMixShiftSql: String =
+    s"""WITH RECURSIVE
+      |$releaseGateCtes,
+      |pedges AS (
+      |  SELECT d1 AS src, d2 AS dst FROM jpairs
+      |  UNION ALL SELECT d2, d1 FROM jpairs),
+      |preach AS (
+      |  SELECT src AS a, dst AS b FROM pedges
+      |  UNION
+      |  SELECT r.a, e.dst FROM preach r JOIN pedges e ON r.b = e.src),
+      |plab AS (
+      |  SELECT a AS doc_id, least(a, min(b)) AS canonical
+      |  FROM preach GROUP BY a),
+      |pmem AS (
+      |  SELECT l.doc_id, l.canonical,
+      |    CAST(substr(d.source, 4) AS BIGINT) % 3 AS prio
+      |  FROM plab l JOIN fs2 USING (doc_id)
+      |  JOIN documents d USING (doc_id)),
+      |prep AS (SELECT doc_id,
+      |    doc_id = first_value(doc_id) OVER (PARTITION BY canonical
+      |      ORDER BY prio, doc_id) AS is_rep
+      |  FROM pmem),
+      |pfs3 AS (SELECT doc_id FROM fs2
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM prep WHERE NOT is_rep)),
+      |pfs4 AS (SELECT doc_id FROM pfs3 WHERE doc_id % 97 <> 0
+      |  AND doc_id NOT IN (SELECT doc_id FROM dcontam)),
+      |pfs5 AS (SELECT doc_id FROM pfs4
+      |  WHERE doc_id IN (SELECT doc_id FROM bkeep)),
+      |fdoc AS (SELECT a.doc_id, a.source, CAST(a.n_tok AS BIGINT) AS w
+      |  FROM acc a JOIN fs5 USING (doc_id)),
+      |ydoc AS (SELECT a.doc_id, a.source, CAST(a.n_tok AS BIGINT) AS w
+      |  FROM acc a JOIN pfs5 USING (doc_id)),
+      |${mixChainFrom("f", "fdoc", 1L, "(sum(n_tok) OVER () * 9) // 10")},
+      |${mixChainFrom("y", "ydoc", 1L, "(sum(n_tok) OVER () * 9) // 10")},
+      |ftot AS (SELECT CAST(sum(alloc) AS BIGINT) AS t FROM fal),
+      |ytot AS (SELECT CAST(sum(alloc) AS BIGINT) AS t FROM yal)
+      |SELECT source,
+      |  CAST(coalesce(f.src_tok, 0) AS BIGINT) AS n_tok_first,
+      |  CAST(coalesce(y.src_tok, 0) AS BIGINT) AS n_tok_prio,
+      |  CAST(coalesce(f.alloc, 0) AS BIGINT) AS alloc_first,
+      |  CAST(coalesce(y.alloc, 0) AS BIGINT) AS alloc_prio,
+      |  CAST(coalesce((f.alloc::HUGEINT * 1000000)
+      |    // (SELECT t FROM ftot), 0) AS BIGINT) AS share_ppm_first,
+      |  CAST(coalesce((y.alloc::HUGEINT * 1000000)
+      |    // (SELECT t FROM ytot), 0) AS BIGINT) AS share_ppm_prio,
+      |  CAST(coalesce((y.alloc::HUGEINT * 1000000)
+      |      // (SELECT t FROM ytot), 0) -
+      |    coalesce((f.alloc::HUGEINT * 1000000)
+      |      // (SELECT t FROM ftot), 0)
+      |    AS BIGINT) AS share_shift_ppm
+      |FROM fal f FULL OUTER JOIN yal y USING (source)
+      |ORDER BY source""".stripMargin
+
   /** q208 oracle: the release-to-release lifecycle — the corpus-wide
     * gopher/pair/decon chains (as q196, restricted to the history era
     * per gate), the era's frozen-quantizer Lloyd chain (as q197/q199)
@@ -4609,6 +4737,8 @@ object CorpusQueries {
     "q196_release_funnel" -> releaseFunnelSql,
 
     "q282_priority_funnel" -> priorityFunnelSql,
+
+    "q284_priority_mix_shift" -> priorityMixShiftSql,
     "q197_registry_ops" -> registryOpsSql,
     "q199_takedown_receipt" -> takedownReceiptSql,
 

@@ -909,6 +909,65 @@ object PipelineQueries {
         .orderBy(col("lang"))
     }),
 
+    // SPLIT-CALIBRATED correction — q281's realistic deployment: a
+    // production pipeline labels a small CALIBRATION slice, routes
+    // everything, and corrects the unlabeled remainder's routed masses
+    // through the slice's confusion matrix — the estimator no longer
+    // sits at its fixed point (calibration ≠ application corpus), so
+    // this card measures what q281 cannot: the RESIDUAL error of the
+    // deployed correction. Slice rule doc_id % 5 = 0 (deterministic,
+    // engine-portable); matrix from the slice's true labels; routed /
+    // true / corrected masses over the APPLICATION remainder; three
+    // waterfills at the same ⌊9T/10⌋ of the application total. Per
+    // language: the three masses, the three allocations, and both
+    // signed mass errors vs true — measured at sf0.01 the corrected
+    // error is a small residual of the routed one (the collapse is
+    // ~fully repaired from a 20% labeled slice). Same scale shape as
+    // q281: one checkpointed projection, broadcast matrix, domain-sized
+    // waterfills.
+    "q283_split_corrected_allocation" -> ((s, dir) => {
+      val j = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.langId(col("text")).as("lang_pred"))
+        .join(CorpusQueries.docSourceTokensStage(s, dir)
+          .select(col("doc_id"), col("n_tok")), Seq("doc_id"))
+        .localCheckpoint(true) // matrix + both mass tables + budget
+      val cal = j.filter(col("doc_id") % 5 === 0)
+      val app = j.filter(col("doc_id") % 5 =!= 0)
+      val matrix = cal.groupBy(col("lang"), col("lang_pred"))
+        .agg(sum(col("n_tok")).as("n_tokens"))
+      val mTrue = app.groupBy(col("lang"))
+        .agg(sum(col("n_tok")).as("n_tok"))
+      val mPred = app.groupBy(col("lang_pred").as("lang"))
+        .agg(sum(col("n_tok")).as("n_tok"))
+      val mCorr = graft.operators.Mixture.confusionCorrectedMasses(
+        mPred, "lang", "n_tok", matrix, "lang", "lang_pred", "n_tokens")
+      val b = app.agg(sum(col("n_tok")).as("t"))
+        .select(expr("(t * 9) div 10").as("b"))
+      def alloc(m: DataFrame, tok: String, al: String) =
+        graft.operators.Mixture.unimaxAllocationBudget(m, "lang",
+            "n_tok", maxEpochs = 1L, budget = b)
+          .select(col("lang"), col("n_tok").as(tok), col("alloc").as(al))
+      val aT = alloc(mTrue, "true_tokens", "alloc_true")
+      val aP = alloc(mPred, "routed_tokens", "alloc_routed")
+      val aC = alloc(mCorr, "corrected_tokens", "alloc_corrected")
+      aT.join(aP, Seq("lang"), "full_outer")
+        .join(aC, Seq("lang"), "full_outer")
+        .select(col("lang"),
+          coalesce(col("true_tokens"), lit(0L)).as("true_tokens"),
+          coalesce(col("routed_tokens"), lit(0L)).as("routed_tokens"),
+          coalesce(col("corrected_tokens"), lit(0L))
+            .as("corrected_tokens"),
+          coalesce(col("alloc_true"), lit(0L)).as("alloc_true"),
+          coalesce(col("alloc_routed"), lit(0L)).as("alloc_routed"),
+          coalesce(col("alloc_corrected"), lit(0L)).as("alloc_corrected"))
+        .withColumn("err_routed",
+          col("routed_tokens") - col("true_tokens"))
+        .withColumn("err_corrected",
+          col("corrected_tokens") - col("true_tokens"))
+        .orderBy(col("lang"))
+    }),
+
     // LLM text 3: per-document quality signals + composite score.
     "q24_quality_score" -> ((s, dir) => {
       val toks = TextAnalysis.tokens(lower(col("text")))
@@ -2795,6 +2854,79 @@ object PipelineQueries {
         |    AS delta_routed,
         |  CAST(coalesce(c2.alloc, 0) - coalesce(t.alloc, 0) AS BIGINT)
         |    AS delta_corrected
+        |FROM langs l LEFT JOIN trout t USING (source)
+        |             LEFT JOIN pdout p2 USING (source)
+        |             LEFT JOIN crout c2 USING (source)
+        |ORDER BY lang""".stripMargin,
+
+    // The q281 chain under the calibration split: matrix from the
+    // doc_id % 5 = 0 slice, masses and budget over the remainder.
+    "q283_split_corrected_allocation" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, lang, text,
+        |         string_split_regex(trim(lower(text)), '\\s+') AS toks,
+        |         CAST(len(string_split_regex(trim(text), '\\s+'))
+        |           AS BIGINT) AS n_tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, lang, text, n_tok,
+        |    len(list_filter(toks, w -> w IN ('the','a','of','and','to','in','is','on','for','with'))) AS en,
+        |    len(list_filter(toks, w -> w IN ('el','la','de','los','las','en','y','que','por','un'))) AS es,
+        |    len(list_filter(toks, w -> w IN ('le','les','des','et','une','dans','pour','est','du','au'))) AS fr,
+        |    len(list_filter(toks, w -> w IN ('der','die','das','und','ist','mit','von','ein','zu','auf'))) AS de
+        |  FROM t),
+        |p AS (
+        |  SELECT doc_id, lang, n_tok,
+        |    CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+        |         WHEN en = 0 AND es = 0 AND fr = 0 AND de = 0 THEN 'und'
+        |         WHEN en >= es AND en >= fr AND en >= de THEN 'en'
+        |         WHEN es >= fr AND es >= de THEN 'es'
+        |         WHEN fr >= de THEN 'fr'
+        |         ELSE 'de' END AS lang_pred
+        |  FROM h),
+        |pcal AS (SELECT * FROM p WHERE doc_id % 5 = 0),
+        |papp AS (SELECT * FROM p WHERE doc_id % 5 <> 0),
+        |mx AS (SELECT lang, lang_pred,
+        |    CAST(sum(n_tok) AS BIGINT) AS cell
+        |  FROM pcal GROUP BY 1, 2),
+        |tmass AS (SELECT lang AS source, CAST(sum(n_tok) AS BIGINT)
+        |    AS n_tok
+        |  FROM papp GROUP BY 1),
+        |pmass AS (SELECT lang_pred AS source, CAST(sum(n_tok) AS BIGINT)
+        |    AS n_tok
+        |  FROM papp GROUP BY 1),
+        |cs AS (SELECT lang_pred, CAST(sum(cell) AS BIGINT) AS colsum
+        |  FROM mx GROUP BY 1),
+        |cmass AS (
+        |  SELECT m.lang AS source,
+        |    CAST(sum((r.n_tok::HUGEINT * m.cell) // c.colsum) AS BIGINT)
+        |      AS n_tok
+        |  FROM mx m
+        |  JOIN pmass r ON r.source = m.lang_pred
+        |  JOIN cs c ON c.lang_pred = m.lang_pred
+        |  WHERE c.colsum > 0
+        |  GROUP BY 1),
+        |tot AS (SELECT ((sum(n_tok) * 9) // 10) AS b FROM papp),
+        |${CorpusQueries.waterfillCtes("tr", 1L, "(SELECT b FROM tot)",
+            "tmass")},
+        |${CorpusQueries.waterfillCtes("pd", 1L, "(SELECT b FROM tot)",
+            "pmass")},
+        |${CorpusQueries.waterfillCtes("cr", 1L, "(SELECT b FROM tot)",
+            "cmass")},
+        |langs AS (SELECT source FROM tmass
+        |  UNION SELECT source FROM pmass
+        |  UNION SELECT source FROM cmass)
+        |SELECT l.source AS lang,
+        |  coalesce(t.n_tok, 0) AS true_tokens,
+        |  coalesce(p2.n_tok, 0) AS routed_tokens,
+        |  coalesce(c2.n_tok, 0) AS corrected_tokens,
+        |  coalesce(t.alloc, 0) AS alloc_true,
+        |  coalesce(p2.alloc, 0) AS alloc_routed,
+        |  coalesce(c2.alloc, 0) AS alloc_corrected,
+        |  CAST(coalesce(p2.n_tok, 0) - coalesce(t.n_tok, 0) AS BIGINT)
+        |    AS err_routed,
+        |  CAST(coalesce(c2.n_tok, 0) - coalesce(t.n_tok, 0) AS BIGINT)
+        |    AS err_corrected
         |FROM langs l LEFT JOIN trout t USING (source)
         |             LEFT JOIN pdout p2 USING (source)
         |             LEFT JOIN crout c2 USING (source)

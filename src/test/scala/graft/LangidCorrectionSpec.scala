@@ -107,4 +107,34 @@ class LangidCorrectionSpec extends SparkSpec {
         rowSums(r.getAs[String]("lang")))
     }
   }
+
+  test("q283 split calibration: off the fixed point the correction " +
+      "leaves a real residual, but repairs the collapse — corrected " +
+      "L1 error a small fraction of routed, every collapsed language " +
+      "recovers an allocation, and mass is conserved within one floor " +
+      "per matrix column") {
+    val split = SparkEntry
+      .queries("q283_split_corrected_allocation")(spark, dir)
+      .collect().sortBy(_.getAs[String]("lang"))
+    def l1(c: String) = split.map(r => math.abs(r.getAs[Long](c))).sum
+    val (eC, eR) = (l1("err_corrected"), l1("err_routed"))
+    assert(eC > 0L,
+      "calibration != application corpus, so the fixed point is gone")
+    assert(eC * 4 < eR,
+      s"the 20% slice must repair most of the collapse: $eC vs $eR")
+    val collapsed = split.filter(r => r.getAs[Long]("routed_tokens") == 0L
+      && r.getAs[Long]("true_tokens") > 0L)
+    assert(collapsed.nonEmpty)
+    collapsed.foreach { r =>
+      assert(r.getAs[Long]("corrected_tokens") > 0L)
+      assert(r.getAs[Long]("alloc_corrected") > 0L,
+        s"${r.getAs[String]("lang")} must recover an allocation")
+    }
+    val (sumC, sumR) = (split.map(_.getAs[Long]("corrected_tokens")).sum,
+      split.map(_.getAs[Long]("routed_tokens")).sum)
+    // each matrix CELL floors once (< 1 token), so the loss is bounded
+    // by the cell count (≤ 6 true × 6 pred labels on this corpus)
+    assert(sumC <= sumR && sumC >= sumR - 36L,
+      s"conservation up to one floor per matrix cell: $sumC vs $sumR")
+  }
 }

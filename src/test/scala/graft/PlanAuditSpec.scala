@@ -1766,6 +1766,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(liveScans("q282_priority_funnel").isEmpty, p)
   }
 
+  test("q283: the split-calibrated correction is one checkpointed " +
+    "projection split two ways + a broadcast matrix correction + three " +
+    "domain-sized waterfills — zero live scans warm, no cartesian " +
+    "beyond the broadcast budget") {
+    val p = plan("q283_split_corrected_allocation")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(liveScans("q283_split_corrected_allocation").isEmpty, p)
+  }
+
+  test("q284: the priority mix shift rides the checkpointed priority " +
+    "gate table + two domain-sized waterfills — zero live scans warm, " +
+    "broadcast share totals, no cartesian beyond those broadcasts") {
+    val p = plan("q284_priority_mix_shift")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(liveScans("q284_priority_mix_shift").isEmpty, p)
+  }
+
   test("q281: the corrected-allocation card is the same checkpointed " +
     "projection + a broadcast matrix-sized correction + three " +
     "domain-sized waterfills — zero live scans warm, the matrix and " +

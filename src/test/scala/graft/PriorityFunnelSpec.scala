@@ -73,4 +73,33 @@ class PriorityFunnelSpec extends SparkSpec {
       assert(tot.getAs[Long](c) === srcRows.map(_.getAs[Long](c)).sum, c)
     }
   }
+
+  test("q284 mix shift: admitted masses row-pinned to q282's ledger, " +
+      "ppm shares sum to one within per-source floors, cap-1 bound " +
+      "holds, and the survivor swap moves real share") {
+    val mix = SparkEntry.queries("q284_priority_mix_shift")(spark, dir)
+      .collect().sortBy(_.getAs[String]("source"))
+    val ledger = card.filter(_.getAs[String]("source") != "~total")
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("tokens_first"), r.getAs[Long]("tokens_prio"))))
+      .toMap
+    assert(mix.length === ledger.size)
+    mix.foreach { r =>
+      val (tf, tp) = ledger(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_tok_first") === tf)
+      assert(r.getAs[Long]("n_tok_prio") === tp)
+      // the binding cap-1 point: an allocation never exceeds the
+      // source's own admitted mass
+      assert(r.getAs[Long]("alloc_first") <= r.getAs[Long]("n_tok_first"))
+      assert(r.getAs[Long]("alloc_prio") <= r.getAs[Long]("n_tok_prio"))
+      assert(r.getAs[Long]("share_shift_ppm") ===
+        r.getAs[Long]("share_ppm_prio") - r.getAs[Long]("share_ppm_first"))
+    }
+    Seq("share_ppm_first", "share_ppm_prio").foreach { c =>
+      val s = mix.map(_.getAs[Long](c)).sum
+      assert(s <= 1000000L && s >= 1000000L - mix.length, c)
+    }
+    assert(mix.exists(_.getAs[Long]("share_shift_ppm") != 0L),
+      "the survivor swap must move share at the binding point")
+  }
 }
