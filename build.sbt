@@ -34,5 +34,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (was 8g): the round-18 scale probe's big-side timed
+  // passes OOM'd the single local JVM once 43 probe queries' persisted
+  // stages + localCheckpoint blocks crowded an 8g heap at 10x data —
+  // the machine has 128 GiB and the graded runs are the only JVM on it.
+  // SPARK_DRIVER_MEM still overrides.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

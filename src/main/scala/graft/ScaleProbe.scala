@@ -142,8 +142,14 @@ object ScaleProbe {
         System.gc()
         Probes.map { n =>
           val t0 = System.nanoTime()
+          // timed failures print too (the r18 lesson: a contended
+          // window's transient error was silently swallowed and the
+          // artifact carried an unexplained -1)
           val ok = try { SparkEntry.queries(n)(spark, dir).count(); true }
-            catch { case _: Throwable => false }
+            catch { case e: Throwable =>
+              System.err.println(s"[probe] timed $n @ $dir failed: $e")
+              false
+            }
           n -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
         }.toMap
       }
