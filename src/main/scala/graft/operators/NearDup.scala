@@ -163,12 +163,26 @@ object NearDup {
       ((a - pmod(a, lit(thrDen))) / thrDen).cast("long")
     }
     val prefix = ranked.filter(col("rnk") <= col("n") - ceilTauN + 1)
-      .select(col("id"), col("n"), col("g"))
+      .select(col("id"), col("n"), col("g"), col("rnk"))
 
+    // POSITIONAL filter (PPJoin, Xiao et al. 2008): a pair with J ≥ τ
+    // has overlap o ≥ α = ⌈τ(|A|+|B|)/(1+τ)⌉, and its FIRST shared
+    // shingle under the global order (at ranks i in A, j in B) bounds
+    // o ≤ 1 + min(|A|−i, |B|−j) — every other shared shingle sits
+    // strictly after both ranks. The first shared shingle of a true
+    // pair is inside both prefixes (o ≥ α ≥ τ·max(|A|,|B|) under the
+    // size band, while a miss would cap o at ⌈τn⌉−1), so requiring
+    // 1 + min(na−i, nb−j) ≥ α on at least one matching prefix row keeps
+    // the candidate set complete while cutting the hot-prefix fan-out
+    // that grew 7× at 10× data (SCALEPROBE_r18). Integer-exact via
+    // cross-multiplication: u ≥ ⌈x/y⌉ ⟺ u·y ≥ x for positive ints.
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
           col("a.n") * thrDen >= col("b.n") * thrNum &&
-          col("b.n") * thrDen >= col("a.n") * thrNum)
+          col("b.n") * thrDen >= col("a.n") * thrNum &&
+          (lit(1L) + least(col("a.n") - col("a.rnk"),
+            col("b.n") - col("b.rnk"))) * (thrNum + thrDen) >=
+            (col("a.n") + col("b.n")) * thrNum)
       .select(col("a.id").as("d1"), col("b.id").as("d2"))
       .distinct()
 

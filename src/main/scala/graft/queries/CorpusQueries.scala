@@ -190,24 +190,60 @@ object CorpusQueries {
     * realizations run once per session instead of once per card. */
   private def annealBarRealizedStage(s: SparkSession, dir: String)
       : DataFrame =
-    PipelineQueries.stage(s, dir, "anneal_bar_realized") {
-      val ch = wsScheduleChain(s, dir)
-      val pool = annealPoolStage(s, dir)
-      (0L to 9L).map { t =>
-        val pt = pool.filter(col("qdec") >= t)
-        val allT = ch.pool.select(col("source"))
-          .join(pt.groupBy(col("source"))
-            .agg(sum(col("n_tok")).as("n_tok")), Seq("source"), "left")
-          .select(col("source"),
-            coalesce(col("n_tok"), lit(0L)).as("n_tok"))
-        mixRealizeBudget(pt, allT, 1L, ch.b2)
-          .withColumn("n_inst",
-            col("epochs_full") + when(col("in_rem"), 1L).otherwise(0L))
-          .filter(col("n_inst") > 0)
-          .select(lit(t).as("threshold"), col("doc_id"), col("n_tok"),
-            col("n_inst"), col("q4"), col("exposure"))
-      }.reduce(_ unionByName _)
-    }
+    PipelineQueries.stage(s, dir, "anneal_bar_realized")(
+      annealBarRealizedFrom(s, wsScheduleChain(s, dir),
+        annealPoolStage(s, dir)))
+
+  /** The ten-threshold realization body shared by the ws and BPE stages
+    * — SINGLE-WINDOW form (round-19, guide §2.4): the historic build ran
+    * ten sequential waterfill realizations, each with its own pool-sized
+    * groupBy (the per-source threshold mass) and its own pool-subset
+    * window shuffle — Σ|pool_t| rows exchanged across ten jobs, the one
+    * stage family that OOM'd the 10x probe. The same rows now move in
+    * ONE pass: the per-(source, threshold) masses are a suffix-sum over
+    * one pool-sized groupBy (threshold t's pool is the union of deciles
+    * >= t — domain-sized arithmetic after the single aggregate), the ten
+    * waterfills stay k-row window plans, and the realization explodes
+    * each pool row into its qualifying thresholds (t <= qdec) and ranks
+    * every (threshold, source) group in one window. Per group the join
+    * + cumsum math is [[realizeFromAllocBy]] == the historic
+    * [[realizeFromAlloc]], so the realized rows are bit-identical. */
+  private def annealBarRealizedFrom(s: SparkSession, ch: ScheduleChain,
+      pool: DataFrame): DataFrame = {
+    val thresholds = s.range(0L, 10L).select(col("id").as("threshold"))
+    // ONE pool-sized aggregate; everything below it is domain-sized
+    val bySrcDec = pool.groupBy(col("source"), col("qdec"))
+      .agg(sum(col("n_tok")).as("__tk"))
+      .withColumnRenamed("source", "__src")
+    // per-(source, threshold) pool mass = suffix sum over the decile
+    // histogram; every ch.pool source keeps a (zero-coalesced) row per
+    // threshold, exactly like the historic per-threshold left join
+    // localCheckpoint (eager, sources×10 rows): the ten allocation
+    // branches below each embed this subtree — checkpointed, the pool
+    // aggregate runs once instead of relying on exchange reuse
+    val counts = ch.pool.select(col("source")).crossJoin(thresholds)
+      .join(broadcast(bySrcDec),
+        col("source") === col("__src") && col("qdec") >= col("threshold"),
+        "left")
+      .groupBy(col("source"), col("threshold"))
+      .agg(coalesce(sum(col("__tk")), lit(0L)).as("n_tok"))
+      .localCheckpoint(true)
+    val allocAll = (0L to 9L).map { t =>
+      Mixture.unimaxAllocationBudget(
+          counts.filter(col("threshold") === t)
+            .select(col("source"), col("n_tok")),
+          "source", "n_tok", 1L, ch.b2)
+        .withColumn("threshold", lit(t))
+    }.reduce(_ unionByName _)
+    val pool10 = pool.withColumn("threshold",
+      explode(sequence(lit(0L), col("qdec"))))
+    realizeFromAllocBy(pool10, allocAll, Seq("threshold", "source"))
+      .withColumn("n_inst",
+        col("epochs_full") + when(col("in_rem"), 1L).otherwise(0L))
+      .filter(col("n_inst") > 0)
+      .select(col("threshold"), col("doc_id"), col("n_tok"),
+        col("n_inst"), col("q4"), col("exposure"))
+  }
 
   /** [[pretrainExposureStage]] in the TRUE BPE unit — the q271
     * phase-1 realization (BPE budget split, BPE weights) reduced to
@@ -251,24 +287,9 @@ object CorpusQueries {
     * manifest's 2_anneal rows). */
   private def annealBarRealizedBpeStage(s: SparkSession, dir: String)
       : DataFrame =
-    PipelineQueries.stage(s, dir, "anneal_bar_realized_bpe") {
-      val ch = bpeScheduleChain(s, dir)
-      val pool = annealPoolBpeStage(s, dir)
-      (0L to 9L).map { t =>
-        val pt = pool.filter(col("qdec") >= t)
-        val allT = ch.pool.select(col("source"))
-          .join(pt.groupBy(col("source"))
-            .agg(sum(col("n_tok")).as("n_tok")), Seq("source"), "left")
-          .select(col("source"),
-            coalesce(col("n_tok"), lit(0L)).as("n_tok"))
-        mixRealizeBudget(pt, allT, 1L, ch.b2)
-          .withColumn("n_inst",
-            col("epochs_full") + when(col("in_rem"), 1L).otherwise(0L))
-          .filter(col("n_inst") > 0)
-          .select(lit(t).as("threshold"), col("doc_id"), col("n_tok"),
-            col("n_inst"), col("q4"), col("exposure"))
-      }.reduce(_ unionByName _)
-    }
+    PipelineQueries.stage(s, dir, "anneal_bar_realized_bpe")(
+      annealBarRealizedFrom(s, bpeScheduleChain(s, dir),
+        annealPoolBpeStage(s, dir)))
 
   /** The quality-bar price curve shared by q272 (whitespace) and q279
     * (BPE) — the card body is unit-agnostic: per admission threshold
@@ -279,14 +300,34 @@ object CorpusQueries {
     * lives entirely in the chain + stages passed in. */
   private def annealQualityBarCard(ch: ScheduleChain, pool: DataFrame,
       realizedAll: DataFrame): DataFrame = {
-    val budget = ch.b2.localCheckpoint(true)
-    (0L to 9L).map { t =>
-      val pt = pool.filter(col("qdec") >= t)
-      val realized = realizedAll.filter(col("threshold") === t)
-      val poolAgg = pt.agg(count(lit(1)).as("pool_docs"),
-        coalesce(sum(col("n_tok")), lit(0L)).as("pool_tokens"))
-      val annAgg = realized.agg(
-        count(lit(1)).as("ann_docs"),
+    // SINGLE-PASS form (round-19, guide §2.3/§2.4 "aggregate before you
+    // shuffle"): the historic card looped t = 0..9 running one pool
+    // aggregate + one realized aggregate + two crossJoins PER THRESHOLD
+    // — ~30 Spark jobs re-scanning the two persisted stages twenty
+    // times (q272 249 s / q279 306 s in BENCH_r18, 44% of the graded
+    // pass). Every per-threshold number is groupable: the realized side
+    // is ONE groupBy(threshold) pass, and the pool side is ONE
+    // groupBy(qdec) pass + a 10-row suffix-sum (pool at threshold t is
+    // the union of deciles >= t) — two scans total, bit-identical
+    // output (sums are longs/decimals — associative and exact; the
+    // doubles divide the same exact sums).
+    // the budget is embedded ONCE in the single-pass plan (vs 10 branch
+    // copies before), so the eager one-row localCheckpoint job the loop
+    // form needed at every construction is gone — lazy is cheaper now
+    val budget = ch.b2
+    val thresholds = pool.sparkSession.range(0L, 10L)
+      .select(col("id").as("threshold"))
+    val byDec = pool.groupBy(col("qdec"))
+      .agg(count(lit(1)).as("__d"), sum(col("n_tok")).as("__tk"))
+    // suffix-sum over the decile histogram: a 10x10-row broadcast
+    // nested-loop join — domain-sized, never the pool
+    val poolT = thresholds
+      .join(broadcast(byDec), col("qdec") >= col("threshold"), "left")
+      .groupBy(col("threshold"))
+      .agg(coalesce(sum(col("__d")), lit(0L)).as("pool_docs"),
+        coalesce(sum(col("__tk")), lit(0L)).as("pool_tokens"))
+    val annByT = realizedAll.groupBy(col("threshold"))
+      .agg(count(lit(1)).as("ann_docs"),
         coalesce(sum(col("n_tok") * col("n_inst")), lit(0L))
           .as("ann_tokens"),
         min(col("q4")).as("min_q"),
@@ -294,22 +335,29 @@ object CorpusQueries {
           col("n_inst")).as("sq"),
         sum(col("exposure").cast("decimal(38,0)") * col("n_tok") *
           col("n_inst")).as("se"))
-      poolAgg.crossJoin(broadcast(annAgg))
-        .crossJoin(broadcast(budget))
-        .select(lit(t).as("threshold"), col("pool_docs"),
-          col("pool_tokens"), col("ann_docs"), col("ann_tokens"),
-          col("b").as("budget"),
-          when(col("b") > 0, round(col("ann_tokens").cast("double") /
+    // left join: a threshold whose realization is empty keeps the same
+    // values the historic per-threshold aggregate produced over an
+    // empty slice (count 0, coalesced 0 sums, null min_q)
+    poolT.join(broadcast(annByT), Seq("threshold"), "left")
+      .crossJoin(broadcast(budget))
+      .select(col("threshold"), col("pool_docs"), col("pool_tokens"),
+        coalesce(col("ann_docs"), lit(0L)).as("ann_docs"),
+        coalesce(col("ann_tokens"), lit(0L)).as("ann_tokens"),
+        col("b").as("budget"),
+        when(col("b") > 0,
+          round(coalesce(col("ann_tokens"), lit(0L)).cast("double") /
             col("b").cast("double"), 6)).otherwise(lit(0.0))
-            .as("fill_frac"),
-          col("min_q"),
-          when(col("ann_tokens") > 0, round(col("sq").cast("double") /
+          .as("fill_frac"),
+        col("min_q"),
+        when(coalesce(col("ann_tokens"), lit(0L)) > 0,
+          round(col("sq").cast("double") /
             col("ann_tokens").cast("double"), 6)).otherwise(lit(0.0))
-            .as("mean_q"),
-          when(col("ann_tokens") > 0, round(col("se").cast("double") /
+          .as("mean_q"),
+        when(coalesce(col("ann_tokens"), lit(0L)) > 0,
+          round(col("se").cast("double") /
             col("ann_tokens").cast("double"), 6)).otherwise(lit(0.0))
-            .as("mean_exposure"))
-    }.reduce(_ unionByName _).orderBy(col("threshold"))
+          .as("mean_exposure"))
+      .orderBy(col("threshold"))
   }
 
   /** The tuned-anneal card shared by q278 (whitespace) and q280
@@ -322,7 +370,10 @@ object CorpusQueries {
     * [[annealQualityBarCard]]. */
   private def tunedAnnealCard(ch: ScheduleChain, poolExp: DataFrame,
       realizedAll: DataFrame): DataFrame = {
-    val budget = ch.b2.localCheckpoint(true)
+    // lazy: the one-row budget aggregate over persisted stages is
+    // embedded twice (tStar, the tuned realization) — cheaper than the
+    // eager localCheckpoint job the historic form ran per construction
+    val budget = ch.b2
     def allOf(pt: DataFrame): DataFrame =
       ch.pool.select(col("source"))
         .join(pt.groupBy(col("source"))
@@ -356,8 +407,22 @@ object CorpusQueries {
       .filter(col("qdec") >= col("ts"))
       .withColumnRenamed("ts", "__thr")
       .localCheckpoint(true) // its own pool sums + realization
-    hist(mixRealizeBudget(poolExp.withColumn("__thr", lit(0L)),
-        ch.hqAll, 1L, budget), "a_base")
+    // the UNTUNED baseline is the persisted ten-threshold realization's
+    // threshold-0 slice — same pool (qdec >= 0 keeps every row), same
+    // per-source counts (hqAll and the t=0 allT are the same sums), same
+    // cap-1 waterfill at the same budget, same md5 rank — so the second
+    // corpus-sized realization this card used to run is a re-computation
+    // of rows already persisted (round-19; the fills read above already
+    // rode the stage). One grouped aggregate replaces it; AnnealBpeSpec
+    // pins the threshold-0 == phase-2-manifest identity this rides.
+    val base = realizedAll.filter(col("threshold") === 0L)
+      .groupBy(col("exposure"))
+      .agg(min(col("threshold")).as("threshold"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok") * col("n_inst")).as("anneal_tokens"))
+      .select(lit("a_base").as("variant"), col("threshold"),
+        col("exposure"), col("n_docs"), col("anneal_tokens"))
+    base
       .unionByName(
         hist(mixRealizeBudget(tuned, allOf(tuned), 1L, budget,
           rankPrefix = Seq(col("exposure"))), "b_tuned"))
@@ -419,9 +484,22 @@ object CorpusQueries {
     * prefix over `perDoc` (`rankPrefix` columns, if any, outrank the
     * md5). */
   private def realizeFromAlloc(perDoc: DataFrame, alloc0: DataFrame,
+      rankPrefix: Seq[org.apache.spark.sql.Column] = Nil): DataFrame =
+    realizeFromAllocBy(perDoc, alloc0, Seq("source"), rankPrefix)
+
+  /** [[realizeFromAlloc]] generalized to a composite allocation key —
+    * the round-19 single-window form of the ten-threshold anneal
+    * realization: with keys = (threshold, source) the ONE window ranks
+    * every (threshold, source) group at once, replacing ten sequential
+    * pool-subset shuffles with one exchange of the exploded rows (guide
+    * §2.4 — same bytes, one pass). Per group the math is unchanged, so
+    * keys = Seq("source") is the historic operator bit-for-bit. */
+  private def realizeFromAllocBy(perDoc: DataFrame, alloc0: DataFrame,
+      keys: Seq[String],
       rankPrefix: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
     val alloc = alloc0
-      .select(col("source"), col("n_tok").as("src_tok"), col("alloc"))
+      .select(keys.map(col) ++ Seq(col("n_tok").as("src_tok"),
+        col("alloc")): _*)
       // zero-capacity sources (alloc = 0 by the waterfill contract)
       // carry no perDoc rows, so their decomposition never surfaces —
       // but ANSI mode still evaluates 0 div 0 on the k-row table, so
@@ -431,13 +509,13 @@ object CorpusQueries {
       .withColumn("rem_target",
         when(col("src_tok") > 0, col("alloc") % col("src_tok"))
           .otherwise(0L))
-    val w = Window.partitionBy(col("source"))
+    val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(rankPrefix ++ Seq(
         NearDup.md5Hash60(col("doc_id").cast("string")),
         col("doc_id")): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     perDoc
-      .join(broadcast(alloc), Seq("source"))
+      .join(broadcast(alloc), keys)
       .withColumn("cum", sum(col("n_tok")).over(w))
       .withColumn("in_rem", col("cum") - col("n_tok") < col("rem_target"))
   }

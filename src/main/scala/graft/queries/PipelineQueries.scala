@@ -1265,16 +1265,26 @@ object PipelineQueries {
     // — the digest column name is a parameter, no new code.
     "q175_xsub_compact" -> ((s, dir) => {
       val grams = xsubGramStage(s, dir)
+      // NARROW KEYS through the two near-unique-key aggregates (the one
+      // probe that ran super-linear at 10x, SCALEPROBE_r18 10.30x; guide
+      // §2.3 "narrower types"): the digest travels as its 16 raw bytes
+      // instead of 32 hex chars, and the synthetic source is the holder
+      // id itself (longs — the "src_<id>" strings added nothing the
+      // tombstone equality needs). Survivor SET is unchanged (id ↔
+      // "src_"+id is a bijection and hex ↔ bytes is one), and only the
+      // digest column feeds the downstream span decision, so the output
+      // is bit-identical while the distinct + compaction shuffles carry
+      // ~40% fewer bytes.
       val hl = grams.filter(col("id") < 250)
-        .select(col("gm"), col("id")).distinct()
-      val log = hl.select(col("gm"),
-        concat(lit("src_"), col("id")).as("source"),
+        .select(unhex(col("gm")).as("gm"), col("id")).distinct()
+      val log = hl.select(col("gm"), col("id").as("source"),
         (col("id") % 4).as("batch_id"))
       val tomb = hl.select(col("id")).distinct()
         .filter(col("id") % 7 === 0)
-        .select(concat(lit("src_"), col("id")).as("source"))
+        .select(col("id").as("source"))
       val compacted = Dedup.compactRegistry(log, "gm", "source",
-        "batch_id", tomb, minBatch = 1L)
+          "batch_id", tomb, minBatch = 1L)
+        .select(lower(hex(col("gm"))).as("gm"))
       NearDup.repeatedSpansVsRegistry(grams.filter(col("id") >= 250),
           compacted, L = 32, stats = Some(xsubBatchStatsStage(s, dir)))
         .withColumnRenamed("id", "doc_id")
