@@ -55,12 +55,25 @@ object Takedown {
     * request needs. */
   def purgeReceipt(store: DataFrame, tombstones: DataFrame, idCol: String,
       storeName: String): DataFrame = {
-    val before = store.agg(count(lit(1)).as("rows_before"))
-    val after = purge(store, tombstones, idCol)
-      .agg(count(lit(1)).as("rows_after"))
-    before.crossJoin(broadcast(after))
+    // ONE store pass (round-20, guide §2.3 "aggregate before you
+    // shuffle"): the historic form scanned the store twice (a count and
+    // an anti-join + count, crossJoined) — but dropped = matched, so a
+    // left join against the DISTINCT tombstone ids (distinct keeps the
+    // ≤1-match-per-row arithmetic exact when a takedown request is
+    // re-filed with duplicates) flags each row and one aggregate reads
+    // off both numbers. The tombstone side is id-sized and explicitly
+    // broadcast; rows_after = before − dropped is the purge count by
+    // the same left_anti complement identity.
+    require(!store.columns.contains("__tomb"),
+      "column __tomb collides with purgeReceipt internals; rename first")
+    val tomb = broadcast(tombstones.select(col(idCol)).distinct()
+      .withColumn("__tomb", lit(true)))
+    store.join(tomb, Seq(idCol), "left")
+      .agg(count(lit(1)).as("rows_before"),
+        coalesce(sum(when(col("__tomb"), 1L).otherwise(0L)), lit(0L))
+          .as("rows_dropped"))
       .select(lit(storeName).as("store"), col("rows_before"),
-        (col("rows_before") - col("rows_after")).as("rows_dropped"),
-        col("rows_after"))
+        col("rows_dropped"),
+        (col("rows_before") - col("rows_dropped")).as("rows_after"))
   }
 }

@@ -2442,10 +2442,16 @@ object CorpusQueries {
           col("vec_id").cast("string"),
           Mixture.temperatureTargets(catH, "topic"))
         .select(col("vec_id").as("doc_id"), lit(true).as("__kb"))
+      // materialized ONCE (round-20, guide §2.4): the card's ~10
+      // aggregate branches (funnel, gone/admitted/v2 rows, the 4-way
+      // diff) each embed this join — whose keepH side re-runs the
+      // resample's broadcast builds per branch — so the era-sized
+      // (<250-row) gate table is checkpointed and every branch reads it
       val gh = rg.join(keepH, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_tok"), col("fp"), col("g_gopher"),
           col("g_digest"), col("g_neardup"), col("g_decon"),
           coalesce(col("__kb"), lit(false)).as("g_balance"))
+        .localCheckpoint(true)
       val s1 = col("g_gopher")
       val s2 = s1 && col("g_digest")
       val s3 = s2 && col("g_neardup")
